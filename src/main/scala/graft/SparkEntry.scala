@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{LogPipeline, NearDup, Relational, SimilarityOps, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every declared query pairs a Spark implementation with (when expressible)
+  * a DuckDB oracle over the same parquet tables; names and column aliases
+  * match across engines (the driver hash-compares values per sorted column).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private val modules: Seq[graft.queries.QueryModule] =
+    Seq(Relational, LogPipeline, TextOps, NearDup, SimilarityOps)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The TPC-H Q1-shaped hash aggregate (R13) — chosen because it runs under
+    * any session config (the events table needs the nanosAsLong conf that
+    * Verify/Bench sessions set for themselves).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_agg_hash")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.queries).toMap
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for non-SQL-expressible ops (approx sketches,
+    * engine-specific hash permutations) → driver records a rows-only check.
+    */
+  val oracleSql: Map[String, String] =
+    modules.flatMap(_.oracle).toMap
 }

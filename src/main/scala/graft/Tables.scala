@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's deterministic testdata tables (TESTDATA.md) plus
+  * the schema constants for the nginx access-log table — the Spark analog of
+  * the reference's ClickHouse DDL (`/root/reference/nginx.click:1`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Loads a testdata table. `events.ts` is nanosecond parquet, which Spark
+    * cannot read as a timestamp — sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and the ns value is truncated
+    * here to a µs timestamp, the exact truncation DuckDB applies when casting
+    * TIMESTAMP_NS → TIMESTAMP (FIXTURES.md precision note).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  import org.apache.spark.sql.types._
+
+  /** Typed output schema of the ingest pipeline — mirrors the 16-column
+    * ClickHouse table `/root/reference/nginx.click:1` (`README.md:248-271`),
+    * with `response UInt16 → IntegerType` and `bytes UInt64 → LongType`
+    * (SURVEY §1.2), plus the additive `tz` retention and `_corrupt` flag
+    * (SURVEY §2.A R4/R7).
+    */
+  val accessLogSchema: StructType = StructType(Seq(
+    StructField("logdate", DateType),
+    StructField("logdatetime", TimestampType),
+    StructField("hostname", StringType),
+    StructField("syslogtag", StringType),
+    StructField("message", StringType),
+    StructField("clientip", StringType),
+    StructField("ident", StringType),
+    StructField("auth", StringType),
+    StructField("verb", StringType),
+    StructField("request", StringType),
+    StructField("httpv", StringType),
+    StructField("response", IntegerType),
+    StructField("bytes", LongType),
+    StructField("referrer", StringType),
+    StructField("agent", StringType),
+    StructField("blob", StringType),
+    StructField("tz", StringType),
+    StructField("_corrupt", BooleanType)))
+}

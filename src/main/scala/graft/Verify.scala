@@ -12,6 +12,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Classic (non-ANSI) eval: invalid casts/parses yield NULL, matching the
+      // reference's permissive ClickHouse insert-cast semantics (SURVEY R8)
+      // and the TRY_CAST forms used in the DuckDB oracle SQL.
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Write µs-precision timestamps (not INT96) so the driver's DuckDB/arrow
+      // readers see the same values Spark computed.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.AccessLog
+
+/** The reference's own dataflow — R3 parse, R5 lookup, R7 date derivation,
+  * R8 casts — as declared, oracle-checked queries over fixture lines inlined
+  * identically in both engines (FIXTURES.md §B).
+  */
+object LogPipeline extends QueryModule {
+
+  private val P = AccessLog.pattern
+
+  def queries: Seq[(String, QFn)] = Seq(
+    // R3+R4: the flagship 16-field grammar parse incl. corrupt-line behavior.
+    "q_parse_accesslog" -> ((s, _) => {
+      val fx = AccessLog.fixtures(s)
+      fx.select(col("id") +: AccessLog.parsed(col("line")): _*)
+        .orderBy(col("id"))
+    }),
+
+    // R5: month-name→number lookup with nomatch → 'unk'.
+    "q_lookup_month" -> ((s, _) => {
+      val fx = AccessLog.fixtures(s)
+      fx.select(col("id"),
+          regexp_extract(col("line"), P, 5).as("month"))
+        .withColumn("nxm", AccessLog.monthLookup(col("month")))
+        .orderBy(col("id"))
+    }),
+
+    // R7: logdate/logdatetime reassembly from split parts (+ R5 inside).
+    "q_derive_dates" -> ((s, _) => {
+      val fx = AccessLog.fixtures(s)
+      val p = fx.select(col("id"),
+        regexp_extract(col("line"), P, 4).as("day"),
+        regexp_extract(col("line"), P, 5).as("month"),
+        regexp_extract(col("line"), P, 6).as("year"),
+        regexp_extract(col("line"), P, 7).as("rtime"))
+      val nxm = AccessLog.monthLookup(col("month"))
+      p.select(col("id"),
+          AccessLog.logdate(col("year"), nxm, col("day")).as("logdate"),
+          AccessLog.logdatetime(col("year"), nxm, col("day"), col("rtime"))
+            .cast("timestamp_ntz").as("logdatetime"))
+        .orderBy(col("id"))
+    }),
+
+    // R8: string→UInt16/UInt64 casts incl. garbage→NULL and range check.
+    "q_cast_insert" -> ((s, _) => {
+      val fx = AccessLog.fixtures(s)
+      fx.select(col("id"),
+          AccessLog.responseCast(regexp_extract(col("line"), P, 12)).as("response"),
+          AccessLog.bytesCast(regexp_extract(col("line"), P, 13)).as("bytes"))
+        .orderBy(col("id"))
+    }))
+
+  def oracle: Seq[(String, String)] = {
+    val fx = AccessLog.fixturesSql
+    // DuckDB's indexed regexp_extract caps at group 9; the named-list form
+    // returns all 16 groups as a struct in one pass.
+    val groupList = AccessLog.fields.map(f => s"'$f'").mkString("[", ", ", "]")
+    val structExtract = s"regexp_extract(line, '$P', $groupList)"
+    val fieldCols = AccessLog.fields.map(f => s"r.$f AS $f").mkString(",\n  ")
+    Seq(
+      "q_parse_accesslog" ->
+        s"""WITH p AS (SELECT id, $structExtract AS r,
+           |    NOT regexp_matches(line, '$P') AS _corrupt FROM $fx)
+           |SELECT id,
+           |  $fieldCols,
+           |  _corrupt
+           |FROM p ORDER BY id""".stripMargin,
+
+      "q_lookup_month" ->
+        s"""WITH p AS (SELECT id, regexp_extract(line, '$P', 5) AS month FROM $fx)
+           |SELECT id, month, ${AccessLog.monthLookupSql("month")} AS nxm
+           |FROM p ORDER BY id""".stripMargin,
+
+      "q_derive_dates" ->
+        s"""WITH p AS (SELECT id,
+           |    regexp_extract(line, '$P', 4) AS day,
+           |    regexp_extract(line, '$P', 5) AS month,
+           |    regexp_extract(line, '$P', 6) AS year,
+           |    regexp_extract(line, '$P', 7) AS rtime
+           |  FROM $fx),
+           |  m AS (SELECT *, ${AccessLog.monthLookupSql("month")} AS nxm FROM p)
+           |SELECT id,
+           |  TRY_CAST(year || '-' || nxm || '-' || day AS DATE) AS logdate,
+           |  TRY_CAST(year || '-' || nxm || '-' || day || ' ' || rtime AS TIMESTAMP)
+           |    AS logdatetime
+           |FROM m ORDER BY id""".stripMargin,
+
+      "q_cast_insert" ->
+        s"""WITH p AS (SELECT id, r.response AS response, r.bytes AS bytes
+           |  FROM (SELECT id, $structExtract AS r FROM $fx))
+           |SELECT id,
+           |  CASE WHEN TRY_CAST(response AS INTEGER) BETWEEN 0 AND 65535
+           |       THEN TRY_CAST(response AS INTEGER) END AS response,
+           |  TRY_CAST(bytes AS BIGINT) AS bytes
+           |FROM p ORDER BY id""".stripMargin)
+  }
+}

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Text-analysis + deduplication operators over the `documents` table — the
+  * training-data-pipeline extension surface (north star in BASELINE.json).
+  *
+  * Everything here is a narrow per-row transform (higher-order functions over
+  * the token array, inside whole-stage codegen) followed by at most one hash
+  * aggregate — the shape that scales to 100 TB: no explode on the hot path
+  * except where the operator is genuinely set-oriented (token counting,
+  * shingle joins), and those aggregate partially before shuffling.
+  */
+object TextOps extends QueryModule {
+
+  /** Deterministic tiny stopword set for the language-ID heuristic. */
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private val enStopSqlList = enStop.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  def queries: Seq[(String, QFn)] = Seq(
+    // Generator/UDTF surface: tokenize, explode, count — global term frequencies.
+    "q_explode_tokens" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(50)
+    }),
+
+    // Exact dedup by content hash: one hash aggregate, keep lowest doc_id.
+    "q_dedup_exact" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("h"))
+    }),
+
+    // Per-language corpus statistics incl. exact median (percentile parity
+    // with DuckDB quantile_cont validated on this data).
+    "q_text_stats" -> ((s, d) => {
+      val toks = size(split(col("text"), " "))
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          round(avg(toks), 4).as("avg_toks"),
+          round(expr("percentile(n_chars, 0.5D)"), 4).as("p50_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // Language-ID n-gram/stopword heuristic: per-doc stopword ratio → label.
+    "q_lang_id" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val sw = typedLit(enStop)
+      val nSw = size(filter(toks, tk => array_contains(sw, tk)))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          round(nSw.cast("double") / size(toks), 4).as("sw_ratio"),
+          when(nSw.cast("double") / size(toks) > 0.05, "en").otherwise("und")
+            .as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: token count, distinct-token ratio, mean token length,
+    // composite score — all per-row, no shuffle.
+    "q_text_quality" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val nUniq = size(array_distinct(toks))
+      val sumLen = aggregate(toks, lit(0L), (acc, tk) => acc + length(tk))
+      t(s, d, "documents")
+        .select(col("doc_id"), nTok.as("n_tok"), nUniq.as("n_uniq"),
+          round(sumLen / nTok, 4).as("mean_tok_len"),
+          round(least(lit(1.0), nTok / lit(200.0)) * (nUniq / nTok.cast("double")), 4)
+            .as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting: whitespace split vs a BPE-ish regex segmentation.
+    "q_token_count" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprinting: rolling polynomial hash over characters —
+    // a left fold, bit-identical across engines (integer arithmetic only).
+    "q_fingerprint" -> ((s, d) => {
+      val chars = split(col("text"), "")
+      val fp = aggregate(chars, lit(0L),
+        (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+      t(s, d, "documents")
+        .select(col("doc_id"), fp.as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // N-gram Jaccard near-dup: LSH-style candidate generation (pairs sharing a
+    // rare 3-shingle) then exact Jaccard verification. At 100 TB the rare-
+    // shingle inverted index bounds candidate blowup (df cap), and both stages
+    // are hash joins on shingle/doc keys — no cross join anywhere.
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val shingles = docs.select(col("doc_id"),
+          explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
+      val counts = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val rare = shingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 5)).select("sh")
+      val a = shingles.join(rare, "sh").select(col("sh"), col("doc_id").as("a"))
+      val b = shingles.join(rare, "sh").select(col("sh"), col("doc_id").as("b"))
+      val cand = a.join(b, "sh").filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val sa = shingles.select(col("doc_id").as("a"), col("sh"))
+      val sb = shingles.select(col("doc_id").as("b"), col("sh"))
+      val inter = cand.join(sa, "a").join(sb, Seq("b", "sh"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(counts.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(counts.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .select(col("a"), col("b"),
+          round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Binary-column plumbing (multimodal surface): treat text bytes as an
+    // opaque blob, expose byte length + prefix fingerprint.
+    "q_binary_meta" -> ((s, d) => {
+      val bin = col("text").cast("binary")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          length(bin).as("n_bytes"),
+          lower(hex(substring(bin, 1, 8))).as("prefix_hex"))
+        .orderBy(col("doc_id"))
+    }))
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_explode_tokens" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_chars),4) AS avg_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  round(avg(len(string_split(text,' '))),4) AS avg_toks,
+        |  round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE),4)
+        |    AS p50_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH x AS (SELECT doc_id,
+         |    len(list_filter(string_split(text,' '), tk -> tk IN $enStopSqlList))
+         |      AS n_sw,
+         |    len(string_split(text,' ')) AS n_tok
+         |  FROM documents)
+         |SELECT doc_id,
+         |  round(CAST(n_sw AS DOUBLE)/n_tok, 4) AS sw_ratio,
+         |  CASE WHEN CAST(n_sw AS DOUBLE)/n_tok > 0.05 THEN 'en' ELSE 'und' END
+         |    AS pred_lang
+         |FROM x ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH x AS (SELECT doc_id,
+        |    len(string_split(text,' ')) AS n_tok,
+        |    len(list_distinct(string_split(text,' '))) AS n_uniq,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(text,' '), tk -> length(tk)::BIGINT)),
+        |      (a,b) -> a+b) AS sum_len
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tok AS INT) AS n_tok,
+        |  CAST(n_uniq AS INT) AS n_uniq,
+        |  round(sum_len/n_tok, 4) AS mean_tok_len,
+        |  round(least(1.0::DOUBLE, n_tok/200.0) * (n_uniq/CAST(n_tok AS DOUBLE)), 4)
+        |    AS quality
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS INT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+        |    AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(text,''), c -> ascii(c)::BIGINT)),
+        |    (a,b) -> (a*31+b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, greatest(len(ts)-1, 1)),
+        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+        |    FROM tok) WHERE sh IS NOT NULL AND length(sh) > 0),
+        |  counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |  rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 5),
+        |  cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |    FROM sh x JOIN rare USING (sh) JOIN sh y USING (sh)
+        |    WHERE x.doc_id < y.doc_id),
+        |  inter AS (SELECT c.a, c.b, count(*) AS inter
+        |    FROM cand c JOIN sh p ON p.doc_id = c.a JOIN sh q
+        |      ON q.doc_id = c.b AND q.sh = p.sh
+        |    GROUP BY c.a, c.b)
+        |SELECT i.a, i.b,
+        |  round(inter / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
+        |FROM inter i JOIN counts ca ON ca.doc_id = i.a
+        |  JOIN counts cb ON cb.doc_id = i.b
+        |WHERE round(inter / (ca.n_sh + cb.n_sh - inter), 4) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+
+    "q_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  lower(hex(encode(substring(text, 1, 8)))) AS prefix_hex
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
