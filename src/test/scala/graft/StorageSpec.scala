@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.storage.LogTableWriter
+import graft.streaming.Ingest
+
+/** R11 layout: partitioned+sorted parquet behaves like the MergeTree DDL —
+  * daily directories, pruned scans, within-partition time order.
+  */
+class StorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val lines = Seq(
+    """127.0.0.1 - - [06/Apr/2020:09:54:48 -0400] "GET / HTTP/1.1" 200 612 "-" "curl/7.29.0" "-"""",
+    """10.0.0.1 - - [06/Apr/2020:10:00:00 -0400] "GET /a HTTP/1.1" 200 100 "-" "c" "-"""",
+    """10.0.0.2 - - [07/Apr/2020:09:00:00 -0400] "GET /b HTTP/1.1" 404 50 "-" "c" "-"""",
+    """10.0.0.3 - - [08/Apr/2020:09:00:00 -0400] "GET /c HTTP/1.1" 200 75 "-" "c" "-"""")
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("graft_store").toString
+    LogTableWriter.write(graft.operators.AccessLog.project(lines.toDF("line")), d)
+    d
+  }
+
+  test("write produces Hive-style daily partition directories (≈ toYYYYMMDD)") {
+    val parts = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("logdate=")).sorted
+    assert(parts.toSeq == Seq("logdate=2020-04-06", "logdate=2020-04-07",
+      "logdate=2020-04-08"))
+  }
+
+  test("time-filtered query partition-prunes the scan (explain check)") {
+    val q = LogTableWriter.read(spark, dir)
+      .filter(col("logdate") === "2020-04-07")
+    val plan = q.queryExecution.executedPlan.toString
+    // only one of three partitions survives pruning
+    assert(q.count() == 1)
+    assert(q.queryExecution.optimizedPlan.toString.contains("logdate") ||
+      plan.contains("PartitionFilters"))
+    assert(plan.contains("PartitionFilters: [isnotnull(logdate"),
+      s"no partition filter in plan:\n$plan")
+  }
+
+  test("rows are clustered by logdatetime within each partition (sparse-index analog)") {
+    val ts = LogTableWriter.read(spark, dir)
+      .filter(col("logdate") === "2020-04-06")
+      .select(col("logdatetime").cast("long")).as[Long].collect()
+    assert(ts.sameElements(ts.sorted))
+  }
+
+  test("round-trip preserves the 16-column schema + additions") {
+    val back = LogTableWriter.read(spark, dir)
+    val want = Tables.accessLogSchema.fields.map(_.name).toSet
+    assert(want.subsetOf(back.schema.fields.map(_.name).toSet))
+  }
+
+  test("batch replay through the same transform equals direct projection") {
+    val tmp = Files.createTempDirectory("graft_raw")
+    Files.writeString(tmp.resolve("access.log"), lines.mkString("\n"))
+    val viaIngest = Ingest.transform(Ingest.batchSource(spark, tmp.toString))
+    val direct = graft.operators.AccessLog.project(lines.toDF("line"))
+    assert(viaIngest.orderBy("clientip").collect()
+      .sameElements(direct.orderBy("clientip").collect()))
+  }
+}

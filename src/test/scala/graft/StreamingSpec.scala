@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{Ingest, StreamOps}
+
+/** Streaming parity (SURVEY §5.2): each StreamOps operator's streamed result
+  * equals its batch result on the same data; watermarks drop late data.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsDf = Tables.table(spark, sf(), "events")
+    .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+
+  /** Replays a batch DF through a file-based stream in N chunks and runs
+    * `op` over it with a memory sink; returns the final result as a DF.
+    */
+  private def streamed(name: String, chunks: Int = 4)(
+      op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    val dir = Files.createTempDirectory(s"graft_stream_$name").toString
+    // time-contiguous chunks, one file each: replay preserves event-time order
+    // so the watermark never drops on-time data (session windows filter
+    // pre-watermark rows even in complete mode).
+    val batch = eventsDf.withColumn("part",
+      ntile(chunks).over(org.apache.spark.sql.expressions.Window.orderBy("ts")))
+    (1 to chunks).foreach { i =>
+      batch.filter(col("part") === i).drop("part").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/chunk=$i")
+    }
+    // re-read as a stream: one file group per trigger
+    val src = spark.readStream.schema(eventsDf.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/chunk=*")
+    val q = op(src).writeStream.outputMode("complete")
+      .format("memory").queryName(s"out_$name")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(s"out_$name")
+  }
+
+  test("tumbling counts: stream result == batch result") {
+    val got = streamed("tumbling")(df => StreamOps.tumblingCounts(df))
+      .orderBy("t").collect()
+    val want = StreamOps.tumblingCounts(eventsDf).orderBy("t").collect()
+    assert(got.sameElements(want))
+  }
+
+  test("sliding sum: stream result == batch result") {
+    val got = streamed("sliding")(df => StreamOps.slidingSum(df, "value"))
+      .orderBy("t").collect()
+    val want = StreamOps.slidingSum(eventsDf, "value").orderBy("t").collect()
+    assert(got.sameElements(want))
+  }
+
+  test("session windows: stream result == batch result") {
+    val got = streamed("session")(df => StreamOps.sessionCounts(df, "user_id"))
+      .orderBy("session_start", "user_id").collect()
+    val want = StreamOps.sessionCounts(eventsDf, "user_id")
+      .orderBy("session_start", "user_id").collect()
+    assert(got.sameElements(want))
+  }
+
+  test("watermark drops late data in append mode (FIXTURES.md §B.4)") {
+    val dir = Files.createTempDirectory("graft_late").toString
+    def write(i: Int, rows: Seq[(Timestamp, Long)]): Unit =
+      rows.toDF("ts", "user_id").write.mode("overwrite").parquet(s"$dir/f=$i")
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: events up to 12:00 → watermark (1h) advances to 11:00
+    write(0, Seq((t("2024-01-01 10:10:00"), 1L), (t("2024-01-01 12:00:00"), 1L)))
+    // batch 2: an event 2h older than max (10:00 < watermark 11:00) → dropped
+    write(1, Seq((t("2024-01-01 10:00:01"), 2L)))
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f=*")
+    val agg = src.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // Only windows fully below the final watermark are emitted in append mode.
+    // The 10:00 window closes (watermark 11:00) containing ONLY the on-time
+    // 10:10 event — the late 10:00:01 arrival must not appear.
+    val emitted = spark.table("late_out")
+      .select(col("window.start").cast("string"), col("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(emitted.get("2024-01-01 10:00:00").contains(1L),
+      s"late row leaked into closed window: $emitted")
+  }
+
+  test("end-to-end ingest: stream of log files → partitioned parquet store") {
+    val in = Files.createTempDirectory("graft_in").toString
+    val out = Files.createTempDirectory("graft_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    Files.writeString(java.nio.file.Paths.get(in, "a.log"),
+      """127.0.0.1 - - [06/Apr/2020:09:54:48 -0400] "GET / HTTP/1.1" 200 612 "-" "curl/7.29.0" "-"""" + "\n" +
+        """10.0.0.2 - - [07/Apr/2020:09:00:00 -0400] "GET /b HTTP/1.1" 404 50 "-" "c" "-"""")
+    val q = Ingest.start(spark, in, out, ckpt, Trigger.AvailableNow())
+    q.awaitTermination()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2)
+    assert(back.filter(col("response") === 404).count() == 1)
+    val parts = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("logdate=")).sorted
+    assert(parts.toSeq == Seq("logdate=2020-04-06", "logdate=2020-04-07"))
+  }
+}
