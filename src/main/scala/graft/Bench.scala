@@ -21,6 +21,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (codegen, parquet footers, shuffle machinery) so the
+    // alphabetically-first query doesn't absorb one-time startup cost.
+    graft.Tables.names.foreach { n =>
+      try graft.Tables.table(spark, sfDir, n).count()
+      catch { case _: Throwable => () }
+    }
     // Deterministic name order so per-query timings are comparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,150 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{call_function, split}
+
+/** Native Catalyst expressions for the hot text/vector loops (SURVEY §7.2:
+  * "a custom Expression beats a Scala UDF beats anything else").
+  *
+  * The SQL higher-order-function formulations of these operators are
+  * interpreted per element (LambdaFunction has no codegen and no common-
+  * subexpression elimination), which made the per-row O(tokens × hashes)
+  * loops allocation- and interpreter-bound. Each expression below runs the
+  * same loop as tight JIT-compiled Scala over Spark's internal UTF8String /
+  * ArrayData — one virtual call per row, zero boxing per element.
+  *
+  * Hash function: Spark's own XxHash64Function (the engine behind SQL
+  * `xxhash64(...)`, seed 42), so values are identical to the SQL formulation.
+  */
+object TextHashes {
+
+  private val XxSeed = 42L
+
+  def hashToken(s: UTF8String): Long = XxHash64Function.hash(s, StringType, XxSeed)
+
+  /** 3-token shingles, distinct, as one pass over the token array. */
+  case class Shingles3(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      if (n < 3) return new GenericArrayData(Array.empty[Any])
+      val seen = new java.util.LinkedHashSet[UTF8String](n - 2)
+      var i = 0
+      while (i <= n - 3) {
+        seen.add(UTF8String.concatWs(UTF8String.fromString(" "),
+          toks.getUTF8String(i), toks.getUTF8String(i + 1),
+          toks.getUTF8String(i + 2)))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+    }
+    override protected def withNewChildInternal(c: Expression): Shingles3 = copy(c)
+  }
+
+  /** MinHash signature: min over shingles of (a_j·h + b_j) mod p, j < k. */
+  case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long],
+                        prime: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val sh = input.asInstanceOf[ArrayData]
+      val n = sh.numElements()
+      val k = as.length
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = java.lang.Math.floorMod(hashToken(sh.getUTF8String(i)), prime)
+        var j = 0
+        while (j < k) {
+          val v = java.lang.Math.floorMod(as(j) * h + bs(j), prime)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  }
+
+  /** 64-bit SimHash of a token array: per-bit signed vote of token hashes. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = hashToken(toks.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sim = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sim |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(sim)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  }
+
+  /** Sequential-fold dot product of two double arrays — the identical
+    * index-order left fold the DuckDB oracle computes (`list_reduce` over
+    * `list_zip`), so results stay bit-identical across engines while running
+    * ~10× faster than the interpreted `aggregate(zip_with(...))` form.
+    */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+      java.lang.Double.valueOf(acc)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+      copy(left = l, right = r)
+  }
+
+  /** Registers the expressions in the session's FunctionRegistry (the public
+    * extension point — Column construction from a raw Expression is sealed in
+    * Spark 4). Idempotent; callers invoke once per query build.
+    * `minhashAs`/`minhashBs`/`minhashPrime` parameterize `graft_minhash`.
+    */
+  def register(spark: SparkSession, minhashAs: Array[Long],
+               minhashBs: Array[Long], minhashPrime: Long): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_shingles3",
+      es => Shingles3(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      es => MinHashSig(es.head, minhashAs, minhashBs, minhashPrime), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_vecdot",
+      es => VecDot(es(0), es(1)), "built-in")
+  }
+
+  // Column-level wrappers (valid after register())
+  def shingles3(tokens: Column): Column = call_function("graft_shingles3", tokens)
+  def shingles3OfText(text: Column): Column = shingles3(split(text, " "))
+  def minhashSig(shingles: Column): Column = call_function("graft_minhash", shingles)
+  def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
+  def vecDot(a: Column, b: Column): Column = call_function("graft_vecdot", a, b)
+}

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.TextHashes
+
 /** Near-duplicate detection at scale: MinHash+LSH and SimHash.
   *
   * Both follow the same 100 TB-safe shape:
@@ -27,27 +29,24 @@ object Dedup {
   /** Deterministic permutation parameters (fixed seed — no RNG at plan time). */
   private val perms: Seq[(Long, Long)] =
     (0 until NumHashes).map(i => (2L * i + 1, 7919L * (i + 1) % Prime))
+  private val permAs: Array[Long] = perms.map(_._1).toArray
+  private val permBs: Array[Long] = perms.map(_._2).toArray
 
-  /** 3-token shingles of a text column, distinct per doc. */
-  def shingles(text: Column): Column = {
-    val toks = split(text, " ")
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),
-          i => when(i <= size(toks) - 3,
-            concat_ws(" ", slice(toks, i + 1, lit(3))))),
-        s => s.isNotNull && length(s) > 0))
-  }
+  /** Registers the native hash expressions with this LSH family's params. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    TextHashes.register(spark, permAs, permBs, Prime)
 
-  /** MinHash signature (array of NumHashes minima) from a shingle array.
-    * Base hash = xxhash64 (codegen'd); permutation j = (a_j·|x| + b_j) mod p.
+  /** 3-token shingles of a text column, distinct per doc (native expression:
+    * the SQL HOF formulation re-evaluated `split(text)` per position —
+    * O(tokens²) string scans per row — because LambdaFunction trees are
+    * interpreted without common-subexpression elimination).
     */
-  def minhashSignature(sh: Column): Column = {
-    val hashes = transform(sh, s => pmod(xxhash64(s), lit(Prime)))
-    array(perms.map { case (a, b) =>
-      array_min(transform(hashes, x => pmod(lit(a) * x + lit(b), lit(Prime))))
-    }: _*)
-  }
+  def shingles(text: Column): Column = TextHashes.shingles3OfText(text)
+
+  /** MinHash signature (array of NumHashes minima) from a shingle array —
+    * one fused pass over the shingles (requires `register`).
+    */
+  def minhashSignature(sh: Column): Column = TextHashes.minhashSig(sh)
 
   /** Candidate pairs whose MinHash signatures collide in ≥1 LSH band, verified
     * by exact Jaccard over the shingle sets; returns (a, b, jaccard) with
@@ -55,24 +54,33 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5): DataFrame = {
-    val withSig = docs
+    register(docs.sparkSession)
+    val shingleTab = docs
       .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
+    // Candidate generation moves ONLY (band, bh, doc_id) through the shuffle
+    // — never the shingle arrays. The distinct runs on bare (a, b) pairs;
+    // arrays are re-attached afterwards by two joins against the per-doc
+    // shingle table (one row per doc), so verification cost is
+    // O(candidates · |shingles|) CPU, not O(candidates · |shingles|) shuffle.
+    val bands = shingleTab
       .withColumn("sig", minhashSignature(col("sh")))
-    val bands = withSig.select(col("doc_id"), col("sh"),
-      explode(array((0 until Bands).map { bnd =>
-        struct(lit(bnd).as("band"),
-          xxhash64(concat_ws(",",
-            (0 until RowsPerBand).map(r =>
-              element_at(col("sig"), bnd * RowsPerBand + r + 1)): _*)).as("bh"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bh"))
-    val l = bands.select(col("band"), col("bh"), col("doc_id").as("a"),
-      col("sh").as("sha"))
-    val r = bands.select(col("band"), col("bh"), col("doc_id").as("b"),
-      col("sh").as("shb"))
-    l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sha"), col("shb")).distinct()
+      .select(col("doc_id"),
+        explode(array((0 until Bands).map { bnd =>
+          struct(lit(bnd).as("band"),
+            xxhash64(concat_ws(",",
+              (0 until RowsPerBand).map(r =>
+                element_at(col("sig"), bnd * RowsPerBand + r + 1)): _*)).as("bh"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val cand = bands.select(col("band"), col("bh"), col("doc_id").as("a"))
+      .join(bands.select(col("band"), col("bh"), col("doc_id").as("b")),
+        Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(shingleTab.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(shingleTab.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
       .select(col("a"), col("b"),
@@ -85,17 +93,8 @@ object Dedup {
     * vote of token xxhash64 bits, folded into a long — one pass over tokens,
     * no explode, no shuffle. `textExpr` is a SQL expression for the text col.
     */
-  def simhashExpr(textExpr: String): Column = expr(
-    s"""aggregate(
-       |  transform(split($textExpr, ' '), t -> xxhash64(t)),
-       |  array_repeat(0L, 64),
-       |  (acc, h) -> zip_with(acc, transform(sequence(0, 63),
-       |      i -> CASE WHEN (h >> i) & 1 = 1 THEN 1L ELSE -1L END),
-       |    (a, v) -> a + v),
-       |  votes -> aggregate(
-       |    zip_with(votes, sequence(0, 63),
-       |      (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END),
-       |    0L, (acc2, bit) -> acc2 | bit))""".stripMargin)
+  def simhashExpr(textExpr: String): Column =
+    TextHashes.simhash64(split(expr(textExpr), " "))
 
   /** Candidate pairs by shared 16-bit SimHash chunk (any pair within Hamming
     * distance 3 of a 64-bit hash must agree on ≥1 of 4 chunks), verified by
@@ -103,6 +102,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    register(docs.sparkSession)
     val sigs = docs.select(col(idCol).as("doc_id"),
       simhashExpr(textCol).as("sim"))
     val chunks = sigs.select(col("doc_id"), col("sim"),
@@ -115,6 +115,7 @@ object Dedup {
       col("sim").as("sa"))
     val r = chunks.select(col("chunk"), col("ch"), col("doc_id").as("b"),
       col("sim").as("sb"))
+    // the signature is one long, so carrying it through the distinct is free
     l.join(r, Seq("chunk", "ch")).filter(col("a") < col("b"))
       .select(col("a"), col("b"), col("sa"), col("sb")).distinct()
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))

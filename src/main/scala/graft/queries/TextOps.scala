@@ -106,25 +106,30 @@ object TextOps extends QueryModule {
     // shingle inverted index bounds candidate blowup (df cap), and both stages
     // are hash joins on shingle/doc keys — no cross join anywhere.
     "q_ngram_jaccard" -> ((s, d) => {
+      graft.operators.Dedup.register(s)
       val docs = t(s, d, "documents")
-      val shingles = docs.select(col("doc_id"),
-          explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
-      val counts = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val rare = shingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, 5)).select("sh")
-      val a = shingles.join(rare, "sh").select(col("sh"), col("doc_id").as("a"))
-      val b = shingles.join(rare, "sh").select(col("sh"), col("doc_id").as("b"))
-      val cand = a.join(b, "sh").filter(col("a") < col("b"))
+      // per-doc distinct shingle ARRAY stays in one row; only (shingle,
+      // doc_id) pairs of RARE shingles flow through the candidate join, and
+      // exact Jaccard is computed by array_intersect after re-attaching the
+      // arrays — no shuffle ever carries an array, no distinct on arrays.
+      val shArr = docs.select(col("doc_id"),
+          graft.operators.Dedup.shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val exploded = shArr.select(col("doc_id"), explode(col("sh")).as("sh1"))
+      val rare = exploded.groupBy(col("sh1")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 5)).select("sh1")
+      val ra = exploded.join(rare, "sh1")
+      val cand = ra.select(col("sh1"), col("doc_id").as("a"))
+        .join(ra.select(col("sh1"), col("doc_id").as("b")), "sh1")
+        .filter(col("a") < col("b"))
         .select("a", "b").distinct()
-      val sa = shingles.select(col("doc_id").as("a"), col("sh"))
-      val sb = shingles.select(col("doc_id").as("b"), col("sh"))
-      val inter = cand.join(sa, "a").join(sb, Seq("b", "sh"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-      inter
-        .join(counts.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
-        .join(counts.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+      cand
+        .join(shArr.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+        .join(shArr.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
         .select(col("a"), col("b"),
-          round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+          round(col("inter") /
+            (size(col("sha")) + size(col("shb")) - col("inter")), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("a"), col("b"))
     }),
