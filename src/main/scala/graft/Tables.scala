@@ -26,6 +26,29 @@ object Tables {
     else df
   }
 
+  /** `events` with a time-range predicate pushed to the parquet scan.
+    * The ns→µs conversion wraps `ts` in a function, which defeats parquet
+    * row-group skipping; the conversion is monotone, so an equivalent raw-ns
+    * range filter is applied UNDER the conversion — `.explain` then shows
+    * `PushedFilters: [GreaterThanOrEqual(ts,...), LessThanOrEqual(ts,...)]`.
+    * At 100 TB this is the difference between scanning a day and a year.
+    */
+  def eventsTimeFiltered(spark: SparkSession, dir: String,
+                         fromUtc: String, toUtc: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fromUs = java.time.LocalDateTime.parse(fromUtc.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val toUs = java.time.LocalDateTime.parse(toUtc.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.filter(col("ts") >= fromUs * 1000L && col("ts") <= toUs * 1000L + 999L)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      df.filter(col("ts").between(
+        lit(fromUtc).cast("timestamp"), lit(toUtc).cast("timestamp")))
+  }
+
   import org.apache.spark.sql.types._
 
   /** Typed output schema of the ingest pipeline — mirrors the 16-column

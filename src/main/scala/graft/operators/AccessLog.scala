@@ -112,10 +112,19 @@ object AccessLog {
   /** Full ingest projection — R2..R8 composed, emitting `Tables.accessLogSchema`
     * (the template at `/root/reference/nginx.conf:2-46` as a structured select;
     * no string-SQL rendering, which retires the reference's quoting wart).
+    *
+    * Parsing uses the single-pass native expression
+    * [[graft.expressions.AccessLogParseExpr]] (one scan per line) rather than
+    * the 17-regex-evaluations `parsed` formulation; the two are
+    * equivalence-tested in AccessLogSpec.
     */
   def project(lines: DataFrame, hostname: String = "localhost",
               syslogtag: String = "nginx"): DataFrame = {
-    val p = lines.select(col("line") +: parsed(col("line")): _*)
+    graft.expressions.AccessLogParseExpr.register(lines.sparkSession)
+    val p = lines
+      .withColumn("_p", graft.expressions.AccessLogParseExpr.parseCol(col("line")))
+      .select(col("line") +: (fields.map(f => col(s"_p.$f").as(f)) :+
+        col("_p._corrupt").as("_corrupt")): _*)
     val nxm = monthLookup(col("month"))
     p.select(
       logdate(col("year"), nxm, col("day")).as("logdate"),

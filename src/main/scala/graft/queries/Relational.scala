@@ -305,8 +305,11 @@ object Relational extends QueryModule {
     }),
 
     // R12 $timeFilter: closed time range + predicate over the same column.
+    // The range is applied under the ns→µs conversion so it reaches the
+    // parquet scan (row-group skipping — the MergeTree primary-index analog).
     "q_timeseries_filtered" -> ((s, d) => {
-      t(s, d, "events")
+      graft.Tables.eventsTimeFiltered(s, d,
+          "2024-01-05 00:00:00", "2024-01-20 00:00:00")
         .filter(col("ts").between(lit("2024-01-05 00:00:00").cast("timestamp"),
           lit("2024-01-20 00:00:00").cast("timestamp")) &&
           col("event_type") =!= "error")

@@ -88,6 +88,34 @@ class AccessLogSpec extends SparkSpec {
     assert(out.getAs[Long]("bytes") == 99999999999L)
   }
 
+  test("native single-pass parser is field-identical to the regex formulation") {
+    import graft.expressions.AccessLogParseExpr
+    // fixtures + adversarial shapes aimed at tokenizer boundaries
+    val adversarial = Seq(
+      """1.2.3.4 - - [1/X/99:t z] "A B HTTP/9" 1 2 "r" "a"""",
+      """a b c [d/e/1:f g] "h i HTTP/1.0" 2 3 "" ""x""",
+      """ - - [06/Apr/2020:09:54:48 -0400] "GET / HTTP/1.1" 200 612 "-" "c" "-"""",
+      """ip - - [//2020:t z] "G / HTTP/1." 0 0 "" """",
+      """ip - - [d/m/2020:09:54:48 -0400] "GET /x HTTP/11" 200 612 "-" "c"""",
+      """ip - - [d/m/:09:54:48 -0400] "GET /x HTTP/1.1" 200 612 "-" "c" "-"""",
+      """ip - - [d/m/2020:09:54:48 -0400] "GET /x HTTP/1.1" 200x 612 "-" "c" "-"""",
+      """ip - - [d/m/2020:09:54:48 -0400] "GET /x HTTP/1.1" 200 612 "unterminated""")
+    val df = (AccessLog.fixtureLines.map(_._2) ++ adversarial).toDF("line")
+    AccessLogParseExpr.register(spark)
+    val native = df.select(col("line"),
+      AccessLogParseExpr.parseCol(col("line")).as("p")).collect()
+      .map(r => r.getString(0) -> r.getStruct(1))
+    val regex = df.select(col("line") +: AccessLog.parsed(col("line")): _*)
+      .collect().map(r => r.getString(0) -> r).toMap
+    native.foreach { case (line, p) =>
+      val want = regex(line)
+      (AccessLog.fields :+ "_corrupt").zipWithIndex.foreach { case (f, i) =>
+        assert(p.get(i) == want.getAs[Any](f),
+          s"field $f differs for line <$line>: native=${p.get(i)} regex=${want.getAs[Any](f)}")
+      }
+    }
+  }
+
   test("f08: repeated lines are NOT deduped on ingest (at-least-once parity)") {
     val line = """127.0.0.1 - - [06/Apr/2020:09:54:48 -0400] "GET / HTTP/1.1" 200 612 "-" "curl/7.29.0" "-""""
     assert(AccessLog.project(Seq(line, line, line).toDF("line")).count() == 3)

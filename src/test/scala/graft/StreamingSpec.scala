@@ -64,32 +64,42 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("watermark drops late data in append mode (FIXTURES.md §B.4)") {
+    // Two separate AvailableNow runs over one checkpoint: run 1 sees only the
+    // on-time file and advances the watermark to 11:00 (persisted); run 2 sees
+    // the late arrival, which must be dropped before the 10:00 window emits.
+    // (Batch boundaries within a single run are not deterministic enough —
+    // the file source may coalesce files into one batch.)
     val dir = Files.createTempDirectory("graft_late").toString
+    val out = Files.createTempDirectory("graft_late_out").toString
+    val ck = Files.createTempDirectory("graft_late_ck").toString
     def write(i: Int, rows: Seq[(Timestamp, Long)]): Unit =
-      rows.toDF("ts", "user_id").write.mode("overwrite").parquet(s"$dir/f=$i")
+      rows.toDF("ts", "user_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/f=$i")
     def t(s: String) = Timestamp.valueOf(s)
-    // batch 1: events up to 12:00 → watermark (1h) advances to 11:00
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(s"$dir/f=*")
+      val agg = src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("wstart"), col("cnt"))
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ck).format("parquet")
+        .option("path", out).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: events up to 12:00 → watermark (1h) persists at 11:00
     write(0, Seq((t("2024-01-01 10:10:00"), 1L), (t("2024-01-01 12:00:00"), 1L)))
-    // batch 2: an event 2h older than max (10:00 < watermark 11:00) → dropped
+    runOnce()
+    // run 2: an arrival below the restored watermark (10:00:01 < 11:00) →
+    // dropped; the closing 10:00 window must contain ONLY the on-time event
     write(1, Seq((t("2024-01-01 10:00:01"), 2L)))
-    val src = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType))))
-      .option("maxFilesPerTrigger", 1).parquet(s"$dir/f=*")
-    val agg = src.withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("cnt"))
-    val q = agg.writeStream.outputMode("append")
-      .format("memory").queryName("late_out")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    // Only windows fully below the final watermark are emitted in append mode.
-    // The 10:00 window closes (watermark 11:00) containing ONLY the on-time
-    // 10:10 event — the late 10:00:01 arrival must not appear.
-    val emitted = spark.table("late_out")
-      .select(col("window.start").cast("string"), col("cnt")).collect()
+    runOnce()
+    val emitted = spark.read.parquet(out)
+      .select(col("wstart").cast("string"), col("cnt")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(emitted.get("2024-01-01 10:00:00").contains(1L),
       s"late row leaked into closed window: $emitted")
