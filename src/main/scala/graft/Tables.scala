@@ -26,6 +26,17 @@ object Tables {
     else df
   }
 
+  /** SURVEY §3.2 bootstrap: registers every testdata table as a temp view so
+    * the full `spark.sql(...)` surface works verbatim (the ClickHouse DDL
+    * analog — a driver-only catalog operation, no data movement), and
+    * registers the graft native functions for SQL use.
+    */
+  def bootstrap(spark: SparkSession, dir: String): Unit = {
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    graft.operators.Dedup.register(spark)
+    graft.expressions.AccessLogParseExpr.register(spark)
+  }
+
   /** `events` with a time-range predicate pushed to the parquet scan.
     * The ns→µs conversion wraps `ts` in a function, which defeats parquet
     * row-group skipping; the conversion is monotone, so an equivalent raw-ns
