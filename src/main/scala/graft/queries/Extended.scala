@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Second-ring query surface (R13 "ad-hoc SQL over the log table" generalized
+  * + north-star text analytics): grouping sets, full window-function coverage,
+  * ordered string aggregation, manual pivot, scalar/IN subqueries, stable
+  * statistical aggregates, histograms, tf-idf, normalized dedup.
+  *
+  * Determinism notes mirror §2.B: sums/avgs of identical integer inputs are
+  * bit-identical across engines; `stddev`/`corr` magnitudes here keep the
+  * round-to-4 comparison far from FP-error scale (variance-style aggregates
+  * whose magnitude would defeat rounding are deliberately NOT declared).
+  */
+object Extended extends QueryModule {
+
+  def queries: Seq[(String, QFn)] = Seq(
+    // GROUPING SETS beyond rollup/cube (via the SQL surface, R13).
+    "q_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("li_gsets")
+      s.sql("""SELECT CAST(grouping_id() AS INT) AS gid,
+              |  l_returnflag, l_linestatus, count(*) AS cnt,
+              |  round(sum(l_quantity), 4) AS sum_qty
+              |FROM li_gsets
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+              |  l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Distribution window functions: ntile / percent_rank / cume_dist.
+    "q_win_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          ntile(4).over(w).cast(IntegerType).as("quartile"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    }),
+
+    // Frame-wide first/last/nth value per key.
+    "q_win_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_custkey"),
+          row_number().over(w).as("rn"),
+          first(col("o_orderkey")).over(full).as("first_key"),
+          last(col("o_orderkey")).over(full).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_key"))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Ordered string aggregation (LISTAGG/string_agg surface).
+    "q_string_agg" -> ((s, d) => {
+      t(s, d, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(array_join(array_sort(collect_list(col("s_name"))), "|").as("names"),
+          count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // Manual pivot: status classes across priority rows (CASE-sum form is
+    // engine-portable, unlike PIVOT syntax).
+    "q_pivot_status" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Uncorrelated scalar subquery: rows above the global average.
+    "q_subquery_scalar" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val avgDf = o.agg(avg(col("o_totalprice")).as("avg_price"))
+      o.crossJoin(avgDf)
+        .filter(col("o_totalprice") > col("avg_price"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // IN-subquery with a filtered dimension (semi join on a derived set).
+    "q_subquery_in" -> ((s, d) => {
+      val building = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      t(s, d, "orders")
+        .join(building, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Statistical aggregates with rounding-safe magnitudes.
+    "q_stats_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(avg(col("l_discount")), 4).as("avg_disc"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Numeric histogram via width_bucket (dashboard staple).
+    "q_width_bucket" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(width_bucket(col("o_totalprice"), lit(0.0), lit(10000.0), lit(20))
+          .cast(IntegerType).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Hour-of-day profile (extract-style time dimension, R12 flavored).
+    "q_hour_histogram" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("h"))
+    }),
+
+    // NULL-handling scalar surface: nullif / coalesce / isnull.
+    "q_null_scalars" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_id"),
+          nullif(col("event_type"), lit("error")).as("non_error_type"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("ERR")).as("typ"),
+          isnull(nullif(col("event_type"), lit("error"))).as("is_err"))
+        .orderBy(col("event_id"))
+        .limit(2000)
+    }),
+
+    // Multi-branch CASE classification + conditional counts.
+    "q_case_classify" -> ((s, d) => {
+      val cls = when(col("value") < 50, "low")
+        .when(col("value") < 150, "mid").otherwise("high")
+      t(s, d, "events")
+        .groupBy(col("event_type"), cls.as("value_class"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"), col("value_class"))
+    }),
+
+    // Normalized exact dedup: canonical text (lowercase, collapsed whitespace,
+    // trimmed) hashed — catches case/spacing-variant duplicates.
+    "q_dedup_norm" -> ((s, d) => {
+      val norm = trim(regexp_replace(lower(col("text")), " +", " "))
+      t(s, d, "documents")
+        .groupBy(md5(norm).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("h"))
+    }),
+
+    // tf-idf over the corpus: global top-50 scored (doc, token) pairs.
+    // Deterministic: tf/df/N are integers, idf = ln(N/df) identical doubles.
+    "q_tfidf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(df_, "tok").crossJoin(nDocs)
+        .select(col("doc_id"), col("tok"),
+          round(col("tf") * log(col("n_docs") / col("df")), 4).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("tok"))
+        .limit(50)
+    }))
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_grouping_sets" ->
+      """SELECT CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  l_returnflag, l_linestatus, count(*) AS cnt,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_win_ntile" ->
+      """SELECT c_nationkey, c_custkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pr,
+        |  round(cume_dist() OVER w, 4) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "q_win_firstlast" ->
+      """WITH x AS (SELECT o_custkey,
+        |    row_number() OVER w AS rn,
+        |    first_value(o_orderkey) OVER wf AS first_key,
+        |    last_value(o_orderkey) OVER wf AS last_key,
+        |    nth_value(o_orderkey, 2) OVER wf AS second_key
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |    wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT o_custkey, first_key, last_key, second_key
+        |FROM x WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT s_nationkey,
+        |  string_agg(s_name, '|' ORDER BY s_name) AS names,
+        |  count(*) AS n
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_subquery_in" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(avg(l_discount), 4) AS avg_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_width_bucket" ->
+      // DuckDB 1.0 has no width_bucket; this CASE replicates Spark's exact
+      // semantics for (min=0, max=10000, n=20): bucket width 500, underflow 0,
+      // overflow n+1.
+      """SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+        |            WHEN o_totalprice >= 10000.0 THEN 21
+        |            ELSE floor(o_totalprice / 500.0) + 1 END AS INT) AS bucket,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_hour_histogram" ->
+      """SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h, count(*) AS cnt,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY h ORDER BY h""".stripMargin,
+
+    "q_null_scalars" ->
+      """SELECT event_id,
+        |  nullif(event_type, 'error') AS non_error_type,
+        |  coalesce(nullif(event_type, 'error'), 'ERR') AS typ,
+        |  nullif(event_type, 'error') IS NULL AS is_err
+        |FROM events ORDER BY event_id LIMIT 2000""".stripMargin,
+
+    "q_case_classify" ->
+      """SELECT event_type,
+        |  CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid'
+        |       ELSE 'high' END AS value_class,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type, value_class
+        |ORDER BY event_type, value_class""".stripMargin,
+
+    "q_dedup_norm" ->
+      """SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |  df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |  n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.tok,
+        |  round(tf * ln(CAST(n_docs AS BIGINT) / df), 4) AS tfidf
+        |FROM tf JOIN df USING (tok) CROSS JOIN n
+        |ORDER BY tfidf DESC, doc_id, tok LIMIT 50""".stripMargin)
+}
