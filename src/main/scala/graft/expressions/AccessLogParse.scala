@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -109,9 +109,14 @@ object AccessLogParseExpr {
     out
   }
 
-  case class AccessLogParse(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class AccessLogParse(child: Expression) extends UnaryExpression {
     override def dataType: DataType = outputType
+    def evalRow(line: UTF8String): InternalRow =
+      InternalRow.fromSeq(parse(line.toString).toIndexedSeq)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("logparse", this, classOf[AccessLogParse].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.evalRow($c);")
+    }
     override def nullSafeEval(input: Any): Any =
       InternalRow.fromSeq(parse(input.toString).toIndexedSeq)
     override protected def withNewChildInternal(c: Expression): AccessLogParse =

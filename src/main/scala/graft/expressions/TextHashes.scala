@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -30,9 +30,14 @@ object TextHashes {
   def hashToken(s: UTF8String): Long = XxHash64Function.hash(s, StringType, XxSeed)
 
   /** 3-token shingles, distinct, as one pass over the token array. */
-  case class Shingles3(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class Shingles3(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    def evalArray(toks: ArrayData): ArrayData =
+      nullSafeEval(toks).asInstanceOf[ArrayData]
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("shingles3", this, classOf[Shingles3].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.evalArray($c);")
+    }
     override def nullSafeEval(input: Any): Any = {
       val toks = input.asInstanceOf[ArrayData]
       val n = toks.numElements()
@@ -53,8 +58,14 @@ object TextHashes {
   /** MinHash signature: min over shingles of (a_j·h + b_j) mod p, j < k. */
   case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long],
                         prime: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    def evalArray(sh: ArrayData): ArrayData =
+      nullSafeEval(sh).asInstanceOf[ArrayData]
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.evalArray($c);")
+    }
     override def nullSafeEval(input: Any): Any = {
       val sh = input.asInstanceOf[ArrayData]
       val n = sh.numElements()
@@ -77,9 +88,14 @@ object TextHashes {
   }
 
   /** 64-bit SimHash of a token array: per-bit signed vote of token hashes. */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
+    def evalLong(toks: ArrayData): Long =
+      nullSafeEval(toks).asInstanceOf[java.lang.Long].longValue()
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.evalLong($c);")
+    }
     override def nullSafeEval(input: Any): Any = {
       val toks = input.asInstanceOf[ArrayData]
       val n = toks.numElements()
@@ -108,8 +124,14 @@ object TextHashes {
     * ~10× faster than the interpreted `aggregate(zip_with(...))` form.
     */
   case class VecDot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    def evalDouble(a: ArrayData, b: ArrayData): Double =
+      nullSafeEval(a, b).asInstanceOf[java.lang.Double].doubleValue()
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("vecdot", this, classOf[VecDot].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.evalDouble($a, $b);")
+    }
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
