@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the 100 TB claims in README/SURVEY §4, locked in
+  * so a regression (lost pushdown, dropped broadcast, surprise shuffle) fails
+  * CI rather than silently degrading at scale.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString
+
+  test("q_scan_project prunes columns at the parquet scan") {
+    val p = plan("q_scan_project")
+    val scan = p.split("\n").find(_.contains("FileScan")).get
+    assert(scan.contains("l_orderkey") && !scan.contains("l_shipdate"),
+      s"scan not pruned: $scan")
+  }
+
+  test("q_filter_pred pushes predicates into the scan") {
+    val p = plan("q_filter_pred")
+    assert(p.contains("PushedFilters: [Or(") || p.contains("PushedFilters: [In("),
+      s"filters not pushed:\n${p.split("\n").find(_.contains("PushedFilters")).getOrElse("")}")
+  }
+
+  test("q_join_broadcast uses BroadcastHashJoin for all dimension joins") {
+    val p = plan("q_join_broadcast")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      "expected 2+ broadcast joins (nation⋈region, supplier⋈dim)")
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to SMJ")
+  }
+
+  test("q_timeseries_filtered pushes the raw-ns time range to the events scan") {
+    val p = plan("q_timeseries_filtered")
+    val scan = p.split("\n").find(_.contains("FileScan")).get
+    assert(scan.contains("GreaterThanOrEqual(ts") || scan.contains("(ts#"),
+      s"time range missing from scan: $scan")
+  }
+
+  test("ingest transform (parse→lookup→project) is a single narrow stage") {
+    val df = graft.operators.AccessLog.project(
+      Seq("""127.0.0.1 - - [06/Apr/2020:09:54:48 -0400] "GET / HTTP/1.1" 200 612 "-" "c" "-"""")
+        .toDF("line"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"unexpected shuffle in ingest:\n$p")
+  }
+
+  test("month lookup constant-folds to a literal map (no join in the plan)") {
+    val df = Seq("Apr").toDF("m")
+      .select(graft.operators.AccessLog.monthLookup(col("m")))
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("Join"), "lookup should be a map literal, not a join")
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    graft.operators.Dedup.register(spark)
+    val df = Tables.table(spark, sf(), "documents")
+      .select(graft.expressions.TextHashes.simhash64(split(col("text"), " ")))
+    // the `*(n)` prefix marks operators inside a WholeStageCodegen stage
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
+      s"projection fell out of codegen:\n$p")
+  }
+}
