@@ -61,4 +61,43 @@ object StreamOps {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
+
+  /** Custom per-key state (`flatMapGroupsWithState` + event-time timeout):
+    * gap-based sessionization with arbitrary state logic — the escape hatch
+    * for semantics `session_window` can't express (e.g. carrying running
+    * aggregates, emitting ONLY on session close). State is one small record
+    * per active key, evicted by the event-time timeout, so the state store is
+    * bounded by concurrently-active keys regardless of stream length.
+    */
+  case class SessState(count: Long, lastMs: Long)
+  case class SessionSummary(user_id: Long, n_events: Long, last_event_ms: Long)
+
+  def sessionizeCustomState(events: org.apache.spark.sql.Dataset[
+      (java.sql.Timestamp, Long)], gapMinutes: Int,
+      watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[SessionSummary] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF("ts", "user_id")
+      .withWatermark("ts", watermark)
+      .as[(java.sql.Timestamp, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(java.sql.Timestamp, Long)],
+         state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionSummary(user, s.count, s.lastMs))
+          } else {
+            val times = rows.map(_._1.getTime).toSeq
+            val prev = state.getOption.getOrElse(SessState(0L, 0L))
+            val next = SessState(prev.count + times.size,
+              math.max(prev.lastMs, times.max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastMs + gapMinutes * 60000L)
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -105,6 +105,45 @@ class StreamingSpec extends SparkSpec {
       s"late row leaked into closed window: $emitted")
   }
 
+  test("custom-state sessionization emits on event-time timeout only") {
+    val dir = Files.createTempDirectory("graft_sess").toString
+    val out = Files.createTempDirectory("graft_sess_out").toString
+    val ck = Files.createTempDirectory("graft_sess_ck").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    def write(i: Int, rows: Seq[(Timestamp, Long)]): Unit =
+      rows.toDF("ts", "user_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/f=$i")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(s"$dir/f=*")
+        .as[(Timestamp, Long)]
+      val q = StreamOps.sessionizeCustomState(src, gapMinutes = 30)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck).format("parquet")
+        .option("path", out).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: user 1 has two events; user 2 one recent event. No session closes
+    // yet (watermark 10 min behind 11:50 max).
+    write(0, Seq((t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:05:00"), 1L),
+      (t("2024-01-01 11:50:00"), 2L)))
+    runOnce()
+    // run 2: a later event advances the watermark past user 1's and user 2's
+    // 30-minute gap timeouts → both sessions emit; user 3 stays open.
+    write(1, Seq((t("2024-01-01 13:30:00"), 3L)))
+    runOnce()
+    val sessions = spark.read.parquet(out).as[StreamOps.SessionSummary]
+      .collect().map(s => s.user_id -> s).toMap
+    assert(sessions(1L).n_events == 2L, s"got $sessions")
+    assert(sessions(1L).last_event_ms == t("2024-01-01 10:05:00").getTime)
+    assert(sessions(2L).n_events == 1L)
+    assert(!sessions.contains(3L), "open session must not emit")
+  }
+
   test("end-to-end ingest: stream of log files → partitioned parquet store") {
     val in = Files.createTempDirectory("graft_in").toString
     val out = Files.createTempDirectory("graft_out").toString
