@@ -40,4 +40,24 @@ object LogTableWriter {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compacts a streaming-written store: micro-batch appends leave one file
+    * per batch per day (the small-file problem — at 100 TB, file-listing and
+    * footer overhead dominate scans long before data does). Rewrites each
+    * partition into few large sorted files — the Spark analog of MergeTree's
+    * background merges — via a staging directory + atomic swap, so readers
+    * never observe a half-compacted store.
+    */
+  def compact(spark: SparkSession, path: String,
+              maxRecordsPerFile: Long = 8L * 1024 * 1024): Unit = {
+    val staging = path + "_compacting"
+    write(spark.read.parquet(path), staging, maxRecordsPerFile)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    fs.rename(dst, old)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    fs.delete(old, true)
+  }
 }

@@ -46,16 +46,32 @@ object Ingest {
 
   /** R9: the sink. Each micro-batch lands as partitioned+sorted parquet via
     * the R11 writer; `checkpointLocation` gives exactly-once file semantics.
+    *
+    * R4 upgrade (SURVEY: "explicit `_corrupt` boolean + dead-letter filter"):
+    * corrupt lines are split to `deadLetterDir` with the raw `message`
+    * preserved instead of silently degrading into empty-string rows the way
+    * the reference's template does. Both writes happen inside one
+    * `foreachBatch`, so a batch is replayed atomically on failure.
     */
   def start(spark: SparkSession, inDir: String, outDir: String,
             checkpointDir: String,
-            trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+            trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+            deadLetterDir: Option[String] = None): StreamingQuery =
     transform(source(spark, inDir))
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write
+        import org.apache.spark.sql.functions.col
+        val good = deadLetterDir match {
+          case Some(dl) =>
+            batch.filter(col("_corrupt"))
+              .select("message")
+              .write.mode("append").text(dl)
+            batch.filter(!col("_corrupt"))
+          case None => batch
+        }
+        good.write
           .mode("append")
           .option("compression", "zstd")
           .partitionBy("logdate")

@@ -55,6 +55,41 @@ class StorageSpec extends SparkSpec {
     assert(want.subsetOf(back.schema.fields.map(_.name).toSet))
   }
 
+  test("compact merges streaming small files and preserves content + layout") {
+    val tmp = Files.createTempDirectory("graft_compact").toString
+    // simulate 5 micro-batch appends → many small files per partition
+    val one = graft.operators.AccessLog.project(lines.toDF("line"))
+    (1 to 5).foreach(_ => one.write.mode("append")
+      .partitionBy("logdate").parquet(tmp))
+    val before = LogTableWriter.read(spark, tmp).orderBy("clientip", "logdatetime")
+      .drop("logdate").collect()
+    def filesPerDay(p: String): Int =
+      new java.io.File(s"$p/logdate=2020-04-06").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(filesPerDay(tmp) >= 5)
+    LogTableWriter.compact(spark, tmp)
+    assert(filesPerDay(tmp) == 1, "partition not compacted to one file")
+    val after = LogTableWriter.read(spark, tmp).orderBy("clientip", "logdatetime")
+      .drop("logdate").collect()
+    assert(after.sameElements(before))
+  }
+
+  test("ingest dead-letters corrupt lines instead of storing empty rows") {
+    val in = Files.createTempDirectory("graft_dl_in").toString
+    val out = Files.createTempDirectory("graft_dl_out").toString
+    val ck = Files.createTempDirectory("graft_dl_ck").toString
+    val dl = Files.createTempDirectory("graft_dl").toString
+    Files.writeString(java.nio.file.Paths.get(in, "a.log"),
+      lines.head + "\nthis line is garbage\n" + lines(2))
+    val q = Ingest.start(spark, in, out, ck,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(), Some(dl))
+    q.awaitTermination()
+    val stored = spark.read.parquet(out)
+    assert(stored.count() == 2 && stored.filter(col("_corrupt")).count() == 0)
+    val dead = spark.read.text(dl).as[String].collect()
+    assert(dead.toSeq == Seq("this line is garbage"))
+  }
+
   test("batch replay through the same transform equals direct projection") {
     val tmp = Files.createTempDirectory("graft_raw")
     Files.writeString(tmp.resolve("access.log"), lines.mkString("\n"))
