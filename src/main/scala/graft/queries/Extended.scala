@@ -155,6 +155,30 @@ object Extended extends QueryModule {
         .orderBy(col("h"))
     }),
 
+    // Collocation mining: top bigrams by PMI (pointwise mutual information),
+    // support-filtered. All inputs are integer counts → ln of identical
+    // rationals → bit-identical doubles across engines.
+    "q_bigram_pmi" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val uni = toks.select(explode(col("ts")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val nTok = toks.select(explode(col("ts")).as("w")).agg(count(lit(1)).as("n"))
+      val bi = toks.select(explode(expr(
+          "zip_with(slice(ts, 1, size(ts)-1), slice(ts, 2, size(ts)-1), " +
+            "(x, y) -> struct(x AS w1, y AS w2))")).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 10)
+      bi.join(uni.select(col("w").as("w1"), col("c1").as("ca")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c1").as("cb")), "w2")
+        .crossJoin(nTok)
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log((col("c12") * col("n")) / (col("ca") * col("cb"))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(30)
+    }),
+
     // tf-idf over the corpus: global top-50 scored (doc, token) pairs.
     // Deterministic: tf/df/N are integers, idf = ln(N/df) identical doubles.
     "q_tfidf" -> ((s, d) => {
@@ -267,6 +291,24 @@ object Extended extends QueryModule {
       """SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+
+    "q_bigram_pmi" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |  uni AS (SELECT w, count(*) AS c1 FROM (
+        |    SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+        |  n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(ts) FROM toks)),
+        |  bi AS (SELECT b['x'] AS w1, b['y'] AS w2, count(*) AS c12 FROM (
+        |    SELECT unnest(list_transform(range(1, greatest(len(ts), 1)),
+        |      i -> {'x': ts[i], 'y': ts[i+1]})) AS b FROM toks)
+        |    GROUP BY w1, w2 HAVING count(*) >= 10)
+        |SELECT w1, w2, c12,
+        |  round(ln((c12 * n) / (ca * cb)), 4) AS pmi
+        |FROM bi
+        |JOIN (SELECT w AS w1, c1 AS ca FROM uni) USING (w1)
+        |JOIN (SELECT w AS w2, c1 AS cb FROM uni) USING (w2)
+        |CROSS JOIN n
+        |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
 
     "q_tfidf" ->
       """WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
