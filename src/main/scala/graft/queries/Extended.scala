@@ -155,6 +155,25 @@ object Extended extends QueryModule {
         .orderBy(col("h"))
     }),
 
+    // Deterministic hash sampling — the reproducible train/eval split
+    // primitive (no rand(): same rows selected on every engine, every retry).
+    "q_sample_hash" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(md5(col("doc_id").cast("string")) < "10")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic train/val/test split assignment by hash range (~90/5/5).
+    "q_split_assign" -> ((s, d) => {
+      val h = md5(col("doc_id").cast("string"))
+      val split_ = when(h < "e6", "train").when(h < "f3", "val").otherwise("test")
+      t(s, d, "documents")
+        .groupBy(split_.as("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("split"))
+    }),
+
     // Collocation mining: top bigrams by PMI (pointwise mutual information),
     // support-filtered. All inputs are integer counts → ln of identical
     // rationals → bit-identical doubles across engines.
@@ -291,6 +310,18 @@ object Extended extends QueryModule {
       """SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) < '10'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'train'
+        |            WHEN md5(CAST(doc_id AS VARCHAR)) < 'f3' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY split ORDER BY split""".stripMargin,
 
     "q_bigram_pmi" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
