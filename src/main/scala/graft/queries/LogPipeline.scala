@@ -13,9 +13,16 @@ object LogPipeline extends QueryModule {
 
   def queries: Seq[(String, QFn)] = Seq(
     // R3+R4: the flagship 16-field grammar parse incl. corrupt-line behavior.
+    // Runs the single-pass NATIVE parser (the production ingest operator);
+    // the oracle evaluates the equivalent regex in DuckDB, so the gate
+    // certifies the native implementation directly (equivalence with the
+    // regex formulation is additionally property-tested in AccessLogSpec).
     "q_parse_accesslog" -> ((s, _) => {
+      graft.expressions.AccessLogParseExpr.register(s)
       val fx = AccessLog.fixtures(s)
-      fx.select(col("id") +: AccessLog.parsed(col("line")): _*)
+      fx.withColumn("_p", graft.expressions.AccessLogParseExpr.parseCol(col("line")))
+        .select(col("id") +: (AccessLog.fields.map(f => col(s"_p.$f").as(f)) :+
+          col("_p._corrupt").as("_corrupt")): _*)
         .orderBy(col("id"))
     }),
 
@@ -42,6 +49,23 @@ object LogPipeline extends QueryModule {
           AccessLog.logdatetime(col("year"), nxm, col("day"), col("rtime"))
             .cast("timestamp_ntz").as("logdatetime"))
         .orderBy(col("id"))
+    }),
+
+    // URL analytics over parsed requests: path (query string stripped),
+    // per-verb counts, bytes served — the top-URLs dashboard panel (R12/R13).
+    "q_url_stats" -> ((s, _) => {
+      val fx = AccessLog.fixtures(s)
+      val p = fx.select(
+        regexp_extract(col("line"), P, 9).as("verb"),
+        regexp_extract(col("line"), P, 10).as("request"),
+        regexp_extract(col("line"), P, 13).as("bytes"))
+        .filter(length(col("verb")) > 0)
+      p.select(col("verb"),
+          element_at(split(col("request"), "\\?"), 1).as("path"),
+          expr("try_cast(bytes AS BIGINT)").as("b"))
+        .groupBy(col("verb"), col("path"))
+        .agg(count(lit(1)).as("hits"), sum(col("b")).as("bytes_served"))
+        .orderBy(col("verb"), col("path"))
     }),
 
     // R8: string→UInt16/UInt64 casts incl. garbage→NULL and range check.
@@ -87,6 +111,16 @@ object LogPipeline extends QueryModule {
            |  TRY_CAST(year || '-' || nxm || '-' || day || ' ' || rtime AS TIMESTAMP)
            |    AS logdatetime
            |FROM m ORDER BY id""".stripMargin,
+
+      "q_url_stats" ->
+        s"""WITH p AS (SELECT r['verb'] AS verb, r['request'] AS request,
+           |    r['bytes'] AS bytes
+           |  FROM (SELECT $structExtract AS r FROM $fx)
+           |  WHERE length(r['verb']) > 0)
+           |SELECT verb, string_split(request, '?')[1] AS path,
+           |  count(*) AS hits,
+           |  CAST(sum(TRY_CAST(bytes AS BIGINT)) AS BIGINT) AS bytes_served
+           |FROM p GROUP BY verb, path ORDER BY verb, path""".stripMargin,
 
       "q_cast_insert" ->
         s"""WITH p AS (SELECT id, r.response AS response, r.bytes AS bytes

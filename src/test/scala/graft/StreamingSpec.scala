@@ -105,6 +105,28 @@ class StreamingSpec extends SparkSpec {
       s"late row leaked into closed window: $emitted")
   }
 
+  test("stream dedup drops duplicate keys within the watermark horizon") {
+    val dir = Files.createTempDirectory("graft_dedup").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    Seq((t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:00:00"), 1L),
+      (t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:05:00"), 2L))
+      .toDF("ts", "user_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/f=0")
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType))))
+      .parquet(s"$dir/f=*")
+    val q = StreamOps.dedup(src, Seq("user_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
   test("custom-state sessionization emits on event-time timeout only") {
     val dir = Files.createTempDirectory("graft_sess").toString
     val out = Files.createTempDirectory("graft_sess_out").toString
