@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.TopKSketch
+
+/** SpaceSaving sketch: recovers true heavy hitters on skewed data with
+  * bounded memory, across partitioned partial-aggregation merges.
+  */
+class TopKSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sketch recovers the true top-10 users from skewed events") {
+    TopKSketch.register(spark, k = 10, capacity = 500)
+    val ev = Tables.table(spark, sf("sf0.01"), "events")
+      .select(col("user_id").cast("string").as("u")).repartition(8)
+    val sketch = ev.agg(TopKSketch.topk(col("u")).as("top")).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0).map(r => r.getString(0)).toSet
+    val exact = Tables.table(spark, sf("sf0.01"), "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("user_id"))
+      .limit(10).collect().map(_.getLong(0).toString).toSet
+    // capacity 500 >> distinct users → sketch is exact here
+    assert(sketch == exact, s"sketch=$sketch exact=$exact")
+  }
+
+  test("bounded memory: capacity constrains counter count under many keys") {
+    TopKSketch.register(spark, k = 5, capacity = 20)
+    // one dominant key + 10k unique keys; the heavy hitter must survive
+    val df = (1 to 10000).map(i => s"rare_$i").toDF("u")
+      .union(Seq.fill(5000)("HOT").toDF("u")).repartition(8)
+    val top = df.agg(TopKSketch.topk(col("u")).as("top")).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head._1 == "HOT", s"heavy hitter lost: $top")
+    assert(top.head._2 >= 5000L, "SpaceSaving count must upper-bound the true count")
+  }
+}
