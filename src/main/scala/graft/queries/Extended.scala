@@ -155,6 +155,31 @@ object Extended extends QueryModule {
         .orderBy(col("h"))
     }),
 
+    // Heavy hitters via the SpaceSaving sketch aggregate — exact (and thus
+    // oracle-comparable) whenever capacity exceeds key cardinality; at real
+    // scale the same operator trades exactness for O(capacity) memory.
+    "q_topk_sketch" -> ((s, d) => {
+      graft.expressions.TopKSketch.register(s, k = 10, capacity = 100000)
+      t(s, d, "events")
+        .agg(graft.expressions.TopKSketch.topk(col("user_id").cast("string"))
+          .as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("user_id"), col("e.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id"))
+    }),
+
+    // Structured JSON parse (from_json with a declared schema) — the typed
+    // counterpart of get_json_object over the props escape hatch.
+    "q_json_struct" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))
+        .filter(col("k") > 50)
+        .orderBy(col("event_id"))
+    }),
+
     // Deterministic hash sampling — the reproducible train/eval split
     // primitive (no rand(): same rows selected on every engine, every retry).
     "q_sample_hash" -> ((s, d) => {
@@ -310,6 +335,17 @@ object Extended extends QueryModule {
       """SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+
+    "q_topk_sketch" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS cnt
+        |FROM events GROUP BY user_id
+        |ORDER BY cnt DESC, CAST(user_id AS VARCHAR) LIMIT 10""".stripMargin,
+
+    "q_json_struct" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+        |ORDER BY event_id""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT doc_id, lang FROM documents
