@@ -62,6 +62,25 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Stream-stream interval join: correlate two live streams on a key within
+    * a bounded event-time window (e.g. errors within 30 minutes after a
+    * purchase by the same user). Both sides carry watermarks and the join
+    * condition bounds the time skew, so each side's buffered state is evicted
+    * once the other side's watermark passes — state stays O(in-flight
+    * interval), not O(stream).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String = "lts", rightTs: String = "rts",
+                   interval: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(key) === r(key) &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $interval"))
+      .drop(r(key))
+  }
+
   /** Custom per-key state (`flatMapGroupsWithState` + event-time timeout):
     * gap-based sessionization with arbitrary state logic — the escape hatch
     * for semantics `session_window` can't express (e.g. carrying running

@@ -105,6 +105,42 @@ class StreamingSpec extends SparkSpec {
       s"late row leaked into closed window: $emitted")
   }
 
+  test("stream-stream interval join: stream result == batch result") {
+    val dir = Files.createTempDirectory("graft_ssj").toString
+    // time-contiguous single-file chunks (same discipline as streamed())
+    val ev = eventsDf
+    val batchL = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("uid"), col("ts").as("lts"))
+    val batchR = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("uid"), col("ts").as("rts"))
+    val chunked = ev.withColumn("part",
+      ntile(3).over(org.apache.spark.sql.expressions.Window.orderBy("ts")))
+    (1 to 3).foreach { i =>
+      chunked.filter(col("part") === i).drop("part").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/chunk=$i")
+    }
+    val src = spark.readStream.schema(eventsDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/chunk=*")
+    val sl = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("uid"), col("ts").as("lts"))
+    val sr = src.filter(col("event_type") === "error")
+      .select(col("user_id").as("uid"), col("ts").as("rts"))
+    val q = StreamOps.intervalJoin(sl, sr, "uid")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ssj_out").orderBy("uid", "lts", "rts").collect()
+    val want = batchL.join(batchR,
+        batchL("uid") === batchR("uid") &&
+          col("rts") >= col("lts") &&
+          col("rts") <= col("lts") + expr("INTERVAL 30 minutes"))
+      .drop(batchR("uid"))
+      .orderBy("uid", "lts", "rts").collect()
+    assert(got.nonEmpty, "interval join produced no pairs — fixture too sparse")
+    assert(got.sameElements(want))
+  }
+
   test("stream dedup drops duplicate keys within the watermark horizon") {
     val dir = Files.createTempDirectory("graft_dedup").toString
     def t(s: String) = Timestamp.valueOf(s)
