@@ -155,6 +155,29 @@ object Extended extends QueryModule {
         .orderBy(col("h"))
     }),
 
+    // Regex predicate surface (RLIKE / regexp_matches) — grep-style log search.
+    "q_regex_filter" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(col("text").rlike("spark [a-z]+ join"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
+    // Array-function surface over token arrays: contains / position / slice /
+    // sort / distinct sizes.
+    "q_array_funcs" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          array_contains(toks, "spark").as("has_spark"),
+          array_position(toks, "join").cast("int").as("join_pos"),
+          concat_ws(" ", slice(toks, 1, 5)).as("head5"),
+          element_at(array_sort(toks), 1).as("first_sorted"),
+          size(array_distinct(toks)).as("n_uniq"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Heavy hitters via the SpaceSaving sketch aggregate — exact (and thus
     // oracle-comparable) whenever capacity exceeds key cardinality; at real
     // scale the same operator trades exactness for O(capacity) memory.
@@ -335,6 +358,21 @@ object Extended extends QueryModule {
       """SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+
+    "q_regex_filter" ->
+      """SELECT lang, count(*) AS n FROM documents
+        |WHERE regexp_matches(text, 'spark [a-z]+ join')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_array_funcs" ->
+      """WITH x AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        |SELECT doc_id,
+        |  list_contains(ts, 'spark') AS has_spark,
+        |  CAST(coalesce(list_position(ts, 'join'), 0) AS INT) AS join_pos,
+        |  array_to_string(ts[1:5], ' ') AS head5,
+        |  list_sort(ts)[1] AS first_sorted,
+        |  CAST(len(list_distinct(ts)) AS INT) AS n_uniq
+        |FROM x ORDER BY doc_id""".stripMargin,
 
     "q_topk_sketch" ->
       """SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS cnt
