@@ -155,6 +155,27 @@ object Extended extends QueryModule {
         .orderBy(col("h"))
     }),
 
+    // Funnel analysis: per signup-day conversion to a later purchase by the
+    // same user — two chained event-time aggregations (the classic
+    // product-analytics query over the log table).
+    "q_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val purchase = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      val conv = signup.join(purchase, Seq("user_id"), "left")
+        .withColumn("converted",
+          when(col("p_ts") > col("s_ts"), 1).otherwise(0))
+        .groupBy(col("user_id"), col("s_ts"))
+        .agg(max(col("converted")).as("converted"))
+      conv.groupBy(to_date(col("s_ts")).as("signup_day"))
+        .agg(count(lit(1)).as("n_signups"),
+          sum(col("converted")).cast("long").as("n_converted"),
+          round(sum(col("converted")) / count(lit(1)), 4).as("conv_rate"))
+        .orderBy(col("signup_day"))
+    }),
+
     // Regex predicate surface (RLIKE / regexp_matches) — grep-style log search.
     "q_regex_filter" -> ((s, d) => {
       t(s, d, "documents")
@@ -358,6 +379,21 @@ object Extended extends QueryModule {
       """SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+
+    "q_funnel" ->
+      """WITH signup AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS s_ts
+        |    FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |  conv AS (SELECT s.user_id, s.s_ts,
+        |      max(CASE WHEN CAST(p.ts AS TIMESTAMP) > s.s_ts THEN 1 ELSE 0 END)
+        |        AS converted
+        |    FROM signup s LEFT JOIN events p
+        |      ON p.user_id = s.user_id AND p.event_type = 'purchase'
+        |    GROUP BY s.user_id, s.s_ts)
+        |SELECT CAST(s_ts AS DATE) AS signup_day,
+        |  count(*) AS n_signups,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted,
+        |  round(CAST(sum(converted) AS BIGINT) / count(*), 4) AS conv_rate
+        |FROM conv GROUP BY signup_day ORDER BY signup_day""".stripMargin,
 
     "q_regex_filter" ->
       """SELECT lang, count(*) AS n FROM documents
