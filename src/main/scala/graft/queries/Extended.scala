@@ -97,6 +97,37 @@ object Extended extends QueryModule {
         .orderBy(col("o_orderkey"))
     }),
 
+    // FULL OUTER join: unmatched rows from both sides survive with NULLs.
+    "q_join_full" -> ((s, d) => {
+      val c = t(s, d, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = t(s, d, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.withColumnRenamed("nk", "c_nk")
+        .join(sup.withColumnRenamed("nk", "s_nk"),
+          col("c_nk") === col("s_nk"), "full_outer")
+        .select(coalesce(col("c_nk"), col("s_nk")).as("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nk"))
+    }),
+
+    // Multiset semantics: EXCEPT ALL / INTERSECT ALL preserve duplicates.
+    "q_set_except_all" -> ((s, d) => {
+      val a = t(s, d, "lineitem").select(col("l_returnflag").as("f"))
+      val b = t(s, d, "orders").limit(0)
+        .select(lit("A").as("f")) // empty side: EXCEPT ALL keeps all of `a`
+      a.exceptAll(b).groupBy(col("f")).agg(count(lit(1)).as("n"))
+        .orderBy(col("f"))
+    }),
+
+    "q_set_intersect_all" -> ((s, d) => {
+      val a = t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      val b = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+      a.intersectAll(b).groupBy(col("nk")).agg(count(lit(1)).as("n"))
+        .orderBy(col("nk"))
+    }),
+
     // Statistical aggregates with rounding-safe magnitudes.
     "q_stats_agg" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -337,6 +368,30 @@ object Extended extends QueryModule {
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
         |  WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_full" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |    FROM customer GROUP BY 1),
+        |  s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+        |    FROM supplier GROUP BY 1)
+        |SELECT coalesce(c.nk, s.nk) AS nk,
+        |  coalesce(n_cust, 0) AS n_cust,
+        |  coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nk""".stripMargin,
+
+    "q_set_except_all" ->
+      """SELECT f, count(*) AS n FROM (
+        |  SELECT l_returnflag AS f FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT 'A' AS f FROM orders WHERE 1 = 0)
+        |GROUP BY f ORDER BY f""".stripMargin,
+
+    "q_set_intersect_all" ->
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |GROUP BY nk ORDER BY nk""".stripMargin,
 
     "q_stats_agg" ->
       """SELECT l_returnflag,
