@@ -55,6 +55,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "lookup should be a map literal, not a join")
   }
 
+  test("q_sim_topk broadcasts the small query set, streams the candidate table") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val exec = SparkEntry.queries("q_sim_topk")(spark, sf("sf0.01"))
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    val bnlj = exec.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.nonEmpty, "expected a BroadcastNestedLoopJoin for the non-equi scoring join")
+    bnlj.foreach { j =>
+      val build = if (j.buildSide == BuildLeft) j.left else j.right
+      assert(build.toString.contains("< 5"),
+        s"build side must be the filtered query set, got:\n$build")
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.operators.Dedup.register(spark)
     val df = Tables.table(spark, sf(), "documents")

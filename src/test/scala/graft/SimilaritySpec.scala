@@ -2,24 +2,41 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.queries.SimilarityOps.Lsh
+
 /** Similarity-search correctness: declared queries vs a driver-side
-  * brute-force recomputation (SURVEY §7.3 #4).
+  * brute-force recomputation (SURVEY §7.3 #4), plus the LSH quality
+  * guarantees the 100 TB design depends on: recall on planted neighbors and
+  * candidate-volume shrinkage as the band width grows.
   */
 class SimilaritySpec extends SparkSpec {
 
-  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+  private def cosine(a: Seq[Double], b: Seq[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < a.length) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y; i += 1
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   private lazy val vecs = Tables.table(spark, sf(), "embeddings")
     .select(col("vec_id"), col("embedding"))
-    .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    .collect()
+    .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    .toMap
+
+  /** Driver-side mirror of Lsh.bandCodes (same hyperplanes, same fold). */
+  private def bandCodesOf(v: Seq[Double], bits: Int = Lsh.BandBits,
+                          bands: Int = Lsh.Bands): Set[String] =
+    (0 until bands).map { g =>
+      s"$g:" + (0 until bits).map { b =>
+        val plane = Lsh.hyperplane(g * bits + b)
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i) * plane(i); i += 1 }
+        if (acc >= 0) '1' else '0'
+      }.mkString
+    }.toSet
 
   test("q_sim_topk matches brute-force top-10 per query vector") {
     val got = queries.SimilarityOps.queries.toMap
@@ -38,17 +55,59 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("q_sim_ivf returns a subset consistent with the bucket restriction") {
-    def bucketOf(v: Seq[Float]): String =
-      (0 until 4).map(i => if (v(i) >= 0) '1' else '0').mkString
+  test("q_sim_ivf candidates share >=1 LSH band code with the query") {
     val rows = queries.SimilarityOps.queries.toMap
       .apply("q_sim_ivf")(spark, sf()).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val q = r.getLong(0); val c = r.getLong(2)
-      assert(bucketOf(vecs(q)) == bucketOf(vecs(c)), "candidate outside bucket")
+      assert(bandCodesOf(vecs(q)).intersect(bandCodesOf(vecs(c))).nonEmpty,
+        s"candidate $c outside every band bucket of query $q")
       assert(math.abs(r.getDouble(3) - cosine(vecs(q), vecs(c))) < 5e-5)
     }
+  }
+
+  // Deterministic pseudo-uniform in [-1, 1] (splitmix-style mix, no RNG).
+  private def unit(seed: Long): Double = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  test("banded LSH recall >= 0.9 on planted near-duplicate pairs") {
+    import spark.implicits._
+    val nBase = 200
+    val base = (0 until nBase).map { k =>
+      (0 until Lsh.Dim).map(i => unit(k.toLong * 131 + i)).toArray
+    }
+    // plant a slightly-perturbed twin for every 4th base vector
+    val planted = (0 until nBase by 4).map { k =>
+      (nBase + k).toLong ->
+        base(k).zipWithIndex.map { case (x, i) => x + 0.02 * unit(9000L + k * 67 + i) }
+    }
+    val all = base.zipWithIndex.map { case (v, k) => (k.toLong, v) } ++
+      planted.map { case (id, v) => (id, v) }
+    val e = all.toDF("vec_id", "v")
+    val cand = queries.SimilarityOps
+      .lshCandidates(e, Lsh.BandBits, Lsh.Bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = planted.map { case (id, _) => ((id - nBase), id) }
+    val hit = expected.count(cand.contains)
+    val recall = hit.toDouble / expected.size
+    assert(recall >= 0.9, s"planted-neighbor recall $recall < 0.9 " +
+      s"(${expected.size - hit} of ${expected.size} twins missed)")
+  }
+
+  test("candidate volume shrinks as band width b grows (the scale dial)") {
+    val e = queries.SimilarityOps.embWithNorm(spark, sf())
+    val wide = queries.SimilarityOps.lshCandidates(e, 2, Lsh.Bands).count()
+    val narrow = queries.SimilarityOps.lshCandidates(e, Lsh.BandBits, Lsh.Bands).count()
+    assert(narrow < wide,
+      s"expected fewer candidates at b=${Lsh.BandBits} ($narrow) than b=2 ($wide)")
+    assert(narrow.toDouble / math.max(wide, 1) < 0.5,
+      s"b=${Lsh.BandBits} should cut candidates by >2x vs b=2: $narrow vs $wide")
   }
 
   test("approx_count_distinct within 5% of exact (q_approx_distinct contract)") {
