@@ -55,9 +55,13 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5): DataFrame = {
     register(docs.sparkSession)
+    // persist(): three consumers (signature/band pass + two re-attach joins)
+    // would otherwise each recompute the codegen'd shingle pass over the
+    // corpus; MEMORY_AND_DISK spills on executors instead of recomputing.
     val shingleTab = docs
       .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate generation moves ONLY (band, bh, doc_id) through the shuffle
     // — never the shingle arrays. The distinct runs on bare (a, b) pairs;
     // arrays are re-attached afterwards by two joins against the per-doc

@@ -282,7 +282,9 @@ object Extended extends QueryModule {
       val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
       val uni = toks.select(explode(col("ts")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-      val nTok = toks.select(explode(col("ts")).as("w")).agg(count(lit(1)).as("n"))
+      // total token count = sum of the unigram counts — derived from `uni`
+      // instead of a second explode+scan of the corpus
+      val nTok = uni.agg(sum(col("c1")).as("n"))
       val bi = toks.select(explode(expr(
           "zip_with(slice(ts, 1, size(ts)-1), slice(ts, 2, size(ts)-1), " +
             "(x, y) -> struct(x AS w1, y AS w2))")).as("b"))

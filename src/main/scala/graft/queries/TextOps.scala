@@ -18,6 +18,11 @@ object TextOps extends QueryModule {
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
   private val enStopSqlList = enStop.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** q_ngram_jaccard candidate policy: max document frequency of a shingle
+    * that still generates candidate pairs (see the query's doc comment).
+    */
+  val DfCap = 5
+
   def queries: Seq[(String, QFn)] = Seq(
     // Generator/UDTF surface: tokenize, explode, count — global term frequencies.
     "q_explode_tokens" -> ((s, d) => {
@@ -101,10 +106,19 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
-    // N-gram Jaccard near-dup: LSH-style candidate generation (pairs sharing a
-    // rare 3-shingle) then exact Jaccard verification. At 100 TB the rare-
-    // shingle inverted index bounds candidate blowup (df cap), and both stages
-    // are hash joins on shingle/doc keys — no cross join anywhere.
+    // N-gram Jaccard near-dup: inverted-index candidate generation (pairs
+    // sharing a discriminative 3-shingle) then exact Jaccard verification.
+    // Both stages are hash joins on shingle/doc keys — no cross join anywhere.
+    //
+    // Candidate policy (declared, mirrored by the oracle): a shingle
+    // generates candidates iff its document frequency is in [2, DfCap].
+    // df≥2 is definitional (a df-1 shingle pairs nothing); df≤DfCap bounds
+    // the d·(d-1)/2 pair blowup of boilerplate shingles — the standard
+    // inverted-index prefix-filter tradeoff. Recall: a pair at Jaccard ≥ 0.5
+    // shares ≥ 1/3 of its combined shingle set, so it is missed only if
+    // EVERY shared shingle is boilerplate (df > DfCap) — vanishingly rare
+    // for natural text, and the MinHash operator (q_dedup_near) provides the
+    // df-independent path when that guarantee matters.
     "q_ngram_jaccard" -> ((s, d) => {
       graft.operators.Dedup.register(s)
       val docs = t(s, d, "documents")
@@ -112,12 +126,17 @@ object TextOps extends QueryModule {
       // doc_id) pairs of RARE shingles flow through the candidate join, and
       // exact Jaccard is computed by array_intersect after re-attaching the
       // arrays — no shuffle ever carries an array, no distinct on arrays.
+      // persist(): the shingle table fans out to three consumers (the df
+      // aggregate and both re-attach joins); without it the codegen'd
+      // Shingles3 pass runs once per consumer (this was the worst bench
+      // query). MEMORY_AND_DISK spills gracefully on executors at scale.
       val shArr = docs.select(col("doc_id"),
           graft.operators.Dedup.shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val exploded = shArr.select(col("doc_id"), explode(col("sh")).as("sh1"))
       val rare = exploded.groupBy(col("sh1")).agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, 5)).select("sh1")
+        .filter(col("df").between(2, DfCap)).select("sh1")
       val ra = exploded.join(rare, "sh1")
       val cand = ra.select(col("sh1"), col("doc_id").as("a"))
         .join(ra.select(col("sh1"), col("doc_id").as("b")), "sh1")
@@ -206,14 +225,14 @@ object TextOps extends QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
-      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
         |  sh AS (SELECT DISTINCT doc_id, sh FROM (
         |    SELECT doc_id,
         |      unnest(list_transform(range(1, greatest(len(ts)-1, 1)),
         |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
         |    FROM tok) WHERE sh IS NOT NULL AND length(sh) > 0),
         |  counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |  rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 5),
+        |  rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND $DfCap),
         |  cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |    FROM sh x JOIN rare USING (sh) JOIN sh y USING (sh)
         |    WHERE x.doc_id < y.doc_id),
