@@ -6,7 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -17,15 +17,42 @@ import org.apache.spark.unsafe.types.UTF8String
   * so the plan is one partial-agg pass + a tiny final merge — no shuffle of
   * per-key rows at all.
   *
-  * Approximation: counts are upper bounds with error ≤ N/capacity; any key
-  * with true frequency > N/capacity is guaranteed present (classic
-  * SpaceSaving bound). Unit-tested against exact counts on skewed data;
-  * not oracle-declared (merge order affects non-heavy tail counts).
+  * The buffer is a stream-summary: a counts map plus a count-ordered bucket
+  * index (TreeMap count → items), so eviction of the current minimum is
+  * O(log buckets) instead of an O(capacity) scan — adversarial
+  * high-cardinality input stays O(rows · log capacity) (TopKSketchSpec has a
+  * ≫capacity stress test).
+  *
+  * Approximation: counts are upper bounds; `count − error` is a lower bound
+  * (error terms combine additively through merges, so the invariant survives
+  * partial-aggregation in any order). Any key with true frequency > N/capacity
+  * is guaranteed present (classic SpaceSaving bound). Unit-tested against
+  * exact counts on skewed data; not oracle-declared (merge order affects
+  * non-heavy tail counts).
   */
 object TopKSketch {
 
-  case class Buffer(counts: mutable.LinkedHashMap[String, Long],
-                    var error: mutable.LinkedHashMap[String, Long])
+  /** counts/error hold the sketch state; `index` is a count-ordered view
+    * (count → sorted item set) maintained incrementally for O(log n) min
+    * lookup and eviction. Items within a bucket are kept sorted so eviction
+    * is deterministic (smallest count, lexicographically first item).
+    */
+  class Buffer {
+    val counts = mutable.HashMap.empty[String, Long]
+    val error = mutable.HashMap.empty[String, Long]
+    val index = new java.util.TreeMap[Long, java.util.TreeSet[String]]()
+
+    def indexAdd(item: String, cnt: Long): Unit = {
+      var set = index.get(cnt)
+      if (set == null) { set = new java.util.TreeSet[String](); index.put(cnt, set) }
+      set.add(item)
+    }
+
+    def indexRemove(item: String, cnt: Long): Unit = {
+      val set = index.get(cnt)
+      if (set != null) { set.remove(item); if (set.isEmpty) index.remove(cnt) }
+    }
+  }
 
   case class TopKAgg(child: Expression, k: Int, capacity: Int,
                      mutableAggBufferOffset: Int = 0,
@@ -37,20 +64,30 @@ object TopKSketch {
     override def nullable: Boolean = false
     override def children: Seq[Expression] = Seq(child)
 
-    override def createAggregationBuffer(): Buffer =
-      Buffer(mutable.LinkedHashMap.empty, mutable.LinkedHashMap.empty)
+    override def createAggregationBuffer(): Buffer = new Buffer
 
     private def bump(b: Buffer, item: String, by: Long, err: Long): Unit = {
-      if (b.counts.contains(item)) b.counts(item) += by
-      else if (b.counts.size < capacity) {
-        b.counts(item) = by + err
-        if (err > 0) b.error(item) = err
-      } else {
-        // evict the current minimum; the newcomer inherits its count bound
-        val (minItem, minCnt) = b.counts.minBy(_._2)
-        b.counts.remove(minItem); b.error.remove(minItem)
-        b.counts(item) = minCnt + by
-        b.error(item) = minCnt
+      b.counts.get(item) match {
+        case Some(old) =>
+          b.counts(item) = old + by
+          // error terms combine additively (upper/lower bounds both survive)
+          if (err > 0) b.error(item) = b.error.getOrElse(item, 0L) + err
+          b.indexRemove(item, old); b.indexAdd(item, old + by)
+        case None if b.counts.size < capacity =>
+          b.counts(item) = by + err
+          if (err > 0) b.error(item) = err
+          b.indexAdd(item, by + err)
+        case None =>
+          // evict the minimum (deterministic: first item of the lowest
+          // bucket); the newcomer inherits that count as its error bound
+          val minEntry = b.index.firstEntry()
+          val minCnt = minEntry.getKey
+          val minItem = minEntry.getValue.first()
+          b.counts.remove(minItem); b.error.remove(minItem)
+          b.indexRemove(minItem, minCnt)
+          b.counts(item) = minCnt + by
+          b.error(item) = minCnt + err
+          b.indexAdd(item, minCnt + by)
       }
     }
 
@@ -97,6 +134,7 @@ object TopKSketch {
         val cnt = in.readLong(); val err = in.readLong()
         b.counts(item) = cnt
         if (err > 0) b.error(item) = err
+        b.indexAdd(item, cnt)
       }
       b
     }

@@ -33,4 +33,32 @@ class TopKSketchSpec extends SparkSpec {
     assert(top.head._1 == "HOT", s"heavy hitter lost: $top")
     assert(top.head._2 >= 5000L, "SpaceSaving count must upper-bound the true count")
   }
+
+  test("adversarial high-cardinality input stays fast (O(log) eviction)") {
+    TopKSketch.register(spark, k = 10, capacity = 50000)
+    // 1M near-unique keys: almost every insert evicts. The old O(capacity)
+    // minBy scan made this O(rows x capacity) ~ 5e10 ops (minutes); the
+    // bucket-index eviction completes in seconds.
+    val df = spark.range(1000000)
+      .select(concat(lit("k"), (col("id") % 900000)).as("u"))
+    val t0 = System.nanoTime()
+    val n = df.agg(TopKSketch.topk(col("u")).as("top")).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0).size
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n == 10)
+    assert(secs < 60.0, s"eviction path too slow: $secs s for 1M rows")
+  }
+
+  test("merged sketches keep count/error bounds (count-err <= true <= count)") {
+    TopKSketch.register(spark, k = 5, capacity = 40)
+    // force evictions in EVERY partition partial sketch, then a lossy merge
+    val hotTrue = 3000L
+    val df = (1 to 8000).map(i => s"rare_$i").toDF("u")
+      .union(Seq.fill(hotTrue.toInt)("HOT").toDF("u")).repartition(16)
+    val rows = df.agg(TopKSketch.topk(col("u")).as("top")).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getLong(1)))
+    val hot = rows.find(_._1 == "HOT")
+    assert(hot.isDefined, s"heavy hitter lost after merge: $rows")
+    assert(hot.get._2 >= hotTrue, s"count ${hot.get._2} must upper-bound $hotTrue")
+  }
 }
