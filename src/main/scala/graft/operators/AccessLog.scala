@@ -119,18 +119,27 @@ object AccessLog {
     * equivalence-tested in AccessLogSpec.
     */
   def project(lines: DataFrame, hostname: String = "localhost",
-              syslogtag: String = "nginx"): DataFrame = {
+              syslogtag: String = "nginx"): DataFrame =
+    projectCols(lines, lit(hostname), lit(syslogtag))
+
+  /** As [[project]], but the envelope hostname/syslogtag come from COLUMNS of
+    * `lines` (the live syslog-receiver path, where each line carries its own
+    * envelope — `/root/reference/nginx.conf:18-22`'s per-message properties).
+    */
+  def projectCols(lines: DataFrame, hostnameCol: Column,
+                  syslogtagCol: Column): DataFrame = {
     graft.expressions.AccessLogParseExpr.register(lines.sparkSession)
     val p = lines
       .withColumn("_p", graft.expressions.AccessLogParseExpr.parseCol(col("line")))
-      .select(col("line") +: (fields.map(f => col(s"_p.$f").as(f)) :+
-        col("_p._corrupt").as("_corrupt")): _*)
+      .select(Seq(col("line"), hostnameCol.as("_hn"), syslogtagCol.as("_tag")) ++
+        (fields.map(f => col(s"_p.$f").as(f)) :+
+          col("_p._corrupt").as("_corrupt")): _*)
     val nxm = monthLookup(col("month"))
     p.select(
       logdate(col("year"), nxm, col("day")).as("logdate"),
       logdatetime(col("year"), nxm, col("day"), col("rtime")).as("logdatetime"),
-      lit(hostname).as("hostname"),
-      lit(syslogtag).as("syslogtag"),
+      col("_hn").as("hostname"),
+      col("_tag").as("syslogtag"),
       col("line").as("message"),
       col("clientip"), col("ident"), col("auth"), col("verb"), col("request"),
       col("httpversion").as("httpv"),

@@ -44,14 +44,21 @@ object Ingest {
   def transform(lines: DataFrame, hostname: String = "localhost"): DataFrame =
     AccessLog.project(lines, hostname)
 
-  /** R9: the sink. Each micro-batch lands as partitioned+sorted parquet via
-    * the R11 writer; `checkpointLocation` gives exactly-once file semantics.
+  /** R9: the sink. Each micro-batch lands as partitioned parquet under its
+    * own `batch=<id>` directory, written with OVERWRITE — so a checkpointed
+    * replay of batch N (foreachBatch is only at-least-once) rewrites exactly
+    * `batch=N` and nothing else. Idempotent writes + the checkpoint give
+    * end-to-end effectively-once delivery; the dead-letter text write uses
+    * the same per-batch layout for the same reason.
+    *
+    * Readers use [[readStore]] (drops the physical `batch` column);
+    * `LogTableWriter.compact` collapses the per-batch small files into the
+    * sorted daily layout once a day's ingest is complete.
     *
     * R4 upgrade (SURVEY: "explicit `_corrupt` boolean + dead-letter filter"):
     * corrupt lines are split to `deadLetterDir` with the raw `message`
     * preserved instead of silently degrading into empty-string rows the way
-    * the reference's template does. Both writes happen inside one
-    * `foreachBatch`, so a batch is replayed atomically on failure.
+    * the reference's template does.
     */
   def start(spark: SparkSession, inDir: String, outDir: String,
             checkpointDir: String,
@@ -67,15 +74,26 @@ object Ingest {
           case Some(dl) =>
             batch.filter(col("_corrupt"))
               .select("message")
-              .write.mode("append").text(dl)
+              .write.mode("overwrite").text(s"$dl/batch=$batchId")
             batch.filter(!col("_corrupt"))
           case None => batch
         }
         good.write
-          .mode("append")
+          .mode("overwrite")
           .option("compression", "zstd")
           .partitionBy("logdate")
-          .parquet(outDir)
+          .parquet(s"$outDir/batch=$batchId")
       }
       .start()
+
+  /** Reads an ingest store back as the logical log table (the physical
+    * per-batch idempotence directories surface as a `batch` partition
+    * column, which is dropped here).
+    */
+  def readStore(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir).drop("batch")
+
+  /** Reads the dead-letter store (raw corrupt lines, batch column dropped). */
+  def readDeadLetters(spark: SparkSession, dlDir: String): DataFrame =
+    spark.read.text(dlDir).drop("batch")
 }

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.AccessLog
+
+/** Live syslog receiver + envelope parse — the "Structured Streaming from
+  * syslog" north-star path.
+  *
+  * The reference deployment tails files (`/root/reference/nginx.conf:48-51`,
+  * imfile), but its envelope properties (`fromhost`, `syslogtag`,
+  * `nginx.conf:18-22`) come from rsyslog's syslog layer; a live deployment
+  * receives RFC3164/RFC5424 frames over TCP/UDP (imtcp/imudp). This module
+  * is that layer: a TCP line source plus an envelope parser that feeds the
+  * same R2..R8 `AccessLog` pipeline, with the hostname/tag taken from each
+  * message's own envelope instead of a constant.
+  *
+  * Scale note: Spark's `socket` source is a single-connection TCP client —
+  * right for dev/integration; a production 100 TB/day deployment fronts the
+  * receivers with a durable bus (the Kafka source has the identical
+  * unbounded-table contract, so only `fromSocket` swaps out).
+  */
+object Syslog {
+
+  /** RFC3164 (BSD syslog): `<PRI>Mmm dd hh:mm:ss HOST TAG[pid]: MSG`.
+    * Day-of-month is space-padded per the RFC ("Apr  6").
+    */
+  val Rfc3164: String =
+    """^<(\d{1,3})>([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) (\S+) ([^:\[\s]+)(?:\[\d+\])?: (.*)$"""
+
+  /** RFC5424: `<PRI>1 ISO8601 HOST APP PROCID MSGID SD MSG` (SD = `-` or
+    * one `[...]` element; nested structured-data lists are out of scope).
+    */
+  val Rfc5424: String =
+    """^<(\d{1,3})>1 (\S+) (\S+) (\S+) \S+ \S+ (?:-|\[[^\]]*\]) ?(.*)$"""
+
+  /** Parses syslog envelopes from a `line` column. Emits:
+    * facility/severity (from PRI), sl_ts (envelope time; RFC3164 has no year
+    * — `assumeYear` supplies it, the same convention rsyslog applies),
+    * sl_host, sl_tag, message (the payload for the grammar parse), and
+    * sl_corrupt for frames matching neither RFC.
+    */
+  def parseEnvelope(lines: DataFrame, assumeYear: Int = 2020): DataFrame = {
+    val l = col("line")
+    val is5424 = l.rlike(Rfc5424)
+    def pick(g5424: Int, g3164: Int) =
+      when(is5424, regexp_extract(l, Rfc5424, g5424))
+        .otherwise(regexp_extract(l, Rfc3164, g3164))
+    val pri = pick(1, 1).try_cast("int")
+    val ts3164 = try_to_timestamp(
+      concat(lit(s"$assumeYear "),
+        regexp_replace(regexp_extract(l, Rfc3164, 2), "  ", " ")),
+      lit("yyyy MMM d HH:mm:ss"))
+    val ts5424 = regexp_extract(l, Rfc5424, 2).try_cast("timestamp")
+    lines.select(
+      floor(pri / 8).cast("int").as("facility"),
+      (pri % 8).cast("int").as("severity"),
+      when(is5424, ts5424).otherwise(ts3164).as("sl_ts"),
+      pick(3, 3).as("sl_host"),
+      pick(4, 4).as("sl_tag"),
+      pick(5, 5).as("message"),
+      (!is5424 && !l.rlike(Rfc3164)).as("sl_corrupt"))
+  }
+
+  /** R1-live: TCP line source (Spark socket source; see scale note above). */
+  def fromSocket(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port)
+      .load()
+      .withColumnRenamed("value", "line")
+
+  /** Envelope parse → grammar parse → project, with per-message envelope
+    * hostname/tag. Corrupt FRAMES (bad envelope) are dropped here; corrupt
+    * PAYLOADS (bad access-log line inside a good envelope) flow through with
+    * `_corrupt` = true for the dead-letter split, same as file ingest.
+    */
+  def transform(lines: DataFrame, assumeYear: Int = 2020): DataFrame = {
+    val env = parseEnvelope(lines, assumeYear).filter(!col("sl_corrupt"))
+    AccessLog.projectCols(
+      env.select(col("message").as("line"), col("sl_host"), col("sl_tag")),
+      col("sl_host"), col("sl_tag"))
+  }
+}

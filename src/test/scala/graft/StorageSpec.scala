@@ -84,9 +84,9 @@ class StorageSpec extends SparkSpec {
     val q = Ingest.start(spark, in, out, ck,
       org.apache.spark.sql.streaming.Trigger.AvailableNow(), Some(dl))
     q.awaitTermination()
-    val stored = spark.read.parquet(out)
+    val stored = Ingest.readStore(spark, out)
     assert(stored.count() == 2 && stored.filter(col("_corrupt")).count() == 0)
-    val dead = spark.read.text(dl).as[String].collect()
+    val dead = Ingest.readDeadLetters(spark, dl).as[String].collect()
     assert(dead.toSeq == Seq("this line is garbage"))
   }
 
