@@ -40,10 +40,16 @@ object AccessLogParseExpr {
 
     def corrupt(): Array[Any] = emptyFields.clone()
 
-    // %field:word% — one-or-more non-space chars ((\S+)), then a literal ' '
+    // Java regex \s is exactly [ \t\n\x0B\f\r]; (\S+) stops at ALL of them,
+    // not just space — a tab inside a token makes the whole line corrupt
+    // (the following expect(' ') fails), matching the regex + oracle.
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+    // %field:word% — one-or-more non-whitespace chars ((\S+))
     def word(): String = {
       val s = i
-      while (i < n && line.charAt(i) != ' ') i += 1
+      while (i < n && !isWs(line.charAt(i))) i += 1
       if (i == s) null else line.substring(s, i)
     }
     def expect(c: Char): Boolean =

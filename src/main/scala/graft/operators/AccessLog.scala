@@ -81,6 +81,19 @@ object AccessLog {
   def monthLookup(monthCol: Column): Column =
     coalesce(element_at(typedLit(monthMap), monthCol), lit("unk"))
 
+  /** R5 generalized: a FILE-BACKED lookup table (the reference reloads
+    * `nginx.table` from disk on HUP) joined as a broadcast left join with
+    * `nomatch → default`. For dimension tables too big or too dynamic to
+    * constant-fold into the plan the way [[monthLookup]]'s literal map is;
+    * `broadcast()` keeps the probe side shuffle-free at any fact-table size.
+    */
+  def lookupJoin(df: DataFrame, lookup: DataFrame, keyCol: String,
+                 valueCol: String, default: String, outCol: String): DataFrame =
+    df.join(broadcast(lookup.select(col(keyCol), col(valueCol))),
+        Seq(keyCol), "left")
+      .withColumn(outCol, coalesce(col(valueCol), lit(default)))
+      .drop(valueCol)
+
   /** The same lookup as oracle SQL (deterministically ordered CASE). */
   def monthLookupSql(expr: String): String =
     monthMap.toSeq.sorted

@@ -78,11 +78,16 @@ object Extended extends QueryModule {
     }),
 
     // Uncorrelated scalar subquery: rows above the global average.
+    // Determinism: `price > avg` is evaluated as `price * n > total` with the
+    // total summed in DECIMAL — exact, so no partial-aggregation-order FP
+    // wobble can flip a boundary row between engines (a double avg's last
+    // ulp is partitioning-dependent).
     "q_subquery_scalar" -> ((s, d) => {
       val o = t(s, d, "orders")
-      val avgDf = o.agg(avg(col("o_totalprice")).as("avg_price"))
-      o.crossJoin(avgDf)
-        .filter(col("o_totalprice") > col("avg_price"))
+      val aggDf = o.agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total"),
+        count(lit(1)).as("n"))
+      o.crossJoin(aggDf)
+        .filter(col("o_totalprice") * col("n") > col("total"))
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }),
@@ -362,7 +367,8 @@ object Extended extends QueryModule {
 
     "q_subquery_scalar" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |WHERE o_totalprice * (SELECT count(*) FROM orders)
+        |  > (SELECT CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_subquery_in" ->

@@ -67,7 +67,13 @@ class AccessLogPropertySpec extends SparkSpec {
       Gen.asciiPrintableStr,
       caseG.map(_._1).map(_.drop(5)),
       caseG.map(_._1).map(_.replace("\"", "")),
-      caseG.map(_._1).map(l => l.take(l.length / 2)))
+      caseG.map(_._1).map(l => l.take(l.length / 2)),
+      // whitespace-class injections: \S+ must reject tab/VT/FF inside
+      // tokens, so these lines are corrupt in BOTH parsers
+      caseG.map(_._1).map(_.replaceFirst(" ", "\t")),
+      caseG.map(_._1).map(l => l.replace("GET", "G\tET")),
+      caseG.map(_._1).map(l => l.replace(" ", "")),
+      caseG.map(_._1).map(l => l.replaceFirst("-", "\f-")))
     val lines = (Gen.listOfN(150, caseG).sample.get.map(_._1) ++
       Gen.listOfN(150, garbageG).sample.get).distinct
       .filterNot(l => l.contains("\n") || l.contains("\r"))

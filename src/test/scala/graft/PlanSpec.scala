@@ -55,6 +55,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "lookup should be a map literal, not a join")
   }
 
+  test("file-backed lookup joins via broadcast and matches the literal map") {
+    val months = graft.operators.AccessLog.monthMap.toSeq.toDF("month", "nxm")
+    val facts = Seq("Apr", "Dec", "Foo").toDF("month")
+    val joined = graft.operators.AccessLog
+      .lookupJoin(facts, months, "month", "nxm", "unk", "nx")
+    val got = joined.orderBy("month").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(got.toSeq == Seq("Apr" -> "04", "Dec" -> "12", "Foo" -> "unk"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"lookup not broadcast:\n$p")
+  }
+
   test("q_sim_topk broadcasts the small query set, streams the candidate table") {
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec

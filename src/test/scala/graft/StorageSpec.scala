@@ -74,6 +74,21 @@ class StorageSpec extends SparkSpec {
     assert(after.sameElements(before))
   }
 
+  test("compact rescues files appended concurrently (no data loss)") {
+    val tmp = Files.createTempDirectory("graft_compact_race").toString
+    val one = graft.operators.AccessLog.project(lines.toDF("line"))
+    (1 to 3).foreach(_ => one.write.mode("append")
+      .partitionBy("logdate").parquet(tmp))
+    val baseline = LogTableWriter.read(spark, tmp).count()
+    // a concurrent micro-batch lands AFTER the compaction read, before the
+    // swap — the exact window the listing diff protects
+    LogTableWriter.compact(spark, tmp, beforeSwap = () =>
+      one.write.mode("append").partitionBy("logdate").parquet(tmp))
+    val after = LogTableWriter.read(spark, tmp).count()
+    assert(after == baseline + one.count(),
+      s"concurrent append lost by compaction: $after vs ${baseline + one.count()}")
+  }
+
   test("ingest dead-letters corrupt lines instead of storing empty rows") {
     val in = Files.createTempDirectory("graft_dl_in").toString
     val out = Files.createTempDirectory("graft_dl_out").toString
