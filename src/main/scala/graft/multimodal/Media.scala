@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * Media travels as an opaque `binary` column plus typed metadata — the same
   * philosophy as the reference's `blob` escape-hatch column
   * (`/root/reference/README.md:90,242`): raw bytes are never shredded, typed
-  * views are derived. All Spark-side mechanics — schema, per-partition
-  * batching, deterministic output shape — are real and tested; the actual
-  * codec call is stubbed (this container ships no image/audio libs) behind
-  * `decodeStub`, clearly marked, so swapping in a real decoder changes one
-  * function.
+  * views are derived.
+  *
+  * Decode paths: [[decodeImage]] is a REAL decoder (JDK `javax.imageio` —
+  * PNG/JPEG/GIF/BMP, no external deps) producing width/height + a 16-bin
+  * luminance histogram; payloads ImageIO can't read (non-image blobs, exotic
+  * codecs this JRE lacks) fall back to [[decodeStub]]'s byte histogram so
+  * the operator is total. Audio/video decode would slot in the same way
+  * (a codec lib call inside the per-partition loop).
   *
   * Scale shape: decode/featurize run in `mapPartitions` so per-partition
   * setup (codec init, model load) is amortized across rows — the Scala analog
@@ -25,14 +28,46 @@ object Media {
   case class MediaRow(media_id: Long, bytes: Array[Byte], format: String,
                       width: Int, height: Int)
 
-  /** Decoded/featurized output: per-row feature vector + sampled frames. */
+  /** Decoded/featurized output: per-row feature vector + sampled frames.
+    * `decoded` is true when a real codec handled the payload; then
+    * width/height are the pixel dimensions and `features` is the luminance
+    * histogram (byte histogram + 0×0 otherwise).
+    */
   case class MediaFeatures(media_id: Long, n_bytes: Int, format: String,
+                           decoded: Boolean, width: Int, height: Int,
                            features: Array[Double], frames: Array[Array[Byte]])
 
-  /** STUB — stands in for the real codec (no image/audio libs in this
-    * container). Deterministic: a 16-bin byte histogram normalized to [0,1].
-    * Replace with e.g. a JNI/Java ImageIO decode; the signature is the
-    * contract.
+  /** Real image decode via the JDK's ImageIO: returns (width, height,
+    * normalized 16-bin luminance histogram), or None if no registered codec
+    * recognizes the bytes. Deterministic: integer Rec.601 luma per pixel.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val hist = new Array[Double](16)
+        val w = img.getWidth; val h = img.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+              114 * (rgb & 0xFF)) / 1000
+            hist(luma / 16) += 1.0
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w.toLong * h, 1L)
+        Some((w, h, hist.map(_ / n)))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Fallback featurizer for payloads no JRE codec reads (opaque blobs,
+    * exotic formats). Deterministic: a 16-bin byte histogram normalized to
+    * [0,1]. A real deployment swaps a JNI codec in along the same seam.
     */
   def decodeStub(bytes: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
@@ -51,15 +86,24 @@ object Media {
     }.toArray
 
   /** The featurize operator: mapPartitions so codec setup happens once per
-    * partition, not per row.
+    * partition, not per row. Tries the real ImageIO decode first, falls back
+    * to the byte-histogram stub — the operator is total over arbitrary blobs.
     */
   def featurize(media: Dataset[MediaRow], frameStride: Int = 4): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: initialize codec/model HERE, once per partition
+      // per-partition codec init lives HERE (ImageIO scans its plugin
+      // registry on first use; heavier codecs/models would load the same way)
       rows.map { r =>
-        MediaFeatures(r.media_id, r.bytes.length, r.format,
-          decodeStub(r.bytes), frameSampleStub(r.bytes, frameStride))
+        decodeImage(r.bytes) match {
+          case Some((w, h, hist)) =>
+            MediaFeatures(r.media_id, r.bytes.length, r.format,
+              decoded = true, w, h, hist, frameSampleStub(r.bytes, frameStride))
+          case None =>
+            MediaFeatures(r.media_id, r.bytes.length, r.format,
+              decoded = false, 0, 0,
+              decodeStub(r.bytes), frameSampleStub(r.bytes, frameStride))
+        }
       }
     }
   }

@@ -32,6 +32,37 @@ class MultimodalSpec extends SparkSpec {
     out.foreach(f => assert(again(f.media_id) == f.features.toSeq))
   }
 
+  test("real PNG payloads decode via ImageIO with true dimensions + luma histogram") {
+    import spark.implicits._
+    // render a deterministic two-tone PNG in-process: left half black,
+    // right half white → luma histogram concentrated in bins 0 and 15
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Media.MediaRow(1L, png(64, 32), "image/png", 0, 0),
+      Media.MediaRow(2L, Array[Byte](1, 2, 3, 4), "application/octet-stream", 0, 0))
+    val got = Media.featurize(spark.createDataset(rows)).collect()
+      .map(f => f.media_id -> f).toMap
+    val img = got(1L)
+    assert(img.decoded, "PNG payload must take the real ImageIO path")
+    assert(img.width == 64 && img.height == 32)
+    assert(math.abs(img.features(0) - 0.5) < 1e-9, "black half → bin 0")
+    assert(math.abs(img.features(15) - 0.5) < 1e-9, "white half → bin 15")
+    assert(math.abs(img.features.sum - 1.0) < 1e-9)
+    val blob = got(2L)
+    assert(!blob.decoded && blob.width == 0, "opaque blob must fall back to stub")
+  }
+
   test("featurize plan is a narrow map (no shuffle)") {
     val plan = Media.featurize(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
