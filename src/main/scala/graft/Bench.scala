@@ -57,7 +57,12 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       (nCopies.toLong * lines.size / secs).toLong
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_lines_per_sec":$ingestRate,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_lines_per_sec":$ingestRate,"sf":"$sfDir"}"""
+    println(json)
+    // durable copy: the driver's stdout capture truncates long lines, so the
+    // full per-query vector also lands as a file, diffable across rounds
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), json)
     spark.stop()
   }
 }

@@ -35,6 +35,21 @@ object LogPipeline extends QueryModule {
         .orderBy(col("id"))
     }),
 
+    // R5 generalized: the same lookup through the FILE-BACKED dim path
+    // (AccessLog.lookupJoin — broadcast left join, nomatch → default), the
+    // operator a user reaches for when the dim is too big/dynamic for a
+    // literal map. Dim rows inlined identically in both engines.
+    "q_lookup_file" -> ((s, _) => {
+      import s.implicits._
+      val fx = AccessLog.fixtures(s)
+      val dim = AccessLog.monthMap.toSeq.sorted.toDF("month", "nxm")
+      val parsed = fx.select(col("id"),
+        regexp_extract(col("line"), P, 5).as("month"))
+      AccessLog.lookupJoin(parsed, dim, "month", "nxm", "unk", "nx")
+        .select(col("id"), col("month"), col("nx"))
+        .orderBy(col("id"))
+    }),
+
     // R7: logdate/logdatetime reassembly from split parts (+ R5 inside).
     "q_derive_dates" -> ((s, _) => {
       val fx = AccessLog.fixtures(s)
@@ -97,6 +112,15 @@ object LogPipeline extends QueryModule {
         s"""WITH p AS (SELECT id, regexp_extract(line, '$P', 5) AS month FROM $fx)
            |SELECT id, month, ${AccessLog.monthLookupSql("month")} AS nxm
            |FROM p ORDER BY id""".stripMargin,
+
+      "q_lookup_file" -> {
+        val dimValues = AccessLog.monthMap.toSeq.sorted
+          .map { case (k, v) => s"('$k', '$v')" }.mkString(", ")
+        s"""WITH p AS (SELECT id, regexp_extract(line, '$P', 5) AS month FROM $fx),
+           |  dim(month, nxm) AS (VALUES $dimValues)
+           |SELECT id, p.month AS month, coalesce(dim.nxm, 'unk') AS nx
+           |FROM p LEFT JOIN dim USING (month) ORDER BY id""".stripMargin
+      },
 
       "q_derive_dates" ->
         s"""WITH p AS (SELECT id,

@@ -23,6 +23,10 @@ object TextOps extends QueryModule {
     */
   val DfCap = 5
 
+  /** PII patterns (RE2/Java-compatible, evaluated identically by DuckDB). */
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
   def queries: Seq[(String, QFn)] = Seq(
     // Generator/UDTF surface: tokenize, explode, count — global term frequencies.
     "q_explode_tokens" -> ((s, d) => {
@@ -153,6 +157,50 @@ object TextOps extends QueryModule {
         .orderBy(col("a"), col("b"))
     }),
 
+    // PII scrubbing (pipeline hygiene op): redact IPv4s and emails from raw
+    // log lines before they enter a training corpus. Narrow per-row regex
+    // rewrite — shuffle-free at any scale. Fixture lines carry real client
+    // IPs, so the redaction is exercised, not vacuous.
+    "q_pii_redact" -> ((s, _) => {
+      val fx = graft.operators.AccessLog.fixtures(s)
+      fx.select(col("id"),
+          size(regexp_extract_all(col("line"), lit(IpRe), lit(0))).as("n_ip"),
+          regexp_replace(regexp_replace(col("line"), IpRe, "<IP>"),
+            EmailRe, "<EMAIL>").as("redacted"))
+        .orderBy(col("id"))
+    }),
+
+    // Within-doc repetition score (quality signal: boilerplate/spam has a
+    // dominant token): max term frequency over total tokens.
+    "q_repetition" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      tf.groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_tf"), sum(col("c")).as("n_tok"))
+        .select(col("doc_id"), col("max_tf"),
+          round(col("max_tf") / col("n_tok"), 4).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: flag corpus docs sharing any 3-shingle with
+    // the eval set (doc_id < 10 stands in for the benchmark). The eval
+    // shingle set is bounded → broadcast, so the corpus side never shuffles:
+    // the exact shape of a 100 TB decontamination pass against a fixed
+    // benchmark suite.
+    "q_contamination" -> ((s, d) => {
+      graft.operators.Dedup.register(s)
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val evalSh = sh.filter(col("doc_id") < 10).select("sh").distinct()
+      sh.filter(col("doc_id") >= 10)
+        .join(broadcast(evalSh), "sh")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Binary-column plumbing (multimodal surface): treat text bytes as an
     // opaque blob, expose byte length + prefix fingerprint.
     "q_binary_meta" -> ((s, d) => {
@@ -250,5 +298,33 @@ object TextOps extends QueryModule {
     "q_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  lower(hex(encode(substring(text, 1, 8)))) AS prefix_hex
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      s"""SELECT id,
+         |  CAST(len(regexp_extract_all(line, '$IpRe')) AS INT) AS n_ip,
+         |  regexp_replace(regexp_replace(line, '$IpRe', '<IP>', 'g'),
+         |    '$EmailRe', '<EMAIL>', 'g') AS redacted
+         |FROM ${graft.operators.AccessLog.fixturesSql} ORDER BY id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |  c AS (SELECT doc_id, tok, count(*) AS c FROM tf GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tf,
+        |  round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS rep_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, greatest(len(ts)-1, 1)),
+        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+        |    FROM tok) WHERE sh IS NOT NULL AND length(sh) > 0),
+        |  ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10)
+        |SELECT s.doc_id, count(*) AS n_overlap
+        |FROM sh s JOIN ev USING (sh)
+        |WHERE s.doc_id >= 10
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)
 }
