@@ -279,6 +279,35 @@ object Extended extends QueryModule {
         .orderBy(col("split"))
     }),
 
+    // Gap-based batch sessionization (30-min inactivity): the R12 analytics
+    // family's session view, all in integer microseconds so the gap compare
+    // is engine-exact. Windows partition by user — fully parallel.
+    "q_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events").select(col("user_id"), col("ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+      val isNew = when(gapUs.isNull || gapUs > 1800L * 1000000L, 1L).otherwise(0L)
+      val sess = sum(isNew).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      ev.withColumn("sess", sess)
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).cast("timestamp_ntz").as("t_start"),
+          max(col("ts")).cast("timestamp_ntz").as("t_end"))
+        .orderBy(col("user_id"), col("sess"))
+    }),
+
+    // Token-budget shard packing (training-data assembly): stable-order
+    // running token total div budget via the two-phase distributed prefix
+    // sum in operators/Pack (the naive global window would single-partition).
+    "q_shard_pack" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      graft.operators.Pack.packShards(docs, "doc_id", "n_tok", 4096L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Collocation mining: top bigrams by PMI (pointwise mutual information),
     // support-filtered. All inputs are integer counts → ln of identical
     // rationals → bit-identical doubles across engines.
@@ -364,6 +393,31 @@ object Extended extends QueryModule {
         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  s AS (SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g)
+        |SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS n_events,
+        |  min(ts) AS t_start, max(ts) AS t_end
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+
+    "q_shard_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, n_tok,
+        |  coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
+        |    AS shard
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_subquery_scalar" ->
       """SELECT o_orderkey, o_totalprice FROM orders
