@@ -279,6 +279,22 @@ object Extended extends QueryModule {
         .orderBy(col("split"))
     }),
 
+    // Keep-latest-per-key dedup (re-crawl semantics: newest version of each
+    // entity wins). One partitioned window + filter — the WindowGroupLimit
+    // optimization turns it into a per-partition top-1, no full sort spill.
+    "q_keep_latest" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("event_type"))
+        .orderBy(col("user_id"))
+    }),
+
     // Gap-based batch sessionization (30-min inactivity): the R12 analytics
     // family's session view, all in integer microseconds so the gap compare
     // is engine-exact. Windows partition by user — fully parallel.
@@ -393,6 +409,14 @@ object Extended extends QueryModule {
         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_keep_latest" ->
+      """WITH r AS (SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, ts, event_type
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,

@@ -255,6 +255,40 @@ class StreamingSpec extends SparkSpec {
       s"stream artifact diverged: got ${got.take(3).toSeq} want ${want.take(3).toSeq}")
   }
 
+  test("rollup store: closed windows land append-only and match batch counts") {
+    val dir = Files.createTempDirectory("graft_rollup_in").toString
+    val out = Files.createTempDirectory("graft_rollup_out").toString
+    val ck = Files.createTempDirectory("graft_rollup_ck").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(s"$dir/f=*")
+      val q = graft.streaming.Rollup.start(src, out, ck,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    // run 1: two 10:xx events + one 12:05 event → watermark lands at 10:05,
+    // nothing closed yet; run 2: a 15:00 event pushes the watermark past
+    // 12:00 and 13:00, closing the 10:00 and 12:00 buckets
+    Seq((t("2024-01-01 10:10:00"), 1L), (t("2024-01-01 10:40:00"), 2L),
+      (t("2024-01-01 12:05:00"), 3L))
+      .toDF("ts", "user_id").coalesce(1).write.mode("overwrite").parquet(s"$dir/f=0")
+    runOnce()
+    Seq((t("2024-01-01 15:00:00"), 4L))
+      .toDF("ts", "user_id").coalesce(1).write.mode("overwrite").parquet(s"$dir/f=1")
+    runOnce()
+    val rolled = graft.streaming.Rollup.read(spark, out)
+      .select(col("t").cast("string"), col("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled.get("2024-01-01 10:00:00").contains(2L), s"got $rolled")
+    assert(rolled.get("2024-01-01 12:00:00").contains(1L), s"got $rolled")
+    assert(!rolled.contains("2024-01-01 15:00:00"), "open bucket must not emit")
+  }
+
   test("syslog envelope parse: RFC3164 and RFC5424 fields") {
     val rows = Seq(
       """<190>Apr  6 09:54:48 web01 nginx: GET-payload""",
