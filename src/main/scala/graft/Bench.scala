@@ -34,7 +34,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // bound cache growth across the run (see Verify) — cleanup is outside
+      // the timed window
+      spark.sharedState.cacheManager.clearCache()
+      name -> secs
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -85,6 +85,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_contamination broadcasts the eval shingle set") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-set join must broadcast, corpus side stays shuffle-free:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.operators.Dedup.register(spark)
     val df = Tables.table(spark, sf(), "documents")
