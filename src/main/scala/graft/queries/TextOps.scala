@@ -27,6 +27,73 @@ object TextOps extends QueryModule {
   val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
+  /** Label-propagation rounds for q_dedup_clusters (covers any component of
+    * diameter ≤ this; the recursive-CTE oracle guards convergence).
+    */
+  val ClusterIters = 6
+
+  /** Shared oracle CTE chain ending in `pairs(a, b, jaccard)` — the DuckDB
+    * mirror of [[ngramPairs]].
+    */
+  private def ngramPairCtes: String =
+    s"""tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+       |  sh AS (SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, greatest(len(ts)-1, 1)),
+       |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+       |    FROM tok) WHERE sh IS NOT NULL AND length(sh) > 0),
+       |  counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |  rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND $DfCap),
+       |  cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |    FROM sh x JOIN rare USING (sh) JOIN sh y USING (sh)
+       |    WHERE x.doc_id < y.doc_id),
+       |  inter AS (SELECT c.a, c.b, count(*) AS inter
+       |    FROM cand c JOIN sh p ON p.doc_id = c.a JOIN sh q
+       |      ON q.doc_id = c.b AND q.sh = p.sh
+       |    GROUP BY c.a, c.b),
+       |  pairs AS (SELECT i.a, i.b,
+       |      round(inter / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
+       |    FROM inter i JOIN counts ca ON ca.doc_id = i.a
+       |      JOIN counts cb ON cb.doc_id = i.b
+       |    WHERE round(inter / (ca.n_sh + cb.n_sh - inter), 4) >= 0.5)""".stripMargin
+
+  /** Verified near-dup pairs (a < b, Jaccard ≥ 0.5) via the inverted-index
+    * candidate policy documented on q_ngram_jaccard.
+    *
+    * Per-doc distinct shingle ARRAYs stay in one row; only (shingle, doc_id)
+    * pairs of RARE shingles flow through the candidate join, and exact
+    * Jaccard is computed by array_intersect after re-attaching the arrays —
+    * no shuffle ever carries an array, no distinct on arrays. persist(): the
+    * shingle table fans out to three consumers (the df aggregate and both
+    * re-attach joins); without it the codegen'd Shingles3 pass runs once per
+    * consumer (this was the worst bench query). MEMORY_AND_DISK spills
+    * gracefully on executors at scale.
+    */
+  private def ngramPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.operators.Dedup.register(s)
+    val docs = t(s, d, "documents")
+    val shArr = docs.select(col("doc_id"),
+        graft.operators.Dedup.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = shArr.select(col("doc_id"), explode(col("sh")).as("sh1"))
+    val rare = exploded.groupBy(col("sh1")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, DfCap)).select("sh1")
+    val ra = exploded.join(rare, "sh1")
+    val cand = ra.select(col("sh1"), col("doc_id").as("a"))
+      .join(ra.select(col("sh1"), col("doc_id").as("b")), "sh1")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(shArr.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(shArr.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("a"), col("b"),
+        round(col("inter") /
+          (size(col("sha")) + size(col("shb")) - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   def queries: Seq[(String, QFn)] = Seq(
     // Generator/UDTF surface: tokenize, explode, count — global term frequencies.
     "q_explode_tokens" -> ((s, d) => {
@@ -123,38 +190,35 @@ object TextOps extends QueryModule {
     // EVERY shared shingle is boilerplate (df > DfCap) — vanishingly rare
     // for natural text, and the MinHash operator (q_dedup_near) provides the
     // df-independent path when that guarantee matters.
-    "q_ngram_jaccard" -> ((s, d) => {
-      graft.operators.Dedup.register(s)
-      val docs = t(s, d, "documents")
-      // per-doc distinct shingle ARRAY stays in one row; only (shingle,
-      // doc_id) pairs of RARE shingles flow through the candidate join, and
-      // exact Jaccard is computed by array_intersect after re-attaching the
-      // arrays — no shuffle ever carries an array, no distinct on arrays.
-      // persist(): the shingle table fans out to three consumers (the df
-      // aggregate and both re-attach joins); without it the codegen'd
-      // Shingles3 pass runs once per consumer (this was the worst bench
-      // query). MEMORY_AND_DISK spills gracefully on executors at scale.
-      val shArr = docs.select(col("doc_id"),
-          graft.operators.Dedup.shingles(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0)
+    "q_ngram_jaccard" -> ((s, d) =>
+      ngramPairs(s, d).orderBy(col("a"), col("b"))),
+
+    // Near-dup CLUSTER canonicalization: connected components over the
+    // verified ngram-Jaccard pairs, canonical id = component minimum — the
+    // "which copy do we keep" step after pair detection. Min-label
+    // propagation over the (tiny, persisted) edge set: `ClusterIters`
+    // rounds of neighbor-min joins reach the fixpoint for any component
+    // of diameter ≤ ClusterIters (near-dup components at θ≥0.5 are
+    // near-cliques — the oracle computes the TRUE fixpoint via a recursive
+    // CTE, so an unconverged run would fail the gate, not silently pass).
+    // Scale: per-iteration cost is a join on the EDGE set (|pairs|, not
+    // |docs|), the classic iterative-graph shape.
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = ngramPairs(s, d).select(col("a"), col("b"))
+      val e = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+        .toDF("src", "dst")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val exploded = shArr.select(col("doc_id"), explode(col("sh")).as("sh1"))
-      val rare = exploded.groupBy(col("sh1")).agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, DfCap)).select("sh1")
-      val ra = exploded.join(rare, "sh1")
-      val cand = ra.select(col("sh1"), col("doc_id").as("a"))
-        .join(ra.select(col("sh1"), col("doc_id").as("b")), "sh1")
-        .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
-      cand
-        .join(shArr.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-        .join(shArr.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-        .select(col("a"), col("b"),
-          round(col("inter") /
-            (size(col("sha")) + size(col("shb")) - col("inter")), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy(col("a"), col("b"))
+      var labels = e.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      (1 to ClusterIters).foreach { _ =>
+        val nbr = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(min(col("lbl")).as("nlbl"))
+        labels = labels.join(nbr, Seq("node"), "left")
+          .select(col("node"), least(col("lbl"), coalesce(col("nlbl"),
+            col("lbl"))).as("lbl"))
+      }
+      labels.select(col("node").as("doc_id"), col("lbl").as("canon"))
+        .orderBy(col("doc_id"))
     }),
 
     // PII scrubbing (pipeline hygiene op): redact IPv4s and emails from raw
@@ -273,27 +337,19 @@ object TextOps extends QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
-      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
-        |  sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |    SELECT doc_id,
-        |      unnest(list_transform(range(1, greatest(len(ts)-1, 1)),
-        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
-        |    FROM tok) WHERE sh IS NOT NULL AND length(sh) > 0),
-        |  counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |  rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND $DfCap),
-        |  cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |    FROM sh x JOIN rare USING (sh) JOIN sh y USING (sh)
-        |    WHERE x.doc_id < y.doc_id),
-        |  inter AS (SELECT c.a, c.b, count(*) AS inter
-        |    FROM cand c JOIN sh p ON p.doc_id = c.a JOIN sh q
-        |      ON q.doc_id = c.b AND q.sh = p.sh
-        |    GROUP BY c.a, c.b)
-        |SELECT i.a, i.b,
-        |  round(inter / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
-        |FROM inter i JOIN counts ca ON ca.doc_id = i.a
-        |  JOIN counts cb ON cb.doc_id = i.b
-        |WHERE round(inter / (ca.n_sh + cb.n_sh - inter), 4) >= 0.5
-        |ORDER BY a, b""".stripMargin,
+      s"""WITH $ngramPairCtes
+        |SELECT a, b, jaccard FROM pairs ORDER BY a, b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+        |  bidir AS (SELECT a AS src, b AS dst FROM pairs
+        |    UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |  reach(node, m) AS (
+        |    SELECT DISTINCT src, src FROM bidir
+        |    UNION
+        |    SELECT r.node, b2.dst FROM reach r JOIN bidir b2 ON b2.src = r.m)
+        |SELECT node AS doc_id, min(m) AS canon
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "q_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
