@@ -194,6 +194,19 @@ object SimilarityOps extends QueryModule {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // True IVF ANN (k-means coarse quantizer + nProbe cell probing) — the
+    // centroid-based complement to the hyperplane-LSH family. Rows-only in
+    // the driver gate: centroid means are distributed FP sums (see
+    // operators/VectorIvf doc); recall floors asserted in SimilaritySpec.
+    "q_sim_ivf_kmeans" -> ((s, d) => {
+      val e = embWithNorm(s, d).select(col("vec_id"), col("v"))
+      val cents = graft.operators.VectorIvf.kmeans(e, "vec_id", "v", k = 16, iters = 3)
+      val q = e.filter(col("vec_id") < 5)
+      graft.operators.VectorIvf
+        .searchTopK(e, q, "vec_id", "v", cents, nProbe = 6, topK = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs via the same banded candidate join (a
     // ≥ threshold all-pairs search that never cross-joins: candidates share
     // a band code; arrays re-attached only for the exact verify).

@@ -8,9 +8,10 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("rows-only queries are the documented three") {
+  test("rows-only queries are the documented four") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_approx_distinct", "q_dedup_near", "q_dedup_simhash"),
+    assert(rowsOnly == Set("q_approx_distinct", "q_dedup_near",
+      "q_dedup_simhash", "q_sim_ivf_kmeans"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -110,6 +110,42 @@ class SimilaritySpec extends SparkSpec {
       s"b=${Lsh.BandBits} should cut candidates by >2x vs b=2: $narrow vs $wide")
   }
 
+  test("native NearestCentroid matches driver-side argmin") {
+    import spark.implicits._
+    graft.expressions.VectorOps.register(spark)
+    val cents: Seq[Seq[Double]] = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, -1.0))
+    val vs = Seq(Seq(0.9, 0.1), Seq(0.2, 2.0), Seq(-0.5, -0.6), Seq(0.6, 0.6))
+    val got = vs.toDF("v")
+      .select(graft.expressions.VectorOps.nearestCentroid(col("v"),
+        typedlit(cents)).as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    val want = vs.map { v =>
+      cents.zipWithIndex.minBy { case (c, i) =>
+        (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }._2
+    }
+    assert(got == want)
+  }
+
+  test("k-means IVF recall@10 >= 0.9 vs brute force (k=16, nProbe=6)") {
+    val e = queries.SimilarityOps.embWithNorm(spark, sf())
+      .select(col("vec_id"), col("v"))
+    val cents = graft.operators.VectorIvf.kmeans(e, "vec_id", "v", 16, 3)
+    val q = e.filter(col("vec_id") < 5)
+    val got = graft.operators.VectorIvf
+      .searchTopK(e, q, "vec_id", "v", cents, nProbe = 6, topK = 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k2, rows) => k2 -> rows.map(_.getLong(2)).toSet }
+    val hits = (0L until 5L).map { qid =>
+      val want = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => id -> cosine(vecs(qid), v) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      want.intersect(got.getOrElse(qid, Set.empty)).size
+    }.sum
+    val recall = hits / 50.0
+    assert(recall >= 0.9, s"IVF recall@10 = $recall < 0.9")
+  }
+
   test("approx_count_distinct within 5% of exact (q_approx_distinct contract)") {
     val li = Tables.table(spark, sf(), "lineitem")
     val approx = li.agg(approx_count_distinct(col("l_partkey"))).head().getLong(0)
