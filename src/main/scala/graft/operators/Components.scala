@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge set via min-label
+  * propagation, iterated to the TRUE fixpoint.
+  *
+  * Mirrors the "which copy do we keep" canonicalization step after near-dup
+  * pair detection (reference: the dedup stage a ClickHouse user would run as
+  * a recursive CTE over the pair table). Label propagation converges in
+  * `diameter(G)` rounds; near-dup components at high thresholds are
+  * near-cliques (diameter ~1), but a 100 TB corpus WILL contain chain-shaped
+  * components (A~B~C~D with no A~D edge), so the loop is guarded by the
+  * actual per-round changed-label count rather than a fixed iteration
+  * constant — it runs exactly as many rounds as the data's deepest component
+  * needs, and no more.
+  *
+  * Scale shape: per-round cost is one join on the EDGE set plus one count on
+  * the (tiny) label delta. Each round is truncated with an eager
+  * `localCheckpoint` — the loop variable feeds both the convergence count
+  * and the next round, and without truncation the plan tree doubles per
+  * round (2^iters copies of the upstream pipeline). The checkpoint job IS
+  * the round's one materialization; the count then reads the cached RDD.
+  */
+object Components {
+
+  /** Loud backstop: a component of diameter > MaxIters means the input is
+    * not a near-dup graph (or is adversarial) — fail rather than loop. At
+    * one edge-set join per round this bounds worst-case work explicitly.
+    */
+  val MaxIters = 64
+
+  /** Canonical labels for every node appearing in `pairs` (cols `a`, `b`,
+    * one row per undirected edge). Returns (`node`, `lbl`) where `lbl` is
+    * the component minimum.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    // Eager materialization of the edge set: the bidirectional union and
+    // every propagation round re-read it, and inside one action lazy-cache
+    // consumers race ahead of population — each would recompute the whole
+    // upstream (e.g. ngram) pipeline. One job up front, tiny RDD after.
+    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    val e = p.union(p.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0) {
+      iters += 1
+      if (iters > MaxIters)
+        throw new IllegalStateException(
+          s"connectedComponents: no fixpoint after $MaxIters rounds " +
+            "(component diameter exceeds MaxIters — not a near-dup graph?)")
+      val nbr = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(min(col("lbl")).as("nlbl"))
+      val step = labels.join(nbr, Seq("node"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl"))
+        .localCheckpoint()
+      changed = step.filter(col("nl") < col("lbl")).count()
+      labels = step.select(col("node"), col("nl").as("lbl"))
+    }
+    labels
+  }
+}

@@ -438,9 +438,9 @@ object Extended extends QueryModule {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |  FROM documents)
         |SELECT doc_id, n_tok,
-        |  coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |  CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
-        |    AS shard
+        |    AS BIGINT) AS shard
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_subquery_scalar" ->

@@ -27,14 +27,6 @@ object TextOps extends QueryModule {
   val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
-  /** Label-propagation rounds for q_dedup_clusters — covers any component of
-    * diameter ≤ this. Near-dup components at θ≥0.5 are near-cliques (measured
-    * max diameter is 1 on both test SFs), so 3 rounds carry 3× margin; the
-    * recursive-CTE oracle computes the TRUE fixpoint, so insufficient rounds
-    * fail the gate loudly rather than silently — raise this if that fires.
-    */
-  val ClusterIters = 3
-
   /** Shared oracle CTE chain ending in `pairs(a, b, jaccard)` — the DuckDB
     * mirror of [[ngramPairs]].
     */
@@ -198,39 +190,16 @@ object TextOps extends QueryModule {
 
     // Near-dup CLUSTER canonicalization: connected components over the
     // verified ngram-Jaccard pairs, canonical id = component minimum — the
-    // "which copy do we keep" step after pair detection. Min-label
-    // propagation over the (tiny, persisted) edge set: `ClusterIters`
-    // rounds of neighbor-min joins reach the fixpoint for any component
-    // of diameter ≤ ClusterIters (near-dup components at θ≥0.5 are
-    // near-cliques — the oracle computes the TRUE fixpoint via a recursive
-    // CTE, so an unconverged run would fail the gate, not silently pass).
-    // Scale: per-iteration cost is a join on the EDGE set (|pairs|, not
-    // |docs|), the classic iterative-graph shape.
+    // "which copy do we keep" step after pair detection. Fixpoint-guarded
+    // min-label propagation ([[graft.operators.Components]]): iterates
+    // until the per-round changed-label count hits zero, so chain-shaped
+    // components of ANY diameter converge (the recursive-CTE oracle
+    // computes the same fixpoint). Scale: per-iteration cost is a join on
+    // the EDGE set (|pairs|, not |docs|), the classic iterative-graph shape.
     "q_dedup_clusters" -> ((s, d) => {
-      // EAGER checkpoint of the pair set: the bidirectional union and every
-      // propagation round re-read it, and inside one action the consumers
-      // race ahead of lazy cache population — each would recompute the whole
-      // ngram pipeline. One materialization up front, tiny RDD thereafter.
       val pairs = ngramPairs(s, d).select(col("a"), col("b"))
-        .localCheckpoint()
-      val e = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-        .toDF("src", "dst")
-      var labels = e.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node"))
-      (1 to ClusterIters).foreach { _ =>
-        val nbr = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
-          .groupBy(col("dst").as("node")).agg(min(col("lbl")).as("nlbl"))
-        // lazy localCheckpoint: `labels` feeds BOTH sides of the next
-        // iteration, so without truncation the plan tree doubles per round
-        // (2^iters copies of the whole ngram pipeline). The checkpoint makes
-        // each round's label RDD a SHARED dag node computed once; lazy, so
-        // the whole fixpoint still runs as one job at action time.
-        labels = labels.join(nbr, Seq("node"), "left")
-          .select(col("node"), least(col("lbl"), coalesce(col("nlbl"),
-            col("lbl"))).as("lbl"))
-          .localCheckpoint(false)
-      }
-      labels.select(col("node").as("doc_id"), col("lbl").as("canon"))
+      graft.operators.Components.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("lbl").as("canon"))
         .orderBy(col("doc_id"))
     }),
 

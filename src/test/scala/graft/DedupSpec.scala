@@ -68,6 +68,32 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getInt(2) == 0)
   }
 
+  test("connected components converge on a planted diameter-6 chain") {
+    // Path graph 10-11-12-...-16 (diameter 6) + a disjoint triangle + an
+    // isolated edge: the old fixed-3-round propagation could NOT label the
+    // chain's far end; the fixpoint guard must.
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), (15L, 16L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L)).toDF("a", "b")
+    val got = graft.operators.Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (10L to 16L).foreach(n => assert(got(n) == 10L, s"chain node $n"))
+    (20L to 22L).foreach(n => assert(got(n) == 20L, s"triangle node $n"))
+    assert(got(30L) == 30L && got(31L) == 30L)
+    assert(got.size == 12)
+  }
+
+  test("connected components fixpoint stops early on a clique") {
+    // A 4-clique converges after round 1 (plus one no-change round to
+    // detect the fixpoint); mostly a guard that the loop terminates fast.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("a", "b")
+    val got = graft.operators.Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("simhash pairs on testdata are verified by true hamming distance") {
     val d = Tables.table(spark, sf(), "documents").limit(150)
     val sigs = d.select(col("doc_id"), Dedup.simhashExpr("text").as("s"))
