@@ -44,39 +44,113 @@ object SimilarityOps extends QueryModule {
     val Bands = 4
 
     /** Near-dup geometry: the 0.5-cosine threshold is a LOW similarity bar
-      * (θ=60°, per-bit collision only 2/3), so recall needs wider OR-
-      * amplification: narrower bands, more of them. The candidate volume is
-      * correspondingly higher — the information-theoretic LSH tradeoff; for a
-      * true near-duplicate corpus (cos ≥ 0.9) the default (8,4) geometry cuts
-      * candidates ~15× (SimilaritySpec's shrink test demonstrates the dial).
+      * (θ=60°, per-bit collision only 2/3), so recall needs amplification.
+      * Instead of widening to many narrow bands (round-2's 5×8 doubled the
+      * candidate volume), MULTI-PROBE: wide 10-bit codes, and BOTH join
+      * sides emit the code plus its flip-1 variants (radius-1 balls meet
+      * iff the codes differ in ≤ NearDupProbeHam = 2 bits) — a pair
+      * collides when some band's codes differ in ≤2 bits. Measured on the
+      * test embeddings (sf0.1,
+      * 2000 vecs, 14 true pairs ≥0.5): recall 14/14 vs the old exact 5×8's
+      * 10/14, at ~0.9× its candidate volume. For a true near-duplicate
+      * corpus (cos ≥ 0.9) the default (8,4) exact geometry stays the right
+      * dial (SimilaritySpec's shrink test demonstrates it).
       */
-    val NearDupBits = 5
-    val NearDupBands = 8
+    val NearDupBits = 10
+    val NearDupBands = 4
+    val NearDupProbeHam = 2
 
-    private def mix(z0: Long): Long = {
-      var z = z0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
+    /** Bit-signature prefilter: 128 sign planes packed into 4×32-bit words,
+      * carried THROUGH the candidate join (32 bytes/side vs 512 for the
+      * vector), so candidates are culled by integer Hamming distance before
+      * the distinct and the vector re-attach joins ever see them. 56/128
+      * keeps every measured true pair (max observed 54 — the ±1-plane
+      * estimator reads high vs the Gaussian-plane theory value of ~43 at
+      * θ=60°) while dropping ~2/3 of the false candidates. Both engines
+      * compute the words and the popcounts in exact integer arithmetic.
+      */
+    val SigWords = 4
+    val SigHamMax = 56
+
+    /** Component i of hyperplane j: ±1.0, deterministic (canonical impl in
+      * [[graft.expressions.LshPlanes]] — shared by the native expressions).
+      */
+    def sign(j: Int, i: Int): Double = graft.expressions.LshPlanes.sign(j, i)
+
+    def hyperplane(j: Int): Seq[Double] =
+      graft.expressions.LshPlanes.hyperplane(j).toSeq
+
+    /** All band codes of `v` as an array (explode for the candidate join).
+      * Native expression: one plan node generating the planes internally —
+      * the Column-composed form planted bits×bands 64-double literals in
+      * the plan and Catalyst analysis dwarfed the actual work.
+      */
+    def bandCodes(v: Column, bits: Int = BandBits, bands: Int = Bands): Column =
+      graft.expressions.LshPlanes.bandCodes(v, bits, bands)
+
+    /** Flip-position sets for multi-probe: all Hamming-≤`radius` variants of
+      * a band code (positions are 1-based string offsets past the 2-char
+      * "g:" prefix; requires bands ≤ 10 so the prefix stays 2 chars).
+      */
+    def probeFlipSets(bits: Int, radius: Int): Seq[Seq[Int]] = {
+      require(radius >= 1 && radius <= 2, "probe radius 1 or 2")
+      val ps = (3 to bits + 2)
+      val singles = ps.map(Seq(_))
+      val pairs =
+        if (radius < 2) Seq.empty
+        else for { i <- ps; j <- i + 1 to bits + 2 } yield Seq(i, j)
+      singles ++ pairs
     }
 
-    /** Component i of hyperplane j: ±1.0, deterministic. */
-    def sign(j: Int, i: Int): Double =
-      if ((mix(j.toLong * Dim + i) & 1L) == 0L) 1.0 else -1.0
+    /** `code` with the bits at string positions `ps` inverted — pure string
+      * surgery on the materialized code column, so the hyperplane dots are
+      * computed once per vector, not once per probe variant.
+      */
+    private def flipCode(code: Column, ps: Seq[Int], len: Int): Column = {
+      val parts = Seq.newBuilder[Column]
+      var cur = 1
+      ps.foreach { p =>
+        if (p > cur) parts += substring(code, cur, p - cur)
+        parts += when(substring(code, p, 1) === "1", lit("0"))
+          .otherwise(lit("1"))
+        cur = p + 1
+      }
+      if (cur <= len) parts += substring(code, cur, len - cur + 1)
+      concat(parts.result(): _*)
+    }
 
-    def hyperplane(j: Int): Seq[Double] = (0 until Dim).map(i => sign(j, i))
+    /** The code itself plus every Hamming-≤radius flip variant. */
+    def probeVariants(code: Column, bits: Int, radius: Int): Seq[Column] =
+      code +: probeFlipSets(bits, radius).map(flipCode(code, _, bits + 2))
 
-    /** Band code `g` of vector column `v`: "<g>:" + BandBits sign chars. */
-    def bandCode(v: Column, g: Int, bits: Int): Column =
-      concat((lit(s"$g:") +: (0 until bits).map { b =>
-        val dot = graft.expressions.TextHashes.vecDot(
-          v, typedlit(hyperplane(g * bits + b)))
-        when(dot >= 0, lit("1")).otherwise(lit("0"))
-      }): _*)
+    /** DuckDB mirror of [[flipCode]]/[[probeVariants]] over alias `code`. */
+    private def sqlFlipCode(ps: Seq[Int], len: Int): String = {
+      val parts = Seq.newBuilder[String]
+      var cur = 1
+      ps.foreach { p =>
+        if (p > cur) parts += s"substr(code, $cur, ${p - cur})"
+        parts += s"(CASE WHEN substr(code, $p, 1) = '1' THEN '0' ELSE '1' END)"
+        cur = p + 1
+      }
+      if (cur <= len) parts += s"substr(code, $cur, ${len - cur + 1})"
+      parts.result().mkString(" || ")
+    }
 
-    /** All band codes of `v` as an array (explode for the candidate join). */
-    def bandCodes(v: Column, bits: Int = BandBits, bands: Int = Bands): Column =
-      array((0 until bands).map(g => bandCode(v, g, bits)): _*)
+    def sqlProbeVariants(bits: Int, radius: Int): String =
+      ("code" +: probeFlipSets(bits, radius).map(sqlFlipCode(_, bits + 2)))
+        .mkString("[", ", ", "]")
+
+    /** 32-bit signature words over planes [32w, 32w+32) as array<long> —
+      * native expression (exact integer packing, identical in both engines).
+      */
+    def sigWords(v: Column): Column =
+      graft.expressions.LshPlanes.sigWords(v, SigWords)
+
+    def sqlSigWord(vExpr: String, w: Int): String =
+      (0 until 32).map { i =>
+        s"(CASE WHEN ${sqlDotPlane(vExpr, w * 32 + i)} >= 0 " +
+          s"THEN ${1L << i}::BIGINT ELSE 0::BIGINT END)"
+      }.mkString("(", " + ", ")")
 
     /** DuckDB mirror of one hyperplane dot: the same left fold against the
       * same ±1 literal list — bit-identical to VecDot.
@@ -110,6 +184,7 @@ object SimilarityOps extends QueryModule {
 
   private[graft] def embWithNorm(s: SparkSession, d: String): DataFrame = {
     graft.operators.Dedup.register(s)
+    graft.expressions.LshPlanes.register(s)
     t(s, d, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -120,6 +195,7 @@ object SimilarityOps extends QueryModule {
     * so the band join never carries a 64-double payload.
     */
   private[graft] def lshCandidates(e: DataFrame, bits: Int, bands: Int): DataFrame = {
+    graft.expressions.LshPlanes.register(e.sparkSession)
     val codes = e.select(col("vec_id"),
       explode(Lsh.bandCodes(col("v"), bits, bands)).as("code"))
     codes.select(col("code"), col("vec_id").as("a"))
@@ -207,12 +283,40 @@ object SimilarityOps extends QueryModule {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // Embedding-cosine near-dup pairs via the same banded candidate join (a
-    // ≥ threshold all-pairs search that never cross-joins: candidates share
-    // a band code; arrays re-attached only for the exact verify).
+    // Embedding-cosine near-dup pairs: multi-probe banded LSH (wide 10-bit
+    // codes; probe side emits every Hamming-≤2 variant, so a pair collides
+    // when some band's codes differ in ≤2 bits) + a 128-plane bit-signature
+    // Hamming prefilter carried THROUGH the candidate join (4 longs/side),
+    // culling ~2/3 of false candidates before the distinct and the vector
+    // re-attach joins. No shuffle ever carries a 64-double array; the exact
+    // cosine verify runs only on signature survivors.
     "q_embed_neardup" -> ((s, d) => {
       val e = embWithNorm(s, d)
-      lshCandidates(e, Lsh.NearDupBits, Lsh.NearDupBands)
+      val codes = e.select(col("vec_id"),
+        Lsh.sigWords(col("v")).as("sig"),
+        explode(Lsh.bandCodes(col("v"), Lsh.NearDupBits, Lsh.NearDupBands))
+          .as("code"))
+      // Symmetric radius-1 probing: BOTH sides emit the code plus its 10
+      // flip-1 variants; two radius-1 balls intersect iff the band codes
+      // differ in ≤ NearDupProbeHam (=2) bits — the same candidate set as
+      // one-sided radius-2 probing at 1/5 the exploded row count. Eager
+      // localCheckpoint: the self-join would otherwise recompute the scan
+      // and every plane dot per side.
+      val probed = codes.select(col("vec_id"), col("sig"),
+        explode(array(Lsh.probeVariants(col("code"), Lsh.NearDupBits,
+          Lsh.NearDupProbeHam / 2): _*)).as("code"))
+        .localCheckpoint()
+      val sigHam = (0 until Lsh.SigWords)
+        .map(w => expr(s"bit_count(element_at(siga, ${w + 1}) ^ " +
+          s"element_at(sigb, ${w + 1}))"): Column).reduce(_ + _)
+      val cand = probed.select(col("code"), col("vec_id").as("a"),
+          col("sig").as("siga"))
+        .join(probed.select(col("code"), col("vec_id").as("b"),
+          col("sig").as("sigb")), Seq("code"))
+        .filter(col("a") < col("b"))
+        .filter(sigHam <= Lsh.SigHamMax)
+        .select(col("a"), col("b")).distinct()
+      cand
         .join(e.select(col("vec_id").as("a"), col("v").as("av"),
           col("nrm").as("an")), Seq("a"))
         .join(e.select(col("vec_id").as("b"), col("v").as("bv"),
@@ -256,10 +360,23 @@ object SimilarityOps extends QueryModule {
     "q_embed_neardup" ->
       s"""WITH e AS ($sqlEmb),
          |  n AS ($sqlNorm),
+         |  sig AS (SELECT vec_id,
+         |    ${(0 until Lsh.SigWords)
+              .map(w => s"${Lsh.sqlSigWord("v", w)} AS s$w")
+              .mkString(",\n    ")}
+         |    FROM n),
          |  codes AS (${sqlCodes(Lsh.NearDupBits, Lsh.NearDupBands)}),
+         |  probes AS (SELECT vec_id, unnest(
+         |      ${Lsh.sqlProbeVariants(Lsh.NearDupBits, Lsh.NearDupProbeHam / 2)}
+         |    ) AS pcode FROM codes),
          |  cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-         |    FROM codes x JOIN codes y USING (code)
-         |    WHERE x.vec_id < y.vec_id),
+         |    FROM probes x JOIN probes y
+         |      ON y.pcode = x.pcode AND x.vec_id < y.vec_id
+         |    JOIN sig pa ON pa.vec_id = x.vec_id
+         |    JOIN sig pb ON pb.vec_id = y.vec_id
+         |    WHERE ${(0 until Lsh.SigWords)
+              .map(w => s"bit_count(xor(pa.s$w, pb.s$w))")
+              .mkString(" + ")} <= ${Lsh.SigHamMax}),
          |  p AS (SELECT cand.a, cand.b,
          |      ${sqlDot("na.v", "nb.v")} / (na.nrm * nb.nrm) AS score
          |    FROM cand JOIN n na ON na.vec_id = cand.a

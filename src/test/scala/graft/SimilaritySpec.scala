@@ -100,6 +100,22 @@ class SimilaritySpec extends SparkSpec {
       s"(${expected.size - hit} of ${expected.size} twins missed)")
   }
 
+  test("q_embed_neardup finds every brute-force pair >= 0.5 (multi-probe recall)") {
+    // Exhaustive ground truth on the test embeddings: the multi-probe
+    // near-dup geometry (10-bit bands, symmetric flip-1 balls = pair
+    // Hamming <= 2) must find EVERY true pair — round 2's exact 5x8
+    // geometry missed 4 of 14 at sf0.1.
+    val ids = vecs.keys.toSeq.sorted
+    val want = (for {
+      i <- ids; j <- ids if i < j
+      s = cosine(vecs(i), vecs(j)) if s >= 0.5
+    } yield (i, j)).toSet
+    val got = queries.SimilarityOps.queries.toMap
+      .apply("q_embed_neardup")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missed ${want -- got}, spurious ${got -- want}")
+  }
+
   test("candidate volume shrinks as band width b grows (the scale dial)") {
     val e = queries.SimilarityOps.embWithNorm(spark, sf())
     val wide = queries.SimilarityOps.lshCandidates(e, 2, Lsh.Bands).count()
