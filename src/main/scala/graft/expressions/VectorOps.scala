@@ -1,19 +1,25 @@
 package graft.expressions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 
 /** Native vector-quantization expressions for the IVF ANN family: nearest
-  * centroid(s) by squared L2 distance, in one tight JIT loop per row. The
-  * centroid table arrives as a FOLDABLE array<array<double>> literal (right
-  * operand), decoded once per expression instance — so k·dim multiplies per
-  * row run with zero per-element Catalyst overhead, vs k interpreted
-  * `aggregate()` lambdas.
+  * centroid(s) by squared L2 distance, in one tight JIT loop per row.
+  *
+  * Centroid delivery has two forms:
+  *  - a FOLDABLE array<array<double>> literal (right operand) — fine for
+  *    toy k, but the literal is embedded in every plan copy, so at
+  *    realistic k (√N ≈ thousands) it bloats plan analysis/serialization;
+  *  - a Spark BROADCAST variable (the `*Bc` variants) — the expression
+  *    carries only the broadcast handle; executors fetch the centroid
+  *    blocks once per JVM via torrent broadcast. This is the 100 TB path
+  *    and what [[graft.operators.VectorIvf]] uses.
   */
 object VectorOps {
 
@@ -24,6 +30,59 @@ object VectorOps {
     }
   }
 
+  /** Shared argmin loop: index of nearest centroid by squared L2. */
+  private def nearestIdx(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var d = 0.0; var i = 0
+      val n = math.min(v.length, ct.length)
+      while (i < n) { val t = v(i) - ct(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Shared top-n loop: indices of the n nearest centroids (ties by idx). */
+  private def nearestIdxs(v: Array[Double], cents: Array[Array[Double]],
+                          nProbe: Int): ArrayData = {
+    val d = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var acc = 0.0; var i = 0
+      val n = math.min(v.length, ct.length)
+      while (i < n) { val t = v(i) - ct(i); acc += t * t; i += 1 }
+      d(c) = acc; c += 1
+    }
+    val order = Array.range(0, cents.length)
+      .sortBy(i => (d(i), i)).take(math.min(nProbe, cents.length))
+    new GenericArrayData(order.map(java.lang.Integer.valueOf).toArray[Any])
+  }
+
+  /** Driver-side handle registry so the temp-function builder (which only
+    * sees literal arguments) can attach a broadcast to the expression at
+    * analysis time. Bounded: old entries are dropped once 64 newer
+    * broadcasts exist (live plans keep their own reference; the map entry
+    * is only needed while the plan is being analyzed).
+    */
+  private val bcReg =
+    new java.util.LinkedHashMap[Long, Broadcast[Array[Array[Double]]]]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Broadcast[Array[Array[Double]]]]) =
+        size() > 64
+    }
+
+  /** Broadcast a centroid table; returns the id to pass to the Bc columns. */
+  def broadcastCentroids(spark: SparkSession,
+                         cents: Array[Array[Double]]): Long = {
+    val bc = spark.sparkContext.broadcast(cents)
+    bcReg.synchronized { bcReg.put(bc.id, bc) }
+    bc.id
+  }
+
   /** Index (0-based) of the nearest centroid by squared L2. */
   case class NearestCentroid(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -31,20 +90,7 @@ object VectorOps {
     @transient private lazy val cents: Array[Array[Double]] =
       decodeCentroids(right.eval(null))
 
-    def evalIdx(vec: ArrayData): Int = {
-      val v = vec.toDoubleArray()
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cents.length) {
-        val ct = cents(c)
-        var d = 0.0; var i = 0
-        val n = math.min(v.length, ct.length)
-        while (i < n) { val t = v(i) - ct(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
+    def evalIdx(vec: ArrayData): Int = nearestIdx(vec.toDoubleArray(), cents)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val self = ctx.addReferenceObj("nearcent", this, classOf[NearestCentroid].getName)
@@ -68,21 +114,8 @@ object VectorOps {
     @transient private lazy val nProbe: Int =
       third.eval(null).asInstanceOf[Number].intValue()
 
-    def evalIdxs(vec: ArrayData): ArrayData = {
-      val v = vec.toDoubleArray()
-      val d = new Array[Double](cents.length)
-      var c = 0
-      while (c < cents.length) {
-        val ct = cents(c)
-        var acc = 0.0; var i = 0
-        val n = math.min(v.length, ct.length)
-        while (i < n) { val t = v(i) - ct(i); acc += t * t; i += 1 }
-        d(c) = acc; c += 1
-      }
-      val order = Array.range(0, cents.length)
-        .sortBy(i => (d(i), i)).take(math.min(nProbe, cents.length))
-      new GenericArrayData(order.map(java.lang.Integer.valueOf).toArray[Any])
-    }
+    def evalIdxs(vec: ArrayData): ArrayData =
+      nearestIdxs(vec.toDoubleArray(), cents, nProbe)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val self = ctx.addReferenceObj("nearcents", this, classOf[NearestCentroids].getName)
@@ -95,16 +128,64 @@ object VectorOps {
       copy(first = f, second = s, third = t)
   }
 
+  /** Nearest centroid via a broadcast handle (no plan literal). */
+  case class NearestCentroidBc(child: Expression,
+                               bc: Broadcast[Array[Array[Double]]])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    @transient private lazy val cents: Array[Array[Double]] = bc.value
+    def evalIdx(vec: ArrayData): Int = nearestIdx(vec.toDoubleArray(), cents)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("nearcentbc", this, classOf[NearestCentroidBc].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.evalIdx($a);")
+    }
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Integer.valueOf(evalIdx(v.asInstanceOf[ArrayData]))
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** n nearest centroids via a broadcast handle (no plan literal). */
+  case class NearestCentroidsBc(left: Expression, right: Expression,
+                                bc: Broadcast[Array[Array[Double]]])
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val cents: Array[Array[Double]] = bc.value
+    @transient private lazy val nProbe: Int =
+      right.eval(null).asInstanceOf[Number].intValue()
+    def evalIdxs(vec: ArrayData): ArrayData =
+      nearestIdxs(vec.toDoubleArray(), cents, nProbe)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("nearcentsbc", this, classOf[NearestCentroidsBc].getName)
+      nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $self.evalIdxs($a);")
+    }
+    override def nullSafeEval(v: Any, n: Any): Any =
+      evalIdxs(v.asInstanceOf[ArrayData])
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_nearest_centroid",
       es => NearestCentroid(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_nearest_centroids",
       es => NearestCentroids(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_nearest_centroid_bc",
+      es => NearestCentroidBc(es(0), bcReg.synchronized {
+        bcReg.get(es(1).eval(null).asInstanceOf[Number].longValue())
+      }), "built-in")
+    reg.createOrReplaceTempFunction("graft_nearest_centroids_bc",
+      es => NearestCentroidsBc(es(0), es(2), bcReg.synchronized {
+        bcReg.get(es(1).eval(null).asInstanceOf[Number].longValue())
+      }), "built-in")
   }
 
   def nearestCentroid(v: Column, cents: Column): Column =
     call_function("graft_nearest_centroid", v, cents)
   def nearestCentroids(v: Column, cents: Column, nProbe: Column): Column =
     call_function("graft_nearest_centroids", v, cents, nProbe)
+  def nearestCentroidBc(v: Column, bcId: Long): Column =
+    call_function("graft_nearest_centroid_bc", v, lit(bcId))
+  def nearestCentroidsBc(v: Column, bcId: Long, nProbe: Int): Column =
+    call_function("graft_nearest_centroids_bc", v, lit(bcId), lit(nProbe))
 }

@@ -276,7 +276,8 @@ object SimilarityOps extends QueryModule {
     // operators/VectorIvf doc); recall floors asserted in SimilaritySpec.
     "q_sim_ivf_kmeans" -> ((s, d) => {
       val e = embWithNorm(s, d).select(col("vec_id"), col("v"))
-      val cents = graft.operators.VectorIvf.kmeans(e, "vec_id", "v", k = 16, iters = 3)
+      val cents = graft.operators.VectorIvf.kmeans(e, "vec_id", "v", k = 16,
+        iters = 3, trainSampleMod = 2)
       val q = e.filter(col("vec_id") < 5)
       graft.operators.VectorIvf
         .searchTopK(e, q, "vec_id", "v", cents, nProbe = 6, topK = 5)

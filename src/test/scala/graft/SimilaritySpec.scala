@@ -162,6 +162,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall@10 = $recall < 0.9")
   }
 
+  test("sample-trained k=64 IVF holds recall@10 >= 0.9 with no plan literal") {
+    // The 100 TB path: Lloyd trains on the deterministic hash-sample (half
+    // of rows), k scales to 64, and centroids ship via broadcast — the
+    // analyzed search plan must contain NO array<array<double>> literal.
+    val e = queries.SimilarityOps.embWithNorm(spark, sf())
+      .select(col("vec_id"), col("v"))
+    val cents = graft.operators.VectorIvf.kmeans(e, "vec_id", "v", 64, 3,
+      trainSampleMod = 2)
+    assert(cents.length == 64)
+    val q = e.filter(col("vec_id") < 5)
+    val res = graft.operators.VectorIvf
+      .searchTopK(e, q, "vec_id", "v", cents, nProbe = 24, topK = 10)
+    val centLiterals = res.queryExecution.analyzed.expressions.flatMap(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+        if l.dataType == org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, false), false) ||
+          l.dataType == org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, true), true) => l
+    })
+    assert(centLiterals.isEmpty, "centroid table leaked into the plan as a literal")
+    val got = res.collect().groupBy(_.getLong(0))
+      .map { case (k2, rows) => k2 -> rows.map(_.getLong(2)).toSet }
+    val hits = (0L until 5L).map { qid =>
+      val want = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => id -> cosine(vecs(qid), v) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      want.intersect(got.getOrElse(qid, Set.empty)).size
+    }.sum
+    val recall = hits / 50.0
+    assert(recall >= 0.9, s"sampled k=64 IVF recall@10 = $recall < 0.9")
+  }
+
   test("approx_count_distinct within 5% of exact (q_approx_distinct contract)") {
     val li = Tables.table(spark, sf(), "lineitem")
     val approx = li.agg(approx_count_distinct(col("l_partkey"))).head().getLong(0)
