@@ -12,14 +12,15 @@ import graft.operators.AccessLog
   * imfile), but its envelope properties (`fromhost`, `syslogtag`,
   * `nginx.conf:18-22`) come from rsyslog's syslog layer; a live deployment
   * receives RFC3164/RFC5424 frames over TCP/UDP (imtcp/imudp). This module
-  * is that layer: a TCP line source plus an envelope parser that feeds the
-  * same R2..R8 `AccessLog` pipeline, with the hostname/tag taken from each
-  * message's own envelope instead of a constant.
+  * is that layer: TCP and UDP line receivers behind the [[Syslog.SyslogSource]]
+  * transport seam, plus an envelope parser that feeds the same R2..R8
+  * `AccessLog` pipeline, with the hostname/tag taken from each message's own
+  * envelope instead of a constant.
   *
-  * Scale note: Spark's `socket` source is a single-connection TCP client —
-  * right for dev/integration; a production 100 TB/day deployment fronts the
-  * receivers with a durable bus (the Kafka source has the identical
-  * unbounded-table contract, so only `fromSocket` swaps out).
+  * Scale note: the TCP/UDP receivers are dev/integration-grade (driver-side
+  * buffering, no replay past restart — the same contract as Spark's built-in
+  * `socket` source); a production 100 TB/day deployment fronts receivers
+  * with a durable bus, which is the one-line [[Syslog.Kafka]] swap.
   */
 object Syslog {
 
@@ -63,12 +64,60 @@ object Syslog {
       (!is5424 && !l.rlike(Rfc3164)).as("sl_corrupt"))
   }
 
-  /** R1-live: TCP line source (Spark socket source; see scale note above). */
+  /** Transport seam: every receiver yields the same unbounded `line STRING`
+    * table, so the envelope/grammar pipeline is transport-agnostic and
+    * swapping TCP → UDP → Kafka is a one-line change of the source value.
+    *
+    *  - [[Tcp]]: Spark's built-in single-connection socket client (imtcp
+    *    analog; dev/integration durability).
+    *  - [[Udp]]: RFC 5426 datagram receiver ([[UdpSyslogProvider]]; imudp
+    *    analog, same dev-grade durability).
+    *  - [[Kafka]]: the production front — requires the spark-sql-kafka
+    *    connector on the classpath at runtime; offsets/replay come from the
+    *    bus, which is what makes the pipeline restart-safe at 100 TB/day.
+    *  - [[Files]]: the reference deployment's imfile analog (tail a spool
+    *    directory); checkpointable and replayable without a bus.
+    */
+  sealed trait SyslogSource { def lines(spark: SparkSession): DataFrame }
+
+  final case class Tcp(host: String, port: Int) extends SyslogSource {
+    def lines(spark: SparkSession): DataFrame =
+      spark.readStream.format("socket")
+        .option("host", host).option("port", port)
+        .load()
+        .withColumnRenamed("value", "line")
+  }
+
+  final case class Udp(port: Int, bind: String = "127.0.0.1") extends SyslogSource {
+    def lines(spark: SparkSession): DataFrame =
+      spark.readStream.format(classOf[UdpSyslogProvider].getName)
+        .option("port", port).option("bind", bind)
+        .load()
+  }
+
+  final case class Kafka(bootstrap: String, topic: String) extends SyslogSource {
+    def lines(spark: SparkSession): DataFrame =
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS line")
+  }
+
+  final case class Files(dir: String) extends SyslogSource {
+    def lines(spark: SparkSession): DataFrame =
+      spark.readStream.text(dir).withColumnRenamed("value", "line")
+  }
+
+  /** The unbounded syslog line table for any transport. */
+  def from(spark: SparkSession, source: SyslogSource): DataFrame =
+    source.lines(spark)
+
+  /** R1-live: TCP line source (kept as the named entry point; equivalent to
+    * `from(spark, Tcp(host, port))`).
+    */
   def fromSocket(spark: SparkSession, host: String, port: Int): DataFrame =
-    spark.readStream.format("socket")
-      .option("host", host).option("port", port)
-      .load()
-      .withColumnRenamed("value", "line")
+    from(spark, Tcp(host, port))
 
   /** Envelope parse → grammar parse → project, with per-message envelope
     * hostname/tag. Corrupt FRAMES (bad envelope) are dropped here; corrupt

@@ -353,6 +353,46 @@ class StreamingSpec extends SparkSpec {
     } finally { stop = true; q.stop(); server.close() }
   }
 
+  test("syslog UDP source round-trips RFC3164 frames end-to-end") {
+    // Find a free UDP port (bind 0, read, close — racy only if something
+    // grabs it in the microseconds before the stream rebinds).
+    val probe = new java.net.DatagramSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    @volatile var stop = false
+    val sender = new Thread(() => {
+      try {
+        val sock = new java.net.DatagramSocket()
+        val addr = java.net.InetAddress.getByName("127.0.0.1")
+        val line = """<190>Apr  6 09:54:48 web02 nginx: """ +
+          """10.0.0.9 - - [06/Apr/2020:09:54:48 -0400] "GET /udp HTTP/1.1" 404 152 "-" "curl/7.29.0" "-""""
+        val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        while (!stop) {
+          sock.send(new java.net.DatagramPacket(bytes, bytes.length, addr, port))
+          Thread.sleep(100)
+        }
+        sock.close()
+      } catch { case _: Throwable => () }
+    })
+    sender.setDaemon(true); sender.start()
+    val q = Syslog.transform(
+        Syslog.from(spark, Syslog.Udp(port)))
+      .writeStream.outputMode("append").format("memory").queryName("syslog_udp")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("syslog_udp").count() == 0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(500)
+      val rows = spark.table("syslog_udp")
+      assert(rows.count() > 0, "no rows arrived over UDP within 60s")
+      val r = rows.select("hostname", "response", "clientip", "request").head
+      assert(r.getString(0) == "web02")
+      assert(r.getInt(1) == 404)
+      assert(r.getString(2) == "10.0.0.9")
+      assert(r.getString(3).contains("/udp"))
+    } finally { stop = true; q.stop() }
+  }
+
   test("JDBC sink (Derby stand-in): micro-batch lands, replay is idempotent") {
     val in = Files.createTempDirectory("graft_jdbc_in").toString
     val ckpt = Files.createTempDirectory("graft_jdbc_ck").toString
