@@ -69,10 +69,12 @@ object TopKSketch {
     private def bump(b: Buffer, item: String, by: Long, err: Long): Unit = {
       b.counts.get(item) match {
         case Some(old) =>
-          b.counts(item) = old + by
-          // error terms combine additively (upper/lower bounds both survive)
+          // the stored count is an UPPER bound, so the incoming error term
+          // joins the count too (old + (cnt-err) + err = old + cnt); error
+          // terms combine additively (upper/lower bounds both survive)
+          b.counts(item) = old + by + err
           if (err > 0) b.error(item) = b.error.getOrElse(item, 0L) + err
-          b.indexRemove(item, old); b.indexAdd(item, old + by)
+          b.indexRemove(item, old); b.indexAdd(item, old + by + err)
         case None if b.counts.size < capacity =>
           b.counts(item) = by + err
           if (err > 0) b.error(item) = err
@@ -85,9 +87,9 @@ object TopKSketch {
           val minItem = minEntry.getValue.first()
           b.counts.remove(minItem); b.error.remove(minItem)
           b.indexRemove(minItem, minCnt)
-          b.counts(item) = minCnt + by
+          b.counts(item) = minCnt + by + err
           b.error(item) = minCnt + err
-          b.indexAdd(item, minCnt + by)
+          b.indexAdd(item, minCnt + by + err)
       }
     }
 

@@ -49,6 +49,30 @@ class TopKSketchSpec extends SparkSpec {
     assert(secs < 60.0, s"eviction path too slow: $secs s for 1M rows")
   }
 
+  test("merge keeps counts upper bounds when incoming items carry error") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = TopKSketch.TopKAgg(Literal("x"), 5, 2)
+    def buf(items: (String, Long, Long)*): TopKSketch.Buffer = {
+      val b = agg.createAggregationBuffer()
+      items.foreach { case (i, c, e) =>
+        b.counts(i) = c; if (e > 0) b.error(i) = e; b.indexAdd(i, c)
+      }
+      b
+    }
+    // existing-item branch: HOT's upper bound is 100 in one partial and 50
+    // in the other → the merged count must be the SUM of upper bounds (150);
+    // dropping the incoming error term would store 110 and can under-rank
+    // true heavy hitters
+    val m = agg.merge(buf(("HOT", 50L, 0L)), buf(("HOT", 100L, 40L)))
+    assert(m.counts("HOT") == 150L, s"upper bound lost: ${m.counts}")
+    assert(m.error("HOT") == 40L)
+    // eviction branch at capacity: the incoming item's stored count must be
+    // minCnt + its full upper bound (cnt), error = minCnt + its error
+    val m2 = agg.merge(buf(("a", 10L, 0L), ("b", 20L, 0L)), buf(("c", 30L, 5L)))
+    assert(m2.counts("c") == 40L, s"eviction dropped error term: ${m2.counts}")
+    assert(m2.error("c") == 15L)
+  }
+
   test("merged sketches keep count/error bounds (count-err <= true <= count)") {
     TopKSketch.register(spark, k = 5, capacity = 40)
     // force evictions in EVERY partition partial sketch, then a lossy merge
