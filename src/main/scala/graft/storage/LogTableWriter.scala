@@ -38,51 +38,124 @@ object LogTableWriter {
       .parquet(path)
   }
 
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** Reads the store through the manifest indirection: the newest
+    * `_manifest-<k>` names the active compacted generation dir (`gen-<k>`)
+    * plus the root files it absorbed; the table view is
+    * `generation ∪ (root appends \ absorbed)`. The root side is always an
+    * EXPLICIT file list (never a naked directory read), so an in-flight
+    * generation write — visible on disk but not yet committed by its
+    * manifest — can never leak into a reader's view, and a store that was
+    * never compacted reads identically to plain parquet layout.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    def rootFiles(absorbed: Set[String]): Seq[String] =
+      dataFiles(fs, root).view
+        .filterKeys(rel => !absorbed.contains(rel)).values
+        .map(_.toString).toSeq
+    newestManifest(fs, root) match {
+      case None =>
+        val live = rootFiles(Set.empty)
+        if (live.isEmpty) spark.read.parquet(path) // empty store: native error
+        else spark.read.option("basePath", path).parquet(live: _*)
+      case Some((_, genDir, absorbed)) =>
+        val gen = spark.read.parquet(
+          new org.apache.hadoop.fs.Path(root, genDir).toString)
+        val live = rootFiles(absorbed)
+        if (live.isEmpty) gen
+        else gen.unionByName(
+          spark.read.option("basePath", path).parquet(live: _*))
+    }
+  }
 
   /** Compacts a streaming-written store: micro-batch appends leave one file
     * per batch per day (the small-file problem — at 100 TB, file-listing and
-    * footer overhead dominate scans long before data does). Rewrites each
-    * partition into few large sorted files — the Spark analog of MergeTree's
-    * background merges — via a staging directory and a two-rename swap.
+    * footer overhead dominate scans long before data does). Rewrites the
+    * current view into few large sorted files per partition — the Spark
+    * analog of MergeTree's background merges — into a NEW generation dir,
+    * made visible by atomically creating the next `_manifest-<k>` file.
     *
-    * Concurrency contract (NOT atomic — a rename pair can't be on generic
-    * filesystems): (1) readers can observe a brief window where `path` is
-    * absent between the two renames — schedule compaction off-peak or have
-    * readers retry; a table format / manifest indirection is the true fix.
-    * (2) files appended to the store AFTER the compaction read are detected
-    * by a before/after listing diff and MOVED into the compacted store, not
-    * deleted — so running compaction concurrently with ingest loses nothing
-    * (those late files simply stay un-compacted until the next pass).
+    * Concurrency contract: every instant presents a complete,
+    * duplicate-free view. Before the manifest lands, readers resolve the
+    * old view; after, the new generation plus any root file NOT absorbed —
+    * so appends landing mid-compaction (after the input file-listing) stay
+    * visible and simply remain un-compacted until the next pass. The input
+    * listing is taken from the very DataFrame the compaction reads
+    * (`df.inputFiles`), so a file appended between planning and writing can
+    * never be both compacted and retained. Deleting the absorbed files and
+    * the previous generation is pure garbage collection — the manifest
+    * already excludes them (a reader holding open handles across GC is the
+    * one transient race, same as any part-GC store).
+    *
+    * Scale note: this is the minimal slice of a table format (one manifest,
+    * one generation). At 100 TB with many concurrent writers you'd use the
+    * real thing (Iceberg/Delta) — the read/commit protocol here is the same
+    * shape.
     */
   def compact(spark: SparkSession, path: String,
               maxRecordsPerFile: Long = 8L * 1024 * 1024,
               beforeSwap: () => Unit = () => ()): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val old = new org.apache.hadoop.fs.Path(path + "_old")
-    val staging = path + "_compacting"
-    val snapshot = dataFiles(fs, dst).keySet
-    write(spark.read.parquet(path), staging, maxRecordsPerFile)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val prev = newestManifest(fs, root)
+    val gen = prev.map(_._1 + 1).getOrElse(1)
+    val genDir = s"gen-$gen"
+    // Build the input df FIRST and derive the absorbed set from the very
+    // listing it scans — not from a separate walk that could race appends.
+    val input = read(spark, path)
+    val base = root.toUri.getPath.stripSuffix("/") + "/"
+    val absorbedNow = input.inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath)
+      .filter(_.startsWith(base)).map(_.stripPrefix(base))
+      .filterNot(_.matches("gen-\\d+/.*")) // prev generation dies wholesale below
+      .toSet
+    write(input, new org.apache.hadoop.fs.Path(root, genDir).toString,
+      maxRecordsPerFile)
     beforeSwap() // test seam: simulate a concurrent append landing here
-    fs.rename(dst, old)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
-    // rescue anything that landed after the snapshot: it was not part of
-    // the compaction input, so it must survive in the new store
-    dataFiles(fs, old).foreach { case (rel, src) =>
-      if (!snapshot.contains(rel)) {
-        val target = new org.apache.hadoop.fs.Path(dst, rel)
-        fs.mkdirs(target.getParent)
-        fs.rename(src, target)
-      }
+    // Atomic visibility flip: write sideways, rename to the manifest name.
+    val tmp = new org.apache.hadoop.fs.Path(root, s"._manifest-$gen.tmp")
+    val out = fs.create(tmp, true)
+    out.write((genDir +: absorbedNow.toSeq.sorted).mkString("\n")
+      .getBytes("UTF-8"))
+    out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"_manifest-$gen"))
+    // GC: previous generation, its manifest, and the absorbed root files.
+    prev.foreach { case (k, d, _) =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, d), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifest-$k"), false)
     }
-    fs.delete(old, true)
+    absorbedNow.foreach { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, rel), false)
+    }
   }
 
-  /** Recursive data-file listing as store-relative path → absolute path
-    * (metadata files like _SUCCESS/.crc excluded).
+  /** Newest (generation, genDir, absorbed-root-files) manifest, if any. */
+  private def newestManifest(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path)
+      : Option[(Int, String, Set[String])] = {
+    if (!fs.exists(root)) return None
+    val manifests = fs.listStatus(root)
+      .map(_.getPath.getName)
+      .filter(_.matches("_manifest-\\d+"))
+      .map(n => n.stripPrefix("_manifest-").toInt)
+    if (manifests.isEmpty) None
+    else {
+      val k = manifests.max
+      val in = fs.open(new org.apache.hadoop.fs.Path(root, s"_manifest-$k"))
+      val body = new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      in.close()
+      val lines = body.split("\n").toSeq
+      Some((k, lines.head, lines.tail.toSet))
+    }
+  }
+
+  /** Recursive ROOT data-file listing as store-relative path → absolute path
+    * (metadata files like _SUCCESS/.crc excluded, and generation dirs
+    * skipped — those are only reachable through a committed manifest).
     */
   private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
                         root: org.apache.hadoop.fs.Path): Map[String, org.apache.hadoop.fs.Path] = {
@@ -91,7 +164,7 @@ object LogTableWriter {
     def walk(p: org.apache.hadoop.fs.Path): Unit =
       fs.listStatus(p).foreach { st =>
         val name = st.getPath.getName
-        if (st.isDirectory) walk(st.getPath)
+        if (st.isDirectory) { if (!name.matches("gen-\\d+")) walk(st.getPath) }
         else if (!name.startsWith("_") && !name.startsWith("."))
           out(st.getPath.toUri.getPath.stripPrefix(base)) = st.getPath
       }

@@ -63,9 +63,14 @@ class StorageSpec extends SparkSpec {
       .partitionBy("logdate").parquet(tmp))
     val before = LogTableWriter.read(spark, tmp).orderBy("clientip", "logdatetime")
       .drop("logdate").collect()
-    def filesPerDay(p: String): Int =
-      new java.io.File(s"$p/logdate=2020-04-06").listFiles()
-        .count(_.getName.endsWith(".parquet"))
+    // count every parquet file for the day across root AND the active
+    // generation dir — the compaction contract is about the whole view
+    def filesPerDay(p: String): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .count(q => q.toString.contains("logdate=2020-04-06") &&
+          q.toString.endsWith(".parquet"))
+    }
     assert(filesPerDay(tmp) >= 5)
     LogTableWriter.compact(spark, tmp)
     assert(filesPerDay(tmp) == 1, "partition not compacted to one file")
@@ -87,6 +92,32 @@ class StorageSpec extends SparkSpec {
     val after = LogTableWriter.read(spark, tmp).count()
     assert(after == baseline + one.count(),
       s"concurrent append lost by compaction: $after vs ${baseline + one.count()}")
+  }
+
+  test("readers mid-compaction always see the complete view (manifest flip)") {
+    val tmp = Files.createTempDirectory("graft_compact_reader").toString
+    val one = graft.operators.AccessLog.project(lines.toDF("line"))
+    (1 to 3).foreach(_ => one.write.mode("append")
+      .partitionBy("logdate").parquet(tmp))
+    def view(): Array[org.apache.spark.sql.Row] =
+      LogTableWriter.read(spark, tmp)
+        .orderBy("clientip", "logdatetime").drop("logdate").collect()
+    val before = view()
+    // a reader in the window AFTER the new generation is fully written but
+    // BEFORE its manifest lands must resolve the complete OLD view — under
+    // the old two-rename swap this window read an absent/partial store
+    var mid: Array[org.apache.spark.sql.Row] = null
+    LogTableWriter.compact(spark, tmp, beforeSwap = () => mid = view())
+    assert(mid.sameElements(before), "reader during compaction saw a partial view")
+    assert(view().sameElements(before), "view changed across the manifest flip")
+    // second compaction exercises the same window with a PREVIOUS manifest
+    // active (gen-2 written, manifest-1 still the committed truth)
+    one.write.mode("append").partitionBy("logdate").parquet(tmp)
+    val before2 = view()
+    var mid2: Array[org.apache.spark.sql.Row] = null
+    LogTableWriter.compact(spark, tmp, beforeSwap = () => mid2 = view())
+    assert(mid2.sameElements(before2), "reader during re-compaction saw a partial view")
+    assert(view().sameElements(before2))
   }
 
   test("ingest dead-letters corrupt lines instead of storing empty rows") {
