@@ -63,7 +63,12 @@ object Media {
         val n = math.max(w.toLong * h, 1L)
         Some((w, h, hist.map(_ / n)))
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // ImageIO plugins throw RuntimeExceptions (CMMException, IOOBE) on
+      // malformed headers, not just IOException — a corrupt blob must fall
+      // back to the stub, never fail the task; fatal errors still propagate
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Fallback featurizer for payloads no JRE codec reads (opaque blobs,
     * exotic formats). Deterministic: a 16-bin byte histogram normalized to

@@ -25,13 +25,31 @@ object JdbcSink {
 
   val BatchIdCol = "_batch_id"
 
+  /** Strict identifier shape (optionally schema-qualified) — the table name
+    * is necessarily interpolated into the DELETE, so reject anything that
+    * could smuggle SQL. Deliberately NOT quoted in the statement: Spark's
+    * append created the table unquoted, and quoting would defeat the
+    * engine's case folding (Derby folds up) and stop matching it.
+    */
+  private val Ident = "^[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?$".r
+
   /** Idempotent per-batch write: DELETE the batch id, then append. */
   def writeBatch(batch: DataFrame, batchId: Long, url: String,
                  table: String): Unit = {
+    require(Ident.matches(table), s"illegal table identifier: $table")
     val conn = DriverManager.getConnection(url)
     try {
-      val meta = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
-      if (meta.next()) {
+      // Engines fold unquoted identifiers differently (Derby → upper,
+      // ClickHouse/Postgres → as-is/lower). Probe every folding, so a miss
+      // means the table genuinely doesn't exist yet (first batch) rather
+      // than silently skipping the DELETE and duplicating a replayed batch.
+      val meta = conn.getMetaData
+      val exists = Seq(table, table.toUpperCase, table.toLowerCase).distinct
+        .exists { n =>
+          val rs = meta.getTables(null, null, n, null)
+          try rs.next() finally rs.close()
+        }
+      if (exists) {
         val st = conn.prepareStatement(
           s"""DELETE FROM $table WHERE "$BatchIdCol" = ?""")
         st.setLong(1, batchId); st.executeUpdate(); st.close()
