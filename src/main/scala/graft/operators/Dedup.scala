@@ -82,7 +82,7 @@ object Dedup {
         Seq("band", "bh"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    cand
+    val verified = cand
       .join(shingleTab.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
       .join(shingleTab.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
@@ -91,6 +91,14 @@ object Dedup {
         round(col("inter") / col("uni").cast("double"), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("a"), col("b"))
+    // The verified pair set is tiny next to the corpus: materialize it now
+    // (localCheckpoint) so the shingle cache can be dropped before returning.
+    // persist() entries live in the CacheManager until explicitly released —
+    // without this, every library call grew executor cache forever; the
+    // checkpointed result itself is ContextCleaner-collected on GC.
+    val out = verified.localCheckpoint()
+    shingleTab.unpersist(false)
+    out
   }
 
   /** 64-bit SimHash via a single SQL higher-order expression: per-bit signed

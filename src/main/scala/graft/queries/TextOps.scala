@@ -79,7 +79,7 @@ object TextOps extends QueryModule {
       .join(ra.select(col("sh1"), col("doc_id").as("b")), "sh1")
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    cand
+    val verified = cand
       .join(shArr.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
       .join(shArr.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
@@ -87,6 +87,14 @@ object TextOps extends QueryModule {
         round(col("inter") /
           (size(col("sha")) + size(col("shb")) - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+    // Materialize the (small) verified pairs eagerly and release the shingle
+    // cache — CacheManager entries are never GC'd, so returning a lazy plan
+    // over the persisted table leaked executor cache per call. Bonus for
+    // q_dedup_clusters: its label-propagation rounds now iterate on a
+    // checkpointed edge set instead of re-deriving it.
+    val out = verified.localCheckpoint()
+    shArr.unpersist(false)
+    out
   }
 
   def queries: Seq[(String, QFn)] = Seq(
@@ -236,10 +244,13 @@ object TextOps extends QueryModule {
     // benchmark suite.
     "q_contamination" -> ((s, d) => {
       graft.operators.Dedup.register(s)
-      val sh = t(s, d, "documents")
+      // NO shared persist here: the eval (<10) and corpus (>=10) branches
+      // select DISJOINT row sets, so a shared cache would compute shingles
+      // for everything while blocking each branch's filter pushdown into the
+      // scan — two pruned scans are strictly cheaper (and leak no cache).
+      def sh = t(s, d, "documents")
         .select(col("doc_id"),
           explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val evalSh = sh.filter(col("doc_id") < 10).select("sh").distinct()
       sh.filter(col("doc_id") >= 10)
         .join(broadcast(evalSh), "sh")
