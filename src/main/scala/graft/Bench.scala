@@ -70,8 +70,20 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_lines_per_sec":$ingestRate,"sf":"$sfDir"}"""
     println(json)
     // durable copy: the driver's stdout capture truncates long lines, so the
-    // full per-query vector also lands as a file, diffable across rounds
+    // full per-query vector also lands as a file, diffable across rounds —
+    // plus a per-round copy (round inferred from the driver's BENCH_r*.json
+    // trail) so successive runs never overwrite a prior round's vector
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), json)
+    val round = {
+      val dir = new java.io.File(".").listFiles()
+      val prev = if (dir == null) Nil else dir.toList
+        .map(_.getName).flatMap { n =>
+          "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(n).map(_.group(1).toInt)
+        }
+      (prev :+ 0).max + 1
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"BENCH_FULL_r$round%02d.json"), json)
     spark.stop()
   }
 }
