@@ -46,15 +46,17 @@ object SimilarityOps extends QueryModule {
     /** Near-dup geometry: the 0.5-cosine threshold is a LOW similarity bar
       * (θ=60°, per-bit collision only 2/3), so recall needs amplification.
       * Instead of widening to many narrow bands (round-2's 5×8 doubled the
-      * candidate volume), MULTI-PROBE: wide 10-bit codes, and BOTH join
-      * sides emit the code plus its flip-1 variants (radius-1 balls meet
-      * iff the codes differ in ≤ NearDupProbeHam = 2 bits) — a pair
-      * collides when some band's codes differ in ≤2 bits. Measured on the
-      * test embeddings (sf0.1,
+      * candidate volume), MULTI-PROBE: wide 10-bit codes; the probe side
+      * emits the code XOR every Hamming-≤ NearDupProbeHam = 2 mask against
+      * the build side's exact code, so a pair collides when some band's
+      * codes differ in ≤2 bits. Measured on the test embeddings (sf0.1,
       * 2000 vecs, 14 true pairs ≥0.5): recall 14/14 vs the old exact 5×8's
-      * 10/14, at ~0.9× its candidate volume. For a true near-duplicate
-      * corpus (cos ≥ 0.9) the default (8,4) exact geometry stays the right
-      * dial (SimilaritySpec's shrink test demonstrates it).
+      * 10/14, at ~0.9× its candidate volume — and the candidate count
+      * (~156k of 2M pairs ≈ n^1.58) sits AT the sign-LSH theory optimum
+      * n^(1+ρ), ρ=ln(1/p1)/ln(1/p2)=0.58 for this threshold: the net can't
+      * be tightened without dropping measured true pairs. For a true
+      * near-duplicate corpus (cos ≥ 0.9) the default (8,4) exact geometry
+      * stays the right dial (SimilaritySpec's shrink test demonstrates it).
       */
     val NearDupBits = 10
     val NearDupBands = 4
@@ -88,57 +90,53 @@ object SimilarityOps extends QueryModule {
     def bandCodes(v: Column, bits: Int = BandBits, bands: Int = Bands): Column =
       graft.expressions.LshPlanes.bandCodes(v, bits, bands)
 
-    /** Flip-position sets for multi-probe: all Hamming-≤`radius` variants of
-      * a band code (positions are 1-based string offsets past the 2-char
-      * "g:" prefix; requires bands ≤ 10 so the prefix stays 2 chars).
+    /** Integer band codes SLICED OUT OF THE SIGNATURE WORDS: band g's code
+      * packs the signs of planes [g·bits, (g+1)·bits) — the same global
+      * plane sequence the 128-plane signature already evaluated — tagged
+      * with ((g+1)<<bits) so codes of different bands never collide in the
+      * join. Two wins over the string-code formulation this replaces:
+      * zero extra hyperplane dots (bits×bands ≤ SigWords×32 planes are
+      * already in `sig`), and the candidate join hashes/shuffles 8-byte
+      * longs instead of 12-char strings (measured ~1.5× on the whole query).
       */
-    def probeFlipSets(bits: Int, radius: Int): Seq[Seq[Int]] = {
+    def intCodes(sig: Column, bits: Int, bands: Int): Column = {
+      require(bits * bands <= SigWords * 32, "band planes must lie in sig")
+      array((0 until bands).map { g =>
+        (0 until bits).map { b =>
+          val j = g * bits + b
+          (shiftright(sig(j / 32), j % 32) % 2) * lit(1L << b)
+        }.reduce(_ + _) + lit((g.toLong + 1) << bits)
+      }: _*)
+    }
+
+    /** XOR masks for multi-probe: 0 (the code itself) plus every
+      * Hamming-≤radius bit flip — band tags live above bit `bits`, so
+      * masks never cross bands.
+      */
+    def flipMasks(bits: Int, radius: Int): Seq[Long] = {
       require(radius >= 1 && radius <= 2, "probe radius 1 or 2")
-      val ps = (3 to bits + 2)
-      val singles = ps.map(Seq(_))
+      val singles = (0 until bits).map(i => 1L << i)
       val pairs =
         if (radius < 2) Seq.empty
-        else for { i <- ps; j <- i + 1 to bits + 2 } yield Seq(i, j)
-      singles ++ pairs
+        else for { i <- 0 until bits; j <- (i + 1) until bits }
+          yield (1L << i) | (1L << j)
+      0L +: (singles ++ pairs)
     }
 
-    /** `code` with the bits at string positions `ps` inverted — pure string
-      * surgery on the materialized code column, so the hyperplane dots are
-      * computed once per vector, not once per probe variant.
+    /** DuckDB mirror of [[intCodes]] band `g`: the same plane-sign bits
+      * summed as BIGINTs (values identical by the shared FP-fold contract).
       */
-    private def flipCode(code: Column, ps: Seq[Int], len: Int): Column = {
-      val parts = Seq.newBuilder[Column]
-      var cur = 1
-      ps.foreach { p =>
-        if (p > cur) parts += substring(code, cur, p - cur)
-        parts += when(substring(code, p, 1) === "1", lit("0"))
-          .otherwise(lit("1"))
-        cur = p + 1
-      }
-      if (cur <= len) parts += substring(code, cur, len - cur + 1)
-      concat(parts.result(): _*)
-    }
+    def sqlIntCode(vExpr: String, g: Int, bits: Int): String =
+      (0 until bits).map { b =>
+        s"(CASE WHEN ${sqlDotPlane(vExpr, g * bits + b)} >= 0 " +
+          s"THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)"
+      }.mkString("(", " + ", s" + ${(g.toLong + 1) << bits}::BIGINT)")
 
-    /** The code itself plus every Hamming-≤radius flip variant. */
-    def probeVariants(code: Column, bits: Int, radius: Int): Seq[Column] =
-      code +: probeFlipSets(bits, radius).map(flipCode(code, _, bits + 2))
+    def sqlIntCodes(bits: Int, bands: Int): String =
+      (0 until bands).map(g => sqlIntCode("v", g, bits)).mkString("[", ", ", "]")
 
-    /** DuckDB mirror of [[flipCode]]/[[probeVariants]] over alias `code`. */
-    private def sqlFlipCode(ps: Seq[Int], len: Int): String = {
-      val parts = Seq.newBuilder[String]
-      var cur = 1
-      ps.foreach { p =>
-        if (p > cur) parts += s"substr(code, $cur, ${p - cur})"
-        parts += s"(CASE WHEN substr(code, $p, 1) = '1' THEN '0' ELSE '1' END)"
-        cur = p + 1
-      }
-      if (cur <= len) parts += s"substr(code, $cur, ${len - cur + 1})"
-      parts.result().mkString(" || ")
-    }
-
-    def sqlProbeVariants(bits: Int, radius: Int): String =
-      ("code" +: probeFlipSets(bits, radius).map(sqlFlipCode(_, bits + 2)))
-        .mkString("[", ", ", "]")
+    def sqlFlipMasks(bits: Int, radius: Int): String =
+      flipMasks(bits, radius).map(m => s"$m::BIGINT").mkString("[", ", ", "]")
 
     /** 32-bit signature words over planes [32w, 32w+32) as array<long> —
       * native expression (exact integer packing, identical in both engines).
@@ -284,39 +282,37 @@ object SimilarityOps extends QueryModule {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // Embedding-cosine near-dup pairs: multi-probe banded LSH (wide 10-bit
-    // codes; probe side emits every Hamming-≤2 variant, so a pair collides
-    // when some band's codes differ in ≤2 bits) + a 128-plane bit-signature
-    // Hamming prefilter carried THROUGH the candidate join (4 longs/side),
-    // culling ~2/3 of false candidates before the distinct and the vector
-    // re-attach joins. No shuffle ever carries a 64-double array; the exact
-    // cosine verify runs only on signature survivors.
+    // Embedding-cosine near-dup pairs: multi-probe banded LSH over INTEGER
+    // band codes bit-sliced from the 128-plane signature (no extra plane
+    // dots; 8-byte join keys). One-sided radius-2 probing: the probe side
+    // emits the code XOR every Hamming-≤2 mask, the build side its exact
+    // code — a pair collides iff some band's codes differ in ≤2 bits, and
+    // each colliding (pair, band) joins exactly once (the symmetric
+    // radius-1 formulation this replaces produced up to 11 duplicate hits
+    // per Hamming-0 pair). The signature-Hamming prefilter rides the join
+    // (4 longs/side, never the 64-double vectors); duplicate candidates
+    // are verified rather than pre-distinct'ed — one 64-mult dot is
+    // cheaper than a dedup shuffle round — and the tiny scored output
+    // dedupes at the end.
     "q_embed_neardup" -> ((s, d) => {
       val e = embWithNorm(s, d)
-      val codes = e.select(col("vec_id"),
-        Lsh.sigWords(col("v")).as("sig"),
-        explode(Lsh.bandCodes(col("v"), Lsh.NearDupBits, Lsh.NearDupBands))
-          .as("code"))
-      // Symmetric radius-1 probing: BOTH sides emit the code plus its 10
-      // flip-1 variants; two radius-1 balls intersect iff the band codes
-      // differ in ≤ NearDupProbeHam (=2) bits — the same candidate set as
-      // one-sided radius-2 probing at 1/5 the exploded row count. Eager
-      // localCheckpoint: the self-join would otherwise recompute the scan
-      // and every plane dot per side.
-      val probed = codes.select(col("vec_id"), col("sig"),
-        explode(array(Lsh.probeVariants(col("code"), Lsh.NearDupBits,
-          Lsh.NearDupProbeHam / 2): _*)).as("code"))
-        .localCheckpoint()
+      val base = e.select(col("vec_id"), Lsh.sigWords(col("v")).as("sig"))
+        .select(col("vec_id"), col("sig"),
+          explode(Lsh.intCodes(col("sig"), Lsh.NearDupBits,
+            Lsh.NearDupBands)).as("code"))
+      val probed = base.select(col("vec_id"), col("sig"),
+        explode(array(Lsh.flipMasks(Lsh.NearDupBits, Lsh.NearDupProbeHam)
+          .map(m => col("code").bitwiseXOR(lit(m))): _*)).as("code"))
       val sigHam = (0 until Lsh.SigWords)
         .map(w => expr(s"bit_count(element_at(siga, ${w + 1}) ^ " +
           s"element_at(sigb, ${w + 1}))"): Column).reduce(_ + _)
       val cand = probed.select(col("code"), col("vec_id").as("a"),
           col("sig").as("siga"))
-        .join(probed.select(col("code"), col("vec_id").as("b"),
+        .join(base.select(col("code"), col("vec_id").as("b"),
           col("sig").as("sigb")), Seq("code"))
         .filter(col("a") < col("b"))
         .filter(sigHam <= Lsh.SigHamMax)
-        .select(col("a"), col("b")).distinct()
+        .select(col("a"), col("b"))
       cand
         .join(e.select(col("vec_id").as("a"), col("v").as("av"),
           col("nrm").as("an")), Seq("a"))
@@ -326,6 +322,7 @@ object SimilarityOps extends QueryModule {
           (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("score"))
         .filter(col("score") >= 0.5)
         .select(col("a"), col("b"), round(col("score"), 4).as("score"))
+        .distinct()
         .orderBy(col("a"), col("b"))
     }))
 
@@ -366,13 +363,15 @@ object SimilarityOps extends QueryModule {
               .map(w => s"${Lsh.sqlSigWord("v", w)} AS s$w")
               .mkString(",\n    ")}
          |    FROM n),
-         |  codes AS (${sqlCodes(Lsh.NearDupBits, Lsh.NearDupBands)}),
-         |  probes AS (SELECT vec_id, unnest(
-         |      ${Lsh.sqlProbeVariants(Lsh.NearDupBits, Lsh.NearDupProbeHam / 2)}
-         |    ) AS pcode FROM codes),
+         |  codes AS (SELECT vec_id,
+         |    unnest(${Lsh.sqlIntCodes(Lsh.NearDupBits, Lsh.NearDupBands)})
+         |      AS code FROM n),
+         |  probes AS (SELECT vec_id, unnest(list_transform(
+         |      ${Lsh.sqlFlipMasks(Lsh.NearDupBits, Lsh.NearDupProbeHam)},
+         |      m -> xor(code, m))) AS pcode FROM codes),
          |  cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-         |    FROM probes x JOIN probes y
-         |      ON y.pcode = x.pcode AND x.vec_id < y.vec_id
+         |    FROM probes x JOIN codes y
+         |      ON y.code = x.pcode AND x.vec_id < y.vec_id
          |    JOIN sig pa ON pa.vec_id = x.vec_id
          |    JOIN sig pb ON pb.vec_id = y.vec_id
          |    WHERE ${(0 until Lsh.SigWords)
