@@ -36,33 +36,46 @@ object Components {
     * the component minimum.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     // Eager materialization of the edge set: the bidirectional union and
     // every propagation round re-read it, and inside one action lazy-cache
     // consumers race ahead of population — each would recompute the whole
     // upstream (e.g. ngram) pipeline. One job up front, tiny RDD after.
     val p = pairs.select(col("a"), col("b")).localCheckpoint()
-    val e = p.union(p.select(col("b").as("a"), col("a").as("b")))
-      .toDF("src", "dst")
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
-    var changed = 1L
-    var iters = 0
-    while (changed > 0) {
-      iters += 1
-      if (iters > MaxIters)
-        throw new IllegalStateException(
-          s"connectedComponents: no fixpoint after $MaxIters rounds " +
-            "(component diameter exceeds MaxIters — not a near-dup graph?)")
-      val nbr = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node")).agg(min(col("lbl")).as("nlbl"))
-      val step = labels.join(nbr, Seq("node"), "left")
-        .select(col("node"), col("lbl"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl"))
+    val nEdges = p.count() // free: reads the checkpointed RDD
+    // Size the loop's shuffles to the EDGE set, not the session default: a
+    // near-dup pair table is orders of magnitude smaller than its corpus,
+    // and paying full shuffle width per round is pure task-scheduling
+    // overhead (measured ~0.5 s/round on a 25-edge graph at width 32).
+    // ~1M edges per partition, capped; restored after the loop — the
+    // rounds' localCheckpoints are all materialized inside it.
+    val parts = math.max(1L, math.min(2048L, nEdges / 1000000L + 1L))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      val e = p.union(p.select(col("b").as("a"), col("a").as("b")))
+        .toDF("src", "dst")
+      var labels = e.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
         .localCheckpoint()
-      changed = step.filter(col("nl") < col("lbl")).count()
-      labels = step.select(col("node"), col("nl").as("lbl"))
-    }
-    labels
+      var changed = 1L
+      var iters = 0
+      while (changed > 0) {
+        iters += 1
+        if (iters > MaxIters)
+          throw new IllegalStateException(
+            s"connectedComponents: no fixpoint after $MaxIters rounds " +
+              "(component diameter exceeds MaxIters — not a near-dup graph?)")
+        val nbr = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(min(col("lbl")).as("nlbl"))
+        val step = labels.join(nbr, Seq("node"), "left")
+          .select(col("node"), col("lbl"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl"))
+          .localCheckpoint()
+        changed = step.filter(col("nl") < col("lbl")).count()
+        labels = step.select(col("node"), col("nl").as("lbl"))
+      }
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 }
