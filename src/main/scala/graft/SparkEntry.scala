@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Extended, LogPipeline, NearDup, Relational, SimilarityOps, StreamGate, TextOps}
+import graft.queries.{Extended, LogPipeline, NearDup, Relational, Retrieval, SimilarityOps, StreamGate, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,7 @@ import graft.queries.{Extended, LogPipeline, NearDup, Relational, SimilarityOps,
 object SparkEntry {
   private val modules: Seq[graft.queries.QueryModule] =
     Seq(Relational, Extended, LogPipeline, TextOps, NearDup, SimilarityOps,
-      StreamGate)
+      Retrieval, StreamGate)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The TPC-H Q1-shaped hash aggregate (R13) — chosen because it runs under

@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval + training-data assembly queries on top of the text/similarity
+  * primitives: BM25 ranked retrieval, int8-quantized ANN (the
+  * memory-bandwidth scale path), the composed filter→dedup→pack prep
+  * pipeline, and per-stratum deterministic sampling. All four carry full
+  * DuckDB oracles — every floating-point reduction is either exact integer
+  * arithmetic in doubles or a sorted left fold, the repo's FP-parity
+  * discipline.
+  */
+object Retrieval extends QueryModule {
+
+  /** Okapi BM25 constants (the classic defaults). */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** The standing query for the ranked-retrieval demo. */
+  private val Terms = Seq("spark", "vector", "stream")
+  private val TermsSql = Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  /** Same 8-entry stopword list as TextOps' language-id heuristic. */
+  private val Stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private val StopSql = Stop.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Sequential left-fold dot product — VecDot / DuckDB list_reduce parity. */
+  private def dot(a: Column, b: Column): Column =
+    graft.expressions.TextHashes.vecDot(a, b)
+
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(list_zip($a, $b), x -> x[1]*x[2])), (p,q) -> p+q)""".stripMargin
+
+  def queries: Seq[(String, QFn)] = Seq(
+    // BM25 ranked retrieval for a fixed term set. Scale shape: the corpus
+    // explodes to (doc, term) rows but the term filter prunes to |Q| terms
+    // immediately after the generator (nothing else shuffles); df and the
+    // per-doc score are hash aggs over that tiny slice; dl/avgdl come from
+    // one corpus stat pass. FP discipline: idf/tf/dl are exact integers in
+    // doubles, avgdl is one division of exact ints, and the per-doc sum
+    // over query terms is a SORTED left fold (collect_list → array_sort →
+    // aggregate) so Spark's agg order can't reorder double addition vs the
+    // oracle.
+    "q_bm25" -> ((s, d) => {
+      graft.operators.Dedup.register(s)
+      val docs = t(s, d, "documents")
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").isin(Terms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val contrib = tf.join(df_, "tok").join(dl, "doc_id").crossJoin(stats)
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+        .withColumn("c",
+          col("idf") * (col("tf") * (K1 + 1.0)) /
+            (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+      contrib.groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("tok"), col("c"))).as("cs"))
+        .select(col("doc_id"),
+          round(expr("aggregate(array_sort(cs), 0.0D, (acc, x) -> acc + x.c)"),
+            4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Int8-quantized cosine top-k — the 100 TB ANN memory path: symmetric
+    // per-vector quantization q_i = floor(v_i·127/max|v| + 0.5) shrinks the
+    // candidate corpus 8× (byte vs double) while integer dot products stay
+    // EXACT in double arithmetic (|q·q| ≤ 64·127² ≪ 2⁵³ — fold order is
+    // irrelevant, unlike float dots), so both engines agree bit-for-bit.
+    // Same broadcast-the-small-query-side plan as q_sim_topk. floor(x+0.5)
+    // instead of round(): identical half-up semantics on every engine.
+    "q_sim_quant" -> ((s, d) => {
+      graft.operators.Dedup.register(s)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("mx", array_max(expr("transform(v, x -> abs(x))")))
+        .withColumn("q", expr(
+          "transform(v, x -> CASE WHEN mx = 0.0D THEN 0.0D " +
+            "ELSE cast(floor(x * 127.0D / mx + 0.5D) as double) END)"))
+        .withColumn("qn", sqrt(dot(col("q"), col("q"))))
+        .filter(col("qn") > 0)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("q").as("qv"), col("qn").as("qnn"))
+      val scored = e.select(col("vec_id").as("c_id"), col("q").as("cv"),
+          col("qn").as("cn"))
+        .join(broadcast(qs), col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"),
+          (dot(col("qv"), col("cv")) / (col("qnn") * col("cn"))).as("score"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("c_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank"), col("c_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // The composed training-data prep pipeline — the end-to-end user story:
+    // quality gate (length + stopword-ratio language heuristic) → exact
+    // dedup (keep the smallest doc_id per content hash) → token-budget
+    // shard packing via the two-phase distributed prefix sum. Every stage
+    // is a narrow transform or hash agg; the only window is Pack's
+    // bucket-total window over a relation 2-4 orders smaller than the data.
+    "q_prep_pipeline" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val stats = t(s, d, "documents").select(col("doc_id"), col("text"),
+        size(toks).as("n_tok"),
+        size(expr(s"filter(split(text, ' '), tk -> tk IN $StopSql)")).as("n_sw"))
+      val kept = stats.filter(col("n_tok") >= 30 &&
+        col("n_sw").cast("double") / col("n_tok") > 0.05)
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = kept.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("n_tok"))
+      graft.operators.Pack.packShards(deduped, "doc_id", "n_tok", 4096L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stratified deterministic sampling: top-5 docs per language by content-
+    // free md5 rank — the retry-safe per-stratum sample (no rand(), stable
+    // under re-execution and partitioning). One window per stratum.
+    "q_sample_stratified" -> ((s, d) => {
+      val h = md5(col("doc_id").cast("string"))
+      val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"), row_number().over(w).as("rk"))
+        .filter(col("rk") <= 5)
+        .orderBy(col("lang"), col("rk"))
+    }))
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_bm25" ->
+      s"""WITH dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl
+         |    FROM documents),
+         |  st AS (SELECT count(*) AS n_docs,
+         |      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |  tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+         |      SELECT doc_id, unnest(string_split(text,' ')) AS tok
+         |      FROM documents)
+         |    WHERE tok IN $TermsSql GROUP BY doc_id, tok),
+         |  df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |  c AS (SELECT tf.doc_id, tf.tok,
+         |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |        (tf * ${K1 + 1.0}) /
+         |        (tf + $K1 * (${1.0 - B} + $B * dl / avgdl)) AS c
+         |    FROM tf JOIN df USING (tok) JOIN dl ON dl.doc_id = tf.doc_id
+         |    CROSS JOIN st)
+         |SELECT doc_id, round(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list(c ORDER BY tok)), (a, b) -> a + b), 4) AS bm25
+         |FROM c GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_sim_quant" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |  m AS (SELECT vec_id, v,
+         |      list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+         |  qz AS (SELECT vec_id, list_transform(v,
+         |      x -> CASE WHEN mx = 0.0 THEN 0.0
+         |           ELSE floor(x * 127.0 / mx + 0.5) END) AS q FROM m),
+         |  n AS (SELECT vec_id, q, sqrt(${sqlDot("q", "q")}) AS qn FROM qz
+         |    WHERE sqrt(${sqlDot("q", "q")}) > 0),
+         |  p AS (SELECT a.vec_id AS q_id, c.vec_id AS c_id,
+         |      ${sqlDot("a.q", "c.q")} / (a.qn * c.qn) AS score
+         |    FROM n a JOIN n c ON c.vec_id <> a.vec_id
+         |    WHERE a.vec_id < 5),
+         |  r AS (SELECT q_id, c_id, score, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank FROM p)
+         |SELECT q_id, CAST(rank AS INT) AS rank, c_id, round(score,4) AS score
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "q_prep_pipeline" ->
+      s"""WITH s AS (SELECT doc_id, text,
+         |    len(string_split(text,' ')) AS n_tok,
+         |    len(list_filter(string_split(text,' '), tk -> tk IN $StopSql))
+         |      AS n_sw
+         |  FROM documents),
+         |  k AS (SELECT * FROM s
+         |    WHERE n_tok >= 30 AND CAST(n_sw AS DOUBLE) / n_tok > 0.05),
+         |  u AS (SELECT doc_id, n_tok FROM (
+         |      SELECT doc_id, n_tok, row_number() OVER
+         |        (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM k)
+         |    WHERE rn = 1)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |  CAST(coalesce(sum(CAST(n_tok AS BIGINT)) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
+         |    AS BIGINT) AS shard
+         |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)
+}
