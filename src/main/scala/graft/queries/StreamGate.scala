@@ -63,12 +63,88 @@ object StreamGate extends QueryModule {
       s.table(name)
         .select(col("t").cast("timestamp_ntz").as("t"), col("cnt"))
         .orderBy(col("t"))
+    }),
+
+    // Custom-state sessionization as a STREAM, gated against the batch
+    // gaps-and-islands oracle: the events table replays as two
+    // time-range-ordered chunks, each its own Trigger.AvailableNow run over
+    // a shared checkpoint (per-run stepping makes cross-chunk order
+    // deterministic — in-run file order isn't), through the
+    // flatMapGroupsWithState sessionizer (one open-session record per user
+    // in state, closed sessions stream out append-only). A final run over
+    // TWO far-future sentinel files (1-file triggers → two batches, order
+    // interchangeable) lifts the watermark and then fires every trailing
+    // session's event-time timeout — timeouts evaluate against the
+    // watermark as of the previous completed batch. Session INDEXES (the
+    // oracle's running `sess` number) attach afterwards with a per-user
+    // window over the tiny session table.
+    "s_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events").select(col("ts"), col("user_id"))
+      val in = Files.createTempDirectory("graft_ssess_in").toString
+      val out = Files.createTempDirectory("graft_ssess_out").toString
+      val ck = Files.createTempDirectory("graft_ssess_ck").toString
+      // non-overlapping time-range chunks (range exchange, no global sort)
+      val chunks = ev.repartitionByRange(2, col("ts"))
+        .select(col("ts"), col("user_id"),
+          org.apache.spark.sql.functions.spark_partition_id().as("part"))
+      chunks.write.partitionBy("part").mode("overwrite").parquet(in)
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      def sentinel(days: Int): java.sql.Timestamp =
+        new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      def runOnce(glob: String): Unit = {
+        val src = s.readStream
+          .schema("ts timestamp, user_id bigint").parquet(glob)
+          .as[(java.sql.Timestamp, Long)]
+        val q = StreamOps.sessionizeCustomState(src, gapMinutes = 30)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ck)
+          .format("parquet").option("path", out)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      try {
+        // state sized to active keys (~2k users), pinned by the checkpoint
+        // at first start; restored below
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        (0 until 2).foreach(i => runOnce(s"$in/part=$i"))
+        Seq(8, 9).foreach { r =>
+          Seq((sentinel(r), -1L)).toDF("ts", "user_id")
+            .write.mode("overwrite").parquet(s"$in/sent=$r")
+        }
+        runOnce(s"$in/sent=*")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("first_us"))
+      s.read.parquet(out).filter(col("user_id") >= 0)
+        .withColumn("sess", row_number().over(w).cast("bigint"))
+        .select(col("user_id"), col("sess"), col("n_events"),
+          timestamp_micros(col("first_us")).cast("timestamp_ntz").as("t_start"),
+          timestamp_micros(col("last_us")).cast("timestamp_ntz").as("t_end"))
+        .orderBy(col("user_id"), col("sess"))
     }))
 
-  // window('1 hour').start ≡ date_trunc('hour', ts): the stream shares the
-  // batch dashboard query's oracle verbatim (full hash check, not rows-only).
+  // Both streams share their batch twins' oracles verbatim (full hash
+  // check, not rows-only): window('1 hour').start ≡ date_trunc('hour', ts),
+  // and the custom-state sessionizer reproduces the gaps-and-islands SQL.
   def oracle: Seq[(String, String)] = Seq(
     "s_tumbling_counts" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS t, count(*) AS cnt
-        |FROM events GROUP BY t ORDER BY t""".stripMargin)
+        |FROM events GROUP BY t ORDER BY t""".stripMargin,
+
+    "s_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  s AS (SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g)
+        |SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS n_events,
+        |  min(ts) AS t_start, max(ts) AS t_end
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin)
 }

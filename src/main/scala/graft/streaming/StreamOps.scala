@@ -82,21 +82,33 @@ object StreamOps {
   }
 
   /** Custom per-key state (`flatMapGroupsWithState` + event-time timeout):
-    * gap-based sessionization with arbitrary state logic — the escape hatch
-    * for semantics `session_window` can't express (e.g. carrying running
-    * aggregates, emitting ONLY on session close). State is one small record
-    * per active key, evicted by the event-time timeout, so the state store is
-    * bounded by concurrently-active keys regardless of stream length.
+    * TRUE gap-based sessionization with arbitrary state logic — the escape
+    * hatch for semantics `session_window` can't express (emitting only on
+    * session close, carrying whole-session aggregates). Semantics match the
+    * batch gap sessionizer exactly: event times compare in integer
+    * MICROSECONDS, a batch whose rows span a > gap hole splits into multiple
+    * sessions right there (closed ones emit immediately), and the one open
+    * trailing session per key waits in state until the event-time watermark
+    * passes `last + gap` (its timeout) — so state is ONE small record per
+    * active key, bounded by concurrently-active keys regardless of stream
+    * length. Disorder contract: events may arrive unsorted within a batch
+    * (sorted in the handler) and late up to the watermark across batches;
+    * a late event merges into the still-open session (closed sessions are
+    * never revised — the same contract every watermarked operator has).
     */
-  case class SessState(count: Long, lastMs: Long)
-  case class SessionSummary(user_id: Long, n_events: Long, last_event_ms: Long)
+  case class SessState(first_us: Long, last_us: Long, count: Long)
+  case class SessionOut(user_id: Long, n_events: Long, first_us: Long,
+                        last_us: Long)
 
   def sessionizeCustomState(events: org.apache.spark.sql.Dataset[
       (java.sql.Timestamp, Long)], gapMinutes: Int,
-      watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[SessionSummary] = {
+      watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[SessionOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
     events.toDF("ts", "user_id")
       .withWatermark("ts", watermark)
       .as[(java.sql.Timestamp, Long)]
@@ -107,15 +119,28 @@ object StreamOps {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionSummary(user, s.count, s.lastMs))
+            Iterator(SessionOut(user, s.count, s.first_us, s.last_us))
           } else {
-            val times = rows.map(_._1.getTime).toSeq
-            val prev = state.getOption.getOrElse(SessState(0L, 0L))
-            val next = SessState(prev.count + times.size,
-              math.max(prev.lastMs, times.max))
-            state.update(next)
-            state.setTimeoutTimestamp(next.lastMs + gapMinutes * 60000L)
-            Iterator.empty
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            rows.map(r => micros(r._1)).toArray.sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last_us > gapUs =>
+                  closed += SessionOut(user, s.count, s.first_us, s.last_us)
+                  cur = Some(SessState(t, t, 1L))
+                case Some(s) =>
+                  cur = Some(SessState(math.min(s.first_us, t),
+                    math.max(s.last_us, t), s.count + 1L))
+                case None =>
+                  cur = Some(SessState(t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout is ms-grained; round UP so it never fires early
+              state.setTimeoutTimestamp((s.last_us + gapUs) / 1000L + 1L)
+            }
+            closed.result().iterator
           }
       }
   }

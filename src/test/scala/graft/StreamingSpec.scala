@@ -185,20 +185,27 @@ class StreamingSpec extends SparkSpec {
         .option("path", out).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    // run 1: user 1 has two events; user 2 one recent event. No session closes
-    // yet (watermark 10 min behind 11:50 max).
+    // run 1: user 1 has two events plus a third past the 30-min gap — the
+    // IN-BATCH split must close the first session immediately (no waiting
+    // for a timeout); user 2 has one recent event that stays open.
     write(0, Seq((t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:05:00"), 1L),
-      (t("2024-01-01 11:50:00"), 2L)))
+      (t("2024-01-01 11:50:00"), 1L), (t("2024-01-01 11:50:00"), 2L)))
     runOnce()
+    val afterRun1 = spark.read.parquet(out).as[StreamOps.SessionOut]
+      .collect().map(s => s.user_id -> s).toMap
+    assert(afterRun1.keySet == Set(1L), s"in-batch split must emit: $afterRun1")
+    assert(afterRun1(1L).n_events == 2L &&
+      afterRun1(1L).first_us == t("2024-01-01 10:00:00").getTime * 1000L &&
+      afterRun1(1L).last_us == t("2024-01-01 10:05:00").getTime * 1000L)
     // run 2: a later event advances the watermark past user 1's and user 2's
-    // 30-minute gap timeouts → both sessions emit; user 3 stays open.
+    // gap timeouts → both trailing sessions emit; user 3 stays open.
     write(1, Seq((t("2024-01-01 13:30:00"), 3L)))
     runOnce()
-    val sessions = spark.read.parquet(out).as[StreamOps.SessionSummary]
-      .collect().map(s => s.user_id -> s).toMap
-    assert(sessions(1L).n_events == 2L, s"got $sessions")
-    assert(sessions(1L).last_event_ms == t("2024-01-01 10:05:00").getTime)
-    assert(sessions(2L).n_events == 1L)
+    val sessions = spark.read.parquet(out).as[StreamOps.SessionOut]
+      .collect().groupBy(_.user_id)
+    assert(sessions(1L).map(_.n_events).sorted.toSeq == Seq(1L, 2L),
+      s"got $sessions")
+    assert(sessions(2L).head.n_events == 1L)
     assert(!sessions.contains(3L), "open session must not emit")
   }
 
