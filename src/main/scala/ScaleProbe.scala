@@ -52,6 +52,21 @@ object ScaleProbe {
       queries.SimilarityOps.lshCandidates(emb10, 8, 4)
         .write.mode("overwrite").format("noop").save()
     }
+    // round-3 operators: components fixpoint on the 10x-denser near-dup
+    // graph, and the composed prep pipeline over the 10x corpus
+    time("components_10x") {
+      val pairs = operators.Dedup.minhashPairs(docs10, "doc_id", "text")
+        .select(col("a"), col("b"))
+      operators.Components.connectedComponents(pairs)
+        .write.mode("overwrite").format("noop").save()
+    }
+    val docs10dir = java.nio.file.Files
+      .createTempDirectory("graft_scale_docs").toString
+    docs10.write.mode("overwrite").parquet(s"$docs10dir/documents.parquet")
+    time("prep_pipeline_10x") {
+      SparkEntry.queries("q_prep_pipeline")(spark, docs10dir)
+        .write.mode("overwrite").format("noop").save()
+    }
     spark.stop()
   }
 }
