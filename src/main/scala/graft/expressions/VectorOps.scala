@@ -164,8 +164,49 @@ object VectorOps {
       copy(left = l, right = r)
   }
 
+  /** Symmetric int8 quantization of a FLOAT/DOUBLE vector in one pass:
+    * q_i = floor(v_i · 127 / max|v| + 0.5) (0-vector → zeros), emitted as
+    * int-valued DOUBLEs so downstream dot products stay exact and reuse the
+    * VecDot fold. Replaces the interpreted per-element HOF transform
+    * (LambdaFunction, no codegen) that dominated q_sim_quant's profile;
+    * floor(x+0.5), not round(): identical half-up semantics on every engine.
+    */
+  case class QuantizeI8(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    def evalArray(v: ArrayData): ArrayData =
+      nullSafeEval(v).asInstanceOf[ArrayData]
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("qi8", this, classOf[QuantizeI8].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.evalArray($c);")
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      val isFloat = child.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      def at(i: Int): Double =
+        if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      var mx = 0.0
+      var i = 0
+      while (i < n) { val a = math.abs(at(i)); if (a > mx) mx = a; i += 1 }
+      val out = new Array[Any](n)
+      i = 0
+      if (mx == 0.0) while (i < n) { out(i) = 0.0; i += 1 }
+      else while (i < n) {
+        out(i) = math.floor(at(i) * 127.0 / mx + 0.5); i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): QuantizeI8 =
+      copy(child = c)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_quantize_i8",
+      es => QuantizeI8(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_nearest_centroid",
       es => NearestCentroid(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_nearest_centroids",
@@ -180,6 +221,7 @@ object VectorOps {
       }), "built-in")
   }
 
+  def quantizeI8(v: Column): Column = call_function("graft_quantize_i8", v)
   def nearestCentroid(v: Column, cents: Column): Column =
     call_function("graft_nearest_centroid", v, cents)
   def nearestCentroids(v: Column, cents: Column, nProbe: Column): Column =

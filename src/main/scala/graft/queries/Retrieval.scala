@@ -80,13 +80,13 @@ object Retrieval extends QueryModule {
     // instead of round(): identical half-up semantics on every engine.
     "q_sim_quant" -> ((s, d) => {
       graft.operators.Dedup.register(s)
+      graft.expressions.VectorOps.register(s)
+      // native QuantizeI8: float→double cast, max|v|, and the per-element
+      // floor fuse into ONE codegen'd pass (the interpreted HOF transform
+      // this replaces re-evaluated its lambda per element per consumer)
       val e = t(s, d, "embeddings")
         .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .withColumn("mx", array_max(expr("transform(v, x -> abs(x))")))
-        .withColumn("q", expr(
-          "transform(v, x -> CASE WHEN mx = 0.0D THEN 0.0D " +
-            "ELSE cast(floor(x * 127.0D / mx + 0.5D) as double) END)"))
+          graft.expressions.VectorOps.quantizeI8(col("embedding")).as("q"))
         .withColumn("qn", sqrt(dot(col("q"), col("q"))))
         .filter(col("qn") > 0)
       val qs = e.filter(col("vec_id") < 5)

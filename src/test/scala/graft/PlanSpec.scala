@@ -91,6 +91,28 @@ class PlanSpec extends SparkSpec {
       s"eval-set join must broadcast, corpus side stays shuffle-free:\n$p")
   }
 
+  test("q_bm25 scan reads only the two columns it needs") {
+    val p = plan("q_bm25")
+    val scans = p.split("\n").filter(_.contains("FileScan"))
+    assert(scans.nonEmpty && scans.forall(s =>
+      !s.contains("lang") && !s.contains("n_chars")),
+      s"bm25 scans must prune to (doc_id, text):\n${scans.mkString("\n")}")
+  }
+
+  test("q_sim_quant broadcasts the query side; QuantizeI8 stays in codegen") {
+    val p = plan("q_sim_quant")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    // the quantize projection is codegen'd (a `*(n) Project` stage), not an
+    // interpreted HOF transform
+    graft.expressions.VectorOps.register(spark)
+    val q = Tables.table(spark, sf("sf0.01"), "embeddings")
+      .select(graft.expressions.VectorOps.quantizeI8(col("embedding")))
+    val qp = q.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(qp).isDefined,
+      s"QuantizeI8 fell out of codegen:\n$qp")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     graft.operators.Dedup.register(spark)
     val df = Tables.table(spark, sf(), "documents")
