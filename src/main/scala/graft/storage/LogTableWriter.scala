@@ -55,18 +55,28 @@ object LogTableWriter {
       dataFiles(fs, root).view
         .filterKeys(rel => !absorbed.contains(rel)).values
         .map(_.toString).toSeq
+    // mergeSchema on the ROOT tail only: the reference's schema-evolution
+    // contract is additive append-at-the-end columns (`README.md:49`), so
+    // un-compacted appends may carry columns older files lack. The tail is
+    // bounded (compaction absorbs it), so the extra footer reads are cheap;
+    // a generation dir is one self-consistent rewrite and needs no merge.
+    def readTail(files: Seq[String]): DataFrame =
+      spark.read.option("basePath", path).option("mergeSchema", "true")
+        .parquet(files: _*)
     newestManifest(fs, root) match {
       case None =>
         val live = rootFiles(Set.empty)
         if (live.isEmpty) spark.read.parquet(path) // empty store: native error
-        else spark.read.option("basePath", path).parquet(live: _*)
+        else readTail(live)
       case Some((_, genDir, absorbed)) =>
         val gen = spark.read.parquet(
           new org.apache.hadoop.fs.Path(root, genDir).toString)
         val live = rootFiles(absorbed)
         if (live.isEmpty) gen
-        else gen.unionByName(
-          spark.read.option("basePath", path).parquet(live: _*))
+        // allowMissingColumns: pre-evolution generation vs evolved tail (or
+        // vice versa after compaction) — absent columns read as NULL, the
+        // same semantics ClickHouse gives added columns on old parts
+        else gen.unionByName(readTail(live), allowMissingColumns = true)
     }
   }
 

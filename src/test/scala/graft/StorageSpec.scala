@@ -120,6 +120,30 @@ class StorageSpec extends SparkSpec {
     assert(view().sameElements(before2))
   }
 
+  test("additive schema evolution: evolved appends read and compact cleanly") {
+    val tmp = Files.createTempDirectory("graft_evolve").toString
+    val one = graft.operators.AccessLog.project(lines.toDF("line"))
+    one.write.mode("append").partitionBy("logdate").parquet(tmp)
+    // the reference's evolution contract (README.md:49): new columns append
+    // at the end; old rows must read them as NULL
+    one.withColumn("geo_country", lit("US"))
+      .write.mode("append").partitionBy("logdate").parquet(tmp)
+    val before = LogTableWriter.read(spark, tmp)
+    assert(before.columns.contains("geo_country"))
+    assert(before.filter(col("geo_country").isNull).count() == one.count())
+    assert(before.filter(col("geo_country") === "US").count() == one.count())
+    // compaction rewrites the union schema into the new generation...
+    LogTableWriter.compact(spark, tmp)
+    val mid = LogTableWriter.read(spark, tmp)
+    assert(mid.count() == 2 * one.count() &&
+      mid.columns.contains("geo_country"))
+    // ...and a PRE-evolution-shaped append arriving later still reads
+    one.write.mode("append").partitionBy("logdate").parquet(tmp)
+    val after = LogTableWriter.read(spark, tmp)
+    assert(after.count() == 3 * one.count())
+    assert(after.filter(col("geo_country").isNull).count() == 2 * one.count())
+  }
+
   test("ingest dead-letters corrupt lines instead of storing empty rows") {
     val in = Files.createTempDirectory("graft_dl_in").toString
     val out = Files.createTempDirectory("graft_dl_out").toString
