@@ -104,9 +104,22 @@ object LogTableWriter {
     * real thing (Iceberg/Delta) — the read/commit protocol here is the same
     * shape.
     */
+  /** Retention (the `ALTER TABLE … DROP PARTITION` / MergeTree-TTL analog,
+    * reference R11): drop every daily partition strictly older than
+    * `cutoff`. Expressed as a compaction that retains only the live range,
+    * so expiry inherits the manifest commit protocol for free — readers see
+    * the old view until the new manifest lands, then the expired days are
+    * gone and their bytes are GC'd with the previous generation.
+    */
+  def expire(spark: SparkSession, path: String,
+             cutoff: java.time.LocalDate): Unit =
+    compact(spark, path,
+      retain = col("logdate") >= lit(java.sql.Date.valueOf(cutoff)))
+
   def compact(spark: SparkSession, path: String,
               maxRecordsPerFile: Long = 8L * 1024 * 1024,
-              beforeSwap: () => Unit = () => ()): Unit = {
+              beforeSwap: () => Unit = () => (),
+              retain: org.apache.spark.sql.Column = lit(true)): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(path)
@@ -122,8 +135,14 @@ object LogTableWriter {
       .filter(_.startsWith(base)).map(_.stripPrefix(base))
       .filterNot(_.matches("gen-\\d+/.*")) // prev generation dies wholesale below
       .toSet
-    write(input, new org.apache.hadoop.fs.Path(root, genDir).toString,
-      maxRecordsPerFile)
+    val genPath = new org.apache.hadoop.fs.Path(root, genDir)
+    write(input.filter(retain), genPath.toString, maxRecordsPerFile)
+    // fully-expired store: a partitioned write of 0 rows leaves no
+    // schema-bearing file — replace with one plain empty parquet file so
+    // the store stays readable (logdate becomes a regular NULL-able column)
+    if (dataFiles(fs, genPath).isEmpty)
+      input.filter(retain).coalesce(1)
+        .write.mode("overwrite").parquet(genPath.toString)
     beforeSwap() // test seam: simulate a concurrent append landing here
     // Atomic visibility flip: write sideways, rename to the manifest name.
     val tmp = new org.apache.hadoop.fs.Path(root, s"._manifest-$gen.tmp")

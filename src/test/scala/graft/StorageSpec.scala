@@ -120,6 +120,28 @@ class StorageSpec extends SparkSpec {
     assert(view().sameElements(before2))
   }
 
+  test("expire drops partitions older than the cutoff (DROP PARTITION/TTL)") {
+    val tmp = Files.createTempDirectory("graft_expire").toString
+    val one = graft.operators.AccessLog.project(lines.toDF("line"))
+    (1 to 2).foreach(_ => one.write.mode("append")
+      .partitionBy("logdate").parquet(tmp))
+    assert(LogTableWriter.read(spark, tmp).count() == 8)
+    LogTableWriter.expire(spark, tmp, java.time.LocalDate.parse("2020-04-07"))
+    val kept = LogTableWriter.read(spark, tmp)
+    assert(kept.count() == 4, "2020-04-06 rows must be gone")
+    assert(kept.select("logdate").distinct().collect().map(_.get(0).toString)
+      .sorted.toSeq == Seq("2020-04-07", "2020-04-08"))
+    // the expired day's bytes are GC'd, not just hidden
+    import scala.jdk.CollectionConverters._
+    val leftover = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      .iterator().asScala.count(p => p.toString.contains("logdate=2020-04-06") &&
+        p.toString.endsWith(".parquet"))
+    assert(leftover == 0, "expired partition files must be deleted")
+    // expiring everything still leaves a readable (empty) store
+    LogTableWriter.expire(spark, tmp, java.time.LocalDate.parse("2030-01-01"))
+    assert(LogTableWriter.read(spark, tmp).count() == 0)
+  }
+
   test("additive schema evolution: evolved appends read and compact cleanly") {
     val tmp = Files.createTempDirectory("graft_evolve").toString
     val one = graft.operators.AccessLog.project(lines.toDF("line"))
