@@ -27,6 +27,24 @@ object Bench {
       try graft.Tables.table(spark, sfDir, n).count()
       catch { case _: Throwable => () }
     }
+    // Warm the SHARED native-expression + window/agg codepaths the same way
+    // the ingest figure is warmed (C2 needs ~3 passes): per-query numbers
+    // stay single-pass, but the first text/vector query no longer pays the
+    // whole JIT bill for everybody.
+    try {
+      import org.apache.spark.sql.functions._
+      graft.operators.Dedup.register(spark)
+      val docs = graft.Tables.table(spark, sfDir, "documents").limit(2000)
+      val emb = graft.Tables.table(spark, sfDir, "embeddings").limit(2000)
+        .select(expr("transform(embedding, x -> cast(x as double))").as("v"))
+      (1 to 3).foreach { _ =>
+        docs.select(graft.operators.Dedup
+            .minhashSignature(graft.operators.Dedup.shingles(col("text"))))
+          .write.mode("overwrite").format("noop").save()
+        emb.select(graft.expressions.TextHashes.vecDot(col("v"), col("v")))
+          .write.mode("overwrite").format("noop").save()
+      }
+    } catch { case _: Throwable => () }
     // Deterministic name order so per-query timings are comparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
