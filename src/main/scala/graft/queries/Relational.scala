@@ -482,7 +482,7 @@ object Relational extends QueryModule {
 
     "q_scalar_string" ->
       """SELECT p_partkey, lower(p_name) AS lo, upper(p_brand) AS up,
-        |  substring(p_type, 1, 5) AS sub, length(p_name) AS len,
+        |  substring(p_type, 1, 5) AS sub, CAST(length(p_name) AS INT) AS len,
         |  p_brand || ':' || p_type AS cat,
         |  regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
         |  trim(p_name) AS trimmed, split_part(p_name, ' ', 1) AS first_tok
