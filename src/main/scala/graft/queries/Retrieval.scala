@@ -45,7 +45,6 @@ object Retrieval extends QueryModule {
     // aggregate) so Spark's agg order can't reorder double addition vs the
     // oracle.
     "q_bm25" -> ((s, d) => {
-      graft.operators.Dedup.register(s)
       val docs = t(s, d, "documents")
       val dl = docs.select(col("doc_id"),
         size(split(col("text"), " ")).as("dl"))

@@ -51,15 +51,17 @@ object StreamGate extends QueryModule {
       // state partitioning from this conf at first start (it lives in the
       // checkpoint thereafter); restore the session value right after.
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
+      try {
         s.conf.set("spark.sql.shuffle.partitions", "8")
-        StreamOps.tumblingCounts(src).writeStream
+        val q = StreamOps.tumblingCounts(src).writeStream
           .outputMode("complete")
           .option("checkpointLocation", ck)
           .format("memory").queryName(name)
           .trigger(Trigger.AvailableNow()).start()
+        // the stream pins its state width from this conf at the FIRST BATCH
+        // (async after start()), so the restore must wait for termination
+        q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      q.awaitTermination()
       s.table(name)
         .select(col("t").cast("timestamp_ntz").as("t"), col("cnt"))
         .orderBy(col("t"))
