@@ -114,12 +114,56 @@ object Media {
   }
 
   /** Resize stub as a pure column op: truncate bytes to a target size bound
-    * (placeholder for a real scale-down) while keeping metadata consistent.
+    * (a byte-budget cap, not a pixel op — see [[thumbnail]] for the real
+    * scale-down) while keeping metadata consistent.
     */
   def resize(df: DataFrame, maxBytes: Int): DataFrame =
     df.withColumn("bytes",
         expr(s"CASE WHEN length(bytes) > $maxBytes THEN substring(bytes, 1, $maxBytes) ELSE bytes END"))
       .withColumn("truncated", length(col("bytes")) === maxBytes)
+
+  /** REAL pixel scale-down: decode, fit into `maxDim`×`maxDim` preserving
+    * aspect ratio (never upscale), redraw through `Graphics2D` with bilinear
+    * interpolation, re-encode as PNG, and refresh the width/height metadata.
+    * Payloads no codec reads pass through byte-identical (width/height 0) —
+    * the operator is total, like [[featurize]]. `mapPartitions` keeps codec
+    * init per-partition; the transform is narrow (no shuffle), so thumbnail
+    * generation scales linearly with executors at 100 TB.
+    */
+  def thumbnail(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(maxDim > 0, s"maxDim must be positive: $maxDim")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val decoded =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.bytes)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some(img) if math.max(img.getWidth, img.getHeight) > maxDim =>
+            val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+            val w = math.max(1, math.round(img.getWidth * scale).toInt)
+            val h = math.max(1, math.round(img.getHeight * scale).toInt)
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            r.copy(bytes = bos.toByteArray, format = "image/png",
+              width = w, height = h)
+          case Some(img) => // already small enough: just refresh metadata
+            r.copy(width = img.getWidth, height = img.getHeight)
+          case None => r // opaque blob: pass through untouched
+        }
+      }
+    }
+  }
 
   /** Synthesize a MediaRow dataset from the documents table (text bytes as
     * the opaque payload) — lets every test and demo run on driver testdata.

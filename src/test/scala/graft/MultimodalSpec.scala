@@ -73,4 +73,38 @@ class MultimodalSpec extends SparkSpec {
     assert(out.filter(col("truncated") && length(col("bytes")) =!= 64).count() == 0)
     assert(out.filter(length(col("bytes")) > 64).count() == 0)
   }
+
+  test("thumbnail scales pixels down preserving aspect ratio") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, if ((x / 8 + y / 8) % 2 == 0) 0x000000 else 0xFFFFFF)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Media.MediaRow(1L, png(128, 64), "image/png", 0, 0),   // downscale 2:1
+      Media.MediaRow(2L, png(16, 12), "image/png", 0, 0),    // under limit
+      Media.MediaRow(3L, Array[Byte](9, 9, 9), "application/octet-stream", 0, 0))
+    val got = Media.thumbnail(spark.createDataset(rows), 32).collect()
+      .map(r => r.media_id -> r).toMap
+    // oversized: longest edge pinned to 32, aspect preserved, bytes re-encoded
+    assert(got(1L).width == 32 && got(1L).height == 16)
+    val re = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(got(1L).bytes))
+    assert(re.getWidth == 32 && re.getHeight == 16,
+      "re-encoded payload must carry the scaled pixel dimensions")
+    // small image: untouched bytes, metadata refreshed from the codec
+    assert(got(2L).width == 16 && got(2L).height == 12)
+    assert(got(2L).bytes.sameElements(rows(1).bytes))
+    // opaque blob: byte-identical pass-through
+    assert(got(3L).bytes.sameElements(rows(2).bytes) && got(3L).width == 0)
+    // narrow plan: no shuffle
+    val plan = Media.thumbnail(spark.createDataset(rows), 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
