@@ -125,7 +125,11 @@ object LogTableWriter {
     val root = new org.apache.hadoop.fs.Path(path)
     val prev = newestManifest(fs, root)
     val gen = prev.map(_._1 + 1).getOrElse(1)
-    val genDir = s"gen-$gen"
+    // Attempt-unique generation dir: two concurrent compactors racing to the
+    // same generation number must never write into the SAME directory, or the
+    // loser's rewrite could clobber data the winner's manifest already
+    // committed. The manifest body names the winning dir; orphans are GC'd.
+    val genDir = s"gen-$gen-${java.util.UUID.randomUUID.toString.take(8)}"
     // Build the input df FIRST and derive the absorbed set from the very
     // listing it scans — not from a separate walk that could race appends.
     val input = read(spark, path)
@@ -133,7 +137,7 @@ object LogTableWriter {
     val absorbedNow = input.inputFiles
       .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath)
       .filter(_.startsWith(base)).map(_.stripPrefix(base))
-      .filterNot(_.matches("gen-\\d+/.*")) // prev generation dies wholesale below
+      .filterNot(_.startsWith("gen-")) // prev generation dies wholesale below
       .toSet
     val genPath = new org.apache.hadoop.fs.Path(root, genDir)
     write(input.filter(retain), genPath.toString, maxRecordsPerFile)
@@ -143,15 +147,41 @@ object LogTableWriter {
     if (dataFiles(fs, genPath).isEmpty)
       input.filter(retain).coalesce(1)
         .write.mode("overwrite").parquet(genPath.toString)
-    beforeSwap() // test seam: simulate a concurrent append landing here
-    // Atomic visibility flip: write sideways, rename to the manifest name.
-    val tmp = new org.apache.hadoop.fs.Path(root, s"._manifest-$gen.tmp")
+    beforeSwap() // test seam: simulate concurrent work landing here
+    // Atomic CAS commit: write the manifest sideways under an attempt-unique
+    // tmp name, then rename onto `_manifest-<gen>` with Rename.NONE, which
+    // FAILS if the destination exists (the FileContext analog of
+    // create(overwrite=false) — the same single-winner commit primitive
+    // Delta's HDFS LogStore uses). Exactly one racing compactor wins the
+    // name; the loser aborts, GCs its orphan generation, and surfaces the
+    // conflict so the caller can retry against the new view.
+    val tmp = new org.apache.hadoop.fs.Path(root, s"._manifest-$gen.$genDir.tmp")
     val out = fs.create(tmp, true)
     out.write((genDir +: absorbedNow.toSeq.sorted).mkString("\n")
       .getBytes("UTF-8"))
     out.close()
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"_manifest-$gen"))
-    // GC: previous generation, its manifest, and the absorbed root files.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      root.toUri, spark.sparkContext.hadoopConfiguration)
+    val manifest = new org.apache.hadoop.fs.Path(root, s"_manifest-$gen")
+    try fc.rename(tmp, manifest)  // default = Rename.NONE: no overwrite
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        fs.delete(genPath, true)
+        throw new java.util.ConcurrentModificationException(
+          s"compaction of $path lost the commit race for generation $gen " +
+            "(another compactor committed first); this attempt was aborted " +
+            "and its orphan generation removed — re-run to compact the new view",
+          e)
+      case e: java.io.IOException if fs.exists(manifest) =>
+        // some FileContext impls signal an existing destination as a plain
+        // IOException — same outcome: we lost, clean up and abort
+        fs.delete(tmp, false)
+        fs.delete(genPath, true)
+        throw new java.util.ConcurrentModificationException(
+          s"compaction of $path lost the commit race for generation $gen", e)
+    }
+    // GC (winner only): previous generation, its manifest, absorbed root files.
     prev.foreach { case (k, d, _) =>
       fs.delete(new org.apache.hadoop.fs.Path(root, d), true)
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifest-$k"), false)
@@ -193,7 +223,7 @@ object LogTableWriter {
     def walk(p: org.apache.hadoop.fs.Path): Unit =
       fs.listStatus(p).foreach { st =>
         val name = st.getPath.getName
-        if (st.isDirectory) { if (!name.matches("gen-\\d+")) walk(st.getPath) }
+        if (st.isDirectory) { if (!name.startsWith("gen-")) walk(st.getPath) }
         else if (!name.startsWith("_") && !name.startsWith("."))
           out(st.getPath.toUri.getPath.stripPrefix(base)) = st.getPath
       }

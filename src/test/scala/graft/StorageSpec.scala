@@ -120,6 +120,42 @@ class StorageSpec extends SparkSpec {
     assert(view().sameElements(before2))
   }
 
+  test("two interleaved compactions: one winner, loser aborts + GCs its orphan") {
+    val tmp = Files.createTempDirectory("graft_compact_cas").toString
+    val one = graft.operators.AccessLog.project(lines.toDF("line"))
+    (1 to 3).foreach(_ => one.write.mode("append")
+      .partitionBy("logdate").parquet(tmp))
+    val before = LogTableWriter.read(spark, tmp)
+      .orderBy("clientip", "logdatetime").drop("logdate").collect()
+    // the outer compactor fully writes its generation, then — before its
+    // manifest CAS — a second compactor runs start-to-finish and commits.
+    // The outer CAS must lose: abort loudly, remove its orphan generation.
+    val lost = intercept[java.util.ConcurrentModificationException] {
+      LogTableWriter.compact(spark, tmp, beforeSwap = () =>
+        LogTableWriter.compact(spark, tmp))
+    }
+    assert(lost.getMessage.contains("lost the commit race"))
+    // exactly one committed manifest and exactly one generation dir survive
+    val names = new java.io.File(tmp).listFiles().map(_.getName)
+    assert(names.count(_.matches("_manifest-\\d+")) == 1,
+      s"expected one manifest: ${names.toSeq}")
+    assert(names.count(_.startsWith("gen-")) == 1,
+      s"loser's orphan generation not GC'd: ${names.toSeq}")
+    assert(names.count(_.endsWith(".tmp")) == 0, "stray tmp manifest left")
+    // and the surviving store reads the complete, duplicate-free view
+    val after = LogTableWriter.read(spark, tmp)
+      .orderBy("clientip", "logdatetime").drop("logdate").collect()
+    assert(after.sameElements(before), "store corrupted by the lost race")
+    // a retry against the new view then succeeds and advances the generation
+    LogTableWriter.compact(spark, tmp)
+    val names2 = new java.io.File(tmp).listFiles().map(_.getName)
+    assert(names2.count(_.matches("_manifest-\\d+")) == 1 &&
+      names2.exists(_.startsWith("_manifest-2")))
+    assert(LogTableWriter.read(spark, tmp)
+      .orderBy("clientip", "logdatetime").drop("logdate").collect()
+      .sameElements(before))
+  }
+
   test("expire drops partitions older than the cutoff (DROP PARTITION/TTL)") {
     val tmp = Files.createTempDirectory("graft_expire").toString
     val one = graft.operators.AccessLog.project(lines.toDF("line"))
