@@ -17,10 +17,13 @@ import graft.operators.AccessLog
   * `AccessLog` pipeline, with the hostname/tag taken from each message's own
   * envelope instead of a constant.
   *
-  * Scale note: the TCP/UDP receivers are dev/integration-grade (driver-side
-  * buffering, no replay past restart — the same contract as Spark's built-in
-  * `socket` source); a production 100 TB/day deployment fronts receivers
-  * with a durable bus, which is the one-line [[Syslog.Kafka]] swap.
+  * Scale note: the in-driver TCP/UDP receivers are dev/integration-grade
+  * (driver-side buffering, no replay past restart — the same contract as
+  * Spark's built-in `socket` source). The production transports are
+  * [[Syslog.Kafka]] (durable bus) and [[Syslog.Spooled]] ([[SyslogSpool]]
+  * receivers on the ingest nodes → synced rolling files → the
+  * checkpointed file source) — both keep frames out of the driver heap
+  * and replay past restarts.
   */
 object Syslog {
 
@@ -107,6 +110,18 @@ object Syslog {
   final case class Files(dir: String) extends SyslogSource {
     def lines(spark: SparkSession): DataFrame =
       spark.readStream.text(dir).withColumnRenamed("value", "line")
+  }
+
+  /** The durable receiver path: any number of [[SyslogSpool]] UDP/TCP
+    * receivers — plain JVMs on the ingest nodes, NOT in the Spark driver —
+    * write frames to synced, atomically-renamed rolling files under `dir`,
+    * and the query tails them with the checkpointed file source. Frames
+    * survive both receiver and query restarts once rolled (the two-barrier
+    * contract documented on [[SyslogSpool]]); read parallelism is the
+    * number of spool files per micro-batch.
+    */
+  final case class Spooled(dir: String) extends SyslogSource {
+    def lines(spark: SparkSession): DataFrame = Files(dir).lines(spark)
   }
 
   /** The unbounded syslog line table for any transport. */
