@@ -1,0 +1,169 @@
+package graft.streaming
+
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** ClickHouse-dialect SQL generation for the R9/R11 production sink.
+  *
+  * The reference lands rows in ClickHouse over HTTP: `omclickhouse`
+  * renders one INSERT per message from the `ng` template
+  * (`/root/reference/nginx.conf:2-46`) against the MergeTree table declared
+  * at `/root/reference/nginx.click:1`. No ClickHouse server exists in this
+  * sandbox, so the contract here is the DIALECT, golden-tested against
+  * those two reference artifacts: [[ClickHouseDialect.accessLogDdl]]
+  * reproduces `nginx.click:1` token-for-token from the shared
+  * `Tables.accessLogSchema` constants, and the INSERT generator emits the
+  * template's exact column list with multi-row VALUES batching (what
+  * omclickhouse's bulk mode does). A live deployment plugs these
+  * statements into any HTTP/JDBC executor; [[ClickHouseSink]] is the
+  * `foreachBatch` wiring with the same per-batch replay idempotence as
+  * [[JdbcSink]].
+  */
+object ClickHouseDialect {
+
+  /** SURVEY §1.2 Spark→ClickHouse map. Spark has no unsigned integral
+    * types, so columns that must round-trip to `UInt*` (the reference's
+    * `response UInt16`, `bytes UInt64`) carry per-column overrides.
+    */
+  def chType(dt: DataType): String = dt match {
+    case StringType | BinaryType            => "String"
+    case DateType                           => "Date"
+    case TimestampType | TimestampNTZType   => "DateTime"
+    case ByteType                           => "Int8"
+    case ShortType                          => "Int16"
+    case IntegerType                        => "Int32"
+    case LongType                           => "Int64"
+    case FloatType                          => "Float32"
+    case DoubleType                         => "Float64"
+    case BooleanType                        => "UInt8"
+    case other =>
+      throw new IllegalArgumentException(s"no ClickHouse mapping for $other")
+  }
+
+  /** MergeTree DDL for a Spark schema. `overrides` pins exact ClickHouse
+    * types per column; `exclude` drops Spark-side-only columns.
+    */
+  def createTableDdl(table: String, schema: StructType,
+                     partitionBy: String, orderBy: Seq[String],
+                     granularity: Int = 8192,
+                     overrides: Map[String, String] = Map.empty,
+                     exclude: Set[String] = Set.empty): String = {
+    val cols = schema.fields.filterNot(f => exclude(f.name))
+      .map(f => s"${f.name} ${overrides.getOrElse(f.name, chType(f.dataType))}")
+    s"CREATE TABLE $table ( ${cols.mkString(", ")} ) Engine = MergeTree() " +
+      s"PARTITION BY $partitionBy ORDER BY (${orderBy.mkString(", ")}) " +
+      s"SETTINGS index_granularity=$granularity"
+  }
+
+  /** The access-log store DDL — `/root/reference/nginx.click:1` derived
+    * from `Tables.accessLogSchema`. `tz`/`_corrupt` are the documented
+    * additive Spark-side columns (SURVEY §1.2) and stay out of the
+    * reference table; the UInt overrides are §1.2's unsigned mapping.
+    */
+  def accessLogDdl(table: String = "nginx"): String =
+    createTableDdl(table, graft.Tables.accessLogSchema,
+      partitionBy = "toYYYYMMDD(logdate)",
+      orderBy = Seq("logdate", "logdatetime"),
+      overrides = Map("response" -> "UInt16", "bytes" -> "UInt64"),
+      exclude = Set("tz", "_corrupt"))
+
+  private val DateTimeFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
+
+  /** One SQL literal. Strings escape `\` and `'` (ClickHouse escaping);
+    * DateTime renders at second granularity in UTC, matching the
+    * reference's `DateTime` column and session timezone.
+    */
+  def literal(v: Any): String = v match {
+    case null                  => "NULL"
+    case s: String             =>
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case d: java.sql.Date      => s"'$d'"
+    case t: java.sql.Timestamp => "'" + DateTimeFmt.format(t.toInstant) + "'"
+    case t: java.time.LocalDateTime => "'" + DateTimeFmt.format(t.toInstant(ZoneOffset.UTC)) + "'"
+    case b: Boolean            => if (b) "1" else "0"
+    case b: Array[Byte]        => literal(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    case n                     => n.toString
+  }
+
+  /** Multi-row `INSERT INTO t (cols) VALUES (…), (…)` — omclickhouse's
+    * bulk shape (one statement per template render, batched by the action
+    * queue; `nginx.conf:3` fixes the column list golden-tested in
+    * ClickHouseDialectSpec).
+    */
+  def insertStatement(table: String, columns: Seq[String], rows: Seq[Row]): String = {
+    require(rows.nonEmpty, "empty INSERT batch")
+    val vals = rows.map(r =>
+      columns.indices.map(i => literal(r.get(i))).mkString("(", ", ", ")"))
+    s"INSERT INTO $table (${columns.mkString(", ")}) VALUES ${vals.mkString(", ")}"
+  }
+
+  /** The replay guard: ClickHouse lightweight DELETE of a replayed batch
+    * id — the dialect twin of [[JdbcSink.writeBatch]]'s DELETE.
+    */
+  def deleteBatchSql(table: String, batchId: Long): String =
+    s"DELETE FROM $table WHERE ${JdbcSink.BatchIdCol} = $batchId"
+}
+
+/** `foreachBatch` ClickHouse sink: per-batch replay DELETE then
+  * partition-parallel batched INSERTs. `executorFactory` supplies the
+  * statement transport — one instance per task, created executor-side, so
+  * every partition posts its own INSERTs concurrently straight from the
+  * executors (the driver only issues the replay DELETE). In production
+  * that is an HTTP POST to `:8123` (omclickhouse's transport,
+  * `nginx.conf:61-63`); tests record statements instead.
+  */
+object ClickHouseSink {
+
+  type Executor = String => Unit
+
+  def writeBatch(batch: DataFrame, batchId: Long, table: String,
+                 executorFactory: () => Executor,
+                 maxRowsPerInsert: Int = 10000): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val withId = batch.withColumn(JdbcSink.BatchIdCol, lit(batchId))
+    val cols = withId.schema.fieldNames.toSeq
+    executorFactory()(ClickHouseDialect.deleteBatchSql(table, batchId))
+    withId.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val exec = executorFactory()
+        rows.grouped(maxRowsPerInsert).foreach(g =>
+          exec(ClickHouseDialect.insertStatement(table, cols, g.toSeq)))
+      }
+    }
+  }
+
+  /** Streams `df` into ClickHouse with per-batch idempotence. */
+  def start(df: DataFrame, table: String, checkpointDir: String,
+            executorFactory: () => Executor,
+            trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        writeBatch(b, id, table, executorFactory))
+      .start()
+
+  /** The production transport: POST each statement to ClickHouse's HTTP
+    * endpoint (`nginx.conf:61-63`: server/port/usehttps). Untestable in
+    * this sandbox (no server) — the dialect behind it is what the golden
+    * tests pin.
+    */
+  def httpExecutor(server: String, port: Int = 8123,
+                   https: Boolean = false): () => Executor = () => { sql =>
+    val scheme = if (https) "https" else "http"
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"$scheme://$server:$port/"))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(sql))
+      .build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"ClickHouse HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+  }
+}
