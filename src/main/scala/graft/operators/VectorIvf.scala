@@ -81,7 +81,8 @@ object VectorIvf {
     */
   def searchTopK(e: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, cents: Array[Seq[Double]], nProbe: Int,
-                 topK: Int): DataFrame = {
+                 topK: Int,
+                 broadcastRowLimit: Long = Joins.BroadcastRowLimit): DataFrame = {
     VectorOps.register(e.sparkSession)
     val bcId = VectorOps.broadcastCentroids(e.sparkSession,
       cents.map(_.toArray))
@@ -91,7 +92,7 @@ object VectorIvf {
     val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
         explode(VectorOps.nearestCentroidsBc(col(vecCol), bcId, nProbe))
           .as("cell"))
-    val scored = cand.join(broadcast(probes), Seq("cell"))
+    val scored = cand.join(Joins.maybeBroadcast(probes, broadcastRowLimit), Seq("cell"))
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
         (graft.expressions.TextHashes.vecDot(col("qv"), col("cv")) /

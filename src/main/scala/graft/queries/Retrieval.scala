@@ -75,7 +75,7 @@ object Retrieval extends QueryModule {
     // candidate corpus 8× (byte vs double) while integer dot products stay
     // EXACT in double arithmetic (|q·q| ≤ 64·127² ≪ 2⁵³ — fold order is
     // irrelevant, unlike float dots), so both engines agree bit-for-bit.
-    // Same broadcast-the-small-query-side plan as q_sim_topk. floor(x+0.5)
+    // Same size-switched query-side plan as q_sim_topk. floor(x+0.5)
     // instead of round(): identical half-up semantics on every engine.
     "q_sim_quant" -> ((s, d) => {
       graft.operators.Dedup.register(s)
@@ -92,7 +92,7 @@ object Retrieval extends QueryModule {
         .select(col("vec_id").as("q_id"), col("q").as("qv"), col("qn").as("qnn"))
       val scored = e.select(col("vec_id").as("c_id"), col("q").as("cv"),
           col("qn").as("cn"))
-        .join(broadcast(qs), col("c_id") =!= col("q_id"))
+        .join(graft.operators.Joins.maybeBroadcast(qs), col("c_id") =!= col("q_id"))
         .select(col("q_id"), col("c_id"),
           (dot(col("qv"), col("cv")) / (col("qnn") * col("cn"))).as("score"))
       val w = Window.partitionBy(col("q_id"))

@@ -218,17 +218,18 @@ object SimilarityOps extends QueryModule {
 
   def queries: Seq[(String, QFn)] = Seq(
     // Brute-force cosine top-10 for a small query set — the exact baseline.
-    // The SMALL query set is the broadcast/build side; the full candidate
-    // table streams through the BroadcastNestedLoopJoin probe side, so
-    // nothing unbounded is ever collected to one node (PlanSpec asserts the
-    // build side carries the vec_id<5 filter).
+    // The query side is broadcast only while it is actually small
+    // (Joins.maybeBroadcast size switch): the dashboard shape streams the
+    // candidate table through a BroadcastNestedLoopJoin probe side, while a
+    // corpus-sized query set falls back to the planner's shuffle path
+    // instead of OOMing the build side (PlanSpec asserts both regimes).
     "q_sim_topk" -> ((s, d) => {
       val e = embWithNorm(s, d)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"),
         col("nrm").as("cn"))
-      val scored = c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      val scored = c.join(graft.operators.Joins.maybeBroadcast(q), col("c_id") =!= col("q_id"))
         .select(col("q_id"), col("c_id"),
           (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
       val w = Window.partitionBy(col("q_id"))
@@ -249,7 +250,7 @@ object SimilarityOps extends QueryModule {
       val qCodes = codes.filter(col("vec_id") < 5)
         .select(col("code"), col("vec_id").as("q_id"))
       val cand = codes.select(col("code"), col("vec_id").as("c_id"))
-        .join(broadcast(qCodes), Seq("code"))
+        .join(graft.operators.Joins.maybeBroadcast(qCodes), Seq("code"))
         .filter(col("c_id") =!= col("q_id"))
         .select(col("q_id"), col("c_id")).distinct()
       val scored = cand

@@ -122,4 +122,30 @@ class PlanSpec extends SparkSpec {
     assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
       s"projection fell out of codegen:\n$p")
   }
+
+  test("ANN query side: broadcast below the size switch, shuffle above it") {
+    // auto-broadcast off isolates the HINT: below the limit the switch must
+    // still produce a broadcast join; above it, the planner's shuffle path.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val e = queries.SimilarityOps.embWithNorm(spark, sf())
+        .select(col("vec_id"), col("v"))
+      val cents = graft.operators.VectorIvf.kmeans(e, "vec_id", "v", 4, 1)
+      val small = graft.operators.VectorIvf.searchTopK(
+        e, e.filter(col("vec_id") < 5), "vec_id", "v", cents,
+        nProbe = 2, topK = 3)
+      assert(small.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "small query side lost its broadcast hint")
+      val qBig = spark.range(20).crossJoin(e)
+        .select((col("vec_id") + col("id") * 1000000L).as("vec_id"), col("v"))
+      val big = graft.operators.VectorIvf.searchTopK(
+        e, qBig, "vec_id", "v", cents, nProbe = 2, topK = 3,
+        broadcastRowLimit = 1000)
+      assert(!big.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "over-limit query side still broadcast — the size switch is dead")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -196,6 +196,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"sampled k=64 IVF recall@10 = $recall < 0.9")
   }
 
+  test("searchTopK handles a 10k-row query set (batch retrieval, no broadcast OOM path)") {
+    // corpus-vs-corpus shape: the query side is 20× the corpus — far past
+    // any sane broadcast build. The size switch must route it through the
+    // shuffle path and still return a full top-k per query.
+    val e = queries.SimilarityOps.embWithNorm(spark, sf())
+      .select(col("vec_id"), col("v"))
+    val cents = graft.operators.VectorIvf.kmeans(e, "vec_id", "v", 8, 2)
+    val qBig = spark.range(20).crossJoin(e)
+      .select((col("vec_id") + col("id") * 1000000L).as("vec_id"), col("v"))
+    assert(qBig.count() == 10000)
+    val res = graft.operators.VectorIvf.searchTopK(
+      e, qBig, "vec_id", "v", cents, nProbe = 2, topK = 3,
+      broadcastRowLimit = 1000)
+    // spot-check: every original query id surfaces with ranked neighbors
+    val got = res.filter(col("q_id") < 5).collect()
+    assert(got.nonEmpty)
+    assert(got.groupBy(_.getLong(0)).forall(_._2.length <= 3))
+    assert(res.groupBy(col("q_id")).count().agg(max("count")).head.getLong(0) <= 3)
+  }
+
   test("approx_count_distinct within 5% of exact (q_approx_distinct contract)") {
     val li = Tables.table(spark, sf(), "lineitem")
     val approx = li.agg(approx_count_distinct(col("l_partkey"))).head().getLong(0)
