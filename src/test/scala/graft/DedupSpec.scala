@@ -76,12 +76,31 @@ class DedupSpec extends SparkSpec {
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), (15L, 16L),
       (20L, 21L), (21L, 22L), (20L, 22L),
       (30L, 31L)).toDF("a", "b")
-    val got = graft.operators.Components.connectedComponents(edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (10L to 16L).foreach(n => assert(got(n) == 10L, s"chain node $n"))
-    (20L to 22L).foreach(n => assert(got(n) == 20L, s"triangle node $n"))
-    assert(got(30L) == 30L && got(31L) == 30L)
-    assert(got.size == 12)
+    // both solver paths must agree: the size-switched driver union-find
+    // (default for a tiny graph) and the distributed fixpoint (forced via
+    // localSolveEdgeLimit = 0)
+    for (limit <- Seq(graft.operators.Components.LocalSolveEdgeLimit, 0L)) {
+      val got = graft.operators.Components.connectedComponents(edges, limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (10L to 16L).foreach(n => assert(got(n) == 10L, s"chain node $n (limit=$limit)"))
+      (20L to 22L).foreach(n => assert(got(n) == 20L, s"triangle node $n (limit=$limit)"))
+      assert(got(30L) == 30L && got(31L) == 30L)
+      assert(got.size == 12)
+    }
+  }
+
+  test("local union-find == distributed fixpoint on a pseudo-random graph") {
+    // 300 deterministic edges over ~200 nodes: many multi-node components,
+    // self-dups, cross-links. The two solvers must be bit-identical.
+    val edges = spark.range(300).select(
+      pmod(hash(col("id")), lit(200)).cast("bigint").as("a"),
+      pmod(hash(col("id") * 7 + 3), lit(200)).cast("bigint").as("b"))
+    val local = graft.operators.Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val dist = graft.operators.Components.connectedComponents(edges, 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(local == dist)
+    assert(local.nonEmpty)
   }
 
   test("connected components fixpoint stops early on a clique") {
