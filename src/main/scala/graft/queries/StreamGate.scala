@@ -113,11 +113,18 @@ object StreamGate extends QueryModule {
       // one stream-start floor instead of r3's three.
       val in = replayCache(d, "ssess2") { dir =>
         val ev = t(s, d, "events").select(col("ts"), col("user_id"))
-        ev.repartitionByRange(2, col("ts"))
-          .select(col("ts"), col("user_id"),
-            org.apache.spark.sql.functions.spark_partition_id().as("part"))
-          .write.partitionBy("part").mode("overwrite").parquet(dir)
-        val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+        // midpoint split instead of repartitionByRange: two narrow filtered
+        // scans (no range-exchange shuffle, no sampling pass), and the same
+        // agg supplies the sentinel base. coalesce(1): each chunk must be
+        // ONE file for the 1-file-per-trigger replay order.
+        val mm = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+        val maxTs = mm.getTimestamp(1)
+        val mid = new java.sql.Timestamp(
+          (mm.getTimestamp(0).getTime + maxTs.getTime) / 2)
+        ev.filter(col("ts") < mid).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/part=0")
+        ev.filter(col("ts") >= mid).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/part=1")
         Seq(8, 9).foreach { r =>
           Seq((new java.sql.Timestamp(maxTs.getTime + r * 86400000L), -1L))
             .toDF("ts", "user_id")
