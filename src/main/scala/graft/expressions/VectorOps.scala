@@ -203,10 +203,109 @@ object VectorOps {
       copy(child = c)
   }
 
+  /** Product-quantization encode via a broadcast FLAT codebook table (row
+    * `m·K + k` = centroid k of subspace m, K inferred from table size):
+    * `code_m = argmin_k ‖v[m·dsub ..] − cent(m,k)‖²`. All M argmins run in
+    * one JIT loop per row — the corpus's 8-int code replaces its
+    * dim-double vector everywhere downstream (the PQ memory path; Jégou
+    * et al., TPAMI 2011).
+    */
+  case class PqEncodeBc(left: Expression, right: Expression,
+                        bc: Broadcast[Array[Array[Double]]])
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val cents: Array[Array[Double]] = bc.value
+    @transient private lazy val m: Int =
+      right.eval(null).asInstanceOf[Number].intValue()
+
+    def evalCodes(vec: ArrayData): ArrayData = {
+      val v = vec.toDoubleArray()
+      val k = cents.length / m
+      val dsub = v.length / m
+      val out = new Array[Any](m)
+      var mi = 0
+      while (mi < m) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val ct = cents(mi * k + c)
+          var d = 0.0; var i = 0
+          while (i < dsub) { val t = v(mi * dsub + i) - ct(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(mi) = java.lang.Integer.valueOf(best)
+        mi += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("pqencbc", this, classOf[PqEncodeBc].getName)
+      nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $self.evalCodes($a);")
+    }
+    override def nullSafeEval(v: Any, mm: Any): Any =
+      evalCodes(v.asInstanceOf[ArrayData])
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** Asymmetric PQ cosine: `dot(q, recon(codes)) / (‖q‖·‖recon(codes)‖)`
+    * where `recon` concatenates the coded centroids. One pass accumulates
+    * the dot AND the reconstruction norm — the corpus side contributes
+    * only its M-int codes, never a vector (the ADC search shape: query
+    * exact, candidates compressed).
+    */
+  case class PqCosBc(first: Expression, second: Expression, third: Expression,
+                     bc: Broadcast[Array[Array[Double]]])
+      extends TernaryExpression {
+    override def dataType: DataType = DoubleType
+    @transient private lazy val cents: Array[Array[Double]] = bc.value
+    @transient private lazy val m: Int =
+      third.eval(null).asInstanceOf[Number].intValue()
+
+    def evalCos(q: ArrayData, codes: ArrayData): Double = {
+      val qv = q.toDoubleArray()
+      val k = cents.length / m
+      val dsub = qv.length / m
+      var dot = 0.0; var rn = 0.0; var qn = 0.0
+      var i = 0
+      while (i < qv.length) { qn += qv(i) * qv(i); i += 1 }
+      var mi = 0
+      while (mi < m) {
+        val ct = cents(mi * k + codes.getInt(mi))
+        var j = 0
+        while (j < dsub) {
+          val x = ct(j); dot += qv(mi * dsub + j) * x; rn += x * x; j += 1
+        }
+        mi += 1
+      }
+      val den = math.sqrt(qn) * math.sqrt(rn)
+      if (den == 0.0) 0.0 else dot / den
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("pqcosbc", this, classOf[PqCosBc].getName)
+      nullSafeCodeGen(ctx, ev, (a, b, _) => s"${ev.value} = $self.evalCos($a, $b);")
+    }
+    override def nullSafeEval(q: Any, codes: Any, mm: Any): Any =
+      java.lang.Double.valueOf(
+        evalCos(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData]))
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                   t: Expression) =
+      copy(first = f, second = s, third = t)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_quantize_i8",
       es => QuantizeI8(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_encode_bc",
+      es => PqEncodeBc(es(0), es(2), bcReg.synchronized {
+        bcReg.get(es(1).eval(null).asInstanceOf[Number].longValue())
+      }), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_cos_bc",
+      es => PqCosBc(es(0), es(1), es(3), bcReg.synchronized {
+        bcReg.get(es(2).eval(null).asInstanceOf[Number].longValue())
+      }), "built-in")
     reg.createOrReplaceTempFunction("graft_nearest_centroid",
       es => NearestCentroid(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_nearest_centroids",
@@ -222,6 +321,10 @@ object VectorOps {
   }
 
   def quantizeI8(v: Column): Column = call_function("graft_quantize_i8", v)
+  def pqEncodeBc(v: Column, bcId: Long, m: Int): Column =
+    call_function("graft_pq_encode_bc", v, lit(bcId), lit(m))
+  def pqCosBc(q: Column, codes: Column, bcId: Long, m: Int): Column =
+    call_function("graft_pq_cos_bc", q, codes, lit(bcId), lit(m))
   def nearestCentroid(v: Column, cents: Column): Column =
     call_function("graft_nearest_centroid", v, cents)
   def nearestCentroids(v: Column, cents: Column, nProbe: Column): Column =

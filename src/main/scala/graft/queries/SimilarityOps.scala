@@ -283,6 +283,23 @@ object SimilarityOps extends QueryModule {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Product-quantization ANN (M=8 subspaces × K=16 centroids → 8-int
+    // codes, 64× smaller than the 64-double vectors): ADC-cosine shortlist
+    // over codes only, exact re-rank of the shortlist. Rows-only in the
+    // driver gate for the same trained-quantizer FP reason as
+    // q_sim_ivf_kmeans; PqSpec asserts encode determinism, ADC exactness
+    // vs driver reconstruction, and the recall floor.
+    "q_sim_pq" -> ((s, d) => {
+      val e = embWithNorm(s, d).select(col("vec_id"), col("v"))
+      val books = graft.operators.VectorPq.trainCodebooks(
+        e, "vec_id", "v", m = 8, k = 16, iters = 3, trainSampleMod = 2)
+      val q = e.filter(col("vec_id") < 5)
+      graft.operators.VectorPq
+        .searchTopK(e, q, "vec_id", "v", books, m = 8, topK = 5,
+          shortlistK = 150)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs: multi-probe banded LSH over INTEGER
     // band codes bit-sliced from the 128-plane signature (no extra plane
     // dots; 8-byte join keys). One-sided radius-2 probing: the probe side
