@@ -56,6 +56,62 @@ object Extended extends QueryModule {
         .orderBy(col("o_custkey"))
     }),
 
+    // Bounded ROWS frame (moving window over the last 4 orders per
+    // customer). FP discipline: the frame sum runs in DECIMAL (exact in
+    // both engines — DuckDB computes sliding aggregates over a segment
+    // tree whose double fold order differs from Spark's) and casts to
+    // double only at the end.
+    "q_win_movavg" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-3, 0)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).over(w)
+            .cast("double").as("mov_sum"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // RANGE frame over event time: per user, how many of their events fall
+    // in the trailing hour (inclusive peers at the same second — RANGE, not
+    // ROWS). Seconds come from the identical truncating µs→s division.
+    "q_win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+        .rangeBetween(-3599, 0)
+      t(s, d, "events")
+        .select(col("user_id"), col("ts").cast("long").as("ts_s"))
+        .withColumn("cnt_1h", count(lit(1)).over(w))
+        .orderBy(col("user_id"), col("ts_s"), col("cnt_1h"))
+    }),
+
+    // Exact linear-interpolation percentiles per group (Spark `percentile`
+    // ≡ DuckDB `quantile_cont`).
+    "q_percentile" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Cohort retention: users bucketed by first-activity week, counted in
+    // every week they return (weekly: the test window spans ~5 weeks but
+    // one month). The cohort table is per-user (small side — broadcastable
+    // against the activity table at any corpus size).
+    "q_retention_cohort" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("ts"))
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort"))
+      val active = ev
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("m"))
+        .distinct()
+      cohorts.join(active, Seq("user_id"))
+        .groupBy(col("cohort"), col("m"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy(col("cohort"), col("m"))
+    }),
+
     // Ordered string aggregation (LISTAGG/string_agg surface).
     "q_string_agg" -> ((s, d) => {
       t(s, d, "supplier")
@@ -396,6 +452,37 @@ object Extended extends QueryModule {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         |SELECT o_custkey, first_key, last_key, second_key
         |FROM x WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_win_movavg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS mov_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_range_frame" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_s FROM events)
+        |SELECT user_id, ts_s,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts_s
+        |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS cnt_1h
+        |FROM e ORDER BY user_id, ts_s, cnt_1h""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_retention_cohort" ->
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |    FROM events GROUP BY user_id),
+        |  a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS m
+        |    FROM events)
+        |SELECT f.cohort, a.m, count(*) AS users
+        |FROM f JOIN a USING (user_id)
+        |GROUP BY f.cohort, a.m ORDER BY f.cohort, a.m""".stripMargin,
 
     "q_string_agg" ->
       """SELECT s_nationkey,
