@@ -8,10 +8,10 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("rows-only queries are the documented four") {
+  test("rows-only queries are the documented five") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q_approx_distinct", "q_dedup_near",
-      "q_dedup_simhash", "q_sim_ivf_kmeans"),
+      "q_dedup_simhash", "q_sim_ivf_kmeans", "q_sim_pq"),
       s"unexpected rows-only set: $rowsOnly")
   }
 
