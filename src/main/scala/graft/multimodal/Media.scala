@@ -165,6 +165,87 @@ object Media {
     }
   }
 
+  /** Decoded audio output: real PCM stats when a JDK codec (WAV/AIFF/AU)
+    * reads the payload; byte-histogram fallback otherwise, like images.
+    * `windows` = per-window RMS over `windowSamples`-sample windows — the
+    * audio analog of frame sampling (feeds VAD/segmentation downstream).
+    */
+  case class AudioFeatures(media_id: Long, decoded: Boolean,
+                           sample_rate: Double, channels: Int, n_samples: Long,
+                           duration_s: Double, rms: Double,
+                           zero_crossings: Long, windows: Array[Double])
+
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU —
+    * the PCM container formats; compressed codecs would slot in along the
+    * same seam). Returns None when no installed reader recognizes the
+    * bytes. Samples normalize to [-1,1] doubles from the container's
+    * sample size/endianness; deterministic integer→double conversion.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Double])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val bits = fmt.getSampleSizeInBits
+      if (bits != 8 && bits != 16) None
+      else {
+        val raw = in.readAllBytes()
+        val bytesPer = bits / 8
+        val n = raw.length / bytesPer
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val v =
+            if (bits == 8) (raw(i) & 0xFF) - 128
+            else {
+              val (b0, b1) = (raw(2 * i) & 0xFF, raw(2 * i + 1) & 0xFF)
+              val u = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+              (u << 16) >> 16 // sign-extend
+            }
+          out(i) = v / (if (bits == 8) 128.0 else 32768.0)
+          i += 1
+        }
+        Some((fmt, out))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Audio featurize: real decode → duration / RMS / zero-crossings /
+    * per-window RMS envelope; opaque payloads degrade to the byte
+    * histogram as 'windows' with decoded=false. Narrow `mapPartitions`
+    * like [[featurize]] — codec init per partition, linear scaling.
+    */
+  def featurizeAudio(media: Dataset[MediaRow],
+                     windowSamples: Int = 1024): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    require(windowSamples > 0)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeAudio(r.bytes) match {
+          case Some((fmt, pcm)) =>
+            val ch = math.max(fmt.getChannels, 1)
+            val frames = pcm.length / ch
+            var sumSq = 0.0; var zc = 0L
+            var i = 0
+            while (i < pcm.length) {
+              sumSq += pcm(i) * pcm(i)
+              if (i >= ch && (pcm(i) >= 0) != (pcm(i - ch) >= 0)) zc += 1
+              i += 1
+            }
+            val windows = pcm.grouped(windowSamples).map { w =>
+              math.sqrt(w.map(x => x * x).sum / w.length)
+            }.toArray
+            AudioFeatures(r.media_id, decoded = true,
+              fmt.getSampleRate.toDouble, ch, frames,
+              frames / fmt.getSampleRate.toDouble,
+              math.sqrt(sumSq / math.max(pcm.length, 1)), zc, windows)
+          case None =>
+            AudioFeatures(r.media_id, decoded = false, 0.0, 0, 0L, 0.0, 0.0,
+              0L, decodeStub(r.bytes))
+        }
+      }
+    }
+  }
+
   /** Synthesize a MediaRow dataset from the documents table (text bytes as
     * the opaque payload) — lets every test and demo run on driver testdata.
     */

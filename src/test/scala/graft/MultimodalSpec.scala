@@ -107,4 +107,37 @@ class MultimodalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("real WAV payloads decode via javax.sound with true rate/duration/RMS") {
+    import spark.implicits._
+    // 0.5 s of a 440 Hz sine at 8 kHz, 16-bit mono PCM, amplitude 0.5
+    val rate = 8000f; val n = 4000; val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val v = (amp * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+      pcm(2 * i) = (v & 0xFF).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val rows = Seq(
+      Media.MediaRow(1L, bos.toByteArray, "audio/wav", 0, 0),
+      Media.MediaRow(2L, "definitely not audio".getBytes, "text/plain", 0, 0))
+    val out = Media.featurizeAudio(spark.createDataset(rows), windowSamples = 1024)
+      .collect().map(f => f.media_id -> f).toMap
+    val a = out(1L)
+    assert(a.decoded && a.sample_rate == 8000.0 && a.channels == 1)
+    assert(a.n_samples == n)
+    assert(math.abs(a.duration_s - 0.5) < 1e-9)
+    // RMS of a sine = amp/√2; finite-length windowing keeps it within 1%
+    assert(math.abs(a.rms - amp / math.sqrt(2)) < 0.01, s"rms ${a.rms}")
+    // a 440 Hz tone crosses zero ~2·440·0.5 = 440 times
+    assert(math.abs(a.zero_crossings - 440L) <= 2, s"zc ${a.zero_crossings}")
+    assert(a.windows.length == (n + 1023) / 1024)
+    val b = out(2L)
+    assert(!b.decoded && b.windows.length == 16)
+  }
 }
