@@ -93,6 +93,40 @@ object ScaleProbe {
     ev10.write.mode("overwrite").parquet(s"$ev10dir/events.parquet")
     time("tumbling_stream_1x") { runQ("s_tumbling_counts", sf) }
     time("tumbling_stream_10x") { runQ("s_tumbling_counts", ev10dir) }
+    // durable spool transport: 200k syslog frames over one TCP connection
+    // through the hsync'd rolling spool until every byte is VISIBLE
+    // (rolled + renamed) — the measured floor of the r5 ingest path.
+    // One receiver ≈ one rsyslog instance; the fleet scales horizontally.
+    val spoolDir = java.nio.file.Files
+      .createTempDirectory("graft_scale_spool").toString
+    val spool = new graft.streaming.SyslogSpool.Spool(spoolDir,
+      rollBytes = 4L << 20, rollMillis = 1000)
+    val rx = new graft.streaming.SyslogSpool.TcpReceiver(0, spool)
+    val line = """<190>Apr  6 09:54:48 web01 nginx: 127.0.0.1 - - """ +
+      """[06/Apr/2020:09:54:48 -0400] "GET / HTTP/1.1" 200 612 "-" "curl/7.29.0" "-""""
+    val nLines = 200000
+    val expectBytes = nLines.toLong * (line.length + 1)
+    time(s"spool_tcp_${nLines}frames") {
+      val sock = new java.net.Socket("127.0.0.1", rx.boundPort)
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(sock.getOutputStream,
+          java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+      (1 to nLines).foreach { _ => w.write(line); w.write('\n') }
+      w.flush(); sock.close()
+      def visible: Long = {
+        spool.rollNow()
+        val fs = new java.io.File(spoolDir).listFiles()
+        if (fs == null) 0L
+        else fs.filter(f => f.getName.startsWith("spool-") &&
+          f.getName.endsWith(".log")).map(_.length()).sum
+      }
+      val deadline = System.currentTimeMillis() + 120000
+      while (visible < expectBytes && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      require(visible == expectBytes, s"spool stalled: $visible/$expectBytes")
+    }
+    println("spool frames visible = " + spark.read.text(spoolDir).count())
+    rx.close(); spool.close()
     spark.stop()
   }
 }

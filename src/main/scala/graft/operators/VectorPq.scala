@@ -85,6 +85,46 @@ object VectorPq {
     } finally { train.unpersist(false); () }
   }
 
+  /** IVF-PQ composed search (the FAISS-style big-ANN shape): a coarse
+    * k-means quantizer prunes the corpus to the query's `nProbe` cells
+    * (equi-join on cell id — the IVF part), PQ codes score the surviving
+    * candidates without touching their vectors (the ADC part), and only
+    * the final shortlist is re-ranked exactly. At 100 TB the corpus-side
+    * state is (id, cell, M codes) ≈ 20 bytes/vector; vectors are read
+    * only for the per-query shortlist.
+    */
+  def searchTopKIvf(e: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, cents: Array[Seq[Double]],
+                    books: Array[Array[Double]], m: Int, nProbe: Int,
+                    topK: Int, shortlistK: Int = 50,
+                    broadcastRowLimit: Long = Joins.BroadcastRowLimit): DataFrame = {
+    val spark = e.sparkSession
+    VectorOps.register(spark)
+    val bcCells = VectorOps.broadcastCentroids(spark, cents.map(_.toArray))
+    val bcBooks = VectorOps.broadcastCentroids(spark, books)
+    val cand = e.select(col(idCol).as("c_id"),
+      VectorOps.nearestCentroidBc(col(vecCol), bcCells).as("cell"),
+      VectorOps.pqEncodeBc(col(vecCol), bcBooks, m).as("_codes"))
+    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      explode(VectorOps.nearestCentroidsBc(col(vecCol), bcCells, nProbe))
+        .as("cell"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("_adc").desc, col("c_id"))
+    val shortlist = cand
+      .join(Joins.maybeBroadcast(probes, broadcastRowLimit), Seq("cell"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("c_id"),
+        VectorOps.pqCosBc(col("qv"), col("_codes"), bcBooks, m).as("_adc"))
+      // a vector probing p cells can meet the same candidate ≤p times;
+      // dedup before the rank so the shortlist holds distinct candidates
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(first(col("qv")).as("qv"), max(col("_adc")).as("_adc"))
+      .withColumn("_r", row_number().over(wAdc))
+      .filter(col("_r") <= shortlistK)
+      .select(col("q_id"), col("qv"), col("c_id"))
+    rerank(e, idCol, vecCol, shortlist, topK)
+  }
+
   /** Top-`topK` neighbors per query row: ADC-cosine shortlist of
     * `shortlistK` candidates over the CODES (the corpus's vectors never
     * travel through the big join), then exact cosine re-rank of the
@@ -110,6 +150,14 @@ object VectorPq {
       .withColumn("_r", row_number().over(wAdc))
       .filter(col("_r") <= shortlistK)
       .select(col("q_id"), col("qv"), col("c_id"))
+    rerank(e, idCol, vecCol, shortlist, topK)
+  }
+
+  /** Exact cosine re-rank of a (q_id, qv, c_id) shortlist — vectors join
+    * back for the shortlist rows only.
+    */
+  private def rerank(e: DataFrame, idCol: String, vecCol: String,
+                     shortlist: DataFrame, topK: Int): DataFrame = {
     def nrm(c: Column) = sqrt(TextHashes.vecDot(c, c))
     val scored = shortlist
       .join(e.select(col(idCol).as("c_id"), col(vecCol).as("cv")), Seq("c_id"))

@@ -79,6 +79,32 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.8, s"PQ shortlist recall@10 = $recall < 0.8")
   }
 
+  test("IVF-PQ composed search holds recall@10 >= 0.7 of the flat-PQ result") {
+    // The coarse quantizer prunes candidates BEFORE ADC — recall can only
+    // drop vs flat PQ; with nProbe=8 of 16 cells it must stay close.
+    val cents = graft.operators.VectorIvf.kmeans(emb, "vec_id", "v", 16, 3)
+    val got = VectorPq.searchTopKIvf(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "v", cents, books, M, nProbe = 8, topK = 10,
+        shortlistK = 150)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val all = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val hits = (0L until 5L).map { q =>
+      val want = all.toSeq.filter(_._1 != q)
+        .map { case (id, v) => id -> cos(all(q), v) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      want.intersect(got.getOrElse(q, Set.empty)).size
+    }.sum
+    val recall = hits / 50.0
+    assert(recall >= 0.7, s"IVF-PQ recall@10 = $recall < 0.7")
+    // every query still returns a full ranked list
+    assert(got.values.forall(_.size == 10))
+  }
+
   test("q_sim_pq returns a full ranked top-5 per query") {
     val r = SparkEntry.queries("q_sim_pq")(spark, sf()).collect()
     assert(r.length == 25)
