@@ -45,47 +45,57 @@ object StreamGate extends QueryModule {
     dir.toString
   }
 
+  /** Shared 4-hash-chunk replay layout for the windowed-aggregate gates:
+    * every window's rows are spread across ALL chunks, so each window's
+    * aggregate genuinely merges state from every micro-batch. Only ts
+    * matters for the counts: a 1-column source keeps the write narrow.
+    */
+  private def hashChunks(s: org.apache.spark.sql.SparkSession, d: String): String =
+    replayCache(d, "sgate4") { dir =>
+      t(s, d, "events").select("ts")
+        .withColumn("part", pmod(xxhash64(col("ts")), lit(4)))
+        .repartition(4, col("part"))
+        .write.partitionBy("part").mode("overwrite").parquet(dir)
+    }
+
+  /** Runs a complete-mode windowed aggregate over the chunk replay as a
+    * real AvailableNow stream and returns the final table, with the state
+    * width pinned to the window-key cardinality for the stream's lifetime.
+    */
+  private def windowedGate(s: org.apache.spark.sql.SparkSession, d: String,
+                           op: DataFrame => DataFrame): DataFrame = {
+    val ck = Files.createTempDirectory("graft_sgate_ck").toString
+    val in = hashChunks(s, d)
+    val src = s.readStream.schema("ts timestamp")
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/part=*")
+    val name = "sg_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = op(src).writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(name)
+      .select(col("t").cast("timestamp_ntz").as("t"), col("cnt"))
+      .orderBy(col("t"))
+  }
+
   def queries: Seq[(String, QFn)] = Seq(
-    "s_tumbling_counts" -> ((s, d) => {
-      val ck = Files.createTempDirectory("graft_sgate_ck").toString
-      // four hash chunks → four micro-batches; every window's rows are
-      // spread across ALL chunks, so each window's aggregate genuinely
-      // merges state from every batch. Only ts matters for the count: a
-      // 1-column replay source keeps the (cached) chunk write narrow.
-      val in = replayCache(d, "sgate4") { dir =>
-        t(s, d, "events").select("ts")
-          .withColumn("part", pmod(xxhash64(col("ts")), lit(4)))
-          .repartition(4, col("part"))
-          .write.partitionBy("part").mode("overwrite").parquet(dir)
-      }
-      val src = s.readStream.schema("ts timestamp")
-        .option("maxFilesPerTrigger", 1).parquet(s"$in/part=*")
-      // complete-mode memory sink: the final table IS the full aggregate
-      // (720 windows — driver-bounded by construction); the durable-sink
-      // path (foreachBatch parquet/JDBC) is covered by StreamingSpec's
-      // golden-artifact and JdbcSink tests
-      val name = "sg_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      // Size the STATE layout to the key cardinality: the aggregate holds
-      // ~720 hour-windows, so 32 state partitions would pay 32 store
-      // commits per micro-batch for near-empty stores. The stream pins its
-      // state partitioning from this conf at first start (it lives in the
-      // checkpoint thereafter); restore the session value right after.
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = StreamOps.tumblingCounts(src).writeStream
-          .outputMode("complete")
-          .option("checkpointLocation", ck)
-          .format("memory").queryName(name)
-          .trigger(Trigger.AvailableNow()).start()
-        // the stream pins its state width from this conf at the FIRST BATCH
-        // (async after start()), so the restore must wait for termination
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.table(name)
-        .select(col("t").cast("timestamp_ntz").as("t"), col("cnt"))
-        .orderBy(col("t"))
-    }),
+    "s_tumbling_counts" -> ((s, d) =>
+      windowedGate(s, d, src => StreamOps.tumblingCounts(src))),
+
+    // Sliding windows as a stream: each event lands in TWO overlapping
+    // 1-hour windows (30-minute slide), so the complete-mode state holds
+    // ~1441 window keys at sf0.1 and every micro-batch updates two keys
+    // per event — the overlap path the tumbling gate can't exercise. Hash
+    // oracle: each event contributes to window starts floor30(ts) and
+    // floor30(ts)−30min, mirrored in DuckDB by µs-interval arithmetic.
+    "s_sliding_counts" -> ((s, d) =>
+      windowedGate(s, d, src => StreamOps.slidingCounts(src))),
 
     // Custom-state sessionization as a STREAM, gated against the batch
     // gaps-and-islands oracle: the events table replays as two
@@ -174,6 +184,17 @@ object StreamGate extends QueryModule {
     "s_tumbling_counts" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS t, count(*) AS cnt
         |FROM events GROUP BY t ORDER BY t""".stripMargin,
+
+    // every event lands in the two 1-hour windows whose 30-min-aligned
+    // starts cover it: floor30(ts) and floor30(ts) − 30 min
+    "s_sliding_counts" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |  w AS (SELECT unnest([
+        |      ts - INTERVAL 1 MICROSECOND * (epoch_us(ts) % 1800000000),
+        |      ts - INTERVAL 1 MICROSECOND * (epoch_us(ts) % 1800000000)
+        |        - INTERVAL 30 MINUTE]) AS t
+        |    FROM e)
+        |SELECT t, count(*) AS cnt FROM w GROUP BY t ORDER BY t""".stripMargin,
 
     "s_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,

@@ -29,6 +29,19 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("t"), col("cnt"))
 
+  /** Sliding-window count — R12's dashboard series at a finer refresh than
+    * its bucket width (each event lands in window/slide overlapping
+    * windows; state is keyed by window start, bounded by the watermark).
+    */
+  def slidingCounts(events: DataFrame, tsCol: String = "ts",
+                    window_ : String = "1 hour", slide: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_, slide).as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("t"), col("cnt"))
+
   /** Sliding-window sum of a metric (bytes-served analog). */
   def slidingSum(events: DataFrame, valueCol: String, tsCol: String = "ts",
                  window_ : String = "1 hour", slide: String = "15 minutes",
