@@ -14,6 +14,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectCheckRule { session =>
       operators.Dedup.register(session)
       expressions.AccessLogParseExpr.register(session)
+      expressions.VectorOps.register(session)
+      expressions.LshPlanes.register(session)
       _ => ()
     }
   }

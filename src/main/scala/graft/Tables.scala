@@ -35,6 +35,8 @@ object Tables {
     names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
     graft.operators.Dedup.register(spark)
     graft.expressions.AccessLogParseExpr.register(spark)
+    graft.expressions.VectorOps.register(spark)
+    graft.expressions.LshPlanes.register(spark)
   }
 
   /** `events` with a time-range predicate pushed to the parquet scan.

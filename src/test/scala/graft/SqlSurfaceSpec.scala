@@ -37,4 +37,15 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getInt(1) > 0)
     assert(r.getString(2) == "127.0.0.1")
   }
+
+  test("vector-quantization functions are SQL-callable after bootstrap") {
+    Tables.bootstrap(spark, sf())
+    val r = spark.sql(
+      """SELECT graft_quantize_i8(array(0.5D, -1.0D, 0.25D)) AS q,
+        |  graft_nearest_centroid(array(0.9D, 0.1D),
+        |    array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS cell""".stripMargin)
+      .collect()(0)
+    assert(r.getSeq[Double](0) == Seq(64.0, -127.0, 32.0))
+    assert(r.getInt(1) == 0)
+  }
 }
