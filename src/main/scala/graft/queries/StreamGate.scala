@@ -97,6 +97,58 @@ object StreamGate extends QueryModule {
     "s_sliding_counts" -> ((s, d) =>
       windowedGate(s, d, src => StreamOps.slidingCounts(src))),
 
+    // Stream-stream interval join as a STREAM: purchases joined to the
+    // same user's errors within the following 30 minutes, both sides live
+    // file streams over the same time-ordered chunk replay (each source
+    // steps the chunks 1-file-per-trigger, so the join state genuinely
+    // carries purchases across a micro-batch boundary to meet later
+    // errors). Inner interval joins emit eagerly — no sentinels needed —
+    // and time-ordered chunks keep every joinable row inside the 1-hour
+    // watermark horizon. Hash-gated against the batch range-join oracle.
+    "s_join_interval" -> ((s, d) => {
+      val ck = Files.createTempDirectory("graft_sjoin_ck").toString
+      val in = replayCache(d, "sjoin2") { dir =>
+        val ev = t(s, d, "events")
+          .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
+        val mm = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+        val mid = new java.sql.Timestamp(
+          (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
+        ev.filter(col("ts") < mid).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/part=0")
+        ev.filter(col("ts") >= mid).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/part=1")
+        val t0 = System.currentTimeMillis()
+        for ((grp, i) <- Seq("part=0", "part=1").zipWithIndex)
+          new java.io.File(s"$dir/$grp").listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+            .foreach(_.setLastModified(t0 + i * 2000L))
+      }
+      def src() = s.readStream
+        .schema("ts timestamp, user_id bigint, event_type string, event_id bigint")
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/part=*")
+      val l = src().filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("lts"))
+      val r = src().filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("e_id"), col("ts").as("rts"))
+      val name = "sg_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = StreamOps.intervalJoin(l, r, "user_id", "lts", "rts",
+            interval = "30 minutes", watermark = "1 hour")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ck)
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(name)
+        .select(col("user_id"), col("p_id"), col("e_id"),
+          col("lts").cast("timestamp_ntz").as("lts"),
+          col("rts").cast("timestamp_ntz").as("rts"))
+        .orderBy(col("user_id"), col("p_id"), col("e_id"))
+    }),
+
     // Custom-state sessionization as a STREAM, gated against the batch
     // gaps-and-islands oracle: the events table replays as two
     // time-range-ordered chunks plus two far-future sentinel files, all in
@@ -195,6 +247,15 @@ object StreamGate extends QueryModule {
         |        - INTERVAL 30 MINUTE]) AS t
         |    FROM e)
         |SELECT t, count(*) AS cnt FROM w GROUP BY t ORDER BY t""".stripMargin,
+
+    "s_join_interval" ->
+      """SELECT l.user_id AS user_id, l.event_id AS p_id, r.event_id AS e_id,
+        |  CAST(l.ts AS TIMESTAMP) AS lts, CAST(r.ts AS TIMESTAMP) AS rts
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'purchase' AND r.event_type = 'error'
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+        |ORDER BY user_id, p_id, e_id""".stripMargin,
 
     "s_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,
