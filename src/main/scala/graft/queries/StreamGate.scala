@@ -97,6 +97,40 @@ object StreamGate extends QueryModule {
     "s_sliding_counts" -> ((s, d) =>
       windowedGate(s, d, src => StreamOps.slidingCounts(src))),
 
+    // Streaming global dedup: first occurrence per (user_id, event_type)
+    // across the whole replay, projected to the key columns so the result
+    // is arrival-order-free. No watermark on the dedup state — this is the
+    // EXACT-GLOBAL dial (state = one entry per distinct key, bounded by
+    // key cardinality ~ users×types, NOT stream length; the bounded-
+    // horizon dial is StreamOps.dedup). Hash-gated against DISTINCT.
+    "s_dedup_keys" -> ((s, d) => {
+      val ck = Files.createTempDirectory("graft_sdedup_ck").toString
+      // the 1-col sgate4 layout lacks user_id/event_type; dedup needs its
+      // own wider replay of the same 4-hash-chunk shape
+      val in2 = replayCache(d, "sdedup4") { dir =>
+        t(s, d, "events").select(col("ts"), col("user_id"), col("event_type"))
+          .withColumn("part", pmod(xxhash64(col("ts")), lit(4)))
+          .repartition(4, col("part"))
+          .write.partitionBy("part").mode("overwrite").parquet(dir)
+      }
+      val src = s.readStream
+        .schema("ts timestamp, user_id bigint, event_type string")
+        .option("maxFilesPerTrigger", 1).parquet(s"$in2/part=*")
+      val name = "sg_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = src.dropDuplicates("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ck)
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(name).orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Stream-stream interval join as a STREAM: purchases joined to the
     // same user's errors within the following 30 minutes, both sides live
     // file streams over the same time-ordered chunk replay (each source
@@ -247,6 +281,10 @@ object StreamGate extends QueryModule {
         |        - INTERVAL 30 MINUTE]) AS t
         |    FROM e)
         |SELECT t, count(*) AS cnt FROM w GROUP BY t ORDER BY t""".stripMargin,
+
+    "s_dedup_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "s_join_interval" ->
       """SELECT l.user_id AS user_id, l.event_id AS p_id, r.event_id AS e_id,
