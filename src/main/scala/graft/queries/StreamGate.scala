@@ -84,6 +84,42 @@ object StreamGate extends QueryModule {
       .orderBy(col("t"))
   }
 
+  /** Shared (ts, user_id) replay layout for the sessionization gates: two
+    * non-overlapping midpoint-split time chunks (two narrow filtered
+    * single-file scans — no range-exchange shuffle; the same min/max agg
+    * supplies the sentinel base) plus two far-future sentinel files that
+    * lift the watermark past every trailing session. Every file gets a
+    * strictly increasing mtime (chunk 0 < chunk 1 < sentinels, ≥2 s apart
+    * for ms-granularity stores): the file source admits files OLDEST-FIRST,
+    * so one AvailableNow run with `maxFilesPerTrigger=1` steps them as four
+    * deterministic micro-batches. coalesce(1): each chunk must be ONE file
+    * for the 1-file-per-trigger replay order.
+    */
+  private def sessChunks(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import s.implicits._
+    replayCache(d, "ssess2") { dir =>
+      val ev = t(s, d, "events").select(col("ts"), col("user_id"))
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+      val maxTs = mm.getTimestamp(1)
+      val mid = new java.sql.Timestamp(
+        (mm.getTimestamp(0).getTime + maxTs.getTime) / 2)
+      ev.filter(col("ts") < mid).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/part=0")
+      ev.filter(col("ts") >= mid).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/part=1")
+      Seq(8, 9).foreach { r =>
+        Seq((new java.sql.Timestamp(maxTs.getTime + r * 86400000L), -1L))
+          .toDF("ts", "user_id")
+          .write.mode("overwrite").parquet(s"$dir/sent=$r")
+      }
+      val t0 = System.currentTimeMillis()
+      for ((grp, i) <- Seq("part=0", "part=1", "sent=8", "sent=9").zipWithIndex)
+        new java.io.File(s"$dir/$grp").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(_.setLastModified(t0 + i * 2000L))
+    }
+  }
+
   def queries: Seq[(String, QFn)] = Seq(
     "s_tumbling_counts" -> ((s, d) =>
       windowedGate(s, d, src => StreamOps.tumblingCounts(src))),
@@ -96,6 +132,40 @@ object StreamGate extends QueryModule {
     // floor30(ts)−30min, mirrored in DuckDB by µs-interval arithmetic.
     "s_sliding_counts" -> ((s, d) =>
       windowedGate(s, d, src => StreamOps.slidingCounts(src))),
+
+    // The BUILT-IN session_window aggregate as a stream (the engine-native
+    // sibling of s_sessionize's custom-state path): gap-based sessions per
+    // user over the same chunk+sentinel replay. Append mode emits a
+    // session once the watermark passes its close; the two far-future
+    // sentinels flush every trailing real session (sentinel user −1's own
+    // first session emits too and is filtered; its last never closes).
+    // session_window's end = last event + gap, so t_end = end − gap maps
+    // exactly onto the oracle's max(ts) in µs arithmetic.
+    "s_session_window" -> ((s, d) => {
+      val ck = Files.createTempDirectory("graft_ssw_ck").toString
+      val in = sessChunks(s, d)
+      val src = s.readStream.schema("ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$in/{part=0,part=1,sent=8,sent=9}")
+      val name = "sg_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = StreamOps.sessionCounts(src, "user_id", gap = "30 minutes")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ck)
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(name).filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("t_start"),
+          (col("session_end") - expr("INTERVAL 30 MINUTES"))
+            .cast("timestamp_ntz").as("t_end"),
+          col("cnt").as("n_events"))
+        .orderBy(col("user_id"), col("t_start"))
+    }),
 
     // Streaming global dedup: first occurrence per (user_id, event_type)
     // across the whole replay, projected to the key columns so the result
@@ -207,33 +277,7 @@ object StreamGate extends QueryModule {
       // (latestFirst=false), so with `maxFilesPerTrigger=1` a single
       // AvailableNow run steps them as four deterministic micro-batches —
       // one stream-start floor instead of r3's three.
-      val in = replayCache(d, "ssess2") { dir =>
-        val ev = t(s, d, "events").select(col("ts"), col("user_id"))
-        // midpoint split instead of repartitionByRange: two narrow filtered
-        // scans (no range-exchange shuffle, no sampling pass), and the same
-        // agg supplies the sentinel base. coalesce(1): each chunk must be
-        // ONE file for the 1-file-per-trigger replay order.
-        val mm = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
-        val maxTs = mm.getTimestamp(1)
-        val mid = new java.sql.Timestamp(
-          (mm.getTimestamp(0).getTime + maxTs.getTime) / 2)
-        ev.filter(col("ts") < mid).coalesce(1)
-          .write.mode("overwrite").parquet(s"$dir/part=0")
-        ev.filter(col("ts") >= mid).coalesce(1)
-          .write.mode("overwrite").parquet(s"$dir/part=1")
-        Seq(8, 9).foreach { r =>
-          Seq((new java.sql.Timestamp(maxTs.getTime + r * 86400000L), -1L))
-            .toDF("ts", "user_id")
-            .write.mode("overwrite").parquet(s"$dir/sent=$r")
-        }
-        // mtime = replay order; ≥2 s apart so ms-granularity stores keep
-        // them strictly ordered
-        val t0 = System.currentTimeMillis()
-        for ((grp, i) <- Seq("part=0", "part=1", "sent=8", "sent=9").zipWithIndex)
-          new java.io.File(s"$dir/$grp").listFiles()
-            .filter(_.getName.endsWith(".parquet"))
-            .foreach(_.setLastModified(t0 + i * 2000L))
-      }
+      val in = sessChunks(s, d)
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       try {
         // state sized to active keys (~2k users), pinned by the checkpoint
@@ -285,6 +329,22 @@ object StreamGate extends QueryModule {
     "s_dedup_keys" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // same gaps-and-islands as s_sessionize, without the session index
+    "s_session_window" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  s AS (SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM g)
+        |SELECT user_id, min(ts) AS t_start, max(ts) AS t_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, t_start""".stripMargin,
 
     "s_join_interval" ->
       """SELECT l.user_id AS user_id, l.event_id AS p_id, r.event_id AS e_id,
