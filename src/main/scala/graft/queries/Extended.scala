@@ -96,8 +96,9 @@ object Extended extends QueryModule {
 
     // Cohort retention: users bucketed by first-activity week, counted in
     // every week they return (weekly: the test window spans ~5 weeks but
-    // one month). The cohort table is per-user (small side — broadcastable
-    // against the activity table at any corpus size).
+    // one month). Both the cohort table and the activity table are keyed
+    // by user_id, so the join shuffles co-partitioned on the same key (AQE
+    // broadcasts instead while the user dimension fits).
     "q_retention_cohort" -> ((s, d) => {
       val ev = t(s, d, "events").select(col("user_id"), col("ts"))
       val cohorts = ev.groupBy(col("user_id"))
