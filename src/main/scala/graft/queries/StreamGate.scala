@@ -45,14 +45,15 @@ object StreamGate extends QueryModule {
     dir.toString
   }
 
-  /** Shared 4-hash-chunk replay layout for the windowed-aggregate gates:
-    * every window's rows are spread across ALL chunks, so each window's
-    * aggregate genuinely merges state from every micro-batch. Only ts
-    * matters for the counts: a 1-column source keeps the write narrow.
+  /** Shared 4-hash-chunk replay layout for the windowed-aggregate and
+    * dedup gates: every window's rows are spread across ALL chunks, so
+    * each gate's aggregate genuinely merges state from every micro-batch.
+    * One layout serves all of them — each gate declares only the columns
+    * it reads (parquet projection prunes the rest).
     */
   private def hashChunks(s: org.apache.spark.sql.SparkSession, d: String): String =
-    replayCache(d, "sgate4") { dir =>
-      t(s, d, "events").select("ts")
+    replayCache(d, "sgate4w") { dir =>
+      t(s, d, "events").select(col("ts"), col("user_id"), col("event_type"))
         .withColumn("part", pmod(xxhash64(col("ts")), lit(4)))
         .repartition(4, col("part"))
         .write.partitionBy("part").mode("overwrite").parquet(dir)
@@ -84,7 +85,7 @@ object StreamGate extends QueryModule {
       .orderBy(col("t"))
   }
 
-  /** Shared (ts, user_id) replay layout for the sessionization gates: two
+  /** Shared events replay layout for the sessionization/join gates: two
     * non-overlapping midpoint-split time chunks (two narrow filtered
     * single-file scans — no range-exchange shuffle; the same min/max agg
     * supplies the sentinel base) plus two far-future sentinel files that
@@ -97,8 +98,9 @@ object StreamGate extends QueryModule {
     */
   private def sessChunks(s: org.apache.spark.sql.SparkSession, d: String): String = {
     import s.implicits._
-    replayCache(d, "ssess2") { dir =>
-      val ev = t(s, d, "events").select(col("ts"), col("user_id"))
+    replayCache(d, "ssess2w") { dir =>
+      val ev = t(s, d, "events")
+        .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
       val mm = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
       val maxTs = mm.getTimestamp(1)
       val mid = new java.sql.Timestamp(
@@ -108,8 +110,9 @@ object StreamGate extends QueryModule {
       ev.filter(col("ts") >= mid).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/part=1")
       Seq(8, 9).foreach { r =>
-        Seq((new java.sql.Timestamp(maxTs.getTime + r * 86400000L), -1L))
-          .toDF("ts", "user_id")
+        Seq((new java.sql.Timestamp(maxTs.getTime + r * 86400000L), -1L,
+            "sentinel", -1L))
+          .toDF("ts", "user_id", "event_type", "event_id")
           .write.mode("overwrite").parquet(s"$dir/sent=$r")
       }
       val t0 = System.currentTimeMillis()
@@ -175,17 +178,10 @@ object StreamGate extends QueryModule {
     // horizon dial is StreamOps.dedup). Hash-gated against DISTINCT.
     "s_dedup_keys" -> ((s, d) => {
       val ck = Files.createTempDirectory("graft_sdedup_ck").toString
-      // the 1-col sgate4 layout lacks user_id/event_type; dedup needs its
-      // own wider replay of the same 4-hash-chunk shape
-      val in2 = replayCache(d, "sdedup4") { dir =>
-        t(s, d, "events").select(col("ts"), col("user_id"), col("event_type"))
-          .withColumn("part", pmod(xxhash64(col("ts")), lit(4)))
-          .repartition(4, col("part"))
-          .write.partitionBy("part").mode("overwrite").parquet(dir)
-      }
+      val in = hashChunks(s, d)
       val src = s.readStream
         .schema("ts timestamp, user_id bigint, event_type string")
-        .option("maxFilesPerTrigger", 1).parquet(s"$in2/part=*")
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/part=*")
       val name = "sg_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       try {
@@ -211,22 +207,7 @@ object StreamGate extends QueryModule {
     // watermark horizon. Hash-gated against the batch range-join oracle.
     "s_join_interval" -> ((s, d) => {
       val ck = Files.createTempDirectory("graft_sjoin_ck").toString
-      val in = replayCache(d, "sjoin2") { dir =>
-        val ev = t(s, d, "events")
-          .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
-        val mm = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
-        val mid = new java.sql.Timestamp(
-          (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
-        ev.filter(col("ts") < mid).coalesce(1)
-          .write.mode("overwrite").parquet(s"$dir/part=0")
-        ev.filter(col("ts") >= mid).coalesce(1)
-          .write.mode("overwrite").parquet(s"$dir/part=1")
-        val t0 = System.currentTimeMillis()
-        for ((grp, i) <- Seq("part=0", "part=1").zipWithIndex)
-          new java.io.File(s"$dir/$grp").listFiles()
-            .filter(_.getName.endsWith(".parquet"))
-            .foreach(_.setLastModified(t0 + i * 2000L))
-      }
+      val in = sessChunks(s, d)
       def src() = s.readStream
         .schema("ts timestamp, user_id bigint, event_type string, event_id bigint")
         .option("maxFilesPerTrigger", 1).parquet(s"$in/part=*")
