@@ -84,9 +84,11 @@ object ScaleProbe {
     time("sim_quant_10x") { runQ("q_sim_quant", emb10dir) }
     // 10x events = 10 month-offset copies: 10x windows, so the streaming
     // aggregate's STATE scales 10x along with the data
-    val ev = Tables.table(spark, sf, "events").select("ts")
+    val ev = Tables.table(spark, sf, "events")
+      .select("ts", "user_id", "event_type")
     val ev10 = (0 until 10).map(k =>
-      ev.select((col("ts") + expr(s"INTERVAL $k MONTH")).as("ts")))
+      ev.select((col("ts") + expr(s"INTERVAL $k MONTH")).as("ts"),
+        col("user_id"), col("event_type")))
       .reduce(_ union _)
     val ev10dir = java.nio.file.Files
       .createTempDirectory("graft_scale_ev").toString

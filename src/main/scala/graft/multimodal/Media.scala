@@ -183,10 +183,27 @@ object Media {
     */
   def decodeAudio(bytes: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Double])] =
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      import AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+      val base = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
+      // Non-PCM containers (ULAW/ALAW .au, …) go through the JDK's format
+      // conversion to 16-bit signed PCM; unsupported conversions throw and
+      // fall to the byte-histogram path. Raw PCM passes through untouched —
+      // the sample math below keys on the ACTUAL encoding, since "8-bit"
+      // alone is ambiguous (WAV is unsigned, AIFF/AU are signed).
+      val enc0 = base.getFormat.getEncoding
+      val in =
+        if (enc0 == PCM_SIGNED || enc0 == PCM_UNSIGNED) base
+        else {
+          val f = base.getFormat
+          AudioSystem.getAudioInputStream(
+            new AudioFormat(PCM_SIGNED, f.getSampleRate, 16, f.getChannels,
+              2 * f.getChannels, f.getSampleRate, false), base)
+        }
       val fmt = in.getFormat
       val bits = fmt.getSampleSizeInBits
+      val signed = fmt.getEncoding == PCM_SIGNED
       if (bits != 8 && bits != 16) None
       else {
         val raw = in.readAllBytes()
@@ -196,11 +213,12 @@ object Media {
         var i = 0
         while (i < n) {
           val v =
-            if (bits == 8) (raw(i) & 0xFF) - 128
-            else {
+            if (bits == 8) {
+              if (signed) raw(i).toInt else (raw(i) & 0xFF) - 128
+            } else {
               val (b0, b1) = (raw(2 * i) & 0xFF, raw(2 * i + 1) & 0xFF)
               val u = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
-              (u << 16) >> 16 // sign-extend
+              if (signed) (u << 16) >> 16 else u - 32768 // center/sign-extend
             }
           out(i) = v / (if (bits == 8) 128.0 else 32768.0)
           i += 1

@@ -54,7 +54,14 @@ object Components {
     // upstream (e.g. ngram) pipeline. One job up front, tiny RDD after.
     val p = pairs.select(col("a"), col("b")).localCheckpoint()
     val nEdges = p.count() // free: reads the checkpointed RDD
-    if (nEdges <= localSolveEdgeLimit) return localSolve(p)
+    // the driver solve maps keys through Long, so only integral ids take
+    // it; any other key type (strings, …) keeps the type-generic fixpoint
+    val integralKey = p.schema.fields(0).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (nEdges <= localSolveEdgeLimit && integralKey) return localSolve(p)
     // Size the loop's shuffles to the EDGE set, not the session default: a
     // near-dup pair table is orders of magnitude smaller than its corpus,
     // and paying full shuffle width per round is pure task-scheduling

@@ -41,7 +41,26 @@ object StreamGate extends QueryModule {
     val dir = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_replay_$tag-$key")
     val ok = new java.io.File(dir, "_ok")
-    if (!ok.exists()) { build(dir.toString); ok.createNewFile() }
+    if (!ok.exists()) {
+      // Concurrent JVMs (parallel Verify/Bench) may race here: each builds
+      // in a PRIVATE sibling dir, then the atomic directory rename is the
+      // commit point — exactly one build becomes `dir`, losers delete
+      // theirs. `_ok` is written before the rename, so a visible layout is
+      // always complete and never being written by anyone else.
+      val tmp = new java.io.File(dir.getParentFile,
+        s"${dir.getName}.build-${java.util.UUID.randomUUID.toString.take(8)}")
+      build(tmp.toString)
+      new java.io.File(tmp, "_ok").createNewFile()
+      if (!tmp.renameTo(dir)) {
+        def rmRec(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rmRec); f.delete()
+        }
+        rmRec(tmp)
+        if (!ok.exists()) // a stale half-built dir (pre-_ok crash) blocks us
+          throw new java.io.IOException(
+            s"replay cache at $dir exists without _ok — remove it and retry")
+      }
+    }
     dir.toString
   }
 
@@ -59,31 +78,39 @@ object StreamGate extends QueryModule {
         .write.partitionBy("part").mode("overwrite").parquet(dir)
     }
 
-  /** Runs a complete-mode windowed aggregate over the chunk replay as a
-    * real AvailableNow stream and returns the final table, with the state
-    * width pinned to the window-key cardinality for the stream's lifetime.
+  /** The shared stream-run harness every memory-sink gate goes through:
+    * builds 1-file-per-trigger file sources over `path` with `schema`,
+    * hands a source FACTORY to `op` (the interval join reads it twice),
+    * runs ONE AvailableNow stream with the state width pinned to 8
+    * shuffle partitions (restored after), and returns the final table.
     */
-  private def windowedGate(s: org.apache.spark.sql.SparkSession, d: String,
-                           op: DataFrame => DataFrame): DataFrame = {
+  private def runGate(s: org.apache.spark.sql.SparkSession,
+                      schema: String, path: String, outputMode: String,
+                      op: (() => DataFrame) => DataFrame): DataFrame = {
     val ck = Files.createTempDirectory("graft_sgate_ck").toString
-    val in = hashChunks(s, d)
-    val src = s.readStream.schema("ts timestamp")
-      .option("maxFilesPerTrigger", 1).parquet(s"$in/part=*")
+    def mkSrc() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(path)
     val name = "sg_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = op(src).writeStream
-        .outputMode("complete")
+      val q = op(mkSrc _).writeStream
+        .outputMode(outputMode)
         .option("checkpointLocation", ck)
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(name)
+  }
+
+  /** Complete-mode windowed aggregate over the hash-chunk replay. */
+  private def windowedGate(s: org.apache.spark.sql.SparkSession, d: String,
+                           op: DataFrame => DataFrame): DataFrame =
+    runGate(s, "ts timestamp", s"${hashChunks(s, d)}/part=*", "complete",
+      src => op(src()))
       .select(col("t").cast("timestamp_ntz").as("t"), col("cnt"))
       .orderBy(col("t"))
-  }
 
   /** Shared events replay layout for the sessionization/join gates: two
     * non-overlapping midpoint-split time chunks (two narrow filtered
@@ -144,31 +171,17 @@ object StreamGate extends QueryModule {
     // first session emits too and is filtered; its last never closes).
     // session_window's end = last event + gap, so t_end = end − gap maps
     // exactly onto the oracle's max(ts) in µs arithmetic.
-    "s_session_window" -> ((s, d) => {
-      val ck = Files.createTempDirectory("graft_ssw_ck").toString
-      val in = sessChunks(s, d)
-      val src = s.readStream.schema("ts timestamp, user_id bigint")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$in/{part=0,part=1,sent=8,sent=9}")
-      val name = "sg_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = StreamOps.sessionCounts(src, "user_id", gap = "30 minutes")
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", ck)
-          .format("memory").queryName(name)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.table(name).filter(col("user_id") >= 0)
+    "s_session_window" -> ((s, d) =>
+      runGate(s, "ts timestamp, user_id bigint",
+        s"${sessChunks(s, d)}/{part=0,part=1,sent=8,sent=9}", "append",
+        src => StreamOps.sessionCounts(src(), "user_id", gap = "30 minutes"))
+        .filter(col("user_id") >= 0)
         .select(col("user_id"),
           col("session_start").cast("timestamp_ntz").as("t_start"),
           (col("session_end") - expr("INTERVAL 30 MINUTES"))
             .cast("timestamp_ntz").as("t_end"),
           col("cnt").as("n_events"))
-        .orderBy(col("user_id"), col("t_start"))
-    }),
+        .orderBy(col("user_id"), col("t_start"))),
 
     // Streaming global dedup: first occurrence per (user_id, event_type)
     // across the whole replay, projected to the key columns so the result
@@ -176,26 +189,12 @@ object StreamGate extends QueryModule {
     // EXACT-GLOBAL dial (state = one entry per distinct key, bounded by
     // key cardinality ~ users×types, NOT stream length; the bounded-
     // horizon dial is StreamOps.dedup). Hash-gated against DISTINCT.
-    "s_dedup_keys" -> ((s, d) => {
-      val ck = Files.createTempDirectory("graft_sdedup_ck").toString
-      val in = hashChunks(s, d)
-      val src = s.readStream
-        .schema("ts timestamp, user_id bigint, event_type string")
-        .option("maxFilesPerTrigger", 1).parquet(s"$in/part=*")
-      val name = "sg_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = src.dropDuplicates("user_id", "event_type")
-          .select(col("user_id"), col("event_type"))
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", ck)
-          .format("memory").queryName(name)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.table(name).orderBy(col("user_id"), col("event_type"))
-    }),
+    "s_dedup_keys" -> ((s, d) =>
+      runGate(s, "ts timestamp, user_id bigint, event_type string",
+        s"${hashChunks(s, d)}/part=*", "append",
+        src => src().dropDuplicates("user_id", "event_type")
+          .select(col("user_id"), col("event_type")))
+        .orderBy(col("user_id"), col("event_type"))),
 
     // Stream-stream interval join as a STREAM: purchases joined to the
     // same user's errors within the following 30 minutes, both sides live
@@ -205,34 +204,24 @@ object StreamGate extends QueryModule {
     // errors). Inner interval joins emit eagerly — no sentinels needed —
     // and time-ordered chunks keep every joinable row inside the 1-hour
     // watermark horizon. Hash-gated against the batch range-join oracle.
-    "s_join_interval" -> ((s, d) => {
-      val ck = Files.createTempDirectory("graft_sjoin_ck").toString
-      val in = sessChunks(s, d)
-      def src() = s.readStream
-        .schema("ts timestamp, user_id bigint, event_type string, event_id bigint")
-        .option("maxFilesPerTrigger", 1).parquet(s"$in/part=*")
-      val l = src().filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("lts"))
-      val r = src().filter(col("event_type") === "error")
-        .select(col("user_id"), col("event_id").as("e_id"), col("ts").as("rts"))
-      val name = "sg_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = StreamOps.intervalJoin(l, r, "user_id", "lts", "rts",
+    "s_join_interval" -> ((s, d) =>
+      runGate(s,
+        "ts timestamp, user_id bigint, event_type string, event_id bigint",
+        s"${sessChunks(s, d)}/part=*", "append",
+        src => {
+          val l = src().filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id").as("p_id"),
+              col("ts").as("lts"))
+          val r = src().filter(col("event_type") === "error")
+            .select(col("user_id"), col("event_id").as("e_id"),
+              col("ts").as("rts"))
+          StreamOps.intervalJoin(l, r, "user_id", "lts", "rts",
             interval = "30 minutes", watermark = "1 hour")
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", ck)
-          .format("memory").queryName(name)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.table(name)
+        })
         .select(col("user_id"), col("p_id"), col("e_id"),
           col("lts").cast("timestamp_ntz").as("lts"),
           col("rts").cast("timestamp_ntz").as("rts"))
-        .orderBy(col("user_id"), col("p_id"), col("e_id"))
-    }),
+        .orderBy(col("user_id"), col("p_id"), col("e_id"))),
 
     // Custom-state sessionization as a STREAM, gated against the batch
     // gaps-and-islands oracle: the events table replays as two

@@ -71,6 +71,21 @@ object ClickHouseDialect {
       overrides = Map("response" -> "UInt16", "bytes" -> "UInt64"),
       exclude = Set("tz", "_corrupt"))
 
+  /** The table [[ClickHouseSink]] actually writes: [[accessLogDdl]]'s
+    * columns PLUS the `_batch_id Int64` replay column the sink's
+    * idempotence protocol DELETEs and INSERTs on. The reference table
+    * (`nginx.click:1`, no batch column) is the at-least-once omclickhouse
+    * target; this one is the effectively-once target. Use this DDL when
+    * the sink is the writer.
+    */
+  def accessLogSinkDdl(table: String = "nginx"): String =
+    createTableDdl(table,
+      graft.Tables.accessLogSchema.add(JdbcSink.BatchIdCol, LongType),
+      partitionBy = "toYYYYMMDD(logdate)",
+      orderBy = Seq("logdate", "logdatetime"),
+      overrides = Map("response" -> "UInt16", "bytes" -> "UInt64"),
+      exclude = Set("tz", "_corrupt"))
+
   private val DateTimeFmt =
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
 
@@ -125,6 +140,9 @@ object ClickHouseSink {
                  executorFactory: () => Executor,
                  maxRowsPerInsert: Int = 10000): Unit = {
     import org.apache.spark.sql.functions.lit
+    // same invariant as JdbcSink: the table name is necessarily
+    // interpolated into the DELETE/INSERT text, so it must be an identifier
+    JdbcSink.requireIdent(table)
     val withId = batch.withColumn(JdbcSink.BatchIdCol, lit(batchId))
     val cols = withId.schema.fieldNames.toSeq
     executorFactory()(ClickHouseDialect.deleteBatchSql(table, batchId))
@@ -154,16 +172,20 @@ object ClickHouseSink {
     * tests pin.
     */
   def httpExecutor(server: String, port: Int = 8123,
-                   https: Boolean = false): () => Executor = () => { sql =>
+                   https: Boolean = false): () => Executor = () => {
+    // one client (connection pool) per task, shared by its statements
     val scheme = if (https) "https" else "http"
     val client = java.net.http.HttpClient.newHttpClient()
-    val req = java.net.http.HttpRequest.newBuilder()
-      .uri(java.net.URI.create(s"$scheme://$server:$port/"))
-      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(sql))
-      .build()
-    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 != 2)
-      throw new java.io.IOException(
-        s"ClickHouse HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+    val uri = java.net.URI.create(s"$scheme://$server:$port/")
+    sql => {
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(uri)
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(sql))
+        .build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"ClickHouse HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+    }
   }
 }

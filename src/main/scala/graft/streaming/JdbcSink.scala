@@ -33,10 +33,15 @@ object JdbcSink {
     */
   private val Ident = "^[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?$".r
 
+  /** Shared guard for every sink that interpolates a table name into SQL
+    * text ([[ClickHouseSink]] reuses it). */
+  def requireIdent(table: String): Unit =
+    require(Ident.matches(table), s"illegal table identifier: $table")
+
   /** Idempotent per-batch write: DELETE the batch id, then append. */
   def writeBatch(batch: DataFrame, batchId: Long, url: String,
                  table: String): Unit = {
-    require(Ident.matches(table), s"illegal table identifier: $table")
+    requireIdent(table)
     val conn = DriverManager.getConnection(url)
     try {
       // Engines fold unquoted identifiers differently (Derby → upper,

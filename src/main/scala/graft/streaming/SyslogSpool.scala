@@ -72,17 +72,21 @@ object SyslogSpool {
     private val seq = new AtomicLong(0L)
     @volatile private var closed = false
 
-    // ages out small files on quiet links; daemon so it never pins the JVM
+    // ages out small files on quiet links; daemon so it never pins the JVM.
+    // A failed roll (transient FS error) must not kill the thread — the
+    // rollMillis durability bound holds as long as the roller lives, so it
+    // retries on the next tick; roll() itself resets the stream state, so a
+    // retry starts a fresh file. InterruptedException stays fatal (close()).
     private val roller = new Thread(s"graft-spool-roller-$id") {
       setDaemon(true)
       override def run(): Unit =
         try {
           while (!closed) {
             Thread.sleep(math.max(rollMillis / 2, 50L))
-            Spool.this.synchronized {
+            try Spool.this.synchronized {
               if (bytes > 0 && System.currentTimeMillis() - openedAt >= rollMillis)
                 roll()
-            }
+            } catch { case scala.util.control.NonFatal(_) => () }
           }
         } catch { case _: InterruptedException => () }
     }
@@ -111,15 +115,20 @@ object SyslogSpool {
     /** Makes every appended frame durable and visible now. */
     def rollNow(): Unit = synchronized { if (bytes > 0) roll() }
 
-    // sync-then-rename: the visibility barrier (contract point 1 above)
+    // sync-then-rename: the visibility barrier (contract point 1 above).
+    // Stream state is detached FIRST: if sync/close/rename throws, the
+    // spool's loss is bounded to that one temp file (the documented
+    // unrolled-file window) and the next append opens a fresh file instead
+    // of writing to a closed stream forever.
     private def roll(): Unit = {
-      try out.hsync()
-      catch { case _: UnsupportedOperationException => out.hflush() }
-      out.close()
-      val fin = new Path(dir, s"spool-$id-${seq.getAndIncrement()}.log")
-      if (!fs.rename(tmp, fin))
-        throw new java.io.IOException(s"spool rename failed: $tmp -> $fin")
+      val (o, t) = (out, tmp)
       out = null; tmp = null; bytes = 0L
+      try o.hsync()
+      catch { case _: UnsupportedOperationException => o.hflush() }
+      o.close()
+      val fin = new Path(dir, s"spool-$id-${seq.getAndIncrement()}.log")
+      if (!fs.rename(t, fin))
+        throw new java.io.IOException(s"spool rename failed: $t -> $fin")
     }
 
     override def close(): Unit = synchronized {
@@ -182,7 +191,10 @@ object SyslogSpool {
                 var line = in.readLine()
                 while (line != null) { spool.append(line); line = in.readLine() }
               } catch { case _: java.io.IOException => () }
-              finally sock.close()
+              finally {
+                sock.close()
+                conns.synchronized { conns -= sock } // no leak across senders
+              }
             })
             h.setDaemon(true); h.start()
           }

@@ -38,6 +38,32 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(sql.startsWith(s"INSERT INTO nginx.nginx (${refCols.mkString(", ")}) VALUES "))
   }
 
+  test("sink DDL: accessLogSinkDdl is accessLogDdl plus the _batch_id column") {
+    val ref = ClickHouseDialect.accessLogDdl()
+    val sink = ClickHouseDialect.accessLogSinkDdl()
+    // same table, one extra trailing column in the parenthesized list
+    assert(norm(sink) == norm(ref.replace(" ) Engine",
+      s", ${JdbcSink.BatchIdCol} Int64 ) Engine")),
+      s"sink DDL is not ref DDL + batch column:\n ref: $ref\n sink: $sink")
+    // and it is actually compatible with what the sink writes: the INSERT
+    // column list (store columns + _batch_id) ⊆ the sink DDL's columns
+    val ddlCols = """\( (.*) \) Engine""".r.findFirstMatchIn(sink).get
+      .group(1).split(", ").map(_.split(" ")(0)).toSet
+    val insertCols = Tables.accessLogSchema.fieldNames.toSeq
+      .filterNot(Set("tz", "_corrupt")) :+ JdbcSink.BatchIdCol
+    assert(insertCols.toSet == ddlCols,
+      s"sink DDL columns $ddlCols != insert columns $insertCols")
+  }
+
+  test("writeBatch rejects non-identifier table names (SQL smuggling guard)") {
+    import spark.implicits._
+    val df = Seq((1, "a")).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      ClickHouseSink.writeBatch(df, 0L, "nginx; DROP TABLE nginx",
+        ClickHouseDialectSpec.factory)
+    }
+  }
+
   test("literals: escaping, DateTime second granularity, NULL, UInt8 bool") {
     import ClickHouseDialect.literal
     assert(literal("""a'b\c""") == """'a\'b\\c'""")

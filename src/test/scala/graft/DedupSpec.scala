@@ -103,6 +103,18 @@ class DedupSpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
+  test("non-integral keys skip the driver union-find and still solve") {
+    // String ids can't round-trip through the Long-keyed local solve; the
+    // size switch must route them to the type-generic distributed fixpoint
+    // (min-LABEL = lexicographic minimum) instead of ClassCastException-ing.
+    val edges = Seq(("alice", "bob"), ("bob", "carol"), ("dave", "erin"))
+      .toDF("a", "b")
+    val got = graft.operators.Components.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("alice" -> "alice", "bob" -> "alice",
+      "carol" -> "alice", "dave" -> "dave", "erin" -> "dave"))
+  }
+
   test("connected components fixpoint stops early on a clique") {
     // A 4-clique converges after round 1 (plus one no-change round to
     // detect the fixpoint); mostly a guard that the loop terminates fast.

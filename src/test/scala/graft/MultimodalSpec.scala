@@ -140,4 +140,57 @@ class MultimodalSpec extends SparkSpec {
     val b = out(2L)
     assert(!b.decoded && b.windows.length == 16)
   }
+
+  test("8-bit AIFF (PCM_SIGNED) decodes with signed math: silence → rms 0") {
+    // AIFF stores 8-bit samples SIGNED — digital silence is 0x00 bytes.
+    // Unsigned math would read every sample as -1.0 (rms ≈ 1); signed math
+    // reads true silence. Guards the encoding branch in decodeAudio.
+    val rate = 8000f; val n = 800
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 8, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](n)), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val Some((f, pcm)) = Media.decodeAudio(bos.toByteArray)
+    assert(f.getSampleSizeInBits == 8 && pcm.length == n)
+    assert(pcm.forall(_ == 0.0), s"8-bit signed silence decoded nonzero")
+
+    // and a full-scale-negative byte is -1.0, not re-centered unsigned
+    val loud = Array.fill[Byte](n)(-128)
+    val ais2 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(loud), fmt, n.toLong)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais2,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos2)
+    val Some((_, pcm2)) = Media.decodeAudio(bos2.toByteArray)
+    assert(pcm2.forall(_ == -1.0))
+  }
+
+  test("ULAW .au payloads convert through the JDK codec instead of garbage") {
+    // Encode a known sine to ULAW via the JDK's own converter, then decode:
+    // the PCM round-trip must recover the tone (ULAW is lossy, so compare
+    // RMS coarsely), exercising the non-PCM conversion branch.
+    val rate = 8000f; val n = 4000; val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val v = (amp * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+      pcm(2 * i) = ((v >> 8) & 0xFF).toByte; pcm(2 * i + 1) = (v & 0xFF).toByte
+    }
+    val lin = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, true)
+    val src = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), lin, n.toLong)
+    val ulawFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, rate, 8, 1, 1, rate, true)
+    val ulaw = javax.sound.sampled.AudioSystem.getAudioInputStream(ulawFmt, src)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ulaw,
+      javax.sound.sampled.AudioFileFormat.Type.AU, bos)
+    val Some((f, out)) = Media.decodeAudio(bos.toByteArray)
+    assert(f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+    assert(out.length == n)
+    val rms = math.sqrt(out.map(x => x * x).sum / out.length)
+    assert(math.abs(rms - amp / math.sqrt(2)) < 0.02,
+      s"ULAW round-trip rms $rms, expected ~${amp / math.sqrt(2)}")
+  }
 }
