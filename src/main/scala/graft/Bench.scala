@@ -45,6 +45,34 @@ object Bench {
           .write.mode("overwrite").format("noop").save()
       }
     } catch { case _: Throwable => () }
+    // Ingest throughput: the reference's actual job (rsyslog liblognorm parse
+    // → typed row). 1M realistic lines through the full parse→lookup→project
+    // pipeline; lines/sec is the figure to compare against single-node
+    // rsyslog+ClickHouse ingest. Measured BEFORE the query loop: a
+    // production ingest job owns its JVM, and measuring after ~100
+    // codegen-heavy queries couples the figure to end-of-run JIT/code-cache
+    // state (r4's 236k and a reproduced ~4x tail-state collapse in r5 —
+    // isolated probes on the same build hold a stable ~2M either way).
+    val ingestRate = {
+      import org.apache.spark.sql.functions._
+      val lines = graft.operators.AccessLog.fixtureLines.map(_._2)
+      val nCopies = 1000000 / lines.size
+      val df = spark.range(nCopies)
+        .select(explode(typedLit(lines)).as("line"))
+      val pipeline = graft.operators.AccessLog.project(df)
+      System.gc()
+      // three untimed passes (C2 JIT needs ~3 runs to reach steady state on
+      // this loop), then median of 5 timed — single-pass numbers swing
+      // several-fold with JIT/GC/host noise
+      (1 to 3).foreach(_ =>
+        pipeline.write.mode("overwrite").format("noop").save())
+      val secs = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        pipeline.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(2)
+      (nCopies.toLong * lines.size / secs).toLong
+    }
     // Deterministic name order so per-query timings are comparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -61,33 +89,6 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // Ingest throughput: the reference's actual job (rsyslog liblognorm parse
-    // → typed row). 1M realistic lines through the full parse→lookup→project
-    // pipeline; lines/sec is the figure to compare against single-node
-    // rsyslog+ClickHouse ingest.
-    val ingestRate = {
-      import org.apache.spark.sql.functions._
-      val lines = graft.operators.AccessLog.fixtureLines.map(_._2)
-      val nCopies = 1000000 / lines.size
-      val df = spark.range(nCopies)
-        .select(explode(typedLit(lines)).as("line"))
-      val pipeline = graft.operators.AccessLog.project(df)
-      // Drain the 89 queries' garbage before timing: a full-GC pause
-      // landing inside a timed pass is the r4 outlier mode (236k lines/s
-      // vs the stable ~2M — a 9× swing on unchanged code).
-      System.gc()
-      // three untimed passes (C2 JIT needs ~3 runs to reach steady state on
-      // this loop), then median of 5 timed — single-pass numbers swing
-      // several-fold with JIT/GC/host noise
-      (1 to 3).foreach(_ =>
-        pipeline.write.mode("overwrite").format("noop").save())
-      val secs = (1 to 5).map { _ =>
-        val t0 = System.nanoTime()
-        pipeline.write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted.apply(2)
-      (nCopies.toLong * lines.size / secs).toLong
-    }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_lines_per_sec":$ingestRate,"sf":"$sfDir"}"""
     println(json)
