@@ -129,6 +129,38 @@ object ScaleProbe {
     }
     println("spool frames visible = " + spark.read.text(spoolDir).count())
     rx.close(); spool.close()
+    // As-of join under key skew: ONE hot user with 20k purchases and 20k
+    // errors. The composed join+window form must materialize every
+    // (error, earlier purchase) pair for the hot key (~2·10^8 rows) before
+    // row_number picks one; the native sort-merge operator
+    // (graft.plans.AsOfJoin) carries a single candidate row through one
+    // O(n+m) pass. Same answer, structurally different cost — THE case the
+    // whole-operator extension exists for (a 100 TB corpus always has a
+    // hot key).
+    val hotN = 20000
+    val hot = spark.range(hotN).select(
+      lit(1L).as("user_id"), col("id").as("event_id"),
+      (lit(java.sql.Timestamp.valueOf("2020-04-06 00:00:00")).cast("timestamp")
+        + expr("make_interval(0,0,0,0,0,0,id)")).as("ts"))
+    val errS = hot.select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+      col("ts").as("e_ts"))
+    val purS = hot.select((col("event_id") + 1000000L).as("p_id"),
+      col("user_id").as("p_user"), col("ts").as("p_ts"))
+    time(s"asof_skew_native_${hotN}x$hotN") {
+      graft.plans.AsOf.join(errS, purS, Seq("e_user"), Seq("p_user"),
+          "e_ts", "p_ts", tie = Seq("p_id"))
+        .select(col("e_id"), col("p_id"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    time(s"asof_skew_composed_${hotN}x$hotN") {
+      val j = errS.join(purS,
+        col("e_user") === col("p_user") && col("p_ts") <= col("e_ts"), "left")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("e_id"))
+        .orderBy(col("p_ts").desc_nulls_last, col("p_id").desc_nulls_last)
+      j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("e_id"), col("p_id"))
+        .write.mode("overwrite").format("noop").save()
+    }
     spark.stop()
   }
 }

@@ -9,6 +9,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // The whole-operator extension: the native as-of join's planner strategy
+    ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
     // Function registration needs a live session's registry; inject via
     // a check rule that runs once at analysis start (idempotent registry ops).
     ext.injectCheckRule { session =>

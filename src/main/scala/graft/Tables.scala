@@ -37,6 +37,7 @@ object Tables {
     graft.expressions.AccessLogParseExpr.register(spark)
     graft.expressions.VectorOps.register(spark)
     graft.expressions.LshPlanes.register(spark)
+    graft.plans.AsOf.register(spark)
   }
 
   /** `events` with a time-range predicate pushed to the parquet scan.

@@ -178,6 +178,28 @@ object Relational extends QueryModule {
         .orderBy(col("e_id"))
     }),
 
+    // The SAME as-of join through the native whole-operator extension
+    // (graft.plans.AsOfJoin: custom LogicalPlan → Strategy → sort-merge
+    // SparkPlan). Where the composed form above materializes every
+    // (error, earlier purchase) pair and row_numbers one out — per-key
+    // QUADRATIC — this merges the two (key,time)-sorted streams in one
+    // O(n+m) pass per partition with a single candidate row of state.
+    // Hash-gated against the identical DuckDB oracle as q_join_asof.
+    "q_join_asof_native" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+          col("ts").as("e_ts"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      graft.plans.AsOf.join(err, pur,
+          leftKeys = Seq("e_user"), rightKeys = Seq("p_user"),
+          leftTime = "e_ts", rightTime = "p_ts", tie = Seq("p_id"))
+        .select(col("e_id"), col("e_user"), col("p_id"))
+        .orderBy(col("e_id"))
+    }),
+
     // Ranking window functions with deterministic tie-break.
     "q_win_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -425,6 +447,19 @@ object Relational extends QueryModule {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_join_asof" ->
+      """WITH err AS (SELECT event_id e_id, user_id e_user, CAST(ts AS TIMESTAMP) e_ts
+        |             FROM events WHERE event_type = 'error'),
+        |     pur AS (SELECT event_id p_id, user_id p_user, CAST(ts AS TIMESTAMP) p_ts
+        |             FROM events WHERE event_type = 'purchase'),
+        |     j AS (SELECT e_id, e_user, p_id, p_ts,
+        |             row_number() OVER (PARTITION BY e_id
+        |               ORDER BY p_ts DESC NULLS LAST, p_id DESC NULLS LAST) rn
+        |           FROM err LEFT JOIN pur
+        |             ON e_user = p_user AND p_ts <= e_ts)
+        |SELECT e_id, e_user, p_id FROM j WHERE rn = 1 ORDER BY e_id""".stripMargin,
+
+    // identical oracle: the native operator must agree with the composed form
+    "q_join_asof_native" ->
       """WITH err AS (SELECT event_id e_id, user_id e_user, CAST(ts AS TIMESTAMP) e_ts
         |             FROM events WHERE event_type = 'error'),
         |     pur AS (SELECT event_id p_id, user_id p_user, CAST(ts AS TIMESTAMP) p_ts

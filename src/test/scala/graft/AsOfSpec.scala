@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.AsOf
+
+/** The native whole-operator as-of join (custom LogicalPlan → Strategy →
+  * sort-merge SparkPlan): semantics on hand-built edges, parity with the
+  * composed join+window formulation, and the plan shape (one AsOfJoinExec,
+  * two hash exchanges, no pair-materializing join, no window).
+  */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("backward as-of: latest right at or before each left time, per key") {
+    val l = Seq(
+      (1L, ts("2020-01-01 10:00:00"), "l1"),
+      (1L, ts("2020-01-01 12:00:00"), "l2"),
+      (2L, ts("2020-01-01 11:00:00"), "l3"),
+      (3L, ts("2020-01-01 11:00:00"), "l4")) // key absent on the right
+      .toDF("lk", "lt", "ltag")
+    val r = Seq(
+      (1L, ts("2020-01-01 09:00:00"), "r_early"),
+      (1L, ts("2020-01-01 11:30:00"), "r_mid"),
+      (1L, ts("2020-01-01 23:00:00"), "r_late"),
+      (2L, ts("2020-01-01 11:00:00"), "r_exact")) // exact match included
+      .toDF("rk", "rt", "rtag")
+    val got = AsOf.join(l, r, Seq("lk"), Seq("rk"), "lt", "rt")
+      .select("ltag", "rtag").as[(String, String)].collect().toMap
+    assert(got == Map(
+      "l1" -> "r_early", // 23:00 and 11:30 are in the future of 10:00
+      "l2" -> "r_mid",
+      "l3" -> "r_exact", // rt == lt matches (<=)
+      "l4" -> null)) // no key 3 on the right: null-extended
+  }
+
+  test("equal-time ties break by the tie columns: maximum wins") {
+    val l = Seq((1L, ts("2020-01-01 10:00:00"))).toDF("lk", "lt")
+    val r = Seq(
+      (1L, ts("2020-01-01 09:00:00"), 7L),
+      (1L, ts("2020-01-01 09:00:00"), 9L),
+      (1L, ts("2020-01-01 09:00:00"), 8L)).toDF("rk", "rt", "rid")
+    val got = AsOf.join(l, r, Seq("lk"), Seq("rk"), "lt", "rt", tie = Seq("rid"))
+      .select("rid").as[Long].collect().toSeq
+    assert(got == Seq(9L))
+  }
+
+  test("SQL null semantics: null keys and null times never match") {
+    val l = Seq(
+      (Option(1L), Option(ts("2020-01-01 10:00:00")), "ok"),
+      (None: Option[Long], Option(ts("2020-01-01 10:00:00")), "nullkey"),
+      (Option(1L), None: Option[Timestamp], "nulltime"))
+      .toDF("lk", "lt", "ltag")
+    val r = Seq(
+      (Option(1L), Option(ts("2020-01-01 09:00:00")), "match"),
+      (None: Option[Long], Option(ts("2020-01-01 09:00:00")), "rnullkey"),
+      (Option(1L), None: Option[Timestamp], "rnulltime"))
+      .toDF("rk", "rt", "rtag")
+    val got = AsOf.join(l, r, Seq("lk"), Seq("rk"), "lt", "rt")
+      .select("ltag", "rtag").as[(String, String)].collect().toMap
+    assert(got == Map("ok" -> "match", "nullkey" -> null, "nulltime" -> null))
+  }
+
+  test("native as-of == composed join+window formulation on testdata") {
+    val d = sf()
+    val native = SparkEntry.queries("q_join_asof_native")(spark, d).collect()
+    val composed = SparkEntry.queries("q_join_asof")(spark, d).collect()
+    assert(native.nonEmpty)
+    assert(native.toSeq == composed.toSeq)
+  }
+
+  test("plan: AsOfJoinExec, two exchanges, no SMJ pair-join, no window") {
+    val d = sf()
+    val q = SparkEntry.queries("q_join_asof_native")(spark, d)
+    q.collect() // materialize so AQE finalizes the plan
+    // the adaptive plan prints Final AND Initial trees — assert on the final
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("AsOfJoin"), s"native operator missing:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"pair-materializing join crept in:\n$p")
+    assert(!p.contains("Window"), s"window fallback crept in:\n$p")
+    // two shuffles total: one hash exchange per side (plus AQE reads); the
+    // final orderBy adds a range exchange — count only hashpartitioning
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
+  }
+}
