@@ -9,8 +9,14 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // The whole-operator extension: the native as-of join's planner strategy
+    // The whole-operator extension: the native as-of join's planner
+    // strategy plus the optimizer rules that keep predicate pushdown and
+    // column pruning flowing THROUGH the custom node (injected rules join
+    // the operator-optimization fixpoint, composing with Catalyst's own
+    // PushDownPredicates/ColumnPruning)
     ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => plans.AsOfRules.PushThroughAsOf)
+    ext.injectOptimizerRule(_ => plans.AsOfRules.PruneThroughAsOf)
     // Function registration needs a live session's registry; inject via
     // a check rule that runs once at analysis start (idempotent registry ops).
     ext.injectCheckRule { session =>

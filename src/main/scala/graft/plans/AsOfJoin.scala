@@ -164,11 +164,15 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
 /** Library surface for the native as-of join. */
 object AsOf {
 
-  /** Registers the planner strategy on a live session (idempotent); the
-    * declarative deployment path is `spark.sql.extensions=graft.GraftExtensions`.
+  /** Registers the planner strategy and the pushdown/pruning optimizer
+    * rules on a live session (idempotent); the declarative deployment path
+    * is `spark.sql.extensions=graft.GraftExtensions`.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     PlanGlue.addStrategy(spark, AsOfJoinStrategy)
+    PlanGlue.addOptimization(spark, AsOfRules.PushThroughAsOf)
+    PlanGlue.addOptimization(spark, AsOfRules.PruneThroughAsOf)
+  }
 
   /** Backward as-of join of `left` to `right`: for each left row, the right
     * row with equal `keys` and the greatest `rightTime <= leftTime`

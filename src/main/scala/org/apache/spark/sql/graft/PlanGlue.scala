@@ -3,6 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.{classic, Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.SparkStrategy
 
 /** The one sanctioned bridge into `private[sql]` plan construction.
@@ -34,5 +35,15 @@ object PlanGlue {
     val cs = spark.asInstanceOf[classic.SparkSession]
     if (!cs.experimental.extraStrategies.contains(s))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+  }
+
+  /** Idempotently appends an optimizer rule (imperative twin of
+    * `injectOptimizerRule`; runs in the post-hoc user batch). */
+  def addOptimization(spark: SparkSession,
+                      r: Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(r))
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ r
   }
 }

@@ -73,6 +73,44 @@ class AsOfSpec extends SparkSpec {
     assert(native.toSeq == composed.toSeq)
   }
 
+  test("optimizer rule: left-key filters push through the join to BOTH scans") {
+    val d = sf()
+    // user filter applied ABOVE the custom operator: without PushThroughAsOf
+    // it would run after both full scans and both shuffles; with it, the
+    // predicate lands in each side's parquet PushedFilters (mirrored onto
+    // the right key), pruning before the exchange.
+    val q = SparkEntry.queries("q_join_asof_native")(spark, d)
+      .filter(col("e_user") < 500)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val pushedLeft = "PushedFilters: \\[[^\\]]*LessThan\\(user_id,500\\)".r
+      .findAllIn(p).size
+    assert(pushedLeft == 2,
+      s"expected the key filter pushed into BOTH parquet scans, found $pushedLeft:\n$p")
+    // and the result still matches the composed form under the same filter
+    val composed = SparkEntry.queries("q_join_asof")(spark, d)
+      .filter(col("e_user") < 500).collect()
+    assert(q.collect().toSeq == composed.toSeq)
+  }
+
+  test("optimizer rule: unused right columns prune below the join") {
+    val l = Seq((1L, ts("2020-01-01 10:00:00"))).toDF("lk", "lt")
+    val r = Seq((1L, ts("2020-01-01 09:00:00"), "keepme", "wide_payload"))
+      .toDF("rk", "rt", "rkeep", "rwide")
+    val q = AsOf.join(l, r, Seq("lk"), Seq("rk"), "lt", "rt")
+      .select("lk", "rkeep")
+    q.collect()
+    val asof = q.queryExecution.optimizedPlan.collectFirst {
+      case a: graft.plans.AsOfJoin => a
+    }.getOrElse(fail("AsOfJoin node missing from optimized plan"))
+    val rightCols = asof.right.output.map(_.name)
+    assert(!rightCols.contains("rwide"),
+      s"unused right column not pruned: $rightCols")
+    assert(rightCols.contains("rkeep") && rightCols.contains("rk") &&
+      rightCols.contains("rt"))
+    assert(q.collect().map(_.getString(1)).toSeq == Seq("keepme"))
+  }
+
   test("plan: AsOfJoinExec, two exchanges, no SMJ pair-join, no window") {
     val d = sf()
     val q = SparkEntry.queries("q_join_asof_native")(spark, d)
