@@ -336,6 +336,52 @@ object Extended extends QueryModule {
         .orderBy(col("split"))
     }),
 
+    // Training-data mixture weighting: per-language keep rates applied as
+    // deterministic md5 thresholds (the reproducible downsample-the-head /
+    // keep-the-tail step of a corpus pipeline; rate ≈ int(threshold,16)/256,
+    // portable Spark↔DuckDB). One scan, no shuffle before the tiny agg.
+    "q_mixture_sample" -> ((s, d) => {
+      val h = md5(col("doc_id").cast("string"))
+      val keep = when(col("lang") === "en", h < "20") // ~12.5%: downsample head
+        .when(col("lang") === "zh", h < "80") // 50%
+        .otherwise(h < "c0") // 75%: keep low-resource tail
+      t(s, d, "documents").filter(keep)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // Wide→long unpivot (metric melt): the inverse of q_pivot_status, via
+    // the native unpivot operator (one Expand node — a single scan emits
+    // all three metric rows, no self-union rescan).
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          round(col("val"), 4).as("val"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))),
+
+    // Zero-filled dashboard series: the R12 hourly buckets left-joined onto
+    // a generated dense hour spine so quiet hours render as 0 (server-side
+    // "null as zero" for Grafana). sequence()+explode is the generator; the
+    // spine is one row per hour regardless of traffic volume.
+    "q_timeseries_zerofill" -> ((s, d) => {
+      val counts = t(s, d, "events")
+        .select(date_trunc("hour", col("ts")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      val spine = counts.agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("t"))
+      spine.join(counts, Seq("t"), "left")
+        .select(col("t").cast("timestamp_ntz").as("t"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy(col("t"))
+    }),
+
     // Keep-latest-per-key dedup (re-crawl semantics: newest version of each
     // entity wins). One partitioned window + filter — the WindowGroupLimit
     // optimization turns it into a per-partition top-1, no full sort spill.
@@ -661,6 +707,35 @@ object Extended extends QueryModule {
         |            ELSE 'test' END AS split,
         |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_mixture_sample" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE CASE WHEN lang='en' THEN md5(CAST(doc_id AS VARCHAR)) < '20'
+        |           WHEN lang='zh' THEN md5(CAST(doc_id AS VARCHAR)) < '80'
+        |           ELSE md5(CAST(doc_id AS VARCHAR)) < 'c0' END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH u AS (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |         l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |         l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+        |         l_discount FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, metric, round(val, 4) AS val
+        |FROM u ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q_timeseries_zerofill" ->
+      """WITH b AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS t,
+        |             count(*) AS cnt
+        |           FROM events GROUP BY 1),
+        |  spine AS (SELECT unnest(generate_series(
+        |    (SELECT min(t) FROM b), (SELECT max(t) FROM b),
+        |    INTERVAL 1 HOUR)) AS t)
+        |SELECT spine.t AS t, COALESCE(b.cnt, 0) AS cnt
+        |FROM spine LEFT JOIN b ON spine.t = b.t ORDER BY t""".stripMargin,
 
     "q_bigram_pmi" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
