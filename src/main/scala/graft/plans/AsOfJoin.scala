@@ -189,22 +189,34 @@ object AsOf {
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftTime: String, rightTime: String,
            tie: Seq[String] = Nil): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    PlanGlue.ofRows(spark,
+      plan(left, right, leftKeys, rightKeys, leftTime, rightTime, tie))
+  }
+
+  /** The resolved logical node alone (no imperative registration) — the
+    * path a declaratively-extended session (`spark.sql.extensions`)
+    * exercises, where the strategy/rules come from [[graft.GraftExtensions]].
+    */
+  def plan(left: DataFrame, right: DataFrame,
+           leftKeys: Seq[String], rightKeys: Seq[String],
+           leftTime: String, rightTime: String,
+           tie: Seq[String] = Nil): AsOfJoin = {
     require(leftKeys.size == rightKeys.size, "key lists must align")
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"ambiguous columns in as-of join: $dup — alias first")
-    val spark = left.sparkSession
-    register(spark)
+    val caseSensitive = left.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
     val (lPlan, rPlan) = (PlanGlue.analyzed(left), PlanGlue.analyzed(right))
-    val caseSensitive =
-      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(a =>
           if (caseSensitive) a.name == name else a.name.equalsIgnoreCase(name))
         .getOrElse(throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
-    PlanGlue.ofRows(spark, AsOfJoin(lPlan, rPlan,
+    AsOfJoin(lPlan, rPlan,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      tie.map(attr(rPlan, _))))
+      tie.map(attr(rPlan, _)))
   }
 }
