@@ -35,7 +35,8 @@ import org.apache.spark.sql.graft.PlanGlue
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                     leftTime: Expression, rightTime: Expression,
-                    rightTie: Seq[Expression]) extends BinaryNode {
+                    rightTie: Seq[Expression],
+                    toleranceUs: Option[Long] = None) extends BinaryNode {
   // right side null-extends on misses, so its attributes go nullable
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -47,8 +48,8 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 /** Plans the logical [[AsOfJoin]] 1:1 onto [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tie) =>
-      AsOfJoinExec(lk, rk, lt, rt, tie, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tie, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tie, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -68,7 +69,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   */
 case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTime: Expression, rightTime: Expression,
-                        rightTie: Seq[Expression],
+                        rightTie: Seq[Expression], toleranceUs: Option[Long],
                         left: SparkPlan, right: SparkPlan)
   extends BinaryExecNode {
 
@@ -76,6 +77,9 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     "as-of join key types must match pairwise")
   require(leftTime.dataType == rightTime.dataType,
     "as-of join time column types must match")
+  require(toleranceUs.isEmpty || leftTime.dataType
+      .isInstanceOf[org.apache.spark.sql.types.TimestampType],
+    "tolerance requires timestamp time columns")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -150,7 +154,15 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
               else advance = false
             }
           }
-          result(joined(lRow, if (cand != null && lt != null) cand else nullRight))
+          // tolerance = bounded lookback: the candidate (max rtime <= lt)
+          // must also sit within [lt - tol, lt]; timestamps eval as Long µs
+          val inTol = cand != null && lt != null && (toleranceUs match {
+            case None => true
+            case Some(tol) =>
+              boundRt.eval(cand).asInstanceOf[Long] >=
+                lt.asInstanceOf[Long] - tol
+          })
+          result(joined(lRow, if (inTol) cand else nullRight))
         }
       }
     }
@@ -185,14 +197,20 @@ object AsOf {
     * Column sets must be disjoint (alias before joining, as with any
     * self-join).
     */
+  /** `tolerance` bounds the lookback (à la pandas `merge_asof`): a match
+    * must satisfy `leftTime - tolerance <= rightTime <= leftTime`.
+    * Timestamp time columns only; e.g. `tolerance = Some("30 minutes")`.
+    */
   def join(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftTime: String, rightTime: String,
-           tie: Seq[String] = Nil): DataFrame = {
+           tie: Seq[String] = Nil,
+           tolerance: Option[String] = None): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     PlanGlue.ofRows(spark,
-      plan(left, right, leftKeys, rightKeys, leftTime, rightTime, tie))
+      plan(left, right, leftKeys, rightKeys, leftTime, rightTime, tie,
+        tolerance))
   }
 
   /** The resolved logical node alone (no imperative registration) — the
@@ -202,7 +220,8 @@ object AsOf {
   def plan(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftTime: String, rightTime: String,
-           tie: Seq[String] = Nil): AsOfJoin = {
+           tie: Seq[String] = Nil,
+           tolerance: Option[String] = None): AsOfJoin = {
     require(leftKeys.size == rightKeys.size, "key lists must align")
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"ambiguous columns in as-of join: $dup — alias first")
@@ -214,9 +233,15 @@ object AsOf {
           if (caseSensitive) a.name == name else a.name.equalsIgnoreCase(name))
         .getOrElse(throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val tolUs = tolerance.map { t =>
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      require(iv.months == 0, s"calendar-month tolerance is ambiguous: $t")
+      iv.days * 86400000000L + iv.microseconds
+    }
     AsOfJoin(lPlan, rPlan,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      tie.map(attr(rPlan, _)))
+      tie.map(attr(rPlan, _)), tolUs)
   }
 }

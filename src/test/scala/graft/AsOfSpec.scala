@@ -65,6 +65,39 @@ class AsOfSpec extends SparkSpec {
     assert(got == Map("ok" -> "match", "nullkey" -> null, "nulltime" -> null))
   }
 
+  test("tolerance bounds the lookback: stale matches null out") {
+    val l = Seq((1L, ts("2020-01-01 10:00:00"), "recent"),
+        (2L, ts("2020-01-01 10:00:00"), "stale"))
+      .toDF("lk", "lt", "ltag")
+    val r = Seq((1L, ts("2020-01-01 09:45:00"), "in_window"),
+        (2L, ts("2020-01-01 08:00:00"), "too_old"))
+      .toDF("rk", "rt", "rtag")
+    val got = AsOf.join(l, r, Seq("lk"), Seq("rk"), "lt", "rt",
+        tolerance = Some("30 minutes"))
+      .select("ltag", "rtag").as[(String, String)].collect().toMap
+    assert(got == Map("recent" -> "in_window", "stale" -> null))
+    // boundary: exactly tol away still matches (>= lt - tol)
+    val r2 = Seq((2L, ts("2020-01-01 09:30:00"), "at_bound")).toDF("rk", "rt", "rtag")
+    val got2 = AsOf.join(l.filter($"lk" === 2L), r2, Seq("lk"), Seq("rk"),
+        "lt", "rt", tolerance = Some("30 minutes"))
+      .select("rtag").as[String].collect().toSeq
+    assert(got2 == Seq("at_bound"))
+  }
+
+  test("planning without AQE: EnsureRequirements alone supplies the exchanges") {
+    val d = sf()
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val q = SparkEntry.queries("q_join_asof_native")(spark, d)
+      val composed = SparkEntry.queries("q_join_asof")(spark, d)
+      assert(q.collect().toSeq == composed.collect().toSeq)
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("AsOfJoin") &&
+        "Exchange hashpartitioning".r.findAllIn(p).size == 2, s"plan:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("native as-of == composed join+window formulation on testdata") {
     val d = sf()
     val native = SparkEntry.queries("q_join_asof_native")(spark, d).collect()

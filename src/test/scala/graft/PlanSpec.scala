@@ -123,6 +123,23 @@ class PlanSpec extends SparkSpec {
       s"projection fell out of codegen:\n$p")
   }
 
+  test("q_unpivot is one Expand over one scan, not a self-union rescan") {
+    val p = SparkEntry.queries("q_unpivot")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), s"unpivot lost its Expand:\n$p")
+    assert(!p.contains("Union"), s"unpivot fell back to self-union:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"unpivot scans the table more than once:\n$p")
+  }
+
+  test("q_timeseries_zerofill: spine join is not a nested-loop product") {
+    val p = SparkEntry.queries("q_timeseries_zerofill")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"zerofill spine joined as a product:\n$p")
+  }
+
   test("ANN query side: broadcast below the size switch, shuffle above it") {
     // auto-broadcast off isolates the HINT: below the limit the switch must
     // still produce a broadcast join; above it, the planner's shuffle path.
