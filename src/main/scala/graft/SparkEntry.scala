@@ -10,9 +10,14 @@ import graft.queries.{Extended, LogPipeline, NearDup, Relational, Retrieval, Sim
   * match across engines (the driver hash-compares values per sorted column).
   */
 object SparkEntry {
-  private val modules: Seq[graft.queries.QueryModule] =
-    Seq(Relational, Extended, LogPipeline, TextOps, NearDup, SimilarityOps,
-      Retrieval, StreamGate)
+  /** Single source of truth for the module roster — CoverageGen reads it
+    * so the generated inventory can't drift from the declared contract. */
+  val namedModules: Seq[(String, graft.queries.QueryModule)] = Seq(
+    "Relational" -> Relational, "Extended" -> Extended,
+    "LogPipeline" -> LogPipeline, "TextOps" -> TextOps,
+    "NearDup" -> NearDup, "SimilarityOps" -> SimilarityOps,
+    "Retrieval" -> Retrieval, "StreamGate" -> StreamGate)
+  private val modules: Seq[graft.queries.QueryModule] = namedModules.map(_._2)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The TPC-H Q1-shaped hash aggregate (R13) — chosen because it runs under

@@ -54,12 +54,17 @@ object Components {
     // upstream (e.g. ngram) pipeline. One job up front, tiny RDD after.
     val p = pairs.select(col("a"), col("b")).localCheckpoint()
     val nEdges = p.count() // free: reads the checkpointed RDD
-    // the driver solve maps keys through Long, so only integral ids take
-    // it; any other key type (strings, …) keeps the type-generic fixpoint
-    val integralKey = p.schema.fields(0).dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false
+    // the driver solve maps keys through Long and casts labels back to the
+    // `a` column's type, so BOTH columns must be the SAME integral type;
+    // anything else (strings, mixed widths, …) keeps the type-generic
+    // fixpoint — mixed widths could overflow on the cast back
+    val integralKey = {
+      import org.apache.spark.sql.types._
+      val (ta, tb) = (p.schema.fields(0).dataType, p.schema.fields(1).dataType)
+      ta == tb && (ta match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
     }
     if (nEdges <= localSolveEdgeLimit && integralKey) return localSolve(p)
     // Size the loop's shuffles to the EDGE set, not the session default: a

@@ -80,6 +80,15 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
   require(toleranceUs.isEmpty || leftTime.dataType
       .isInstanceOf[org.apache.spark.sql.types.TimestampType],
     "tolerance requires timestamp time columns")
+  // Catalyst's NormalizeFloatingNumbers only rewrites keys of operators it
+  // knows (Join/Aggregate/Window); raw float keys here would make
+  // -0.0 != 0.0 and NaN-bit-pattern mismatches silently null-extend.
+  // As-of keys are identifiers — reject the floating types outright.
+  require(!leftKeys.exists(k =>
+      k.dataType == org.apache.spark.sql.types.FloatType ||
+      k.dataType == org.apache.spark.sql.types.DoubleType),
+    "floating-point as-of join keys are not supported (-0.0/NaN equality " +
+      "diverges from SQL join semantics); cast to a non-floating type")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -223,10 +232,13 @@ object AsOf {
            tie: Seq[String] = Nil,
            tolerance: Option[String] = None): AsOfJoin = {
     require(leftKeys.size == rightKeys.size, "key lists must align")
-    val dup = left.columns.toSet.intersect(right.columns.toSet)
-    require(dup.isEmpty, s"ambiguous columns in as-of join: $dup — alias first")
     val caseSensitive = left.sparkSession.conf
       .get("spark.sql.caseSensitive", "false").toBoolean
+    // the collision check must fold case the same way attr() resolves below
+    def fold(n: String) = if (caseSensitive) n else n.toLowerCase
+    val dup = left.columns.map(fold).toSet
+      .intersect(right.columns.map(fold).toSet)
+    require(dup.isEmpty, s"ambiguous columns in as-of join: $dup — alias first")
     val (lPlan, rPlan) = (PlanGlue.analyzed(left), PlanGlue.analyzed(right))
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(a =>

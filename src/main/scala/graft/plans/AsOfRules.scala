@@ -41,8 +41,12 @@ object AsOfRules {
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case f @ Filter(cond, a: AsOfJoin) =>
+        // span, not partition: everything at or after the first
+        // non-deterministic conjunct stays put (Catalyst's convention —
+        // pushing a later deterministic conjunct would change the row
+        // sequence a rand()-style predicate evaluates over)
         val (deterministic, rest0) =
-          splitConjunctivePredicates(cond).partition(_.deterministic)
+          splitConjunctivePredicates(cond).span(_.deterministic)
         val (leftOnly, rest1) =
           deterministic.partition(_.references.subsetOf(a.left.outputSet))
         if (leftOnly.isEmpty) {

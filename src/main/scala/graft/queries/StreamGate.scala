@@ -42,6 +42,24 @@ object StreamGate extends QueryModule {
       s"${System.getProperty("java.io.tmpdir")}/graft_replay_$tag-$key")
     val ok = new java.io.File(dir, "_ok")
     if (!ok.exists()) {
+      def rmRec(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmRec); f.delete()
+      }
+      // fail FAST on a stale half-built dir (a pre-_ok crash of the old
+      // in-place scheme) — don't pay a full layout build just to discover
+      // the rename target is occupied. Re-check _ok: a concurrent winner
+      // may have committed between the outer check and this one.
+      if (dir.exists()) {
+        if (ok.exists()) return dir.toString
+        throw new java.io.IOException(
+          s"replay cache at $dir exists without _ok — remove it and retry")
+      }
+      // GC .build-* leftovers from builder JVMs that crashed mid-build
+      // (best-effort; >1h old means no live builder owns them)
+      Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(s"${dir.getName}.build-") &&
+          System.currentTimeMillis() - f.lastModified() > 3600000L)
+        .foreach(rmRec)
       // Concurrent JVMs (parallel Verify/Bench) may race here: each builds
       // in a PRIVATE sibling dir, then the atomic directory rename is the
       // commit point — exactly one build becomes `dir`, losers delete
@@ -52,13 +70,10 @@ object StreamGate extends QueryModule {
       build(tmp.toString)
       new java.io.File(tmp, "_ok").createNewFile()
       if (!tmp.renameTo(dir)) {
-        def rmRec(f: java.io.File): Unit = {
-          val cs = f.listFiles(); if (cs != null) cs.foreach(rmRec); f.delete()
-        }
         rmRec(tmp)
-        if (!ok.exists()) // a stale half-built dir (pre-_ok crash) blocks us
+        if (!ok.exists()) // raced a loser-less failure (FS error, not a win)
           throw new java.io.IOException(
-            s"replay cache at $dir exists without _ok — remove it and retry")
+            s"replay cache build could not commit to $dir — remove it and retry")
       }
     }
     dir.toString

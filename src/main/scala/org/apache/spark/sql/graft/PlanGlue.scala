@@ -1,7 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{classic, Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{classic, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.SparkStrategy
@@ -22,11 +21,6 @@ object PlanGlue {
   /** The analyzed logical plan of a DataFrame (for embedding as a child of
     * a custom operator). */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
-
-  /** The Catalyst expression behind a Column (Spark 4 made `Column`
-    * backend-agnostic; the classic expression lives behind this util). */
-  def expr(c: Column): Expression =
-    classic.ExpressionUtils.expression(c)
 
   /** Idempotently appends a planner strategy to the session's extra
     * strategies (the imperative twin of `injectPlannerStrategy`). */
