@@ -238,6 +238,27 @@ object StreamGate extends QueryModule {
           col("rts").cast("timestamp_ntz").as("rts"))
         .orderBy(col("user_id"), col("p_id"), col("e_id"))),
 
+    // Streaming AS-OF join via custom state — the streaming twin of the
+    // native batch operator (plans.AsOfJoin) over the same time-chunked
+    // replay: a purchase overwrites the user's single latest-purchase state
+    // record, an error emits (error, latest purchase so far) in the SAME
+    // micro-batch (append-only, no sentinels — emission needs no watermark).
+    // Cross-batch correctness comes from the chunks' time split (every
+    // batch-1 row is at-or-after every batch-0 row); within a batch rows
+    // sort (ts, purchase-before-error, id). State is O(1) per user vs the
+    // interval join's buffered row sets. Hash-gated against the batch
+    // q_join_asof oracle verbatim.
+    "s_join_asof" -> ((s, d) => {
+      import s.implicits._
+      runGate(s,
+        "ts timestamp, user_id bigint, event_type string, event_id bigint",
+        s"${sessChunks(s, d)}/part=*", "append",
+        src => StreamOps.asofCustomState(
+          src().as[(java.sql.Timestamp, Long, String, Long)]).toDF())
+        .select(col("e_id"), col("e_user"), col("p_id"))
+        .orderBy(col("e_id"))
+    }),
+
     // Custom-state sessionization as a STREAM, gated against the batch
     // gaps-and-islands oracle: the events table replays as two
     // time-range-ordered chunks plus two far-future sentinel files, all in
@@ -339,6 +360,19 @@ object StreamGate extends QueryModule {
         | AND l.event_type = 'purchase' AND r.event_type = 'error'
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
         |ORDER BY user_id, p_id, e_id""".stripMargin,
+
+    // the batch as-of oracle verbatim (q_join_asof's)
+    "s_join_asof" ->
+      """WITH err AS (SELECT event_id e_id, user_id e_user, CAST(ts AS TIMESTAMP) e_ts
+        |             FROM events WHERE event_type = 'error'),
+        |     pur AS (SELECT event_id p_id, user_id p_user, CAST(ts AS TIMESTAMP) p_ts
+        |             FROM events WHERE event_type = 'purchase'),
+        |     j AS (SELECT e_id, e_user, p_id, p_ts,
+        |             row_number() OVER (PARTITION BY e_id
+        |               ORDER BY p_ts DESC NULLS LAST, p_id DESC NULLS LAST) rn
+        |           FROM err LEFT JOIN pur
+        |             ON e_user = p_user AND p_ts <= e_ts)
+        |SELECT e_id, e_user, p_id FROM j WHERE rn = 1 ORDER BY e_id""".stripMargin,
 
     "s_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,

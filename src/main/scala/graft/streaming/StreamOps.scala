@@ -109,6 +109,54 @@ object StreamOps {
     * a late event merges into the still-open session (closed sessions are
     * never revised — the same contract every watermarked operator has).
     */
+  case class AsofState(p_us: Long, p_id: Long)
+  case class AsofOut(e_id: Long, e_user: Long, p_id: Option[Long])
+
+  /** Streaming AS-OF join via custom state: one merged stream of typed
+    * events per key; a purchase updates the key's single latest-purchase
+    * record, an error emits (error, latest purchase so far) immediately —
+    * the streaming twin of `plans.AsOfJoin`, O(1) state per key instead of
+    * buffered row sets.
+    *
+    * Correct when the stream is time-ordered ACROSS micro-batches (each
+    * batch's rows all at-or-after the previous batch's — the chunked
+    * replay guarantees it; a production feed gets it from log-structured
+    * sources). WITHIN a batch, rows sort here: purchases before errors at
+    * equal timestamps (`p_ts <= e_ts` includes equality), ids ascending so
+    * the last same-timestamp purchase (max id) wins the tie — matching the
+    * batch oracle's `ORDER BY p_ts DESC, p_id DESC ... rn = 1`. No
+    * timeout: state is one record per key, bounded by key cardinality
+    * (the exact-global dial, like streaming dedup).
+    */
+  def asofCustomState(events: org.apache.spark.sql.Dataset[
+        (java.sql.Timestamp, Long, String, Long)],
+      buildType: String = "purchase", probeType: String = "error")
+      : org.apache.spark.sql.Dataset[AsofOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events.filter(r => r._3 == buildType || r._3 == probeType)
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(java.sql.Timestamp, Long, String, Long)],
+         state: GroupState[AsofState]) =>
+          val out = Seq.newBuilder[AsofOut]
+          var cur = state.getOption
+          // (ts, kind, id): build rows (kind 0) before probe rows (kind 1)
+          // at the same timestamp; ascending ids make the last update the max
+          rows.map(r => (micros(r._1), if (r._3 == probeType) 1 else 0, r._4))
+            .toArray.sorted
+            .foreach { case (us, kind, id) =>
+              if (kind == 0) cur = Some(AsofState(us, id))
+              else out += AsofOut(id, user, cur.map(_.p_id))
+            }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class SessState(first_us: Long, last_us: Long, count: Long)
   case class SessionOut(user_id: Long, n_events: Long, first_us: Long,
                         last_us: Long)
