@@ -85,16 +85,21 @@ object ScaleProbe {
     // 10x events = 10 month-offset copies: 10x windows, so the streaming
     // aggregate's STATE scales 10x along with the data
     val ev = Tables.table(spark, sf, "events")
-      .select("ts", "user_id", "event_type")
+      .select("ts", "user_id", "event_type", "event_id")
     val ev10 = (0 until 10).map(k =>
       ev.select((col("ts") + expr(s"INTERVAL $k MONTH")).as("ts"),
-        col("user_id"), col("event_type")))
+        col("user_id"), col("event_type"),
+        (col("event_id") + k * 1000000000L).as("event_id")))
       .reduce(_ union _)
     val ev10dir = java.nio.file.Files
       .createTempDirectory("graft_scale_ev").toString
     ev10.write.mode("overwrite").parquet(s"$ev10dir/events.parquet")
     time("tumbling_stream_1x") { runQ("s_tumbling_counts", sf) }
     time("tumbling_stream_10x") { runQ("s_tumbling_counts", ev10dir) }
+    // the native as-of at 10x rows AND 10x per-key density (month-offset
+    // copies share user ids): the merge stays O(n+m) per key
+    time("asof_native_1x") { runQ("q_join_asof_native", sf) }
+    time("asof_native_10x") { runQ("q_join_asof_native", ev10dir) }
     // durable spool transport: 200k syslog frames over one TCP connection
     // through the hsync'd rolling spool until every byte is VISIBLE
     // (rolled + renamed) — the measured floor of the r5 ingest path.

@@ -77,9 +77,10 @@ case class AsOfJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     "as-of join key types must match pairwise")
   require(leftTime.dataType == rightTime.dataType,
     "as-of join time column types must match")
-  require(toleranceUs.isEmpty || leftTime.dataType
-      .isInstanceOf[org.apache.spark.sql.types.TimestampType],
-    "tolerance requires timestamp time columns")
+  require(toleranceUs.isEmpty || (leftTime.dataType
+      .isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+      leftTime.dataType == org.apache.spark.sql.types.LongType),
+    "tolerance requires timestamp (or long-µs) time columns")
   // Catalyst's NormalizeFloatingNumbers only rewrites keys of operators it
   // knows (Join/Aggregate/Window); raw float keys here would make
   // -0.0 != 0.0 and NaN-bit-pattern mismatches silently null-extend.
@@ -209,17 +210,38 @@ object AsOf {
   /** `tolerance` bounds the lookback (à la pandas `merge_asof`): a match
     * must satisfy `leftTime - tolerance <= rightTime <= leftTime`.
     * Timestamp time columns only; e.g. `tolerance = Some("30 minutes")`.
+    *
+    * `direction = "forward"` flips the match to the EARLIEST right at or
+    * after the left time (`leftTime <= rightTime <= leftTime + tolerance`),
+    * ties still broken by greatest `tie`. Implemented by running the same
+    * backward merge over negated epoch-µs times — no second exec path to
+    * keep correct.
     */
   def join(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftTime: String, rightTime: String,
            tie: Seq[String] = Nil,
-           tolerance: Option[String] = None): DataFrame = {
+           tolerance: Option[String] = None,
+           direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession
     register(spark)
-    PlanGlue.ofRows(spark,
-      plan(left, right, leftKeys, rightKeys, leftTime, rightTime, tie,
-        tolerance))
+    direction match {
+      case "backward" =>
+        PlanGlue.ofRows(spark,
+          plan(left, right, leftKeys, rightKeys, leftTime, rightTime, tie,
+            tolerance))
+      case "forward" =>
+        import org.apache.spark.sql.functions.{col, expr}
+        val (ln, rn) = ("__graft_asof_neg_lt", "__graft_asof_neg_rt")
+        val l2 = left.withColumn(ln, expr(s"-unix_micros(`$leftTime`)"))
+        val r2 = right.withColumn(rn, expr(s"-unix_micros(`$rightTime`)"))
+        PlanGlue.ofRows(spark,
+          plan(l2, r2, leftKeys, rightKeys, ln, rn, tie, tolerance))
+          .drop(col(ln)).drop(col(rn))
+      case other =>
+        throw new IllegalArgumentException(
+          s"direction must be backward or forward, got $other")
+    }
   }
 
   /** The resolved logical node alone (no imperative registration) — the

@@ -200,6 +200,25 @@ object Relational extends QueryModule {
         .orderBy(col("e_id"))
     }),
 
+    // Forward as-of: the EARLIEST purchase at/after each error ("did the
+    // user purchase after hitting the error?") — the same backward merge
+    // over negated epoch-µs times, ties still max-p_id.
+    "q_join_asof_fwd" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+          col("ts").as("e_ts"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      graft.plans.AsOf.join(err, pur,
+          leftKeys = Seq("e_user"), rightKeys = Seq("p_user"),
+          leftTime = "e_ts", rightTime = "p_ts", tie = Seq("p_id"),
+          direction = "forward")
+        .select(col("e_id"), col("e_user"), col("p_id"))
+        .orderBy(col("e_id"))
+    }),
+
     // Bounded-lookback as-of (merge_asof tolerance): same operator, but a
     // match older than 30 minutes nulls out — "the purchase that explains
     // this error, if recent enough". Same state/shuffle shape as above.
@@ -475,6 +494,19 @@ object Relational extends QueryModule {
         |               ORDER BY p_ts DESC NULLS LAST, p_id DESC NULLS LAST) rn
         |           FROM err LEFT JOIN pur
         |             ON e_user = p_user AND p_ts <= e_ts)
+        |SELECT e_id, e_user, p_id FROM j WHERE rn = 1 ORDER BY e_id""".stripMargin,
+
+    // forward: earliest following purchase; ties by greatest p_id
+    "q_join_asof_fwd" ->
+      """WITH err AS (SELECT event_id e_id, user_id e_user, CAST(ts AS TIMESTAMP) e_ts
+        |             FROM events WHERE event_type = 'error'),
+        |     pur AS (SELECT event_id p_id, user_id p_user, CAST(ts AS TIMESTAMP) p_ts
+        |             FROM events WHERE event_type = 'purchase'),
+        |     j AS (SELECT e_id, e_user, p_id, p_ts,
+        |             row_number() OVER (PARTITION BY e_id
+        |               ORDER BY p_ts ASC NULLS LAST, p_id DESC NULLS LAST) rn
+        |           FROM err LEFT JOIN pur
+        |             ON e_user = p_user AND p_ts >= e_ts)
         |SELECT e_id, e_user, p_id FROM j WHERE rn = 1 ORDER BY e_id""".stripMargin,
 
     // bounded lookback: the rn=1 row only survives if within tolerance

@@ -84,6 +84,25 @@ class AsOfSpec extends SparkSpec {
     assert(got2 == Seq("at_bound"))
   }
 
+  test("forward direction: earliest right at or after, with tolerance cap") {
+    val l = Seq((1L, ts("2020-01-01 10:00:00"))).toDF("lk", "lt")
+    val r = Seq(
+      (1L, ts("2020-01-01 09:00:00"), "past"),
+      (1L, ts("2020-01-01 10:20:00"), "next"),
+      (1L, ts("2020-01-01 12:00:00"), "later")).toDF("rk", "rt", "rtag")
+    val fwd = AsOf.join(l, r, Seq("lk"), Seq("rk"), "lt", "rt",
+        direction = "forward")
+      .select("rtag").as[String].collect().toSeq
+    assert(fwd == Seq("next"))
+    assert(!AsOf.join(l, r, Seq("lk"), Seq("rk"), "lt", "rt",
+        direction = "forward").columns.exists(_.startsWith("__graft")))
+    // tolerance caps the lookahead: 10 minutes excludes the 10:20 match
+    val capped = AsOf.join(l, r, Seq("lk"), Seq("rk"), "lt", "rt",
+        direction = "forward", tolerance = Some("10 minutes"))
+      .select("rtag").as[String].collect().toSeq
+    assert(capped == Seq(null))
+  }
+
   test("planning without AQE: EnsureRequirements alone supplies the exchanges") {
     val d = sf()
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
