@@ -540,4 +540,33 @@ class StreamingSpec extends SparkSpec {
     awaitSpoolFiles(dir, 1, 5000)
     assert(spark.read.text(dir).count() == 1)
   }
+
+  test("replay-cache build race: two concurrent gates, one committed layout") {
+    // A fresh copy of the events table gives a fresh cache key, so BOTH
+    // threads enter the build path together; the atomic-rename commit must
+    // leave exactly one layout, zero .build-* leftovers, and both gate
+    // results hash-identical to each other.
+    val d = Files.createTempDirectory("graft_race_ev").toString
+    Tables.table(spark, sf("sf0.001"), "events")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = Seq.fill(2)(Future {
+      SparkEntry.queries("s_tumbling_counts")(spark, d).collect().toSeq
+    })
+    val results = Await.result(Future.sequence(runs), 300.seconds)
+    assert(results(0).nonEmpty && results(0) == results(1))
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val caches = tmp.listFiles().filter(_.getName.startsWith("graft_replay_sgate4w-"))
+      .filter(f => new java.io.File(s"$d/events.parquet").lastModified() > 0 &&
+        f.lastModified() >= System.currentTimeMillis() - 600000)
+    // leftovers from the race would be .build-* siblings of a fresh cache
+    val leftovers = tmp.listFiles()
+      .filter(_.getName.matches("graft_replay_sgate4w-.*\\.build-.*"))
+      .filter(_.lastModified() >= System.currentTimeMillis() - 600000)
+    assert(leftovers.isEmpty,
+      s"uncommitted build dirs leaked: ${leftovers.map(_.getName).toSeq}")
+    assert(caches.nonEmpty)
+  }
 }
