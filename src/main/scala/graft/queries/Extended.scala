@@ -382,6 +382,26 @@ object Extended extends QueryModule {
         .orderBy(col("t"))
     }),
 
+    // Salted equi-join under single-hot-key skew (SURVEY "salting for
+    // skew"): the join key carries a deterministic salt hashed from the
+    // fact table's PK, spreading any one hot key over 8 tasks — the case
+    // AQE's skew split cannot subdivide. Semantics are exactly the plain
+    // inner join (the oracle), so the salt is pure plan shape; the small
+    // side's 8x replication is a bounded broadcast (|part| x 8 rows).
+    "q_skew_join" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .select(col("l_partkey").as("partkey"), col("l_quantity"),
+          col("l_orderkey"), col("l_linenumber"))
+      val small = t(s, d, "part")
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      graft.operators.Skew
+        .saltedJoin(big, small, "partkey",
+          struct(col("l_orderkey"), col("l_linenumber")), saltBuckets = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }),
+
     // Keep-latest-per-key dedup (re-crawl semantics: newest version of each
     // entity wins). One partitioned window + filter — the WindowGroupLimit
     // optimization turns it into a per-partition top-1, no full sort spill.
@@ -736,6 +756,12 @@ object Extended extends QueryModule {
         |    INTERVAL 1 HOUR)) AS t)
         |SELECT spine.t AS t, COALESCE(b.cnt, 0) AS cnt
         |FROM spine LEFT JOIN b ON spine.t = b.t ORDER BY t""".stripMargin,
+
+    // The salt is pure plan shape — the oracle is the unsalted join.
+    "q_skew_join" ->
+      """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_bigram_pmi" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
