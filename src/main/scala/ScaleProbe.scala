@@ -166,6 +166,46 @@ object ScaleProbe {
         .select(col("e_id"), col("p_id"))
         .write.mode("overwrite").format("noop").save()
     }
+    // Salted equi-join under single-hot-key skew (q_skew_join's operator):
+    // 16M-row hot key + 4M uniform tail joined to a 100k-key dim, dim too
+    // big to broadcast (threshold forced to -1). AQE's OptimizeSkewedJoin
+    // can split a hot SMJ partition at runtime, but streaming joins and
+    // non-AQE contexts have no such rescue — and even where it runs, the
+    // split duplicates the build side per chunk. Three shapes: unsalted
+    // with skew-split off (the stuck plan), salted with skew-split off
+    // (the plan-level fix), unsalted with skew-split on (AQE's rescue).
+    val hotJoinN = 16000000
+    val tailKeys = 100000
+    val bigSkew = spark.range(hotJoinN + 4000000L).select(
+      when(col("id") < hotJoinN, lit(1L))
+        .otherwise(pmod(col("id"), lit(tailKeys.toLong)) + 2L).as("key"),
+      col("id"))
+    val dimSkew = spark.range(tailKeys.toLong + 2).select(col("id").as("key"),
+      concat(lit("dim"), col("id")).as("attr"))
+    def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
+      val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k) }
+    }
+    withConf("spark.sql.adaptive.skewJoin.enabled" -> "false",
+             "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      time(s"equiskew_unsalted_noSplit_${hotJoinN}hot") {
+        bigSkew.join(dimSkew, Seq("key"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      time(s"equiskew_salted_noSplit_${hotJoinN}hot") {
+        operators.Skew.saltedJoin(bigSkew, dimSkew, "key", col("id"), 32)
+          .write.mode("overwrite").format("noop").save()
+      }
+    }
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      time(s"equiskew_unsalted_aqeSplit_${hotJoinN}hot") {
+        bigSkew.join(dimSkew, Seq("key"))
+          .write.mode("overwrite").format("noop").save()
+      }
+    }
     spark.stop()
   }
 }
