@@ -105,8 +105,11 @@ object Bench {
         }
       (prev :+ 0).max + 1
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(f"BENCH_FULL_r$round%02d.json"), json)
+    // Only a run at the driver's per-round bench SF updates the round
+    // artifact — a smoke run at sf0.001 must not clobber the sf0.1 vector.
+    if (sfDir.endsWith("sf0.1"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"BENCH_FULL_r$round%02d.json"), json)
     spark.stop()
   }
 }
