@@ -73,24 +73,65 @@ object Bench {
       }.sorted.apply(2)
       (nCopies.toLong * lines.size / secs).toLong
     }
-    // Deterministic name order so per-query timings are comparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // --- stall-proof query vector (r5 adjudication: the round's final
+    // single-pass run recorded a contiguous alphabetical window at 2-4x the
+    // committed run of identical code — a host-level stall corrupted the
+    // official vector). Two defenses:
+    //   1. per-query MEDIAN-OF-3 for batch queries — one stalled pass can no
+    //      longer set a query's official time. Streaming gates stay
+    //      single-run: each is a real multi-batch stream over a fresh
+    //      checkpoint, and a repeat would measure the replay cache, not the
+    //      stream.
+    //   2. a host-noise SENTINEL — a fixed cheap probe re-timed every 10
+    //      queries; windows where the probe degrades >3x its baseline are
+    //      flagged in the artifact so a sweep-through stall is visible
+    //      instead of silently distorting whichever queries it hit.
+    def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val secs = (System.nanoTime() - t0) / 1e9
-      // bound cache growth across the run (see Verify) — cleanup is outside
-      // the timed window
-      spark.sharedState.cacheManager.clearCache()
-      name -> secs
+      body
+      (System.nanoTime() - t0) / 1e9
     }
+    val sentinelDf = {
+      import org.apache.spark.sql.functions._
+      graft.Tables.table(spark, sfDir, "lineitem")
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("sum_qty"))
+    }
+    def sentinel(): Double =
+      timed(sentinelDf.write.mode("overwrite").format("noop").save())
+    val sentinelBase = (1 to 3).map(_ => sentinel()).sorted.apply(1)
+    val probes = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
+    // Deterministic name order so per-query timings are comparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), i) =>
+        if (i > 0 && i % 10 == 0) probes += (i -> sentinel())
+        val reps = if (name.startsWith("s_")) 1 else 3
+        val times = (1 to reps).map { _ =>
+          val secs = timed {
+            try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            }
+          }
+          // bound cache growth across the run (see Verify) — cleanup is
+          // outside the timed window, and clearing between repeats means
+          // every repeat pays its own internal persist() recomputes
+          spark.sharedState.cacheManager.clearCache()
+          secs
+        }.sorted
+        name -> times(times.size / 2)
+    }
+    probes += (SparkEntry.queries.size -> sentinel())
+    val stalled = probes.filter(_._2 > sentinelBase * 3).map(_._1)
+    if (stalled.nonEmpty)
+      System.err.println(
+        s"[bench] WARNING host-noise sentinel degraded >3x baseline at query indices ${stalled.mkString(",")}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val probeJson = probes.map { case (i, s) => s"[$i,$s]" }.mkString("[", ",", "]")
+    val stallJson = stalled.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_lines_per_sec":$ingestRate,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_lines_per_sec":$ingestRate,"sf":"$sfDir","per_query":"median_of_3 (streaming gates single-run)","sentinel_baseline_sec":$sentinelBase,"sentinel_probes":$probeJson,"stalled_windows":$stallJson}"""
     println(json)
     // durable copy: the driver's stdout capture truncates long lines, so the
     // full per-query vector also lands as a file, diffable across rounds —

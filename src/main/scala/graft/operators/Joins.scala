@@ -24,8 +24,14 @@ object Joins {
 
   /** Broadcast-hints `side` only when it holds at most `limit` rows. The
     * probe is `limit(n+1).count()` — the global limit caps the scan, so a
-    * 10M-row side costs a bounded peek, not a full count.
+    * 10M-row side costs a bounded peek, not a full count. The probe IS one
+    * extra Spark action that recomputes `side` — pass a cheap (scan-level)
+    * or cached side, not an expensive pipeline.
     */
-  def maybeBroadcast(side: DataFrame, limit: Long = BroadcastRowLimit): DataFrame =
+  def maybeBroadcast(side: DataFrame, limit: Long = BroadcastRowLimit): DataFrame = {
+    // limit+1 must fit an Int: a larger ceiling would overflow the probe
+    // (and a >2G-row broadcast is never sane anyway)
+    require(limit > 0 && limit < Int.MaxValue, s"broadcast row limit out of range: $limit")
     if (side.limit((limit + 1).toInt).count() <= limit) broadcast(side) else side
+  }
 }

@@ -50,7 +50,10 @@ object VectorPq {
         .filter(pmod(xxhash64(col(idCol)), lit(trainSampleMod)) === 0)
     val train = train0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val dim = train.select(size(col(vecCol))).head().getInt(0)
+      val dimProbe = train.select(size(col(vecCol))).head(1)
+      require(dimProbe.nonEmpty,
+        s"trainSampleMod=$trainSampleMod selected 0 training rows — lower it")
+      val dim = dimProbe(0).getInt(0)
       require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
       val dsub = dim / m
       // init: slice the first k sample vectors into all M subspaces

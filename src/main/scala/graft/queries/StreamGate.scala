@@ -35,8 +35,17 @@ object StreamGate extends QueryModule {
     */
   private def replayCache(d: String, tag: String)(build: String => Unit): String = {
     val src = new java.io.File(s"$d/events.parquet")
+    // fingerprint the LEAF files (sorted name|size|mtime), not the directory:
+    // a directory's own length/mtime is filesystem-dependent and survives an
+    // in-place rewrite of its parquet parts, which would silently serve a
+    // stale layout for the new data
+    val leaves =
+      if (src.isDirectory)
+        Option(src.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .map(f => s"${f.getName}|${f.length}|${f.lastModified}").mkString(";")
+      else s"${src.length}|${src.lastModified}"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|${src.length}|${src.lastModified}|$tag".getBytes("UTF-8"))
+      .digest(s"$d|$leaves|$tag".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val dir = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_replay_$tag-$key")

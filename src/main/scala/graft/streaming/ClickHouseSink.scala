@@ -102,7 +102,13 @@ object ClickHouseDialect {
     case t: java.time.LocalDateTime => "'" + DateTimeFmt.format(t.toInstant(ZoneOffset.UTC)) + "'"
     case b: Boolean            => if (b) "1" else "0"
     case b: Array[Byte]        => literal(new String(b, java.nio.charset.StandardCharsets.UTF_8))
-    case n                     => n.toString
+    // java.time variants: with spark.sql.datetime.java8API.enabled=true,
+    // Row.get returns Instant/LocalDate instead of java.sql.Timestamp/Date
+    case t: java.time.Instant   => "'" + DateTimeFmt.format(t) + "'"
+    case d: java.time.LocalDate => s"'$d'"
+    case n: java.lang.Number   => n.toString
+    case other => throw new IllegalArgumentException(
+      s"no ClickHouse literal for ${other.getClass.getName}")
   }
 
   /** Multi-row `INSERT INTO t (cols) VALUES (…), (…)` — omclickhouse's
@@ -110,11 +116,21 @@ object ClickHouseDialect {
     * queue; `nginx.conf:3` fixes the column list golden-tested in
     * ClickHouseDialectSpec).
     */
-  def insertStatement(table: String, columns: Seq[String], rows: Seq[Row]): String = {
+  def insertStatement(table: String, columns: Seq[String], rows: Seq[Row],
+                      dedupToken: Option[String] = None): String = {
     require(rows.nonEmpty, "empty INSERT batch")
     val vals = rows.map(r =>
       columns.indices.map(i => literal(r.get(i))).mkString("(", ", ", ")"))
-    s"INSERT INTO $table (${columns.mkString(", ")}) VALUES ${vals.mkString(", ")}"
+    // insert_deduplication_token: ClickHouse drops a re-posted block whose
+    // token is still in the table's deduplication window — the server-side
+    // half of the sink's task-retry idempotence (needs
+    // non_replicated_deduplication_window > 0 on plain MergeTree; on by
+    // default for Replicated tables). The token must not contain quotes.
+    val settings = dedupToken.map { tok =>
+      require(!tok.exists(c => c == '\'' || c == '\\'), s"bad dedup token: $tok")
+      s" SETTINGS insert_deduplicate=1, insert_deduplication_token='$tok'"
+    }.getOrElse("")
+    s"INSERT INTO $table (${columns.mkString(", ")})$settings VALUES ${vals.mkString(", ")}"
   }
 
   /** The replay guard: ClickHouse lightweight DELETE of a replayed batch
@@ -131,6 +147,26 @@ object ClickHouseDialect {
   * executors (the driver only issues the replay DELETE). In production
   * that is an HTTP POST to `:8123` (omclickhouse's transport,
   * `nginx.conf:61-63`); tests record statements instead.
+  *
+  * Idempotence has TWO layers, because failure happens at two granularities:
+  *   - CROSS-BATCH (driver restart replays a committed micro-batch): the
+  *     replay DELETE removes the prior attempt's rows by `_batch_id` before
+  *     re-inserting.
+  *   - INTRA-BATCH (a task retried or speculatively duplicated re-posts its
+  *     partition's INSERTs inside a batch that then commits — the DELETE
+  *     never sees those duplicates): every INSERT carries a deterministic
+  *     `insert_deduplication_token` of (attempt-epoch, batchId, partitionId,
+  *     chunk#), so the server drops the re-post. The epoch is fresh per
+  *     `writeBatch` call — task/stage retries share it (same closure) and
+  *     dedup; a batch REPLAY gets a new epoch so its inserts are NOT deduped
+  *     against rows the replay DELETE just removed (lightweight DELETE does
+  *     not clear the dedup log). Chunk composition is made attempt-stable by
+  *     sorting within partitions first (shuffle fetch order is otherwise
+  *     nondeterministic, and token-dedup keyed on unstable chunks could drop
+  *     or double rows). Token dedup requires
+  *     `non_replicated_deduplication_window > 0` on plain MergeTree tables;
+  *     with `dedupTokens=false` the contract degrades to AT-LEAST-ONCE under
+  *     task retry/speculation and speculation should be disabled.
   */
 object ClickHouseSink {
 
@@ -138,19 +174,29 @@ object ClickHouseSink {
 
   def writeBatch(batch: DataFrame, batchId: Long, table: String,
                  executorFactory: () => Executor,
-                 maxRowsPerInsert: Int = 10000): Unit = {
-    import org.apache.spark.sql.functions.lit
+                 maxRowsPerInsert: Int = 10000,
+                 dedupTokens: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
     // same invariant as JdbcSink: the table name is necessarily
     // interpolated into the DELETE/INSERT text, so it must be an identifier
     JdbcSink.requireIdent(table)
     val withId = batch.withColumn(JdbcSink.BatchIdCol, lit(batchId))
-    val cols = withId.schema.fieldNames.toSeq
+    // attempt-stable row order per partition → attempt-stable chunks →
+    // retries re-post byte-identical token'd blocks (external sort, spills)
+    val stable =
+      if (dedupTokens) withId.sortWithinPartitions(withId.columns.map(col).toIndexedSeq: _*)
+      else withId
+    val cols = stable.schema.fieldNames.toSeq
+    val epoch = java.util.UUID.randomUUID().toString
     executorFactory()(ClickHouseDialect.deleteBatchSql(table, batchId))
-    withId.foreachPartition { (rows: Iterator[Row]) =>
+    stable.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
         val exec = executorFactory()
-        rows.grouped(maxRowsPerInsert).foreach(g =>
-          exec(ClickHouseDialect.insertStatement(table, cols, g.toSeq)))
+        rows.grouped(maxRowsPerInsert).zipWithIndex.foreach { case (g, i) =>
+          val tok = if (dedupTokens) Some(s"graft-$epoch-$batchId-$pid-$i") else None
+          exec(ClickHouseDialect.insertStatement(table, cols, g.toSeq, tok))
+        }
       }
     }
   }

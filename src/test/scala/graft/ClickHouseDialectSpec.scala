@@ -73,6 +73,12 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(literal(null) == "NULL")
     assert(literal(true) == "1" && literal(false) == "0")
     assert(literal(612L) == "612")
+    // java8API session rows hand back java.time values
+    assert(literal(java.time.Instant.parse("2020-04-06T13:54:48.900Z"))
+      == "'2020-04-06 13:54:48'")
+    assert(literal(java.time.LocalDate.parse("2020-04-06")) == "'2020-04-06'")
+    // an unmapped type must be a clear error, not unquoted toString output
+    intercept[IllegalArgumentException] { literal(Seq(1, 2)) }
   }
 
   test("writeBatch: replay DELETE precedes batched INSERTs; replay is a rewrite") {
@@ -101,14 +107,31 @@ class ClickHouseDialectSpec extends SparkSpec {
     // as the reference rule), so agent = `it's \`; the dialect escapes the
     // embedded ' and trailing \ on top
     assert(inserts.exists(_.contains("""'it\'s \\'""")))
+    // every INSERT carries a dedup token (task-retry idempotence): scheme
+    // graft-<epoch>-<batchId>-<partition>-<chunk>, with the SETTINGS clause
+    // ahead of VALUES as ClickHouse requires
+    val TokRe = """SETTINGS insert_deduplicate=1, insert_deduplication_token='graft-([0-9a-f-]+)-7-(\d+)-(\d+)' VALUES""".r.unanchored
+    assert(inserts.forall(TokRe.findFirstIn(_).isDefined), s"token missing: $inserts")
+    def epochOf(s: String) = TokRe.findFirstMatchIn(s).get.group(1)
+    def stripTok(s: String) = TokRe.replaceAllIn(s, "VALUES")
+    assert(inserts.map(epochOf).distinct.size == 1,
+      "one writeBatch call = one attempt epoch (retries of its tasks dedup)")
     // a checkpoint replay of the same batch re-runs DELETE-then-INSERT:
-    // the statement stream stays idempotent at the table level
+    // the statement stream stays idempotent at the table level. The replay
+    // gets a FRESH epoch — its inserts must NOT token-dedup against the
+    // rows its own DELETE just removed (the dedup log outlives the delete)
     run()
     val replay = ClickHouseDialectSpec.recorded.synchronized {
       ClickHouseDialectSpec.recorded.toList
     }.drop(stmts.size)
     assert(replay.head.startsWith("DELETE FROM nginx.nginx"))
-    assert(replay.tail.toSet == inserts.toSet)
+    assert(replay.tail.map(stripTok).toSet == inserts.map(stripTok).toSet)
+    assert(epochOf(replay.tail.head) != epochOf(inserts.head),
+      "replay must carry a fresh dedup epoch")
+    // tokens are attempt-deterministic: same rows, same chunking → the
+    // token is a pure function of (epoch, batch, partition, chunk), so a
+    // speculative duplicate of a task re-posts byte-identical statements
+    assert(replay.tail.map(stripTok).toSet.size == replay.tail.size)
   }
 
   test("multi-row VALUES batching groups rows per statement") {
