@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => plans.AsOfRules.PushThroughAsOf)
     ext.injectOptimizerRule(_ => plans.AsOfRules.PruneThroughAsOf)
+    // SQL reach for the whole-operator tier: graft_asof_join(...) as a
+    // table-valued function (the analyzer resolves its UnresolvedRelation /
+    // UnresolvedAttribute arguments, then the strategy above plans the node)
+    ext.injectTableFunction(plans.AsOfSql.descriptor)
     // Function registration needs a live session's registry; inject via
     // a check rule that runs once at analysis start (idempotent registry ops).
     ext.injectCheckRule { session =>

@@ -194,6 +194,19 @@ object AsOf {
     PlanGlue.addStrategy(spark, AsOfJoinStrategy)
     PlanGlue.addOptimization(spark, AsOfRules.PushThroughAsOf)
     PlanGlue.addOptimization(spark, AsOfRules.PruneThroughAsOf)
+    // SQL reach: the graft_asof_join table-valued function (idempotent
+    // create-or-replace, same registry the declarative path populates)
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      AsOfSql.name, AsOfSql.builder, "scala_udf")
+  }
+
+  /** Parses a tolerance interval string (e.g. "30 minutes") to microseconds,
+    * rejecting calendar months (ambiguous duration). */
+  def parseToleranceUs(t: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+    require(iv.months == 0, s"calendar-month tolerance is ambiguous: $t")
+    iv.days * 86400000000L + iv.microseconds
   }
 
   /** Backward as-of join of `left` to `right`: for each left row, the right
@@ -267,12 +280,7 @@ object AsOf {
           if (caseSensitive) a.name == name else a.name.equalsIgnoreCase(name))
         .getOrElse(throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
-    val tolUs = tolerance.map { t =>
-      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(t))
-      require(iv.months == 0, s"calendar-month tolerance is ambiguous: $t")
-      iv.days * 86400000000L + iv.microseconds
-    }
+    val tolUs = tolerance.map(parseToleranceUs)
     AsOfJoin(lPlan, rPlan,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime),

@@ -238,6 +238,28 @@ object Relational extends QueryModule {
         .orderBy(col("e_id"))
     }),
 
+    // The SAME native operator reached through PURE SQL (R13's "regular SQL
+    // syntax" surface): the graft_asof_join table-valued function. A SQL-only
+    // user gets the O(n+m) AsOfJoinExec — not the per-key-quadratic
+    // join+window form they would otherwise write. Identical oracle again.
+    "q_join_asof_sql" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+          col("ts").as("e_ts"))
+        .createOrReplaceTempView("asof_sql_err")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .createOrReplaceTempView("asof_sql_pur")
+      graft.plans.AsOf.register(s)
+      s.sql(
+        """SELECT e_id, e_user, p_id
+          |FROM graft_asof_join('asof_sql_err', 'asof_sql_pur',
+          |                     'e_user', 'p_user', 'e_ts', 'p_ts', 'p_id')
+          |ORDER BY e_id""".stripMargin)
+    }),
+
     // Ranking window functions with deterministic tie-break.
     "q_win_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -526,6 +548,19 @@ object Relational extends QueryModule {
 
     // identical oracle: the native operator must agree with the composed form
     "q_join_asof_native" ->
+      """WITH err AS (SELECT event_id e_id, user_id e_user, CAST(ts AS TIMESTAMP) e_ts
+        |             FROM events WHERE event_type = 'error'),
+        |     pur AS (SELECT event_id p_id, user_id p_user, CAST(ts AS TIMESTAMP) p_ts
+        |             FROM events WHERE event_type = 'purchase'),
+        |     j AS (SELECT e_id, e_user, p_id, p_ts,
+        |             row_number() OVER (PARTITION BY e_id
+        |               ORDER BY p_ts DESC NULLS LAST, p_id DESC NULLS LAST) rn
+        |           FROM err LEFT JOIN pur
+        |             ON e_user = p_user AND p_ts <= e_ts)
+        |SELECT e_id, e_user, p_id FROM j WHERE rn = 1 ORDER BY e_id""".stripMargin,
+
+    // identical oracle: the SQL TVF must agree with both other forms
+    "q_join_asof_sql" ->
       """WITH err AS (SELECT event_id e_id, user_id e_user, CAST(ts AS TIMESTAMP) e_ts
         |             FROM events WHERE event_type = 'error'),
         |     pur AS (SELECT event_id p_id, user_id p_user, CAST(ts AS TIMESTAMP) p_ts

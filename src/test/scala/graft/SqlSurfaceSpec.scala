@@ -38,6 +38,58 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getString(2) == "127.0.0.1")
   }
 
+  test("graft_asof_join TVF: pure SQL reaches the native as-of operator") {
+    val d = sf()
+    // the declared query builds its own temp views + registration
+    val viaSql = SparkEntry.queries("q_join_asof_sql")(spark, d)
+    val rows = viaSql.collect()
+    assert(rows.toSeq == SparkEntry.queries("q_join_asof_native")(spark, d)
+      .collect().toSeq)
+    viaSql.queryExecution.executedPlan // force planning
+    val p = viaSql.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("AsOfJoin"), s"SQL path missed the native operator:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"SQL path fell back to the quadratic composition:\n$p")
+  }
+
+  test("graft_asof_join TVF: tie, tolerance and forward-direction arguments") {
+    val d = sf()
+    Tables.bootstrap(spark, d)
+    import org.apache.spark.sql.functions._
+    val ev = Tables.table(spark, d, "events")
+    ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts")).createOrReplaceTempView("asof_sql_err")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts")).createOrReplaceTempView("asof_sql_pur")
+    val tol = spark.sql(
+      """SELECT e_id, e_user, p_id FROM graft_asof_join(
+        |  'asof_sql_err', 'asof_sql_pur', 'e_user', 'p_user', 'e_ts', 'p_ts',
+        |  'p_id', '30 minutes') ORDER BY e_id""".stripMargin).collect()
+    val tolDf = SparkEntry.queries("q_join_asof_tol")(spark, d).collect()
+    assert(tol.toSeq == tolDf.toSeq, "SQL tolerance diverges from DataFrame API")
+    val fwd = spark.sql(
+      """SELECT e_id, e_user, p_id FROM graft_asof_join(
+        |  'asof_sql_err', 'asof_sql_pur', 'e_user', 'p_user', 'e_ts', 'p_ts',
+        |  'p_id', '', 'forward') ORDER BY e_id""".stripMargin).collect()
+    val fwdDf = SparkEntry.queries("q_join_asof_fwd")(spark, d).collect()
+    assert(fwd.toSeq == fwdDf.toSeq, "SQL forward diverges from DataFrame API")
+  }
+
+  test("graft_asof_join TVF: non-literal and malformed arguments fail clearly") {
+    Tables.bootstrap(spark, sf())
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof_join('a', 'b', 'k', 'k', 't')").collect())
+    assert(e1.getMessage.contains("6-9"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      """SELECT * FROM graft_asof_join('asof_sql_err', 'asof_sql_pur',
+        |'e_user', 'p_user', 'e_ts', 'p_ts', '', '', 'sideways')""".stripMargin)
+      .collect())
+    assert(e2.getMessage.contains("backward or forward"), e2.getMessage)
+  }
+
   test("vector-quantization functions are SQL-callable after bootstrap") {
     Tables.bootstrap(spark, sf())
     val r = spark.sql(
