@@ -300,6 +300,26 @@ object SimilarityOps extends QueryModule {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // IVF-PQ COMPOSED search — the actual big-ANN shape (FAISS IVFADC,
+    // Jégou et al. 2011 §V): a k-means coarse quantizer prunes candidates
+    // to the query's nProbe cells, PQ codes score the survivors without
+    // touching vectors, exact re-rank on the shortlist only. Corpus-side
+    // state at 100 TB is (id, cell, 8 codes) ≈ 20 bytes/vector. Rows-only
+    // in the driver gate (two trained quantizers' FP); PqSpec asserts
+    // recall@10 ≥ 0.7 at nProbe=8 plus full ranked lists per query.
+    "q_sim_ivfpq" -> ((s, d) => {
+      val e = embWithNorm(s, d).select(col("vec_id"), col("v"))
+      val cents = graft.operators.VectorIvf.kmeans(e, "vec_id", "v", k = 16,
+        iters = 3, trainSampleMod = 2)
+      val books = graft.operators.VectorPq.trainCodebooks(
+        e, "vec_id", "v", m = 8, k = 16, iters = 3, trainSampleMod = 2)
+      val q = e.filter(col("vec_id") < 5)
+      graft.operators.VectorPq
+        .searchTopKIvf(e, q, "vec_id", "v", cents, books, m = 8, nProbe = 8,
+          topK = 5, shortlistK = 150)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs: multi-probe banded LSH over INTEGER
     // band codes bit-sliced from the 128-plane signature (no extra plane
     // dots; 8-byte join keys). One-sided radius-2 probing: the probe side

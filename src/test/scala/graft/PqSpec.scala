@@ -110,4 +110,10 @@ class PqSpec extends SparkSpec {
     assert(r.length == 25)
     assert(r.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(1)).sorted.sameElements(1 to 5)))
   }
+
+  test("q_sim_ivfpq (composed IVF-PQ) returns a full ranked top-5 per query") {
+    val r = SparkEntry.queries("q_sim_ivfpq")(spark, sf()).collect()
+    assert(r.length == 25)
+    assert(r.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(1)).sorted.sameElements(1 to 5)))
+  }
 }
