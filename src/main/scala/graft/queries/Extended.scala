@@ -402,6 +402,28 @@ object Extended extends QueryModule {
         .orderBy(col("p_brand"))
     }),
 
+    // Two-phase salted aggregation under hot-GROUP skew: l_returnflag has
+    // 3 groups over the whole fact table — every group is a hot group, and
+    // count(DISTINCT l_orderkey) ships each group's full distinct set to
+    // one reducer in the plain plan. Salting by hash(l_orderkey) makes the
+    // per-bucket distinct sets DISJOINT, so each of 8 tasks holds 1/8 of
+    // the state and the final merge is a plain sum over <=8 rows per
+    // group. Semantics are exactly the unsalted aggregate (the oracle).
+    "q_skew_agg" -> ((s, d) => {
+      graft.operators.Skew.saltedAgg(
+          t(s, d, "lineitem"), keys = Seq("l_returnflag"),
+          salt = col("l_orderkey"), saltBuckets = 8,
+          partial = Seq(
+            countDistinct(col("l_orderkey")).as("_pd"),
+            sum(col("l_quantity")).as("_ps"),
+            count(lit(1)).as("_pn")),
+          merge = Seq(
+            sum(col("_pd")).as("n_orders"),
+            round(sum(col("_ps")), 4).as("sum_qty"),
+            sum(col("_pn")).as("n")))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Keep-latest-per-key dedup (re-crawl semantics: newest version of each
     // entity wins). One partitioned window + filter — the WindowGroupLimit
     // optimization turns it into a per-partition top-1, no full sort spill.
@@ -762,6 +784,12 @@ object Extended extends QueryModule {
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // Same contract for the aggregate: the oracle is the unsalted groupBy.
+    "q_skew_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_bigram_pmi" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
