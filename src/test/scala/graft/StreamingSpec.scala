@@ -329,6 +329,33 @@ class StreamingSpec extends SparkSpec {
     assert(hosts.map(_.getString(0)).toSeq == Seq("web01"))
   }
 
+  test("kafka seam: fail-fast without connector; record projection feeds pipeline") {
+    // This sandbox has no broker and no spark-sql-kafka jar (zero egress):
+    // the availability probe must say so, and the source must fail at
+    // CONSTRUCTION with deployment guidance — not at stream start with a
+    // ClassNotFoundException from inside source resolution.
+    assert(!Syslog.Kafka.connectorAvailable,
+      "connector unexpectedly present — promote this test to a broker round-trip")
+    val e = intercept[IllegalArgumentException](
+      Syslog.from(spark, Syslog.Kafka("localhost:9092", "syslog")))
+    assert(e.getMessage.contains("spark-sql-kafka"), e.getMessage)
+    // The projection the source wires is real and covered: kafka-SHAPED
+    // records (binary key/value + topic/partition/offset/timestamp) must
+    // flow through the same transform as every other transport.
+    val raw = graft.operators.AccessLog.fixtureLines.map(_._2)
+    val records = raw.zipWithIndex.map { case (l, i) =>
+      (Array.empty[Byte],
+        s"<190>Apr  6 09:54:48 web01 nginx: $l".getBytes("UTF-8"),
+        "syslog", 0, i.toLong, new java.sql.Timestamp(0L), 0)
+    }.toDF("key", "value", "topic", "partition", "offset", "timestamp",
+      "timestampType")
+    val got = Syslog.transform(Syslog.Kafka.project(records))
+      .drop("hostname").orderBy("message").collect()
+    val want = graft.operators.AccessLog.project(raw.toDF("line"))
+      .drop("hostname").orderBy("message").collect()
+    assert(got.sameElements(want))
+  }
+
   test("syslog TCP socket source ingests live frames end-to-end") {
     val server = new java.net.ServerSocket(0)
     @volatile var stop = false
