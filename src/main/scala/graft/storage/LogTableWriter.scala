@@ -47,7 +47,33 @@ object LogTableWriter {
     * manifest — can never leak into a reader's view, and a store that was
     * never compacted reads identically to plain parquet layout.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    readView(spark, path, None)
+
+  /** Time-ranged read with FILE-level skipping (the sparse-index analog one
+    * level above row groups — `nginx.click:1`'s ORDER BY index): partition
+    * pruning drops non-matching days, parquet row-group stats skip within a
+    * file, but a plain read still LISTS AND OPENS every file of a matching
+    * day. Here the compacted generation carries a footer-derived
+    * `(min,max) logdatetime` per file in its `_filestats-<genDir>` sidecar,
+    * so read planning drops non-overlapping generation files WITHOUT
+    * opening them. The un-compacted root tail has no stats (bounded by the
+    * next compaction) and stays fully listed; the range predicate is also
+    * applied as a filter, so results are exact regardless of stats.
+    * Inclusive bounds.
+    */
+  def readRange(spark: SparkSession, path: String,
+                from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame = {
+    val fromUs = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .fromJavaTimestamp(from)
+    val toUs = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .fromJavaTimestamp(to)
+    readView(spark, path, Some((fromUs, toUs)))
+      .filter(col("logdatetime") >= lit(from) && col("logdatetime") <= lit(to))
+  }
+
+  private def readView(spark: SparkSession, path: String,
+                       rangeUs: Option[(Long, Long)]): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(path)
@@ -69,8 +95,23 @@ object LogTableWriter {
         if (live.isEmpty) spark.read.parquet(path) // empty store: native error
         else readTail(live)
       case Some((_, genDir, absorbed)) =>
-        val gen = spark.read.parquet(
-          new org.apache.hadoop.fs.Path(root, genDir).toString)
+        val genPath = new org.apache.hadoop.fs.Path(root, genDir)
+        val fullGen = spark.read.parquet(genPath.toString)
+        val gen = rangeUs match {
+          case Some((fromUs, toUs)) =>
+            readFileStats(fs, root, genDir) match {
+              case Some(stats) =>
+                val overlapping = stats.collect {
+                  case (rel, mn, mx) if mx >= fromUs && mn <= toUs =>
+                    new org.apache.hadoop.fs.Path(genPath, rel).toString
+                }
+                if (overlapping.isEmpty) fullGen.filter(lit(false))
+                else spark.read.option("basePath", genPath.toString)
+                  .parquet(overlapping: _*)
+              case None => fullGen // pre-stats generation: no skipping
+            }
+          case None => fullGen
+        }
         val live = rootFiles(absorbed)
         if (live.isEmpty) gen
         // allowMissingColumns: pre-evolution generation vs evolved tail (or
@@ -147,6 +188,11 @@ object LogTableWriter {
     if (dataFiles(fs, genPath).isEmpty)
       input.filter(retain).coalesce(1)
         .write.mode("overwrite").parquet(genPath.toString)
+    // Per-file (min,max) logdatetime sidecar for readRange's file skipping:
+    // derived from parquet FOOTERS only (no data IO), written before the
+    // manifest rename so any committed generation's stats are complete.
+    // Named by the attempt-unique genDir — racing compactors never collide.
+    writeFileStats(spark, fs, root, genDir)
     beforeSwap() // test seam: simulate concurrent work landing here
     // Atomic CAS commit: write the manifest sideways under an attempt-unique
     // tmp name, then rename onto `_manifest-<gen>` with Rename.NONE, which
@@ -168,6 +214,7 @@ object LogTableWriter {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
         fs.delete(tmp, false)
         fs.delete(genPath, true)
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"_filestats-$genDir"), false)
         throw new java.util.ConcurrentModificationException(
           s"compaction of $path lost the commit race for generation $gen " +
             "(another compactor committed first); this attempt was aborted " +
@@ -178,17 +225,87 @@ object LogTableWriter {
         // IOException — same outcome: we lost, clean up and abort
         fs.delete(tmp, false)
         fs.delete(genPath, true)
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"_filestats-$genDir"), false)
         throw new java.util.ConcurrentModificationException(
           s"compaction of $path lost the commit race for generation $gen", e)
     }
-    // GC (winner only): previous generation, its manifest, absorbed root files.
+    // GC (winner only): previous generation, its manifest + stats, absorbed
+    // root files.
     prev.foreach { case (k, d, _) =>
       fs.delete(new org.apache.hadoop.fs.Path(root, d), true)
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifest-$k"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_filestats-$d"), false)
     }
     absorbedNow.foreach { rel =>
       fs.delete(new org.apache.hadoop.fs.Path(root, rel), false)
     }
+  }
+
+  /** Writes `_filestats-<genDir>`: one `relpath\tminUs\tmaxUs` line per data
+    * file of the generation, min/max taken from the parquet footers'
+    * INT64 (TIMESTAMP_MICROS) `logdatetime` column statistics — metadata-only
+    * IO, no row reads. A file whose footer lacks usable stats (absent
+    * column, all-null, non-INT64 encoding) records the FULL range, i.e. is
+    * conservatively never skipped. Stores without a `logdatetime` column
+    * write no sidecar at all, and `readRange` falls back to the plain view.
+    */
+  private def writeFileStats(spark: SparkSession,
+                             fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path,
+                             genDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val genPath = new org.apache.hadoop.fs.Path(root, genDir)
+    val files = dataFiles(fs, genPath).toSeq.sortBy(_._1)
+    val lines = files.map { case (rel, p) =>
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var usable = true
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        if (blocks.isEmpty) usable = false
+        blocks.foreach { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == "logdatetime") match {
+            case Some(c) => c.getStatistics match {
+              case st: org.apache.parquet.column.statistics.LongStatistics
+                  if !st.isEmpty && st.hasNonNullValue =>
+                mn = math.min(mn, st.getMin)
+                mx = math.max(mx, st.getMax)
+              case _ => usable = false
+            }
+            case None => usable = false
+          }
+        }
+      } finally reader.close()
+      if (!usable) { mn = Long.MinValue; mx = Long.MaxValue }
+      s"$rel\t$mn\t$mx"
+    }
+    // no logdatetime stats anywhere (e.g. a generic store): skip the sidecar
+    if (lines.exists(!_.endsWith(s"\t${Long.MinValue}\t${Long.MaxValue}"))) {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(root, s"_filestats-$genDir"), true)
+      out.write(lines.mkString("\n").getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
+  /** `_filestats-<genDir>` parsed to (relpath, minUs, maxUs), if present. */
+  private def readFileStats(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path,
+                            genDir: String): Option[Seq[(String, Long, Long)]] = {
+    val p = new org.apache.hadoop.fs.Path(root, s"_filestats-$genDir")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    in.close()
+    Some(body.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val Array(rel, mn, mx) = line.split("\t")
+      (rel, mn.toLong, mx.toLong)
+    })
   }
 
   /** Newest (generation, genDir, absorbed-root-files) manifest, if any. */

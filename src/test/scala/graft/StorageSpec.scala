@@ -178,6 +178,49 @@ class StorageSpec extends SparkSpec {
     assert(LogTableWriter.read(spark, tmp).count() == 0)
   }
 
+  test("readRange opens only generation files overlapping the time window") {
+    val tmp = Files.createTempDirectory("graft_range").toString
+    // one day, 960 rows 90s apart → compacted at 240 rows/file = 4 files,
+    // each a contiguous ~6h slice (write sorts within the day partition)
+    val rows = (0 until 960).map { i =>
+      (java.sql.Date.valueOf("2020-04-06"),
+        java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2020, 4, 6, 0, 0, 0).plusSeconds(i * 90L)),
+        i.toLong)
+    }.toDF("logdate", "logdatetime", "v")
+    rows.write.mode("append").partitionBy("logdate").parquet(tmp)
+    LogTableWriter.compact(spark, tmp, maxRecordsPerFile = 240)
+    val all = LogTableWriter.read(spark, tmp)
+    assert(all.inputFiles.length == 4, s"expected 4 files: ${all.inputFiles.toSeq}")
+    val from = java.sql.Timestamp.valueOf("2020-04-06 06:30:00")
+    val to = java.sql.Timestamp.valueOf("2020-04-06 08:30:00")
+    val ranged = LogTableWriter.readRange(spark, tmp, from, to)
+    // file skipping at PLANNING: one of the four 6h slices overlaps 06:30-08:30
+    assert(ranged.inputFiles.length == 1,
+      s"expected 1 overlapping file, opened: ${ranged.inputFiles.toSeq}")
+    // and the result is exact (same rows the plain filtered view returns)
+    val want = all.filter(col("logdatetime") >= lit(from) &&
+      col("logdatetime") <= lit(to)).select("v").as[Long].collect().sorted
+    assert(ranged.select("v").as[Long].collect().sorted.sameElements(want))
+    assert(want.length == 81) // inclusive 2h window at 90s spacing
+    // a window beyond every file reads empty without error
+    assert(LogTableWriter.readRange(spark, tmp,
+      java.sql.Timestamp.valueOf("2021-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2021-01-02 00:00:00")).count() == 0)
+  }
+
+  test("readRange on an uncompacted store falls back to the exact plain view") {
+    val tmp = Files.createTempDirectory("graft_range_plain").toString
+    val one = graft.operators.AccessLog.project(lines.toDF("line"))
+    one.write.mode("append").partitionBy("logdate").parquet(tmp)
+    val from = java.sql.Timestamp.valueOf("2020-04-06 13:54:48")
+    val to = java.sql.Timestamp.valueOf("2020-04-07 23:59:59")
+    val got = LogTableWriter.readRange(spark, tmp, from, to)
+    val want = LogTableWriter.read(spark, tmp)
+      .filter(col("logdatetime") >= lit(from) && col("logdatetime") <= lit(to))
+    assert(got.count() == want.count() && got.count() > 0)
+  }
+
   test("additive schema evolution: evolved appends read and compact cleanly") {
     val tmp = Files.createTempDirectory("graft_evolve").toString
     val one = graft.operators.AccessLog.project(lines.toDF("line"))
