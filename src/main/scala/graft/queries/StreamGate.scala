@@ -124,9 +124,20 @@ object StreamGate extends QueryModule {
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      val peaks = q.recentProgress.flatMap(_.stateOperators
+        .map(so => (so.numRowsTotal, so.memoryUsedBytes)))
+      lastStatePeak =
+        if (peaks.isEmpty) None
+        else Some((peaks.map(_._1).max, peaks.map(_._2).max))
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(name)
   }
+
+  /** Peak stateful-operator footprint (rows, bytes) of the LAST gate run —
+    * max over its micro-batches. A ScaleProbe observability surface (state
+    * growth under 10× density), not part of any query result.
+    */
+  @volatile var lastStatePeak: Option[(Long, Long)] = None
 
   /** Complete-mode windowed aggregate over the hash-chunk replay. */
   private def windowedGate(s: org.apache.spark.sql.SparkSession, d: String,
