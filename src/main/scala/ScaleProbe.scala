@@ -107,8 +107,9 @@ object ScaleProbe {
     //    key genuinely 10x, so state should grow ~linearly (sub-quadratic;
     //    the OUTPUT pair count is allowed to blow up, state must not
     //    outgrow the linear input).
-    def stateRow(tag: String): Unit = queries.StreamGate.lastStatePeak
-      .foreach { case (r, b) => println(s"PROBE $tag state_rows=$r state_bytes=$b") }
+    def stateRow(tag: String): Unit =
+      queries.StreamGate.statePeaks.get("s_join_interval")
+        .foreach { case (r, b) => println(s"PROBE $tag state_rows=$r state_bytes=$b") }
     val evDense = (0 until 10).map(k =>
       ev.select((col("ts") + expr(s"INTERVAL $k SECONDS")).as("ts"),
         col("user_id"), col("event_type"),

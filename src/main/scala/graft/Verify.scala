@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Verify evaluates the FULL query set, so the streaming gates run as one
+    // concurrent fleet (seven real streams started together) instead of
+    // paying seven serial stream-start floors — see StreamGate.runFleet.
+    System.setProperty("graft.streamgate.fleet", "true")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
