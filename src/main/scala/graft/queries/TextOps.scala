@@ -258,6 +258,68 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // LM-perplexity quality filter (the CCNet/Wikipedia-LM shape): train a
+    // bigram language model with add-k smoothing on the corpus itself, then
+    // score every document by perplexity under it — low-ppl ≈ fluent, high-
+    // ppl ≈ garbled/boilerplate, the standard pretraining quality dial.
+    // Scale shape: bigram extraction is a NARROW array transform (sequence +
+    // transform inside codegen, no shuffle before the counts); the model is
+    // two hash aggregates (pair counts, context counts) sized by DISTINCT
+    // bigrams, not corpus rows; scoring re-joins the doc bigrams to the
+    // model on (w1,w2) — at 100 TB the model would be pruned to a top-V
+    // vocabulary and BROADCAST, turning the score pass shuffle-free. FP
+    // discipline: each log term is a function of exact integer counts; the
+    // per-doc sum is a SORTED left fold over bigram positions, so agg order
+    // can't reorder double addition vs the oracle.
+    "q_lm_perplexity" -> ((s, d) => {
+      val K = 0.1
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val b = toks.select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(tk)-2),
+            |  i -> named_struct('pos', i, 'w1', tk[i], 'w2', tk[i+1]))"""
+            .stripMargin)).as("bg"))
+        .select(col("doc_id"), col("bg.pos").as("pos"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cb = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val cw = b.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+      val v = docs.select(explode(split(col("text"), " ")).as("tok"))
+        .agg(count_distinct(col("tok")).as("v"))
+      val lp = b.join(cb, Seq("w1", "w2")).join(cw, Seq("w1")).crossJoin(v)
+        .select(col("doc_id"), col("pos"),
+          log((col("cb") + K) / (col("cw") + lit(K) * col("v"))).as("lp"))
+      lp.groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("pos"), col("lp"))).as("ls"),
+          count(lit(1)).as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(exp(expr(
+              "-aggregate(array_sort(ls), 0.0D, (acc, x) -> acc + x.lp)")
+            / col("n_bigrams")), 4).as("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE tokenizer training + subword segmentation — the tokenizer step of
+    // an LLM pipeline: train 48 merges on the corpus' word histogram
+    // (operators.Bpe: histogram-sized rounds, size-switched driver/
+    // distributed trainer, parity-tested), then re-encode every document
+    // with the native codegen'd greedy encoder. Output: whitespace vs BPE
+    // token counts + the resulting compression. Greedy rank-order BPE is
+    // not SQL-expressible → rows-only; BpeSpec carries the correctness
+    // (naive-reference parity, round-trip, classic-corpus merges).
+    "q_bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 48)
+      graft.operators.Bpe.register(s, merges)
+      val toks = split(col("text"), " ")
+      docs.select(col("doc_id"), col("n_chars"),
+          size(toks).as("n_words"),
+          size(graft.operators.Bpe.encode(toks)).as("n_bpe"))
+        .select(col("doc_id"), col("n_words"), col("n_bpe"),
+          round(col("n_chars") / col("n_bpe"), 4).as("chars_per_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Binary-column plumbing (multimodal surface): treat text bytes as an
     // opaque blob, expose byte length + prefix fingerprint.
     "q_binary_meta" -> ((s, d) => {
@@ -343,6 +405,25 @@ object TextOps extends QueryModule {
         |    SELECT r.node, b2.dst FROM reach r JOIN bidir b2 ON b2.src = r.m)
         |SELECT node AS doc_id, min(m) AS canon
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "q_lm_perplexity" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |  b AS (SELECT doc_id,
+        |      unnest(list_transform(range(1, len(tk)),
+        |        i -> {'pos': i, 'w1': tk[i], 'w2': tk[i+1]})) AS bg
+        |    FROM tok WHERE len(tk) >= 2),
+        |  b2 AS (SELECT doc_id, bg.pos AS pos, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+        |  cb AS (SELECT w1, w2, count(*) AS cb FROM b2 GROUP BY w1, w2),
+        |  cw AS (SELECT w1, count(*) AS cw FROM b2 GROUP BY w1),
+        |  v AS (SELECT count(DISTINCT tok) AS v FROM (
+        |      SELECT unnest(string_split(text,' ')) AS tok FROM documents)),
+        |  lp AS (SELECT b2.doc_id, b2.pos,
+        |      ln((cb + 0.1) / (cw + 0.1 * v)) AS lp
+        |    FROM b2 JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(exp(-list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY pos)),
+        |    (a, b) -> a + b) / count(*)), 4) AS ppl
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -19,6 +19,7 @@ class PlanHygieneSpec extends SparkSpec {
   private val deliberateBnlj = Set(
     "q_subquery_scalar", // scalar subquery = 1-row broadcast
     "q_bm25", "q_tfidf", "q_bigram_pmi", // 1-row corpus-stats aggregates
+    "q_lm_perplexity", // 1-row vocabulary-size aggregate
     "q_sim_topk", "q_sim_quant", "q_sim_pq", // bounded |Q| × corpus scoring
     "q_skew_join") // salt spine: 8-row broadcast replicating the small side
 
