@@ -47,7 +47,7 @@ object StreamGate extends QueryModule {
     else s"${src.length}|${src.lastModified}"
   }
 
-  private def replayCache(d: String, tag: String)(build: String => Unit): String = {
+  private[queries] def replayCache(d: String, tag: String)(build: String => Unit): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d|${fingerprint(d)}|$tag".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
@@ -208,6 +208,24 @@ object StreamGate extends QueryModule {
   private val fleetCache =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, DataFrame]]
 
+  /** Drop cached fleet RESULTS so the next gate invocation re-runs all seven
+    * streams (the on-disk replay INPUT layouts are untouched — they are a
+    * pure function of the events table). Bench's stall-retry path uses this:
+    * re-timing a gate against the cache would measure a map lookup, not a
+    * stream.
+    */
+  def resetFleetCache(): Unit = fleetCache.clear()
+
+  /** Per-gate wall-clock seconds from the most recent fleet run, measured
+    * inside each gate's future. Under the fleet the FAMILY total is the
+    * fleet wall, but the bench loop's outer timer lands it all on the
+    * alphabetically-first gate — this map restores per-gate cross-round
+    * regression tracking (Bench writes it as `fleet_per_gate`). Keyed by
+    * gate name; concurrent datasets would overwrite, but Verify/Bench run
+    * one dataset per JVM.
+    */
+  val fleetGateSeconds = scala.collection.concurrent.TrieMap.empty[String, Double]
+
   private def runFleet(s: org.apache.spark.sql.SparkSession,
                        d: String): Map[String, DataFrame] = {
     // both shared layouts are built ONCE, serially, before any stream
@@ -222,15 +240,26 @@ object StreamGate extends QueryModule {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      runners.map { case (name, fn) =>
+      val futs = runners.map { case (name, fn) =>
         name -> pool.submit(new java.util.concurrent.Callable[DataFrame] {
-          def call(): DataFrame = fn(s, d)
+          def call(): DataFrame = {
+            val t0 = System.nanoTime()
+            try fn(s, d)
+            finally fleetGateSeconds(name) = (System.nanoTime() - t0) / 1e9
+          }
         })
-      }.map { case (name, fut) =>
-        name -> (try fut.get()
-          catch { case e: java.util.concurrent.ExecutionException =>
-            throw e.getCause })
-      }.toMap
+      }
+      // drain EVERY future before leaving the pinned-conf scope: if one
+      // gate fails, siblings are still-running streams mutating shared
+      // session state — rethrowing early would restore the conf under them
+      val results = futs.map { case (name, fut) =>
+        name -> (try Right(fut.get()) catch {
+          case e: java.util.concurrent.ExecutionException => Left(e.getCause)
+          case scala.util.control.NonFatal(e) => Left(e)
+        })
+      }
+      results.collectFirst { case (_, Left(e)) => throw e }
+      results.collect { case (name, Right(df)) => name -> df }.toMap
     } finally {
       pool.shutdown()
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -239,7 +268,8 @@ object StreamGate extends QueryModule {
 
   def queries: Seq[(String, QFn)] = runners.map { case (name, fn) =>
     name -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
-      if (fleetEnabled) fleetCache.getOrElseUpdate(fingerprint(d), runFleet(s, d))(name)
+      if (fleetEnabled)
+        fleetCache.getOrElseUpdate(s"$d|${fingerprint(d)}", runFleet(s, d))(name)
       else fn(s, d))
   }
 
