@@ -401,6 +401,33 @@ object Relational extends QueryModule {
         .orderBy(col("t"), col("event_type"))
     }),
 
+    // R12 + R11 composed: the SAME dashboard window query routed through the
+    // partitioned/sorted/manifested store and readRange's FILE-level
+    // time-skipping (the sparse-index analog, `/root/reference/nginx.click:1`)
+    // — planning opens only the files whose footer-derived (min,max)
+    // logdatetime overlaps the window, instead of listing-and-opening the
+    // whole table. PlanSpec pins the opened-file set; the oracle is plain
+    // DuckDB over the ORIGINAL events parquet, so the store round-trip +
+    // skipping must be value-exact, not just plan-pretty.
+    "q_timeseries_skip" -> ((s, d) => {
+      val store = StreamGate.replayCache(d, "tstore") { dir =>
+        val ev = t(s, d, "events").select(
+          to_date(col("ts")).as("logdate"), col("ts").as("logdatetime"),
+          col("event_id"), col("user_id"), col("event_type"), col("value"))
+        graft.storage.LogTableWriter.write(ev, dir)
+        // small files on purpose: several per day, so the window prunes
+        // WITHIN days too, not only across them
+        graft.storage.LogTableWriter.compact(s, dir, maxRecordsPerFile = 256)
+      }
+      graft.storage.LogTableWriter.readRange(s, store,
+          java.sql.Timestamp.valueOf("2024-01-10 06:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-11 12:00:00"))
+        .groupBy(date_trunc("hour", col("logdatetime"))
+          .cast("timestamp_ntz").as("t"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("t"))
+    }),
+
     // Sum-metric per day bucket (bytes-served analog of the dashboard).
     "q_traffic_sum" -> ((s, d) => {
       t(s, d, "events")
@@ -662,6 +689,15 @@ object Relational extends QueryModule {
         |WHERE CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-05 00:00:00'
         |  AND TIMESTAMP '2024-01-20 00:00:00' AND event_type <> 'error'
         |GROUP BY t, event_type ORDER BY t, event_type""".stripMargin,
+
+    // Same oracle family as q_timeseries_filtered: the store + file skipping
+    // are pure access-path — results must equal the plain windowed scan.
+    "q_timeseries_skip" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS t, count(*) AS cnt
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-10 06:00:00'
+        |  AND TIMESTAMP '2024-01-11 12:00:00'
+        |GROUP BY t ORDER BY t""".stripMargin,
 
     "q_traffic_sum" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,

@@ -38,6 +38,48 @@ object LogTableWriter {
       .parquet(path)
   }
 
+  /** Appends a micro-batch to the store root AND writes a `_tailstats-<id>`
+    * sidecar carrying each new file's `(min,max) logdatetime` — so
+    * [[readRange]] skips non-overlapping TAIL files too, not only the
+    * compacted generation's. Without this, an append-heavy store gets no
+    * file-level skipping between compactions (the r6 gap): every dashboard
+    * query re-lists and re-opens the whole tail. The writer already sorts
+    * within partitions, so each appended file covers a tight time slice and
+    * the footer-derived stats are cheap and selective.
+    *
+    * Concurrency: the sidecar is attempt-uniquely named (no shared file to
+    * contend on); the new-file set is a before/after listing diff, and
+    * mis-attributing a concurrent appender's file is harmless — stats come
+    * from that file's own footer either way. Files appended WITHOUT this
+    * method simply carry no stats and are conservatively never skipped.
+    */
+  def append(df: DataFrame, path: String,
+             maxRecordsPerFile: Long = 8L * 1024 * 1024): Unit = {
+    val spark = df.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val before = dataFiles(fs, root).keySet
+    df.repartition(col("logdate"))
+      .sortWithinPartitions(col("logdate"), col("logdatetime"))
+      .write
+      .mode("append")
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("logdate")
+      .parquet(path)
+    val fresh = dataFiles(fs, root).filter { case (rel, _) =>
+      !before.contains(rel) }.toSeq.sortBy(_._1)
+    val lines = footerStatsLines(spark, fresh)
+    if (lines.exists(!_.endsWith(s"\t${Long.MinValue}\t${Long.MaxValue}"))) {
+      val sidecar = new org.apache.hadoop.fs.Path(root,
+        s"_tailstats-${java.util.UUID.randomUUID.toString.take(8)}")
+      val out = fs.create(sidecar, false)
+      out.write(lines.mkString("\n").getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
   /** Reads the store through the manifest indirection: the newest
     * `_manifest-<k>` names the active compacted generation dir (`gen-<k>`)
     * plus the root files it absorbed; the table view is
@@ -77,10 +119,23 @@ object LogTableWriter {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(path)
-    def rootFiles(absorbed: Set[String]): Seq[String] =
+    def rootFiles(absorbed: Set[String]): Map[String, String] =
       dataFiles(fs, root).view
-        .filterKeys(rel => !absorbed.contains(rel)).values
-        .map(_.toString).toSeq
+        .filterKeys(rel => !absorbed.contains(rel))
+        .mapValues(_.toString).toMap
+    // Tail-file skipping: stats from `_tailstats-*` sidecars ([[append]]);
+    // a file no sidecar covers (foreign writer, pre-stats append) is
+    // conservatively kept. The range filter in readRange makes results
+    // exact regardless.
+    def pruneTail(live: Map[String, String]): Seq[String] = rangeUs match {
+      case Some((fromUs, toUs)) =>
+        val stats = readTailStats(fs, root)
+        live.collect {
+          case (rel, p) if stats.get(rel)
+            .forall { case (mn, mx) => mx >= fromUs && mn <= toUs } => p
+        }.toSeq
+      case None => live.values.toSeq
+    }
     // mergeSchema on the ROOT tail only: the reference's schema-evolution
     // contract is additive append-at-the-end columns (`README.md:49`), so
     // un-compacted appends may carry columns older files lack. The tail is
@@ -93,7 +148,12 @@ object LogTableWriter {
       case None =>
         val live = rootFiles(Set.empty)
         if (live.isEmpty) spark.read.parquet(path) // empty store: native error
-        else readTail(live)
+        else {
+          val kept = pruneTail(live)
+          // all files skipped: keep the full view's schema, read no rows
+          if (kept.isEmpty) readTail(live.values.toSeq).filter(lit(false))
+          else readTail(kept)
+        }
       case Some((_, genDir, absorbed)) =>
         val genPath = new org.apache.hadoop.fs.Path(root, genDir)
         val fullGen = spark.read.parquet(genPath.toString)
@@ -114,10 +174,19 @@ object LogTableWriter {
         }
         val live = rootFiles(absorbed)
         if (live.isEmpty) gen
-        // allowMissingColumns: pre-evolution generation vs evolved tail (or
-        // vice versa after compaction) — absent columns read as NULL, the
-        // same semantics ClickHouse gives added columns on old parts
-        else gen.unionByName(readTail(live), allowMissingColumns = true)
+        else {
+          val kept = pruneTail(live)
+          // allowMissingColumns: pre-evolution generation vs evolved tail
+          // (or vice versa after compaction) — absent columns read as NULL,
+          // the same semantics ClickHouse gives added columns on old parts.
+          // A fully-skipped tail still contributes its SCHEMA (filter-false
+          // costs footer reads at planning, no data IO) so the view's shape
+          // can't depend on the query's time window.
+          val tail =
+            if (kept.isEmpty) readTail(live.values.toSeq).filter(lit(false))
+            else readTail(kept)
+          gen.unionByName(tail, allowMissingColumns = true)
+        }
     }
   }
 
@@ -239,6 +308,17 @@ object LogTableWriter {
     absorbedNow.foreach { rel =>
       fs.delete(new org.apache.hadoop.fs.Path(root, rel), false)
     }
+    // Tail-stats GC: a sidecar whose every file this compaction absorbed is
+    // dead (the generation's own `_filestats` covers those rows now). A
+    // sidecar still naming ANY live file — an append that landed
+    // mid-compaction — survives; its stale entries are ignored by readers.
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("_tailstats-"))
+      .foreach { p =>
+        if (parseStatsFile(fs, p).forall { case (rel, _, _) =>
+            absorbedNow.contains(rel) })
+          fs.delete(p, false)
+      }
   }
 
   /** Writes `_filestats-<genDir>`: one `relpath\tminUs\tmaxUs` line per data
@@ -249,15 +329,18 @@ object LogTableWriter {
     * conservatively never skipped. Stores without a `logdatetime` column
     * write no sidecar at all, and `readRange` falls back to the plain view.
     */
-  private def writeFileStats(spark: SparkSession,
-                             fs: org.apache.hadoop.fs.FileSystem,
-                             root: org.apache.hadoop.fs.Path,
-                             genDir: String): Unit = {
+  /** One `relpath\tminUs\tmaxUs` line per file, min/max from the parquet
+    * footers' INT64 (TIMESTAMP_MICROS) `logdatetime` column statistics —
+    * metadata-only IO, no row reads. A file whose footer lacks usable stats
+    * (absent column, all-null, non-INT64 encoding) records the FULL range,
+    * i.e. is conservatively never skipped.
+    */
+  private def footerStatsLines(spark: SparkSession,
+                               files: Seq[(String, org.apache.hadoop.fs.Path)])
+      : Seq[String] = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
-    val genPath = new org.apache.hadoop.fs.Path(root, genDir)
-    val files = dataFiles(fs, genPath).toSeq.sortBy(_._1)
-    val lines = files.map { case (rel, p) =>
+    files.map { case (rel, p) =>
       var mn = Long.MaxValue
       var mx = Long.MinValue
       var usable = true
@@ -283,6 +366,14 @@ object LogTableWriter {
       if (!usable) { mn = Long.MinValue; mx = Long.MaxValue }
       s"$rel\t$mn\t$mx"
     }
+  }
+
+  private def writeFileStats(spark: SparkSession,
+                             fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path,
+                             genDir: String): Unit = {
+    val genPath = new org.apache.hadoop.fs.Path(root, genDir)
+    val lines = footerStatsLines(spark, dataFiles(fs, genPath).toSeq.sortBy(_._1))
     // no logdatetime stats anywhere (e.g. a generic store): skip the sidecar
     if (lines.exists(!_.endsWith(s"\t${Long.MinValue}\t${Long.MaxValue}"))) {
       val out = fs.create(
@@ -292,20 +383,40 @@ object LogTableWriter {
     }
   }
 
+  /** One stats sidecar parsed to (relpath, minUs, maxUs) rows. */
+  private def parseStatsFile(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path)
+      : Seq[(String, Long, Long)] = {
+    val in = fs.open(p)
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    in.close()
+    body.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val Array(rel, mn, mx) = line.split("\t")
+      (rel, mn.toLong, mx.toLong)
+    }
+  }
+
   /** `_filestats-<genDir>` parsed to (relpath, minUs, maxUs), if present. */
   private def readFileStats(fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path,
                             genDir: String): Option[Seq[(String, Long, Long)]] = {
     val p = new org.apache.hadoop.fs.Path(root, s"_filestats-$genDir")
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val body = new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-    in.close()
-    Some(body.split("\n").toSeq.filter(_.nonEmpty).map { line =>
-      val Array(rel, mn, mx) = line.split("\t")
-      (rel, mn.toLong, mx.toLong)
-    })
+    if (fs.exists(p)) Some(parseStatsFile(fs, p)) else None
+  }
+
+  /** Union of every `_tailstats-*` sidecar ([[append]]): live-root relpath →
+    * (minUs, maxUs). Entries for files already absorbed/GC'd are harmless —
+    * lookups key on the CURRENT live listing.
+    */
+  private def readTailStats(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path)
+      : Map[String, (Long, Long)] = {
+    if (!fs.exists(root)) return Map.empty
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("_tailstats-"))
+      .flatMap(p => parseStatsFile(fs, p))
+      .map { case (rel, mn, mx) => rel -> (mn, mx) }.toMap
   }
 
   /** Newest (generation, genDir, absorbed-root-files) manifest, if any. */

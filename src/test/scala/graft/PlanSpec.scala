@@ -40,6 +40,23 @@ class PlanSpec extends SparkSpec {
       s"time range missing from scan: $scan")
   }
 
+  test("q_timeseries_skip opens only store files overlapping the window") {
+    val df = SparkEntry.queries("q_timeseries_skip")(spark, sf("sf0.01"))
+    val opened = df.inputFiles
+    // the store spans ~30 daily partitions; the 06:00→12:00 window touches
+    // exactly two days — planning must open ONLY their files
+    assert(opened.nonEmpty)
+    assert(opened.forall(f => f.contains("logdate=2024-01-10") ||
+      f.contains("logdate=2024-01-11")),
+      s"non-overlapping files opened: ${opened.filterNot(f =>
+        f.contains("logdate=2024-01-10") || f.contains("logdate=2024-01-11")).toSeq}")
+    // and the values survive the store round-trip + skip (vs the plain scan)
+    val direct = Tables.table(spark, sf("sf0.01"), "events")
+      .filter(col("ts").between(lit("2024-01-10 06:00:00").cast("timestamp"),
+        lit("2024-01-11 12:00:00").cast("timestamp"))).count()
+    assert(df.agg(sum("cnt")).collect()(0).getLong(0) == direct && direct > 0)
+  }
+
   test("ingest transform (parse→lookup→project) is a single narrow stage") {
     val df = graft.operators.AccessLog.project(
       Seq("""127.0.0.1 - - [06/Apr/2020:09:54:48 -0400] "GET / HTTP/1.1" 200 612 "-" "c" "-"""")

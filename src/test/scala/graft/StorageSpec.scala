@@ -209,6 +209,67 @@ class StorageSpec extends SparkSpec {
       java.sql.Timestamp.valueOf("2021-01-02 00:00:00")).count() == 0)
   }
 
+  test("readRange skips non-overlapping TAIL files on an uncompacted store") {
+    val tmp = Files.createTempDirectory("graft_range_tail").toString
+    // four appends, each a contiguous 6h slice of one day — the append-heavy
+    // window between compactions that r6 left unpruned
+    (0 until 4).foreach { q =>
+      val rows = (0 until 240).map { i =>
+        (java.sql.Date.valueOf("2020-04-06"),
+          java.sql.Timestamp.valueOf(java.time.LocalDateTime
+            .of(2020, 4, 6, 0, 0, 0).plusSeconds(q * 21600L + i * 90L)),
+          (q * 240 + i).toLong)
+      }.toDF("logdate", "logdatetime", "v")
+      LogTableWriter.append(rows, tmp)
+    }
+    val all = LogTableWriter.read(spark, tmp)
+    assert(all.inputFiles.length == 4 && all.count() == 960)
+    val from = java.sql.Timestamp.valueOf("2020-04-06 06:30:00")
+    val to = java.sql.Timestamp.valueOf("2020-04-06 08:30:00")
+    val ranged = LogTableWriter.readRange(spark, tmp, from, to)
+    assert(ranged.inputFiles.length == 1,
+      s"expected 1 overlapping tail file, opened: ${ranged.inputFiles.toSeq}")
+    val want = all.filter(col("logdatetime") >= lit(from) &&
+      col("logdatetime") <= lit(to)).select("v").as[Long].collect().sorted
+    assert(ranged.select("v").as[Long].collect().sorted.sameElements(want))
+    assert(want.length == 81)
+    // beyond every file: zero files opened, empty result, schema intact
+    val none = LogTableWriter.readRange(spark, tmp,
+      java.sql.Timestamp.valueOf("2021-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2021-01-02 00:00:00"))
+    assert(none.count() == 0 && none.columns.contains("v"))
+  }
+
+  test("appended-then-compacted store prunes generation AND fresh tail files") {
+    val tmp = Files.createTempDirectory("graft_range_mixed").toString
+    def slice(day: String, startH: Int): org.apache.spark.sql.DataFrame =
+      (0 until 240).map { i =>
+        (java.sql.Date.valueOf(day),
+          java.sql.Timestamp.valueOf(java.time.LocalDateTime
+            .parse(day + "T00:00:00").plusSeconds(startH * 3600L + i * 90L)),
+          (startH * 240 + i).toLong)
+      }.toDF("logdate", "logdatetime", "v")
+    // two slices get compacted into the generation...
+    LogTableWriter.append(slice("2020-04-06", 0), tmp)
+    LogTableWriter.append(slice("2020-04-06", 6), tmp)
+    LogTableWriter.compact(spark, tmp, maxRecordsPerFile = 240)
+    // ...then two more land as the un-compacted tail (later hours)
+    LogTableWriter.append(slice("2020-04-06", 12), tmp)
+    LogTableWriter.append(slice("2020-04-06", 18), tmp)
+    assert(LogTableWriter.read(spark, tmp).count() == 960)
+    // a window inside the THIRD slice: one tail file, zero generation files
+    val ranged = LogTableWriter.readRange(spark, tmp,
+      java.sql.Timestamp.valueOf("2020-04-06 12:30:00"),
+      java.sql.Timestamp.valueOf("2020-04-06 14:30:00"))
+    assert(ranged.inputFiles.length == 1,
+      s"expected 1 file (tail slice), opened: ${ranged.inputFiles.toSeq}")
+    assert(ranged.count() == 81)
+    // the dead sidecars were GC'd by compact; the live tail's survive
+    val sidecars = new java.io.File(tmp).listFiles()
+      .map(_.getName).filter(_.startsWith("_tailstats-"))
+    assert(sidecars.length == 2, s"tail sidecars after compact: ${sidecars.toSeq}")
+  }
+
   test("readRange on an uncompacted store falls back to the exact plain view") {
     val tmp = Files.createTempDirectory("graft_range_plain").toString
     val one = graft.operators.AccessLog.project(lines.toDF("line"))
