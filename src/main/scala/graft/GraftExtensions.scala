@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // table-valued function (the analyzer resolves its UnresolvedRelation /
     // UnresolvedAttribute arguments, then the strategy above plans the node)
     ext.injectTableFunction(plans.AsOfSql.descriptor)
+    // Same SQL reach for the skew-salted join composition
+    ext.injectTableFunction(plans.SkewSql.descriptor)
     // Function registration needs a live session's registry; inject via
     // a check rule that runs once at analysis start (idempotent registry ops).
     ext.injectCheckRule { session =>

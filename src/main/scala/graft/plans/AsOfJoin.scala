@@ -194,10 +194,13 @@ object AsOf {
     PlanGlue.addStrategy(spark, AsOfJoinStrategy)
     PlanGlue.addOptimization(spark, AsOfRules.PushThroughAsOf)
     PlanGlue.addOptimization(spark, AsOfRules.PruneThroughAsOf)
-    // SQL reach: the graft_asof_join table-valued function (idempotent
-    // create-or-replace, same registry the declarative path populates)
+    // SQL reach: the graft_asof_join + graft_salted_join table-valued
+    // functions (idempotent create-or-replace, same registry the
+    // declarative path populates)
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       AsOfSql.name, AsOfSql.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      SkewSql.name, SkewSql.builder, "scala_udf")
   }
 
   /** Parses a tolerance interval string (e.g. "30 minutes") to microseconds,

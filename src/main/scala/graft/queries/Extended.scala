@@ -402,6 +402,26 @@ object Extended extends QueryModule {
         .orderBy(col("p_brand"))
     }),
 
+    // The SAME salted join reached through PURE SQL (R13): the
+    // graft_salted_join table-valued function resolves its table names and
+    // returns the very plan Skew.saltedJoin builds — a SQL-only user gets
+    // the skew-safe shape without writing the salt spine. Identical oracle.
+    "q_skew_join_sql" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_partkey").as("partkey"), col("l_quantity"),
+          col("l_orderkey"), col("l_linenumber"))
+        .createOrReplaceTempView("skew_sql_big")
+      t(s, d, "part")
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+        .createOrReplaceTempView("skew_sql_small")
+      graft.plans.AsOf.register(s)
+      s.sql(
+        """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+          |FROM graft_salted_join('skew_sql_big', 'skew_sql_small',
+          |                       'partkey', 'l_orderkey,l_linenumber', '8')
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    }),
+
     // Two-phase salted aggregation under hot-GROUP skew: l_returnflag has
     // 3 groups over the whole fact table — every group is a hot group, and
     // count(DISTINCT l_orderkey) ships each group's full distinct set to
@@ -781,6 +801,12 @@ object Extended extends QueryModule {
 
     // The salt is pure plan shape — the oracle is the unsalted join.
     "q_skew_join" ->
+      """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // Same oracle through the SQL surface: the TVF is pure plan shape too.
+    "q_skew_join_sql" ->
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,

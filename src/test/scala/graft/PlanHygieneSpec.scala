@@ -21,7 +21,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q_bm25", "q_tfidf", "q_bigram_pmi", // 1-row corpus-stats aggregates
     "q_lm_perplexity", // 1-row vocabulary-size aggregate
     "q_sim_topk", "q_sim_quant", "q_sim_pq", // bounded |Q| × corpus scoring
-    "q_skew_join") // salt spine: 8-row broadcast replicating the small side
+    "q_skew_join", // salt spine: 8-row broadcast replicating the small side
+    "q_skew_join_sql") // the same salt spine via the graft_salted_join TVF
 
   test("no declared batch query plans CartesianProduct or nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -90,6 +90,33 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e2.getMessage.contains("backward or forward"), e2.getMessage)
   }
 
+  test("graft_salted_join TVF: pure SQL gets the skew-safe salted plan") {
+    val d = sf()
+    // the declared query builds its own temp views + registration
+    val viaSql = SparkEntry.queries("q_skew_join_sql")(spark, d)
+    assert(viaSql.collect().toSeq ==
+      SparkEntry.queries("q_skew_join")(spark, d).collect().toSeq,
+      "SQL salted join diverges from the DataFrame operator")
+    // plan shape: the salt column is live in the join (the hot key is
+    // spread), and the salt spine is replicated by broadcast, not shuffle
+    val p = viaSql.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("_salt"), s"salt column missing from the SQL plan:\n$p")
+    assert(p.contains("Broadcast"), s"salt spine not broadcast:\n$p")
+  }
+
+  test("graft_salted_join TVF: malformed arguments fail clearly") {
+    Tables.bootstrap(spark, sf())
+    graft.plans.AsOf.register(spark)
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_salted_join('a', 'b', 'k', 'id')").collect())
+    assert(e1.getMessage.contains("5 string-literal"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      """SELECT * FROM graft_salted_join('lineitem', 'part',
+        |'l_partkey', 'l_orderkey', 'lots')""".stripMargin).collect())
+    assert(e2.getMessage.contains("integer literal"), e2.getMessage)
+  }
+
   test("vector-quantization functions are SQL-callable after bootstrap") {
     Tables.bootstrap(spark, sf())
     val r = spark.sql(
