@@ -82,6 +82,46 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$emb10dir/embeddings.parquet")
     time("sim_quant_1x") { runQ("q_sim_quant", sf) }
     time("sim_quant_10x") { runQ("q_sim_quant", emb10dir) }
+    // round-7 (VERDICT r6 #4): the broadcast-pruned perplexity filter at
+    // 1x→10x docs, plus the shape claim itself — the SCORE pass must be
+    // shuffle-free. The model build collects eagerly at plan-construction,
+    // so the returned plan is exactly the score pass + presentation sort:
+    // exactly ONE Exchange (rangepartitioning for ORDER BY) may appear.
+    time("lm_ppl_bc_1x") { runQ("q_lm_perplexity_bc", sf) }
+    time("lm_ppl_bc_10x") { runQ("q_lm_perplexity_bc", docs10dir) }
+    locally {
+      val pstr = SparkEntry.queries("q_lm_perplexity_bc")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val nEx = pstr.sliding("Exchange".length).count(_ == "Exchange")
+      println(s"PROBE lm_ppl_bc exchanges=$nEx " +
+        "(1 = the ORDER BY presentation sort; score pass shuffle-free)")
+      require(nEx <= 1, s"broadcast score pass shuffled:\n$pstr")
+    }
+    // round-7 (VERDICT r6 #5): the BPE distributed trainer beyond toy
+    // parity — 10x the distinct vocabulary, forceDistributed, fixed merge
+    // count. Wall is dominated by the per-round aggregate; 10x vocabulary
+    // must not go superlinear. The encoder rides the 10x corpus.
+    def vocabDocs(n: Long) = spark.range(n)
+      .select(concat(lit("tok"), col("id").cast("string")).as("text"))
+    time("bpe_train_dist_1x_10k_vocab") {
+      graft.operators.Bpe.train(vocabDocs(10000), "text", numMerges = 16,
+        forceDistributed = true)
+    }
+    time("bpe_train_dist_10x_100k_vocab") {
+      graft.operators.Bpe.train(vocabDocs(100000), "text", numMerges = 16,
+        forceDistributed = true)
+    }
+    locally {
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 48)
+      graft.operators.Bpe.register(spark, merges)
+      def enc(df: org.apache.spark.sql.DataFrame) =
+        df.select(size(graft.operators.Bpe.encode(split(col("text"), " ")))
+          .as("n")).agg(sum(col("n")))
+      time("bpe_encode_1x") {
+        enc(docs).write.mode("overwrite").format("noop").save() }
+      time("bpe_encode_10x") {
+        enc(docs10).write.mode("overwrite").format("noop").save() }
+    }
     // 10x events = 10 month-offset copies: 10x windows, so the streaming
     // aggregate's STATE scales 10x along with the data
     val ev = Tables.table(spark, sf, "events")

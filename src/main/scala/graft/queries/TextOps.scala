@@ -299,6 +299,61 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // The 100 TB shape of the same perplexity filter (the r6 verdict's gap:
+    // the path above was documented, not implemented): the bigram model is
+    // PRUNED to a bounded vocabulary/pair budget (top-V contexts, top-B
+    // pairs, deterministic count-desc/lexical tie-break) and shipped to the
+    // executors as broadcast map literals — bounded driver state, the
+    // KenLM-file pattern of a CCNet-style pipeline. The score pass is then
+    // SHUFFLE-FREE: one narrow projection computes every document's
+    // perplexity in place — no bigram explode, no corpus-sized join, no
+    // per-doc aggregate (ScaleProbe pins zero exchanges upstream of the
+    // presentation sort). A pruned-away bigram scores as unseen
+    // ((0+K)/(0+KV)) — well-defined smoothing semantics; at the fixture
+    // scales the corpus fits the caps with 70x headroom (31 tokens / ~931
+    // bigrams, caps 65536 / 262144), so the prune is semantics-preserving
+    // and the query shares q_lm_perplexity's oracle hash. FP discipline:
+    // the per-doc sum folds over bigram POSITIONS ascending — the same
+    // order the base query's array_sort(pos) fold uses, so the doubles add
+    // identically.
+    "q_lm_perplexity_bc" -> ((s, d) => {
+      val K = 0.1
+      val topV = 65536
+      val topB = 262144
+      val sep = "\u0001"
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val b = toks.select(explode(expr(
+          """transform(sequence(0, size(tk)-2),
+            |  i -> named_struct('w1', tk[i], 'w2', tk[i+1]))""".stripMargin))
+          .as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cbMap = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .orderBy(col("cb").desc, col("w1"), col("w2")).limit(topB)
+        .collect().map(r => (r.getString(0) + sep + r.getString(1)) -> r.getLong(2))
+        .toMap
+      val cwMap = b.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+        .orderBy(col("cw").desc, col("w1")).limit(topV)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // smoothing denominator: the FULL vocabulary size (one scalar — the
+      // prune caps the model's ENTRIES, not the smoothing constant)
+      val v = docs.select(explode(split(col("text"), " ")).as("tok"))
+        .agg(count_distinct(col("tok"))).collect()(0).getLong(0)
+      val (cbLit, cwLit) = (typedlit(cbMap), typedlit(cwMap))
+      val i1 = (i: org.apache.spark.sql.Column) => element_at(col("tk"), i + 1)
+      toks.select(col("doc_id"),
+          transform(sequence(lit(0), size(col("tk")) - 2), i =>
+            log((coalesce(element_at(cbLit,
+                   concat(i1(i), lit(sep), i1(i + 1))), lit(0L)) + lit(K)) /
+                (coalesce(element_at(cwLit, i1(i)), lit(0L)) + lit(K) * lit(v))))
+            .as("lps"))
+        .select(col("doc_id"), size(col("lps")).cast("long").as("n_bigrams"),
+          round(exp(expr("-aggregate(lps, 0.0D, (acc, x) -> acc + x)")
+            / size(col("lps"))), 4).as("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE tokenizer training + subword segmentation — the tokenizer step of
     // an LLM pipeline: train 48 merges on the corpus' word histogram
     // (operators.Bpe: histogram-sized rounds, size-switched driver/
@@ -407,6 +462,27 @@ object TextOps extends QueryModule {
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "q_lm_perplexity" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |  b AS (SELECT doc_id,
+        |      unnest(list_transform(range(1, len(tk)),
+        |        i -> {'pos': i, 'w1': tk[i], 'w2': tk[i+1]})) AS bg
+        |    FROM tok WHERE len(tk) >= 2),
+        |  b2 AS (SELECT doc_id, bg.pos AS pos, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+        |  cb AS (SELECT w1, w2, count(*) AS cb FROM b2 GROUP BY w1, w2),
+        |  cw AS (SELECT w1, count(*) AS cw FROM b2 GROUP BY w1),
+        |  v AS (SELECT count(DISTINCT tok) AS v FROM (
+        |      SELECT unnest(string_split(text,' ')) AS tok FROM documents)),
+        |  lp AS (SELECT b2.doc_id, b2.pos,
+        |      ln((cb + 0.1) / (cw + 0.1 * v)) AS lp
+        |    FROM b2 JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(exp(-list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY pos)),
+        |    (a, b) -> a + b) / count(*)), 4) AS ppl
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The broadcast-pruned variant must score IDENTICALLY (the caps are
+    // no-ops at fixture scale; the prune is pure plan shape) — same oracle.
+    "q_lm_perplexity_bc" ->
       """WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
         |  b AS (SELECT doc_id,
         |      unnest(list_transform(range(1, len(tk)),
