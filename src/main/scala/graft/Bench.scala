@@ -200,7 +200,10 @@ object Bench {
     // inside a stall (the 2.1-2.4M band has been stable r3-r6 on unchanged
     // code; the corrupted r6 runs read 1.1M and 23k) — re-measure now that
     // the stall window has had the whole query loop to pass, take the max
-    // (throughput: a stall only ever DEFLATES).
+    // (throughput: a stall only ever DEFLATES). The band was measured at the
+    // driver's 32-thread config; a smaller SPARK_GRAFT_CPUS (the local-dev
+    // default 4) scales ingest down proportionally and would always
+    // self-flag, so the gate only arms at >=16 threads.
     val priorIngest = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("^BENCH_FULL_r\\d+\\.json$")).toSeq
       .flatMap { f =>
@@ -208,7 +211,7 @@ object Bench {
         "\"ingest_lines_per_sec\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
       }
     val ingestBand =
-      if (priorIngest.isEmpty) None
+      if (priorIngest.isEmpty || cpus.toInt < 16) None
       else Some(priorIngest.sorted.apply(priorIngest.size / 2))
     if (ingestBand.exists(b => ingestRate < b / 3)) {
       System.err.println(
