@@ -329,13 +329,22 @@ object TextOps extends QueryModule {
             |  i -> named_struct('w1', tk[i], 'w2', tk[i+1]))""".stripMargin))
           .as("bg"))
         .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val cbMap = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      // ONE corpus pass builds the pair counts; the context counts are the
+      // pair counts re-aggregated by w1 (cw(w1) = Σ_w2 cb(w1,w2) exactly —
+      // every bigram occurrence contributes to both), so the persist makes
+      // the model build cost one scan + one distinct-bigram-sized agg
+      // instead of two corpus scans. Caps apply AFTER the derivation, so
+      // cw stays the true context total even where topB bites.
+      val cbDf = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cbMap = cbDf
         .orderBy(col("cb").desc, col("w1"), col("w2")).limit(topB)
         .collect().map(r => (r.getString(0) + sep + r.getString(1)) -> r.getLong(2))
         .toMap
-      val cwMap = b.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+      val cwMap = cbDf.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
         .orderBy(col("cw").desc, col("w1")).limit(topV)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      cbDf.unpersist(false)
       // smoothing denominator: the FULL vocabulary size (one scalar — the
       // prune caps the model's ENTRIES, not the smoothing constant)
       val v = docs.select(explode(split(col("text"), " ")).as("tok"))
