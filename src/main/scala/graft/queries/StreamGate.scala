@@ -239,7 +239,12 @@ object StreamGate extends QueryModule {
     // back to the session default mid-fleet
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // 4 state partitions per gate under the fleet (vs 8 serial): 7
+      // concurrent streams × 8 was 56 concurrent state tasks on 32 cores —
+      // halving the width cut the fleet wall ~15% in a same-window A/B;
+      // partition count is physical layout only, results are unaffected
+      // (FleetParitySpec pins fleet ≡ serial rows).
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val futs = runners.map { case (name, fn) =>
         name -> pool.submit(new java.util.concurrent.Callable[DataFrame] {
           def call(): DataFrame = {
