@@ -7,6 +7,7 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -164,6 +165,35 @@ object ScaleProbe {
     stateRow("interval_stream_10x_span")
     time("interval_stream_10x_density") { runQ("s_join_interval", evDenseDir) }
     stateRow("interval_stream_10x_density")
+    // round-7: file-level time skipping at 10x — the store fixture grows to
+    // ~300 daily partitions (~4k compacted files at 256 rows/file) while the
+    // dashboard window stays 1.25 days; planning must open only the
+    // overlapping files, so the probe reports opened-vs-total alongside the
+    // wall. (Separate dataset dir: this probe needs the `value` column the
+    // streaming copies drop.)
+    locally {
+      val evFull = Tables.table(spark, sf, "events")
+        .select("ts", "user_id", "event_type", "event_id", "value")
+      val ev10v = (0 until 10).map(k =>
+        evFull.select((col("ts") + expr(s"INTERVAL $k MONTH")).as("ts"),
+          col("user_id"), col("event_type"),
+          (col("event_id") + k * 1000000000L).as("event_id"), col("value")))
+        .reduce(_ union _)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_scale_evv").toString
+      ev10v.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      time("timeseries_skip_1x") { runQ("q_timeseries_skip", sf) }
+      time("timeseries_skip_10x") { runQ("q_timeseries_skip", dir) }
+      val df = SparkEntry.queries("q_timeseries_skip")(spark, dir)
+      val opened = df.inputFiles.length
+      val root = df.inputFiles.head
+        .substring(0, df.inputFiles.head.indexOf("/gen-"))
+      import scala.jdk.CollectionConverters._
+      val total = java.nio.file.Files.walk(java.nio.file.Paths.get(
+          new java.net.URI(root).getPath)).iterator().asScala
+        .count(p => p.toString.endsWith(".parquet"))
+      println(s"PROBE timeseries_skip_10x files_opened=$opened of_store_files=$total")
+    }
     // the native as-of at 10x rows AND 10x per-key density (month-offset
     // copies share user ids): the merge stays O(n+m) per key
     time("asof_native_1x") { runQ("q_join_asof_native", sf) }

@@ -26,17 +26,36 @@ import org.apache.spark.sql.functions._
   */
 object LogTableWriter {
 
-  def write(df: DataFrame, path: String,
-            maxRecordsPerFile: Long = 8L * 1024 * 1024): Unit = {
-    df.repartition(col("logdate"))
-      .sortWithinPartitions(col("logdate"), col("logdatetime"))
-      .write
-      .mode("overwrite")
-      .option("compression", "zstd")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("logdate")
-      .parquet(path)
+  /** Every store write pins `logdatetime` to physical INT64 TIMESTAMP_MICROS
+    * for the duration of the write (conf restored after): under the lingering
+    * INT96 default, parquet writes NO column min/max at all ("min/max not
+    * defined" in the footer), which silently disables the `_filestats`/
+    * `_tailstats` sidecars and with them every file-skipping tier of
+    * [[readRange]] — results stay exact, but a 300-day store opens all ~4k
+    * files for a 1-day window (caught live by ScaleProbe's opened-vs-total
+    * row). The per-write `.option("outputTimestampType", ...)` is NOT
+    * honored by the parquet source, so the session conf is the only lever.
+    */
+  private def withMicrosTimestamps(df: DataFrame)(f: => Unit): Unit = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val conf = df.sparkSession.conf
+    val prev = conf.get(key)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try f finally conf.set(key, prev)
   }
+
+  def write(df: DataFrame, path: String,
+            maxRecordsPerFile: Long = 8L * 1024 * 1024): Unit =
+    withMicrosTimestamps(df) {
+      df.repartition(col("logdate"))
+        .sortWithinPartitions(col("logdate"), col("logdatetime"))
+        .write
+        .mode("overwrite")
+        .option("compression", "zstd")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("logdate")
+        .parquet(path)
+    }
 
   /** Appends a micro-batch to the store root AND writes a `_tailstats-<id>`
     * sidecar carrying each new file's `(min,max) logdatetime` — so
@@ -60,14 +79,16 @@ object LogTableWriter {
       spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(path)
     val before = dataFiles(fs, root).keySet
-    df.repartition(col("logdate"))
-      .sortWithinPartitions(col("logdate"), col("logdatetime"))
-      .write
-      .mode("append")
-      .option("compression", "zstd")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("logdate")
-      .parquet(path)
+    withMicrosTimestamps(df) {
+      df.repartition(col("logdate"))
+        .sortWithinPartitions(col("logdate"), col("logdatetime"))
+        .write
+        .mode("append")
+        .option("compression", "zstd")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("logdate")
+        .parquet(path)
+    }
     val fresh = dataFiles(fs, root).filter { case (rel, _) =>
       !before.contains(rel) }.toSeq.sortBy(_._1)
     val lines = footerStatsLines(spark, fresh)

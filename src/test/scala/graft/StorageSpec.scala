@@ -270,6 +270,36 @@ class StorageSpec extends SparkSpec {
     assert(sidecars.length == 2, s"tail sidecars after compact: ${sidecars.toSeq}")
   }
 
+  test("file skipping survives an INT96 session default (writer pins micros)") {
+    // INT96 parquet timestamps carry NO column min/max — under a session
+    // that defaults to INT96 the stats sidecars would silently never be
+    // written and every skipping tier would vanish (a 300-day store opened
+    // all ~4k files in the 10x probe). The writer pins TIMESTAMP_MICROS
+    // around its own writes regardless of session config.
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "INT96")
+    try {
+      val tmp = Files.createTempDirectory("graft_range_int96").toString
+      (0 until 2).foreach { q =>
+        val rows = (0 until 240).map { i =>
+          (java.sql.Date.valueOf("2020-04-06"),
+            java.sql.Timestamp.valueOf(java.time.LocalDateTime
+              .of(2020, 4, 6, 0, 0, 0).plusSeconds(q * 43200L + i * 90L)),
+            (q * 240 + i).toLong)
+        }.toDF("logdate", "logdatetime", "v")
+        LogTableWriter.append(rows, tmp)
+      }
+      assert(spark.conf.get(key) == "INT96") // restored after each write
+      val ranged = LogTableWriter.readRange(spark, tmp,
+        java.sql.Timestamp.valueOf("2020-04-06 01:00:00"),
+        java.sql.Timestamp.valueOf("2020-04-06 03:00:00"))
+      assert(ranged.inputFiles.length == 1,
+        s"INT96 session disabled tail skipping: ${ranged.inputFiles.toSeq}")
+      assert(ranged.count() == 81)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("readRange on an uncompacted store falls back to the exact plain view") {
     val tmp = Files.createTempDirectory("graft_range_plain").toString
     val one = graft.operators.AccessLog.project(lines.toDF("line"))
