@@ -132,6 +132,7 @@ object StreamGate extends QueryModule {
         .map(so => (so.numRowsTotal, so.memoryUsedBytes)))
       if (peaks.nonEmpty)
         statePeaks(tag) = (peaks.map(_._1).max, peaks.map(_._2).max)
+      recordProgress(tag, q)
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(name)
   }
@@ -142,6 +143,28 @@ object StreamGate extends QueryModule {
     * under 10× density), not part of any query result.
     */
   val statePeaks = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  /** Per-gate micro-batch timeline from the most recent run (batchId, wall
+    * start epoch-ms, numInputRows, and the planner's durationMs breakdown) —
+    * the observability surface behind the fleet-wall adjudication: where do
+    * the seconds go, per batch, per gate, and how long after fleet start did
+    * each gate's FIRST batch begin? Probe/diagnostic only; never part of a
+    * query result.
+    */
+  val batchTimeline = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Long, Long, Long, Map[String, Long])]]
+
+  private def recordProgress(tag: String,
+                             q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      batchTimeline(tag) = q.recentProgress.toSeq.map { p =>
+        import scala.jdk.CollectionConverters._
+        (p.batchId,
+          java.time.Instant.parse(p.timestamp).toEpochMilli,
+          p.numInputRows,
+          p.durationMs.asScala.map { case (k, v) => k -> v.longValue }.toMap)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Complete-mode windowed aggregate over the hash-chunk replay. */
   private def windowedGate(tag: String, s: org.apache.spark.sql.SparkSession,
@@ -226,6 +249,12 @@ object StreamGate extends QueryModule {
     */
   val fleetGateSeconds = scala.collection.concurrent.TrieMap.empty[String, Double]
 
+  /** Epoch-ms instant the most recent fleet's streams were submitted —
+    * subtract from each gate's first `batchTimeline` entry to see how long
+    * a gate waited before its first micro-batch actually began.
+    */
+  val fleetStartMillis = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def runFleet(s: org.apache.spark.sql.SparkSession,
                        d: String): Map[String, DataFrame] = {
     // both shared layouts are built ONCE, serially, before any stream
@@ -243,8 +272,11 @@ object StreamGate extends QueryModule {
       // concurrent streams × 8 was 56 concurrent state tasks on 32 cores —
       // halving the width cut the fleet wall ~15% in a same-window A/B;
       // partition count is physical layout only, results are unaffected
-      // (FleetParitySpec pins fleet ≡ serial rows).
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // (FleetParitySpec pins fleet ≡ serial rows). Overridable for A/B
+      // probes via -Dgraft.streamgate.fleetWidth.
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.props.getOrElse("graft.streamgate.fleetWidth", "4"))
+      fleetStartMillis.set(System.currentTimeMillis())
       val futs = runners.map { case (name, fn) =>
         name -> pool.submit(new java.util.concurrent.Callable[DataFrame] {
           def call(): DataFrame = {
@@ -417,6 +449,7 @@ object StreamGate extends QueryModule {
           .format("parquet").option("path", out)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+        recordProgress("s_sessionize", q)
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("first_us"))
