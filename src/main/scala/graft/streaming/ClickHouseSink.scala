@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   * The reference lands rows in ClickHouse over HTTP: `omclickhouse`
   * renders one INSERT per message from the `ng` template
   * (`/root/reference/nginx.conf:2-46`) against the MergeTree table declared
-  * at `/root/reference/nginx.click:1`. No ClickHouse server exists in this
-  * sandbox, so the contract here is the DIALECT, golden-tested against
-  * those two reference artifacts: [[ClickHouseDialect.accessLogDdl]]
+  * at `/root/reference/nginx.click:1`. No live ClickHouse exists in this
+  * sandbox; the DIALECT is golden-tested against those two reference
+  * artifacts, and the HTTP transport + idempotence protocol are
+  * integration-tested end-to-end against a loopback stub
+  * (ClickHouseHttpSpec) that emulates the server behaviors the contract
+  * leans on (batch-id DELETE, token-window dedup, 5xx). [[ClickHouseDialect.accessLogDdl]]
   * reproduces `nginx.click:1` token-for-token from the shared
   * `Tables.accessLogSchema` constants, and the INSERT generator emits the
   * template's exact column list with multi-row VALUES batching (what
@@ -213,12 +216,19 @@ object ClickHouseSink {
       .start()
 
   /** The production transport: POST each statement to ClickHouse's HTTP
-    * endpoint (`nginx.conf:61-63`: server/port/usehttps). Untestable in
-    * this sandbox (no server) — the dialect behind it is what the golden
-    * tests pin.
+    * endpoint (`nginx.conf:61-63`: server/port/usehttps). Transient
+    * failures — 5xx/429 (ClickHouse answers 503 under memory/queue
+    * pressure) and connect/timeout errors — are retried with exponential
+    * backoff; the retried POST is byte-identical, so its
+    * `insert_deduplication_token` makes the retry safe even if the first
+    * attempt actually committed server-side. 4xx (malformed statement)
+    * is permanent and thrown immediately. No live ClickHouse exists in
+    * this sandbox; ClickHouseHttpSpec drives this exact code path against
+    * a loopback HTTP stub from real executor tasks.
     */
   def httpExecutor(server: String, port: Int = 8123,
-                   https: Boolean = false): () => Executor = () => {
+                   https: Boolean = false, maxRetries: Int = 3,
+                   retryBackoffMs: Long = 500): () => Executor = () => {
     // one client (connection pool) per task, shared by its statements
     val scheme = if (https) "https" else "http"
     val client = java.net.http.HttpClient.newHttpClient()
@@ -228,10 +238,36 @@ object ClickHouseSink {
         .uri(uri)
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(sql))
         .build()
-      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() / 100 != 2)
-        throw new java.io.IOException(
-          s"ClickHouse HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+      // a while loop, not a local def: a lifted local method would make
+      // this lambda capture the (non-serializable) enclosing module
+      var attempt = 0
+      var done = false
+      while (!done) {
+        val transient: Option[String] =
+          try {
+            val resp = client.send(req,
+              java.net.http.HttpResponse.BodyHandlers.ofString())
+            val sc = resp.statusCode()
+            if (sc / 100 == 2) None
+            else {
+              val msg = s"ClickHouse HTTP $sc: ${resp.body().take(500)}"
+              if (sc / 100 == 5 || sc == 429) Some(msg)
+              else throw new java.io.IOException(msg)
+            }
+          } catch {
+            case e: java.net.ConnectException => Some(s"connect: ${e.getMessage}")
+            case e: java.net.http.HttpTimeoutException =>
+              Some(s"timeout: ${e.getMessage}")
+          }
+        transient match {
+          case None => done = true
+          case Some(msg) if attempt >= maxRetries =>
+            throw new java.io.IOException(s"$msg (after ${attempt + 1} attempts)")
+          case Some(_) =>
+            Thread.sleep(retryBackoffMs << attempt)
+            attempt += 1
+        }
+      }
     }
   }
 }
