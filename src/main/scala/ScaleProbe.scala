@@ -186,12 +186,17 @@ object ScaleProbe {
       time("timeseries_skip_10x") { runQ("q_timeseries_skip", dir) }
       val df = SparkEntry.queries("q_timeseries_skip")(spark, dir)
       val opened = df.inputFiles.length
-      val root = df.inputFiles.head
-        .substring(0, df.inputFiles.head.indexOf("/gen-"))
-      import scala.jdk.CollectionConverters._
-      val total = java.nio.file.Files.walk(java.nio.file.Paths.get(
-          new java.net.URI(root).getPath)).iterator().asScala
-        .count(p => p.toString.endsWith(".parquet"))
+      // guard: an empty pruned window or an uncompacted tail file (no
+      // /gen-/ path segment) must degrade the ratio print, not abort the
+      // whole probe run
+      val root = df.inputFiles.headOption
+        .filter(_.contains("/gen-")).map(f => f.substring(0, f.indexOf("/gen-")))
+      val total = root.fold(-1L) { r =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(
+            new java.net.URI(r).getPath)).iterator().asScala
+          .count(p => p.toString.endsWith(".parquet"))
+      }
       println(s"PROBE timeseries_skip_10x files_opened=$opened of_store_files=$total")
     }
     // the native as-of at 10x rows AND 10x per-key density (month-offset
@@ -302,6 +307,40 @@ object ScaleProbe {
       time(s"equiskew_unsalted_aqeSplit_${hotJoinN}hot") {
         bigSkew.join(dimSkew, Seq("key"))
           .write.mode("overwrite").format("noop").save()
+      }
+    }
+    // round-8: the bucketed-layout payoff (q_join_bucketed) at 10x. One
+    // bucketed write, then the recurring fact-fact join reads
+    // co-partitioned buckets — the plain form re-shuffles BOTH fact sides
+    // on every execution. x3 joins each side model the write-once /
+    // join-many production shape.
+    locally {
+      val li10 = (0 until 10).map(k => Tables.table(spark, sf, "lineitem")
+          .withColumn("l_orderkey", col("l_orderkey") + k * 1000000000L))
+        .reduce(_ union _)
+      val ord10 = (0 until 10).map(k => Tables.table(spark, sf, "orders")
+          .withColumn("o_orderkey", col("o_orderkey") + k * 1000000000L))
+        .reduce(_ union _)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_scale_bucket").toString
+      li10.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      ord10.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      time("bucketed_build_10x") {
+        graft.storage.BucketedTables.ensureFactBuckets(spark, dir)
+      }
+      time("bucketed_join_x3_10x") {
+        (1 to 3).foreach(_ => runQ("q_join_bucketed", dir))
+      }
+      time("plain_join_x3_10x") {
+        (1 to 3).foreach { _ =>
+          Tables.table(spark, dir, "lineitem")
+            .join(Tables.table(spark, dir, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_items"),
+              round(sum(col("l_extendedprice")), 4).as("revenue"))
+            .write.mode("overwrite").format("noop").save()
+        }
       }
     }
     spark.stop()

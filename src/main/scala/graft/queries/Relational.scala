@@ -104,6 +104,25 @@ object Relational extends QueryModule {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // SURVEY §4's layout story as a GATE query: both fact tables written
+    // bucketed on the order key (once per JVM+dataset,
+    // BucketedTables.ensureFactBuckets), so this recurring fact-fact join
+    // reads co-partitioned buckets and needs NO Exchange on either side
+    // (PlanSpec pins the exchange-free SortMergeJoin; the SHUFFLE_MERGE
+    // hint keeps the co-location claim exercised even where the orders
+    // side would broadcast at test SF). Bucketing is pure physical layout:
+    // the oracle is the plain DuckDB join over the unbucketed parquet.
+    "q_join_bucketed" -> ((s, d) => {
+      val (liT, ordT) = graft.storage.BucketedTables.ensureFactBuckets(s, d)
+      s.table(liT)
+        .join(s.table(ordT).hint("SHUFFLE_MERGE"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 4).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // The R5 lookup-table pattern at scale: small dims broadcast to every task.
     "q_join_broadcast" -> ((s, d) => {
       val dim = t(s, d, "nation")
@@ -499,6 +518,12 @@ object Relational extends QueryModule {
         |  round(sum(o_totalprice),4) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice),4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_join_broadcast" ->
       """SELECT r_name, n_name, count(*) AS n_supp,

@@ -17,17 +17,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object BucketedTables {
 
   /** Writes `df` as a bucketed catalog table (bucket metadata lives in the
-    * session catalog; files are plain parquet).
+    * session catalog; files are plain parquet). With `path` the table is
+    * external — files land there instead of the session warehouse dir.
     */
   def writeBucketed(df: DataFrame, table: String, bucketKey: String,
-                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
+                    numBuckets: Int, sortCols: Seq[String] = Nil,
+                    path: Option[String] = None): Unit = {
+    val w0 = df.write.mode("overwrite")
       .format("parquet")
       .option("compression", "zstd")
       .bucketBy(numBuckets, bucketKey)
+    val w = path.fold(w0)(p => w0.option("path", p))
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  private val factBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** The write-once half of the layout story, wired to the gate
+    * (`q_join_bucketed`): lineitem and orders bucketed on the order key,
+    * built at most once per JVM per dataset (bucket METADATA lives in the
+    * in-memory catalog, so each JVM re-registers; the files land under a
+    * dataset-keyed tmp dir). Every later orderkey equi-join of the two
+    * returns co-partitioned scans — the recurring 100 TB join pays no
+    * Exchange. Returns (lineitemTable, ordersTable) catalog names.
+    */
+  def ensureFactBuckets(spark: SparkSession, dir: String,
+                        numBuckets: Int = 8): (String, String) =
+    factBuilt.getOrElseUpdate(dir, {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$key"
+      val (li, ord) = (s"graft_b_lineitem_$key", s"graft_b_orders_$key")
+      writeBucketed(graft.Tables.table(spark, dir, "lineitem"),
+        li, "l_orderkey", numBuckets, path = Some(s"$base/lineitem"))
+      writeBucketed(graft.Tables.table(spark, dir, "orders"),
+        ord, "o_orderkey", numBuckets, path = Some(s"$base/orders"))
+      (li, ord)
+    })
 }

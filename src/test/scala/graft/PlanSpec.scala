@@ -182,4 +182,27 @@ class PlanSpec extends SparkSpec {
         "over-limit query side still broadcast — the size switch is dead")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q_join_bucketed: the fact-fact join reads co-partitioned buckets, " +
+    "no Exchange on either join input") {
+    // AQE off for a stable plan string; broadcast off so the co-location
+    // claim (not a broadcast fallback) is what's being pinned
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = plan("q_join_bucketed")
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      // the only Exchange allowed is the aggregate's (on o_orderpriority);
+      // neither join input may shuffle on its key
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join still shuffles an input:\n$p")
+      assert(p.contains("SelectedBucketsCount"), s"scans not bucketed:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
 }
