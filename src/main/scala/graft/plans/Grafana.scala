@@ -1,0 +1,85 @@
+package graft.plans
+
+/** Grafana→engine macro expansion for the dashboard SQL surface.
+  *
+  * The reference wires Grafana to ClickHouse through the
+  * vertamedia-clickhouse-datasource plugin and documents ONE panel query
+  * (`/root/reference/README.md:279-286`):
+  *
+  * {{{
+  * SELECT
+  *     $timeSeries as t,
+  *     count(*) as Count
+  * FROM $table
+  * WHERE $timeFilter
+  * GROUP BY t
+  * ORDER BY t
+  * }}}
+  *
+  * The engine answers the EXPANDED forms (`q_timeseries_count/filtered/
+  * zerofill`), but a user pasting the macro form verbatim got a parse
+  * error — this closes that last verbatim-surface gap. The plugin's macros
+  * rewrite to Spark SQL as:
+  *
+  *   - `$timeSeries`  → the `$interval`-floored time bucket,
+  *     `timestamp_seconds(floor(unix_timestamp(col)/N)*N)` — the Spark
+  *     equivalent of the plugin's `intDiv(toUInt32(col), N) * N`
+  *   - `$timeFilter`  → `col >= timestamp'from' AND col <= timestamp'to'`
+  *   - `$table`       → the engine table/view name
+  *   - `$from`/`$to`  → epoch-second literals
+  *   - `$interval`    → the interval in seconds
+  *
+  * GrafanaSpec golden-tests the README query's expansion text and proves
+  * the expanded SQL computes the same buckets as the engine's native
+  * dashboard query over the same window.
+  */
+object Grafana {
+
+  /** Expands the Grafana macros in `sql` for the engine's SQL surface.
+    *
+    * @param interval panel interval — `"30s"`, `"15m"`, `"1h"`, `"1d"`,
+    *                 or a bare second count
+    * @param from,to  closed window bounds, `yyyy-MM-dd HH:mm:ss` (UTC,
+    *                 matching the engine's session timezone)
+    */
+  def expand(sql: String, table: String, timeColumn: String,
+             interval: String, from: String, to: String): String = {
+    // both names are interpolated into SQL text — identifiers only
+    graft.streaming.JdbcSink.requireIdent(table)
+    graft.streaming.JdbcSink.requireIdent(timeColumn)
+    val n = intervalSeconds(interval)
+    val bucket =
+      s"timestamp_seconds(floor(unix_timestamp($timeColumn) / $n) * $n)"
+    val filter = s"$timeColumn >= timestamp'${ts(from)}'" +
+      s" AND $timeColumn <= timestamp'${ts(to)}'"
+    sql
+      .replace("$timeSeries", bucket)
+      .replace("$timeFilter", filter)
+      .replace("$table", table)
+      .replace("$from", epochSec(from).toString)
+      .replace("$to", epochSec(to).toString)
+      .replace("$interval", n.toString)
+  }
+
+  private val Fmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** Validates-and-normalizes a bound (it is interpolated into SQL). */
+  private def ts(s: String): String =
+    java.time.LocalDateTime.parse(s, Fmt).format(Fmt)
+
+  private def epochSec(s: String): Long =
+    java.time.LocalDateTime.parse(s, Fmt).toEpochSecond(java.time.ZoneOffset.UTC)
+
+  private def intervalSeconds(interval: String): Long = {
+    val m = "^(\\d+)([smhd]?)$".r.findFirstMatchIn(interval.trim).getOrElse(
+      throw new IllegalArgumentException(s"bad interval: $interval"))
+    val unit = m.group(2) match {
+      case "" | "s" => 1L
+      case "m"      => 60L
+      case "h"      => 3600L
+      case "d"      => 86400L
+    }
+    m.group(1).toLong * unit
+  }
+}

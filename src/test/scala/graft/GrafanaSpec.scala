@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.Grafana
+
+/** Golden tests for the Grafana macro layer: the README's verbatim panel
+  * query (`/root/reference/README.md:279-286`) must expand to runnable
+  * engine SQL that computes the same buckets as the native dashboard
+  * queries over the same window.
+  */
+class GrafanaSpec extends SparkSpec {
+
+  // the reference panel query, verbatim
+  private val panel =
+    """SELECT
+      |    $timeSeries as t,
+      |    count(*) as Count
+      |FROM $table
+      |WHERE $timeFilter
+      |GROUP BY t
+      |ORDER BY t""".stripMargin
+
+  test("README panel query expands to the golden engine SQL") {
+    val got = Grafana.expand(panel, table = "events", timeColumn = "ts",
+      interval = "1h", from = "2024-01-05 00:00:00", to = "2024-01-20 00:00:00")
+    val want =
+      """SELECT
+        |    timestamp_seconds(floor(unix_timestamp(ts) / 3600) * 3600) as t,
+        |    count(*) as Count
+        |FROM events
+        |WHERE ts >= timestamp'2024-01-05 00:00:00' AND ts <= timestamp'2024-01-20 00:00:00'
+        |GROUP BY t
+        |ORDER BY t""".stripMargin
+    assert(got === want)
+  }
+
+  test("expanded panel query returns the same buckets as the native " +
+    "dashboard query over the same window") {
+    Tables.table(spark, sf(), "events").createOrReplaceTempView("events")
+    try {
+      val got = spark.sql(Grafana.expand(panel, "events", "ts", "1h",
+          "2024-01-05 00:00:00", "2024-01-20 00:00:00"))
+        .select(col("t").cast("timestamp_ntz").as("t"), col("Count").as("cnt"))
+        .collect().map(r => (r.get(0).toString, r.getLong(1))).toSeq
+      // the engine's native form of the same panel: hour-truncated count
+      // restricted to the $timeFilter window (q_timeseries_count's shape)
+      val want = Tables.table(spark, sf(), "events")
+        .filter(col("ts").between(
+          lit("2024-01-05 00:00:00").cast("timestamp"),
+          lit("2024-01-20 00:00:00").cast("timestamp")))
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("t"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("t"))
+        .collect().map(r => (r.get(0).toString, r.getLong(1))).toSeq
+      assert(got.nonEmpty && got === want)
+    } finally spark.catalog.dropTempView("events")
+  }
+
+  test("$from/$to/$interval expand to epoch seconds; intervals parse all units") {
+    val got = Grafana.expand("SELECT $from, $to, $interval", "t1", "ts",
+      "30s", "2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    assert(got === "SELECT 1704067200, 1704153600, 30")
+    assert(Grafana.expand("$interval", "t1", "ts", "15m",
+      "2024-01-01 00:00:00", "2024-01-01 00:00:00") === "900")
+    assert(Grafana.expand("$interval", "t1", "ts", "1d",
+      "2024-01-01 00:00:00", "2024-01-01 00:00:00") === "86400")
+  }
+
+  test("macro expansion rejects non-identifier table/column and bad bounds") {
+    intercept[IllegalArgumentException] {
+      Grafana.expand(panel, "events; DROP TABLE x", "ts", "1h",
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    }
+    intercept[Exception] {
+      Grafana.expand(panel, "events", "ts", "1h",
+        "not-a-time", "2024-01-02 00:00:00")
+    }
+    intercept[IllegalArgumentException] {
+      Grafana.expand(panel, "events", "ts", "1 fortnight",
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    }
+  }
+}
