@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -28,17 +29,26 @@ object LmScore {
 
   private val Sep = UTF8String.fromString("\u0001")
 
-  case class LmScoreSum(child: Expression, cb: Map[String, Long],
-                        cw: Map[String, Long], k: Double, v: Long)
+  /** The model rides in `Broadcast` HANDLES, not plan-embedded maps: the
+    * expression (and with it every task binary and plan string) stays a
+    * few hundred bytes regardless of topV/topB — executors fetch the maps
+    * once via the broadcast manager (the `VectorOps.PqEncodeBc` pattern).
+    * LmScoreSpec pins the serialized expression under 64 KB with a
+    * 200k-entry model.
+    */
+  case class LmScoreSum(child: Expression, cbBc: Broadcast[Map[String, Long]],
+                        cwBc: Broadcast[Map[String, Long]], k: Double, v: Long)
       extends UnaryExpression {
     override def dataType: DataType = DoubleType
 
     @transient private lazy val cbJ = {
+      val cb = cbBc.value
       val m = new java.util.HashMap[UTF8String, java.lang.Long](cb.size * 2)
       cb.foreach { case (s, c) => m.put(UTF8String.fromString(s), c) }
       m
     }
     @transient private lazy val cwJ = {
+      val cw = cwBc.value
       val m = new java.util.HashMap[UTF8String, java.lang.Long](cw.size * 2)
       cw.foreach { case (s, c) => m.put(UTF8String.fromString(s), c) }
       m
@@ -74,9 +84,14 @@ object LmScore {
 
   /** Registers `graft_lm_score` bound to a trained+pruned model (the
     * FunctionRegistry route — Column-from-Expression is sealed in Spark 4).
+    * The maps are broadcast HERE, once per registration; the expression
+    * carries only the handles.
     */
   def register(spark: SparkSession, cb: Map[String, Long],
-               cw: Map[String, Long], k: Double, v: Long): Unit =
+               cw: Map[String, Long], k: Double, v: Long): Unit = {
+    val cbBc = spark.sparkContext.broadcast(cb)
+    val cwBc = spark.sparkContext.broadcast(cw)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_lm_score", es => LmScoreSum(es.head, cb, cw, k, v), "built-in")
+      "graft_lm_score", es => LmScoreSum(es.head, cbBc, cwBc, k, v), "built-in")
+  }
 }

@@ -62,6 +62,28 @@ class LmScoreSpec extends SparkSpec {
     assert(got(2) == 2 * StrictMath.log((2 + K) / (2 + K * V)))
   }
 
+  test("the expression carries broadcast handles: serialized size stays " +
+    "small under a 200k-entry model") {
+    val bigCb = (0 until 200000)
+      .map(i => "w" + i + "\u0001w" + (i + 1) -> i.toLong).toMap
+    val bigCw = (0 until 200000).map(i => s"w$i" -> i.toLong).toMap
+    graft.expressions.LmScore.register(spark, bigCb, bigCw, K, V)
+    val expr = spark.sessionState.functionRegistry
+      .lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lm_score")).get
+      .apply(Seq(org.apache.spark.sql.catalyst.expressions.Literal
+        .create(Seq("a", "b"))))
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(expr); oos.close()
+      bos.size()
+    }
+    // a plan-embedded 200k-entry model would serialize to megabytes; the
+    // broadcast handle keeps the task-binary contribution tiny
+    assert(bytes < 65536, s"expression serialized to $bytes bytes")
+  }
+
   test("the declared query's two model forms agree where the caps are no-ops") {
     val d = sf("sf0.001")
     val base = SparkEntry.queries("q_lm_perplexity")(spark, d).collect()
