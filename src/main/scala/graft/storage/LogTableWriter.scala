@@ -36,12 +36,29 @@ object LogTableWriter {
     * row). The per-write `.option("outputTimestampType", ...)` is NOT
     * honored by the parquet source, so the session conf is the only lever.
     */
-  private def withMicrosTimestamps(df: DataFrame)(f: => Unit): Unit = {
+  private val pinLock = new Object
+  private val pinned =
+    scala.collection.mutable.Map.empty[SparkSession, (Int, String)]
+
+  private[graft] def withMicrosTimestamps(df: DataFrame)(f: => Unit): Unit = {
     val key = "spark.sql.parquet.outputTimestampType"
-    val conf = df.sparkSession.conf
-    val prev = conf.get(key)
-    conf.set(key, "TIMESTAMP_MICROS")
-    try f finally conf.set(key, prev)
+    val s = df.sparkSession
+    // REF-COUNTED pin, not set/restore: two concurrent write/append calls
+    // on one session would otherwise race — the first to finish restores
+    // the original (possibly INT96) value under the other's in-flight
+    // write, silently producing stat-less files (skipping lost; results
+    // stay exact). The conf flips on the first pin and is restored only
+    // when the LAST concurrent pin releases.
+    pinLock.synchronized {
+      val (depth, prev) = pinned.getOrElse(s, (0, s.conf.get(key)))
+      if (depth == 0) s.conf.set(key, "TIMESTAMP_MICROS")
+      pinned(s) = (depth + 1, prev)
+    }
+    try f finally pinLock.synchronized {
+      val (depth, prev) = pinned(s)
+      if (depth == 1) { s.conf.set(key, prev); pinned.remove(s) }
+      else pinned(s) = (depth - 1, prev)
+    }
   }
 
   def write(df: DataFrame, path: String,
@@ -329,15 +346,19 @@ object LogTableWriter {
     absorbedNow.foreach { rel =>
       fs.delete(new org.apache.hadoop.fs.Path(root, rel), false)
     }
-    // Tail-stats GC: a sidecar whose every file this compaction absorbed is
-    // dead (the generation's own `_filestats` covers those rows now). A
-    // sidecar still naming ANY live file — an append that landed
-    // mid-compaction — survives; its stale entries are ignored by readers.
+    // Tail-stats GC against the LIVE listing (post-absorb): a sidecar is
+    // dead when none of its entries names a still-existing root file — not
+    // only when THIS compaction absorbed them all. A sidecar whose files
+    // were absorbed across two different compactions (an append landing
+    // mid-compaction) would otherwise survive forever and be re-read by
+    // every readRange. A sidecar still naming ANY live file survives; its
+    // stale entries are ignored by readers.
+    val liveTail = dataFiles(fs, root).keySet
     fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith("_tailstats-"))
       .foreach { p =>
-        if (parseStatsFile(fs, p).forall { case (rel, _, _) =>
-            absorbedNow.contains(rel) })
+        if (!parseStatsFile(fs, p).exists { case (rel, _, _) =>
+            liveTail.contains(rel) })
           fs.delete(p, false)
       }
   }

@@ -270,6 +270,72 @@ class StorageSpec extends SparkSpec {
     assert(sidecars.length == 2, s"tail sidecars after compact: ${sidecars.toSeq}")
   }
 
+  test("tail-stats GC: a sidecar whose files were absorbed across TWO " +
+    "compactions is deleted once no entry is live") {
+    val tmp = Files.createTempDirectory("graft_tailgc").toString
+    def slice(startH: Int): org.apache.spark.sql.DataFrame =
+      (0 until 60).map { i =>
+        (java.sql.Date.valueOf("2020-04-06"),
+          java.sql.Timestamp.valueOf(java.time.LocalDateTime
+            .of(2020, 4, 6, 0, 0, 0).plusSeconds(startH * 3600L + i * 30L)),
+          (startH * 60 + i).toLong)
+      }.toDF("logdate", "logdatetime", "v")
+    LogTableWriter.append(slice(0), tmp)
+    LogTableWriter.compact(spark, tmp)
+    LogTableWriter.append(slice(6), tmp)
+    // a sidecar from an append whose listing a prior compaction split:
+    // names one file absorbed back then (now dead) and nothing live — the
+    // absorbedNow-only GC kept these forever, re-read by every readRange
+    Files.write(java.nio.file.Paths.get(tmp, "_tailstats-orphan"),
+      "logdate=2020-04-06/part-dead.parquet\t0\t1\n".getBytes("UTF-8"))
+    // and one that still names a live tail file → must survive
+    val live = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("_tailstats-"))
+      .filterNot(_.getName == "_tailstats-orphan").head
+    val liveRel = new String(Files.readAllBytes(live.toPath), "UTF-8")
+      .linesIterator.next().split("\t").head
+    Files.write(java.nio.file.Paths.get(tmp, "_tailstats-halflive"),
+      (s"$liveRel\t0\t1\nlogdate=2020-04-06/part-dead2.parquet\t0\t1\n")
+        .getBytes("UTF-8"))
+    LogTableWriter.compact(spark, tmp) // absorbs slice 6
+    // under the absorbedNow-only GC both fabricated sidecars survived
+    // forever: each names a file outside THIS compaction's absorb set.
+    // With the live-listing GC, no entry is live → both deleted.
+    val names = new java.io.File(tmp).listFiles()
+      .map(_.getName).filter(_.startsWith("_tailstats-")).toSeq
+    assert(!names.contains("_tailstats-orphan"),
+      s"dead-entry sidecar survived compaction: $names")
+    assert(!names.contains("_tailstats-halflive"),
+      s"sidecar absorbed across compactions survived: $names")
+    // the store still reads exactly
+    assert(LogTableWriter.read(spark, tmp).count() == 120)
+  }
+
+  test("overlapping micros pins are ref-counted: an inner release never " +
+    "restores INT96 under an outer in-flight write") {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "INT96")
+    try {
+      val df = Seq((java.sql.Date.valueOf("2020-04-06"),
+        java.sql.Timestamp.valueOf("2020-04-06 00:00:00"), 1L))
+        .toDF("logdate", "logdatetime", "v")
+      // nested = deterministic overlap of two pin lifetimes (what two
+      // concurrent write/append calls produce): under plain set/restore
+      // the inner's finally flips the session back to INT96 while the
+      // outer write is still in flight → stat-less files, skipping lost
+      LogTableWriter.withMicrosTimestamps(df) {
+        assert(spark.conf.get(key) == "TIMESTAMP_MICROS")
+        LogTableWriter.withMicrosTimestamps(df) {
+          assert(spark.conf.get(key) == "TIMESTAMP_MICROS")
+        }
+        assert(spark.conf.get(key) == "TIMESTAMP_MICROS",
+          "inner pin release restored the session default under the outer pin")
+      }
+      assert(spark.conf.get(key) == "INT96") // last release restores
+    } finally spark.conf.set(key, prev)
+  }
+
   test("file skipping survives an INT96 session default (writer pins micros)") {
     // INT96 parquet timestamps carry NO column min/max — under a session
     // that defaults to INT96 the stats sidecars would silently never be
