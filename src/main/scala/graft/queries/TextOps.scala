@@ -116,6 +116,44 @@ object TextOps extends QueryModule {
         .orderBy(col("h"))
     }),
 
+    // Sub-document exact dedup (the RefinedWeb/CCNet "line dedup" shape,
+    // with fixed 10-token segments standing in for lines on this corpus):
+    // segment every doc, drop any segment whose text occurs in MORE THAN
+    // ONE distinct document, reassemble the survivors in order. 100 TB
+    // shape: the corpus-wide duplicate check groups on md5(segment) — the
+    // shuffle carries (hash, doc_id), never all-pairs; reassembly is one
+    // partial-aggregable groupBy(doc_id). Both ordered rebuilds use
+    // array_sort(collect_list(struct(idx, ...))) — collect_list order is
+    // not guaranteed, the sort is what makes the result deterministic.
+    "q_dedup_segments" -> ((s, d) => {
+      val segs = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), expr("pos DIV 10").as("seg"),
+          col("pos"), col("col").as("w"))
+        .groupBy(col("doc_id"), col("seg"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("seg_text"))
+      val shared = segs
+        .groupBy(md5(col("seg_text")).as("h"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .select(col("h"))
+      val rebuilt = segs
+        .join(shared, md5(col("seg_text")) === col("h"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("seg"), col("seg_text")))),
+            x => x.getField("seg_text")), " ").as("clean_text"))
+      t(s, d, "documents").select(col("doc_id"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-language corpus statistics incl. exact median (percentile parity
     // with DuckDB quantile_cont validated on this data).
     "q_text_stats" -> ((s, d) => {
@@ -403,6 +441,24 @@ object TextOps extends QueryModule {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+
+    "q_dedup_segments" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |w AS (SELECT doc_id, unnest(range(len(tk))) AS pos, tk FROM toks),
+        |w2 AS (SELECT doc_id, pos, tk[pos + 1] AS w FROM w),
+        |seg AS (SELECT doc_id, pos // 10 AS seg,
+        |    string_agg(w, ' ' ORDER BY pos) AS seg_text
+        |  FROM w2 GROUP BY doc_id, pos // 10),
+        |shared AS (SELECT seg_text FROM seg
+        |  GROUP BY seg_text HAVING count(DISTINCT doc_id) > 1),
+        |rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(seg_text, ' ' ORDER BY seg) AS clean_text
+        |  FROM seg WHERE seg_text NOT IN (SELECT seg_text FROM shared)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(r.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
