@@ -76,6 +76,12 @@ object ScaleProbe {
         .write.mode("overwrite").format("noop").save()
     time("bm25_1x") { runQ("q_bm25", sf) }
     time("bm25_10x") { runQ("q_bm25", docs10dir) }
+    // round-8: sub-document dedup at 1x→10x docs. The 10x corpus is
+    // near-dup-heavy (version-token prefixed copies), so the shared-segment
+    // set is LARGE — the hash-grouped check and left-anti must stay
+    // pairs-free for the ratio to hold.
+    time("dedup_segments_1x") { runQ("q_dedup_segments", sf) }
+    time("dedup_segments_10x") { runQ("q_dedup_segments", docs10dir) }
     val emb10dir = java.nio.file.Files
       .createTempDirectory("graft_scale_emb").toString
     emb10.select(col("vec_id"),
@@ -183,6 +189,10 @@ object ScaleProbe {
         .createTempDirectory("graft_scale_evv").toString
       ev10v.write.mode("overwrite").parquet(s"$dir/events.parquet")
       time("timeseries_skip_1x") { runQ("q_timeseries_skip", sf) }
+      // first touch pays the ONE-TIME 4089-file store build (write +
+      // 256-rows/file compact) — time it separately so the recurring
+      // window-query row measures skipping, not construction
+      time("timeseries_skip_10x_store_build") { runQ("q_timeseries_skip", dir) }
       time("timeseries_skip_10x") { runQ("q_timeseries_skip", dir) }
       val df = SparkEntry.queries("q_timeseries_skip")(spark, dir)
       val opened = df.inputFiles.length
