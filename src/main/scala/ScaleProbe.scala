@@ -89,6 +89,17 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$emb10dir/embeddings.parquet")
     time("sim_quant_1x") { runQ("q_sim_quant", sf) }
     time("sim_quant_10x") { runQ("q_sim_quant", emb10dir) }
+    // round-8: the persisted IVF-PQ index at 10x — train+encode+write ONCE
+    // (first invocation), then repeated searches read only the probed
+    // cells' (id,codes) partitions; the in-query sibling re-trains both
+    // quantizers on every execution.
+    time("vidx_build_plus_search_10x") { runQ("q_sim_ivfpq_store", emb10dir) }
+    time("vidx_search_x3_10x") {
+      (1 to 3).foreach(_ => runQ("q_sim_ivfpq_store", emb10dir))
+    }
+    time("ivfpq_inquery_x3_10x") {
+      (1 to 3).foreach(_ => runQ("q_sim_ivfpq", emb10dir))
+    }
     // round-7 (VERDICT r6 #4): the broadcast-pruned perplexity filter at
     // 1x→10x docs, plus the shape claim itself — the SCORE pass must be
     // shuffle-free. The model build collects eagerly at plan-construction,

@@ -157,10 +157,11 @@ object VectorPq {
   }
 
   /** Exact cosine re-rank of a (q_id, qv, c_id) shortlist — vectors join
-    * back for the shortlist rows only.
+    * back for the shortlist rows only. Shared with the persisted-index
+    * search path (`storage.VectorIndexStore`).
     */
-  private def rerank(e: DataFrame, idCol: String, vecCol: String,
-                     shortlist: DataFrame, topK: Int): DataFrame = {
+  private[graft] def rerank(e: DataFrame, idCol: String, vecCol: String,
+                            shortlist: DataFrame, topK: Int): DataFrame = {
     def nrm(c: Column) = sqrt(TextHashes.vecDot(c, c))
     val scored = shortlist
       .join(e.select(col(idCol).as("c_id"), col(vecCol).as("cv")), Seq("c_id"))

@@ -320,6 +320,22 @@ object SimilarityOps extends QueryModule {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // The SAME IVF-PQ search against a PERSISTED index (train once, write
+    // cell-partitioned codes + quantizer tables, query many): the probe
+    // set becomes literal partition filters, so the scan prunes to nProbe
+    // cell directories. PqSpec pins row-for-row parity with q_sim_ivfpq
+    // (identical training params → identical results), PlanSpec pins the
+    // partition pruning. Rows-only like its in-memory sibling.
+    "q_sim_ivfpq_store" -> ((s, d) => {
+      val e = embWithNorm(s, d).select(col("vec_id"), col("v"))
+      val dir = graft.storage.VectorIndexStore.ensureIndex(e, "vec_id", "v",
+        key = d, nCells = 16, m = 8, k = 16, iters = 3, trainSampleMod = 2)
+      val q = e.filter(col("vec_id") < 5)
+      graft.storage.VectorIndexStore.searchTopK(e, q, "vec_id", "v", dir,
+          nProbe = 8, topK = 5, shortlistK = 150)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs: multi-probe banded LSH over INTEGER
     // band codes bit-sliced from the 128-plane signature (no extra plane
     // dots; 8-byte join keys). One-sided radius-2 probing: the probe side

@@ -8,11 +8,11 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("rows-only queries are the documented seven") {
+  test("rows-only queries are the documented eight") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q_approx_distinct", "q_dedup_near",
       "q_dedup_simhash", "q_sim_ivf_kmeans", "q_sim_pq", "q_sim_ivfpq",
-      "q_bpe_encode"),
+      "q_sim_ivfpq_store", "q_bpe_encode"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

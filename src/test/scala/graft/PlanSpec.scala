@@ -183,6 +183,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("persisted vector index: the probe set becomes partition filters — " +
+    "the code scan opens only nProbe cell directories") {
+    val e = queries.SimilarityOps.embWithNorm(spark, sf())
+      .select(col("vec_id"), col("v"))
+    val dir = graft.storage.VectorIndexStore.ensureIndex(e, "vec_id", "v",
+      key = sf() + "#planspec", nCells = 8, m = 8, k = 16, iters = 1)
+    val q = e.filter(col("vec_id") === 0)
+    val df = graft.storage.VectorIndexStore.searchTopK(e, q, "vec_id", "v",
+      dir, nProbe = 2, topK = 3)
+    // inputFiles lists the whole table pre-pruning; the contract to pin is
+    // that the literal probe-cell IN-list rides the scan as a PARTITION
+    // filter (pruning is then the engine's guarantee), and that the index
+    // genuinely has more cells on disk than the probe set
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*IN".r
+        .findFirstIn(plan).nonEmpty,
+      s"probe cells did not become partition filters:\n$plan")
+    val total = new java.io.File(s"$dir/codes").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(total > 2, s"index degenerated to $total cells")
+  }
+
   test("q_join_bucketed: the fact-fact join reads co-partitioned buckets, " +
     "no Exchange on either join input") {
     // AQE off for a stable plan string; broadcast off so the co-location

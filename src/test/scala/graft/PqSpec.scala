@@ -116,4 +116,16 @@ class PqSpec extends SparkSpec {
     assert(r.length == 25)
     assert(r.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(1)).sorted.sameElements(1 to 5)))
   }
+
+  test("persisted-index search is row-for-row identical to the in-memory " +
+    "IVF-PQ path (same training params)") {
+    // identical deterministic training → the persisted path must be a pure
+    // layout change, never a semantic one
+    val mem = SparkEntry.queries("q_sim_ivfpq")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val store = SparkEntry.queries("q_sim_ivfpq_store")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(store.toSeq == mem.toSeq,
+      "persisted-index search diverged from the in-memory IVF-PQ path")
+  }
 }
