@@ -178,12 +178,24 @@ object Bench {
         if (first >= 2.0) {
           val g1 = graft.queries.StreamGate.fleetGateSeconds.toMap
           graft.queries.StreamGate.resetFleetCache()
-          val second = runOnce(name, fn)
-          g1.foreach { case (k, v) =>
-            graft.queries.StreamGate.fleetGateSeconds(k) = math.min(
-              v, graft.queries.StreamGate.fleetGateSeconds.getOrElse(k, v))
+          var secondOk = true
+          val second = timed {
+            try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            catch { case e: Throwable =>
+              secondOk = false
+              System.err.println(s"[bench] $name fleet re-run failed: ${e.getMessage}")
+            }
           }
-          math.min(first, second)
+          spark.sharedState.cacheManager.clearCache()
+          // a FAILED second run measures the failure, not the fleet — its
+          // tiny elapsed must never become the official min
+          if (secondOk) {
+            g1.foreach { case (k, v) =>
+              graft.queries.StreamGate.fleetGateSeconds(k) = math.min(
+                v, graft.queries.StreamGate.fleetGateSeconds.getOrElse(k, v))
+            }
+            math.min(first, second)
+          } else first
         } else first
       } else {
         val first = runOnce(name, fn)
@@ -236,6 +248,10 @@ object Bench {
       // the whole family
       if (suspect.exists(sIdx)) {
         val pre = sentinel()
+        // preserve the main loop's per-gate minima: the re-run's runFleet
+        // overwrites fleetGateSeconds wholesale, and a recovery pass on a
+        // still-slow host must not clobber a better earlier attribution
+        val gPrior = graft.queries.StreamGate.fleetGateSeconds.toMap
         graft.queries.StreamGate.resetFleetCache()
         ordered.foreach { case (name, fn) =>
           if (name.startsWith("s_")) {
@@ -243,6 +259,10 @@ object Bench {
             retried += name
             official(name) = math.min(official(name), again)
           }
+        }
+        gPrior.foreach { case (k, v) =>
+          graft.queries.StreamGate.fleetGateSeconds(k) = math.min(
+            v, graft.queries.StreamGate.fleetGateSeconds.getOrElse(k, v))
         }
         val post = sentinel()
         if (isStalled(pre) || isStalled(post)) residual ++= suspect.intersect(sIdx)
@@ -319,7 +339,7 @@ object Bench {
       else Some(priorIngest.max)
     if (ingestBand.exists(b => ingestRate < b / 3)) {
       System.err.println(
-        s"[bench] ingest $ingestRate lines/s is >3x under trailing median ${ingestBand.get} — re-measuring")
+        s"[bench] ingest $ingestRate lines/s is >3x under the clean-prior max ${ingestBand.get} — re-measuring")
       ingestRate = math.max(ingestRate, measureIngest())
     }
     val ingestSuspect = ingestBand.exists(b => ingestRate < b / 3)

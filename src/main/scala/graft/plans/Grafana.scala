@@ -52,13 +52,26 @@ object Grafana {
       s"timestamp_seconds(floor(unix_timestamp($timeColumn) / $n) * $n)"
     val filter = s"$timeColumn >= timestamp'${ts(from)}'" +
       s" AND $timeColumn <= timestamp'${ts(to)}'"
-    sql
-      .replace("$timeSeries", bucket)
-      .replace("$timeFilter", filter)
-      .replace("$table", table)
-      .replace("$from", epochSec(from).toString)
-      .replace("$to", epochSec(to).toString)
-      .replace("$interval", n.toString)
+    // token-boundary replacement: a plain String.replace would silently
+    // mangle any macro sharing a prefix with a supported one (the plugin
+    // really has e.g. $timeFilterByColumn) into garbled SQL
+    def sub(src: String, macroName: String, replacement: String): String =
+      (s"\\$$$macroName(?![A-Za-z0-9_])").r
+        .replaceAllIn(src, java.util.regex.Matcher.quoteReplacement(replacement))
+    val out = Seq[(String, String)](
+      "timeSeries" -> bucket,
+      "timeFilter" -> filter,
+      "table"      -> table,
+      "from"       -> epochSec(from).toString,
+      "to"         -> epochSec(to).toString,
+      "interval"   -> n.toString)
+      .foldLeft(sql) { case (acc, (m, r)) => sub(acc, m, r) }
+    // any macro left over is one this layer does NOT support — fail loudly
+    // instead of handing Spark unparseable SQL
+    "\\$[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(out).foreach { m =>
+      throw new IllegalArgumentException(s"unsupported Grafana macro: $m")
+    }
+    out
   }
 
   private val Fmt = java.time.format.DateTimeFormatter

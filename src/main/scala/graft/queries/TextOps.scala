@@ -126,6 +126,11 @@ object TextOps extends QueryModule {
     // array_sort(collect_list(struct(idx, ...))) — collect_list order is
     // not guaranteed, the sort is what makes the result deterministic.
     "q_dedup_segments" -> ((s, d) => {
+      // segment hash computed ONCE as a column, and the segment table
+      // cached: both the corpus-wide duplicate check and the reassembly
+      // consume it, and without the cache the expensive explode+sort
+      // aggregation would run twice per execution (Bench/Verify clear the
+      // cache between queries)
       val segs = t(s, d, "documents")
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .select(col("doc_id"), expr("pos DIV 10").as("seg"),
@@ -134,13 +139,15 @@ object TextOps extends QueryModule {
         .agg(array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("w")))),
           x => x.getField("w")), " ").as("seg_text"))
+        .withColumn("h", md5(col("seg_text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val shared = segs
-        .groupBy(md5(col("seg_text")).as("h"))
+        .groupBy(col("h"))
         .agg(count_distinct(col("doc_id")).as("n_docs"))
         .filter(col("n_docs") > 1)
         .select(col("h"))
       val rebuilt = segs
-        .join(shared, md5(col("seg_text")) === col("h"), "left_anti")
+        .join(shared, Seq("h"), "left_anti")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_kept"),
           array_join(transform(

@@ -37,19 +37,36 @@ object BucketedTables {
   private val factBuilt =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
+  /** Leaf-file identity (name|size|mtime) of one table's parquet under a
+    * dataset dir — memo keys carry it so an in-place rewrite of the source
+    * can never be served a stale derived layout (the same reason
+    * `StreamGate.replayCache` fingerprints its input). Shared with
+    * [[VectorIndexStore]].
+    */
+  private[storage] def sourceFingerprint(dir: String, table: String): String = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+        .map(c => s"${c.getName}|${c.length}|${c.lastModified}").mkString(";")
+    else s"${f.length}|${f.lastModified}"
+  }
+
   /** The write-once half of the layout story, wired to the gate
     * (`q_join_bucketed`): lineitem and orders bucketed on the order key,
     * built at most once per JVM per dataset (bucket METADATA lives in the
     * in-memory catalog, so each JVM re-registers; the files land under a
-    * dataset-keyed tmp dir). Every later orderkey equi-join of the two
-    * returns co-partitioned scans — the recurring 100 TB join pays no
-    * Exchange. Returns (lineitemTable, ordersTable) catalog names.
+    * dataset-keyed tmp dir). The memo key carries the SESSION identity
+    * (each session has its own catalog), the bucket count, and the source
+    * files' fingerprint (an in-place rewrite must rebuild). Returns
+    * (lineitemTable, ordersTable) catalog names.
     */
   def ensureFactBuckets(spark: SparkSession, dir: String,
-                        numBuckets: Int = 8): (String, String) =
-    factBuilt.getOrElseUpdate(dir, {
+                        numBuckets: Int = 8): (String, String) = {
+    val memoKey = s"${System.identityHashCode(spark)}|$dir|$numBuckets|" +
+      s"${sourceFingerprint(dir, "lineitem")}|${sourceFingerprint(dir, "orders")}"
+    factBuilt.getOrElseUpdate(memoKey, {
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        .digest(memoKey.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$key"
       val (li, ord) = (s"graft_b_lineitem_$key", s"graft_b_orders_$key")
       writeBucketed(graft.Tables.table(spark, dir, "lineitem"),
@@ -58,4 +75,5 @@ object BucketedTables {
         ord, "o_orderkey", numBuckets, path = Some(s"$base/orders"))
       (li, ord)
     })
+  }
 }

@@ -353,14 +353,19 @@ object LogTableWriter {
     // mid-compaction) would otherwise survive forever and be re-read by
     // every readRange. A sidecar still naming ANY live file survives; its
     // stale entries are ignored by readers.
-    val liveTail = dataFiles(fs, root).keySet
-    fs.listStatus(root).map(_.getPath)
+    // ORDER MATTERS: list the sidecars FIRST, the live files AFTER — a
+    // concurrent append writes its data files before its sidecar, so any
+    // sidecar this listing sees has its files visible to the LATER
+    // dataFiles listing; snapshotting liveTail first would wrongly GC a
+    // sidecar that landed in between.
+    val sidecars = fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith("_tailstats-"))
-      .foreach { p =>
-        if (!parseStatsFile(fs, p).exists { case (rel, _, _) =>
-            liveTail.contains(rel) })
-          fs.delete(p, false)
-      }
+    val liveTail = dataFiles(fs, root).keySet
+    sidecars.foreach { p =>
+      if (!parseStatsFile(fs, p).exists { case (rel, _, _) =>
+          liveTail.contains(rel) })
+        fs.delete(p, false)
+    }
   }
 
   /** Writes `_filestats-<genDir>`: one `relpath\tminUs\tmaxUs` line per data

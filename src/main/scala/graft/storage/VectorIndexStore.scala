@@ -113,16 +113,22 @@ object VectorIndexStore {
     * a dataset+param-keyed tmp dir; repeated query invocations (Bench's
     * median-of-3) reuse the build, which is exactly the production shape —
     * the index is written once and amortized over every later search.
+    * `key` is the dataset DIR; the memo key adds the embeddings files'
+    * fingerprint so an in-place rewrite of the source can never be served
+    * a stale index (this query is rows-only — no oracle would catch it).
     */
   def ensureIndex(e: DataFrame, idCol: String, vecCol: String, key: String,
                   nCells: Int, m: Int, k: Int = 16, iters: Int = 3,
-                  trainSampleMod: Int = 1): String =
-    built.getOrElseUpdate(s"$key|$nCells|$m|$k|$iters|$trainSampleMod", {
+                  trainSampleMod: Int = 1): String = {
+    val memoKey = s"$key|${BucketedTables.sourceFingerprint(key, "embeddings")}" +
+      s"|$nCells|$m|$k|$iters|$trainSampleMod"
+    built.getOrElseUpdate(memoKey, {
       val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$key|$nCells|$m|$k|$iters|$trainSampleMod".getBytes("UTF-8"))
+        .digest(memoKey.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vidx_$h"
       build(e, idCol, vecCol, dir, nCells, m, k, iters, trainSampleMod)
       dir
     })
+  }
 }

@@ -239,31 +239,33 @@ object ClickHouseSink {
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(sql))
         .build()
       // a while loop, not a local def: a lifted local method would make
-      // this lambda capture the (non-serializable) enclosing module
+      // this lambda capture the (non-serializable) enclosing module.
+      // Left = permanent (4xx: a malformed statement never improves);
+      // Right(Some) = transient. ANY IOException from the transport itself
+      // is transient — connection resets from a restarting server / an
+      // idle-killing LB are the classic case the dedup token exists for.
       var attempt = 0
       var done = false
       while (!done) {
-        val transient: Option[String] =
+        val outcome: Either[String, Option[String]] =
           try {
             val resp = client.send(req,
               java.net.http.HttpResponse.BodyHandlers.ofString())
             val sc = resp.statusCode()
-            if (sc / 100 == 2) None
+            if (sc / 100 == 2) Right(None)
             else {
               val msg = s"ClickHouse HTTP $sc: ${resp.body().take(500)}"
-              if (sc / 100 == 5 || sc == 429) Some(msg)
-              else throw new java.io.IOException(msg)
+              if (sc / 100 == 5 || sc == 429) Right(Some(msg)) else Left(msg)
             }
           } catch {
-            case e: java.net.ConnectException => Some(s"connect: ${e.getMessage}")
-            case e: java.net.http.HttpTimeoutException =>
-              Some(s"timeout: ${e.getMessage}")
+            case e: java.io.IOException => Right(Some(s"io: ${e.getMessage}"))
           }
-        transient match {
-          case None => done = true
-          case Some(msg) if attempt >= maxRetries =>
+        outcome match {
+          case Left(msg) => throw new java.io.IOException(msg)
+          case Right(None) => done = true
+          case Right(Some(msg)) if attempt >= maxRetries =>
             throw new java.io.IOException(s"$msg (after ${attempt + 1} attempts)")
-          case Some(_) =>
+          case Right(Some(_)) =>
             Thread.sleep(retryBackoffMs << attempt)
             attempt += 1
         }

@@ -67,6 +67,21 @@ class GrafanaSpec extends SparkSpec {
       "2024-01-01 00:00:00", "2024-01-01 00:00:00") === "86400")
   }
 
+  test("prefix-sharing and unknown macros fail loudly instead of mangling") {
+    // $timeFilterByColumn is a REAL plugin macro sharing $timeFilter's
+    // prefix — it must surface as unsupported, not as garbled SQL
+    val e1 = intercept[IllegalArgumentException] {
+      Grafana.expand("SELECT 1 FROM $table WHERE $timeFilterByColumn(created_at)",
+        "events", "ts", "1h", "2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    }
+    assert(e1.getMessage.contains("$timeFilterByColumn"))
+    val e2 = intercept[IllegalArgumentException] {
+      Grafana.expand("SELECT $rate(x) FROM $table", "events", "ts", "1h",
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    }
+    assert(e2.getMessage.contains("$rate"))
+  }
+
   test("macro expansion rejects non-identifier table/column and bad bounds") {
     intercept[IllegalArgumentException] {
       Grafana.expand(panel, "events; DROP TABLE x", "ts", "1h",
