@@ -319,6 +319,16 @@ object Bench {
           official(name) = math.min(official(name), again)
       }
     }
+    // Symmetric visibility (recovery is min-taking, i.e. one-directional):
+    // queries anomalously FAST against their best prior — a possible sign
+    // the query stopped doing its work — are RECORDED in the artifact for
+    // the judge, not gated (a legitimately-optimized query looks the same).
+    val fastAnomalies = ordered
+      .flatMap { case (name, _) =>
+        priorBest.get(name)
+          .filter(pb => official(name) < pb / 3 && pb - official(name) > 0.5)
+          .map(_ => name)
+      }
     // ingest gate: >3x under the trailing-round median means the probe ran
     // inside a stall (the 2.1-2.4M band has been stable r3-r6 on unchanged
     // code; the corrupted r6 runs read 1.1M and 23k) — re-measure now that
@@ -407,8 +417,9 @@ object Bench {
     // comparisons need no judge-side arithmetic.
     val hostRef = priorSentinelMedians.minOption.getOrElse(probeMedian)
     val valueNormalized = total / hostFactor
+    val fastJson = fastAnomalies.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"value_normalized":$valueNormalized,"raw_total":$rawTotal,"unit":"sec","queries":$qs,"queries_raw":$qsRaw,"ingest_lines_per_sec":$ingestRate,"sf":"$sfDir","per_query":"batch: median_of_3 under 2s, min_of_2 above; streaming family: one concurrent fleet run twice (min), wall charged to its first gate (see fleet_per_gate/fleet_detail)","sentinel_baseline_sec":$sentinelBase,"sentinel_median":$probeMedian,"host_factor":${math.rint(hostFactor * 100) / 100},"host_ref_sentinel_median":$hostRef,"sentinel_probes":$probeJson,"stalled_initial":${stalledInitial.mkString("[", ",", "]")},"stalled_windows":${residual.mkString("[", ",", "]")},"retried":$retriedJson,"fleet_per_gate":$fleetJson,"fleet_detail":$fleetDetailJson,"clean":$clean}"""
+      s"""{"metric":"total","value":$total,"value_normalized":$valueNormalized,"raw_total":$rawTotal,"unit":"sec","cpus":$cpus,"queries":$qs,"queries_raw":$qsRaw,"anomalously_fast":$fastJson,"ingest_lines_per_sec":$ingestRate,"sf":"$sfDir","per_query":"batch: median_of_3 under 2s, min_of_2 above; streaming family: one concurrent fleet run twice (min), wall charged to its first gate (see fleet_per_gate/fleet_detail)","sentinel_baseline_sec":$sentinelBase,"sentinel_median":$probeMedian,"host_factor":${math.rint(hostFactor * 100) / 100},"host_ref_sentinel_median":$hostRef,"sentinel_probes":$probeJson,"stalled_initial":${stalledInitial.mkString("[", ",", "]")},"stalled_windows":${residual.mkString("[", ",", "]")},"retried":$retriedJson,"fleet_per_gate":$fleetJson,"fleet_detail":$fleetDetailJson,"clean":$clean}"""
     println(json)
     // durable copy: the driver's stdout capture truncates long lines, so the
     // full per-query vector also lands as a file, diffable across rounds —
