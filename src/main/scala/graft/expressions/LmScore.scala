@@ -82,15 +82,27 @@ object LmScore {
       copy(child = c)
   }
 
+  private val bcCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Broadcast[Map[String, Long]], Broadcast[Map[String, Long]])]
+
   /** Registers `graft_lm_score` bound to a trained+pruned model (the
     * FunctionRegistry route — Column-from-Expression is sealed in Spark 4).
     * The maps are broadcast HERE, once per registration; the expression
-    * carries only the handles.
+    * carries only the handles. With `cacheKey` the broadcasts are memoized
+    * (keyed per session + caller key) so repeated registrations of the
+    * SAME model — the declared query re-executing — reuse one broadcast
+    * pair instead of accumulating replaced blocks until GC.
     */
   def register(spark: SparkSession, cb: Map[String, Long],
-               cw: Map[String, Long], k: Double, v: Long): Unit = {
-    val cbBc = spark.sparkContext.broadcast(cb)
-    val cwBc = spark.sparkContext.broadcast(cw)
+               cw: Map[String, Long], k: Double, v: Long,
+               cacheKey: Option[String] = None): Unit = {
+    val (cbBc, cwBc) = cacheKey match {
+      case Some(key) => bcCache.getOrElseUpdate(
+        s"${System.identityHashCode(spark)}|$key",
+        (spark.sparkContext.broadcast(cb), spark.sparkContext.broadcast(cw)))
+      case None =>
+        (spark.sparkContext.broadcast(cb), spark.sparkContext.broadcast(cw))
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lm_score", es => LmScoreSum(es.head, cbBc, cwBc, k, v), "built-in")
   }

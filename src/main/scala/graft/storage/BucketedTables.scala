@@ -43,7 +43,7 @@ object BucketedTables {
     * `StreamGate.replayCache` fingerprints its input). Shared with
     * [[VectorIndexStore]].
     */
-  private[storage] def sourceFingerprint(dir: String, table: String): String = {
+  private[graft] def sourceFingerprint(dir: String, table: String): String = {
     val f = new java.io.File(s"$dir/$table.parquet")
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
