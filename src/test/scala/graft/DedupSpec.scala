@@ -11,6 +11,43 @@ class DedupSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  private def segDedup(rows: (Long, String)*) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_segdedup").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    SparkEntry.queries("q_dedup_segments")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+  }
+
+  test("segment dedup: fully-unique docs survive verbatim (identity on the " +
+    "duplicate-free corpus)") {
+    // disjoint vocabularies -> no segment can repeat across docs
+    val a = (0 until 25).map(i => s"a$i").mkString(" ")   // 3 segments
+    val b = (0 until 10).map(i => s"b$i").mkString(" ")   // 1 segment
+    val got = segDedup(1L -> a, 2L -> b)
+    assert(got(1L) == (3L, a), s"doc 1 mangled: ${got(1L)}")
+    assert(got(2L) == (1L, b), s"doc 2 mangled: ${got(2L)}")
+  }
+
+  test("segment dedup: identical docs lose every segment; bystanders keep theirs") {
+    val dup = (0 until 20).map(i => s"d$i").mkString(" ")
+    val solo = (0 until 20).map(i => s"s$i").mkString(" ")
+    val got = segDedup(1L -> dup, 2L -> dup, 3L -> solo)
+    assert(got(1L) == (0L, "") && got(2L) == (0L, ""),
+      s"shared segments survived: $got")
+    assert(got(3L) == (2L, solo))
+  }
+
+  test("segment dedup: an aligned shared prefix segment drops from both, " +
+    "the unique remainder survives in order") {
+    val shared = (0 until 10).map(i => s"x$i").mkString(" ")
+    val tailA = (0 until 10).map(i => s"a$i").mkString(" ")
+    val tailB = (0 until 10).map(i => s"b$i").mkString(" ")
+    val got = segDedup(1L -> s"$shared $tailA", 2L -> s"$shared $tailB")
+    assert(got(1L) == (1L, tailA), s"doc 1: ${got(1L)}")
+    assert(got(2L) == (1L, tailB), s"doc 2: ${got(2L)}")
+  }
+
   test("exact duplicates always collide in every band (jaccard 1.0)") {
     val text = "the quick brown fox jumps over the lazy dog again and again today"
     val out = Dedup.minhashPairs(docs(1L -> text, 2L -> text), "doc_id", "text")
