@@ -22,6 +22,36 @@ object TextOps extends QueryModule {
   private val lmModels = scala.collection.concurrent.TrieMap
     .empty[String, (Map[String, Long], Map[String, Long], Long)]
 
+  /** Cached JSONL/CSV renderings of the documents table for the
+    * source-format queries: built once per dataset+format (fingerprint-
+    * keyed), read back through the REAL `spark.read.json/csv` paths. The
+    * queries' hash gates then certify byte-fidelity of the round-trip —
+    * JSONL being the interchange format every LLM corpus actually ships
+    * in, and CSV the long tail.
+    */
+  private val srcBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def docsRendered(s: org.apache.spark.sql.SparkSession,
+                           d: String, fmt: String): String = {
+    val key = s"$fmt|$d|" +
+      graft.storage.BucketedTables.sourceFingerprint(d, "documents")
+    srcBuilt.getOrElseUpdate(key, {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_docsrc_$fmt-$h"
+      val w = t(s, d, "documents").coalesce(2).write.mode("overwrite")
+      fmt match {
+        case "json" => w.json(dir)
+        case "csv"  => w.option("header", "true").csv(dir)
+      }
+      dir
+    })
+  }
+
+  private val DocsSchema =
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
   /** Deterministic tiny stopword set for the language-ID heuristic. */
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
   private val enStopSqlList = enStop.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -449,6 +479,35 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // JSONL source: the documents table rendered to JSON-lines (the
+    // interchange format LLM corpora ship in) and read back through the
+    // real spark.read.json path with an explicit schema (schema'd read —
+    // no sampling inference pass at scale). The aggregate includes
+    // sum(length(text)), so the hash gate certifies BYTE fidelity of the
+    // escape/parse round-trip, not just row counts.
+    "q_source_jsonl" -> ((s, d) => {
+      s.read.schema(DocsSchema).json(docsRendered(s, d, "json"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"),
+          min(col("doc_id")).as("first_id"))
+        .orderBy(col("lang"))
+    }),
+
+    // CSV source: same round-trip contract through spark.read.csv
+    // (header + explicit schema; quote/escape handling exercised for real).
+    "q_source_csv" -> ((s, d) => {
+      s.read.schema(DocsSchema).option("header", "true")
+        .csv(docsRendered(s, d, "csv"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"),
+          min(col("doc_id")).as("first_id"))
+        .orderBy(col("lang"))
+    }),
+
     // Binary-column plumbing (multimodal surface): treat text bytes as an
     // opaque blob, expose byte length + prefix fingerprint.
     "q_binary_meta" -> ((s, d) => {
@@ -469,6 +528,22 @@ object TextOps extends QueryModule {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+
+    // the oracle reads the PARQUET table: a hash match therefore certifies
+    // the engine-side JSONL/CSV render+parse round-trip byte-for-byte
+    "q_source_jsonl" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  min(doc_id) AS first_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_source_csv" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  min(doc_id) AS first_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_dedup_segments" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
