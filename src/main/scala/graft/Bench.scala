@@ -163,6 +163,13 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       secs
     }
+    // One failed fleet re-run disables the min-of-2 path for the REST of
+    // the family: the failure left the result cache empty, so every later
+    // gate's first run re-runs the full fleet (>=2 s) and would otherwise
+    // trigger its own reset+re-run — one transient fleet failure cascading
+    // into ~2 fleet runs per remaining gate (ADVICE r8). With the flag,
+    // each later gate runs the fleet once and is charged honestly.
+    var fleetRerunDisabled = false
     def runQuery(name: String,
                  fn: (SparkSession, String) => DataFrame): Double =
       if (name.startsWith("s_")) {
@@ -175,7 +182,7 @@ object Bench {
         // sessions measure at ~7 s; one transient host window can no
         // longer own 33% of the vector. Per-gate attribution keeps the
         // min of both runs too.
-        if (first >= 2.0) {
+        if (first >= 2.0 && !fleetRerunDisabled) {
           val g1 = graft.queries.StreamGate.fleetGateSeconds.toMap
           graft.queries.StreamGate.resetFleetCache()
           var secondOk = true
@@ -195,7 +202,7 @@ object Bench {
                 v, graft.queries.StreamGate.fleetGateSeconds.getOrElse(k, v))
             }
             math.min(first, second)
-          } else first
+          } else { fleetRerunDisabled = true; first }
         } else first
       } else {
         val first = runOnce(name, fn)
@@ -337,13 +344,19 @@ object Bench {
     // driver's 32-thread config; a smaller SPARK_GRAFT_CPUS (the local-dev
     // default 4) scales ingest down proportionally and would always
     // self-flag, so the gate only arms at >=16 threads.
-    val priorIngest = priorArtifactTexts
+    // Reference window = the LAST 3 clean rounds, not all-time: an
+    // all-time max never ages out, so a legitimate future change (host
+    // downgrade, heavier ingest path) landing >3x under the single
+    // best-ever round would permanently dirty every run with no
+    // re-baselining path (ADVICE r8). A trailing window re-baselines
+    // within 3 rounds of an acknowledged change.
+    val priorIngest = priorArtifactTexts.takeRight(3)
       .flatMap { txt =>
         "\"ingest_lines_per_sec\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
       }
-    // Reference = MAX of the clean priors: a stall only ever deflates a
-    // throughput figure, so max is the least-corrupted estimate of the
-    // host's real band (the stable 2.1-2.4M r3-r7 range).
+    // Reference = MAX of the windowed clean priors: a stall only ever
+    // deflates a throughput figure, so max is the least-corrupted estimate
+    // of the host's real band (the stable 2.1-2.4M r3-r7 range).
     val ingestBand =
       if (priorIngest.isEmpty || cpus.toInt < 16) None
       else Some(priorIngest.max)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Extended, LogPipeline, NearDup, Relational, Retrieval, SimilarityOps, StreamGate, TextOps}
+import graft.queries.{Extended, LogPipeline, MediaOps, NearDup, Relational, Retrieval, SimilarityOps, StreamGate, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
     "Relational" -> Relational, "Extended" -> Extended,
     "LogPipeline" -> LogPipeline, "TextOps" -> TextOps,
     "NearDup" -> NearDup, "SimilarityOps" -> SimilarityOps,
-    "Retrieval" -> Retrieval, "StreamGate" -> StreamGate)
+    "Retrieval" -> Retrieval, "MediaOps" -> MediaOps,
+    "StreamGate" -> StreamGate)
   private val modules: Seq[graft.queries.QueryModule] = namedModules.map(_._2)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

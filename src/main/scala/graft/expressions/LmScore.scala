@@ -98,7 +98,7 @@ object LmScore {
                cacheKey: Option[String] = None): Unit = {
     val (cbBc, cwBc) = cacheKey match {
       case Some(key) => bcCache.getOrElseUpdate(
-        s"${System.identityHashCode(spark)}|$key",
+        s"${graft.SessionIds.of(spark)}|$key",
         (spark.sparkContext.broadcast(cb), spark.sparkContext.broadcast(cw)))
       case None =>
         (spark.sparkContext.broadcast(cb), spark.sparkContext.broadcast(cw))

@@ -38,14 +38,18 @@ object TextOps extends QueryModule {
       graft.storage.BucketedTables.sourceFingerprint(d, "documents")
     srcBuilt.getOrElseUpdate(key, {
       val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        .digest(s"v2|$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_docsrc_$fmt-$h"
-      val w = t(s, d, "documents").coalesce(2).write.mode("overwrite")
-      fmt match {
-        case "json" => w.json(dir)
-        case "csv"  => w.option("header", "true").csv(dir)
+      // atomic publish: a concurrent Verify/Bench JVM must reuse the
+      // rendered fixture, never overwrite it while this JVM reads it
+      graft.storage.AtomicDir.publishOnce(dir) { tmp =>
+        val w = t(s, d, "documents").coalesce(2).write.mode("overwrite")
+        fmt match {
+          case "json" => w.json(tmp)
+          case "csv"  => w.option("header", "true").csv(tmp)
+        }
       }
-      dir
     })
   }
 
@@ -165,10 +169,14 @@ object TextOps extends QueryModule {
     // not guaranteed, the sort is what makes the result deterministic.
     "q_dedup_segments" -> ((s, d) => {
       // segment hash computed ONCE as a column, and the segment table
-      // cached: both the corpus-wide duplicate check and the reassembly
-      // consume it, and without the cache the expensive explode+sort
-      // aggregation would run twice per execution (Bench/Verify clear the
-      // cache between queries)
+      // materialized eagerly: both the corpus-wide duplicate check and the
+      // reassembly consume it, and without it the expensive explode+sort
+      // aggregation would run twice per execution. localCheckpoint rather
+      // than persist(): CacheManager pins persisted entries until someone
+      // external clears them (in a long-lived session the segment tables
+      // of successive datasets would accumulate), while a checkpointed
+      // RDD is released by the ContextCleaner as soon as the query's plan
+      // is garbage-collected — no external cache clear in the contract.
       val segs = t(s, d, "documents")
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .select(col("doc_id"), expr("pos DIV 10").as("seg"),
@@ -178,7 +186,7 @@ object TextOps extends QueryModule {
           array_sort(collect_list(struct(col("pos"), col("w")))),
           x => x.getField("w")), " ").as("seg_text"))
         .withColumn("h", md5(col("seg_text")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val shared = segs
         .groupBy(col("h"))
         .agg(count_distinct(col("doc_id")).as("n_docs"))
@@ -413,7 +421,7 @@ object TextOps extends QueryModule {
       // executions (LmScore.register cacheKey) — only the score pass runs
       // per query, which is the production shape and also stops replaced
       // broadcast blocks accumulating until GC.
-      val modelKey = s"${System.identityHashCode(s)}|$d|" +
+      val modelKey = s"${graft.SessionIds.of(s)}|$d|" +
         graft.storage.BucketedTables.sourceFingerprint(d, "documents") +
         s"|$topV|$topB"
       val (cbMap, cwMap, v) = lmModels.getOrElseUpdate(modelKey, {

@@ -52,27 +52,48 @@ object BucketedTables {
   }
 
   /** The write-once half of the layout story, wired to the gate
-    * (`q_join_bucketed`): lineitem and orders bucketed on the order key,
-    * built at most once per JVM per dataset (bucket METADATA lives in the
-    * in-memory catalog, so each JVM re-registers; the files land under a
-    * dataset-keyed tmp dir). The memo key carries the SESSION identity
-    * (each session has its own catalog), the bucket count, and the source
-    * files' fingerprint (an in-place rewrite must rebuild). Returns
-    * (lineitemTable, ordersTable) catalog names.
+    * (`q_join_bucketed`): lineitem and orders bucketed on the order key.
+    * The FILE layout is shared across JVMs under a layout-keyed tmp dir
+    * (dataset + bucket count + source fingerprint — an in-place rewrite of
+    * the source must rebuild) and published via [[AtomicDir.publishOnce]],
+    * so a concurrent Verify/Bench JVM reuses the published files instead
+    * of overwriting them under a reader mid-scan. Bucket METADATA lives in
+    * the in-memory catalog, so each SESSION registers its own tables over
+    * the published location (`CREATE TABLE … CLUSTERED BY … LOCATION` —
+    * bucket ids ride in the parquet file names, which is how Spark maps
+    * files to buckets at read time). Returns (lineitemTable, ordersTable)
+    * catalog names.
     */
   def ensureFactBuckets(spark: SparkSession, dir: String,
                         numBuckets: Int = 8): (String, String) = {
-    val memoKey = s"${System.identityHashCode(spark)}|$dir|$numBuckets|" +
+    val layoutKey = s"v2|$dir|$numBuckets|" +
       s"${sourceFingerprint(dir, "lineitem")}|${sourceFingerprint(dir, "orders")}"
-    factBuilt.getOrElseUpdate(memoKey, {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(memoKey.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$key"
-      val (li, ord) = (s"graft_b_lineitem_$key", s"graft_b_orders_$key")
-      writeBucketed(graft.Tables.table(spark, dir, "lineitem"),
-        li, "l_orderkey", numBuckets, path = Some(s"$base/lineitem"))
-      writeBucketed(graft.Tables.table(spark, dir, "orders"),
-        ord, "o_orderkey", numBuckets, path = Some(s"$base/orders"))
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(layoutKey.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$h"
+    val (li, ord) = (s"graft_b_lineitem_$h", s"graft_b_orders_$h")
+    val tables = Seq(("lineitem", "l_orderkey", li), ("orders", "o_orderkey", ord))
+    factBuilt.getOrElseUpdate(s"${graft.SessionIds.of(spark)}|$layoutKey", {
+      AtomicDir.publishOnce(base) { tmp =>
+        // saveAsTable is the only public API that writes bucket-id file
+        // names, so the files are written through throwaway catalog
+        // entries pointing at the pre-publish tmp path, dropped right
+        // after — the durable artifact is the file layout alone
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+        tables.foreach { case (t, bk, _) =>
+          val tmpName = s"graft_wb_${t}_$tag"
+          writeBucketed(graft.Tables.table(spark, dir, t), tmpName, bk,
+            numBuckets, path = Some(s"$tmp/$t"))
+          spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+        }
+      }
+      tables.foreach { case (t, bk, name) =>
+        val cols = graft.Tables.table(spark, dir, t).schema.toDDL
+        spark.sql(
+          s"""CREATE TABLE IF NOT EXISTS $name ($cols) USING parquet
+             |CLUSTERED BY ($bk) INTO $numBuckets BUCKETS
+             |LOCATION '$base/$t'""".stripMargin)
+      }
       (li, ord)
     })
   }

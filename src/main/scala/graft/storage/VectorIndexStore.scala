@@ -59,6 +59,41 @@ object VectorIndexStore {
       s"""{"m":$m,"k":$k,"nCells":${cents.length}}""")
   }
 
+  private val quantizers =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Long, Long)]
+
+  /** Loaded+broadcast quantizers per (session, dir, index fingerprint) —
+    * the production query-many shape: the first search pays the two tiny
+    * driver-side parquet reads and the broadcasts; every later search on
+    * the same index reuses the handles (r8 verdict: each dashboard query
+    * was paying two needless driver round-trips). The key carries the
+    * index files' identity (name|size|mtime of centroids+codebooks), so a
+    * REBUILT index at the same path is reloaded, and the session identity
+    * (broadcasts die with their context).
+    */
+  private def loadQuantizers(spark: org.apache.spark.sql.SparkSession,
+                             dir: String) = {
+    val fp = Seq("centroids", "codebooks").map { t =>
+      val f = new java.io.File(s"$dir/$t")
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .sortBy(_.getName)
+        .map(c => s"${c.getName}|${c.length}|${c.lastModified}").mkString(";")
+    }.mkString("#")
+    quantizers.getOrElseUpdate(s"${graft.SessionIds.of(spark)}|$dir|$fp", {
+      val meta = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_meta.json")), "UTF-8")
+      val m = "\"m\":(\\d+)".r.findFirstMatchIn(meta).get.group(1).toInt
+      val cents = spark.read.parquet(s"$dir/centroids")
+        .orderBy(col("cell")).select(col("c"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val books = spark.read.parquet(s"$dir/codebooks")
+        .orderBy(col("row")).select(col("c"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      (m, VectorOps.broadcastCentroids(spark, cents),
+        VectorOps.broadcastCentroids(spark, books))
+    })
+  }
+
   /** Top-`topK` neighbors per query row against the persisted index at
     * `dir`; `e` supplies the exact vectors for the shortlist re-rank only.
     */
@@ -68,17 +103,7 @@ object VectorIndexStore {
                  broadcastRowLimit: Long = Joins.BroadcastRowLimit): DataFrame = {
     val spark = e.sparkSession
     VectorOps.register(spark)
-    val meta = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "_meta.json")), "UTF-8")
-    val m = "\"m\":(\\d+)".r.findFirstMatchIn(meta).get.group(1).toInt
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy(col("cell")).select(col("c"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    val books = spark.read.parquet(s"$dir/codebooks")
-      .orderBy(col("row")).select(col("c"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    val bcCells = VectorOps.broadcastCentroids(spark, cents)
-    val bcBooks = VectorOps.broadcastCentroids(spark, books)
+    val (m, bcCells, bcBooks) = loadQuantizers(spark, dir)
     val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
       explode(VectorOps.nearestCentroidsBc(col(vecCol), bcCells, nProbe))
         .as("cell"))
@@ -109,26 +134,31 @@ object VectorIndexStore {
   private val built =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Build-once-per-JVM wrapper for the gate query: index files land under
-    * a dataset+param-keyed tmp dir; repeated query invocations (Bench's
+  /** Build-once wrapper for the gate query: index files land under a
+    * dataset+param-keyed tmp dir; repeated query invocations (Bench's
     * median-of-3) reuse the build, which is exactly the production shape —
     * the index is written once and amortized over every later search.
     * `key` is the dataset DIR; the memo key adds the embeddings files'
     * fingerprint so an in-place rewrite of the source can never be served
     * a stale index (this query is rows-only — no oracle would catch it).
+    * Publication is via [[AtomicDir.publishOnce]]: a concurrent Verify/
+    * Bench JVM reuses a published index instead of overwriting it under a
+    * reader mid-scan (the "v2" salt keeps pre-protocol dirs, which could
+    * be half-written, out of play).
     */
   def ensureIndex(e: DataFrame, idCol: String, vecCol: String, key: String,
                   nCells: Int, m: Int, k: Int = 16, iters: Int = 3,
                   trainSampleMod: Int = 1): String = {
-    val memoKey = s"$key|${BucketedTables.sourceFingerprint(key, "embeddings")}" +
+    val memoKey =
+      s"v2|$key|${BucketedTables.sourceFingerprint(key, "embeddings")}" +
       s"|$nCells|$m|$k|$iters|$trainSampleMod"
     built.getOrElseUpdate(memoKey, {
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(memoKey.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vidx_$h"
-      build(e, idCol, vecCol, dir, nCells, m, k, iters, trainSampleMod)
-      dir
+      AtomicDir.publishOnce(dir)(tmp =>
+        build(e, idCol, vecCol, tmp, nCells, m, k, iters, trainSampleMod))
     })
   }
 }
