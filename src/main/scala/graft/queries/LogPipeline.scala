@@ -90,6 +90,26 @@ object LogPipeline extends QueryModule {
           AccessLog.responseCast(regexp_extract(col("line"), P, 12)).as("response"),
           AccessLog.bytesCast(regexp_extract(col("line"), P, 13)).as("bytes"))
         .orderBy(col("id"))
+    }),
+
+    // The composed pipeline, R1→R12 in one gate (see [[PipelineE2e]]):
+    // events rendered to syslog-framed nginx lines, pushed over a real TCP
+    // socket through the durable spool, ingested by the checkpointed
+    // streaming parse, landed in the R11 store, then served as the R12
+    // dashboard aggregate. Oracle = the same aggregate straight off the
+    // events parquet; a hash match certifies the whole chain round-trips
+    // every field.
+    "q_pipeline_e2e" -> ((s, d) => {
+      val store = PipelineE2e.ensure(s, d)
+      graft.storage.LogTableWriter.readRange(s, store,
+          java.sql.Timestamp.valueOf("2024-01-08 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-18 00:00:00"))
+        .groupBy(date_trunc("hour", col("logdatetime"))
+          .cast("timestamp_ntz").as("t"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("bytes")).as("bytes_served"),
+          sum(when(col("response") === 500, 1).otherwise(0)).as("errors"))
+        .orderBy(col("t"))
     }))
 
   def oracle: Seq[(String, String)] = {
@@ -153,6 +173,23 @@ object LogPipeline extends QueryModule {
            |  CASE WHEN TRY_CAST(response AS INTEGER) BETWEEN 0 AND 65535
            |       THEN TRY_CAST(response AS INTEGER) END AS response,
            |  TRY_CAST(bytes AS BIGINT) AS bytes
-           |FROM p ORDER BY id""".stripMargin)
+           |FROM p ORDER BY id""".stripMargin,
+
+      // The pipeline renders each event's access-log timestamp at SECOND
+      // precision, so the oracle truncates ts the same way before both the
+      // range filter and the hour bucket; bytes = event_id % 100000 and
+      // status 500 ⇔ event_type = 'error' mirror the render exactly.
+      "q_pipeline_e2e" ->
+        """WITH e AS (SELECT date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts,
+          |    event_id, event_type FROM events)
+          |SELECT date_trunc('hour', ts) AS t,
+          |  count(*) AS cnt,
+          |  CAST(sum(event_id % 100000) AS BIGINT) AS bytes_served,
+          |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS errors
+          |FROM e
+          |WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+          |  AND TIMESTAMP '2024-01-18 00:00:00'
+          |GROUP BY t ORDER BY t""".stripMargin)
   }
 }

@@ -168,25 +168,26 @@ object TextOps extends QueryModule {
     // array_sort(collect_list(struct(idx, ...))) — collect_list order is
     // not guaranteed, the sort is what makes the result deterministic.
     "q_dedup_segments" -> ((s, d) => {
-      // segment hash computed ONCE as a column, and the segment table
-      // materialized eagerly: both the corpus-wide duplicate check and the
-      // reassembly consume it, and without it the expensive explode+sort
-      // aggregation would run twice per execution. localCheckpoint rather
-      // than persist(): CacheManager pins persisted entries until someone
-      // external clears them (in a long-lived session the segment tables
-      // of successive datasets would accumulate), while a checkpointed
-      // RDD is released by the ContextCleaner as soon as the query's plan
-      // is garbage-collected — no external cache clear in the contract.
+      // segmentation is NARROW: consecutive 10-token windows come straight
+      // from slice() over the split array — no per-token explode, no
+      // groupBy-rebuild shuffle. (r9 100× probe: the old posexplode +
+      // collect_list formulation re-shuffled every token and went 2.4×
+      // superlinear once partitions started spilling; per-row slicing
+      // leaves the corpus-wide duplicate check as the query's ONLY
+      // data-sized shuffle, which is the RefinedWeb line-dedup shape.)
+      // NOT materialized: both consumers (duplicate check + reassembly)
+      // recompute this narrow projection from the scan — two linear
+      // embarrassingly-parallel passes beat checkpointing a corpus-sized
+      // segment table through executor storage at scale (and the old
+      // persist() leaned on external cache clears, r8 ADVICE).
       val segs = t(s, d, "documents")
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .select(col("doc_id"), expr("pos DIV 10").as("seg"),
-          col("pos"), col("col").as("w"))
-        .groupBy(col("doc_id"), col("seg"))
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("w")))),
-          x => x.getField("w")), " ").as("seg_text"))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), expr("(size(toks) - 1) DIV 10")),
+          i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " "))))
+        .select(col("doc_id"), col("pos").as("seg"),
+          col("col").as("seg_text"))
         .withColumn("h", md5(col("seg_text")))
-        .localCheckpoint()
       val shared = segs
         .groupBy(col("h"))
         .agg(count_distinct(col("doc_id")).as("n_docs"))

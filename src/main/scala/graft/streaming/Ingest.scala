@@ -64,7 +64,28 @@ object Ingest {
             checkpointDir: String,
             trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
             deadLetterDir: Option[String] = None): StreamingQuery =
-    transform(source(spark, inDir))
+    startTransformed(transform(source(spark, inDir)),
+      outDir, checkpointDir, trigger, deadLetterDir)
+
+  /** The same checkpointed ingest over the durable SYSLOG transport
+    * (R1+R2 composed): spool frames → envelope parse (corrupt FRAMES
+    * dropped) → grammar parse/project with per-message hostname/tag →
+    * the idempotent per-batch sink. This is the full reference topology
+    * (`/root/reference/nginx.conf:18-22,48-64`) end to end.
+    */
+  def startSyslog(spark: SparkSession, spoolDir: String, outDir: String,
+                  checkpointDir: String,
+                  trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+                  deadLetterDir: Option[String] = None,
+                  assumeYear: Int = 2020): StreamingQuery =
+    startTransformed(
+      Syslog.transform(Syslog.from(spark, Syslog.Spooled(spoolDir)), assumeYear),
+      outDir, checkpointDir, trigger, deadLetterDir)
+
+  private def startTransformed(projected: DataFrame, outDir: String,
+                               checkpointDir: String, trigger: Trigger,
+                               deadLetterDir: Option[String]): StreamingQuery =
+    projected
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
