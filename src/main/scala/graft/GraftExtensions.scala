@@ -21,8 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // table-valued function (the analyzer resolves its UnresolvedRelation /
     // UnresolvedAttribute arguments, then the strategy above plans the node)
     ext.injectTableFunction(plans.AsOfSql.descriptor)
-    // Same SQL reach for the skew-salted join composition
+    // Same SQL reach for the skew-salted join composition and the
+    // persisted-index ANN search
     ext.injectTableFunction(plans.SkewSql.descriptor)
+    ext.injectTableFunction(plans.AnnSql.descriptor)
     // Function registration needs a live session's registry; inject via
     // a check rule that runs once at analysis start (idempotent registry ops).
     ext.injectCheckRule { session =>

@@ -201,6 +201,8 @@ object AsOf {
       AsOfSql.name, AsOfSql.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       SkewSql.name, SkewSql.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      AnnSql.name, AnnSql.builder, "scala_udf")
   }
 
   /** Parses a tolerance interval string (e.g. "30 minutes") to microseconds,

@@ -127,4 +127,43 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getSeq[Double](0) == Seq(64.0, -127.0, 32.0))
     assert(r.getInt(1) == 0)
   }
+
+  test("graft_ann_search TVF: pure SQL reaches the persisted-index ANN plan " +
+    "with cell-partition pruning, rows match the DataFrame path") {
+    import org.apache.spark.sql.functions.col
+    val d = sf()
+    plans.AsOf.register(spark)
+    val emb = queries.SimilarityOps.embWithNorm(spark, d)
+      .select(col("vec_id"), col("v"))
+    emb.createOrReplaceTempView("ann_corpus")
+    emb.filter(col("vec_id") < 5).createOrReplaceTempView("ann_queries")
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_ann_search(
+        |  'ann_corpus', 'ann_queries', 'vec_id', 'v', '5', '8')
+        |ORDER BY q_id, rank""".stripMargin)
+    // parity: the DataFrame path over ITS index (same geometry, same data)
+    val dir = storage.VectorIndexStore.ensureIndex(emb, "vec_id", "v",
+      key = d, nCells = 16, m = 8, k = 16, iters = 3, trainSampleMod = 2)
+    val viaDf = storage.VectorIndexStore.searchTopK(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "v", dir,
+        nProbe = 8, topK = 5, shortlistK = 150)
+      .orderBy(col("q_id"), col("rank"))
+    assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
+    // plan pin: the codes scan under the TVF prunes to the probed cells
+    // (the same contract PlanSpec pins for the DataFrame path)
+    val p = viaSql.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*IN".r
+        .findFirstIn(p).nonEmpty,
+      s"no cell partition filter in TVF plan:\n$p")
+  }
+
+  test("graft_ann_search TVF: malformed arguments fail clearly") {
+    plans.AsOf.register(spark)
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_ann_search('a','b','id','v','5')").collect())
+    assert(e1.getMessage.contains("6 string-literal arguments"))
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_ann_search('a','b','id','v','five','8')").collect())
+    assert(e2.getMessage.contains("integer literal"))
+  }
 }
