@@ -37,8 +37,11 @@ object Grafana {
 
   /** Expands the Grafana macros in `sql` for the engine's SQL surface.
     *
-    * @param interval panel interval — `"30s"`, `"15m"`, `"1h"`, `"1d"`,
-    *                 or a bare second count
+    * @param interval panel interval — `"250ms"`, `"30s"`, `"15m"`, `"1h"`,
+    *                 `"1d"`, or a bare second count. Sub-second intervals
+    *                 bucket on `unix_millis` (the plugin's ms-granularity
+    *                 `$timeSeries` for sub-second panels); whole-second
+    *                 intervals keep the second-based form.
     * @param from,to  closed window bounds, `yyyy-MM-dd HH:mm:ss` (UTC,
     *                 matching the engine's session timezone)
     */
@@ -47,9 +50,14 @@ object Grafana {
     // both names are interpolated into SQL text — identifiers only
     graft.streaming.JdbcSink.requireIdent(table)
     graft.streaming.JdbcSink.requireIdent(timeColumn)
-    val n = intervalSeconds(interval)
+    val nMs = intervalMillis(interval)
+    val n = nMs / 1000
     val bucket =
-      s"timestamp_seconds(floor(unix_timestamp($timeColumn) / $n) * $n)"
+      if (nMs % 1000 == 0)
+        s"timestamp_seconds(floor(unix_timestamp($timeColumn) / $n) * $n)"
+      else
+        s"timestamp_millis(CAST(floor(unix_millis($timeColumn) / $nMs)" +
+          s" * $nMs AS BIGINT))"
     val filter = s"$timeColumn >= timestamp'${ts(from)}'" +
       s" AND $timeColumn <= timestamp'${ts(to)}'"
     // token-boundary replacement: a plain String.replace would silently
@@ -59,12 +67,13 @@ object Grafana {
       (s"\\$$$macroName(?![A-Za-z0-9_])").r
         .replaceAllIn(src, java.util.regex.Matcher.quoteReplacement(replacement))
     val out = Seq[(String, String)](
-      "timeSeries" -> bucket,
-      "timeFilter" -> filter,
-      "table"      -> table,
-      "from"       -> epochSec(from).toString,
-      "to"         -> epochSec(to).toString,
-      "interval"   -> n.toString)
+      "timeSeries"  -> bucket,
+      "timeFilter"  -> filter,
+      "table"       -> table,
+      "from"        -> epochSec(from).toString,
+      "to"          -> epochSec(to).toString,
+      "interval"    -> math.max(n, 1L).toString,
+      "interval_ms" -> nMs.toString)
       .foldLeft(sql) { case (acc, (m, r)) => sub(acc, m, r) }
     // any macro left over is one this layer does NOT support — fail loudly
     // instead of handing Spark unparseable SQL
@@ -84,15 +93,18 @@ object Grafana {
   private def epochSec(s: String): Long =
     java.time.LocalDateTime.parse(s, Fmt).toEpochSecond(java.time.ZoneOffset.UTC)
 
-  private def intervalSeconds(interval: String): Long = {
-    val m = "^(\\d+)([smhd]?)$".r.findFirstMatchIn(interval.trim).getOrElse(
+  private def intervalMillis(interval: String): Long = {
+    val m = "^(\\d+)(ms|[smhd]?)$".r.findFirstMatchIn(interval.trim).getOrElse(
       throw new IllegalArgumentException(s"bad interval: $interval"))
     val unit = m.group(2) match {
-      case "" | "s" => 1L
-      case "m"      => 60L
-      case "h"      => 3600L
-      case "d"      => 86400L
+      case "ms"     => 1L
+      case "" | "s" => 1000L
+      case "m"      => 60000L
+      case "h"      => 3600000L
+      case "d"      => 86400000L
     }
-    m.group(1).toLong * unit
+    val v = m.group(1).toLong * unit
+    require(v > 0, s"bad interval: $interval")
+    v
   }
 }

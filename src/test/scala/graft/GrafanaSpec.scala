@@ -57,6 +57,35 @@ class GrafanaSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("events")
   }
 
+  test("sub-second panel intervals bucket on unix_millis and compute true " +
+    "ms buckets (vertamedia ms-granularity $timeSeries)") {
+    val got = Grafana.expand(panel, "events", "ts", "500ms",
+      "2024-01-05 00:00:00", "2024-01-05 01:00:00")
+    assert(got.contains(
+      "timestamp_millis(CAST(floor(unix_millis(ts) / 500) * 500 AS BIGINT))"),
+      s"wrong ms bucket form:\n$got")
+    Tables.table(spark, sf(), "events").createOrReplaceTempView("events")
+    try {
+      val rows = spark.sql(Grafana.expand(panel, "events", "ts", "500ms",
+          "2024-01-05 00:00:00", "2024-01-06 00:00:00"))
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+      assert(rows.nonEmpty)
+      // every bucket lands on a 500 ms boundary, and the buckets partition
+      // the window's events (counts re-sum to the filtered total)
+      assert(rows.forall(_._1 % 500 == 0))
+      val total = Tables.table(spark, sf(), "events")
+        .filter(col("ts").between(
+          lit("2024-01-05 00:00:00").cast("timestamp"),
+          lit("2024-01-06 00:00:00").cast("timestamp")))
+        .count()
+      assert(rows.map(_._2).sum == total)
+      // whole-second intervals keep the second-based golden form
+      assert(Grafana.expand(panel, "events", "ts", "2000ms",
+          "2024-01-05 00:00:00", "2024-01-06 00:00:00")
+        .contains("timestamp_seconds(floor(unix_timestamp(ts) / 2) * 2)"))
+    } finally spark.catalog.dropTempView("events")
+  }
+
   test("$from/$to/$interval expand to epoch seconds; intervals parse all units") {
     val got = Grafana.expand("SELECT $from, $to, $interval", "t1", "ts",
       "30s", "2024-01-01 00:00:00", "2024-01-02 00:00:00")
