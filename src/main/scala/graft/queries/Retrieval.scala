@@ -166,7 +166,7 @@ object Retrieval extends QueryModule {
     */
   private def exportShardsDir(s: org.apache.spark.sql.SparkSession,
                               d: String): String =
-    StreamGate.replayCache(d, "exp") { dir =>
+    StreamGate.replayCache(d, "exp", table = "documents") { dir =>
       val toks = split(col("text"), " ")
       val stats = t(s, d, "documents").select(col("doc_id"), col("text"),
         size(toks).cast("bigint").as("n_tok"),

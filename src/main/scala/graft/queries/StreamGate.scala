@@ -33,23 +33,29 @@ object StreamGate extends QueryModule {
     * reused across Verify/Bench invocations and rounds. `_ok` is written
     * last: a crashed build never presents a half-built layout.
     */
-  /** Content identity of the gate family's input: the events table's LEAF
-    * files (sorted name|size|mtime), not the directory — a directory's own
-    * length/mtime is filesystem-dependent and survives an in-place rewrite
-    * of its parquet parts, which would silently serve stale cached state
-    * for the new data.
+  /** Content identity of a replay input: the TABLE's leaf files (sorted
+    * name|size|mtime), not the directory — a directory's own length/mtime
+    * is filesystem-dependent and survives an in-place rewrite of its
+    * parquet parts, which would silently serve stale cached state for the
+    * new data.
     */
-  private def fingerprint(d: String): String = {
-    val src = new java.io.File(s"$d/events.parquet")
+  private def fingerprint(d: String, table: String): String = {
+    val src = new java.io.File(s"$d/$table.parquet")
     if (src.isDirectory)
       Option(src.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
         .map(f => s"${f.getName}|${f.length}|${f.lastModified}").mkString(";")
     else s"${src.length}|${src.lastModified}"
   }
 
-  private[queries] def replayCache(d: String, tag: String)(build: String => Unit): String = {
+  /** `table` must name the table the BUILD reads (the memo key carries its
+    * fingerprint): the streaming gates and the e2e pipeline replay
+    * `events`; the shard export packs `documents`.
+    */
+  private[queries] def replayCache(d: String, tag: String,
+                                   table: String = "events")
+                                  (build: String => Unit): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|${fingerprint(d)}|$tag".getBytes("UTF-8"))
+      .digest(s"$d|${fingerprint(d, table)}|$tag".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val dir = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_replay_$tag-$key")
@@ -306,7 +312,7 @@ object StreamGate extends QueryModule {
   def queries: Seq[(String, QFn)] = runners.map { case (name, fn) =>
     name -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       if (fleetEnabled)
-        fleetCache.getOrElseUpdate(s"$d|${fingerprint(d)}", runFleet(s, d))(name)
+        fleetCache.getOrElseUpdate(s"$d|${fingerprint(d, "events")}", runFleet(s, d))(name)
       else fn(s, d))
   }
 
