@@ -21,10 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // table-valued function (the analyzer resolves its UnresolvedRelation /
     // UnresolvedAttribute arguments, then the strategy above plans the node)
     ext.injectTableFunction(plans.AsOfSql.descriptor)
-    // Same SQL reach for the skew-salted join composition and the
-    // persisted-index ANN search
+    // Same SQL reach for the skew-salted join composition, the
+    // persisted-index ANN search, and the banded-LSH near-dup pairs
     ext.injectTableFunction(plans.SkewSql.descriptor)
     ext.injectTableFunction(plans.AnnSql.descriptor)
+    ext.injectTableFunction(plans.NearDupSql.descriptor)
     // Function registration needs a live session's registry; inject via
     // a check rule that runs once at analysis start (idempotent registry ops).
     ext.injectCheckRule { session =>

@@ -11,18 +11,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Loads a testdata table. `events.ts` is nanosecond parquet, which Spark
-    * cannot read as a timestamp — sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` and the ns value is truncated
-    * here to a µs timestamp, the exact truncation DuckDB applies when casting
-    * TIMESTAMP_NS → TIMESTAMP (FIXTURES.md precision note).
+  /** Loads a testdata table, normalizing `events.ts` across the timestamp
+    * flavors the driver's generator has shipped:
+    *  - nanosecond-as-long parquet (sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`; the ns value is
+    *    truncated here to a µs timestamp, the exact truncation DuckDB
+    *    applies casting TIMESTAMP_NS → TIMESTAMP — FIXTURES.md);
+    *  - tz-naive µs parquet, which Spark ≥3.4 infers as TIMESTAMP_NTZ by
+    *    default: NTZ inference is disabled on the read (runtime SQL conf)
+    *    so the column lands as plain TIMESTAMP — sessions run in UTC, so
+    *    the wall-clock values match what DuckDB reads, and ts predicates
+    *    still push down to the scan natively. The cast fallback below
+    *    covers a FOREIGN session (the driver's own) where the conf was
+    *    captured by an earlier read of the same files.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every timestamp column in the generated tables is tz-naive µs
+    // (o_orderdate / l_shipdate / events.ts) — read them all as TIMESTAMP
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
+    else if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+        .cast(org.apache.spark.sql.types.TimestampType))
     else df
   }
 
@@ -54,10 +69,19 @@ object Tables {
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
     val toUs = java.time.LocalDateTime.parse(toUtc.replace(' ', 'T'))
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/events.parquet")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.filter(col("ts") >= fromUs * 1000L && col("ts") <= toUs * 1000L + 999L)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else if (df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      // foreign-session fallback (see `table`): range-filter in NTZ space —
+      // pushdown-friendly — then cast the surviving rows to TIMESTAMP
+      df.filter(col("ts").between(
+          lit(fromUtc).cast("timestamp_ntz"), lit(toUtc).cast("timestamp_ntz")))
+        .withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else
       df.filter(col("ts").between(
         lit(fromUtc).cast("timestamp"), lit(toUtc).cast("timestamp")))

@@ -21,6 +21,7 @@ object Verify {
       // and the TRY_CAST forms used in the DuckDB oracle SQL.
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Write µs-precision timestamps (not INT96) so the driver's DuckDB/arrow
       // readers see the same values Spark computed.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

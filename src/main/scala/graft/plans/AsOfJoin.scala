@@ -203,6 +203,8 @@ object AsOf {
       SkewSql.name, SkewSql.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       AnnSql.name, AnnSql.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      NearDupSql.name, NearDupSql.builder, "scala_udf")
   }
 
   /** Parses a tolerance interval string (e.g. "30 minutes") to microseconds,

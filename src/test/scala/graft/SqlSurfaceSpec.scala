@@ -166,4 +166,51 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM graft_ann_search('a','b','id','v','five','8')").collect())
     assert(e2.getMessage.contains("integer literal"))
   }
+
+  test("graft_neardup TVF: pure SQL reaches the banded-LSH plans, rows " +
+    "match the DataFrame operators for both methods") {
+    val d = sf()
+    plans.AsOf.register(spark)
+    Tables.bootstrap(spark, d)
+    val viaSqlMin = spark.sql(
+      """SELECT * FROM graft_neardup(
+        |  'documents', 'doc_id', 'text', 'minhash', '0.5')
+        |ORDER BY a, b""".stripMargin)
+    assert(viaSqlMin.columns.toSeq == Seq("a", "b", "jaccard"))
+    assert(viaSqlMin.collect().toSeq ==
+      SparkEntry.queries("q_dedup_near")(spark, d).collect().toSeq,
+      "SQL minhash pairs diverge from the DataFrame operator")
+    // plan shape: candidate generation is an equi-join on the band key,
+    // never a cross join
+    val p = viaSqlMin.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup TVF plan degenerated to all-pairs:\n$p")
+    val viaSqlSim = spark.sql(
+      """SELECT * FROM graft_neardup(
+        |  'documents', 'doc_id', 'text', 'simhash', '3')
+        |ORDER BY a, b""".stripMargin)
+    assert(viaSqlSim.columns.toSeq == Seq("a", "b", "hamming"))
+    assert(viaSqlSim.collect().toSeq ==
+      SparkEntry.queries("q_dedup_simhash")(spark, d).collect().toSeq,
+      "SQL simhash pairs diverge from the DataFrame operator")
+  }
+
+  test("graft_neardup TVF: malformed arguments fail clearly") {
+    plans.AsOf.register(spark)
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_neardup('a','doc_id','text','minhash')").collect())
+    assert(e1.getMessage.contains("5 string-literal arguments"))
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_neardup('a','doc_id','text','phash','3')").collect())
+    assert(e2.getMessage.contains("minhash or simhash"))
+    val e3 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_neardup('a','doc_id','text','minhash','tight')")
+      .collect())
+    assert(e3.getMessage.contains("jaccard threshold"))
+    val e4 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_neardup('a','doc_id','text','simhash','99')")
+      .collect())
+    assert(e4.getMessage.contains("[0, 64]"))
+  }
 }
