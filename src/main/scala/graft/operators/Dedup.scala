@@ -101,6 +101,52 @@ object Dedup {
     out
   }
 
+  /** Incremental dedup of a NEW batch against a historical corpus: returns
+    * the batch rows whose `textCol` content does not already exist in
+    * `history` — the "don't re-ingest what the lake already holds" shape of
+    * a recurring 100 TB pipeline.
+    *
+    * Scale story (why this is not one big anti-join):
+    *   1. ONE aggregate pass over history builds a Bloom filter of content
+    *      hashes — a driver-side sketch sized by (expectedItems, fpp),
+    *      broadcast to every task (at 1e9 items / 1% fpp ≈ 1.2 GB; shard
+    *      the history and union several filters beyond that);
+    *   2. batch rows whose hash misses the filter are DEFINITELY new
+    *      (Bloom filters have no false negatives) and skip the join
+    *      entirely — at low overlap that is almost the whole batch;
+    *   3. only the candidates (true dups + fpp·|batch| false positives)
+    *      are verified exactly: their hash set broadcast-SEMI-filters the
+    *      history scan (no history shuffle — the scan keeps only colliding
+    *      hashes), then text equality decides. Hash collisions are
+    *      therefore harmless: verification compares the text itself.
+    *
+    * The candidate hash set is bounded by overlap + fpp·|batch| by
+    * construction, which is what makes the `broadcast()` hint safe.
+    * The per-row probe is a Scala UDF over the broadcast sketch — Spark
+    * ships no public bloom-probe expression (`might_contain` is internal
+    * runtime-filter machinery), and the probe is a pure long→boolean hop
+    * outside the scan's codegen hot path.
+    */
+  def incrementalNew(history: DataFrame, batch: DataFrame, textCol: String,
+                     expectedItems: Long = 1L << 20,
+                     fpp: Double = 0.01): DataFrame = {
+    val spark = history.sparkSession
+    val hHash = history
+      .select(xxhash64(col(textCol)).as("_h"), col(textCol).as("_t"))
+    val bloom = hHash.stat.bloomFilter("_h", expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val might = udf((h: Long) => bc.value.mightContainLong(h))
+    val b = batch.withColumn("_h", xxhash64(col(textCol)))
+    val fresh = b.filter(!might(col("_h")))
+    val candidates = b.filter(might(col("_h")))
+    val candHashes = candidates.select(col("_h")).distinct()
+    val hMatch = hHash.join(broadcast(candHashes), "_h")
+    val trulyNew = candidates.join(hMatch,
+      candidates("_h") === hMatch("_h") &&
+        candidates(textCol) === hMatch("_t"), "left_anti")
+    fresh.unionByName(trulyNew).drop("_h")
+  }
+
   /** 64-bit SimHash via a single SQL higher-order expression: per-bit signed
     * vote of token xxhash64 bits, folded into a long — one pass over tokens,
     * no explode, no shuffle. `textExpr` is a SQL expression for the text col.

@@ -158,6 +158,22 @@ object TextOps extends QueryModule {
         .orderBy(col("h"))
     }),
 
+    // Incremental dedup: a NEW batch (doc_id % 3 == 0, a deterministic
+    // stand-in for "today's crawl") against the historical corpus (the
+    // rest). Bloom prefilter over history hashes + exact text verification
+    // of the candidates only — Dedup.incrementalNew documents why this
+    // beats one big anti-join at 100 TB. Result is EXACT (the bloom has no
+    // false negatives; false positives are text-verified), so the oracle
+    // is a plain NOT IN.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Dedup.incrementalNew(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0), "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sub-document exact dedup (the RefinedWeb/CCNet "line dedup" shape,
     // with fixed 10-token segments standing in for lines on this corpus):
     // segment every doc, drop any segment whose text occurs in MORE THAN
@@ -537,6 +553,13 @@ object TextOps extends QueryModule {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % 3 = 0
+        |  AND text NOT IN
+        |    (SELECT text FROM documents WHERE doc_id % 3 <> 0)
+        |ORDER BY doc_id""".stripMargin,
 
     // the oracle reads the PARQUET table: a hash match therefore certifies
     // the engine-side JSONL/CSV render+parse round-trip byte-for-byte

@@ -172,4 +172,45 @@ class DedupSpec extends SparkSpec {
       assert(h == r.getInt(2) && h <= 3, s"pair ${r.getLong(0)},${r.getLong(1)}")
     }
   }
+
+  test("incremental dedup: result == plain anti-join on text (bloom FPs " +
+    "are exactly verified, no false negatives)") {
+    val d = Tables.table(spark, sf(), "documents")
+    val history = d.filter(col("doc_id") % 3 =!= 0)
+    val batch = d.filter(col("doc_id") % 3 === 0)
+    val got = Dedup.incrementalNew(history, batch, "text")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val want = batch.join(history.select(col("text")), Seq("text"), "left_anti")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "empty batch result — split produced no new docs")
+  }
+
+  test("incremental dedup: planted overlap is dropped, fresh rows survive, " +
+    "and a tiny bloom (high fpp) still verifies exactly") {
+    val history = docs(1L -> "alpha beta gamma", 2L -> "delta epsilon zeta")
+    val batch = docs(10L -> "alpha beta gamma",   // dup of history 1
+                     11L -> "eta theta iota",     // fresh
+                     12L -> "kappa lambda mu")    // fresh
+    // expectedItems=1 forces a saturated bloom — every batch row becomes a
+    // candidate, so the exact-verify join carries the whole decision
+    val got = Dedup.incrementalNew(history, batch, "text",
+        expectedItems = 1L, fpp = 0.5)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(11L, 12L))
+  }
+
+  test("incremental dedup: the exact-verify join broadcasts the candidate " +
+    "hash set — the history scan is never shuffled") {
+    val d = Tables.table(spark, sf(), "documents")
+    val out = Dedup.incrementalNew(
+      d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0),
+      "text")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("Broadcast"),
+      s"candidate hashes not broadcast into the history scan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup degenerated to all-pairs:\n$p")
+  }
 }
