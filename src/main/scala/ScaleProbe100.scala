@@ -13,9 +13,15 @@ package graft
   *
   * Run with `SPARK_DRIVER_MEM=48g` — the 100× corpus (500k docs, 200k
   * vectors, 60M lineitem) is built in-JVM and written to tmp parquet.
+  *
+  * Args select sections (`segments lm vidx bucketed spool incr`); no args
+  * runs everything. Corpus dirs build lazily, so a single-section run
+  * only pays for the corpora that section reads.
   */
 object ScaleProbe100 {
   def main(args: Array[String]): Unit = {
+    val sections = args.map(_.toLowerCase).toSet
+    def on(s: String): Boolean = sections.isEmpty || sections(s)
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.{DataFrame, SparkSession}
     val spark = SparkSession.builder()
@@ -59,37 +65,39 @@ object ScaleProbe100 {
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       dir
     }
-    val docs10dir = writeDocs(10)
-    val docs30dir = writeDocs(30)
-    val docs100dir = writeDocs(100)
-    println("docs100 rows = " +
-      spark.read.parquet(s"$docs100dir/documents.parquet").count())
+    lazy val docs10dir = writeDocs(10)
+    lazy val docs30dir = writeDocs(30)
+    lazy val docs100dir = writeDocs(100)
 
     // 1. sub-document segment dedup: the shared-segment set grows with the
     // near-dup density; the check must stay hash-grouped, never all-pairs.
     // The 10× rung is overhead-bound (~ the 1× wall), so the 10×→100×
     // ratio overstates growth; the 30× rung is the work-bound reference —
     // judge 30×→100× against linear = 3.33.
-    time("dedup_segments_1x") { runQ("q_dedup_segments", sf) }
-    time("dedup_segments_10x") { runQ("q_dedup_segments", docs10dir) }
-    time("dedup_segments_30x") { runQ("q_dedup_segments", docs30dir) }
-    time("dedup_segments_100x") { runQ("q_dedup_segments", docs100dir) }
-    ratio("dedup_segments")
-    for (a <- walls.get("dedup_segments_30x"); b <- walls.get("dedup_segments_100x"))
-      println(f"PROBE dedup_segments_ratio_30x_to_100x ${b / a}%.2f (linear = 3.33)")
+    if (on("segments")) {
+      println("docs100 rows = " +
+        spark.read.parquet(s"$docs100dir/documents.parquet").count())
+      time("dedup_segments_1x") { runQ("q_dedup_segments", sf) }
+      time("dedup_segments_10x") { runQ("q_dedup_segments", docs10dir) }
+      time("dedup_segments_30x") { runQ("q_dedup_segments", docs30dir) }
+      time("dedup_segments_100x") { runQ("q_dedup_segments", docs100dir) }
+      ratio("dedup_segments")
+      for (a <- walls.get("dedup_segments_30x"); b <- walls.get("dedup_segments_100x"))
+        println(f"PROBE dedup_segments_ratio_30x_to_100x ${b / a}%.2f (linear = 3.33)")
+    }
 
     // 2. broadcast-pruned LM perplexity: model trains once per dataset
     // (bounded collect), score pass must stay shuffle-free at every rung.
-    time("lm_ppl_bc_1x") { runQ("q_lm_perplexity_bc", sf) }
-    time("lm_ppl_bc_10x") { runQ("q_lm_perplexity_bc", docs10dir) }
-    // first 100× call pays the ONE-TIME model train (dataset-keyed memo);
-    // the rescore row is the recurring production shape — judge that one
-    time("lm_ppl_bc_100x_train_plus_score") { runQ("q_lm_perplexity_bc", docs100dir) }
-    time("lm_ppl_bc_100x_rescore") { runQ("q_lm_perplexity_bc", docs100dir) }
-    for (a <- walls.get("lm_ppl_bc_10x"); b <- walls.get("lm_ppl_bc_100x_rescore"))
-      println(f"PROBE lm_ppl_bc_ratio_10x_to_100x_rescore ${b / a}%.2f " +
-        "(vs 10x train+score; recurring pass only)")
-    locally {
+    if (on("lm")) {
+      time("lm_ppl_bc_1x") { runQ("q_lm_perplexity_bc", sf) }
+      time("lm_ppl_bc_10x") { runQ("q_lm_perplexity_bc", docs10dir) }
+      // first 100× call pays the ONE-TIME model train (dataset-keyed memo);
+      // the rescore row is the recurring production shape — judge that one
+      time("lm_ppl_bc_100x_train_plus_score") { runQ("q_lm_perplexity_bc", docs100dir) }
+      time("lm_ppl_bc_100x_rescore") { runQ("q_lm_perplexity_bc", docs100dir) }
+      for (a <- walls.get("lm_ppl_bc_10x"); b <- walls.get("lm_ppl_bc_100x_rescore"))
+        println(f"PROBE lm_ppl_bc_ratio_10x_to_100x_rescore ${b / a}%.2f " +
+          "(vs 10x train+score; recurring pass only)")
       val pstr = SparkEntry.queries("q_lm_perplexity_bc")(spark, docs100dir)
         .queryExecution.executedPlan.toString
       val nEx = pstr.sliding("Exchange".length).count(_ == "Exchange")
@@ -113,18 +121,20 @@ object ScaleProbe100 {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       dir
     }
-    val emb10dir = writeEmb(10)
-    val emb100dir = writeEmb(100)
-    time("vidx_build_plus_search_10x") { runQ("q_sim_ivfpq_store", emb10dir) }
-    time("vidx_search_10x") { runQ("q_sim_ivfpq_store", emb10dir) }
-    time("vidx_build_plus_search_100x") { runQ("q_sim_ivfpq_store", emb100dir) }
-    time("vidx_search_100x") { runQ("q_sim_ivfpq_store", emb100dir) }
-    ratio("vidx_search")
+    if (on("vidx")) {
+      val emb10dir = writeEmb(10)
+      val emb100dir = writeEmb(100)
+      time("vidx_build_plus_search_10x") { runQ("q_sim_ivfpq_store", emb10dir) }
+      time("vidx_search_10x") { runQ("q_sim_ivfpq_store", emb10dir) }
+      time("vidx_build_plus_search_100x") { runQ("q_sim_ivfpq_store", emb100dir) }
+      time("vidx_search_100x") { runQ("q_sim_ivfpq_store", emb100dir) }
+      ratio("vidx_search")
+    }
 
     // 4. bucketed fact-fact join at 100× (60M lineitem ⋈ 15M orders):
     // one bucketed write, then x3 recurring joins vs the plain re-shuffle
     // form — the write-once/join-many production shape.
-    locally {
+    if (on("bucketed")) {
       def factX(t: String, key: String, n: Int): DataFrame =
         (0 until n).map(k => Tables.table(spark, sf, t)
             .withColumn(key, col(key) + k * 1000000000L))
@@ -159,7 +169,7 @@ object ScaleProbe100 {
     // 5. durable spool transport at 100× the 10×-probe frame count: 20M
     // syslog frames over one TCP connection through the hsync'd rolling
     // spool until every byte is rolled + renamed VISIBLE.
-    locally {
+    if (on("spool")) {
       val spoolDir = java.nio.file.Files
         .createTempDirectory("graft_scale100_spool").toString
       val spool = new graft.streaming.SyslogSpool.Spool(spoolDir,
@@ -205,6 +215,27 @@ object ScaleProbe100 {
       for (a <- walls.get("spool_tcp_2M_10x"); b <- walls.get("spool_tcp_20M_100x"))
         println(f"PROBE spool_ratio_10x_to_100x ${b / a}%.2f (linear = 10)")
       rx.close(); spool.close()
+    }
+
+    // 6. incremental dedup (bloom prefilter + exact verify) at 100× docs:
+    // the bloom build is the only full history pass; the verify join must
+    // stay candidate-sized at every rung (the %3 split plants the same
+    // cross-split duplicate density the gate query sees).
+    if (on("incr")) {
+      def probe(tag: String, dir: String): Unit = {
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        val hist = d.filter(col("doc_id") % 3 =!= 0)
+        val batch = d.filter(col("doc_id") % 3 === 0)
+        time(s"dedup_incr_$tag") {
+          println(s"PROBE dedup_incr_${tag}_new_rows = " +
+            graft.operators.Dedup.incrementalNew(hist, batch, "text",
+              expectedItems = 1L << 20).count())
+        }
+      }
+      probe("1x", sf)
+      probe("10x", docs10dir)
+      probe("100x", docs100dir)
+      ratio("dedup_incr")
     }
     spark.stop()
   }
