@@ -224,6 +224,50 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source boilerplate removal (the CCNet/site-template shape): a
+    // segment is boilerplate WITHIN ITS SOURCE when it recurs across ≥2
+    // distinct docs AND ≥5% of the source's docs — the nav-bar/footer
+    // text a crawler sees on every page of one site, which global segment
+    // dedup (q_dedup_segments) would miss whenever the fraction of docs
+    // sharing it stays below its cross-corpus rarity. Same 100 TB shape
+    // as segment dedup: narrow slice() segmentation, the (source, hash)
+    // frequency check is the only data-sized shuffle, and the per-source
+    // size table is dimension-tiny (one row per source → broadcast).
+    "q_boilerplate_strip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val segs = docs
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("source"), posexplode(transform(
+          sequence(lit(0), expr("(size(toks) - 1) DIV 10")),
+          i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " "))))
+        .select(col("doc_id"), col("source"), col("pos").as("seg"),
+          col("col").as("seg_text"))
+        .withColumn("h", md5(col("seg_text")))
+      val srcSizes = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src_docs"))
+      val boiler = segs
+        .groupBy(col("source"), col("h"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"))
+        .join(broadcast(srcSizes), "source")
+        // integer form of n_docs >= 2 && n_docs/n_src_docs >= 0.05
+        .filter(col("n_docs") >= 2 &&
+          col("n_docs") * lit(20) >= col("n_src_docs"))
+        .select(col("source"), col("h"))
+      val rebuilt = segs
+        .join(boiler, Seq("source", "h"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("seg"), col("seg_text")))),
+            x => x.getField("seg_text")), " ").as("clean_text"))
+      docs.select(col("doc_id"), col("source"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-language corpus statistics incl. exact median (percentile parity
     // with DuckDB quantile_cont validated on this data).
     "q_text_stats" -> ((s, d) => {
@@ -591,6 +635,31 @@ object TextOps extends QueryModule {
         |  FROM seg WHERE seg_text NOT IN (SELECT seg_text FROM shared)
         |  GROUP BY doc_id)
         |SELECT d.doc_id, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(r.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_boilerplate_strip" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |w AS (SELECT doc_id, source, unnest(range(len(tk))) AS pos, tk FROM toks),
+        |w2 AS (SELECT doc_id, source, pos, tk[pos + 1] AS w FROM w),
+        |seg AS (SELECT doc_id, source, pos // 10 AS seg,
+        |    string_agg(w, ' ' ORDER BY pos) AS seg_text
+        |  FROM w2 GROUP BY doc_id, source, pos // 10),
+        |sz AS (SELECT source, count(*) AS n_src_docs FROM documents GROUP BY source),
+        |boiler AS (SELECT s.source, s.seg_text
+        |  FROM seg s JOIN sz ON s.source = sz.source
+        |  GROUP BY s.source, s.seg_text, sz.n_src_docs
+        |  HAVING count(DISTINCT s.doc_id) >= 2
+        |     AND count(DISTINCT s.doc_id) * 20 >= sz.n_src_docs),
+        |rebuilt AS (SELECT s.doc_id, count(*) AS n_kept,
+        |    string_agg(s.seg_text, ' ' ORDER BY s.seg) AS clean_text
+        |  FROM seg s LEFT JOIN boiler b
+        |    ON s.source = b.source AND s.seg_text = b.seg_text
+        |  WHERE b.seg_text IS NULL
+        |  GROUP BY s.doc_id)
+        |SELECT d.doc_id, d.source, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
         |  coalesce(r.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
         |ORDER BY d.doc_id""".stripMargin,

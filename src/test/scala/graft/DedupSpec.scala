@@ -173,6 +173,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate strip is SOURCE-scoped: a nav segment shared inside one " +
+    "source is stripped there but survives in a source where it is unique") {
+    val nav = (0 until 10).map(i => s"nav$i").mkString(" ")   // one segment
+    val bodyA = (0 until 10).map(i => s"a$i").mkString(" ")
+    val bodyB = (0 until 10).map(i => s"b$i").mkString(" ")
+    val bodyC = (0 until 10).map(i => s"c$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    Seq((1L, "siteA", s"$nav $bodyA"), (2L, "siteA", s"$nav $bodyB"),
+        (3L, "siteB", s"$nav $bodyC"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_boilerplate_strip")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == (1L, bodyA), s"siteA doc 1 kept its nav: ${got(1L)}")
+    assert(got(2L) == (1L, bodyB), s"siteA doc 2 kept its nav: ${got(2L)}")
+    assert(got(3L) == (2L, s"$nav $bodyC"),
+      s"siteB's unique nav was wrongly stripped: ${got(3L)}")
+    // contrast: GLOBAL segment dedup strips the nav everywhere, including
+    // siteB — the source scoping is the semantic delta of this operator
+    val global = SparkEntry.queries("q_dedup_segments")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(global(3L) == bodyC)
+  }
+
   test("incremental dedup: result == plain anti-join on text (bloom FPs " +
     "are exactly verified, no false negatives)") {
     val d = Tables.table(spark, sf(), "documents")
