@@ -326,6 +326,26 @@ object Extended extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-budget sampling: per source, docs are drawn in deterministic
+    // md5 order until a 600-token budget fills — the reproducible "give me
+    // N tokens from each domain at these weights" primitive of training-mix
+    // assembly (no rand(): identical draw on every engine, every retry).
+    // 100 TB shape: ONE shuffle partitioned by source, per-partition sort —
+    // the window never crosses sources, and budgets per domain are the knob
+    // a mixture config turns.
+    "q_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("cum_toks", sum(col("toks")).over(w))
+        .filter(col("cum_toks") <= 600L)
+        .orderBy(col("source"), col("cum_toks"))
+    }),
+
     // Deterministic train/val/test split assignment by hash range (~90/5/5).
     "q_split_assign" -> ((s, d) => {
       val h = md5(col("doc_id").cast("string"))
@@ -762,6 +782,19 @@ object Extended extends QueryModule {
       """SELECT doc_id, lang FROM documents
         |WHERE md5(CAST(doc_id AS VARCHAR)) < '10'
         |ORDER BY doc_id""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, toks,
+        |    CAST(sum(toks) OVER (PARTITION BY source ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_toks
+        |  FROM t)
+        |SELECT doc_id, source, toks, cum_toks FROM c
+        |WHERE cum_toks <= 600 ORDER BY source, cum_toks""".stripMargin,
 
     "q_split_assign" ->
       """SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'train'
