@@ -217,6 +217,32 @@ object ScaleProbe100 {
       rx.close(); spool.close()
     }
 
+    // 5b. per-source boilerplate strip at 100× docs: same slice()
+    // segmentation as segment dedup (the operator that bent at 100× before
+    // the narrow rewrite), plus a (source, hash) frequency shuffle — the
+    // rung proves the per-source variant inherits the fixed shape. The
+    // docsX replicas carry no source column, so replicate WITH source here.
+    if (on("boiler")) {
+      val src = Tables.table(spark, sf, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      def srcX(n: Int): DataFrame = (0 until n).map { k =>
+        src.select((col("doc_id") + k * 1000000L).as("doc_id"), col("source"),
+          concat(lit(s"v$k "), col("text")).as("text"))
+      }.reduce(_ union _)
+      def writeSrc(n: Int): String = {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_scale100_boiler$n").toString
+        srcX(n).repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        dir
+      }
+      val b10 = writeSrc(10); val b100 = writeSrc(100)
+      time("boiler_1x") { runQ("q_boilerplate_strip", sf) }
+      time("boiler_10x") { runQ("q_boilerplate_strip", b10) }
+      time("boiler_100x") { runQ("q_boilerplate_strip", b100) }
+      ratio("boiler")
+    }
+
     // 6. incremental dedup (bloom prefilter + exact verify) at 100× docs:
     // the bloom build is the only full history pass; the verify join must
     // stay candidate-sized at every rung (the %3 split plants the same
