@@ -311,6 +311,31 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Filter AUDIT report (the Dolma-style observability layer of a
+    // filtering pipeline): per doc, the ordered list of named rules it
+    // fails and the resulting keep flag — you don't just drop documents
+    // at 100 TB, you account for every drop. All four rules are integer/
+    // string comparisons (no FP thresholds), so the report is bit-exact
+    // across engines; per-row narrow projection, no shuffle but the
+    // output sort.
+    "q_filter_report" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("long")
+      val nUniq = size(array_distinct(toks)).cast("long")
+      val sumLen = aggregate(toks, lit(0L), (acc, tk) => acc + length(tk))
+      val reasons = array(
+        when(nTok < 20L, lit("too_short")),
+        when(nUniq * 2 < nTok, lit("low_diversity")),
+        when(sumLen > nTok * 8, lit("long_tokens")),
+        when(col("lang") === "zh", lit("unsupported_lang")))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          array_join(filter(reasons, x => x.isNotNull), ",").as("reasons"))
+        .select(col("doc_id"), (col("reasons") === "").as("keep"),
+          col("reasons"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token counting: whitespace split vs a BPE-ish regex segmentation.
     "q_token_count" -> ((s, d) => {
       t(s, d, "documents")
@@ -638,6 +663,25 @@ object TextOps extends QueryModule {
         |  coalesce(r.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_filter_report" ->
+      """WITH x AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ' '), tk -> length(tk)::BIGINT)),
+        |      (a, b) -> a + b) AS sum_len
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    coalesce(array_to_string(list_filter([
+        |      CASE WHEN n_tok < 20 THEN 'too_short' END,
+        |      CASE WHEN n_uniq * 2 < n_tok THEN 'low_diversity' END,
+        |      CASE WHEN sum_len > n_tok * 8 THEN 'long_tokens' END,
+        |      CASE WHEN lang = 'zh' THEN 'unsupported_lang' END],
+        |      x -> x IS NOT NULL), ','), '') AS reasons
+        |  FROM x)
+        |SELECT doc_id, reasons = '' AS keep, reasons FROM r
+        |ORDER BY doc_id""".stripMargin,
 
     "q_boilerplate_strip" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS tk
