@@ -118,6 +118,65 @@ object TextHashes {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
 
+  /** 64-bit SimHash over md5-derived token bits — the PORTABLE hash family.
+    *
+    * Same per-bit signed-vote algorithm as [[SimHash64]], but the 64 vote
+    * bits per token come from the first 8 bytes of `md5(token)` (two big-
+    * endian 32-bit halves: bits 0–31 from hex chars 1–8, bits 32–63 from hex
+    * chars 9–16). md5 is computed identically by every engine, so a DuckDB
+    * oracle can rebuild the signature bit-for-bit with
+    * `('0x' || substr(md5(t), 1, 8))::BIGINT` — which is what turns the
+    * declared `q_dedup_simhash` gate from rows-only into hash-matched.
+    * [[SimHash64]] (xxhash64 family) remains registered for hot paths where
+    * oracle portability is not needed; the banding/verify structure above
+    * both is identical.
+    */
+  case class SimHashMd5(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    def evalLong(toks: ArrayData): Long =
+      nullSafeEval(toks).asInstanceOf[java.lang.Long].longValue()
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("simhashMd5", this, classOf[SimHashMd5].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.evalLong($c);")
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val votes = new Array[Int](64)
+      val md = TextHashes.md5Digest.get()
+      var i = 0
+      while (i < n) {
+        md.reset()
+        val d = md.digest(toks.getUTF8String(i).getBytes)
+        val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        var b = 0
+        while (b < 32) {
+          if (((h1 >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          if (((h2 >>> b) & 1L) == 1L) votes(b + 32) += 1 else votes(b + 32) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sim = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sim |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(sim)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHashMd5 = copy(c)
+  }
+
+  /** Per-thread MD5 instance — MessageDigest is stateful and not thread-safe,
+    * and tasks in local mode share the JVM.
+    */
+  private[expressions] val md5Digest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   /** Sequential-fold dot product of two double arrays — the identical
     * index-order left fold the DuckDB oracle computes (`list_reduce` over
     * `list_zip`), so results stay bit-identical across engines while running
@@ -159,6 +218,8 @@ object TextHashes {
       es => MinHashSig(es.head, minhashAs, minhashBs, minhashPrime), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash_md5",
+      es => SimHashMd5(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_vecdot",
       es => VecDot(es(0), es(1)), "built-in")
   }
@@ -168,5 +229,6 @@ object TextHashes {
   def shingles3OfText(text: Column): Column = shingles3(split(text, " "))
   def minhashSig(shingles: Column): Column = call_function("graft_minhash", shingles)
   def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
+  def simhashMd5(tokens: Column): Column = call_function("graft_simhash_md5", tokens)
   def vecDot(a: Column, b: Column): Column = call_function("graft_vecdot", a, b)
 }

@@ -131,14 +131,21 @@ object Dedup {
                      expectedItems: Long = 1L << 20,
                      fpp: Double = 0.01): DataFrame = {
     val spark = history.sparkSession
-    val hHash = history
+    // NULL text is contentless: it can neither duplicate anything nor be
+    // duplicated, so NULL history rows are dropped from the filter build and
+    // NULL batch rows pass through as fresh. Without the explicit guards a
+    // NULL batch row would hash to NULL and satisfy NEITHER bloom branch
+    // below (silently vanishing), and a NULL history row would feed
+    // bloomFilter() a null. This also keeps the operator aligned with the
+    // NOT IN-style oracle, where NULLs would otherwise poison the predicate.
+    val hHash = history.filter(col(textCol).isNotNull)
       .select(xxhash64(col(textCol)).as("_h"), col(textCol).as("_t"))
     val bloom = hHash.stat.bloomFilter("_h", expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val might = udf((h: Long) => bc.value.mightContainLong(h))
     val b = batch.withColumn("_h", xxhash64(col(textCol)))
-    val fresh = b.filter(!might(col("_h")))
-    val candidates = b.filter(might(col("_h")))
+    val fresh = b.filter(col("_h").isNull || !might(col("_h")))
+    val candidates = b.filter(col("_h").isNotNull && might(col("_h")))
     val candHashes = candidates.select(col("_h")).distinct()
     val hMatch = hHash.join(broadcast(candHashes), "_h")
     val trulyNew = candidates.join(hMatch,
@@ -147,12 +154,20 @@ object Dedup {
     fresh.unionByName(trulyNew).drop("_h")
   }
 
-  /** 64-bit SimHash via a single SQL higher-order expression: per-bit signed
-    * vote of token xxhash64 bits, folded into a long — one pass over tokens,
-    * no explode, no shuffle. `textExpr` is a SQL expression for the text col.
+  /** 64-bit SimHash via one native expression pass: per-bit signed vote of
+    * md5-derived token bits, folded into a long — one pass over tokens, no
+    * explode, no shuffle. `textExpr` is a SQL expression for the text col.
+    *
+    * Hash family is md5 (first 8 digest bytes as two big-endian 32-bit
+    * halves) — computed identically by DuckDB, which is what lets the
+    * declared `q_dedup_simhash` carry a bit-exact brute-force oracle. The
+    * faster non-portable xxhash64 family stays available as
+    * `TextHashes.simhash64` / SQL `graft_simhash64` for pipelines that don't
+    * need cross-engine verifiability; the banding and verify logic below is
+    * family-agnostic.
     */
   def simhashExpr(textExpr: String): Column =
-    TextHashes.simhash64(split(expr(textExpr), " "))
+    TextHashes.simhashMd5(split(expr(textExpr), " "))
 
   /** Candidate pairs by shared 16-bit SimHash chunk (any pair within Hamming
     * distance 3 of a 64-bit hash must agree on ≥1 of 4 chunks), verified by

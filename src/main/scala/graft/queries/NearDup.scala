@@ -2,10 +2,25 @@ package graft.queries
 
 import graft.operators.Dedup
 
-/** Declared near-dup queries (MinHash+LSH, SimHash). No DuckDB oracle — hash
-  * permutations aren't portable across engines (SURVEY §2.B `q_dedup_near`) —
-  * so the driver records a rows-only check; correctness is covered by the
-  * ScalaTest brute-force cross-checks in DedupSpec.
+/** Declared near-dup queries (MinHash+LSH, SimHash) — both hash-gated
+  * against brute-force DuckDB oracles since round 10.
+  *
+  * - `q_dedup_near`: the operator's OUTPUT contract is exact — every emitted
+  *   pair carries true 3-shingle Jaccard (verification is exact; LSH only
+  *   prunes candidates), so the oracle is the full inverted-index exact
+  *   Jaccard join with no candidate cap. The gate therefore also pins LSH
+  *   recall at 100% on the fixture corpus: its 25 true pairs all have
+  *   J ≥ 0.9, where the 8-band × 4-row family's miss probability is
+  *   (1 − 0.9⁴)⁸ ≈ 2·10⁻⁴ per pair — and the fixed permutation seeds make
+  *   the outcome deterministic, not a per-run coin flip.
+  * - `q_dedup_simhash`: the md5-derived hash family
+  *   ([[graft.expressions.TextHashes.SimHashMd5]]) is computed bit-for-bit
+  *   by DuckDB (`('0x' || substr(md5(t), 1, 8))::BIGINT`), and the 16-bit
+  *   chunk banding is EXACT by pigeonhole for hamming ≤ 3 — so the all-pairs
+  *   oracle matches by construction, with no recall caveat at all.
+  *
+  * The remaining non-oracle surface (trained quantizers etc.) lives in
+  * SimilarityOps; see SURVEY §2.B.
   */
 object NearDup extends QueryModule {
 
@@ -15,5 +30,49 @@ object NearDup extends QueryModule {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 3)))
 
-  def oracle: Seq[(String, String)] = Seq.empty
+  def oracle: Seq[(String, String)] = Seq(
+    // Brute-force exact 3-shingle Jaccard over ALL pairs (inverted-index
+    // join — a pair with J ≥ 0.5 must share at least one shingle).
+    "q_dedup_near" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, greatest(len(ts)-1, 1)),
+        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+        |    FROM tok) WHERE sh IS NOT NULL AND length(sh) > 0),
+        |  counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |  inter AS (SELECT p.doc_id AS a, q.doc_id AS b, count(*) AS inter
+        |    FROM sh p JOIN sh q ON p.sh = q.sh AND p.doc_id < q.doc_id
+        |    GROUP BY p.doc_id, q.doc_id),
+        |  pairs AS (SELECT i.a, i.b,
+        |      round(inter / (ca.n_sh + cb.n_sh - inter), 4) AS jaccard
+        |    FROM inter i JOIN counts ca ON ca.doc_id = i.a
+        |      JOIN counts cb ON cb.doc_id = i.b)
+        |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5
+        |ORDER BY a, b""".stripMargin,
+    // Bit-exact md5 SimHash rebuild: two 32-bit signature halves (lo = votes
+    // of md5 hex chars 1-8, hi = chars 9-16), all-pairs Hamming ≤ 3.
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t
+        |    FROM documents),
+        |  th AS (SELECT doc_id,
+        |      ('0x'||substr(md5(t),1,8))::BIGINT AS h1,
+        |      ('0x'||substr(md5(t),9,8))::BIGINT AS h2 FROM tok),
+        |  bits AS (SELECT unnest(range(0,32)) AS b),
+        |  votes AS (SELECT doc_id, b,
+        |      sum(((h1 >> b) & 1) * 2 - 1) AS v1,
+        |      sum(((h2 >> b) & 1) * 2 - 1) AS v2
+        |    FROM th CROSS JOIN bits GROUP BY doc_id, b),
+        |  sig AS (SELECT doc_id,
+        |      CAST(sum(CASE WHEN v1 > 0 THEN (1::BIGINT << b) ELSE 0 END)
+        |        AS BIGINT) AS lo,
+        |      CAST(sum(CASE WHEN v2 > 0 THEN (1::BIGINT << b) ELSE 0 END)
+        |        AS BIGINT) AS hi
+        |    FROM votes GROUP BY doc_id),
+        |  pairs AS (SELECT x.doc_id AS a, y.doc_id AS b,
+        |      CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+        |        AS INT) AS hamming
+        |    FROM sig x JOIN sig y ON x.doc_id < y.doc_id)
+        |SELECT a, b, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY a, b""".stripMargin)
 }

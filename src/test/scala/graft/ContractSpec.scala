@@ -8,11 +8,13 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("rows-only queries are the documented eight") {
+  test("rows-only queries are the documented six") {
+    // r10: q_dedup_near and q_dedup_simhash moved to hash-gated (brute-force
+    // DuckDB oracles); what remains is the genuinely oracle-inexpressible
+    // trained-quantizer/sketch surface.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_approx_distinct", "q_dedup_near",
-      "q_dedup_simhash", "q_sim_ivf_kmeans", "q_sim_pq", "q_sim_ivfpq",
-      "q_sim_ivfpq_store", "q_bpe_encode"),
+    assert(rowsOnly == Set("q_approx_distinct", "q_sim_ivf_kmeans",
+      "q_sim_pq", "q_sim_ivfpq", "q_sim_ivfpq_store", "q_bpe_encode"),
       s"unexpected rows-only set: $rowsOnly")
   }
 
