@@ -63,8 +63,9 @@ object Ingest {
   def start(spark: SparkSession, inDir: String, outDir: String,
             checkpointDir: String,
             trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-            deadLetterDir: Option[String] = None): StreamingQuery =
-    startTransformed(transform(source(spark, inDir)),
+            deadLetterDir: Option[String] = None,
+            maxFilesPerTrigger: Int = 16): StreamingQuery =
+    startTransformed(transform(source(spark, inDir, maxFilesPerTrigger)),
       outDir, checkpointDir, trigger, deadLetterDir)
 
   /** The same checkpointed ingest over the durable SYSLOG transport
