@@ -43,10 +43,18 @@ object AnnSql {
       "approximate top-K cosine neighbors of each queries row in corpus " +
       "via the persisted IVF-PQ index; string-literal arguments", "", "")
 
-  /** Same index geometry as the gated `q_sim_ivfpq_store` query; corpora
-    * at other scales pre-build with explicitly sized parameters.
+  /** PQ geometry (subspaces × codes) is dimension-bound and fixed; the IVF
+    * cell count is corpus-size-derived on build
+    * ([[graft.storage.VectorIndexStore.autoCells]]: ≈√N, power-of-two,
+    * clamped [4, 4096]) so the TVF's first-call auto-build is scale-safe
+    * by default — at the 200-vector gate corpus this yields the same 16
+    * cells as the gated `q_sim_ivfpq_store` geometry; at a 200k-vector
+    * corpus it yields 512 instead of training a 16-cell quantizer that
+    * would erase cell-partition pruning (r9 VERDICT next-round #3).
+    * Corpora needing a pinned layout pre-build via
+    * `VectorIndexStore.build` with explicit parameters.
     */
-  private val (nCells, m, kCodes, iters, sampleMod) = (16, 8, 16, 3, 2)
+  private val (m, kCodes, iters, sampleMod) = (8, 16, 3, 2)
 
   def builder(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 6,
@@ -83,8 +91,8 @@ object AnnSql {
     // a reuse
     val key = s"anntvf|${str(0)}|" +
       corpus.queryExecution.analyzed.semanticHash().toString
-    val dir = graft.storage.VectorIndexStore.ensureIndex(
-      corpus, idCol, vecCol, key, nCells, m, kCodes, iters, sampleMod)
+    val dir = graft.storage.VectorIndexStore.ensureIndexAuto(
+      corpus, idCol, vecCol, key, m, kCodes, iters, sampleMod)
     graft.storage.VectorIndexStore.searchTopK(
         corpus, queries, idCol, vecCol, dir,
         nProbe = nProbe, topK = topK,

@@ -141,9 +141,10 @@ class SqlSurfaceSpec extends SparkSpec {
       """SELECT * FROM graft_ann_search(
         |  'ann_corpus', 'ann_queries', 'vec_id', 'v', '5', '8')
         |ORDER BY q_id, rank""".stripMargin)
-    // parity: the DataFrame path over ITS index (same geometry, same data)
-    val dir = storage.VectorIndexStore.ensureIndex(emb, "vec_id", "v",
-      key = d, nCells = 16, m = 8, k = 16, iters = 3, trainSampleMod = 2)
+    // parity: the DataFrame path over ITS index (same auto-derived
+    // geometry, same data — both sides call autoCells on the same count)
+    val dir = storage.VectorIndexStore.ensureIndexAuto(emb, "vec_id", "v",
+      key = d, m = 8, k = 16, iters = 3, trainSampleMod = 2)
     val viaDf = storage.VectorIndexStore.searchTopK(emb,
         emb.filter(col("vec_id") < 5), "vec_id", "v", dir,
         nProbe = 8, topK = 5, shortlistK = 150)
@@ -155,6 +156,28 @@ class SqlSurfaceSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*IN".r
         .findFirstIn(p).nonEmpty,
       s"no cell partition filter in TVF plan:\n$p")
+    // geometry pin: the index that served the TVF carries the auto-derived
+    // cell count for THIS corpus size (≈√N power-of-two)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_meta.json")), "UTF-8")
+    val want = storage.VectorIndexStore.autoCells(emb.count())
+    assert(meta.contains(s""""nCells":$want"""),
+      s"index geometry not auto-sized: $meta (want nCells=$want)")
+  }
+
+  test("graft_ann_search auto-geometry derives scale-safe cell counts " +
+    "across corpus sizes") {
+    import storage.VectorIndexStore.autoCells
+    // the gate corpus (200 vectors) keeps the historical 16-cell layout;
+    // a 100×-scale corpus gets 512 cells instead of a degenerate 16
+    assert(autoCells(200L) == 16)
+    assert(autoCells(200000L) == 512)
+    // clamps: tiny corpora never go below 4; the ceiling caps broadcast
+    // size at any scale (√10⁹ ≈ 31623 → 4096)
+    assert(autoCells(1L) == 4)
+    assert(autoCells(1000000000L) == 4096)
+    // exact powers of two are preserved, not doubled
+    assert(autoCells(256L * 256L) == 256)
   }
 
   test("graft_ann_search TVF: malformed arguments fail clearly") {
