@@ -14,7 +14,7 @@ package graft
   * Run with `SPARK_DRIVER_MEM=48g` — the 100× corpus (500k docs, 200k
   * vectors, 60M lineitem) is built in-JVM and written to tmp parquet.
   *
-  * Args select sections (`segments lm vidx bucketed spool incr`); no args
+  * Args select sections (`segments lm vidx bucketed spool incr boiler`); no args
   * runs everything. Corpus dirs build lazily, so a single-section run
   * only pays for the corpora that section reads.
   */

@@ -18,7 +18,7 @@ object Tables {
     *    truncated here to a µs timestamp, the exact truncation DuckDB
     *    applies casting TIMESTAMP_NS → TIMESTAMP — FIXTURES.md);
     *  - tz-naive µs parquet, which Spark ≥3.4 infers as TIMESTAMP_NTZ by
-    *    default: NTZ inference is disabled on the read (runtime SQL conf)
+    *    default: NTZ inference is disabled per-read (data-source option)
     *    so the column lands as plain TIMESTAMP — sessions run in UTC, so
     *    the wall-clock values match what DuckDB reads, and ts predicates
     *    still push down to the scan natively. The cast fallback below
@@ -27,9 +27,12 @@ object Tables {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // every timestamp column in the generated tables is tz-naive µs
-    // (o_orderdate / l_shipdate / events.ts) — read them all as TIMESTAMP
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // (o_orderdate / l_shipdate / events.ts) — read them all as TIMESTAMP.
+    // Scoped to THIS read via the data-source option: a session-conf set
+    // here would leak into the caller's session and silently change NTZ
+    // inference for all its later parquet reads (r9 ADVICE).
+    val df = spark.read.option("inferTimestampNTZ", "false")
+      .parquet(s"$dir/$name.parquet")
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr(
@@ -69,8 +72,8 @@ object Tables {
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
     val toUs = java.time.LocalDateTime.parse(toUtc.replace(' ', 'T'))
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = spark.read.parquet(s"$dir/events.parquet")
+    val df = spark.read.option("inferTimestampNTZ", "false")
+      .parquet(s"$dir/events.parquet")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.filter(col("ts") >= fromUs * 1000L && col("ts") <= toUs * 1000L + 999L)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

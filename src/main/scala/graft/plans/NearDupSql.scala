@@ -28,6 +28,13 @@ import org.apache.spark.sql.types.StringType
   * One code path for SQL and DataFrame users (the [[SkewSql]] argument):
   * parity is structural, and the recall/property guarantees tested in
   * DedupSpec for the operator apply verbatim to the TVF.
+  *
+  * Note on laziness: the operator builds end in `localCheckpoint()`, so
+  * ANALYSIS of a `graft_neardup` query — including a plain `EXPLAIN` —
+  * executes the full LSH job eagerly and returns a plan over the
+  * materialized pair set (the [[AnnSql]] build-at-first-call pattern;
+  * the checkpoint is what lets the corpus-sized shingle cache be
+  * released before the result is handed to the optimizer).
   */
 object NearDupSql {
 
