@@ -14,7 +14,8 @@ package graft
   * Run with `SPARK_DRIVER_MEM=48g` — the 100× corpus (500k docs, 200k
   * vectors, 60M lineitem) is built in-JVM and written to tmp parquet.
   *
-  * Args select sections (`segments lm vidx bucketed spool incr boiler`); no args
+  * Args select sections
+  * (`segments lm vidx bucketed spool spoolmulti incr boiler`); no args
   * runs everything. Corpus dirs build lazily, so a single-section run
   * only pays for the corpora that section reads.
   */
@@ -37,6 +38,23 @@ object ScaleProbe100 {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.1"
     val walls = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val ratios = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // host sentinel: a fixed CPU-bound job, same role as Bench's — makes
+    // banked walls comparable across rounds on a host whose per-core speed
+    // swings ~2× (r9: host_factor 1.74-2.21 on identical code). Measured
+    // WARM (one untimed run first — a cold sentinel mostly times JVM
+    // startup) and at BOTH ends of the run with the visible core count:
+    // this sandbox's CPU allocation is dynamic (r10 observed 4 → 32 cores
+    // between runs), so start/end drift is part of the banked record.
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(50000000L).selectExpr("sum(id * 3 % 7)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinel() // warmup, untimed
+    val sentinelStart = sentinel()
+    val coresStart = Runtime.getRuntime.availableProcessors()
+    println(f"PROBE sentinel_start $sentinelStart%.3f s ($coresStart cores)")
     def time(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
       val s = (System.nanoTime() - t0) / 1e9
@@ -44,8 +62,10 @@ object ScaleProbe100 {
       println(f"PROBE $name $s%.2f s")
     }
     def ratio(op: String): Unit =
-      for (a <- walls.get(s"${op}_10x"); b <- walls.get(s"${op}_100x"))
+      for (a <- walls.get(s"${op}_10x"); b <- walls.get(s"${op}_100x")) {
+        ratios(s"${op}_10x_to_100x") = b / a
         println(f"PROBE ${op}_ratio_10x_to_100x ${b / a}%.2f (linear = 10)")
+      }
     def runQ(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
@@ -82,8 +102,10 @@ object ScaleProbe100 {
       time("dedup_segments_30x") { runQ("q_dedup_segments", docs30dir) }
       time("dedup_segments_100x") { runQ("q_dedup_segments", docs100dir) }
       ratio("dedup_segments")
-      for (a <- walls.get("dedup_segments_30x"); b <- walls.get("dedup_segments_100x"))
+      for (a <- walls.get("dedup_segments_30x"); b <- walls.get("dedup_segments_100x")) {
+        ratios("dedup_segments_30x_to_100x") = b / a
         println(f"PROBE dedup_segments_ratio_30x_to_100x ${b / a}%.2f (linear = 3.33)")
+      }
     }
 
     // 2. broadcast-pruned LM perplexity: model trains once per dataset
@@ -95,9 +117,11 @@ object ScaleProbe100 {
       // the rescore row is the recurring production shape — judge that one
       time("lm_ppl_bc_100x_train_plus_score") { runQ("q_lm_perplexity_bc", docs100dir) }
       time("lm_ppl_bc_100x_rescore") { runQ("q_lm_perplexity_bc", docs100dir) }
-      for (a <- walls.get("lm_ppl_bc_10x"); b <- walls.get("lm_ppl_bc_100x_rescore"))
+      for (a <- walls.get("lm_ppl_bc_10x"); b <- walls.get("lm_ppl_bc_100x_rescore")) {
+        ratios("lm_ppl_bc_10x_to_100x_rescore") = b / a
         println(f"PROBE lm_ppl_bc_ratio_10x_to_100x_rescore ${b / a}%.2f " +
           "(vs 10x train+score; recurring pass only)")
+      }
       val pstr = SparkEntry.queries("q_lm_perplexity_bc")(spark, docs100dir)
         .queryExecution.executedPlan.toString
       val nEx = pstr.sliding("Exchange".length).count(_ == "Exchange")
@@ -212,9 +236,97 @@ object ScaleProbe100 {
       send(200000, "200k_1x")
       send(2000000, "2M_10x")
       send(20000000, "20M_100x")
-      for (a <- walls.get("spool_tcp_2M_10x"); b <- walls.get("spool_tcp_20M_100x"))
+      for (a <- walls.get("spool_tcp_2M_10x"); b <- walls.get("spool_tcp_20M_100x")) {
+        ratios("spool_10x_to_100x") = b / a
         println(f"PROBE spool_ratio_10x_to_100x ${b / a}%.2f (linear = 10)")
+      }
       rx.close(); spool.close()
+    }
+
+    // 5a. spool receiver scale-OUT (r9 VERDICT next-round #6): the 100×
+    // transport rung above runs ONE receiver; the architecture claim is
+    // that ingest capacity is added by starting another receiver (file
+    // names carry a per-spool UUID, so any number share one dir and one
+    // downstream store — SyslogSpool scaladoc). Prove it: the same total
+    // frame volume through 1, 2, and 4 receiver+sender pairs into ONE
+    // spool dir each, aggregate visible-bytes rate per config, then one
+    // checkpointed ingest draining the 4-receiver fleet's dir into one
+    // store with zero frame loss.
+    if (on("spoolmulti")) {
+      val line = """<190>Apr  6 09:54:48 web01 nginx: 127.0.0.1 - - """ +
+        """[06/Apr/2020:09:54:48 -0400] "GET / HTTP/1.1" 200 612 "-" "curl/7.29.0" "-""""
+      val totalLines = 8000000
+      // each config is r sender + r receiver CPU-bound threads: aggregate
+      // rate scales with r until 2r saturates the physical cores, which is
+      // the expected ceiling (in production, receivers are plain JVMs on
+      // SEPARATE ingest nodes — the per-node probe shows per-pair cost is
+      // flat, i.e. nothing shared serializes the fleet except hardware)
+      println("PROBE spool_fanout_cores = " +
+        Runtime.getRuntime.availableProcessors())
+      var fleetDir: String = null
+      for (r <- Seq(1, 2, 4)) {
+        val dirR = java.nio.file.Files
+          .createTempDirectory(s"graft_scale100_spoolx$r").toString
+        if (r == 4) fleetDir = dirR
+        val pairs = (0 until r).map { _ =>
+          val sp = new graft.streaming.SyslogSpool.Spool(dirR,
+            rollBytes = 64L << 20, rollMillis = 1000)
+          (sp, new graft.streaming.SyslogSpool.TcpReceiver(0, sp))
+        }
+        val perSender = totalLines / r
+        val expect = totalLines.toLong * (line.length + 1)
+        time(s"spool_fanout_${r}rx") {
+          val senders = pairs.map { case (_, rx) =>
+            val t = new Thread(s"probe-sender-${rx.boundPort}") {
+              override def run(): Unit = {
+                val sock = new java.net.Socket("127.0.0.1", rx.boundPort)
+                val w = new java.io.BufferedWriter(
+                  new java.io.OutputStreamWriter(sock.getOutputStream,
+                    java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+                (1 to perSender).foreach { _ => w.write(line); w.write('\n') }
+                w.flush(); sock.close()
+              }
+            }
+            t.start(); t
+          }
+          senders.foreach(_.join())
+          def visible: Long = {
+            pairs.foreach(_._1.rollNow())
+            val fs = new java.io.File(dirR).listFiles()
+            if (fs == null) 0L
+            else fs.filter(f => f.getName.startsWith("spool-") &&
+              f.getName.endsWith(".log")).map(_.length()).sum
+          }
+          val deadline = System.currentTimeMillis() + 600000
+          while (visible < expect && System.currentTimeMillis() < deadline)
+            Thread.sleep(20)
+          require(visible >= expect, s"fanout spool stalled at $r rx")
+        }
+        pairs.foreach { case (sp, rx) => rx.close(); sp.close() }
+        println(f"PROBE spool_fanout_rate_${r}rx " +
+          f"${totalLines / walls(s"spool_fanout_${r}rx") / 1e6}%.2f Mlines/s")
+      }
+      for (a <- walls.get("spool_fanout_1rx"); b <- walls.get("spool_fanout_4rx")) {
+        ratios("spool_fanout_speedup_1rx_to_4rx") = a / b
+        println(f"PROBE spool_fanout_speedup_1rx_to_4rx ${a / b}%.2f (linear = 4)")
+      }
+      for (a <- walls.get("spool_fanout_1rx"); b <- walls.get("spool_fanout_2rx")) {
+        ratios("spool_fanout_speedup_1rx_to_2rx") = a / b
+        println(f"PROBE spool_fanout_speedup_1rx_to_2rx ${a / b}%.2f (linear = 2)")
+      }
+      // one store drains the whole 4-receiver fleet, no frame lost
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_scale100_fleetstore").toString
+      time("spool_fanout_ingest_4rx_one_store") {
+        graft.streaming.Ingest.startSyslog(spark, fleetDir,
+          s"$storeDir/out", s"$storeDir/ck",
+          org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          assumeYear = 2020).awaitTermination()
+        val n = graft.streaming.Ingest
+          .readStore(spark, s"$storeDir/out").count()
+        println(s"PROBE spool_fanout_store_rows = $n (sent $totalLines)")
+        require(n == totalLines, s"fleet store lost frames: $n/$totalLines")
+      }
     }
 
     // 5b. per-source boilerplate strip at 100× docs: same slice()
@@ -262,6 +374,36 @@ object ScaleProbe100 {
       probe("10x", docs10dir)
       probe("100x", docs100dir)
       ratio("dedup_incr")
+    }
+
+    // bucketed-vs-plain advantage as a ratio row (both are x3 recurring)
+    for (a <- walls.get("plain_join_x3_100x"); b <- walls.get("bucketed_join_x3_100x"))
+      ratios("bucketed_join_advantage_100x") = a / b
+
+    // Bank the probe as a committed, machine-checkable artifact (r9
+    // VERDICT next-round #4: the measured 100× claim lived only in SURVEY
+    // prose and tmp stdout). A FULL run (no section args) regenerates
+    // SCALE100.json in-place, like CoverageGen; section-filtered runs
+    // print but do not bank, so the artifact is always a complete vector.
+    // Band note: walls on this sandbox carry a ~2× host swing across
+    // rounds — compare ratios (host-factor-free by construction) first,
+    // then walls scaled by sentinel_sec.
+    if (sections.isEmpty) {
+      val sentinelEnd = sentinel()
+      val coresEnd = Runtime.getRuntime.availableProcessors()
+      println(f"PROBE sentinel_end $sentinelEnd%.3f s ($coresEnd cores)")
+      def jmap(m: scala.collection.Map[String, Double]): String =
+        m.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+          .mkString("{", ",", "}")
+      val json = s"""{"generated_by":"graft.ScaleProbe100",""" +
+        s""""cores_start":$coresStart,"cores_end":$coresEnd,""" +
+        s""""sentinel_start_sec":${"%.3f".format(sentinelStart)},""" +
+        s""""sentinel_end_sec":${"%.3f".format(sentinelEnd)},""" +
+        s""""walls_sec":${jmap(walls)},"ratios":${jmap(ratios)}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALE100.json"), json + "\n")
+      println(s"PROBE banked SCALE100.json (${walls.size} walls, " +
+        s"${ratios.size} ratios)")
     }
     spark.stop()
   }

@@ -22,6 +22,59 @@ object TextOps extends QueryModule {
   private val lmModels = scala.collection.concurrent.TrieMap
     .empty[String, (Map[String, Long], Map[String, Long], Long)]
 
+  /** The one-time LM train pass behind `q_lm_perplexity_bc` (extracted so
+    * `LmTrainProbe` can measure its sub-steps without duplicating the
+    * logic): ONE corpus pass builds the pair counts; the context counts
+    * are the pair counts re-aggregated by w1 (cw(w1) = SUM_w2 cb(w1,w2)
+    * exactly — every bigram occurrence contributes to both), so the
+    * persist makes the model build cost one scan + one
+    * distinct-bigram-sized agg instead of two corpus scans. Caps apply
+    * AFTER the derivation, so cw stays the true context total even where
+    * topB bites. The smoothing denominator is the FULL vocabulary size
+    * (the prune caps the model's ENTRIES, not the smoothing constant).
+    *
+    * `timings` (optional) receives per-sub-step walls: bigram_agg, top_b,
+    * top_v, vocab.
+    */
+  private[graft] def trainLmModel(docs: org.apache.spark.sql.DataFrame,
+      topV: Int, topB: Int,
+      timings: scala.collection.mutable.Map[String, Double] = null)
+      : (Map[String, Long], Map[String, Long], Long) = {
+    val sep = "\u0001" // must match LmScore.Sep (the bigram map key join)
+    def step[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (timings != null) timings(name) = (System.nanoTime() - t0) / 1e9
+      r
+    }
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val b = toks.select(explode(expr(
+        """transform(sequence(0, size(tk)-2),
+          |  i -> named_struct('w1', tk[i], 'w2', tk[i+1]))""".stripMargin))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cbDf = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    step("bigram_agg")(cbDf.count()) // materialize the agg once, timed alone
+    val cbM = step("top_b") {
+      cbDf.orderBy(col("cb").desc, col("w1"), col("w2")).limit(topB)
+        .collect().map(r => (r.getString(0) + sep + r.getString(1)) -> r.getLong(2))
+        .toMap
+    }
+    val cwM = step("top_v") {
+      cbDf.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+        .orderBy(col("cw").desc, col("w1")).limit(topV)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    cbDf.unpersist(false)
+    val vocab = step("vocab") {
+      docs.select(explode(split(col("text"), " ")).as("tok"))
+        .agg(count_distinct(col("tok"))).collect()(0).getLong(0)
+    }
+    (cbM, cwM, vocab)
+  }
+
   /** Cached JSONL/CSV renderings of the documents table for the
     * source-format queries: built once per dataset+format (fingerprint-
     * keyed), read back through the REAL `spark.read.json/csv` paths. The
@@ -497,7 +550,6 @@ object TextOps extends QueryModule {
       val K = 0.1
       val topV = 65536
       val topB = 262144
-      val sep = "\u0001"
       val docs = t(s, d, "documents")
       val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
         .filter(size(col("tk")) >= 2)
@@ -510,34 +562,8 @@ object TextOps extends QueryModule {
       val modelKey = s"${graft.SessionIds.of(s)}|$d|" +
         graft.storage.BucketedTables.sourceFingerprint(d, "documents") +
         s"|$topV|$topB"
-      val (cbMap, cwMap, v) = lmModels.getOrElseUpdate(modelKey, {
-        val b = toks.select(explode(expr(
-            """transform(sequence(0, size(tk)-2),
-              |  i -> named_struct('w1', tk[i], 'w2', tk[i+1]))""".stripMargin))
-            .as("bg"))
-          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        // ONE corpus pass builds the pair counts; the context counts are the
-        // pair counts re-aggregated by w1 (cw(w1) = SUM_w2 cb(w1,w2) exactly --
-        // every bigram occurrence contributes to both), so the persist makes
-        // the model build cost one scan + one distinct-bigram-sized agg
-        // instead of two corpus scans. Caps apply AFTER the derivation, so
-        // cw stays the true context total even where topB bites.
-        val cbDf = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cbM = cbDf
-          .orderBy(col("cb").desc, col("w1"), col("w2")).limit(topB)
-          .collect().map(r => (r.getString(0) + sep + r.getString(1)) -> r.getLong(2))
-          .toMap
-        val cwM = cbDf.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
-          .orderBy(col("cw").desc, col("w1")).limit(topV)
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        cbDf.unpersist(false)
-        // smoothing denominator: the FULL vocabulary size (one scalar -- the
-        // prune caps the model's ENTRIES, not the smoothing constant)
-        val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
-          .agg(count_distinct(col("tok"))).collect()(0).getLong(0)
-        (cbM, cwM, vocab)
-      })
+      val (cbMap, cwMap, v) = lmModels.getOrElseUpdate(modelKey,
+        trainLmModel(docs, topV, topB))
       // scoring is a NATIVE codegen'd expression (expressions/LmScore): the
       // Column lambda form evaluated interpreted with linear-scan map-literal
       // lookups (~6 s at sf0.1); one JIT'd pass with hash lookups is ~20x
