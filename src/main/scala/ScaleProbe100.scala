@@ -15,7 +15,7 @@ package graft
   * vectors, 60M lineitem) is built in-JVM and written to tmp parquet.
   *
   * Args select sections
-  * (`segments lm vidx bucketed spool spoolmulti incr boiler`); no args
+  * (`segments lm vidx bucketed spool spoolmulti incr boiler zorder`); no args
   * runs everything. Corpus dirs build lazily, so a single-section run
   * only pays for the corpora that section reads.
   */
@@ -374,6 +374,57 @@ object ScaleProbe100 {
       probe("10x", docs10dir)
       probe("100x", docs100dir)
       ratio("dedup_incr")
+    }
+
+    // 7. z-order layout at 100× events (10M rows): write-once cost must
+    // scale linearly, and the 2-D skip advantage must be SCALE-INVARIANT —
+    // the fraction of files a value-slice touches under z-order stays
+    // roughly constant as the table grows (each file still covers a small
+    // rectangle), while the single-dim layout touches 100% of files at
+    // every scale. Both layouts get the same file count; the recurring
+    // box query runs x3 on each.
+    if (on("zorder")) {
+      val ev = Tables.table(spark, sf, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      def evX(n: Int): DataFrame = (0 until n).map { k =>
+        ev.withColumn("event_id", col("event_id") + k * 1000000000L)
+      }.reduce(_ union _)
+      for (n <- Seq(10, 100)) {
+        val rows = 100000L * n
+        val nFiles = math.max(32, (rows / 250000L).toInt * 8)
+        val base = java.nio.file.Files
+          .createTempDirectory(s"graft_scale100_zorder$n").toString
+        val data = evX(n)
+        time(s"zorder_write_${n}x") {
+          graft.storage.ZOrderLayout.write(data, s"$base/z",
+            "user_id", "value", nFiles)
+        }
+        data.repartitionByRange(nFiles, col("user_id"))
+          .sortWithinPartitions("user_id")
+          .write.mode("overwrite").parquet(s"$base/lin")
+        val zs = graft.storage.ZOrderLayout.fileStats(spark, s"$base/z",
+          "user_id", "value")
+        val ls = graft.storage.ZOrderLayout.fileStats(spark, s"$base/lin",
+          "user_id", "value")
+        // sf0.1 user_id spans 0-1499: the slice covers ALL users so pruning
+        // can only come from the value dimension
+        val zt = graft.storage.ZOrderLayout.filesTouched(zs, 0, 1500, 100.0, 130.0)
+        val lt = graft.storage.ZOrderLayout.filesTouched(ls, 0, 1500, 100.0, 130.0)
+        ratios(s"zorder_slice_touch_frac_${n}x") = zt.toDouble / zs.size
+        println(f"PROBE zorder_slice_${n}x z $zt/${zs.size} vs single-dim " +
+          f"$lt/${ls.size} (touch frac ${zt.toDouble / zs.size}%.3f)")
+        def box3(p: String): Unit = (1 to 3).foreach { _ =>
+          spark.read.parquet(p)
+            .filter(col("user_id").between(30, 60) &&
+              col("value").between(100.0, 200.0))
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total"))
+            .write.mode("overwrite").format("noop").save()
+        }
+        time(s"zorder_box_x3_${n}x") { box3(s"$base/z") }
+        time(s"lin_box_x3_${n}x") { box3(s"$base/lin") }
+      }
+      ratio("zorder_write")
     }
 
     // bucketed-vs-plain advantage as a ratio row (both are x3 recurring)

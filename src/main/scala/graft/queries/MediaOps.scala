@@ -110,6 +110,46 @@ object MediaOps extends QueryModule {
           when(col("aud_ok"), round(col("r"), 4)).otherwise(0.0).as("rms"),
           when(col("aud_ok"), col("zx")).otherwise(0L).as("zero_x"))
         .orderBy(col("media_id"))
+    }),
+
+    // The REAL pixel resize path ([[Media.thumbnail]]: decode → aspect-fit
+    // bilinear redraw → PNG re-encode) gated end-to-end: resized dims come
+    // from re-DECODING the output bytes (not the metadata fields), so the
+    // gate certifies the full encode round-trip. Uniform-color fixtures make
+    // bilinear interpolation bit-deterministic (any weighted average of a
+    // constant is that constant), so the luma-histogram shares survive the
+    // resize exactly and the oracle stays hand-derivable. Small images pass
+    // through byte-identical; corrupt blobs pass through undecoded.
+    "q_media_resize" -> ((s, _) => {
+      import s.implicits._
+      val gray = 0x808080      // luma 128 → bin 8
+      val blue = 0x4060A0      // luma (299·64+587·96+114·160)/1000 = 93 → bin 5
+      val rows = Seq(
+        Media.MediaRow(1L, png(64, 32)((_, _) => gray), "image/png", 0, 0),
+        Media.MediaRow(2L, png(20, 100)((_, _) => blue), "image/png", 0, 0),
+        Media.MediaRow(3L, png(8, 8)((_, _) => gray), "image/png", 0, 0),
+        Media.MediaRow(4L, "not an image at all".getBytes("UTF-8"),
+          "application/octet-stream", 0, 0))
+      val original = s.createDataset(rows)
+      val thumbs = Media.thumbnail(original, maxDim = 16)
+      val redecoded = Media.featurize(thumbs).toDF()
+        .select(col("media_id"), col("decoded"),
+          col("width").as("w"), col("height").as("h"),
+          round(element_at(col("features"), 9), 4).as("bin8"),
+          round(element_at(col("features"), 6), 4).as("bin5"))
+      val origBytes = original.toDF()
+        .select(col("media_id"), col("bytes").as("orig_bytes"))
+      thumbs.toDF().select(col("media_id"), col("bytes"))
+        .join(origBytes, Seq("media_id"))
+        .join(redecoded, Seq("media_id"))
+        .select(col("media_id"),
+          when(col("decoded"), "image").otherwise("blob").as("kind"),
+          when(col("decoded"), col("w")).otherwise(0).as("width"),
+          when(col("decoded"), col("h")).otherwise(0).as("height"),
+          when(col("decoded"), col("bin8")).otherwise(0.0).as("lum_bin8"),
+          when(col("decoded"), col("bin5")).otherwise(0.0).as("lum_bin5"),
+          (col("bytes") === col("orig_bytes")).as("unchanged"))
+        .orderBy(col("media_id"))
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -139,5 +179,25 @@ object MediaOps extends QueryModule {
         |  (5, 'blob', 0, 0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0)
         |) AS t(media_id, kind, width, height, lum_lo, lum_mid, lum_hi,
         |       sample_rate, n_samples, duration_s, rms, zero_x)
+        |ORDER BY media_id""".stripMargin,
+
+    // Hand-derived from the fixtures + aspect-fit math:
+    //   1: 64×32 → scale 16/64 = 0.25 → 16×8; uniform gray keeps bin 8 = 1.0;
+    //      bytes re-encoded → changed
+    //   2: 20×100 → scale 16/100 = 0.16 → round(3.2)×16 = 3×16; uniform blue
+    //      keeps bin 5 = 1.0; changed
+    //   3: 8×8 ≤ 16 → untouched, byte-identical; gray bin 8 = 1.0
+    //   4: undecodable blob → passes through byte-identical
+    "q_media_resize" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+        |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        |  CAST(lum_bin8 AS DOUBLE) AS lum_bin8,
+        |  CAST(lum_bin5 AS DOUBLE) AS lum_bin5, unchanged
+        |FROM (VALUES
+        |  (1, 'image', 16, 8, 1.0, 0.0, false),
+        |  (2, 'image', 3, 16, 0.0, 1.0, false),
+        |  (3, 'image', 8, 8, 1.0, 0.0, true),
+        |  (4, 'blob', 0, 0, 0.0, 0.0, true)
+        |) AS t(media_id, kind, width, height, lum_bin8, lum_bin5, unchanged)
         |ORDER BY media_id""".stripMargin)
 }

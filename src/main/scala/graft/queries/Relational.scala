@@ -451,6 +451,31 @@ object Relational extends QueryModule {
         .orderBy(col("t"))
     }),
 
+    // R11 generalized to TWO dimensions: the same events rows written
+    // z-ordered on (user_id, value) — Morton-interleaved sort key, one row
+    // group per file — then scanned with a 2-D box predicate. Both filters
+    // push to the parquet scan, where the z-layout's tight per-file min/max
+    // footer stats prune the non-overlapping row groups on BOTH columns
+    // (a single-dim sort prunes only its own column; ZOrderSpec pins the
+    // footer-level advantage). Oracle is the plain box filter over the
+    // ORIGINAL events parquet: the layout is pure access-path, so the
+    // round-trip must be value-exact.
+    "q_zorder_skip" -> ((s, d) => {
+      val store = StreamGate.replayCache(d, "zstore") { dir =>
+        val ev = t(s, d, "events").select(
+          col("event_id"), col("user_id"), col("event_type"), col("value"))
+        graft.storage.ZOrderLayout.write(ev, dir, "user_id", "value", 32)
+      }
+      // box bounds live inside every sf's data ranges (sf0.001 has only
+      // user_id 0-14), so the gate returns rows at all scales
+      s.read.parquet(store)
+        .filter(col("user_id").between(3, 9) &&
+          col("value").between(50.0, 150.0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
     // Sum-metric per day bucket (bytes-served analog of the dashboard).
     "q_traffic_sum" -> ((s, d) => {
       t(s, d, "events")
@@ -727,6 +752,14 @@ object Relational extends QueryModule {
         |WHERE CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-10 06:00:00'
         |  AND TIMESTAMP '2024-01-11 12:00:00'
         |GROUP BY t ORDER BY t""".stripMargin,
+
+    // Pure access-path, like q_timeseries_skip: the z-ordered store must
+    // reproduce the plain box-filtered scan exactly.
+    "q_zorder_skip" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value),4) AS total
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 50.0 AND 150.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_traffic_sum" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,

@@ -101,7 +101,33 @@ object TextOps extends QueryModule {
         fmt match {
           case "json" => w.json(tmp)
           case "csv"  => w.option("header", "true").csv(tmp)
+          case "orc"  => w.orc(tmp)
         }
+      }
+    })
+  }
+
+  /** Two-generation parquet layout for the schema-evolution gate: batch b1
+    * was written before the corpus carried `n_chars`/`source` (doc_id % 2 = 0
+    * rows, three columns), batch b2 after (the rest, full five). Rendered
+    * once per source fingerprint, atomically published like [[docsRendered]].
+    */
+  private def docsEvolved(s: org.apache.spark.sql.SparkSession,
+                          d: String): String = {
+    val key = s"evo|$d|" +
+      graft.storage.BucketedTables.sourceFingerprint(d, "documents")
+    srcBuilt.getOrElseUpdate(key, {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"v1|$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_docsevo-$h"
+      graft.storage.AtomicDir.publishOnce(dir) { tmp =>
+        val docs = t(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), col("lang"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b1")
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b2")
       }
     })
   }
@@ -628,6 +654,36 @@ object TextOps extends QueryModule {
         .orderBy(col("lang"))
     }),
 
+    // ORC source: the third columnar interchange format (Spark-native ORC
+    // writer/reader — no extra deps), same byte-fidelity contract as
+    // jsonl/csv. ORC carries its own schema, so no explicit read schema.
+    "q_source_orc" -> ((s, d) => {
+      s.read.orc(docsRendered(s, d, "orc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_len"),
+          min(col("doc_id")).as("first_id"))
+        .orderBy(col("lang"))
+    }),
+
+    // Schema evolution: a corpus written across two schema generations
+    // (b1: three columns, b2: five) read back through parquet mergeSchema —
+    // the 100 TB reality of years-old shards coexisting with new ones.
+    // Missing columns surface as NULL; the aggregate separates them
+    // (n_legacy) so the gate certifies null-semantics, not just unioning.
+    "q_source_evolution" -> ((s, d) => {
+      val evo = docsEvolved(s, d)
+      s.read.option("mergeSchema", "true").parquet(s"$evo/b1", s"$evo/b2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_modern"),
+          sum(when(col("n_chars").isNull, 1).otherwise(0)).as("n_legacy"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_id"))
+        .orderBy(col("lang"))
+    }),
+
     // Binary-column plumbing (multimodal surface): treat text bytes as an
     // opaque blob, expose byte length + prefix fingerprint.
     "q_binary_meta" -> ((s, d) => {
@@ -671,6 +727,28 @@ object TextOps extends QueryModule {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
         |  min(doc_id) AS first_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_source_orc" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  min(doc_id) AS first_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The oracle rebuilds the two-generation view from the one parquet
+    // table: even doc_ids lose their n_chars (legacy schema), odd keep it.
+    "q_source_evolution" ->
+      """WITH evolved AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(n_chars) AS n_modern,
+        |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_legacy,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS first_id
+        |FROM evolved GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_dedup_segments" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
