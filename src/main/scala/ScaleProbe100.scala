@@ -15,7 +15,8 @@ package graft
   * vectors, 60M lineitem) is built in-JVM and written to tmp parquet.
   *
   * Args select sections
-  * (`segments lm vidx bucketed spool spoolmulti incr boiler zorder`); no args
+  * (`segments lm vidx bucketed spool spoolmulti incr boiler zorder ndstore
+  * merge`); no args
   * runs everything. Corpus dirs build lazily, so a single-section run
   * only pays for the corpora that section reads.
   */
@@ -374,6 +375,105 @@ object ScaleProbe100 {
       probe("10x", docs10dir)
       probe("100x", docs100dir)
       ratio("dedup_incr")
+    }
+
+    // 8. persisted near-dup index (r10): the index is the ONLY thing that
+    // grows with the corpus (~200 B/doc band rows); the probe of a FIXED
+    // batch must therefore scale with the index SCAN, not with corpus
+    // text — and beat re-running the whole-corpus operator by a widening
+    // margin. Batch = the 1× table's doc_id%3=0 slice at every rung;
+    // history = the replicated corpus (its %3≠0 slice).
+    if (on("ndstore")) {
+      val fixedBatch = docs.filter(col("doc_id") % 3 === 0)
+      def probe(tag: String, dir: String): Unit = {
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        val hist = d.filter(col("doc_id") % 3 =!= 0)
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"graft_scale100_nd$tag").toString + "/idx"
+        time(s"ndstore_build_$tag") {
+          graft.storage.NearDupIndexStore.build(hist, "doc_id", "text", idx)
+        }
+        time(s"ndstore_probe_$tag") {
+          println(s"PROBE ndstore_probe_${tag}_pairs = " +
+            graft.storage.NearDupIndexStore.pairsAgainst(
+              hist, fixedBatch, "doc_id", "text", idx, 0.5).count())
+        }
+      }
+      probe("1x", sf)
+      probe("10x", docs10dir)
+      probe("100x", docs100dir)
+      ratio("ndstore_build")
+      ratio("ndstore_probe")
+      // the incremental advantage: probing the prebuilt 100× index vs
+      // re-running the whole-corpus pair operator over history ∪ batch
+      val d100 = spark.read.parquet(s"$docs100dir/documents.parquet")
+      time("ndstore_recompute_100x") {
+        println("PROBE ndstore_recompute_100x_pairs = " +
+          graft.operators.Dedup.minhashPairs(
+            d100.filter(col("doc_id") % 3 =!= 0).unionByName(fixedBatch),
+            "doc_id", "text", 0.5).count())
+      }
+      for (a <- walls.get("ndstore_recompute_100x");
+           b <- walls.get("ndstore_probe_100x")) {
+        ratios("ndstore_incremental_advantage_100x") = a / b
+        println(f"PROBE ndstore_incremental_advantage_100x ${a / b}%.1f× " +
+          "(probe vs whole-corpus recompute)")
+      }
+    }
+
+    // 9. partition-pruned MERGE (r10): a fixed 2-month CDC batch merges
+    // into a store partitioned by order month (~84 partitions). The claim
+    // is NOT that merge wall is flat as the store grows (touched
+    // partitions grow with it) — it is that merge does touched-partition
+    // work, pinned by the full-rewrite contrast at 100×.
+    if (on("merge")) {
+      val orders = Tables.table(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      def ordersX(n: Int): DataFrame = (0 until n).map { k =>
+        orders.withColumn("o_orderkey", col("o_orderkey") + k * 100000000L)
+      }.reduce(_ union _)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      def mkStore(n: Int): String = {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_scale100_merge$n").toString + "/st"
+        graft.storage.MergeStore.write(ordersX(n), dir, "o_month")
+        dir
+      }
+      def mkBatch(store: String): DataFrame =
+        spark.read.parquet(store)
+          .filter(col("o_month").isin("1995-01", "1995-03"))
+          .filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+          .withColumn("_del", col("o_orderkey") % 40 === 0)
+      for (n <- Seq(10, 100)) {
+        val store = mkStore(n)
+        val batch = mkBatch(store).localCheckpoint() // pre-read: time the merge only
+        println(s"PROBE merge_batch_rows_${n}x = ${batch.count()}")
+        time(s"merge_pruned_${n}x") {
+          graft.storage.MergeStore.merge(spark, store, batch, "o_month",
+            Seq("o_orderkey"), deleteCol = Some("_del"))
+        }
+        if (n == 100) {
+          // naive contrast: same merge semantics, no pruning — full store
+          // read, full anti-join, full rewrite to a sibling dir
+          val full = java.nio.file.Files
+            .createTempDirectory("graft_scale100_mergefull").toString + "/st"
+          time("merge_full_100x") {
+            val base = spark.read.parquet(store)
+            val keys = batch.select(col("o_orderkey")).distinct()
+            val merged = batch.filter(!col("_del")).drop("_del")
+              .unionByName(base.join(keys, Seq("o_orderkey"), "left_anti"))
+            graft.storage.MergeStore.write(merged, full, "o_month")
+          }
+          for (a <- walls.get("merge_full_100x");
+               b <- walls.get("merge_pruned_100x")) {
+            ratios("merge_pruning_advantage_100x") = a / b
+            println(f"PROBE merge_pruning_advantage_100x ${a / b}%.1f× " +
+              "(pruned merge vs full rewrite)")
+          }
+        }
+      }
+      ratio("merge_pruned")
     }
 
     // 7. z-order layout at 100× events (10M rows): write-once cost must

@@ -548,6 +548,40 @@ object Extended extends QueryModule {
           round(col("tf") * log(col("n_docs") / col("df")), 4).as("tfidf"))
         .orderBy(col("tfidf").desc, col("doc_id"), col("tok"))
         .limit(50)
+    }),
+
+    // MERGE (upsert + insert + delete) into a partitioned keyed store,
+    // rewriting ONLY the touched partitions (graft.storage.MergeStore):
+    // the CDC batch updates/inserts/deletes orders in TWO of the five
+    // o_orderpriority partitions; the other three are never read or
+    // rewritten (MergeSpec pins their files byte-stable). The read-back
+    // aggregate certifies all three MERGE arms against a pure-SQL oracle.
+    // Arithmetic is oracle-exact by construction: +1.0 on a 2-decimal
+    // double and integer-cent sums, no cross-engine rounding modes.
+    "q_merge_upsert" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_merge")
+        .toString + "/orders_store"
+      graft.storage.MergeStore.write(orders, dir, "o_orderpriority")
+      val touched = col("o_orderpriority").isin("1-URGENT", "5-LOW")
+      val upd = orders.filter(col("o_orderkey") % 97 === 0 && touched)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .withColumn("_deleted", lit(false))
+      val ins = orders.filter(col("o_orderkey") % 101 === 0 && touched)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("_deleted", lit(false))
+      val del = orders.filter(col("o_orderkey") % 193 === 0 && touched)
+        .withColumn("_deleted", lit(true))
+      graft.storage.MergeStore.merge(s, dir,
+        upd.unionByName(ins).unionByName(del),
+        "o_orderpriority", Seq("o_orderkey"), deleteCol = Some("_deleted"))
+      graft.storage.MergeStore.read(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -877,5 +911,34 @@ object Extended extends QueryModule {
         |SELECT tf.doc_id, tf.tok,
         |  round(tf * ln(CAST(n_docs AS BIGINT) / df), 4) AS tfidf
         |FROM tf JOIN df USING (tok) CROSS JOIN n
-        |ORDER BY tfidf DESC, doc_id, tok LIMIT 50""".stripMargin)
+        |ORDER BY tfidf DESC, doc_id, tok LIMIT 50""".stripMargin,
+
+    // Pure-relational MERGE semantics: upserts and inserts appear, batch
+    // keys vanish from the base, delete keys vanish outright; a key in
+    // both the update and delete arms keeps the update (upsert re-inserts
+    // after the key-level removal). Update keys come only from touched
+    // partitions, so the NOT IN over all of orders is exactly the
+    // operator's partition-scoped anti-join.
+    "q_merge_upsert" ->
+      """WITH touched AS (SELECT * FROM orders
+        |    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |  upd AS (SELECT * REPLACE (o_totalprice + 1.0 AS o_totalprice)
+        |    FROM touched WHERE o_orderkey % 97 = 0),
+        |  ins AS (SELECT * REPLACE (o_orderkey + 10000000 AS o_orderkey)
+        |    FROM touched WHERE o_orderkey % 101 = 0),
+        |  delk AS (SELECT o_orderkey FROM touched WHERE o_orderkey % 193 = 0),
+        |  bkeys AS (SELECT o_orderkey FROM upd
+        |    UNION SELECT o_orderkey FROM ins
+        |    UNION SELECT o_orderkey FROM delk),
+        |  merged AS (
+        |    SELECT * FROM upd
+        |    UNION ALL SELECT * FROM ins
+        |    UNION ALL SELECT * FROM orders
+        |      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM bkeys))
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
 }

@@ -2,8 +2,9 @@ package graft.queries
 
 import graft.operators.Dedup
 
-/** Declared near-dup queries (MinHash+LSH, SimHash) — both hash-gated
-  * against brute-force DuckDB oracles since round 10.
+/** Declared near-dup queries (MinHash+LSH, SimHash, and the persisted-index
+  * incremental probe) — all hash-gated against brute-force DuckDB oracles
+  * since round 10.
   *
   * - `q_dedup_near`: the operator's OUTPUT contract is exact — every emitted
   *   pair carries true 3-shingle Jaccard (verification is exact; LSH only
@@ -28,7 +29,22 @@ object NearDup extends QueryModule {
     "q_dedup_near" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text", 0.5)),
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 3)))
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", 3)),
+    // Incremental near-dup against the PERSISTED band index: history
+    // (doc_id % 3 ≠ 0) is indexed once; the batch (doc_id % 3 = 0) probes
+    // it without re-shingling the corpus. Output pairs carry exact
+    // Jaccard (LSH only prunes) — same oracle-gateable contract as
+    // q_dedup_near, restricted to batch × history.
+    "q_dedup_near_store" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, d, "documents")
+      val history = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      val dir = graft.storage.NearDupIndexStore.ensureIndex(
+        history, "doc_id", "text", key = d, variant = "mod3")
+      graft.storage.NearDupIndexStore.pairsAgainst(
+        history, batch, "doc_id", "text", dir, 0.5)
+    }))
 
   def oracle: Seq[(String, String)] = Seq(
     // Brute-force exact 3-shingle Jaccard over ALL pairs (inverted-index
@@ -50,6 +66,26 @@ object NearDup extends QueryModule {
         |      JOIN counts cb ON cb.doc_id = i.b)
         |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5
         |ORDER BY a, b""".stripMargin,
+    // Same brute-force exact Jaccard, restricted to batch (doc_id%3=0) ×
+    // history (doc_id%3≠0) pairs — the persisted-index probe's contract.
+    "q_dedup_near_store" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, greatest(len(ts)-1, 1)),
+        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+        |    FROM tok) WHERE sh IS NOT NULL AND length(sh) > 0),
+        |  counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |  inter AS (SELECT p.doc_id AS b, q.doc_id AS h, count(*) AS inter
+        |    FROM sh p JOIN sh q ON p.sh = q.sh
+        |      AND p.doc_id % 3 = 0 AND q.doc_id % 3 <> 0
+        |    GROUP BY p.doc_id, q.doc_id),
+        |  pairs AS (SELECT i.b, i.h,
+        |      round(inter / (cb.n_sh + ch.n_sh - inter), 4) AS jaccard
+        |    FROM inter i JOIN counts cb ON cb.doc_id = i.b
+        |      JOIN counts ch ON ch.doc_id = i.h)
+        |SELECT b, h, jaccard FROM pairs WHERE jaccard >= 0.5
+        |ORDER BY b, h""".stripMargin,
     // Bit-exact md5 SimHash rebuild: two 32-bit signature halves (lo = votes
     // of md5 hex chars 1-8, hi = chars 9-16), all-pairs Hamming ≤ 3.
     "q_dedup_simhash" ->
