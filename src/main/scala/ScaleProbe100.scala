@@ -16,7 +16,7 @@ package graft
   *
   * Args select sections
   * (`segments lm vidx bucketed spool spoolmulti incr boiler zorder ndstore
-  * merge`); no args
+  * merge profile`); no args
   * runs everything. Corpus dirs build lazily, so a single-section run
   * only pays for the corpora that section reads.
   */
@@ -384,7 +384,8 @@ object ScaleProbe100 {
     // margin. Batch = the 1× table's doc_id%3=0 slice at every rung;
     // history = the replicated corpus (its %3≠0 slice).
     if (on("ndstore")) {
-      val fixedBatch = docs.filter(col("doc_id") % 3 === 0)
+      val fixedBatch = docs.select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 3 === 0)
       def probe(tag: String, dir: String): Unit = {
         val d = spark.read.parquet(s"$dir/documents.parquet")
         val hist = d.filter(col("doc_id") % 3 =!= 0)
@@ -404,6 +405,18 @@ object ScaleProbe100 {
       probe("100x", docs100dir)
       ratio("ndstore_build")
       ratio("ndstore_probe")
+      // attribution rows: the signature pass alone (no shuffle, no write)
+      // at 10× and 100× — separates expression CPU from shuffle+write+GC
+      // in the build ratio above
+      for ((tag, dir) <- Seq("10x" -> docs10dir, "100x" -> docs100dir)) {
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 3 =!= 0)
+        time(s"ndstore_sig_$tag") {
+          graft.storage.NearDupIndexStore.bandTable(d, "doc_id", "text")
+            .write.mode("overwrite").format("noop").save()
+        }
+      }
+      ratio("ndstore_sig")
       // the incremental advantage: probing the prebuilt 100× index vs
       // re-running the whole-corpus pair operator over history ∪ batch
       val d100 = spark.read.parquet(s"$docs100dir/documents.parquet")
@@ -416,7 +429,7 @@ object ScaleProbe100 {
       for (a <- walls.get("ndstore_recompute_100x");
            b <- walls.get("ndstore_probe_100x")) {
         ratios("ndstore_incremental_advantage_100x") = a / b
-        println(f"PROBE ndstore_incremental_advantage_100x ${a / b}%.1f× " +
+        println(f"PROBE ndstore_incremental_advantage_100x ${a / b}%.1fx " +
           "(probe vs whole-corpus recompute)")
       }
     }
@@ -468,12 +481,37 @@ object ScaleProbe100 {
           for (a <- walls.get("merge_full_100x");
                b <- walls.get("merge_pruned_100x")) {
             ratios("merge_pruning_advantage_100x") = a / b
-            println(f"PROBE merge_pruning_advantage_100x ${a / b}%.1f× " +
+            println(f"PROBE merge_pruning_advantage_100x ${a / b}%.1fx " +
               "(pruned merge vs full rewrite)")
           }
         }
       }
       ratio("merge_pruned")
+    }
+
+    // 10. table profile at 100× docs: the exact profile's count(DISTINCT
+    // text) shuffles every distinct text once (plus the 5× Expand
+    // multiply); the approx dial replaces both with per-partition HLL
+    // sketches. The probe measures what the dial is worth as the corpus
+    // grows — at 100 TB the exact path is off the table entirely.
+    if (on("profile")) {
+      def prof(tag: String, dir: String, approx: Boolean): Unit = {
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        time(s"profile_${if (approx) "approx" else "exact"}_$tag") {
+          graft.operators.Profile.profile(d, approx = approx)
+            .write.mode("overwrite").format("noop").save()
+        }
+      }
+      for ((tag, dir) <- Seq("10x" -> docs10dir, "100x" -> docs100dir);
+           approx <- Seq(false, true)) prof(tag, dir, approx)
+      ratio("profile_exact")
+      ratio("profile_approx")
+      for (a <- walls.get("profile_exact_100x");
+           b <- walls.get("profile_approx_100x")) {
+        ratios("profile_approx_advantage_100x") = a / b
+        println(f"PROBE profile_approx_advantage_100x ${a / b}%.1fx " +
+          "(exact multi-distinct vs HLL sketch)")
+      }
     }
 
     // 7. z-order layout at 100× events (10M rows): write-once cost must

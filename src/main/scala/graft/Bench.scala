@@ -171,9 +171,14 @@ object Bench {
     // into ~2 fleet runs per remaining gate (ADVICE r8). With the flag,
     // each later gate runs the fleet once and is charged honestly.
     var fleetRerunDisabled = false
+    // fleet MEMBERSHIP, not the s_ prefix: s_merge_cdc is a standalone
+    // streaming gate (orders replay, no fleet cache) — treating it as a
+    // fleet member would reset the fleet result cache mid-vector and
+    // charge the NEXT fleet gate a full spurious re-run
+    val fleetNames = graft.queries.StreamGate.fleetGateNames.toSet
     def runQuery(name: String,
                  fn: (SparkSession, String) => DataFrame): Double =
-      if (name.startsWith("s_")) {
+      if (fleetNames(name)) {
         val first = runOnce(name, fn)
         // A gate that took >=2 s is the one that ran the REAL 7-stream
         // fleet (cache reads are ~0.1-0.3 s). Give the fleet the same
@@ -239,7 +244,7 @@ object Bench {
       val suspect = stalledInitial
         .flatMap(p => math.max(0, p - 10) to math.min(n - 1, p + 9)).toSet
       val sIdx = ordered.zipWithIndex
-        .collect { case ((nm, _), i) if nm.startsWith("s_") => i }.toSet
+        .collect { case ((nm, _), i) if fleetNames(nm) => i }.toSet
       // batch suspects: re-run each bracketed by probes
       suspect.diff(sIdx).toSeq.sorted.foreach { i =>
         val (name, fn) = ordered(i)
@@ -262,7 +267,7 @@ object Bench {
         val gPrior = graft.queries.StreamGate.fleetGateSeconds.toMap
         graft.queries.StreamGate.resetFleetCache()
         ordered.foreach { case (name, fn) =>
-          if (name.startsWith("s_")) {
+          if (fleetNames(name)) {
             val again = runOnce(name, fn)
             retried += name
             official(name) = math.min(official(name), again)

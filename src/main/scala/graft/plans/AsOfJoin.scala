@@ -205,6 +205,8 @@ object AsOf {
       AnnSql.name, AnnSql.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       NearDupSql.name, NearDupSql.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      ProfileSql.name, ProfileSql.builder, "scala_udf")
   }
 
   /** Parses a tolerance interval string (e.g. "30 minutes") to microseconds,

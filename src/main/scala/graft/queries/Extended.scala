@@ -582,7 +582,17 @@ object Extended extends QueryModule {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
-    }))
+    }),
+
+    // Table profiling (the ANALYZE/data-quality-dashboard shape): per
+    // column, rows/nulls/exact-distincts/min/max — ONE scan for the whole
+    // profile. The five count(DISTINCT)s plan as a single Expand pass
+    // (5× row multiply, one shuffle) rather than five jobs; min/max cast
+    // to string AFTER aggregating on the native type, so numeric columns
+    // profile numerically. At 100 TB swap count_distinct for
+    // approx_count_distinct per column — same plan shape, no Expand.
+    "q_profile_table" -> ((s, d) =>
+      graft.operators.Profile.profile(t(s, d, "documents"))))
 
   def oracle: Seq[(String, String)] = Seq(
     "q_grouping_sets" ->
@@ -940,5 +950,14 @@ object Extended extends QueryModule {
         |    AS sum_cents,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_profile_table" ->
+      Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
 }

@@ -19,6 +19,28 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object Relational extends QueryModule {
 
+  /** The q_needle_bloom store: events time-sorted into 16 range files with
+    * a parquet BLOOM FILTER on `event_id` (and none elsewhere — blooms
+    * cost ~1 bit/row/column, so they go only on point-lookup columns).
+    * Built once per source fingerprint; BloomSkipSpec opens these files'
+    * footers to pin the blooms in (and the control column's absence).
+    */
+  private[graft] def bloomStore(s: org.apache.spark.sql.SparkSession,
+                                d: String): String = {
+    val dir = StreamGate.replayCache(d, "bloomstore") { tmp =>
+      t(s, d, "events")
+        .select(col("ts"), col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+        .repartitionByRange(16, col("ts"))
+        .sortWithinPartitions(col("ts"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#event_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#event_id", "1000000")
+        .parquet(s"$tmp/store")
+    }
+    s"$dir/store"
+  }
+
   def queries: Seq[(String, QFn)] = Seq(
     // R13 scan + projection + limit; filters/projection push into the parquet scan.
     "q_scan_project" -> ((s, d) => {
@@ -476,6 +498,23 @@ object Relational extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Needle-in-haystack point lookup over a TIME-sorted store: event_id
+    // values are scattered across every file, so min/max footer stats can
+    // prune nothing — per-column parquet BLOOM FILTERS can (the ClickHouse
+    // bloom_filter skip-index analog, same role as nginx.click:1's sparse
+    // index for non-key lookups). Pure Spark write options, zero custom
+    // code; the IN-list pushes to the scan and parquet-mr consults the
+    // bloom per row group. BloomSkipSpec pins blooms into the footers (and
+    // their absence on a control column); the oracle is the plain IN scan
+    // over the ORIGINAL events parquet — access-path-pure, value-exact.
+    "q_needle_bloom" -> ((s, d) => {
+      s.read.parquet(bloomStore(s, d))
+        .filter(col("event_id").isin(11L, 57L, 123L))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Sum-metric per day bucket (bytes-served analog of the dashboard).
     "q_traffic_sum" -> ((s, d) => {
       t(s, d, "events")
@@ -760,6 +799,13 @@ object Relational extends QueryModule {
         |FROM events
         |WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 50.0 AND 150.0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Access-path-pure like the two skip gates above it: the bloom store
+    // must reproduce the plain IN scan exactly.
+    "q_needle_bloom" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_id IN (11, 57, 123)
+        |ORDER BY event_id""".stripMargin,
 
     "q_traffic_sum" ->
       """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,

@@ -314,6 +314,59 @@ object StreamGate extends QueryModule {
       if (fleetEnabled)
         fleetCache.getOrElseUpdate(s"$d|${fingerprint(d, "events")}", runFleet(s, d))(name)
       else fn(s, d))
+  } :+ ("s_merge_cdc" -> (mergeCdcGate(_, _)))
+
+  /** The concurrent-fleet roster (s_merge_cdc runs standalone — its replay
+    * input is the orders table, not the events chunks); FleetParitySpec
+    * derives its gate list from this instead of every `s_` name.
+    */
+  private[graft] def fleetGateNames: Seq[String] = runners.map(_._1)
+
+  /** Streaming CDC apply: a file stream of update/delete chunks drained by
+    * `foreachBatch` + [[graft.storage.MergeStore.merge]] into a partitioned
+    * keyed store — the production "replicate an OLTP table into the lake"
+    * shape. The source's at-least-once redelivery composes with the merge's
+    * idempotence (same batch twice ⇒ same store) into effective
+    * exactly-once, the same argument the checkpointed ingest gates with a
+    * kill/replay test in RecoverySpec. Chunks are KEY-DISJOINT (o_orderkey
+    * % 3), so the final store is arrival-order-free and the gate can
+    * hash-match the one-shot relational MERGE oracle. Not part of the
+    * events fleet: its replay input is the orders table.
+    */
+  private def mergeCdcGate(s: org.apache.spark.sql.SparkSession,
+                           d: String): DataFrame = {
+    import graft.storage.MergeStore
+    val store = Files.createTempDirectory("graft_scdc").toString + "/st"
+    MergeStore.write(t(s, d, "orders"), store, "o_orderpriority")
+    val updDir = replayCache(d, "mergecdc", "orders") { dir =>
+      val upd = t(s, d, "orders")
+        .filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .withColumn("_del", col("o_orderkey") % 11 === 0)
+      (0 until 3).foreach { i =>
+        upd.filter(col("o_orderkey") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/chunk-$i")
+      }
+    }
+    val ck = Files.createTempDirectory("graft_scdc_ck").toString
+    val sch = s.read.parquet(s"$updDir/chunk-0").schema
+    val q = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+      .parquet(s"$updDir/chunk-*")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        MergeStore.merge(s, store, b, "o_orderpriority",
+          Seq("o_orderkey"), deleteCol = Some("_del"))
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    MergeStore.read(s, store)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
   }
 
   private val runners: Seq[(String, QFn)] = Seq(
@@ -471,6 +524,20 @@ object StreamGate extends QueryModule {
   // check, not rows-only): window('1 hour').start ≡ date_trunc('hour', ts),
   // and the custom-state sessionizer reproduces the gaps-and-islands SQL.
   def oracle: Seq[(String, String)] = Seq(
+    // one-shot relational replay of the streamed MERGE: %5 keys updated
+    // (+1.0) or deleted (%11), everything else survives — arrival order
+    // is irrelevant because the chunks are key-disjoint
+    "s_merge_cdc" ->
+      """WITH upd AS (SELECT * REPLACE (o_totalprice + 1.0 AS o_totalprice)
+        |    FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0),
+        |  merged AS (SELECT * FROM upd
+        |    UNION ALL SELECT * FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "s_tumbling_counts" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS t, count(*) AS cnt
         |FROM events GROUP BY t ORDER BY t""".stripMargin,

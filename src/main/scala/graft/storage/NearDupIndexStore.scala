@@ -62,8 +62,8 @@ object NearDupIndexStore {
     * signature pass of build and probe (identical expressions on both
     * sides is what makes a collision well-defined).
     */
-  private def bandTable(docs: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
+  private[graft] def bandTable(docs: DataFrame, idCol: String,
+                               textCol: String): DataFrame = {
     Dedup.register(docs.sparkSession)
     docs
       .select(col(idCol).as("doc_id"),
@@ -118,11 +118,15 @@ object NearDupIndexStore {
         }: _*)).as("bb"))
       .select(col("b"), col("bb.band"), col("bb.bh"))
     // broadcast the small batch band set: the index scan joins map-side,
-    // so candidate generation reads the band table once with NO shuffle
+    // so candidate generation reads the band table once with NO shuffle.
+    // The candidate pair set is bounded (true overlap + band-collision
+    // noise) — checkpoint it so the three consumers below (id-set probe,
+    // semi filter, verify join) don't each re-scan the index.
     val cand = spark.read.parquet(s"$dir/bands")
       .join(Joins.maybeBroadcast(bBands, broadcastRowLimit),
         Seq("band", "bh"))
       .select(col("doc_id").as("h"), col("b")).distinct()
+      .localCheckpoint()
     // only colliding history docs are re-shingled: semi-filter the corpus
     // by the (bounded) candidate id set, then verify exactly
     val candIds = cand.select(col("h")).distinct()
@@ -143,6 +147,21 @@ object NearDupIndexStore {
     bShingles.unpersist(false)
     out
   }
+
+  /** Extends the index with a new batch's band rows — the admit side of
+    * the recurring loop: probe the batch ([[pairsAgainst]]), ingest the
+    * fresh docs, then `append` them so the NEXT batch dedups against
+    * history + this batch. Plain parquet append of (band, bh, doc_id)
+    * rows: no read-modify-write of existing files, safe under concurrent
+    * probes (a reader that misses the newest file simply doesn't see the
+    * newest docs yet — the same visibility contract as the corpus itself).
+    * The caller keeps ids unique across appends (they name corpus rows).
+    */
+  def append(newDocs: DataFrame, idCol: String, textCol: String,
+             dir: String): Unit =
+    bandTable(newDocs, idCol, textCol)
+      .repartition(col("band"), col("bh"))
+      .write.mode("append").parquet(s"$dir/bands")
 
   private val built =
     scala.collection.concurrent.TrieMap.empty[String, String]

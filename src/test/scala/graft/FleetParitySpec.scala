@@ -11,7 +11,7 @@ class FleetParitySpec extends SparkSpec {
 
   test("fleet results == serial results for every streaming gate") {
     val d = sf()
-    val gates = SparkEntry.queries.keys.filter(_.startsWith("s_")).toSeq.sorted
+    val gates = queries.StreamGate.fleetGateNames.sorted
     assert(gates.size == 7)
     def collectAll(): Map[String, Seq[org.apache.spark.sql.Row]] =
       gates.map(g => g -> SparkEntry.queries(g)(spark, d).collect().toSeq).toMap

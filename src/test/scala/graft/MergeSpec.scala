@@ -102,6 +102,17 @@ class MergeSpec extends SparkSpec {
       1L -> ("a", 10.0), 2L -> ("a", 20.0), 4L -> ("c", 40.0)))
   }
 
+  test("sequential merges: a later batch's update of the same key wins") {
+    val dir = freshDir(); writeBase(dir)
+    MergeStore.merge(spark, dir,
+      Seq((1L, "a", 11.0, false)).toDF("k", "p", "v", "_del"),
+      "p", Seq("k"), deleteCol = Some("_del"))
+    MergeStore.merge(spark, dir,
+      Seq((1L, "a", 12.0, false)).toDF("k", "p", "v", "_del"),
+      "p", Seq("k"), deleteCol = Some("_del"))
+    assert(readAll(dir)(1L) == ("a", 12.0))
+  }
+
   test("merge is idempotent: re-applying the same batch changes nothing") {
     val dir = freshDir(); writeBase(dir)
     val batch = Seq((1L, "a", 11.0, false), (3L, "b", 0.0, true))

@@ -84,6 +84,23 @@ class NearDupStoreSpec extends SparkSpec {
       out(0).getLong(0) == 31L && out(0).getLong(1) == 2L, out.mkString(","))
   }
 
+  test("append: after admitting a batch, the NEXT batch dedups against it") {
+    val history = docs(1L -> unrelated)
+    val dir = freshDir()
+    NearDupIndexStore.build(history, "doc_id", "text", dir)
+    // batch 1: `base` is fresh (no collision), gets ingested + appended
+    val b1 = docs(10L -> base)
+    assert(NearDupIndexStore
+      .pairsAgainst(history, b1, "doc_id", "text", dir, 0.5).collect().isEmpty)
+    NearDupIndexStore.append(b1, "doc_id", "text", dir)
+    // batch 2: a near-dup of batch 1's doc now collides via the index —
+    // the corpus for verification is history ∪ batch 1
+    val out = NearDupIndexStore.pairsAgainst(history.unionByName(b1),
+      docs(20L -> nearBase), "doc_id", "text", dir, 0.5).collect()
+    assert(out.length == 1 &&
+      out(0).getLong(0) == 20L && out(0).getLong(1) == 10L, out.mkString(","))
+  }
+
   test("declared gate q_dedup_near_store finds the planted cross-split pairs") {
     val out = SparkEntry.queries("q_dedup_near_store")(
       spark, "/root/testdata/sf0.001").collect()

@@ -236,4 +236,38 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect())
     assert(e4.getMessage.contains("[0, 64]"))
   }
+
+  test("graft_profile TVF: pure SQL profile matches the DataFrame operator " +
+    "and runs as one scan (single aggregate, no join)") {
+    val d = sf()
+    plans.AsOf.register(spark)
+    Tables.bootstrap(spark, d)
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_profile('documents') ORDER BY col_name")
+    assert(viaSql.columns.toSeq ==
+      Seq("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s"))
+    assert(viaSql.collect().toSeq ==
+      SparkEntry.queries("q_profile_table")(spark, d).collect().toSeq,
+      "SQL profile diverges from the DataFrame operator")
+    // one-scan pin on the OPTIMIZED plan (the AQE plan string prints the
+    // scan once per plan section, so string-counting over-counts)
+    val opt = viaSql.queryExecution.optimizedPlan
+    val rels = opt.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(rels.size == 1, s"profile reads the table ${rels.size} times:\n$opt")
+    assert(opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, s"profile plan grew a join:\n$opt")
+  }
+
+  test("graft_profile TVF: malformed arguments fail clearly") {
+    plans.AsOf.register(spark)
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_profile('a','b')").collect())
+    assert(e1.getMessage.contains("1 string-literal argument"))
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_profile(42)").collect())
+    assert(e2.getMessage.contains("string literal"))
+  }
 }
