@@ -96,6 +96,7 @@ object ScaleProbe100 {
     // ratio overstates growth; the 30× rung is the work-bound reference —
     // judge 30×→100× against linear = 3.33.
     if (on("segments")) {
+      walls("sentinel_segments") = sentinel()
       println("docs100 rows = " +
         spark.read.parquet(s"$docs100dir/documents.parquet").count())
       time("dedup_segments_1x") { runQ("q_dedup_segments", sf) }
@@ -112,6 +113,7 @@ object ScaleProbe100 {
     // 2. broadcast-pruned LM perplexity: model trains once per dataset
     // (bounded collect), score pass must stay shuffle-free at every rung.
     if (on("lm")) {
+      walls("sentinel_lm") = sentinel()
       time("lm_ppl_bc_1x") { runQ("q_lm_perplexity_bc", sf) }
       time("lm_ppl_bc_10x") { runQ("q_lm_perplexity_bc", docs10dir) }
       // first 100× call pays the ONE-TIME model train (dataset-keyed memo);
@@ -147,6 +149,7 @@ object ScaleProbe100 {
       dir
     }
     if (on("vidx")) {
+      walls("sentinel_vidx") = sentinel()
       val emb10dir = writeEmb(10)
       val emb100dir = writeEmb(100)
       time("vidx_build_plus_search_10x") { runQ("q_sim_ivfpq_store", emb10dir) }
@@ -160,6 +163,7 @@ object ScaleProbe100 {
     // one bucketed write, then x3 recurring joins vs the plain re-shuffle
     // form — the write-once/join-many production shape.
     if (on("bucketed")) {
+      walls("sentinel_bucketed") = sentinel()
       def factX(t: String, key: String, n: Int): DataFrame =
         (0 until n).map(k => Tables.table(spark, sf, t)
             .withColumn(key, col(key) + k * 1000000000L))
@@ -195,6 +199,7 @@ object ScaleProbe100 {
     // syslog frames over one TCP connection through the hsync'd rolling
     // spool until every byte is rolled + renamed VISIBLE.
     if (on("spool")) {
+      walls("sentinel_spool") = sentinel()
       val spoolDir = java.nio.file.Files
         .createTempDirectory("graft_scale100_spool").toString
       val spool = new graft.streaming.SyslogSpool.Spool(spoolDir,
@@ -254,6 +259,7 @@ object ScaleProbe100 {
     // checkpointed ingest draining the 4-receiver fleet's dir into one
     // store with zero frame loss.
     if (on("spoolmulti")) {
+      walls("sentinel_spoolmulti") = sentinel()
       val line = """<190>Apr  6 09:54:48 web01 nginx: 127.0.0.1 - - """ +
         """[06/Apr/2020:09:54:48 -0400] "GET / HTTP/1.1" 200 612 "-" "curl/7.29.0" "-""""
       val totalLines = 8000000
@@ -336,6 +342,7 @@ object ScaleProbe100 {
     // rung proves the per-source variant inherits the fixed shape. The
     // docsX replicas carry no source column, so replicate WITH source here.
     if (on("boiler")) {
+      walls("sentinel_boiler") = sentinel()
       val src = Tables.table(spark, sf, "documents")
         .select(col("doc_id"), col("source"), col("text"))
       def srcX(n: Int): DataFrame = (0 until n).map { k =>
@@ -361,6 +368,7 @@ object ScaleProbe100 {
     // stay candidate-sized at every rung (the %3 split plants the same
     // cross-split duplicate density the gate query sees).
     if (on("incr")) {
+      walls("sentinel_incr") = sentinel()
       def probe(tag: String, dir: String): Unit = {
         val d = spark.read.parquet(s"$dir/documents.parquet")
         val hist = d.filter(col("doc_id") % 3 =!= 0)
@@ -384,6 +392,7 @@ object ScaleProbe100 {
     // margin. Batch = the 1× table's doc_id%3=0 slice at every rung;
     // history = the replicated corpus (its %3≠0 slice).
     if (on("ndstore")) {
+      walls("sentinel_ndstore") = sentinel()
       val fixedBatch = docs.select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 3 === 0)
       def probe(tag: String, dir: String): Unit = {
@@ -440,6 +449,7 @@ object ScaleProbe100 {
     // partitions grow with it) — it is that merge does touched-partition
     // work, pinned by the full-rewrite contrast at 100×.
     if (on("merge")) {
+      walls("sentinel_merge") = sentinel()
       val orders = Tables.table(spark, sf, "orders")
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
       def ordersX(n: Int): DataFrame = (0 until n).map { k =>
@@ -495,6 +505,7 @@ object ScaleProbe100 {
     // sketches. The probe measures what the dial is worth as the corpus
     // grows — at 100 TB the exact path is off the table entirely.
     if (on("profile")) {
+      walls("sentinel_profile") = sentinel()
       def prof(tag: String, dir: String, approx: Boolean): Unit = {
         val d = spark.read.parquet(s"$dir/documents.parquet")
         time(s"profile_${if (approx) "approx" else "exact"}_$tag") {
@@ -522,6 +533,7 @@ object ScaleProbe100 {
     // every scale. Both layouts get the same file count; the recurring
     // box query runs x3 on each.
     if (on("zorder")) {
+      walls("sentinel_zorder") = sentinel()
       val ev = Tables.table(spark, sf, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       def evX(n: Int): DataFrame = (0 until n).map { k =>
