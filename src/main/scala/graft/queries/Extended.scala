@@ -592,7 +592,41 @@ object Extended extends QueryModule {
     // profile numerically. At 100 TB swap count_distinct for
     // approx_count_distinct per column — same plan shape, no Expand.
     "q_profile_table" -> ((s, d) =>
-      graft.operators.Profile.profile(t(s, d, "documents"))))
+      graft.operators.Profile.profile(t(s, d, "documents"))),
+
+    // Versioned MERGE with TIME TRAVEL (graft.storage.SnapshotStore): the
+    // same three-arm CDC batch as q_merge_upsert lands as snapshot v2 via
+    // one manifest CAS, and snapshot v1 stays byte-readable afterwards —
+    // the gate aggregates BOTH versions, so a hash match certifies
+    // snapshot isolation (v1 unchanged by the merge) AND the merged v2 in
+    // one oracle.
+    "q_merge_snapshot" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_snap")
+        .toString + "/orders_snap"
+      graft.storage.SnapshotStore.write(orders, dir, "o_orderpriority")
+      val touched = col("o_orderpriority").isin("1-URGENT", "5-LOW")
+      val upd = orders.filter(col("o_orderkey") % 97 === 0 && touched)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .withColumn("_deleted", lit(false))
+      val ins = orders.filter(col("o_orderkey") % 101 === 0 && touched)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("_deleted", lit(false))
+      val del = orders.filter(col("o_orderkey") % 193 === 0 && touched)
+        .withColumn("_deleted", lit(true))
+      graft.storage.SnapshotStore.merge(s, dir,
+        upd.unionByName(ins).unionByName(del),
+        "o_orderpriority", Seq("o_orderkey"), deleteCol = Some("_deleted"))
+      def agg(v: Int) = graft.storage.SnapshotStore.read(s, dir, Some(v))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("version", lit(v))
+      agg(1).unionByName(agg(2))
+        .orderBy(col("version"), col("o_orderpriority"))
+    }))
 
   def oracle: Seq[(String, String)] = Seq(
     "q_grouping_sets" ->
@@ -951,6 +985,39 @@ object Extended extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // v1 = the untouched base table (snapshot isolation), v2 = the merged
+    // relation — one oracle certifies both reads
+    "q_merge_snapshot" ->
+      """WITH touched AS (SELECT * FROM orders
+        |    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |  upd AS (SELECT * REPLACE (o_totalprice + 1.0 AS o_totalprice)
+        |    FROM touched WHERE o_orderkey % 97 = 0),
+        |  ins AS (SELECT * REPLACE (o_orderkey + 10000000 AS o_orderkey)
+        |    FROM touched WHERE o_orderkey % 101 = 0),
+        |  delk AS (SELECT o_orderkey FROM touched WHERE o_orderkey % 193 = 0),
+        |  bkeys AS (SELECT o_orderkey FROM upd
+        |    UNION SELECT o_orderkey FROM ins
+        |    UNION SELECT o_orderkey FROM delk),
+        |  merged AS (
+        |    SELECT * FROM upd
+        |    UNION ALL SELECT * FROM ins
+        |    UNION ALL SELECT * FROM orders
+        |      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM bkeys)),
+        |  v1 AS (SELECT 1 AS version, o_orderpriority, count(*) AS n_orders,
+        |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |        AS sum_cents,
+        |      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |    FROM orders GROUP BY o_orderpriority),
+        |  v2 AS (SELECT 2 AS version, o_orderpriority, count(*) AS n_orders,
+        |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |        AS sum_cents,
+        |      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |    FROM merged GROUP BY o_orderpriority)
+        |SELECT version, o_orderpriority, n_orders, sum_cents, min_key,
+        |  max_key
+        |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |ORDER BY version, o_orderpriority""".stripMargin,
 
     "q_profile_table" ->
       Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>

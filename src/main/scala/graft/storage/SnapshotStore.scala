@@ -1,0 +1,222 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+
+/** Versioned, manifest-committed keyed store: every MERGE produces a new
+  * immutable SNAPSHOT, and any past version stays readable until expired —
+  * the "which exact corpus trained run N, and can I reproduce it" question
+  * a training pipeline must answer, plus snapshot-isolated readers (a
+  * reader of v never observes v+1 forming). The versioned tier above
+  * [[MergeStore]] (whose dynamic-overwrite path mutates in place).
+  *
+  * Layout (the Iceberg/Delta argument re-expressed minimally):
+  *   - `data/<gen>/_p=<value>/…` — immutable per-partition file sets; a
+  *     merge writes ONLY its touched partitions into a fresh gen dir
+  *   - `_manifest-<v>` — one line per live partition: `value TAB dir`;
+  *     committed with rename-no-overwrite (the same single-winner CAS
+  *     primitive as [[LogTableWriter.compact]]), so a snapshot either
+  *     exists completely or not at all — there is NO window where some
+  *     partitions are new and others old (the in-place store's
+  *     overwrite-then-delete gap), and concurrent mergers get exactly one
+  *     winner, the loser aborting with its garbage removed.
+  *
+  * Scale story: reads resolve partitions from the MANIFEST, not a
+  * directory listing — a merge of a 3-partition batch into a
+  * 10k-partition store opens 3 known directories (SnapshotSpec pins
+  * `inputFiles` ⊆ touched dirs, stronger than a PartitionFilters string);
+  * the base never shuffles (batch keys broadcast-anti-join it); old
+  * versions cost only the retained files of partitions since rewritten
+  * (untouched partitions are SHARED between snapshots by reference).
+  *
+  * The partition column must be non-null; its values key the manifest by
+  * their string form (the usual partition-path discipline).
+  */
+object SnapshotStore {
+
+  private val Esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+  private def hfs(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  /** Newest committed version, if any. */
+  def headVersion(spark: SparkSession, path: String): Option[Int] = {
+    val fs = hfs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return None
+    val vs = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_manifest-") =>
+        n.stripPrefix("_manifest-").toInt }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  private def readManifest(spark: SparkSession, path: String,
+                           version: Int): Map[String, String] = {
+    val fs = hfs(spark, path)
+    val mf = new org.apache.hadoop.fs.Path(path, s"_manifest-$version")
+    require(fs.exists(mf), s"no snapshot version $version at $path")
+    val in = fs.open(mf)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.split("\n").filter(_.nonEmpty).map { line =>
+      val Array(v, d) = line.split("\t", 2)
+      v -> d
+    }.toMap
+  }
+
+  /** Writes the touched partitions of `df` into a fresh gen dir; returns
+    * partition value → relative dir. The shadow `_p` column keeps the real
+    * partition column IN the data files, so per-directory reads need no
+    * reattachment.
+    */
+  private def writeGen(df: DataFrame, path: String,
+                       partCol: String): Map[String, String] = {
+    val gen = "gen-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    df.withColumn("_p", col(partCol).cast("string"))
+      .repartition(col("_p"))
+      .write.option("compression", "zstd").partitionBy("_p")
+      .parquet(s"$path/data/$gen")
+    val fs = hfs(df.sparkSession, path)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/$gen"))
+      .map(_.getPath.getName).filter(_.startsWith("_p="))
+      .map { d =>
+        Esc.unescapePathName(d.stripPrefix("_p=")) -> s"data/$gen/$d"
+      }.toMap
+  }
+
+  /** Single-winner CAS commit of `entries` as version `v` (LogTableWriter
+    * manifest discipline); cleans `genDirs` and aborts if another
+    * committer won the rename.
+    */
+  private def commit(spark: SparkSession, path: String, v: Int,
+                     entries: Map[String, String],
+                     genDirs: Seq[String]): Unit = {
+    val fs = hfs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"._manifest-$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    out.write(entries.toSeq.sortBy(_._1)
+      .map { case (value, d) => s"$value\t$d" }.mkString("\n")
+      .getBytes("UTF-8"))
+    out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      root.toUri, spark.sparkContext.hadoopConfiguration)
+    val manifest = new org.apache.hadoop.fs.Path(root, s"_manifest-$v")
+    def lose(e: Throwable): Nothing = {
+      fs.delete(tmp, false)
+      genDirs.foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot commit of $path lost the race for version $v; this " +
+          "attempt was aborted and its partition dirs removed — re-read " +
+          "the new head and retry", e)
+    }
+    try fc.rename(tmp, manifest) // default Rename.NONE: fails if exists
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException => lose(e)
+      case e: java.io.IOException if fs.exists(manifest) => lose(e)
+    }
+  }
+
+  /** Initial snapshot (version 1). */
+  def write(df: DataFrame, path: String, partCol: String): Unit = {
+    require(headVersion(df.sparkSession, path).isEmpty,
+      s"$path already holds a snapshot store; use merge")
+    val entries = writeGen(df, path, partCol)
+    commit(df.sparkSession, path, 1,
+      entries, entries.values.map(d => d.split("/").take(2).mkString("/"))
+        .toSeq.distinct)
+  }
+
+  /** Reads snapshot `version` (default: head). Untouched partitions are
+    * shared by reference across versions, so old snapshots cost no extra
+    * read work.
+    */
+  def read(spark: SparkSession, path: String,
+           version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(headVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
+    val dirs = readManifest(spark, path, v).values.toSeq.sorted
+      .map(d => s"$path/$d")
+    spark.read.parquet(dirs: _*).drop("_p")
+  }
+
+  /** MERGE `batch` (upsert + insert + delete, latest-wins via
+    * `precedenceCol`) as a NEW snapshot: reads only the touched
+    * partitions' directories (manifest lookup, no listing, no filter),
+    * writes only the touched partitions, commits one manifest. Same
+    * semantics contract as [[MergeStore.merge]].
+    */
+  def merge(spark: SparkSession, path: String, batch: DataFrame,
+            partCol: String, keyCols: Seq[String],
+            deleteCol: Option[String] = None,
+            precedenceCol: Option[String] = None,
+            broadcastRowLimit: Long = Joins.BroadcastRowLimit,
+            beforeCommit: () => Unit = () => ()): Unit = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val head = headVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val entries = readManifest(spark, path, head)
+    val resolved = precedenceCol match {
+      case Some(v) =>
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(v).desc)
+        batch.withColumn("_mrn", row_number().over(w))
+          .filter(col("_mrn") === 1).drop("_mrn", v)
+      case None => batch
+    }
+    val upserts = deleteCol match {
+      case Some(d) => resolved.filter(!coalesce(col(d), lit(false))).drop(d)
+      case None    => resolved
+    }
+    val keys = resolved.select(keyCols.map(col): _*).distinct()
+    val parts = resolved.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    if (parts.isEmpty) return
+    val touchedDirs = parts.flatMap(entries.get)
+    val merged = if (touchedDirs.isEmpty) upserts else {
+      val base = spark.read
+        .parquet(touchedDirs.map(d => s"$path/$d"): _*).drop("_p")
+      upserts.unionByName(
+        base.join(Joins.maybeBroadcast(keys, broadcastRowLimit),
+          keyCols, "left_anti"))
+    }
+    val newEntries = writeGen(merged, path, partCol)
+    beforeCommit() // test seam: a concurrent committer lands here
+    // touched partitions whose rows were ALL deleted simply leave the
+    // manifest — no directory surgery, the files stay for old versions
+    commit(spark, path, head + 1,
+      (entries -- parts) ++ newEntries,
+      newEntries.values.map(_.split("/").take(2).mkString("/"))
+        .toSeq.distinct)
+  }
+
+  /** Drops manifests older than the newest `keep` and deletes gen dirs no
+    * surviving manifest references — the retention dial that bounds the
+    * store's history cost.
+    */
+  def expire(spark: SparkSession, path: String, keep: Int): Unit = {
+    require(keep >= 1, "must keep at least the head snapshot")
+    val fs = hfs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val head = headVersion(spark, path).getOrElse(return)
+    val live = (math.max(1, head - keep + 1) to head)
+      .flatMap(v => readManifest(spark, path, v).values)
+      .map(_.split("/").take(2).mkString("/")).toSet
+    (1 until math.max(1, head - keep + 1)).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifest-$v"), false)
+    }
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).map(_.getPath.getName).foreach { g =>
+        if (!live.contains(s"data/$g"))
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"data/$g"), true)
+      }
+  }
+}

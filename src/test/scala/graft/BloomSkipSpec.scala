@@ -43,6 +43,38 @@ class BloomSkipSpec extends SparkSpec {
     assert(withBloom > 0 && control > 0)
   }
 
+  test("the blooms are real and selective: present ids hit their row " +
+    "group's filter, absent ids mostly miss") {
+    val path = queries.Relational.bloomStore(spark, sf)
+    val conf = spark.sessionState.newHadoopConf()
+    val f = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val block = reader.getFooter.getBlocks.get(0)
+      val cc = block.getColumns.asScala
+        .find(_.getPath.toDotString == "event_id").get
+      val bloom = reader.getBloomFilterDataReader(block)
+        .readBloomFilter(cc)
+      assert(bloom != null, "bloom filter unreadable")
+      // every event_id actually in this file must hit
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select("event_id").limit(50).collect().map(_.getLong(0))
+      ids.foreach { id =>
+        assert(bloom.findHash(bloom.hash(id)),
+          s"present id $id missed its own bloom")
+      }
+      // ids far outside the data range mostly miss (fpp-bounded)
+      val misses = (1 to 200).count { i =>
+        !bloom.findHash(bloom.hash(10000000L + i * 7919L))
+      }
+      assert(misses > 180, s"bloom not selective: only $misses/200 missed")
+    } finally reader.close()
+  }
+
   test("the bloom store reproduces the plain IN scan exactly") {
     val got = SparkEntry.queries("q_needle_bloom")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
