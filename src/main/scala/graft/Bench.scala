@@ -312,7 +312,8 @@ object Bench {
         }
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
     val bandRetries = ordered
-      .filterNot(_._1.startsWith("s_"))
+      .filterNot(p => fleetNames(p._1)) // fleet gates recover as one unit;
+                                        // batch-charged s_ gates DO band-retry
       .flatMap { case (name, fn) =>
         priorBest.get(name)
           .filter(pb => official(name) > pb * 3 && official(name) - pb > 0.5)

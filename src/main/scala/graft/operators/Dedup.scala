@@ -132,20 +132,22 @@ object Dedup {
                      fpp: Double = 0.01): DataFrame = {
     val spark = history.sparkSession
     // NULL text is contentless: it can neither duplicate anything nor be
-    // duplicated, so NULL history rows are dropped from the filter build and
-    // NULL batch rows pass through as fresh. Without the explicit guards a
-    // NULL batch row would hash to NULL and satisfy NEITHER bloom branch
-    // below (silently vanishing), and a NULL history row would feed
-    // bloomFilter() a null. This also keeps the operator aligned with the
-    // NOT IN-style oracle, where NULLs would otherwise poison the predicate.
+    // duplicated. NULL history rows are dropped from the filter build (a
+    // NULL "content" must not occupy the sketch); NULL batch rows survive
+    // by construction — xxhash64 is non-nullable (a NULL input hashes to
+    // the seed, 42), so a NULL-text batch row either misses the bloom and
+    // is fresh, or collides and reaches the exact verify, where NULL text
+    // never equals any history text and the anti-join keeps it. Either
+    // path emits the row, matching the NOT IN-style oracle (where a NULL
+    // history row would otherwise poison the predicate).
     val hHash = history.filter(col(textCol).isNotNull)
       .select(xxhash64(col(textCol)).as("_h"), col(textCol).as("_t"))
     val bloom = hHash.stat.bloomFilter("_h", expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val might = udf((h: Long) => bc.value.mightContainLong(h))
     val b = batch.withColumn("_h", xxhash64(col(textCol)))
-    val fresh = b.filter(col("_h").isNull || !might(col("_h")))
-    val candidates = b.filter(col("_h").isNotNull && might(col("_h")))
+    val fresh = b.filter(!might(col("_h")))
+    val candidates = b.filter(might(col("_h")))
     val candHashes = candidates.select(col("_h")).distinct()
     val hMatch = hHash.join(broadcast(candHashes), "_h")
     val trulyNew = candidates.join(hMatch,

@@ -16,6 +16,54 @@ import org.apache.spark.sql.types.IntegerType
   */
 object Extended extends QueryModule {
 
+  /** Shared three-arm CDC fixture of the two MERGE gates (update %97,
+    * insert %101 with +10M key offset, delete %193 — all inside the two
+    * touched priorities) and their read-back aggregate — ONE definition,
+    * so "q_merge_snapshot applies the same batch as q_merge_upsert" is
+    * true by construction, not by keeping copies in sync.
+    */
+  private def mergeCdcBatch(orders: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val touched = col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    val upd = orders.filter(col("o_orderkey") % 97 === 0 && touched)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      .withColumn("_deleted", lit(false))
+    val ins = orders.filter(col("o_orderkey") % 101 === 0 && touched)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      .withColumn("_deleted", lit(false))
+    val del = orders.filter(col("o_orderkey") % 193 === 0 && touched)
+      .withColumn("_deleted", lit(true))
+    upd.unionByName(ins).unionByName(del)
+  }
+
+  private def mergeAgg(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+
+  /** The CTE block both MERGE oracles share: the merged relation of the
+    * [[mergeCdcBatch]] arms, replayed relationally.
+    */
+  private val mergeOracleCte: String =
+    """WITH touched AS (SELECT * FROM orders
+      |    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |  upd AS (SELECT * REPLACE (o_totalprice + 1.0 AS o_totalprice)
+      |    FROM touched WHERE o_orderkey % 97 = 0),
+      |  ins AS (SELECT * REPLACE (o_orderkey + 10000000 AS o_orderkey)
+      |    FROM touched WHERE o_orderkey % 101 = 0),
+      |  delk AS (SELECT o_orderkey FROM touched WHERE o_orderkey % 193 = 0),
+      |  bkeys AS (SELECT o_orderkey FROM upd
+      |    UNION SELECT o_orderkey FROM ins
+      |    UNION SELECT o_orderkey FROM delk),
+      |  merged AS (
+      |    SELECT * FROM upd
+      |    UNION ALL SELECT * FROM ins
+      |    UNION ALL SELECT * FROM orders
+      |      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM bkeys))""".stripMargin
+
   def queries: Seq[(String, QFn)] = Seq(
     // GROUPING SETS beyond rollup/cube (via the SQL surface, R13).
     "q_grouping_sets" -> ((s, d) => {
@@ -563,24 +611,9 @@ object Extended extends QueryModule {
       val dir = java.nio.file.Files.createTempDirectory("graft_merge")
         .toString + "/orders_store"
       graft.storage.MergeStore.write(orders, dir, "o_orderpriority")
-      val touched = col("o_orderpriority").isin("1-URGENT", "5-LOW")
-      val upd = orders.filter(col("o_orderkey") % 97 === 0 && touched)
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
-        .withColumn("_deleted", lit(false))
-      val ins = orders.filter(col("o_orderkey") % 101 === 0 && touched)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
-        .withColumn("_deleted", lit(false))
-      val del = orders.filter(col("o_orderkey") % 193 === 0 && touched)
-        .withColumn("_deleted", lit(true))
-      graft.storage.MergeStore.merge(s, dir,
-        upd.unionByName(ins).unionByName(del),
+      graft.storage.MergeStore.merge(s, dir, mergeCdcBatch(orders),
         "o_orderpriority", Seq("o_orderkey"), deleteCol = Some("_deleted"))
-      graft.storage.MergeStore.read(s, dir)
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
-          min(col("o_orderkey")).as("min_key"),
-          max(col("o_orderkey")).as("max_key"))
+      mergeAgg(graft.storage.MergeStore.read(s, dir))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -605,25 +638,11 @@ object Extended extends QueryModule {
       val dir = java.nio.file.Files.createTempDirectory("graft_snap")
         .toString + "/orders_snap"
       graft.storage.SnapshotStore.write(orders, dir, "o_orderpriority")
-      val touched = col("o_orderpriority").isin("1-URGENT", "5-LOW")
-      val upd = orders.filter(col("o_orderkey") % 97 === 0 && touched)
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
-        .withColumn("_deleted", lit(false))
-      val ins = orders.filter(col("o_orderkey") % 101 === 0 && touched)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
-        .withColumn("_deleted", lit(false))
-      val del = orders.filter(col("o_orderkey") % 193 === 0 && touched)
-        .withColumn("_deleted", lit(true))
-      graft.storage.SnapshotStore.merge(s, dir,
-        upd.unionByName(ins).unionByName(del),
+      graft.storage.SnapshotStore.merge(s, dir, mergeCdcBatch(orders),
         "o_orderpriority", Seq("o_orderkey"), deleteCol = Some("_deleted"))
-      def agg(v: Int) = graft.storage.SnapshotStore.read(s, dir, Some(v))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
-          min(col("o_orderkey")).as("min_key"),
-          max(col("o_orderkey")).as("max_key"))
-        .withColumn("version", lit(v))
+      def agg(v: Int) =
+        mergeAgg(graft.storage.SnapshotStore.read(s, dir, Some(v)))
+          .withColumn("version", lit(v))
       agg(1).unionByName(agg(2))
         .orderBy(col("version"), col("o_orderpriority"))
     }))
@@ -957,28 +976,14 @@ object Extended extends QueryModule {
         |FROM tf JOIN df USING (tok) CROSS JOIN n
         |ORDER BY tfidf DESC, doc_id, tok LIMIT 50""".stripMargin,
 
-    // Pure-relational MERGE semantics: upserts and inserts appear, batch
-    // keys vanish from the base, delete keys vanish outright; a key in
-    // both the update and delete arms keeps the update (upsert re-inserts
-    // after the key-level removal). Update keys come only from touched
-    // partitions, so the NOT IN over all of orders is exactly the
-    // operator's partition-scoped anti-join.
+    // Pure-relational MERGE semantics (shared mergeOracleCte): upserts and
+    // inserts appear, batch keys vanish from the base, delete keys vanish
+    // outright; a key in both the update and delete arms keeps the update
+    // (upsert re-inserts after the key-level removal). Update keys come
+    // only from touched partitions, so the NOT IN over all of orders is
+    // exactly the operator's partition-scoped anti-join.
     "q_merge_upsert" ->
-      """WITH touched AS (SELECT * FROM orders
-        |    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
-        |  upd AS (SELECT * REPLACE (o_totalprice + 1.0 AS o_totalprice)
-        |    FROM touched WHERE o_orderkey % 97 = 0),
-        |  ins AS (SELECT * REPLACE (o_orderkey + 10000000 AS o_orderkey)
-        |    FROM touched WHERE o_orderkey % 101 = 0),
-        |  delk AS (SELECT o_orderkey FROM touched WHERE o_orderkey % 193 = 0),
-        |  bkeys AS (SELECT o_orderkey FROM upd
-        |    UNION SELECT o_orderkey FROM ins
-        |    UNION SELECT o_orderkey FROM delk),
-        |  merged AS (
-        |    SELECT * FROM upd
-        |    UNION ALL SELECT * FROM ins
-        |    UNION ALL SELECT * FROM orders
-        |      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM bkeys))
+      s"""$mergeOracleCte
         |SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents,
@@ -987,23 +992,9 @@ object Extended extends QueryModule {
         |ORDER BY o_orderpriority""".stripMargin,
 
     // v1 = the untouched base table (snapshot isolation), v2 = the merged
-    // relation — one oracle certifies both reads
+    // relation (shared mergeOracleCte) — one oracle certifies both reads
     "q_merge_snapshot" ->
-      """WITH touched AS (SELECT * FROM orders
-        |    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
-        |  upd AS (SELECT * REPLACE (o_totalprice + 1.0 AS o_totalprice)
-        |    FROM touched WHERE o_orderkey % 97 = 0),
-        |  ins AS (SELECT * REPLACE (o_orderkey + 10000000 AS o_orderkey)
-        |    FROM touched WHERE o_orderkey % 101 = 0),
-        |  delk AS (SELECT o_orderkey FROM touched WHERE o_orderkey % 193 = 0),
-        |  bkeys AS (SELECT o_orderkey FROM upd
-        |    UNION SELECT o_orderkey FROM ins
-        |    UNION SELECT o_orderkey FROM delk),
-        |  merged AS (
-        |    SELECT * FROM upd
-        |    UNION ALL SELECT * FROM ins
-        |    UNION ALL SELECT * FROM orders
-        |      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM bkeys)),
+      s"""$mergeOracleCte,
         |  v1 AS (SELECT 1 AS version, o_orderpriority, count(*) AS n_orders,
         |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |        AS sum_cents,

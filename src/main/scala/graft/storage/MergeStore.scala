@@ -116,6 +116,41 @@ object MergeStore {
       broadcastRowLimit: Long = Joins.BroadcastRowLimit)
       : Option[(DataFrame, IndexedSeq[Any])] = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    val (resolved, upserts) = resolveBatch(batch, keyCols, deleteCol,
+      precedenceCol)
+    val keys = resolved.select(keyCols.map(col): _*).distinct()
+    // CDC contract: the batch touches few partitions → collecting their
+    // values is bounded driver state, and the isin literal is what Catalyst
+    // prunes the base scan's directory listing with
+    val parts = resolved.select(col(partCol)).distinct().collect()
+      .map(_.get(0)).toIndexedSeq
+    if (parts.isEmpty) return None
+    // NULL is a legal partition value (__HIVE_DEFAULT_PARTITION__) but
+    // isin(null) matches NOTHING — a NULL-partition batch would silently
+    // drop that partition's unmatched base rows from the merged view
+    // (then the overwrite would persist the loss). Add the isNull branch
+    // explicitly; both arms stay partition-prunable.
+    val nonNull = parts.filter(_ != null)
+    val prune =
+      if (nonNull.isEmpty) col(partCol).isNull
+      else if (nonNull.size == parts.size) col(partCol).isin(nonNull: _*)
+      else col(partCol).isin(nonNull: _*) || col(partCol).isNull
+    val base = spark.read.parquet(path).filter(prune)
+    val survivors = base.join(Joins.maybeBroadcast(keys, broadcastRowLimit),
+      keyCols, "left_anti")
+    Some((upserts.unionByName(survivors), parts))
+  }
+
+  /** Shared batch-resolution semantics (latest-wins per key via the
+    * precedence column, delete-marker split) for [[merge]] and
+    * [[SnapshotStore.merge]] — one copy, so the two stores' MERGE
+    * contracts cannot drift. Returns (resolved, upserts): `resolved`
+    * still carries delete markers (its keys define removals), `upserts`
+    * is the re-insert set.
+    */
+  private[storage] def resolveBatch(batch: DataFrame, keyCols: Seq[String],
+      deleteCol: Option[String], precedenceCol: Option[String])
+      : (DataFrame, DataFrame) = {
     // latest-wins within the batch (CDC streams can carry several versions
     // of one key); without a precedence column the batch is trusted unique
     val resolved = precedenceCol match {
@@ -130,17 +165,6 @@ object MergeStore {
       case Some(d) => resolved.filter(!coalesce(col(d), lit(false))).drop(d)
       case None    => resolved
     }
-    val keys = resolved.select(keyCols.map(col): _*).distinct()
-    // CDC contract: the batch touches few partitions → collecting their
-    // values is bounded driver state, and the isin literal is what Catalyst
-    // prunes the base scan's directory listing with
-    val parts = resolved.select(col(partCol)).distinct().collect()
-      .map(_.get(0)).toIndexedSeq
-    if (parts.isEmpty) return None
-    val base = spark.read.parquet(path)
-      .filter(col(partCol).isin(parts: _*))
-    val survivors = base.join(Joins.maybeBroadcast(keys, broadcastRowLimit),
-      keyCols, "left_anti")
-    Some((upserts.unionByName(survivors), parts))
+    (resolved, upserts)
   }
 }

@@ -62,6 +62,20 @@ object NearDupIndexStore {
     * signature pass of build and probe (identical expressions on both
     * sides is what makes a collision well-defined).
     */
+  /** Band/hash explosion of a `sig` column — THE shared expression tree of
+    * index build and probe: a collision is only well-defined because both
+    * sides evaluate this one definition (a drifted copy would silently
+    * miss every pair against existing indexes).
+    */
+  private def bandStructs: org.apache.spark.sql.Column =
+    explode(array((0 until Dedup.Bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        xxhash64(concat_ws(",",
+          (0 until Dedup.RowsPerBand).map(r =>
+            element_at(col("sig"),
+              bnd * Dedup.RowsPerBand + r + 1)): _*)).as("bh"))
+    }: _*))
+
   private[graft] def bandTable(docs: DataFrame, idCol: String,
                                textCol: String): DataFrame = {
     Dedup.register(docs.sparkSession)
@@ -70,14 +84,7 @@ object NearDupIndexStore {
         Dedup.shingles(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", Dedup.minhashSignature(col("sh")))
-      .select(col("doc_id"),
-        explode(array((0 until Dedup.Bands).map { bnd =>
-          struct(lit(bnd).as("band"),
-            xxhash64(concat_ws(",",
-              (0 until Dedup.RowsPerBand).map(r =>
-                element_at(col("sig"),
-                  bnd * Dedup.RowsPerBand + r + 1)): _*)).as("bh"))
-        }: _*)).as("bb"))
+      .select(col("doc_id"), bandStructs.as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
   }
 
@@ -108,14 +115,7 @@ object NearDupIndexStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBands = bShingles
       .withColumn("sig", Dedup.minhashSignature(col("shb")))
-      .select(col("b"),
-        explode(array((0 until Dedup.Bands).map { bnd =>
-          struct(lit(bnd).as("band"),
-            xxhash64(concat_ws(",",
-              (0 until Dedup.RowsPerBand).map(r =>
-                element_at(col("sig"),
-                  bnd * Dedup.RowsPerBand + r + 1)): _*)).as("bh"))
-        }: _*)).as("bb"))
+      .select(col("b"), bandStructs.as("bb"))
       .select(col("b"), col("bb.band"), col("bb.bh"))
     // broadcast the small batch band set: the index scan joins map-side,
     // so candidate generation reads the band table once with NO shuffle.

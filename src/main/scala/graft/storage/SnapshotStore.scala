@@ -1,7 +1,6 @@
 package graft.storage
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Joins
@@ -64,7 +63,7 @@ object SnapshotStore {
     finally in.close()
     txt.split("\n").filter(_.nonEmpty).map { line =>
       val Array(v, d) = line.split("\t", 2)
-      v -> d
+      Esc.unescapePathName(v) -> d
     }.toMap
   }
 
@@ -101,9 +100,12 @@ object SnapshotStore {
     val tmp = new org.apache.hadoop.fs.Path(root,
       s"._manifest-$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
+    // values are path-escaped in the manifest (same escaping as the dir
+    // names), so a partition value containing TAB/newline round-trips
+    // instead of corrupting the line format
     out.write(entries.toSeq.sortBy(_._1)
-      .map { case (value, d) => s"$value\t$d" }.mkString("\n")
-      .getBytes("UTF-8"))
+      .map { case (value, d) => s"${Esc.escapePathName(value)}\t$d" }
+      .mkString("\n").getBytes("UTF-8"))
     out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       root.toUri, spark.sparkContext.hadoopConfiguration)
@@ -163,18 +165,10 @@ object SnapshotStore {
     val head = headVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
     val entries = readManifest(spark, path, head)
-    val resolved = precedenceCol match {
-      case Some(v) =>
-        val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(v).desc)
-        batch.withColumn("_mrn", row_number().over(w))
-          .filter(col("_mrn") === 1).drop("_mrn", v)
-      case None => batch
-    }
-    val upserts = deleteCol match {
-      case Some(d) => resolved.filter(!coalesce(col(d), lit(false))).drop(d)
-      case None    => resolved
-    }
+    // one resolution code path with MergeStore — the "same semantics
+    // contract" is shared code, not a manually-synced copy
+    val (resolved, upserts) = MergeStore.resolveBatch(batch, keyCols,
+      deleteCol, precedenceCol)
     val keys = resolved.select(keyCols.map(col): _*).distinct()
     val parts = resolved.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toIndexedSeq

@@ -113,6 +113,22 @@ class MergeSpec extends SparkSpec {
     assert(readAll(dir)(1L) == ("a", 12.0))
   }
 
+  test("NULL is a legal partition value: merging into it keeps its " +
+    "unmatched rows (isin(null) matches nothing — regression)") {
+    val dir = freshDir()
+    val base: Seq[(Long, Option[String], Double)] =
+      Seq((1L, None, 10.0), (2L, None, 20.0), (3L, Some("b"), 30.0))
+    MergeStore.write(base.toDF("k", "p", "v"), dir, "p")
+    val batch: Seq[(Long, Option[String], Double, Boolean)] =
+      Seq((1L, None, 11.0, false))
+    MergeStore.merge(spark, dir, batch.toDF("k", "p", "v", "_del"),
+      "p", Seq("k"), deleteCol = Some("_del"))
+    val got = MergeStore.read(spark, dir).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0),
+      s"NULL partition's unmatched rows lost: $got")
+  }
+
   test("merge is idempotent: re-applying the same batch changes nothing") {
     val dir = freshDir(); writeBase(dir)
     val batch = Seq((1L, "a", 11.0, false), (3L, "b", 0.0, true))

@@ -104,6 +104,18 @@ class SnapshotSpec extends SparkSpec {
     assert(gens.length == 2, s"expected base gen + final-a gen: ${gens.toSeq}")
   }
 
+  test("partition values containing tab/newline round-trip the manifest " +
+    "(values are path-escaped — regression)") {
+    val dir = freshDir()
+    SnapshotStore.write(
+      Seq((1L, "a\tb", 10.0), (2L, "c\nd", 20.0)).toDF("k", "p", "v"),
+      dir, "p")
+    SnapshotStore.merge(spark, dir,
+      Seq((1L, "a\tb", 11.0)).toDF("k", "p", "v"), "p", Seq("k"))
+    val got = readV(dir, 2)
+    assert(got == Map(1L -> ("a\tb", 11.0), 2L -> ("c\nd", 20.0)), got)
+  }
+
   test("declared gate q_merge_snapshot returns both versions") {
     val out = SparkEntry.queries("q_merge_snapshot")(
       spark, "/root/testdata/sf0.001").collect()
