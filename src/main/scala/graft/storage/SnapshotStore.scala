@@ -191,6 +191,22 @@ object SnapshotStore {
         .toSeq.distinct)
   }
 
+  /** Rolls the store back to `toVersion` by committing a NEW head whose
+    * manifest is that version's — history is never rewritten (the bad
+    * versions stay inspectable until expired), readers see the rollback
+    * atomically, and a concurrent merge serializes through the same CAS.
+    * The operational "that merge was wrong, undo it" lever.
+    */
+  def rollback(spark: SparkSession, path: String, toVersion: Int): Unit = {
+    val head = headVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    require(toVersion >= 1 && toVersion <= head,
+      s"cannot roll back to $toVersion (head is $head)")
+    if (toVersion == head) return
+    commit(spark, path, head + 1,
+      readManifest(spark, path, toVersion), Nil)
+  }
+
   /** Drops manifests older than the newest `keep` and deletes gen dirs no
     * surviving manifest references — the retention dial that bounds the
     * store's history cost.

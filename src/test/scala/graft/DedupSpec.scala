@@ -224,6 +224,30 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq(11L, 12L))
   }
 
+  test("incremental dedup: NULL text is contentless — a NULL history row " +
+    "dedups nothing, a NULL batch row always survives") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("doc_id", LongType, false),
+      StructField("text", StringType, true)))
+    def mk(rows: (Long, String)*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          rows.map(r => Row(r._1, r._2)).toList).asJava),
+      sch)
+    val history = mk(1L -> "alpha beta", 2L -> null)
+    // saturated bloom: every batch row goes through the exact verify, the
+    // hardest path for the NULL row (xxhash64(null) = the seed, so it CAN
+    // collide — only text equality may drop a row, and null = anything is
+    // never true)
+    val got = Dedup.incrementalNew(history,
+        mk(10L -> "alpha beta", 11L -> null, 12L -> "fresh stuff here"),
+        "text", expectedItems = 1L, fpp = 0.5)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(11L, 12L),
+      s"NULL handling wrong: $got (want 11=null survives, 10=real dup drops)")
+  }
+
   test("incremental dedup: the exact-verify join broadcasts the candidate " +
     "hash set — the history scan is never shuffled") {
     val d = Tables.table(spark, sf(), "documents")

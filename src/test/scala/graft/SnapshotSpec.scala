@@ -116,6 +116,28 @@ class SnapshotSpec extends SparkSpec {
     assert(got == Map(1L -> ("a\tb", 11.0), 2L -> ("c\nd", 20.0)), got)
   }
 
+  test("rollback commits the old manifest as a NEW head; history intact; " +
+    "expire still GCs correctly afterwards") {
+    val dir = freshDir(); writeBase(dir)
+    SnapshotStore.merge(spark, dir,
+      Seq((1L, "a", 99.0)).toDF("k", "p", "v"), "p", Seq("k"))
+    assert(readV(dir, 2)(1L) == ("a", 99.0))
+    SnapshotStore.rollback(spark, dir, toVersion = 1)
+    assert(SnapshotStore.headVersion(spark, dir).contains(3))
+    // head now reads as the original; the bad v2 stays inspectable
+    assert(SnapshotStore.read(spark, dir).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .get(1L).contains(10.0))
+    assert(readV(dir, 2)(1L) == ("a", 99.0))
+    // rolling back to the current head is a no-op
+    SnapshotStore.rollback(spark, dir, toVersion = 3)
+    assert(SnapshotStore.headVersion(spark, dir).contains(3))
+    // expire keep=1: v3 references only v1's gens, so v2's gen dies
+    SnapshotStore.expire(spark, dir, keep = 1)
+    assert(new java.io.File(s"$dir/data").listFiles().length == 1)
+    assert(SnapshotStore.read(spark, dir).count() == 4)
+  }
+
   test("declared gate q_merge_snapshot returns both versions") {
     val out = SparkEntry.queries("q_merge_snapshot")(
       spark, "/root/testdata/sf0.001").collect()
