@@ -207,6 +207,8 @@ object AsOf {
       NearDupSql.name, NearDupSql.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       ProfileSql.name, ProfileSql.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      SnapshotSql.name, SnapshotSql.builder, "scala_udf")
   }
 
   /** Parses a tolerance interval string (e.g. "30 minutes") to microseconds,

@@ -270,4 +270,30 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM graft_profile(42)").collect())
     assert(e2.getMessage.contains("string literal"))
   }
+
+  test("graft_snapshot TVF: SQL time travel matches the store API at both " +
+    "versions; malformed versions fail clearly") {
+    import spark.implicits._
+    plans.AsOf.register(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snapsql").toString + "/st"
+    graft.storage.SnapshotStore.write(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v"), dir, "p")
+    graft.storage.SnapshotStore.merge(spark, dir,
+      Seq((1L, "a", 11.0)).toDF("k", "p", "v"), "p", Seq("k"))
+    def rows(q: String) = spark.sql(q).select("k", "v").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows(s"SELECT * FROM graft_snapshot('$dir', '1')") ==
+      Seq((1L, 10.0), (2L, 20.0)))
+    assert(rows(s"SELECT * FROM graft_snapshot('$dir', '2')") ==
+      Seq((1L, 11.0), (2L, 20.0)))
+    assert(rows(s"SELECT * FROM graft_snapshot('$dir', 'head')") ==
+      rows(s"SELECT * FROM graft_snapshot('$dir', '2')"))
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_snapshot('$dir', 'vv')").collect())
+    assert(e1.getMessage.contains("positive integer or 'head'"))
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_snapshot('$dir')").collect())
+    assert(e2.getMessage.contains("2 string-literal arguments"))
+  }
 }
