@@ -16,7 +16,7 @@ package graft
   *
   * Args select sections
   * (`segments lm vidx bucketed spool spoolmulti incr boiler zorder ndstore
-  * merge profile snapshot`); no args
+  * merge profile snapshot changes`); no args
   * runs everything. Corpus dirs build lazily, so a single-section run
   * only pays for the corpora that section reads.
   */
@@ -539,6 +539,71 @@ object ScaleProbe100 {
         println(f"PROBE snapshot_history_read_ratio ${b / a}%.2f " +
           "(v1 after 6 merges vs head; shared-reference claim ~ 1)")
       }
+    }
+
+    // 12. changes feed + incremental view maintenance: the manifest diff
+    // prunes the feed to the merge's touched partitions, so a FIXED
+    // batch's feed must stay flat while the store grows 10×→100× BY
+    // PARTITION COUNT (replica-tagged months: 840 → 8400 partitions —
+    // the "3-partition batch into a 10k-partition store" shape); and
+    // refreshing a materialized rollup from the feed (Ivm.applyDelta)
+    // must beat re-aggregating the head.
+    if (on("changes")) {
+      walls("sentinel_changes") = sentinel()
+      val orders = Tables.table(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      def ordersX(n: Int): DataFrame = (0 until n).map { k =>
+        orders.withColumn("o_orderkey", col("o_orderkey") + k * 100000000L)
+          .withColumn("o_month",
+            concat(date_format(col("o_orderdate"), "yyyy-MM"), lit(s"-r$k")))
+      }.reduce(_ union _)
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      for (n <- Seq(10, 100)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_scale100_chg$n").toString + "/st"
+        graft.storage.SnapshotStore.write(ordersX(n), dir, "o_month")
+        // fixed-size batch at BOTH rungs: replica 0's two months
+        val batch = ordersX(1)
+          .filter(col("o_month").isin("1995-01-r0", "1995-03-r0") &&
+            col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+          .localCheckpoint()
+        if (n == 10)
+          println(s"PROBE changes_batch_rows = ${batch.count()}")
+        graft.storage.SnapshotStore.merge(spark, dir, batch, "o_month",
+          Seq("o_orderkey"))
+        def feed() = graft.storage.SnapshotStore
+          .changes(spark, dir, 1, 2, Seq("o_orderkey"))
+        time(s"changes_feed_${n}x") {
+          feed().write.mode("overwrite").format("noop").save()
+        }
+        if (n == 100) {
+          // materialized prior rollup (exists already in production;
+          // built outside the timed fold)
+          val prior = graft.storage.SnapshotStore.read(spark, dir, Some(1))
+            .groupBy(col("o_month"))
+            .agg(sum(cents).as("sum_cents"), count(lit(1)).as("n"))
+            .localCheckpoint()
+          time("ivm_delta_fold_100x") {
+            graft.operators.Ivm.applyDelta(prior, feed(), Seq("o_month"),
+              Seq("sum_cents" -> cents), "n")
+              .write.mode("overwrite").format("noop").save()
+          }
+          time("ivm_recompute_100x") {
+            graft.storage.SnapshotStore.read(spark, dir, None)
+              .groupBy(col("o_month"))
+              .agg(sum(cents).as("sum_cents"), count(lit(1)).as("n"))
+              .write.mode("overwrite").format("noop").save()
+          }
+          for (a <- walls.get("ivm_recompute_100x");
+               b <- walls.get("ivm_delta_fold_100x")) {
+            ratios("ivm_advantage_100x") = a / b
+            println(f"PROBE ivm_advantage_100x ${a / b}%.1fx " +
+              "(head re-aggregate vs delta fold)")
+          }
+        }
+      }
+      ratio("changes_feed")
     }
 
     // 10. table profile at 100× docs: the exact profile's count(DISTINCT

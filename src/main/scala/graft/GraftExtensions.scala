@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(plans.NearDupSql.descriptor)
     ext.injectTableFunction(plans.ProfileSql.descriptor)
     ext.injectTableFunction(plans.SnapshotSql.descriptor)
+    ext.injectTableFunction(plans.ChangesSql.descriptor)
     // Function registration needs a live session's registry; inject via
     // a check rule that runs once at analysis start (idempotent registry ops).
     ext.injectCheckRule { session =>

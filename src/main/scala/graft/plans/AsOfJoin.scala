@@ -209,6 +209,8 @@ object AsOf {
       ProfileSql.name, ProfileSql.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       SnapshotSql.name, SnapshotSql.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      ChangesSql.name, ChangesSql.builder, "scala_udf")
   }
 
   /** Parses a tolerance interval string (e.g. "30 minutes") to microseconds,

@@ -25,7 +25,8 @@ object SnapshotSql {
   val info: ExpressionInfo = new ExpressionInfo(
     SnapshotSql.getClass.getCanonicalName, name,
     "graft_snapshot(path, version) - reads a SnapshotStore at `path`; " +
-      "version is a positive integer literal or 'head'; string-literal " +
+      "version is a positive integer literal, 'head', or 'history' (the " +
+      "version catalog: version, n_partitions, n_rows); string-literal " +
       "arguments", "", "")
 
   def builder(args: Seq[Expression]): LogicalPlan = {
@@ -41,19 +42,87 @@ object SnapshotSql {
       v.toString
     }
     val path = str(0)
-    val version = str(1).trim.toLowerCase match {
-      case "head" => None
-      case s =>
-        val v = try s.toInt catch {
-          case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"$name version must be a positive integer or 'head', got '$s'")
+    str(1).trim.toLowerCase match {
+      case "history" =>
+        // the version catalog, not a data read
+        graft.storage.SnapshotStore.history(SparkSession.active, path)
+          .queryExecution.analyzed
+      case verStr =>
+        val version = verStr match {
+          case "head" => None
+          case s =>
+            val v = try s.toInt catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"$name version must be a positive integer, 'head', or " +
+                    s"'history', got '$s'")
+            }
+            require(v >= 1,
+              s"$name version must be a positive integer, 'head', or " +
+                s"'history', got $v")
+            Some(v)
         }
-        require(v >= 1,
-          s"$name version must be a positive integer or 'head', got $v")
-        Some(v)
+        graft.storage.SnapshotStore.read(SparkSession.active, path, version)
+          .queryExecution.analyzed
     }
-    graft.storage.SnapshotStore.read(SparkSession.active, path, version)
+  }
+
+  /** The `injectTableFunction` descriptor for [[graft.GraftExtensions]]. */
+  def descriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(name), info, builder)
+}
+
+/** SQL reach for the incremental CHANGES feed — the seventh TVF rung:
+  *
+  * {{{
+  *   SELECT * FROM graft_changes('/data/orders_snap', '1', '2', 'o_orderkey')
+  * }}}
+  *
+  * emits `SnapshotStore.changes(path, from, to, keys)` (Delta-CDF shape:
+  * `_change_type` + the full row; keys is a comma-separated column list).
+  * One code path with the store — the manifest diff, partition pruning,
+  * and image/struct cancellation are `SnapshotStore.changes`'s.
+  */
+object ChangesSql {
+
+  val name = "graft_changes"
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    ChangesSql.getClass.getCanonicalName, name,
+    "graft_changes(path, fromVersion, toVersion, keyCols) - row-level " +
+      "changes between two SnapshotStore versions; versions are positive " +
+      "integer literals, keyCols a comma-separated column list; " +
+      "string-literal arguments", "", "")
+
+  def builder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 4,
+      s"$name takes 4 string-literal arguments (path, fromVersion, " +
+        s"toVersion, keyCols); got ${args.size}")
+    def str(i: Int): String = {
+      val e = args(i)
+      require(e.foldable && e.dataType == StringType,
+        s"$name argument ${i + 1} must be a string literal, got ${e.sql}")
+      val v = e.eval()
+      require(v != null, s"$name argument ${i + 1} must not be NULL")
+      v.toString
+    }
+    def ver(i: Int): Int = {
+      val s = str(i)
+      val v = try s.trim.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$name argument ${i + 1} must be a positive integer version, " +
+              s"got '$s'")
+      }
+      require(v >= 1,
+        s"$name argument ${i + 1} must be a positive integer version, got $v")
+      v
+    }
+    val keys = str(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, s"$name keyCols must name at least one column")
+    graft.storage.SnapshotStore
+      .changes(SparkSession.active, str(0), ver(1), ver(2), keys)
       .queryExecution.analyzed
   }
 

@@ -645,6 +645,70 @@ object Extended extends QueryModule {
           .withColumn("version", lit(v))
       agg(1).unionByName(agg(2))
         .orderBy(col("version"), col("o_orderpriority"))
+    }),
+
+    // Incremental CHANGES read between two snapshot versions (the Delta
+    // CDF shape): the manifest diff prunes the scan to the partitions the
+    // merge rewrote, and identical copied-over rows cancel in one keyed
+    // full-outer join, so the feed costs O(touched partitions), not
+    // O(store). The full row-level feed — insert / delete / both update
+    // images — is hash-matched against a relational diff of the base vs
+    // merged relations in DuckDB (cents-cast totalprice keeps the
+    // integer-hash discipline; the raw double also survives, but why risk
+    // it).
+    "q_snapshot_changes" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_cdf")
+        .toString + "/orders_cdf"
+      graft.storage.SnapshotStore.write(orders, dir, "o_orderpriority")
+      graft.storage.SnapshotStore.merge(s, dir, mergeCdcBatch(orders),
+        "o_orderpriority", Seq("o_orderkey"), deleteCol = Some("_deleted"))
+      graft.storage.SnapshotStore.changes(s, dir, 1, 2, Seq("o_orderkey"))
+        .select(col("_change_type"), col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("_change_type"), col("o_orderkey"))
+    }),
+
+    // Version catalog (the Iceberg "snapshots" metadata table): one row
+    // per retained version with manifest partition count + footer-only
+    // row count — the "what exactly is in this store and since when"
+    // observability query; also SQL-reachable as
+    // graft_snapshot(path, 'history').
+    "q_snapshot_history" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_hist")
+        .toString + "/orders_hist"
+      graft.storage.SnapshotStore.write(orders, dir, "o_orderpriority")
+      graft.storage.SnapshotStore.merge(s, dir, mergeCdcBatch(orders),
+        "o_orderpriority", Seq("o_orderkey"), deleteCol = Some("_deleted"))
+      graft.storage.SnapshotStore.history(s, dir).orderBy(col("version"))
+    }),
+
+    // Incremental view maintenance: a materialized per-priority SUM/COUNT
+    // rollup is refreshed by folding the CHANGES feed into the prior
+    // aggregate (graft.operators.Ivm) — never re-reading the base. The
+    // refreshed rollup hash-matches a from-scratch GROUP BY over the
+    // merged relation, which is exactly the IVM correctness claim: delta
+    // fold ≡ recompute.
+    "q_rollup_incremental" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivm")
+        .toString + "/orders_ivm"
+      graft.storage.SnapshotStore.write(orders, dir, "o_orderpriority")
+      graft.storage.SnapshotStore.merge(s, dir, mergeCdcBatch(orders),
+        "o_orderpriority", Seq("o_orderkey"), deleteCol = Some("_deleted"))
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val prior = graft.storage.SnapshotStore.read(s, dir, Some(1))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(cents).as("sum_cents"), count(lit(1)).as("n_orders"))
+      val feed = graft.storage.SnapshotStore.changes(s, dir, 1, 2,
+        Seq("o_orderkey"))
+      graft.operators.Ivm.applyDelta(prior, feed, Seq("o_orderpriority"),
+        Seq("sum_cents" -> cents), "n_orders")
+        .orderBy(col("o_orderpriority"))
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -1009,6 +1073,67 @@ object Extended extends QueryModule {
         |  max_key
         |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
         |ORDER BY version, o_orderpriority""".stripMargin,
+
+    // the relational diff of base vs merged: inserts are keys absent from
+    // the base, deletes are keys absent from the merged relation, updates
+    // emit BOTH images for keys whose full tuple changed (only
+    // o_totalprice moves in this fixture, but the predicate compares every
+    // column — same any-column-differs semantics as the operator's struct
+    // compare)
+    "q_snapshot_changes" -> {
+      val differs =
+        """b.o_custkey <> m.o_custkey
+          |      OR b.o_orderstatus <> m.o_orderstatus
+          |      OR b.o_totalprice <> m.o_totalprice
+          |      OR b.o_orderdate <> m.o_orderdate
+          |      OR b.o_orderpriority <> m.o_orderpriority""".stripMargin
+      s"""$mergeOracleCte,
+        |  chg AS (
+        |    SELECT 'insert' AS _change_type, m.* FROM merged m
+        |      WHERE m.o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |    UNION ALL
+        |    SELECT 'delete' AS _change_type, b.* FROM orders b
+        |      WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM merged)
+        |    UNION ALL
+        |    SELECT 'update_preimage' AS _change_type, b.* FROM orders b
+        |      JOIN merged m ON b.o_orderkey = m.o_orderkey
+        |      WHERE $differs
+        |    UNION ALL
+        |    SELECT 'update_postimage' AS _change_type, m.* FROM orders b
+        |      JOIN merged m ON b.o_orderkey = m.o_orderkey
+        |      WHERE $differs)
+        |SELECT _change_type, o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |FROM chg ORDER BY _change_type, o_orderkey""".stripMargin
+    },
+
+    // v1 = the base table's shape, v2 = the merged relation's — partition
+    // count is distinct priorities, row count plain count(*)
+    "q_snapshot_history" ->
+      s"""$mergeOracleCte
+        |SELECT * FROM (
+        |  SELECT 1 AS version,
+        |    CAST((SELECT count(DISTINCT o_orderpriority) FROM orders)
+        |      AS INTEGER) AS n_partitions,
+        |    (SELECT count(*) FROM orders) AS n_rows
+        |  UNION ALL
+        |  SELECT 2 AS version,
+        |    CAST((SELECT count(DISTINCT o_orderpriority) FROM merged)
+        |      AS INTEGER) AS n_partitions,
+        |    (SELECT count(*) FROM merged) AS n_rows)
+        |ORDER BY version""".stripMargin,
+
+    // delta fold ≡ recompute: the oracle aggregates the merged relation
+    // from scratch; the operator never touches it
+    "q_rollup_incremental" ->
+      s"""$mergeOracleCte
+        |SELECT o_orderpriority,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  count(*) AS n_orders
+        |FROM merged GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_profile_table" ->
       Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>

@@ -314,7 +314,8 @@ object StreamGate extends QueryModule {
       if (fleetEnabled)
         fleetCache.getOrElseUpdate(s"$d|${fingerprint(d, "events")}", runFleet(s, d))(name)
       else fn(s, d))
-  } :+ ("s_merge_cdc" -> (mergeCdcGate(_, _)))
+  } :+ ("s_merge_cdc" -> (mergeCdcGate(_, _))) :+
+    ("s_ivm_cdc" -> (ivmCdcGate(_, _)))
 
   /** The concurrent-fleet roster (s_merge_cdc runs standalone — its replay
     * input is the orders table, not the events chunks); FleetParitySpec
@@ -367,6 +368,69 @@ object StreamGate extends QueryModule {
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** Streaming incremental view maintenance: the same CDC chunk stream as
+    * [[mergeCdcGate]], but each micro-batch commits a SNAPSHOT version
+    * ([[graft.storage.SnapshotStore.merge]]) and then delta-folds that
+    * version's CHANGES feed into a maintained rollup
+    * ([[graft.operators.Ivm.applyDelta]]) — the store is aggregated ONCE
+    * (seeding from v1) and never rescanned afterwards; every refresh costs
+    * O(batch). The gate returns the MAINTAINED rollup, hash-matched
+    * against a from-scratch GROUP BY of the fully-merged relation, which
+    * certifies the whole chain: merge semantics × changes-feed pruning ×
+    * IVM fold ≡ recompute. Exactly-once composition is structural here: a
+    * redelivered batch merges to a version whose content is IDENTICAL to
+    * its predecessor, so its changes feed is EMPTY and the fold is a
+    * no-op — version-diff IVM is idempotent under at-least-once delivery
+    * by construction, not by dedup bookkeeping. Not part of the events
+    * fleet: its replay input is the orders table.
+    */
+  private def ivmCdcGate(s: org.apache.spark.sql.SparkSession,
+                         d: String): DataFrame = {
+    import graft.storage.SnapshotStore
+    val store = Files.createTempDirectory("graft_sivm").toString + "/st"
+    SnapshotStore.write(t(s, d, "orders"), store, "o_orderpriority")
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(sum(cents).as("sum_cents"), count(lit(1)).as("n_orders"))
+    // the ONLY full-store aggregation: seed the materialized rollup at v1
+    var rollup = agg(SnapshotStore.read(s, store, Some(1))).localCheckpoint()
+    val updDir = replayCache(d, "mergecdc", "orders") { dir =>
+      val upd = t(s, d, "orders")
+        .filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .withColumn("_del", col("o_orderkey") % 11 === 0)
+      (0 until 3).foreach { i =>
+        upd.filter(col("o_orderkey") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/chunk-$i")
+      }
+    }
+    val ck = Files.createTempDirectory("graft_sivm_ck").toString
+    val sch = s.read.parquet(s"$updDir/chunk-0").schema
+    val q = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+      .parquet(s"$updDir/chunk-*")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val from = SnapshotStore.headVersion(s, store).get
+        SnapshotStore.merge(s, store, b, "o_orderpriority",
+          Seq("o_orderkey"), deleteCol = Some("_del"))
+        // an empty batch commits nothing (merge returns without a new
+        // version) — nothing to fold
+        val to = SnapshotStore.headVersion(s, store).get
+        if (to != from) {
+          val feed = SnapshotStore.changes(s, store, from, to,
+            Seq("o_orderkey"))
+          rollup = graft.operators.Ivm.applyDelta(rollup, feed,
+            Seq("o_orderpriority"), Seq("sum_cents" -> cents), "n_orders")
+            .localCheckpoint()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    rollup.orderBy(col("o_orderpriority"))
   }
 
   private val runners: Seq[(String, QFn)] = Seq(
@@ -538,6 +602,20 @@ object StreamGate extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // the maintained rollup must equal a from-scratch aggregate of the
+    // same merged relation (delta fold ≡ recompute, streamed)
+    "s_ivm_cdc" ->
+      """WITH upd AS (SELECT * REPLACE (o_totalprice + 1.0 AS o_totalprice)
+        |    FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 11 <> 0),
+        |  merged AS (SELECT * FROM upd
+        |    UNION ALL SELECT * FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT o_orderpriority,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  count(*) AS n_orders
+        |FROM merged GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "s_tumbling_counts" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS t, count(*) AS cnt
         |FROM events GROUP BY t ORDER BY t""".stripMargin,

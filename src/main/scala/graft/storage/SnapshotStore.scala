@@ -191,6 +191,101 @@ object SnapshotStore {
         .toSeq.distinct)
   }
 
+  /** Version catalog — the Iceberg "snapshots" metadata-table analog: one
+    * row per RETAINED version (expired manifests drop out), with the
+    * partition count straight from the manifest and the row count from a
+    * parquet metadata read of the version's referenced dirs (Spark's
+    * count-star over parquet is footer-only — no data pages). The
+    * driver-side loop is bounded by the retained version count, which
+    * `expire(keep)` bounds by policy.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val fs = hfs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val versions: Seq[Int] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).map(_.getPath.getName)
+        .collect { case n if n.startsWith("_manifest-") =>
+          n.stripPrefix("_manifest-").toInt }.toSeq.sorted
+    versions.map { v =>
+      val entries = readManifest(spark, path, v)
+      val nRows =
+        if (entries.isEmpty) 0L else read(spark, path, Some(v)).count()
+      (v, entries.size, nRows)
+    }.toDF("version", "n_partitions", "n_rows")
+  }
+
+  /** Row-level CHANGES between two snapshot versions — the incremental-read
+    * feed (Delta CDF / Iceberg incremental-scan shape) that lets a 100 TB
+    * downstream consumer process a merge's DELTA instead of re-reading the
+    * head: emits `_change_type` ∈ {insert, delete, update_preimage,
+    * update_postimage} plus the full row (updates contribute BOTH images,
+    * so sums/counts are maintainable from the feed alone — see
+    * [[graft.operators.Ivm]]).
+    *
+    * Scale story: the two manifests are DIFFED first, and only partitions
+    * whose entry changed between the versions are read — on either side.
+    * A 3-partition merge into a 10k-partition store diffs by reading 6
+    * directories (3 old gens + 3 new gens), never the other 9,997
+    * (SnapshotSpec pins `inputFiles` ⊆ changed dirs). Within the changed
+    * partitions, identical rows (the copied-over majority of a rewritten
+    * partition) cancel in one key-partitioned full-outer join, so the
+    * shuffle is batch-partition-sized, not store-sized.
+    *
+    * `fromVersion > toVersion` is allowed and yields the exact inverse
+    * feed (insert↔delete, preimage↔postimage) — the "what would this
+    * rollback do" preview.
+    */
+  def changes(spark: SparkSession, path: String, fromVersion: Int,
+              toVersion: Int, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "changes needs at least one key column")
+    val fromM = readManifest(spark, path, fromVersion)
+    val toM = readManifest(spark, path, toVersion)
+    val changed = (fromM.keySet ++ toM.keySet)
+      .filter(p => fromM.get(p) != toM.get(p))
+    def rd(m: Map[String, String]): Option[DataFrame] = {
+      val dirs = changed.toSeq.flatMap(m.get).sorted.map(d => s"$path/$d")
+      if (dirs.isEmpty) None
+      else Some(spark.read.parquet(dirs: _*).drop("_p"))
+    }
+    val (oldDf, newDf) = (rd(fromM), rd(toM)) match {
+      case (Some(o), Some(n)) => (o, n)
+      case (Some(o), None) => (o, o.limit(0))
+      case (None, Some(n)) => (n.limit(0), n)
+      case (None, None) =>
+        // no partition differs — an empty feed with the store's schema
+        val any = read(spark, path, Some(toVersion)).limit(0)
+        (any, any)
+    }
+    val cols = oldDf.columns.toSeq
+    keyCols.foreach(k => require(cols.contains(k), s"unknown key column $k"))
+    val dataCols = cols.filterNot(keyCols.contains)
+    // all-columns-are-keys degenerates to presence diff (no update arm)
+    def img(df: DataFrame) =
+      if (dataCols.isEmpty) struct(lit(true).as("_present"))
+      else struct(dataCols.map(col): _*)
+    val oldS = oldDf.select(keyCols.map(col) :+ img(oldDf).as("_pre"): _*)
+    val newS = newDf.select(keyCols.map(col) :+ img(newDf).as("_post"): _*)
+    val j = oldS.join(newS, keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("_pre").isNull,
+          array(struct(lit("insert").as("t"), col("_post").as("img"))))
+        .when(col("_post").isNull,
+          array(struct(lit("delete").as("t"), col("_pre").as("img"))))
+        .when(!(col("_pre") <=> col("_post")),
+          array(struct(lit("update_preimage").as("t"), col("_pre").as("img")),
+            struct(lit("update_postimage").as("t"), col("_post").as("img"))))
+        .otherwise(lit(null)) // identical row: explode drops it
+        .as("_ch"): _*)
+      .select(keyCols.map(col) :+ explode(col("_ch")).as("_e"): _*)
+    j.select(col("_e.t").as("_change_type") +:
+      cols.map { c =>
+        if (keyCols.contains(c)) col(c)
+        else col("_e.img").getField(c).as(c)
+      }: _*)
+  }
+
   /** Rolls the store back to `toVersion` by committing a NEW head whose
     * manifest is that version's — history is never rewritten (the bad
     * versions stay inspectable until expired), readers see the rollback

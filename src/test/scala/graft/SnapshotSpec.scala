@@ -138,6 +138,93 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, dir).count() == 4)
   }
 
+  private def chRows(dir: String, from: Int, to: Int)
+      : Set[(String, Long, String, Double)] =
+    SnapshotStore.changes(spark, dir, from, to, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSet
+
+  test("changes(1,2) emits the CDF feed; copied-over rows cancel; " +
+    "ONLY changed partitions' dirs are read") {
+    val dir = freshDir(); writeBase(dir)
+    val batch = Seq((1L, "a", 11.0, false), (5L, "b", 50.0, false),
+      (3L, "b", 0.0, true)).toDF("k", "p", "v", "_del")
+    SnapshotStore.merge(spark, dir, batch, "p", Seq("k"),
+      deleteCol = Some("_del"))
+    val ch = SnapshotStore.changes(spark, dir, 1, 2, Seq("k"))
+    assert(ch.columns.toSeq == Seq("_change_type", "k", "p", "v"))
+    assert(chRows(dir, 1, 2) == Set(
+      ("update_preimage", 1L, "a", 10.0),
+      ("update_postimage", 1L, "a", 11.0),
+      ("insert", 5L, "b", 50.0),
+      ("delete", 3L, "b", 30.0)))
+    // k=2 (copied over inside rewritten partition a) cancelled; k=4's
+    // partition c was never read: inputFiles ⊆ changed partitions a,b
+    val files = ch.inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("_p=a") || f.contains("_p=b")),
+      s"changes read an unchanged partition: $files")
+  }
+
+  test("changes spans versions (1→3), inverts direction (3→1), and " +
+    "previews a rollback (head→rolled-back head is the inverse merge)") {
+    val dir = freshDir(); writeBase(dir)
+    SnapshotStore.merge(spark, dir,
+      Seq((1L, "a", 11.0)).toDF("k", "p", "v"), "p", Seq("k"))
+    SnapshotStore.merge(spark, dir,
+      Seq((1L, "a", 12.0, false), (2L, "a", 0.0, true))
+        .toDF("k", "p", "v", "_del"), "p", Seq("k"),
+      deleteCol = Some("_del"))
+    assert(chRows(dir, 1, 3) == Set(
+      ("update_preimage", 1L, "a", 10.0),
+      ("update_postimage", 1L, "a", 12.0),
+      ("delete", 2L, "a", 20.0)))
+    // inverse direction: insert↔delete, preimage↔postimage
+    assert(chRows(dir, 3, 1) == Set(
+      ("update_preimage", 1L, "a", 12.0),
+      ("update_postimage", 1L, "a", 10.0),
+      ("insert", 2L, "a", 20.0)))
+    // identical versions (or any two referencing the same dirs) → empty
+    assert(chRows(dir, 2, 2).isEmpty)
+    // rollback preview: v4 = v1's manifest, so changes(3,4) == changes(3,1)
+    SnapshotStore.rollback(spark, dir, toVersion = 1)
+    assert(chRows(dir, 3, 4) == chRows(dir, 3, 1))
+  }
+
+  test("changes handles a fully-deleted partition (entry leaves the " +
+    "manifest) and an inserted-new-partition value") {
+    val dir = freshDir(); writeBase(dir)
+    val batch = Seq((4L, "c", 0.0, true), (9L, "z", 90.0, false))
+      .toDF("k", "p", "v", "_del")
+    SnapshotStore.merge(spark, dir, batch, "p", Seq("k"),
+      deleteCol = Some("_del"))
+    assert(chRows(dir, 1, 2) == Set(
+      ("delete", 4L, "c", 40.0), ("insert", 9L, "z", 90.0)))
+  }
+
+  test("Ivm.applyDelta: delta fold over the feed ≡ recompute; vanished " +
+    "groups drop, new groups appear, untouched groups pass through") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir(); writeBase(dir)
+    val batch = Seq((1L, "a", 11.0, false), (4L, "c", 0.0, true),
+      (9L, "z", 90.0, false)).toDF("k", "p", "v", "_del")
+    SnapshotStore.merge(spark, dir, batch, "p", Seq("k"),
+      deleteCol = Some("_del"))
+    val cents = round(col("v") * 100).cast("long")
+    def agg(v: Int) = SnapshotStore.read(spark, dir, Some(v))
+      .groupBy(col("p"))
+      .agg(sum(cents).as("sum_cents"), count(lit(1)).as("n"))
+    val maintained = graft.operators.Ivm.applyDelta(agg(1),
+      SnapshotStore.changes(spark, dir, 1, 2, Seq("k")),
+      Seq("p"), Seq("sum_cents" -> cents), "n")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = m(maintained)
+    assert(got == m(agg(2)), s"delta fold diverged from recompute: $got")
+    assert(!got.contains("c") && got.contains("z") &&
+      got("b") == (3000L, 1L))
+  }
+
   test("declared gate q_merge_snapshot returns both versions") {
     val out = SparkEntry.queries("q_merge_snapshot")(
       spark, "/root/testdata/sf0.001").collect()

@@ -289,11 +289,49 @@ class SqlSurfaceSpec extends SparkSpec {
       Seq((1L, 11.0), (2L, 20.0)))
     assert(rows(s"SELECT * FROM graft_snapshot('$dir', 'head')") ==
       rows(s"SELECT * FROM graft_snapshot('$dir', '2')"))
+    // the version catalog from SQL: one row per retained version
+    val hist = spark.sql(s"SELECT * FROM graft_snapshot('$dir', 'history')")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(hist == Seq((1, 2, 2L), (2, 2, 2L)), s"history: $hist")
     val e1 = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_snapshot('$dir', 'vv')").collect())
-    assert(e1.getMessage.contains("positive integer or 'head'"))
+    assert(e1.getMessage.contains("positive integer, 'head', or 'history'"))
     val e2 = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_snapshot('$dir')").collect())
     assert(e2.getMessage.contains("2 string-literal arguments"))
+  }
+
+  test("graft_changes TVF: the CDF feed matches the store API, supports " +
+    "composite keys, and rejects malformed arguments") {
+    import spark.implicits._
+    plans.AsOf.register(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_chsql").toString + "/st"
+    graft.storage.SnapshotStore.write(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v"), dir, "p")
+    graft.storage.SnapshotStore.merge(spark, dir,
+      Seq((1L, "a", 11.0), (3L, "b", 30.0)).toDF("k", "p", "v"),
+      "p", Seq("k"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSet
+    val viaSql = canon(spark.sql(
+      s"SELECT * FROM graft_changes('$dir', '1', '2', 'k')"))
+    assert(viaSql == canon(
+      graft.storage.SnapshotStore.changes(spark, dir, 1, 2, Seq("k"))))
+    assert(viaSql == Set(("update_preimage", 1L, "a", 10.0),
+      ("update_postimage", 1L, "a", 11.0), ("insert", 3L, "b", 30.0)))
+    // composite key (k, p): same feed here, exercised through the parser
+    assert(canon(spark.sql(
+      s"SELECT * FROM graft_changes('$dir', '1', '2', 'k, p')")) == viaSql)
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_changes('$dir', '0', '2', 'k')").collect())
+    assert(e1.getMessage.contains("positive integer version"))
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_changes('$dir', '1', '2')").collect())
+    assert(e2.getMessage.contains("4 string-literal arguments"))
+    val e3 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_changes('$dir', '1', '2', ' ')").collect())
+    assert(e3.getMessage.contains("at least one column"))
   }
 }
