@@ -44,6 +44,23 @@ object Extended extends QueryModule {
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
 
+  /** Shared on-disk snapshot fixture of the CDF / IVM / history gates
+    * (content-fingerprint-keyed via [[StreamGate.replayCache]], one build
+    * per corpus): v1 = orders, v2 = the shared [[mergeCdcBatch]] merged.
+    * The merge itself is `q_merge_snapshot`'s measured surface and that
+    * gate still performs its own; these three gates test the
+    * feed / fold / catalog OVER the store, so they share the build.
+    */
+  private def snapFixture(s: org.apache.spark.sql.SparkSession,
+                          d: String): String =
+    StreamGate.replayCache(d, "snapfix", "orders") { dir =>
+      val orders = t(s, d, "orders")
+      graft.storage.SnapshotStore.write(orders, s"$dir/st",
+        "o_orderpriority")
+      graft.storage.SnapshotStore.merge(s, s"$dir/st", mergeCdcBatch(orders),
+        "o_orderpriority", Seq("o_orderkey"), deleteCol = Some("_deleted"))
+    } + "/st"
+
   /** The CTE block both MERGE oracles share: the merged relation of the
     * [[mergeCdcBatch]] arms, replayed relationally.
     */
@@ -657,12 +674,7 @@ object Extended extends QueryModule {
     // integer-hash discipline; the raw double also survives, but why risk
     // it).
     "q_snapshot_changes" -> ((s, d) => {
-      val orders = t(s, d, "orders")
-      val dir = java.nio.file.Files.createTempDirectory("graft_cdf")
-        .toString + "/orders_cdf"
-      graft.storage.SnapshotStore.write(orders, dir, "o_orderpriority")
-      graft.storage.SnapshotStore.merge(s, dir, mergeCdcBatch(orders),
-        "o_orderpriority", Seq("o_orderkey"), deleteCol = Some("_deleted"))
+      val dir = snapFixture(s, d)
       graft.storage.SnapshotStore.changes(s, dir, 1, 2, Seq("o_orderkey"))
         .select(col("_change_type"), col("o_orderkey"), col("o_custkey"),
           col("o_orderstatus"),
@@ -677,15 +689,9 @@ object Extended extends QueryModule {
     // row count — the "what exactly is in this store and since when"
     // observability query; also SQL-reachable as
     // graft_snapshot(path, 'history').
-    "q_snapshot_history" -> ((s, d) => {
-      val orders = t(s, d, "orders")
-      val dir = java.nio.file.Files.createTempDirectory("graft_hist")
-        .toString + "/orders_hist"
-      graft.storage.SnapshotStore.write(orders, dir, "o_orderpriority")
-      graft.storage.SnapshotStore.merge(s, dir, mergeCdcBatch(orders),
-        "o_orderpriority", Seq("o_orderkey"), deleteCol = Some("_deleted"))
-      graft.storage.SnapshotStore.history(s, dir).orderBy(col("version"))
-    }),
+    "q_snapshot_history" -> ((s, d) =>
+      graft.storage.SnapshotStore.history(s, snapFixture(s, d))
+        .orderBy(col("version"))),
 
     // Incremental view maintenance: a materialized per-priority SUM/COUNT
     // rollup is refreshed by folding the CHANGES feed into the prior
@@ -694,12 +700,7 @@ object Extended extends QueryModule {
     // merged relation, which is exactly the IVM correctness claim: delta
     // fold ≡ recompute.
     "q_rollup_incremental" -> ((s, d) => {
-      val orders = t(s, d, "orders")
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivm")
-        .toString + "/orders_ivm"
-      graft.storage.SnapshotStore.write(orders, dir, "o_orderpriority")
-      graft.storage.SnapshotStore.merge(s, dir, mergeCdcBatch(orders),
-        "o_orderpriority", Seq("o_orderkey"), deleteCol = Some("_deleted"))
+      val dir = snapFixture(s, d)
       val cents = round(col("o_totalprice") * 100).cast("long")
       val prior = graft.storage.SnapshotStore.read(s, dir, Some(1))
         .groupBy(col("o_orderpriority"))

@@ -191,6 +191,30 @@ object SnapshotStore {
         .toSeq.distinct)
   }
 
+  /** Reads only the named partitions of snapshot `version` — the merge
+    * path's manifest-lookup pruning exposed to READERS: a one-month query
+    * of a 10k-partition store opens one directory, with no listing and no
+    * footer reads outside the selection (a plain `read().filter(...)`
+    * still lists and footer-probes every partition's files before
+    * row-group stats can prune). Unknown values simply select nothing.
+    */
+  def readPartitions(spark: SparkSession, path: String, values: Seq[String],
+                     version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(headVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
+    val entries = readManifest(spark, path, v)
+    val dirs = values.distinct.flatMap(entries.get).sorted
+      .map(d => s"$path/$d")
+    if (dirs.isEmpty)
+      // preserve the schema without touching unselected partitions more
+      // than once: one representative dir, zero rows
+      spark.read.parquet(entries.values.toSeq.sorted.headOption
+        .map(d => s"$path/$d")
+        .getOrElse(throw new IllegalArgumentException(
+          s"snapshot $v at $path has no partitions"))).drop("_p").limit(0)
+    else spark.read.parquet(dirs: _*).drop("_p")
+  }
+
   /** Version catalog — the Iceberg "snapshots" metadata-table analog: one
     * row per RETAINED version (expired manifests drop out), with the
     * partition count straight from the manifest and the row count from a

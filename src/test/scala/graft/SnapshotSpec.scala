@@ -202,6 +202,22 @@ class SnapshotSpec extends SparkSpec {
       ("delete", 4L, "c", 40.0), ("insert", 9L, "z", 90.0)))
   }
 
+  test("readPartitions opens ONLY the selected partitions' dirs; unknown " +
+    "values select nothing") {
+    val dir = freshDir(); writeBase(dir)
+    SnapshotStore.merge(spark, dir,
+      Seq((1L, "a", 11.0)).toDF("k", "p", "v"), "p", Seq("k"))
+    val df = SnapshotStore.readPartitions(spark, dir, Seq("a"))
+    assert(df.collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v"))
+      .toMap == Map(1L -> 11.0, 2L -> 20.0))
+    assert(df.inputFiles.nonEmpty && df.inputFiles.forall(_.contains("_p=a")),
+      s"read outside the selection: ${df.inputFiles.toSeq}")
+    val v1b = SnapshotStore.readPartitions(spark, dir, Seq("b", "nope"),
+      Some(1))
+    assert(v1b.collect().map(_.getAs[Long]("k")).toSet == Set(3L))
+    assert(SnapshotStore.readPartitions(spark, dir, Seq("zzz")).count() == 0)
+  }
+
   test("Ivm.applyDelta: delta fold over the feed ≡ recompute; vanished " +
     "groups drop, new groups appear, untouched groups pass through") {
     import org.apache.spark.sql.functions._
