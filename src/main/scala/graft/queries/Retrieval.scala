@@ -145,6 +145,42 @@ object Retrieval extends QueryModule {
         .orderBy(col("shard"))
     }),
 
+    // Deterministic EPOCH SHUFFLE: a seeded, content-free permutation for
+    // training-order randomization. shard = 4 hex digits of the seeded
+    // md5 mod 8 (the worker assignment), pos = rank within shard by the
+    // full hash — what a data loader actually consumes is a per-worker
+    // order, so there is NO global window (which would collapse to one
+    // partition); the rank parallelizes by shard. No rand(): retries and
+    // repartitioning reproduce the identical epoch.
+    "q_epoch_shuffle" -> ((s, d) => {
+      val h = md5(concat_ws("|", lit("epoch7"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard",
+          conv(substring(col("h"), 1, 4), 16, 10).cast("long") % 8)
+        .withColumn("pos", row_number().over(w))
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
+    // Small-file COMPACTION (graft.storage.Compaction): the 64-way
+    // fragmented corpus fixture is rewritten into size-targeted files via
+    // shuffle-free coalesce; the gate reads the compacted output back and
+    // hash-matches the ORIGINAL table — compaction is pure layout, zero
+    // content drift (md5(text) certifies byte-level text fidelity).
+    "q_compact_files" -> ((s, d) => {
+      val frag = fragmentedDocsDir(s, d)
+      val out = java.nio.file.Files.createTempDirectory("graft_compact")
+        .toString + "/docs"
+      graft.storage.Compaction.compact(s, frag, out,
+        targetFileBytes = 64L << 10)
+      s.read.parquet(out)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Stratified deterministic sampling: top-5 docs per language by content-
     // free md5 rank — the retry-safe per-stratum sample (no rand(), stable
     // under re-execution and partitioning). One window per stratum.
@@ -186,7 +222,33 @@ object Retrieval extends QueryModule {
         .write.partitionBy("shard").json(dir)
     }
 
+  /** 64-way fragmented copy of the documents table (content-fingerprint
+    * cached): the "many tiny files" fixture the compaction gate rewrites.
+    */
+  private def fragmentedDocsDir(s: org.apache.spark.sql.SparkSession,
+                                d: String): String =
+    StreamGate.replayCache(d, "frag64", table = "documents") { dir =>
+      t(s, d, "documents").repartition(64)
+        .write.mode("overwrite").parquet(dir)
+    }
+
   def oracle: Seq[(String, String)] = Seq(
+    "q_epoch_shuffle" ->
+      """WITH x AS (SELECT doc_id,
+        |    md5('epoch7|' || doc_id) AS h FROM documents),
+        |  y AS (SELECT doc_id, h,
+        |    CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 8 AS shard FROM x)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |    AS INTEGER) AS pos,
+        |  doc_id
+        |FROM y ORDER BY shard, pos""".stripMargin,
+
+    // compaction is pure layout: the read-back equals the original table
+    "q_compact_files" ->
+      """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_bm25" ->
       s"""WITH dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl
          |    FROM documents),
