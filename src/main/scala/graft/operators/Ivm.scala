@@ -32,7 +32,9 @@ object Ivm {
     * `prior` to the per-row contribution expression evaluated over a
     * change row. Groups whose maintained count reaches 0 are dropped
     * (matching what a recomputation over the new base would produce);
-    * groups first seen in the delta appear with prior = 0.
+    * groups first seen in the delta appear with prior = 0. The group join
+    * is null-SAFE: a NULL group key folds into the prior NULL group
+    * exactly as GROUP BY would collapse it on a recompute.
     */
   def applyDelta(prior: DataFrame, changes: DataFrame,
                  groupCols: Seq[String], sums: Seq[(String, Column)],
@@ -51,8 +53,16 @@ object Ivm {
       .agg(sum(sign * sums.head._2).as(s"_d_${sums.head._1}"),
         (sums.tail.map { case (n, e) => sum(sign * e).as(s"_d_$n") } :+
           sum(sign).as(s"_d_$countName")): _*)
-    prior.join(delta, groupCols, "full_outer")
-      .select(groupCols.map(col) ++ valNames.map { n =>
+      // null-SAFE group join below: a NULL group key must fold into the
+      // prior NULL group, not split into a second row (plain equi-join
+      // semantics would never match NULL = NULL)
+      .select(groupCols.map(c => col(c).as(s"_g_$c")) ++
+        valNames.map(n => col(s"_d_$n")): _*)
+    val joinCond = groupCols.map(c => col(c) <=> col(s"_g_$c"))
+      .reduce(_ && _)
+    prior.join(delta, joinCond, "full_outer")
+      .select(groupCols.map(c =>
+        coalesce(col(c), col(s"_g_$c")).as(c)) ++ valNames.map { n =>
         (coalesce(col(n), lit(0L)) + coalesce(col(s"_d_$n"), lit(0L))).as(n)
       }: _*)
       .filter(col(countName) > 0)

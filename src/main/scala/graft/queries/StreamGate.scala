@@ -395,8 +395,12 @@ object StreamGate extends QueryModule {
     def agg(df: DataFrame): DataFrame =
       df.groupBy(col("o_orderpriority"))
         .agg(sum(cents).as("sum_cents"), count(lit(1)).as("n_orders"))
-    // the ONLY full-store aggregation: seed the materialized rollup at v1
-    var rollup = agg(SnapshotStore.read(s, store, Some(1))).localCheckpoint()
+    // the ONLY full-store aggregation: seed the materialized rollup at v1.
+    // AtomicReference, not a var: foreachBatch runs on the stream's
+    // microbatch thread and the final get happens on the caller's after
+    // awaitTermination — the reference is the visibility fence.
+    val rollup = new java.util.concurrent.atomic.AtomicReference(
+      agg(SnapshotStore.read(s, store, Some(1))).localCheckpoint())
     val updDir = replayCache(d, "mergecdc", "orders") { dir =>
       val upd = t(s, d, "orders")
         .filter(col("o_orderkey") % 5 === 0)
@@ -422,15 +426,15 @@ object StreamGate extends QueryModule {
         if (to != from) {
           val feed = SnapshotStore.changes(s, store, from, to,
             Seq("o_orderkey"))
-          rollup = graft.operators.Ivm.applyDelta(rollup, feed,
+          rollup.set(graft.operators.Ivm.applyDelta(rollup.get(), feed,
             Seq("o_orderpriority"), Seq("sum_cents" -> cents), "n_orders")
-            .localCheckpoint()
+            .localCheckpoint())
         }
       }
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    rollup.orderBy(col("o_orderpriority"))
+    rollup.get().orderBy(col("o_orderpriority"))
   }
 
   private val runners: Seq[(String, QFn)] = Seq(

@@ -30,12 +30,19 @@ object Compaction {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
-      .filter(st => st.isFile && {
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })
-      .map(_.getLen).sum
+    // recursive DATA-file byte count, so a Hive-partitioned input still
+    // sizes correctly (a flat listStatus would sum 0 over subdirectories
+    // and coalesce everything into one file); _SUCCESS/markers excluded.
+    // NOTE: compacting a partitioned dir through here flattens the
+    // layout — partitioned stores compact per-partition
+    // (MergeStore/SnapshotStore rewrite partitions whole).
+    var totalBytes = 0L
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(inDir), true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) totalBytes += st.getLen
+    }
     val nOut = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(inDir)

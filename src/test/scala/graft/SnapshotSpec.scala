@@ -241,6 +241,21 @@ class SnapshotSpec extends SparkSpec {
       got("b") == (3000L, 1L))
   }
 
+  test("Ivm.applyDelta folds a NULL group key into the prior NULL group " +
+    "(null-safe group join, matching GROUP BY collapse on recompute)") {
+    import org.apache.spark.sql.functions._
+    val prior = Seq((Some("a"), 100L, 2L), (None, 50L, 1L))
+      .toDF("g", "sum_v", "n")
+    val changes = Seq(("insert", Option.empty[String], 7L),
+      ("insert", Some("a"), 3L)).toDF("_change_type", "g", "v")
+    val out = graft.operators.Ivm.applyDelta(prior, changes, Seq("g"),
+      Seq("sum_v" -> col("v")), "n")
+    val m = out.collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(m == Map(Some("a") -> (103L, 3L), None -> (57L, 2L)), m)
+  }
+
   test("declared gate q_merge_snapshot returns both versions") {
     val out = SparkEntry.queries("q_merge_snapshot")(
       spark, "/root/testdata/sf0.001").collect()
