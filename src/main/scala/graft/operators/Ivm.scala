@@ -67,4 +67,47 @@ object Ivm {
       }: _*)
       .filter(col(countName) > 0)
   }
+
+  /** [[applyDelta]] generalized to a materialized ROLLUP: `prior` is a
+    * `rollup(groupCols).agg(grouping_id() as gidName, sums…, count)`
+    * materialization, and the delta is folded into EVERY grouping set in
+    * one pass — the change feed is rolled up itself (one Expand, one
+    * shuffle), then joined to the prior on (grouping_id, null-safe group
+    * cols). The grouping id is what disambiguates a rolled-up NULL from a
+    * real NULL group value, so both fold correctly. AVG needs no extra
+    * maintained state — it is derived from the maintained SUM/COUNT at
+    * read time (the standard self-maintainability decomposition), which is
+    * why this module still maintains only SUM and COUNT.
+    */
+  def applyDeltaRollup(prior: DataFrame, changes: DataFrame,
+                       groupCols: Seq[String], sums: Seq[(String, Column)],
+                       countName: String, gidName: String): DataFrame = {
+    require(groupCols.nonEmpty, "applyDeltaRollup needs group columns")
+    require(sums.nonEmpty, "applyDeltaRollup needs a maintained sum")
+    val valNames = sums.map(_._1) :+ countName
+    (valNames :+ gidName).foreach(n => require(prior.columns.contains(n),
+      s"prior rollup lacks maintained column $n"))
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
+      .otherwise(raise_error(concat(lit("unknown _change_type: "),
+        col("_change_type"))))
+    val delta = changes.rollup(groupCols.map(col): _*)
+      .agg(grouping_id().cast("int").as(s"_g_$gidName"),
+        (sums.map { case (n, e) => sum(sign * e).as(s"_d_$n") } :+
+          sum(sign).as(s"_d_$countName")): _*)
+      .select((col(s"_g_$gidName") +:
+        groupCols.map(c => col(c).as(s"_g_$c"))) ++
+        valNames.map(n => col(s"_d_$n")): _*)
+    val joinCond = ((col(gidName) === col(s"_g_$gidName")) +:
+      groupCols.map(c => col(c) <=> col(s"_g_$c"))).reduce(_ && _)
+    prior.join(delta, joinCond, "full_outer")
+      .select((coalesce(col(gidName), col(s"_g_$gidName")).as(gidName) +:
+        groupCols.map(c => coalesce(col(c), col(s"_g_$c")).as(c))) ++
+        valNames.map { n =>
+          (coalesce(col(n), lit(0L)) +
+            coalesce(col(s"_d_$n"), lit(0L))).as(n)
+        }: _*)
+      .filter(col(countName) > 0)
+  }
 }

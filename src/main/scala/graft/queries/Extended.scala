@@ -710,6 +710,59 @@ object Extended extends QueryModule {
       graft.operators.Ivm.applyDelta(prior, feed, Seq("o_orderpriority"),
         Seq("sum_cents" -> cents), "n_orders")
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // IVM over a materialized ROLLUP with derived AVG: the prior is a
+    // rollup(priority, status) SUM/COUNT materialization (grouping_id
+    // disambiguates rolled-up NULLs from real NULL group values); ONE
+    // rollup pass over the changes feed folds the delta into every
+    // grouping set, and AVG is derived from the maintained SUM/COUNT at
+    // read time — no extra state. Hash-matched against a from-scratch
+    // GROUP BY ROLLUP over the merged relation: delta fold ≡ recompute,
+    // now across grouping sets.
+    "q_rollup_incremental_avg" -> ((s, d) => {
+      val dir = snapFixture(s, d)
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val prior = graft.storage.SnapshotStore.read(s, dir, Some(1))
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping_id().cast("int").as("gid"),
+          sum(cents).as("sum_cents"), count(lit(1)).as("n_orders"))
+      val feed = graft.storage.SnapshotStore.changes(s, dir, 1, 2,
+        Seq("o_orderkey"))
+      graft.operators.Ivm.applyDeltaRollup(prior, feed,
+        Seq("o_orderpriority", "o_orderstatus"),
+        Seq("sum_cents" -> cents), "n_orders", "gid")
+        .withColumn("avg_cents",
+          round(col("sum_cents") / col("n_orders"), 4))
+        .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }),
+
+    // APPEND fast path + per-partition compaction on the snapshot store
+    // (graft.storage.SnapshotStore.append/compactPartitions — the Iceberg
+    // "rewrite data files" analog): v1 = a third of orders, v2/v3 append
+    // the other thirds O(batch) (touched partitions accumulate dir LISTS,
+    // nothing rewritten), v4 compacts every multi-dir partition back to
+    // one dir via the manifest CAS. The gate aggregates ALL FOUR
+    // versions: v2/v3 certify append visibility + isolation, and
+    // v4 == v3 in the same hashed artifact IS the pure-layout proof
+    // (compaction changed bytes on disk, not one row). SnapshotSpec
+    // pins the layout side (dir counts 3 → 1).
+    "q_compact_store" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_cstore")
+        .toString + "/orders_app"
+      def third(r: Int) = orders.filter(col("o_orderkey") % 3 === r)
+      graft.storage.SnapshotStore.write(third(1), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(third(2), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(third(0), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.compactPartitions(s, dir,
+        "o_orderpriority")
+      def agg(v: Int) =
+        mergeAgg(graft.storage.SnapshotStore.read(s, dir, Some(v)))
+          .withColumn("version", lit(v))
+      agg(1).unionByName(agg(2)).unionByName(agg(3)).unionByName(agg(4))
+        .orderBy(col("version"), col("o_orderpriority"))
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -1135,6 +1188,42 @@ object Extended extends QueryModule {
         |  count(*) AS n_orders
         |FROM merged GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // rollup fold ≡ GROUP BY ROLLUP recompute; DuckDB's grouping(a,b) bit
+    // vector matches Spark's grouping_id() (first arg most significant —
+    // the q_grouping_sets precedent), and avg derives from the maintained
+    // sum/count identically on both engines (BIGINT/BIGINT → float
+    // division of exact integers)
+    "q_rollup_incremental_avg" ->
+      s"""$mergeOracleCte,
+        |  r AS (SELECT
+        |      CAST(grouping(o_orderpriority, o_orderstatus) AS INT) AS gid,
+        |      o_orderpriority, o_orderstatus,
+        |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |        AS sum_cents,
+        |      count(*) AS n_orders
+        |    FROM merged GROUP BY ROLLUP (o_orderpriority, o_orderstatus))
+        |SELECT gid, o_orderpriority, o_orderstatus, sum_cents, n_orders,
+        |  round(sum_cents / n_orders, 4) AS avg_cents
+        |FROM r
+        |ORDER BY gid, o_orderpriority ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    // append∘append∘compact replayed relationally: v_k = the union of the
+    // first k thirds; v4 (post-compaction) must equal v3 — pure layout
+    "q_compact_store" -> {
+      def vAgg(v: Int, pred: String) =
+        s"""SELECT $v AS version, o_orderpriority, count(*) AS n_orders,
+           |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |      AS sum_cents,
+           |    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |  FROM orders WHERE $pred GROUP BY o_orderpriority""".stripMargin
+      Seq(vAgg(1, "o_orderkey % 3 = 1"),
+        vAgg(2, "o_orderkey % 3 IN (1, 2)"),
+        vAgg(3, "TRUE"), vAgg(4, "TRUE"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          ")\nORDER BY version, o_orderpriority")
+    },
 
     "q_profile_table" ->
       Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>

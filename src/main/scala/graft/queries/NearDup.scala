@@ -44,6 +44,31 @@ object NearDup extends QueryModule {
         history, "doc_id", "text", key = d, variant = "mod3")
       graft.storage.NearDupIndexStore.pairsAgainst(
         history, batch, "doc_id", "text", dir, 0.5)
+    }),
+    // The full incremental LOOP over the persisted index — probe, admit,
+    // APPEND, probe the next batch against history + admitted — declared
+    // end-to-end: round 1 probes batch₁ (doc_id%3=2) against indexed
+    // history (%3=1); batch₁ is then appended (NearDupIndexStore.append,
+    // inside the build-once publish so reruns are idempotent) and round 2
+    // probes batch₂ (%3=0) against history ∪ batch₁. Pairs carry exact
+    // Jaccard, so the oracle is the same brute-force join with the two
+    // rounds' membership predicates.
+    "q_dedup_near_append" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val docs = t(s, d, "documents")
+      val history = docs.filter(col("doc_id") % 3 === 1)
+      val batch1 = docs.filter(col("doc_id") % 3 === 2)
+      val batch2 = docs.filter(col("doc_id") % 3 === 0)
+      val dir = graft.storage.NearDupIndexStore.ensureIndex(
+        history, "doc_id", "text", key = d, variant = "mod3append",
+        alsoAppend = Some(batch1))
+      val p1 = graft.storage.NearDupIndexStore.pairsAgainst(
+        history, batch1, "doc_id", "text", dir, 0.5)
+      val p2 = graft.storage.NearDupIndexStore.pairsAgainst(
+        history.unionByName(batch1), batch2, "doc_id", "text", dir, 0.5)
+      p1.withColumn("round", lit(1))
+        .unionByName(p2.withColumn("round", lit(2)))
+        .orderBy(col("round"), col("b"), col("h"))
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -86,6 +111,33 @@ object NearDup extends QueryModule {
         |      JOIN counts ch ON ch.doc_id = i.h)
         |SELECT b, h, jaccard FROM pairs WHERE jaccard >= 0.5
         |ORDER BY b, h""".stripMargin,
+    // The two-round incremental loop, replayed as membership predicates:
+    // round 1 = batch₁ (%3=2) × history (%3=1); round 2 = batch₂ (%3=0)
+    // × (history ∪ batch₁) (%3≠0).
+    "q_dedup_near_append" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |  sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, greatest(len(ts)-1, 1)),
+        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+        |    FROM tok) WHERE sh IS NOT NULL AND length(sh) > 0),
+        |  counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |  inter AS (
+        |    SELECT 1 AS round, p.doc_id AS b, q.doc_id AS h, count(*) AS inter
+        |    FROM sh p JOIN sh q ON p.sh = q.sh
+        |      AND p.doc_id % 3 = 2 AND q.doc_id % 3 = 1
+        |    GROUP BY p.doc_id, q.doc_id
+        |    UNION ALL
+        |    SELECT 2 AS round, p.doc_id AS b, q.doc_id AS h, count(*) AS inter
+        |    FROM sh p JOIN sh q ON p.sh = q.sh
+        |      AND p.doc_id % 3 = 0 AND q.doc_id % 3 <> 0
+        |    GROUP BY p.doc_id, q.doc_id),
+        |  pairs AS (SELECT i.round, i.b, i.h,
+        |      round(inter / (cb.n_sh + ch.n_sh - inter), 4) AS jaccard
+        |    FROM inter i JOIN counts cb ON cb.doc_id = i.b
+        |      JOIN counts ch ON ch.doc_id = i.h)
+        |SELECT round, b, h, jaccard FROM pairs WHERE jaccard >= 0.5
+        |ORDER BY round, b, h""".stripMargin,
     // Bit-exact md5 SimHash rebuild: two 32-bit signature halves (lo = votes
     // of md5 hex chars 1-8, hi = chars 9-16), all-pairs Hamming ≤ 3.
     "q_dedup_simhash" ->

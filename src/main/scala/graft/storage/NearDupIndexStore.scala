@@ -170,10 +170,18 @@ object NearDupIndexStore {
     * discipline: tmp-dir keyed by dataset dir + the documents files'
     * fingerprint (an in-place rewrite of the source re-keys and rebuilds),
     * published via [[AtomicDir.publishOnce]] so concurrent Verify/Bench
-    * JVMs share one complete index.
+    * JVMs share one complete index. `alsoAppend` exercises the [[append]]
+    * path inside the same publish (build history, then append the batch):
+    * the published index equals history ∪ batch, and because probe
+    * candidates are text-verified against ONLY the `history` DataFrame the
+    * caller passes to [[pairsAgainst]], probing a batch against an index
+    * that already contains it yields exactly the sequential
+    * probe-then-append loop's result — which is what makes the
+    * incremental-loop gate idempotent across reruns.
     */
   def ensureIndex(history: DataFrame, idCol: String, textCol: String,
-                  key: String, variant: String = ""): String = {
+                  key: String, variant: String = "",
+                  alsoAppend: Option[DataFrame] = None): String = {
     val memoKey =
       s"v2|$key|$variant|${BucketedTables.sourceFingerprint(key, "documents")}"
     built.getOrElseUpdate(memoKey, {
@@ -181,7 +189,10 @@ object NearDupIndexStore {
         .digest(memoKey.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ndidx_$h"
-      AtomicDir.publishOnce(dir)(tmp => build(history, idCol, textCol, tmp))
+      AtomicDir.publishOnce(dir) { tmp =>
+        build(history, idCol, textCol, tmp)
+        alsoAppend.foreach(b => append(b, idCol, textCol, tmp))
+      }
     })
   }
 }

@@ -15,13 +15,20 @@ import graft.operators.Joins
   * Layout (the Iceberg/Delta argument re-expressed minimally):
   *   - `data/<gen>/_p=<value>/…` — immutable per-partition file sets; a
   *     merge writes ONLY its touched partitions into a fresh gen dir
-  *   - `_manifest-<v>` — one line per live partition: `value TAB dir`;
-  *     committed with rename-no-overwrite (the same single-winner CAS
-  *     primitive as [[LogTableWriter.compact]]), so a snapshot either
-  *     exists completely or not at all — there is NO window where some
-  *     partitions are new and others old (the in-place store's
-  *     overwrite-then-delete gap), and concurrent mergers get exactly one
-  *     winner, the loser aborting with its garbage removed.
+  *   - `_manifest-<v>` — one line per live partition: `value TAB dir
+  *     [TAB dir …]`; a partition normally maps to ONE dir (every merge
+  *     rewrites its touched partitions whole), but [[append]] adds dirs
+  *     without rewriting, so an append-heavy partition accumulates a
+  *     dir LIST until [[compactPartitions]] (or any merge touching it)
+  *     collapses it back to one. Committed with rename-no-overwrite (the
+  *     same single-winner CAS primitive as [[LogTableWriter.compact]]),
+  *     so a snapshot either exists completely or not at all — there is
+  *     NO window where some partitions are new and others old (the
+  *     in-place store's overwrite-then-delete gap), and concurrent
+  *     mergers get exactly one winner, the loser aborting with its
+  *     garbage removed. CAS losers retry with [[mergeWithRetry]] (each
+  *     attempt re-reads the new head and re-resolves, so retried merges
+  *     serialize instead of clobbering).
   *
   * Scale story: reads resolve partitions from the MANIFEST, not a
   * directory listing — a merge of a 3-partition batch into a
@@ -53,8 +60,13 @@ object SnapshotStore {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  private def readManifest(spark: SparkSession, path: String,
-                           version: Int): Map[String, String] = {
+  /** value → dirs. Dir lists are tab-separated: partition VALUES are
+    * path-escaped (tab → %09) and dir strings are built from escaped
+    * values, so TAB never occurs inside a field. `private[graft]` for the
+    * scale probe (manifest-ceiling rung), not API.
+    */
+  private[graft] def readManifest(spark: SparkSession, path: String,
+                                  version: Int): Map[String, Seq[String]] = {
     val fs = hfs(spark, path)
     val mf = new org.apache.hadoop.fs.Path(path, s"_manifest-$version")
     require(fs.exists(mf), s"no snapshot version $version at $path")
@@ -62,8 +74,8 @@ object SnapshotStore {
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     txt.split("\n").filter(_.nonEmpty).map { line =>
-      val Array(v, d) = line.split("\t", 2)
-      Esc.unescapePathName(v) -> d
+      val parts = line.split("\t").toSeq
+      Esc.unescapePathName(parts.head) -> parts.tail
     }.toMap
   }
 
@@ -92,9 +104,9 @@ object SnapshotStore {
     * manifest discipline); cleans `genDirs` and aborts if another
     * committer won the rename.
     */
-  private def commit(spark: SparkSession, path: String, v: Int,
-                     entries: Map[String, String],
-                     genDirs: Seq[String]): Unit = {
+  private[graft] def commit(spark: SparkSession, path: String, v: Int,
+                            entries: Map[String, Seq[String]],
+                            genDirs: Seq[String]): Unit = {
     val fs = hfs(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(root,
@@ -104,7 +116,8 @@ object SnapshotStore {
     // names), so a partition value containing TAB/newline round-trips
     // instead of corrupting the line format
     out.write(entries.toSeq.sortBy(_._1)
-      .map { case (value, d) => s"${Esc.escapePathName(value)}\t$d" }
+      .map { case (value, ds) =>
+        (Esc.escapePathName(value) +: ds).mkString("\t") }
       .mkString("\n").getBytes("UTF-8"))
     out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
@@ -132,7 +145,8 @@ object SnapshotStore {
       s"$path already holds a snapshot store; use merge")
     val entries = writeGen(df, path, partCol)
     commit(df.sparkSession, path, 1,
-      entries, entries.values.map(d => d.split("/").take(2).mkString("/"))
+      entries.map { case (p, d) => p -> Seq(d) },
+      entries.values.map(d => d.split("/").take(2).mkString("/"))
         .toSeq.distinct)
   }
 
@@ -144,7 +158,7 @@ object SnapshotStore {
            version: Option[Int] = None): DataFrame = {
     val v = version.orElse(headVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
-    val dirs = readManifest(spark, path, v).values.toSeq.sorted
+    val dirs = readManifest(spark, path, v).values.flatten.toSeq.sorted
       .map(d => s"$path/$d")
     spark.read.parquet(dirs: _*).drop("_p")
   }
@@ -173,7 +187,7 @@ object SnapshotStore {
     val parts = resolved.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toIndexedSeq
     if (parts.isEmpty) return
-    val touchedDirs = parts.flatMap(entries.get)
+    val touchedDirs = parts.flatMap(entries.get).flatten
     val merged = if (touchedDirs.isEmpty) upserts else {
       val base = spark.read
         .parquet(touchedDirs.map(d => s"$path/$d"): _*).drop("_p")
@@ -186,9 +200,96 @@ object SnapshotStore {
     // touched partitions whose rows were ALL deleted simply leave the
     // manifest — no directory surgery, the files stay for old versions
     commit(spark, path, head + 1,
-      (entries -- parts) ++ newEntries,
+      (entries -- parts) ++ newEntries.map { case (p, d) => p -> Seq(d) },
       newEntries.values.map(_.split("/").take(2).mkString("/"))
         .toSeq.distinct)
+  }
+
+  /** [[merge]] with a bounded CAS-loser retry loop: each attempt re-reads
+    * the NEW head and re-resolves through the same code path, so two
+    * concurrent mergers both land — serialized, one as version v and the
+    * retried one as v+1 — instead of the loser surfacing
+    * `ConcurrentModificationException` to the pipeline. Retries exhaust to
+    * the original exception (the store is consistent either way; only this
+    * caller's batch is unapplied). The loser's aborted attempt has already
+    * cleaned its gen dirs, so retrying leaks nothing.
+    */
+  def mergeWithRetry(spark: SparkSession, path: String, batch: DataFrame,
+                     partCol: String, keyCols: Seq[String],
+                     deleteCol: Option[String] = None,
+                     precedenceCol: Option[String] = None,
+                     broadcastRowLimit: Long = Joins.BroadcastRowLimit,
+                     maxRetries: Int = 5,
+                     beforeCommit: () => Unit = () => ()): Unit = {
+    var attempt = 0
+    while (true) {
+      try {
+        merge(spark, path, batch, partCol, keyCols, deleteCol,
+          precedenceCol, broadcastRowLimit, beforeCommit)
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
+
+  /** Insert-only APPEND fast path: writes ONLY the batch's rows as a new
+    * gen and commits a manifest where each touched partition keeps its
+    * existing dirs PLUS the new one — O(batch) work regardless of store
+    * size (a merge rewrites every touched partition whole, so high-rate
+    * ingest through merge does O(touched partitions) work per batch; at
+    * 100 TB with hot partitions that difference is the ingest budget).
+    * The caller guarantees appended keys are NEW (insert-only CDC);
+    * duplicate keys need [[merge]]. Appends accumulate small per-partition
+    * files by design — [[compactPartitions]] (or any merge touching the
+    * partition) collapses them.
+    */
+  def append(df: DataFrame, path: String, partCol: String): Unit = {
+    val spark = df.sparkSession
+    val head = headVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path; use write"))
+    val entries = readManifest(spark, path, head)
+    val newEntries = writeGen(df, path, partCol)
+    if (newEntries.isEmpty) return
+    commit(spark, path, head + 1,
+      entries ++ newEntries.map { case (p, d) =>
+        p -> (entries.getOrElse(p, Nil) :+ d) },
+      newEntries.values.map(_.split("/").take(2).mkString("/"))
+        .toSeq.distinct)
+  }
+
+  /** Per-partition small-file compaction, snapshot-committed — the Iceberg
+    * "rewrite data files" action: partitions whose manifest entry lists
+    * `minDirs`+ dirs (accumulated by [[append]]) are read back and
+    * rewritten into ONE fresh gen dir each, then committed as a new
+    * version via the same manifest CAS. Pure layout: `read(head)` before
+    * and after are row-identical (the declared gate hash-matches the
+    * post-compaction read against the relational union), old versions keep
+    * their dirs until [[expire]]. Untouched partitions are not read,
+    * listed, or rewritten. `values` narrows the sweep; returns the number
+    * of partitions compacted. Racing a concurrent merge loses the CAS —
+    * re-call to retry against the new head (each call re-reads it).
+    */
+  def compactPartitions(spark: SparkSession, path: String, partCol: String,
+                        values: Option[Seq[String]] = None,
+                        minDirs: Int = 2): Int = {
+    require(minDirs >= 2, "minDirs < 2 would rewrite already-compact partitions")
+    val head = headVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val entries = readManifest(spark, path, head)
+    val chosen = entries.filter { case (p, dirs) =>
+      dirs.size >= minDirs && values.forall(_.contains(p)) }
+    if (chosen.isEmpty) return 0
+    val df = spark.read.parquet(
+      chosen.values.flatten.toSeq.sorted.map(d => s"$path/$d"): _*).drop("_p")
+    val newEntries = writeGen(df, path, partCol)
+    commit(spark, path, head + 1,
+      entries ++ newEntries.map { case (p, d) => p -> Seq(d) },
+      newEntries.values.map(_.split("/").take(2).mkString("/"))
+        .toSeq.distinct)
+    chosen.size
   }
 
   /** Reads only the named partitions of snapshot `version` — the merge
@@ -203,12 +304,12 @@ object SnapshotStore {
     val v = version.orElse(headVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
     val entries = readManifest(spark, path, v)
-    val dirs = values.distinct.flatMap(entries.get).sorted
+    val dirs = values.distinct.flatMap(entries.get).flatten.sorted
       .map(d => s"$path/$d")
     if (dirs.isEmpty)
       // preserve the schema without touching unselected partitions more
       // than once: one representative dir, zero rows
-      spark.read.parquet(entries.values.toSeq.sorted.headOption
+      spark.read.parquet(entries.values.flatten.toSeq.sorted.headOption
         .map(d => s"$path/$d")
         .getOrElse(throw new IllegalArgumentException(
           s"snapshot $v at $path has no partitions"))).drop("_p").limit(0)
@@ -268,8 +369,9 @@ object SnapshotStore {
     val toM = readManifest(spark, path, toVersion)
     val changed = (fromM.keySet ++ toM.keySet)
       .filter(p => fromM.get(p) != toM.get(p))
-    def rd(m: Map[String, String]): Option[DataFrame] = {
-      val dirs = changed.toSeq.flatMap(m.get).sorted.map(d => s"$path/$d")
+    def rd(m: Map[String, Seq[String]]): Option[DataFrame] = {
+      val dirs = changed.toSeq.flatMap(m.get).flatten.sorted
+        .map(d => s"$path/$d")
       if (dirs.isEmpty) None
       else Some(spark.read.parquet(dirs: _*).drop("_p"))
     }
@@ -336,7 +438,7 @@ object SnapshotStore {
     val root = new org.apache.hadoop.fs.Path(path)
     val head = headVersion(spark, path).getOrElse(return)
     val live = (math.max(1, head - keep + 1) to head)
-      .flatMap(v => readManifest(spark, path, v).values)
+      .flatMap(v => readManifest(spark, path, v).values.flatten)
       .map(_.split("/").take(2).mkString("/")).toSet
     (1 until math.max(1, head - keep + 1)).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifest-$v"), false)

@@ -256,10 +256,120 @@ class SnapshotSpec extends SparkSpec {
     assert(m == Map(Some("a") -> (103L, 3L), None -> (57L, 2L)), m)
   }
 
+  test("Ivm.applyDeltaRollup folds one delta into every grouping set and " +
+    "keeps a real NULL group distinct from the rolled-up NULL (gid)") {
+    import org.apache.spark.sql.functions._
+    val base = Seq((Some("x"), 10L), (Some("x"), 20L), (None, 5L))
+      .toDF("g", "v")
+    val prior = base.rollup(col("g"))
+      .agg(grouping_id().cast("int").as("gid"),
+        sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+    val changes = Seq(("insert", Option.empty[String], 7L),
+      ("delete", Some("x"), 10L)).toDF("_change_type", "g", "v")
+    val out = graft.operators.Ivm.applyDeltaRollup(prior, changes,
+      Seq("g"), Seq("sum_v" -> col("v")), "n", "gid")
+    val got = out.collect()
+      .map(r => (r.getInt(0), Option(r.getString(1))) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // recompute over base + changes: x → (20,1), NULL → (12,2), total (32,3)
+    assert(got == Map(
+      (0, Some("x")) -> (20L, 1L),
+      (0, None) -> (12L, 2L),       // REAL null group, gid 0
+      (1, None) -> (32L, 3L)),      // rolled-up grand total, gid 1
+      got)
+  }
+
   test("declared gate q_merge_snapshot returns both versions") {
     val out = SparkEntry.queries("q_merge_snapshot")(
       spark, "/root/testdata/sf0.001").collect()
     val versions = out.map(_.getAs[Int]("version")).toSet
     assert(versions == Set(1, 2), s"got versions $versions")
+  }
+
+  private def manifestDirs(dir: String, v: Int): Map[String, Seq[String]] =
+    SnapshotStore.readManifest(spark, dir, v)
+
+  test("append writes ONLY the batch as a new gen; touched partitions " +
+    "accumulate dir lists; old version unaffected") {
+    val dir = freshDir(); writeBase(dir)
+    val gensBefore = new java.io.File(s"$dir/data").listFiles().length
+    SnapshotStore.append(
+      Seq((5L, "a", 50.0), (6L, "q", 60.0)).toDF("k", "p", "v"), dir, "p")
+    assert(SnapshotStore.headVersion(spark, dir).contains(2))
+    // exactly ONE new gen dir, holding only the appended partitions
+    val gens = new java.io.File(s"$dir/data").listFiles()
+    assert(gens.length == gensBefore + 1)
+    assert(readV(dir, 2) == Map(1L -> ("a", 10.0), 2L -> ("a", 20.0),
+      3L -> ("b", 30.0), 4L -> ("c", 40.0), 5L -> ("a", 50.0),
+      6L -> ("q", 60.0)))
+    assert(readV(dir, 1).size == 4, "append mutated v1")
+    val m = manifestDirs(dir, 2)
+    assert(m("a").size == 2 && m("b").size == 1 && m("q").size == 1,
+      s"manifest dir lists wrong: $m")
+    // untouched partition b's dir is SHARED by reference with v1
+    assert(manifestDirs(dir, 1)("b") == m("b"))
+  }
+
+  test("compactPartitions rewrites multi-dir partitions to one dir, " +
+    "read-back identical, untouched partitions shared, old version intact") {
+    val dir = freshDir(); writeBase(dir)
+    SnapshotStore.append(Seq((5L, "a", 50.0)).toDF("k", "p", "v"), dir, "p")
+    SnapshotStore.append(Seq((6L, "a", 60.0)).toDF("k", "p", "v"), dir, "p")
+    val before = readV(dir, 3)
+    assert(manifestDirs(dir, 3)("a").size == 3)
+    val n = SnapshotStore.compactPartitions(spark, dir, "p")
+    assert(n == 1, s"expected 1 compacted partition, got $n")
+    assert(SnapshotStore.headVersion(spark, dir).contains(4))
+    assert(readV(dir, 4) == before, "compaction changed content")
+    val m4 = manifestDirs(dir, 4)
+    assert(m4("a").size == 1, s"partition a not collapsed: $m4")
+    // untouched partitions keep their original dirs by reference
+    assert(m4("b") == manifestDirs(dir, 1)("b"))
+    // pre-compaction version still reads (its dirs survive until expire)
+    assert(readV(dir, 3) == before)
+    // nothing left to compact: second sweep is a no-op, no new version
+    assert(SnapshotStore.compactPartitions(spark, dir, "p") == 0)
+    assert(SnapshotStore.headVersion(spark, dir).contains(4))
+  }
+
+  test("mergeWithRetry: the CAS loser re-reads the new head and lands — " +
+    "both concurrent merges applied, serialized") {
+    val dir = freshDir(); writeBase(dir)
+    var raced = false
+    SnapshotStore.mergeWithRetry(spark, dir,
+      Seq((1L, "a", 11.0)).toDF("k", "p", "v"), "p", Seq("k"),
+      beforeCommit = () => if (!raced) {
+        raced = true // the competitor lands BETWEEN our gen write and commit
+        SnapshotStore.merge(spark, dir,
+          Seq((3L, "b", 33.0)).toDF("k", "p", "v"), "p", Seq("k"))
+      })
+    assert(SnapshotStore.headVersion(spark, dir).contains(3))
+    val head = readV(dir, 3)
+    assert(head(1L) == ("a", 11.0) && head(3L) == ("b", 33.0),
+      s"one of the racing merges was lost: $head")
+    // v2 is the competitor's merge alone (serialization order)
+    assert(readV(dir, 2)(3L) == ("b", 33.0))
+    assert(readV(dir, 2)(1L) == ("a", 10.0))
+  }
+
+  test("mergeWithRetry exhausts to the original exception; the store " +
+    "stays consistent") {
+    val dir = freshDir(); writeBase(dir)
+    var competitorV = 100.0
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.mergeWithRetry(spark, dir,
+        Seq((1L, "a", 11.0)).toDF("k", "p", "v"), "p", Seq("k"),
+        maxRetries = 2,
+        beforeCommit = () => { // a competitor wins EVERY window
+          competitorV += 1
+          SnapshotStore.merge(spark, dir,
+            Seq((3L, "b", competitorV)).toDF("k", "p", "v"), "p", Seq("k"))
+        })
+    }
+    // 3 attempts, each beaten by one competitor commit: head = 1 + 3
+    assert(SnapshotStore.headVersion(spark, dir).contains(4))
+    val head = readV(dir, 4)
+    assert(head(1L) == ("a", 10.0), "exhausted merge partially applied")
+    assert(head(3L) == ("b", 103.0))
   }
 }
