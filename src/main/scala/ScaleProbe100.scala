@@ -80,6 +80,23 @@ object ScaleProbe100 {
       walls(name) = s
       println(f"PROBE $name $s%.2f s")
     }
+    // min-of-2 banking for CHEAP claim-bearing rungs (Bench's min_of_2
+    // policy): on this host a single sub-5s rung can eat a 10-70× mid-
+    // section stall that start sentinels cannot see (observed: a solo
+    // window banked the signature pass at 39 s that a clean window runs
+    // in 0.5 s, and r11's first full run banked a 3.75 s changes feed
+    // whose steady state is ~0.35 s) — for a rung that backs a RECURRING-
+    // cost claim, min of two back-to-back runs is the honest estimator.
+    // Expensive one-shot rungs (recompute contrasts, corpus writes) stay
+    // single-run: their walls dominate their noise.
+    def timeMin2(name: String)(f: => Unit): Unit = {
+      val ws = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      walls(name) = ws.min
+      println(f"PROBE $name ${ws.min}%.2f s " +
+        f"(min of ${ws.map(w => f"$w%.2f").mkString("/")})")
+    }
     def ratio(op: String): Unit =
       for (a <- walls.get(s"${op}_10x"); b <- walls.get(s"${op}_100x")) {
         ratios(s"${op}_10x_to_100x") = b / a
@@ -117,10 +134,10 @@ object ScaleProbe100 {
       walls("sentinel_segments") = cleanSentinel("segments")
       println("docs100 rows = " +
         spark.read.parquet(s"$docs100dir/documents.parquet").count())
-      time("dedup_segments_1x") { runQ("q_dedup_segments", sf) }
-      time("dedup_segments_10x") { runQ("q_dedup_segments", docs10dir) }
-      time("dedup_segments_30x") { runQ("q_dedup_segments", docs30dir) }
-      time("dedup_segments_100x") { runQ("q_dedup_segments", docs100dir) }
+      timeMin2("dedup_segments_1x") { runQ("q_dedup_segments", sf) }
+      timeMin2("dedup_segments_10x") { runQ("q_dedup_segments", docs10dir) }
+      timeMin2("dedup_segments_30x") { runQ("q_dedup_segments", docs30dir) }
+      timeMin2("dedup_segments_100x") { runQ("q_dedup_segments", docs100dir) }
       ratio("dedup_segments")
       for (a <- walls.get("dedup_segments_30x"); b <- walls.get("dedup_segments_100x")) {
         ratios("dedup_segments_30x_to_100x") = b / a
@@ -440,14 +457,23 @@ object ScaleProbe100 {
       ratio("ndstore_probe")
       // attribution rows: the signature pass alone (no shuffle, no write)
       // at 10× and 100× — separates expression CPU from shuffle+write+GC
-      // in the build ratio above
+      // in the build ratio above. Banked as MIN OF 2 back-to-back runs: a
+      // section-local rerun showed a single sig rung swinging 2.4 → 39 s
+      // on host windows (it is the cheapest rung here, so noise dominates
+      // it first), and an attribution row that can out-cost the operation
+      // it attributes is disinformation.
       for ((tag, dir) <- Seq("10x" -> docs10dir, "100x" -> docs100dir)) {
         val d = spark.read.parquet(s"$dir/documents.parquet")
           .filter(col("doc_id") % 3 =!= 0)
-        time(s"ndstore_sig_$tag") {
+        def sig(): Unit =
           graft.storage.NearDupIndexStore.bandTable(d, "doc_id", "text")
             .write.mode("overwrite").format("noop").save()
+        val ws = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); sig(); (System.nanoTime() - t0) / 1e9
         }
+        walls(s"ndstore_sig_$tag") = ws.min
+        println(f"PROBE ndstore_sig_$tag ${ws.min}%.2f s " +
+          f"(min of ${ws.map(w => f"$w%.2f").mkString("/")})")
       }
       ratio("ndstore_sig")
       // the incremental advantage: probing the prebuilt 100× index vs
@@ -598,7 +624,7 @@ object ScaleProbe100 {
           Seq("o_orderkey"))
         def feed() = graft.storage.SnapshotStore
           .changes(spark, dir, 1, 2, Seq("o_orderkey"))
-        time(s"changes_feed_${n}x") {
+        timeMin2(s"changes_feed_${n}x") {
           feed().write.mode("overwrite").format("noop").save()
         }
         if (n == 100) {

@@ -763,6 +763,35 @@ object Extended extends QueryModule {
           .withColumn("version", lit(v))
       agg(1).unionByName(agg(2)).unionByName(agg(3)).unionByName(agg(4))
         .orderBy(col("version"), col("o_orderpriority"))
+    }),
+
+    // ADDITIVE schema evolution at the STORE level (the shards-written-
+    // years-apart reality; file-level counterpart: q_source_evolution):
+    // v1 holds odd orders WITHOUT o_orderstatus, the appended generation
+    // adds the column, and the head read resolves the union schema with
+    // NULL for legacy rows — count(o_orderstatus) vs count(*) is the
+    // NULL-semantics certificate, hash-matched against a CASE-gated
+    // oracle over the original table.
+    "q_snapshot_evolve" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_evo")
+        .toString + "/orders_evo"
+      graft.storage.SnapshotStore.write(
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")),
+        dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"), col("o_orderstatus")),
+        dir, "o_orderpriority")
+      graft.storage.SnapshotStore.read(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderstatus")).as("n_status"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("o_orderpriority"))
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -1224,6 +1253,17 @@ object Extended extends QueryModule {
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           ")\nORDER BY version, o_orderpriority")
     },
+
+    // legacy (odd-key) rows were written before o_orderstatus existed, so
+    // only even-key rows contribute to count(o_orderstatus)
+    "q_snapshot_evolve" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  count(CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus END)
+        |    AS n_status,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_profile_table" ->
       Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>

@@ -34,8 +34,9 @@ object Compaction {
     // sizes correctly (a flat listStatus would sum 0 over subdirectories
     // and coalesce everything into one file); _SUCCESS/markers excluded.
     // NOTE: compacting a partitioned dir through here flattens the
-    // layout — partitioned stores compact per-partition
-    // (MergeStore/SnapshotStore rewrite partitions whole).
+    // layout — partitioned stores compact per-partition: merges rewrite
+    // touched partitions whole, and the snapshot store has a dedicated
+    // manifest-committed [[SnapshotStore.compactPartitions]].
     var totalBytes = 0L
     val it = fs.listFiles(new org.apache.hadoop.fs.Path(inDir), true)
     while (it.hasNext) {

@@ -40,6 +40,18 @@ import graft.operators.Joins
   *
   * The partition column must be non-null; its values key the manifest by
   * their string form (the usual partition-path discipline).
+  *
+  * ADDITIVE schema evolution (the 100 TB reality of generations written
+  * years apart, store-level counterpart of `q_source_evolution`):
+  * appends and merges may ADD columns over time — gens keep the schema
+  * they were written with, reads resolve the UNION schema (`mergeSchema`)
+  * so legacy rows surface NULL for later columns, a merge across
+  * generations unions the batch's and base's schemas
+  * (`unionByName(allowMissingColumns)`), and [[changes]] aligns both
+  * versions to the union schema before diffing (a legacy preimage reads
+  * NULL for a column added since). Column REMOVAL / rename / retype is
+  * not supported — that is a new store (the same additive-only contract
+  * as parquet mergeSchema itself, which fails fast on a type conflict).
   */
 object SnapshotStore {
 
@@ -160,7 +172,7 @@ object SnapshotStore {
       .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
     val dirs = readManifest(spark, path, v).values.flatten.toSeq.sorted
       .map(d => s"$path/$d")
-    spark.read.parquet(dirs: _*).drop("_p")
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*).drop("_p")
   }
 
   /** MERGE `batch` (upsert + insert + delete, latest-wins via
@@ -189,11 +201,12 @@ object SnapshotStore {
     if (parts.isEmpty) return
     val touchedDirs = parts.flatMap(entries.get).flatten
     val merged = if (touchedDirs.isEmpty) upserts else {
-      val base = spark.read
+      val base = spark.read.option("mergeSchema", "true")
         .parquet(touchedDirs.map(d => s"$path/$d"): _*).drop("_p")
       upserts.unionByName(
         base.join(Joins.maybeBroadcast(keys, broadcastRowLimit),
-          keyCols, "left_anti"))
+          keyCols, "left_anti"),
+        allowMissingColumns = true)
     }
     val newEntries = writeGen(merged, path, partCol)
     beforeCommit() // test seam: a concurrent committer lands here
@@ -282,7 +295,7 @@ object SnapshotStore {
     val chosen = entries.filter { case (p, dirs) =>
       dirs.size >= minDirs && values.forall(_.contains(p)) }
     if (chosen.isEmpty) return 0
-    val df = spark.read.parquet(
+    val df = spark.read.option("mergeSchema", "true").parquet(
       chosen.values.flatten.toSeq.sorted.map(d => s"$path/$d"): _*).drop("_p")
     val newEntries = writeGen(df, path, partCol)
     commit(spark, path, head + 1,
@@ -313,7 +326,8 @@ object SnapshotStore {
         .map(d => s"$path/$d")
         .getOrElse(throw new IllegalArgumentException(
           s"snapshot $v at $path has no partitions"))).drop("_p").limit(0)
-    else spark.read.parquet(dirs: _*).drop("_p")
+    else spark.read.option("mergeSchema", "true")
+      .parquet(dirs: _*).drop("_p")
   }
 
   /** Version catalog — the Iceberg "snapshots" metadata-table analog: one
@@ -373,9 +387,10 @@ object SnapshotStore {
       val dirs = changed.toSeq.flatMap(m.get).flatten.sorted
         .map(d => s"$path/$d")
       if (dirs.isEmpty) None
-      else Some(spark.read.parquet(dirs: _*).drop("_p"))
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(dirs: _*).drop("_p"))
     }
-    val (oldDf, newDf) = (rd(fromM), rd(toM)) match {
+    val (oldRaw, newRaw) = (rd(fromM), rd(toM)) match {
       case (Some(o), Some(n)) => (o, n)
       case (Some(o), None) => (o, o.limit(0))
       case (None, Some(n)) => (n.limit(0), n)
@@ -384,6 +399,18 @@ object SnapshotStore {
         val any = read(spark, path, Some(toVersion)).limit(0)
         (any, any)
     }
+    // additive schema evolution across the compared versions: align BOTH
+    // sides to the union schema (the newer side's field definitions lead),
+    // so a column added between the versions reads as NULL in the legacy
+    // preimage and the struct compare stays well-formed
+    val fields = newRaw.schema.fields.toSeq ++
+      oldRaw.schema.fields.filterNot(f =>
+        newRaw.schema.fieldNames.contains(f.name))
+    def align(df: DataFrame): DataFrame =
+      df.select(fields.map(f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    val (oldDf, newDf) = (align(oldRaw), align(newRaw))
     val cols = oldDf.columns.toSeq
     keyCols.foreach(k => require(cols.contains(k), s"unknown key column $k"))
     val dataCols = cols.filterNot(keyCols.contains)

@@ -332,6 +332,41 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotStore.headVersion(spark, dir).contains(4))
   }
 
+  test("additive schema evolution: append adds a column; legacy rows read " +
+    "NULL; compaction, merge, and changes align across generations") {
+    val dir = freshDir(); writeBase(dir) // v1: (k, p, v)
+    SnapshotStore.append(
+      Seq((7L, "a", 70.0, "x")).toDF("k", "p", "v", "w"), dir, "p") // v2
+    val head = SnapshotStore.read(spark, dir)
+    assert(head.columns.toSet == Set("k", "p", "v", "w"))
+    val m2 = head.collect()
+      .map(r => r.getAs[Long]("k") -> Option(r.getAs[String]("w"))).toMap
+    assert(m2(7L).contains("x") && m2(1L).isEmpty, m2)
+    // changes across the schema boundary: only the appended row surfaces
+    // (legacy rows compare NULL <=> NULL on the new column and cancel)
+    assert(chRows(dir, 1, 2) == Set(("insert", 7L, "a", 70.0)))
+    def snap(v: Int) = SnapshotStore.read(spark, dir, Some(v)).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Double]("v"), Option(r.getAs[String]("w")))).toMap
+    // compact partition a's genuinely MIXED-schema dir list (base gen has
+    // no w, appended gen does): union schema, content-identical
+    assert(SnapshotStore.compactPartitions(spark, dir, "p") == 1) // v3
+    assert(snap(3) == snap(2), "compaction changed content across schema gens")
+    assert(manifestDirs(dir, 3)("a").size == 1)
+    // merge an update CARRYING the new column into a legacy row's
+    // partition: the copied-over legacy row keeps NULL, the update lands
+    SnapshotStore.merge(spark, dir,
+      Seq((1L, "a", 11.0, "y")).toDF("k", "p", "v", "w"), "p", Seq("k")) // v4
+    val m4 = snap(4)
+    assert(m4(1L) == (11.0, Some("y")) && m4(2L) == (20.0, None) &&
+      m4(7L) == (70.0, Some("x")), m4)
+    // the feed's update_preimage reads NULL for the post-evolution column
+    val pre = SnapshotStore.changes(spark, dir, 3, 4, Seq("k"))
+      .filter(col("_change_type") === "update_preimage").collect()
+    assert(pre.length == 1 && pre.head.getAs[Long]("k") == 1L &&
+      pre.head.getAs[String]("w") == null)
+  }
+
   test("mergeWithRetry: the CAS loser re-reads the new head and lands — " +
     "both concurrent merges applied, serialized") {
     val dir = freshDir(); writeBase(dir)
