@@ -315,7 +315,8 @@ object StreamGate extends QueryModule {
         fleetCache.getOrElseUpdate(s"$d|${fingerprint(d, "events")}", runFleet(s, d))(name)
       else fn(s, d))
   } :+ ("s_merge_cdc" -> (mergeCdcGate(_, _))) :+
-    ("s_ivm_cdc" -> (ivmCdcGate(_, _)))
+    ("s_ivm_cdc" -> (ivmCdcGate(_, _))) :+
+    ("s_append_compact" -> (appendCompactGate(_, _)))
 
   /** The concurrent-fleet roster (s_merge_cdc runs standalone — its replay
     * input is the orders table, not the events chunks); FleetParitySpec
@@ -435,6 +436,59 @@ object StreamGate extends QueryModule {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     rollup.get().orderBy(col("o_orderpriority"))
+  }
+
+  /** Streaming APPEND ingest + closing compaction: insert-only chunks
+    * drain through `foreachBatch` → [[graft.storage.SnapshotStore.append]]
+    * — each micro-batch is O(batch) (nothing rewritten; touched
+    * partitions accumulate dir lists) — then ONE
+    * [[graft.storage.SnapshotStore.compactPartitions]] sweep collapses
+    * the accumulated small files through the same manifest CAS. This is
+    * the high-rate log-ingest shape of the snapshot store (the reference's
+    * MergeTree insert + background-merge loop, re-expressed as
+    * checkpointed streaming + explicit compaction). Exactly-once is
+    * STRUCTURAL: append is insert-only (not idempotent by content), so
+    * each batch passes `idempotencyKey = batchId` — a redelivered batch's
+    * gen is already referenced by a retained manifest and the append
+    * no-ops. Chunks are key-disjoint, so the final head is
+    * arrival-order-free and hash-matches a plain aggregate of the full
+    * table; compaction preceding the read certifies pure-layout
+    * end-to-end under streaming. Not part of the events fleet: its replay
+    * input is the orders table.
+    */
+  private def appendCompactGate(s: org.apache.spark.sql.SparkSession,
+                                d: String): DataFrame = {
+    import graft.storage.SnapshotStore
+    val store = Files.createTempDirectory("graft_sappend").toString + "/st"
+    val orders = t(s, d, "orders")
+    SnapshotStore.write(orders.filter(col("o_orderkey") % 4 === 0),
+      store, "o_orderpriority")
+    val chDir = replayCache(d, "appendcdc", "orders") { dir =>
+      (1 until 4).foreach { i =>
+        orders.filter(col("o_orderkey") % 4 === i).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/chunk-$i")
+      }
+    }
+    val ck = Files.createTempDirectory("graft_sappend_ck").toString
+    val sch = s.read.parquet(s"$chDir/chunk-1").schema
+    val q = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+      .parquet(s"$chDir/chunk-*")
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        SnapshotStore.append(b, store, "o_orderpriority",
+          idempotencyKey = Some(s"appendcdc-$id"))
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    SnapshotStore.compactPartitions(s, store, "o_orderpriority")
+    SnapshotStore.read(s, store)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
   }
 
   private val runners: Seq[(String, QFn)] = Seq(
@@ -618,6 +672,16 @@ object StreamGate extends QueryModule {
         |    AS sum_cents,
         |  count(*) AS n_orders
         |FROM merged GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // streamed append of the three %4 remainder chunks onto the %4=0 base
+    // reassembles the WHOLE table, and the closing compaction is pure
+    // layout — so the oracle is a plain aggregate of orders
+    "s_append_compact" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
     "s_tumbling_counts" ->

@@ -94,15 +94,19 @@ object SnapshotStore {
   /** Writes the touched partitions of `df` into a fresh gen dir; returns
     * partition value → relative dir. The shadow `_p` column keeps the real
     * partition column IN the data files, so per-directory reads need no
-    * reattachment.
+    * reattachment. `genName` pins the dir name (idempotent appends);
+    * mode=overwrite is safe for the random default (never collides) and
+    * REQUIRED for a pinned name (a crash between gen write and commit
+    * leaves an unreferenced dir the redelivery rewrites).
     */
-  private def writeGen(df: DataFrame, path: String,
-                       partCol: String): Map[String, String] = {
-    val gen = "gen-" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+  private def writeGen(df: DataFrame, path: String, partCol: String,
+                       genName: Option[String] = None): Map[String, String] = {
+    val gen = genName.getOrElse("gen-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12))
     df.withColumn("_p", col(partCol).cast("string"))
       .repartition(col("_p"))
-      .write.option("compression", "zstd").partitionBy("_p")
+      .write.mode("overwrite")
+      .option("compression", "zstd").partitionBy("_p")
       .parquet(s"$path/data/$gen")
     val fs = hfs(df.sparkSession, path)
     fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/$gen"))
@@ -258,13 +262,40 @@ object SnapshotStore {
     * duplicate keys need [[merge]]. Appends accumulate small per-partition
     * files by design — [[compactPartitions]] (or any merge touching the
     * partition) collapses them.
+    *
+    * `idempotencyKey` makes redelivery structural-exactly-once (the
+    * Iceberg append-by-checkpoint argument, for streaming `foreachBatch`
+    * sources whose at-least-once redelivery would otherwise duplicate an
+    * insert-only batch): the gen dir name derives from the key, and an
+    * append whose gen is referenced by ANY retained manifest is a no-op.
+    * A crash BETWEEN gen write and commit leaves an unreferenced dir that
+    * the redelivery rewrites (mode=overwrite) and commits — either way
+    * the batch lands exactly once. The guarantee window is the retention
+    * window: once [[expire]] drops every manifest referencing the gen,
+    * the key is forgotten (by then the source's own checkpoint has long
+    * since sealed the batch).
     */
-  def append(df: DataFrame, path: String, partCol: String): Unit = {
+  def append(df: DataFrame, path: String, partCol: String,
+             idempotencyKey: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val head = headVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path; use write"))
+    val genName = idempotencyKey.map { k =>
+      "gen-b" + java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    }
+    for (g <- genName) {
+      val applied = (1 to head).exists { v =>
+        try readManifest(spark, path, v).values.flatten
+          .exists(_.startsWith(s"data/$g/"))
+        catch { // expired (deleted) manifest versions skip
+          case _: IllegalArgumentException => false
+        }
+      }
+      if (applied) return
+    }
     val entries = readManifest(spark, path, head)
-    val newEntries = writeGen(df, path, partCol)
+    val newEntries = writeGen(df, path, partCol, genName)
     if (newEntries.isEmpty) return
     commit(spark, path, head + 1,
       entries ++ newEntries.map { case (p, d) =>

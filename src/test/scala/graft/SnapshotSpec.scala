@@ -310,6 +310,33 @@ class SnapshotSpec extends SparkSpec {
     assert(manifestDirs(dir, 1)("b") == m("b"))
   }
 
+  test("append with an idempotencyKey is structural-exactly-once: a " +
+    "redelivered batch no-ops; a fresh key lands; survives a merge " +
+    "rewriting the partition") {
+    val dir = freshDir(); writeBase(dir)
+    val batch = Seq((5L, "a", 50.0)).toDF("k", "p", "v")
+    SnapshotStore.append(batch, dir, "p", idempotencyKey = Some("b-1")) // v2
+    assert(SnapshotStore.headVersion(spark, dir).contains(2))
+    // redelivery of the same batch id: no new version, no duplicate row
+    SnapshotStore.append(batch, dir, "p", idempotencyKey = Some("b-1"))
+    assert(SnapshotStore.headVersion(spark, dir).contains(2))
+    assert(SnapshotStore.read(spark, dir).filter(col("k") === 5L).count() == 1)
+    // a DIFFERENT key lands
+    SnapshotStore.append(Seq((6L, "a", 60.0)).toDF("k", "p", "v"), dir, "p",
+      idempotencyKey = Some("b-2")) // v3
+    assert(SnapshotStore.headVersion(spark, dir).contains(3))
+    // a merge rewrites partition a whole (batch b-1's gen leaves the HEAD
+    // manifest but stays referenced by retained v2) — redelivering b-1
+    // must STILL no-op, else the rewrite window double-applies
+    SnapshotStore.merge(spark, dir,
+      Seq((5L, "a", 51.0)).toDF("k", "p", "v"), "p", Seq("k")) // v4
+    SnapshotStore.append(batch, dir, "p", idempotencyKey = Some("b-1"))
+    assert(SnapshotStore.headVersion(spark, dir).contains(4))
+    val a = SnapshotStore.read(spark, dir).filter(col("k") === 5L)
+      .select("v").collect().map(_.getDouble(0)).toSeq
+    assert(a == Seq(51.0), s"redelivered append double-applied: $a")
+  }
+
   test("compactPartitions rewrites multi-dir partitions to one dir, " +
     "read-back identical, untouched partitions shared, old version intact") {
     val dir = freshDir(); writeBase(dir)
