@@ -337,6 +337,60 @@ class SnapshotSpec extends SparkSpec {
     assert(a == Seq(51.0), s"redelivered append double-applied: $a")
   }
 
+  test("append ingest survives the lost-commit-marker crash window: the " +
+    "replayed micro-batch no-ops via its idempotency key (RecoverySpec " +
+    "discipline for the snapshot store)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_snapcrash")
+      .toString
+    val store = s"$root/st"
+    SnapshotStore.write(Seq((0L, "a", 0.0)).toDF("k", "p", "v"), store, "p")
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    def chunk(i: Int): Unit =
+      Seq((i.toLong * 10 + 1, "a", i * 1.0), (i.toLong * 10 + 2, "b", i * 2.0))
+        .toDF("k", "p", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/chunk-$i")
+    val ck = s"$root/ck"
+    def drain(): Unit = {
+      val sch = spark.read.parquet(s"$in/chunk-0").schema
+      val q = spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+        .parquet(s"$in/chunk-*")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          SnapshotStore.append(b, store, "p",
+            idempotencyKey = Some(s"crash-$id"))
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    chunk(0); chunk(1)
+    drain()
+    assert(SnapshotStore.headVersion(spark, store).contains(3)) // 1 + 2
+    // the crash: the batch's append COMMITTED a snapshot version, but the
+    // checkpoint's commit marker was lost (Spark writes it only after
+    // foreachBatch returns — the exact kill window; the .crc shadow dies
+    // with it, as ChecksumFileSystem renames them as a unit)
+    val commits = new java.io.File(s"$ck/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    val lost = commits.last
+    assert(lost.delete(), s"could not delete commit marker $lost")
+    new java.io.File(lost.getParentFile, s".${lost.getName}.crc").delete()
+    // post-crash reality: more chunks arrive, the pipeline restarts from
+    // the same checkpoint, REPLAYS the lost batch, and ingests the rest
+    chunk(2); chunk(3)
+    drain()
+    // the replayed batch's gen is already referenced → no-op, no new
+    // version for it; only the two genuinely new chunks appended
+    assert(SnapshotStore.headVersion(spark, store).contains(5),
+      s"replayed append double-committed: " +
+        s"${SnapshotStore.headVersion(spark, store)}")
+    val ks = SnapshotStore.read(spark, store).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ks == Seq(0L, 1L, 2L, 11L, 12L, 21L, 22L, 31L, 32L),
+      s"store diverged after crash-restart: $ks")
+  }
+
   test("compactPartitions rewrites multi-dir partitions to one dir, " +
     "read-back identical, untouched partitions shared, old version intact") {
     val dir = freshDir(); writeBase(dir)
