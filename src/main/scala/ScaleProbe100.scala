@@ -465,15 +465,10 @@ object ScaleProbe100 {
       for ((tag, dir) <- Seq("10x" -> docs10dir, "100x" -> docs100dir)) {
         val d = spark.read.parquet(s"$dir/documents.parquet")
           .filter(col("doc_id") % 3 =!= 0)
-        def sig(): Unit =
+        timeMin2(s"ndstore_sig_$tag") {
           graft.storage.NearDupIndexStore.bandTable(d, "doc_id", "text")
             .write.mode("overwrite").format("noop").save()
-        val ws = (1 to 2).map { _ =>
-          val t0 = System.nanoTime(); sig(); (System.nanoTime() - t0) / 1e9
         }
-        walls(s"ndstore_sig_$tag") = ws.min
-        println(f"PROBE ndstore_sig_$tag ${ws.min}%.2f s " +
-          f"(min of ${ws.map(w => f"$w%.2f").mkString("/")})")
       }
       ratio("ndstore_sig")
       // the incremental advantage: probing the prebuilt 100× index vs
@@ -765,7 +760,7 @@ object ScaleProbe100 {
         SnapshotStore.write(seed, dir, "p")
         val real = SnapshotStore.readManifest(spark, dir, 1)
         val synth = (0 until n - real.size).map { i =>
-          f"zsyn$i%06d" -> Seq(s"data/gen-zsyn/_p=zsyn$i%06d") }.toMap
+          f"zsyn$i%06d" -> Seq(f"data/gen-zsyn/_p=zsyn$i%06d") }.toMap
         SnapshotStore.commit(spark, dir, 2, real ++ synth, Nil)
         time(s"manifest_read_x10_$n") {
           (1 to 10).foreach(_ => SnapshotStore.readManifest(spark, dir, 2))

@@ -44,14 +44,18 @@ import graft.operators.Joins
   * ADDITIVE schema evolution (the 100 TB reality of generations written
   * years apart, store-level counterpart of `q_source_evolution`):
   * appends and merges may ADD columns over time — gens keep the schema
-  * they were written with, reads resolve the UNION schema (`mergeSchema`)
-  * so legacy rows surface NULL for later columns, a merge across
-  * generations unions the batch's and base's schemas
+  * they were written with, and every commit RECORDS the version's union
+  * schema (`_schema-<v>`, Iceberg-style schema-in-metadata), so reads
+  * apply it explicitly: no footer-merge job ever, and legacy rows
+  * surface NULL for later columns straight from the reader. A merge
+  * across generations unions the batch's and base's schemas
   * (`unionByName(allowMissingColumns)`), and [[changes]] aligns both
   * versions to the union schema before diffing (a legacy preimage reads
-  * NULL for a column added since). Column REMOVAL / rename / retype is
-  * not supported — that is a new store (the same additive-only contract
-  * as parquet mergeSchema itself, which fails fast on a type conflict).
+  * NULL for a column added since). Stores without a recorded schema
+  * (pre-r11, or a crash between manifest CAS and schema write) degrade
+  * to a one-off parquet `mergeSchema` inference. Column REMOVAL /
+  * rename / retype is not supported — that is a new store (additive-only
+  * contract, fail-fast on a type conflict).
   */
 object SnapshotStore {
 
@@ -87,6 +91,11 @@ object SnapshotStore {
     finally in.close()
     txt.split("\n").filter(_.nonEmpty).map { line =>
       val parts = line.split("\t").toSeq
+      // fail FAST on a dir-less line (truncated write, corruption): mapping
+      // it to an empty dir list would silently drop the partition's rows
+      // from every read instead of surfacing the broken manifest
+      require(parts.size >= 2,
+        s"malformed manifest line in $mf (no dirs): '$line'")
       Esc.unescapePathName(parts.head) -> parts.tail
     }.toMap
   }
@@ -116,13 +125,83 @@ object SnapshotStore {
       }.toMap
   }
 
+  /** The version's recorded union schema (`_schema-<v>`), if present.
+    * Missing (pre-r11 stores, or a crash between manifest CAS and schema
+    * write) degrades to a parquet `mergeSchema` inference — correct,
+    * just slower.
+    */
+  private def readSchema(spark: SparkSession, path: String,
+                         v: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val fs = hfs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path, s"_schema-$v")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(txt)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** Additive union of two generation schemas: existing fields keep their
+    * position and must agree on type (fail-fast — the documented
+    * additive-only contract); new fields append as NULLABLE (legacy rows
+    * read NULL for them). Top-level nullability is forced true, matching
+    * what the parquet file source does to user schemas anyway.
+    */
+  private def unionSchema(prior: org.apache.spark.sql.types.StructType,
+                          next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val byName = next.fields.map(f => f.name -> f).toMap
+    prior.fields.foreach { f =>
+      byName.get(f.name).foreach(n => require(n.dataType == f.dataType,
+        s"schema evolution is additive-only: column ${f.name} changed " +
+          s"type ${f.dataType} -> ${n.dataType}"))
+    }
+    val priorNames = prior.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      (prior.fields ++ next.fields.filterNot(f => priorNames(f.name)))
+        .map(_.copy(nullable = true)))
+  }
+
+  /** The version's effective schema: recorded if available, else inferred
+    * once over the version's dirs via mergeSchema.
+    */
+  private def versionSchema(spark: SparkSession, path: String, v: Int)
+      : org.apache.spark.sql.types.StructType =
+    readSchema(spark, path, v).getOrElse {
+      val dirs = readManifest(spark, path, v).values.flatten.toSeq.sorted
+        .map(d => s"$path/$d")
+      org.apache.spark.sql.types.StructType(
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+          .drop("_p").schema.map(_.copy(nullable = true)))
+    }
+
+  /** Reads `dirs` under version `v`'s recorded schema — NO footer-merge
+    * job in the steady state (the reader fills absent columns with NULL,
+    * which is exactly the additive-evolution read semantics); falls back
+    * to mergeSchema when the version has no recorded schema.
+    */
+  private def readWithSchema(spark: SparkSession, path: String, v: Int,
+                             dirs: Seq[String]): DataFrame =
+    readSchema(spark, path, v) match {
+      case Some(sch) => spark.read.schema(sch).parquet(dirs: _*).drop("_p")
+      case None => spark.read.option("mergeSchema", "true")
+        .parquet(dirs: _*).drop("_p")
+    }
+
   /** Single-winner CAS commit of `entries` as version `v` (LogTableWriter
     * manifest discipline); cleans `genDirs` and aborts if another
-    * committer won the rename.
+    * committer won the rename. `schema` (when given) is recorded as
+    * `_schema-<v>` AFTER the manifest rename — the winner is already
+    * decided, and a crash in between only costs the fallback inference.
     */
   private[graft] def commit(spark: SparkSession, path: String, v: Int,
                             entries: Map[String, Seq[String]],
-                            genDirs: Seq[String]): Unit = {
+                            genDirs: Seq[String],
+                            schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Unit = {
     val fs = hfs(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(root,
@@ -153,6 +232,11 @@ object SnapshotStore {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException => lose(e)
       case e: java.io.IOException if fs.exists(manifest) => lose(e)
     }
+    schema.foreach { sch =>
+      val sp = fs.create(
+        new org.apache.hadoop.fs.Path(path, s"_schema-$v"), true)
+      sp.write(sch.json.getBytes("UTF-8")); sp.close()
+    }
   }
 
   /** Initial snapshot (version 1). */
@@ -163,7 +247,9 @@ object SnapshotStore {
     commit(df.sparkSession, path, 1,
       entries.map { case (p, d) => p -> Seq(d) },
       entries.values.map(d => d.split("/").take(2).mkString("/"))
-        .toSeq.distinct)
+        .toSeq.distinct,
+      Some(unionSchema(new org.apache.spark.sql.types.StructType(),
+        df.schema)))
   }
 
   /** Reads snapshot `version` (default: head). Untouched partitions are
@@ -176,7 +262,7 @@ object SnapshotStore {
       .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
     val dirs = readManifest(spark, path, v).values.flatten.toSeq.sorted
       .map(d => s"$path/$d")
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*).drop("_p")
+    readWithSchema(spark, path, v, dirs)
   }
 
   /** MERGE `batch` (upsert + insert + delete, latest-wins via
@@ -205,8 +291,8 @@ object SnapshotStore {
     if (parts.isEmpty) return
     val touchedDirs = parts.flatMap(entries.get).flatten
     val merged = if (touchedDirs.isEmpty) upserts else {
-      val base = spark.read.option("mergeSchema", "true")
-        .parquet(touchedDirs.map(d => s"$path/$d"): _*).drop("_p")
+      val base = readWithSchema(spark, path, head,
+        touchedDirs.map(d => s"$path/$d"))
       upserts.unionByName(
         base.join(Joins.maybeBroadcast(keys, broadcastRowLimit),
           keyCols, "left_anti"),
@@ -219,7 +305,8 @@ object SnapshotStore {
     commit(spark, path, head + 1,
       (entries -- parts) ++ newEntries.map { case (p, d) => p -> Seq(d) },
       newEntries.values.map(_.split("/").take(2).mkString("/"))
-        .toSeq.distinct)
+        .toSeq.distinct,
+      Some(unionSchema(versionSchema(spark, path, head), upserts.schema)))
   }
 
   /** [[merge]] with a bounded CAS-loser retry loop: each attempt re-reads
@@ -276,7 +363,26 @@ object SnapshotStore {
     * since sealed the batch).
     */
   def append(df: DataFrame, path: String, partCol: String,
-             idempotencyKey: Option[String] = None): Unit = {
+             idempotencyKey: Option[String] = None,
+             maxRetries: Int = 5): Unit = {
+    var attempt = 0
+    while (true) {
+      try { appendOnce(df, path, partCol, idempotencyKey); return }
+      catch {
+        // append is THE concurrent high-rate path: a CAS loss against a
+        // concurrent merge/compaction retries against the new head by
+        // default (each attempt re-reads it; with an idempotencyKey the
+        // deterministic gen rewrite is safe, and without one the loser's
+        // gen dirs were already cleaned)
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
+
+  private def appendOnce(df: DataFrame, path: String, partCol: String,
+                         idempotencyKey: Option[String]): Unit = {
     val spark = df.sparkSession
     val head = headVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path; use write"))
@@ -285,14 +391,28 @@ object SnapshotStore {
         .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     }
     for (g <- genName) {
-      val applied = (1 to head).exists { v =>
-        try readManifest(spark, path, v).values.flatten
-          .exists(_.startsWith(s"data/$g/"))
-        catch { // expired (deleted) manifest versions skip
-          case _: IllegalArgumentException => false
+      // O(1) fresh-key fast path: commit always follows the gen write, so
+      // "gen dir absent" proves the key was never applied (within the
+      // retention window — after that the dirs are gone AND the key is
+      // documented forgotten). Only when the dir exists (applied, or a
+      // crash between write and commit) do we consult the manifests.
+      val fs = hfs(spark, path)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path, s"data/$g"))) {
+        // retained manifests are a CONTIGUOUS suffix of versions (expire
+        // deletes a prefix), so scan head-downward and stop at the first
+        // missing one — bounded by the retention window, not the store's
+        // lifetime version count
+        var v = head
+        var applied = false
+        var exhausted = false
+        while (!applied && !exhausted && v >= 1) {
+          try applied = readManifest(spark, path, v).values.flatten
+            .exists(_.startsWith(s"data/$g/"))
+          catch { case _: IllegalArgumentException => exhausted = true }
+          v -= 1
         }
+        if (applied) return
       }
-      if (applied) return
     }
     val entries = readManifest(spark, path, head)
     val newEntries = writeGen(df, path, partCol, genName)
@@ -301,7 +421,8 @@ object SnapshotStore {
       entries ++ newEntries.map { case (p, d) =>
         p -> (entries.getOrElse(p, Nil) :+ d) },
       newEntries.values.map(_.split("/").take(2).mkString("/"))
-        .toSeq.distinct)
+        .toSeq.distinct,
+      Some(unionSchema(versionSchema(spark, path, head), df.schema)))
   }
 
   /** Per-partition small-file compaction, snapshot-committed — the Iceberg
@@ -326,13 +447,15 @@ object SnapshotStore {
     val chosen = entries.filter { case (p, dirs) =>
       dirs.size >= minDirs && values.forall(_.contains(p)) }
     if (chosen.isEmpty) return 0
-    val df = spark.read.option("mergeSchema", "true").parquet(
-      chosen.values.flatten.toSeq.sorted.map(d => s"$path/$d"): _*).drop("_p")
+    val sch = versionSchema(spark, path, head)
+    val df = readWithSchema(spark, path, head,
+      chosen.values.flatten.toSeq.sorted.map(d => s"$path/$d"))
     val newEntries = writeGen(df, path, partCol)
     commit(spark, path, head + 1,
       entries ++ newEntries.map { case (p, d) => p -> Seq(d) },
       newEntries.values.map(_.split("/").take(2).mkString("/"))
-        .toSeq.distinct)
+        .toSeq.distinct,
+      Some(sch))
     chosen.size
   }
 
@@ -350,15 +473,14 @@ object SnapshotStore {
     val entries = readManifest(spark, path, v)
     val dirs = values.distinct.flatMap(entries.get).flatten.sorted
       .map(d => s"$path/$d")
-    if (dirs.isEmpty)
-      // preserve the schema without touching unselected partitions more
-      // than once: one representative dir, zero rows
-      spark.read.parquet(entries.values.flatten.toSeq.sorted.headOption
-        .map(d => s"$path/$d")
-        .getOrElse(throw new IllegalArgumentException(
-          s"snapshot $v at $path has no partitions"))).drop("_p").limit(0)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(dirs: _*).drop("_p")
+    if (dirs.isEmpty) {
+      require(entries.nonEmpty, s"snapshot $v at $path has no partitions")
+      // zero rows, but the VERSION's full union schema — a single
+      // "representative" dir (the pre-r11 shape) would nondeterministically
+      // miss columns added by later generations, since gen names are
+      // random hex and sorting picks an arbitrary one
+      read(spark, path, Some(v)).limit(0)
+    } else readWithSchema(spark, path, v, dirs)
   }
 
   /** Version catalog — the Iceberg "snapshots" metadata-table analog: one
@@ -414,14 +536,13 @@ object SnapshotStore {
     val toM = readManifest(spark, path, toVersion)
     val changed = (fromM.keySet ++ toM.keySet)
       .filter(p => fromM.get(p) != toM.get(p))
-    def rd(m: Map[String, Seq[String]]): Option[DataFrame] = {
+    def rd(m: Map[String, Seq[String]], v: Int): Option[DataFrame] = {
       val dirs = changed.toSeq.flatMap(m.get).flatten.sorted
         .map(d => s"$path/$d")
       if (dirs.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(dirs: _*).drop("_p"))
+      else Some(readWithSchema(spark, path, v, dirs))
     }
-    val (oldRaw, newRaw) = (rd(fromM), rd(toM)) match {
+    val (oldRaw, newRaw) = (rd(fromM, fromVersion), rd(toM, toVersion)) match {
       case (Some(o), Some(n)) => (o, n)
       case (Some(o), None) => (o, o.limit(0))
       case (None, Some(n)) => (n.limit(0), n)
@@ -483,7 +604,8 @@ object SnapshotStore {
       s"cannot roll back to $toVersion (head is $head)")
     if (toVersion == head) return
     commit(spark, path, head + 1,
-      readManifest(spark, path, toVersion), Nil)
+      readManifest(spark, path, toVersion), Nil,
+      readSchema(spark, path, toVersion))
   }
 
   /** Drops manifests older than the newest `keep` and deletes gen dirs no
@@ -500,6 +622,7 @@ object SnapshotStore {
       .map(_.split("/").take(2).mkString("/")).toSet
     (1 until math.max(1, head - keep + 1)).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifest-$v"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_schema-$v"), false)
     }
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     if (fs.exists(dataDir))

@@ -310,6 +310,29 @@ class SnapshotSpec extends SparkSpec {
     assert(manifestDirs(dir, 1)("b") == m("b"))
   }
 
+  test("every commit records the version's union schema; reads apply it " +
+    "(deleting it degrades to mergeSchema inference with the same result)") {
+    val dir = freshDir(); writeBase(dir)
+    assert(new java.io.File(s"$dir/_schema-1").exists(),
+      "initial write did not record its schema")
+    SnapshotStore.append(
+      Seq((7L, "a", 70.0, "x")).toDF("k", "p", "v", "w"), dir, "p")
+    assert(new java.io.File(s"$dir/_schema-2").exists(),
+      "append did not record the union schema")
+    // recorded schema is the union in evolution order (prior fields first)
+    assert(SnapshotStore.read(spark, dir).schema.fieldNames.toSeq ==
+      Seq("k", "p", "v", "w"))
+    // v1's recorded schema predates the evolution
+    assert(SnapshotStore.read(spark, dir, Some(1)).schema.fieldNames.toSeq ==
+      Seq("k", "p", "v"))
+    // fallback path: without the recorded schema the read infers the same
+    // union via mergeSchema (pre-r11 stores / crash window)
+    assert(new java.io.File(s"$dir/_schema-2").delete())
+    val inferred = SnapshotStore.read(spark, dir)
+    assert(inferred.schema.fieldNames.toSet == Set("k", "p", "v", "w"))
+    assert(inferred.count() == 5)
+  }
+
   test("append with an idempotencyKey is structural-exactly-once: a " +
     "redelivered batch no-ops; a fresh key lands; survives a merge " +
     "rewriting the partition") {
