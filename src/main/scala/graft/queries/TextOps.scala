@@ -467,6 +467,33 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // The SURVIVOR-CORPUS decision fuzzy dedup exists for: per near-dup
+    // cluster keep exactly ONE document — the longest text (quality
+    // proxy), doc_id the deterministic tiebreak — and emit every doc
+    // with its cluster id, cluster size, and keep verdict (downstream
+    // filters on `keep`, audits on the rest). Singletons keep themselves
+    // via the left join against the component labels. Scale: components
+    // iterate on the EDGE set; the verdict is one window over the
+    // cluster id — |docs| + |pairs| work, no all-pairs anywhere.
+    "q_dedup_keepbest" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("canon"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("canon"))
+      val pairs = ngramPairs(s, d).select(col("a"), col("b"))
+      val comp = graft.operators.Components.connectedComponents(pairs)
+      t(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
+        .join(comp.select(col("node").as("doc_id"), col("lbl")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("canon"),
+          col("n_chars"))
+        .withColumn("cluster_size", count(lit(1)).over(wc))
+        .withColumn("keep", row_number().over(w) === 1)
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrubbing (pipeline hygiene op): redact IPv4s and emails from raw
     // log lines before they enter a training corpus. Narrow per-row regex
     // rewrite — shuffle-free at any scale. Fixture lines carry real client
@@ -876,6 +903,27 @@ object TextOps extends QueryModule {
         |    SELECT r.node, b2.dst FROM reach r JOIN bidir b2 ON b2.src = r.m)
         |SELECT node AS doc_id, min(m) AS canon
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // same component fixpoint, then the keep rule replayed relationally:
+    // longest text wins per cluster, doc_id breaks ties, singletons keep
+    "q_dedup_keepbest" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+        |  bidir AS (SELECT a AS src, b AS dst FROM pairs
+        |    UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |  reach(node, m) AS (
+        |    SELECT DISTINCT src, src FROM bidir
+        |    UNION
+        |    SELECT r.node, b2.dst FROM reach r JOIN bidir b2 ON b2.src = r.m),
+        |  canon AS (SELECT node AS doc_id, min(m) AS canon
+        |    FROM reach GROUP BY node),
+        |  mem AS (SELECT d.doc_id, coalesce(c.canon, d.doc_id) AS canon,
+        |      length(d.text) AS n_chars
+        |    FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id)
+        |SELECT doc_id, canon, n_chars,
+        |  count(*) OVER (PARTITION BY canon) AS cluster_size,
+        |  row_number() OVER (PARTITION BY canon
+        |    ORDER BY n_chars DESC, doc_id) = 1 AS keep
+        |FROM mem ORDER BY doc_id""".stripMargin,
 
     "q_lm_perplexity" ->
       """WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
