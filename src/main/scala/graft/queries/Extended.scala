@@ -436,6 +436,34 @@ object Extended extends QueryModule {
         .orderBy(col("lang"))
     }),
 
+    // Temperature-based mixture REWEIGHTING (the multilingual-training
+    // standard: sampling share ∝ n^α, α = 0.5 — upweights low-resource
+    // tails without memorizing them): per-language keep RATES are DERIVED
+    // from corpus counts (share·budget/n, capped at 1), then applied as
+    // the same deterministic md5-prefix thresholds as q_mixture_sample.
+    // Cross-engine float discipline: sqrt (IEEE-exact), never pow(x,.5);
+    // the rate is rounded to 6 decimals BEFORE the integer threshold so
+    // the two engines' last-ulp summation differences cannot flip a
+    // boundary row. Rates broadcast (|languages| rows); one corpus scan.
+    "q_mixture_temperature" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val z = counts.agg(sum(sqrt(col("n"))).as("z"))
+      val rates = counts.crossJoin(z)
+        .select(col("lang"), col("n"),
+          round(least(lit(1.0),
+            sqrt(col("n")) / col("z") * lit(1000.0) / col("n")), 6)
+            .as("rate"))
+      docs.join(broadcast(rates), "lang")
+        .filter(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") <
+            floor(col("rate") * lit(4294967296.0)).cast("bigint"))
+        .groupBy(col("lang"), col("n"), col("rate"))
+        .agg(count(lit(1)).as("kept"))
+        .orderBy(col("lang"))
+    }),
+
     // Wide→long unpivot (metric melt): the inverse of q_pivot_status, via
     // the native unpivot operator (one Expand node — a single scan emits
     // all three metric rows, no self-union rescan).
@@ -1054,6 +1082,20 @@ object Extended extends QueryModule {
         |           WHEN lang='zh' THEN md5(CAST(doc_id AS VARCHAR)) < '80'
         |           ELSE md5(CAST(doc_id AS VARCHAR)) < 'c0' END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // same α=0.5 share arithmetic (sqrt, 6-decimal-rounded rate) and the
+    // same md5-prefix integer threshold, replayed relationally
+    "q_mixture_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |  zz AS (SELECT sum(sqrt(n)) AS z FROM c),
+        |  r AS (SELECT lang, n,
+        |      round(least(1.0, sqrt(n) / zz.z * 1000.0 / n), 6) AS rate
+        |    FROM c CROSS JOIN zz)
+        |SELECT d.lang, r.n, r.rate, count(*) AS kept
+        |FROM documents d JOIN r ON r.lang = d.lang
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |  < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+        |GROUP BY d.lang, r.n, r.rate ORDER BY d.lang""".stripMargin,
 
     "q_unpivot" ->
       """WITH u AS (

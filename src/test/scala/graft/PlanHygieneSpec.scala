@@ -20,6 +20,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q_subquery_scalar", // scalar subquery = 1-row broadcast
     "q_bm25", "q_tfidf", "q_bigram_pmi", // 1-row corpus-stats aggregates
     "q_lm_perplexity", // 1-row vocabulary-size aggregate
+    "q_mixture_temperature", // 1-row Σ√n normalizer against |langs| rows
     "q_sim_topk", "q_sim_quant", "q_sim_pq", // bounded |Q| × corpus scoring
     "q_skew_join", // salt spine: 8-row broadcast replicating the small side
     "q_skew_join_sql") // the same salt spine via the graft_salted_join TVF
