@@ -761,7 +761,13 @@ object ScaleProbe100 {
         val real = SnapshotStore.readManifest(spark, dir, 1)
         val synth = (0 until n - real.size).map { i =>
           f"zsyn$i%06d" -> Seq(f"data/gen-zsyn/_p=zsyn$i%06d") }.toMap
-        SnapshotStore.commit(spark, dir, 2, real ++ synth, Nil)
+        // carry v1's recorded schema forward, as every real committer
+        // (write/merge/append/compact) does — without it the r11
+        // recorded-schema read path would fall back to mergeSchema
+        // inference over ALL manifest dirs, which the synthetic
+        // (nonexistent-dir) entries are designed to make impossible
+        SnapshotStore.commit(spark, dir, 2, real ++ synth, Nil,
+          Some(SnapshotStore.read(spark, dir, Some(1)).schema))
         time(s"manifest_read_x10_$n") {
           (1 to 10).foreach(_ => SnapshotStore.readManifest(spark, dir, 2))
         }
