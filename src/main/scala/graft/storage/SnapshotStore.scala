@@ -364,10 +364,11 @@ object SnapshotStore {
     */
   def append(df: DataFrame, path: String, partCol: String,
              idempotencyKey: Option[String] = None,
-             maxRetries: Int = 5): Unit = {
+             maxRetries: Int = 5,
+             beforeCommit: () => Unit = () => ()): Unit = {
     var attempt = 0
     while (true) {
-      try { appendOnce(df, path, partCol, idempotencyKey); return }
+      try { appendOnce(df, path, partCol, idempotencyKey, beforeCommit); return }
       catch {
         // append is THE concurrent high-rate path: a CAS loss against a
         // concurrent merge/compaction retries against the new head by
@@ -382,7 +383,8 @@ object SnapshotStore {
   }
 
   private def appendOnce(df: DataFrame, path: String, partCol: String,
-                         idempotencyKey: Option[String]): Unit = {
+                         idempotencyKey: Option[String],
+                         beforeCommit: () => Unit = () => ()): Unit = {
     val spark = df.sparkSession
     val head = headVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path; use write"))
@@ -417,6 +419,7 @@ object SnapshotStore {
     val entries = readManifest(spark, path, head)
     val newEntries = writeGen(df, path, partCol, genName)
     if (newEntries.isEmpty) return
+    beforeCommit() // test seam: a concurrent committer lands here
     commit(spark, path, head + 1,
       entries ++ newEntries.map { case (p, d) =>
         p -> (entries.getOrElse(p, Nil) :+ d) },

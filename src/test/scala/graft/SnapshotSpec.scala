@@ -491,6 +491,30 @@ class SnapshotSpec extends SparkSpec {
     assert(readV(dir, 2)(1L) == ("a", 10.0))
   }
 
+  test("append CAS-loser retries against the new head — the appended " +
+    "rows and the concurrent merge both land; the key stays exactly-once") {
+    val dir = freshDir(); writeBase(dir)
+    var raced = false
+    SnapshotStore.append(Seq((9L, "a", 90.0)).toDF("k", "p", "v"), dir, "p",
+      idempotencyKey = Some("batch-9"),
+      beforeCommit = () => if (!raced) {
+        raced = true // the competitor lands BETWEEN our gen write and commit
+        SnapshotStore.merge(spark, dir,
+          Seq((3L, "b", 33.0)).toDF("k", "p", "v"), "p", Seq("k"))
+      })
+    assert(SnapshotStore.headVersion(spark, dir).contains(3))
+    val head = readV(dir, 3)
+    assert(head(9L) == ("a", 90.0) && head(3L) == ("b", 33.0),
+      s"the racing append or merge was lost: $head")
+    // v2 is the competitor's merge alone (serialization order); the
+    // append's first, aborted attempt left nothing behind
+    assert(readV(dir, 2)(3L) == ("b", 33.0) && !readV(dir, 2).contains(9L))
+    // redelivery of the same key is STILL a no-op after the retry landed
+    SnapshotStore.append(Seq((9L, "a", 90.0)).toDF("k", "p", "v"), dir, "p",
+      idempotencyKey = Some("batch-9"))
+    assert(SnapshotStore.headVersion(spark, dir).contains(3))
+  }
+
   test("mergeWithRetry exhausts to the original exception; the store " +
     "stays consistent") {
     val dir = freshDir(); writeBase(dir)
