@@ -614,8 +614,20 @@ object SnapshotStore {
   /** Drops manifests older than the newest `keep` and deletes gen dirs no
     * surviving manifest references — the retention dial that bounds the
     * store's history cost.
+    *
+    * `minAgeMs` is the orphan-age floor (Iceberg's remove-orphan-files
+    * argument): a concurrent append/merge/compaction writes its gen dir
+    * BEFORE the manifest CAS references it, so an unreferenced-but-young
+    * dir may be an in-flight commit, not garbage — deleting it would let
+    * the racing committer publish a manifest of dangling files. Only dirs
+    * older than the floor are deleted; CAS losers clean their own dirs
+    * immediately, so orphans past the floor are crash leftovers. Pass 0
+    * only when no writer can be live. (Rollback past the retention window
+    * races retention itself — as in Iceberg, don't roll back to versions
+    * being expired.)
     */
-  def expire(spark: SparkSession, path: String, keep: Int): Unit = {
+  def expire(spark: SparkSession, path: String, keep: Int,
+             minAgeMs: Long = 3600000L): Unit = {
     require(keep >= 1, "must keep at least the head snapshot")
     val fs = hfs(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
@@ -628,9 +640,12 @@ object SnapshotStore {
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_schema-$v"), false)
     }
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    val now = System.currentTimeMillis()
     if (fs.exists(dataDir))
-      fs.listStatus(dataDir).map(_.getPath.getName).foreach { g =>
-        if (!live.contains(s"data/$g"))
+      fs.listStatus(dataDir).foreach { st =>
+        val g = st.getPath.getName
+        if (!live.contains(s"data/$g") &&
+            now - st.getModificationTime >= minAgeMs)
           fs.delete(new org.apache.hadoop.fs.Path(root, s"data/$g"), true)
       }
   }

@@ -95,7 +95,7 @@ class SnapshotSpec extends SparkSpec {
     SnapshotStore.merge(spark, dir,
       Seq((1L, "a", 12.0)).toDF("k", "p", "v"), "p", Seq("k"))
     assert(SnapshotStore.headVersion(spark, dir).contains(3))
-    SnapshotStore.expire(spark, dir, keep = 1)
+    SnapshotStore.expire(spark, dir, keep = 1, minAgeMs = 0L)
     intercept[IllegalArgumentException] { readV(dir, 1) }
     assert(readV(dir, 3)(1L) == ("a", 12.0))
     // v1's partition-a gen is unreferenced by v3 (a was rewritten twice),
@@ -133,9 +133,26 @@ class SnapshotSpec extends SparkSpec {
     SnapshotStore.rollback(spark, dir, toVersion = 3)
     assert(SnapshotStore.headVersion(spark, dir).contains(3))
     // expire keep=1: v3 references only v1's gens, so v2's gen dies
-    SnapshotStore.expire(spark, dir, keep = 1)
+    SnapshotStore.expire(spark, dir, keep = 1, minAgeMs = 0L)
     assert(new java.io.File(s"$dir/data").listFiles().length == 1)
     assert(SnapshotStore.read(spark, dir).count() == 4)
+  }
+
+  test("expire's orphan-age floor spares the gen an IN-FLIGHT append has " +
+    "written but not yet committed (the Iceberg remove-orphan-files race)") {
+    val dir = freshDir(); writeBase(dir)
+    SnapshotStore.merge(spark, dir,
+      Seq((1L, "a", 11.0)).toDF("k", "p", "v"), "p", Seq("k"))
+    // retention sweeps BETWEEN the append's gen write and its manifest CAS
+    SnapshotStore.append(Seq((7L, "b", 70.0)).toDF("k", "p", "v"), dir, "p",
+      beforeCommit = () => SnapshotStore.expire(spark, dir, keep = 1))
+    // the append's commit must not have published dangling file references
+    assert(SnapshotStore.headVersion(spark, dir).contains(3))
+    val head = readV(dir, 3)
+    assert(head(7L) == ("b", 70.0) && head.size == 5,
+      s"in-flight gen was swept as an orphan: $head")
+    // the sweep itself still ran: v1's manifest is gone
+    intercept[IllegalArgumentException] { readV(dir, 1) }
   }
 
   private def chRows(dir: String, from: Int, to: Int)
