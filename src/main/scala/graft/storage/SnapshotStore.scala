@@ -100,29 +100,89 @@ object SnapshotStore {
     }.toMap
   }
 
+  /** True iff `e` is [[readManifest]]'s missing-version failure — the
+    * signature of a version a concurrent [[expire]] dropped between a
+    * writer resolving it and reading it. Deliberately narrow: the
+    * malformed-manifest require stays LOUD through every caller.
+    */
+  private def versionVanished(e: IllegalArgumentException): Boolean =
+    e.getMessage != null && e.getMessage.contains("no snapshot version")
+
+  /** [[readManifest]] for WRITE paths: a version that vanished to a
+    * concurrent retention sweep surfaces as the same
+    * `ConcurrentModificationException` a lost manifest CAS does, so the
+    * callers' existing retry loops re-resolve the new head instead of
+    * failing with an exception that reads as corruption. (Writers only
+    * hold a resolved head across a window ≥ `keep` commits long when
+    * heavily raced — exactly the case retry is for.)
+    */
+  private def readManifestForWrite(spark: SparkSession, path: String,
+                                   v: Int): Map[String, Seq[String]] =
+    try readManifest(spark, path, v)
+    catch {
+      case e: IllegalArgumentException if versionVanished(e) =>
+        throw new java.util.ConcurrentModificationException(
+          s"version $v at $path was expired while this operation held it; " +
+            "re-read the new head and retry", e)
+    }
+
   /** Writes the touched partitions of `df` into a fresh gen dir; returns
     * partition value → relative dir. The shadow `_p` column keeps the real
     * partition column IN the data files, so per-directory reads need no
-    * reattachment. `genName` pins the dir name (idempotent appends);
-    * mode=overwrite is safe for the random default (never collides) and
-    * REQUIRED for a pinned name (a crash between gen write and commit
-    * leaves an unreferenced dir the redelivery rewrites).
+    * reattachment.
+    *
+    * `genName` pins the dir name (idempotent appends). A pinned gen is
+    * STAGED to a hidden sibling and published with rename-no-overwrite —
+    * the same single-winner CAS as the manifest — so two concurrent
+    * writers of the same idempotency key never interleave writes inside
+    * one directory (the zombie-writer hazard: an overwrite-in-place of a
+    * dir the winner has already committed would corrupt published data).
+    * The rename loser discards its staging dir and adopts the existing
+    * gen — by the idempotency-key contract both carry the same batch.
+    * A pinned dir therefore EXISTS only fully-written; a crash mid-write
+    * leaves only an unreferenced `.{gen}.*.stage` dir that [[expire]]'s
+    * age-floored orphan sweep removes.
     */
   private def writeGen(df: DataFrame, path: String, partCol: String,
                        genName: Option[String] = None): Map[String, String] = {
-    val gen = genName.getOrElse("gen-" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(12))
-    df.withColumn("_p", col(partCol).cast("string"))
-      .repartition(col("_p"))
-      .write.mode("overwrite")
-      .option("compression", "zstd").partitionBy("_p")
-      .parquet(s"$path/data/$gen")
     val fs = hfs(df.sparkSession, path)
-    fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/$gen"))
-      .map(_.getPath.getName).filter(_.startsWith("_p="))
-      .map { d =>
-        Esc.unescapePathName(d.stripPrefix("_p=")) -> s"data/$gen/$d"
-      }.toMap
+    def list(gen: String): Map[String, String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/$gen"))
+        .map(_.getPath.getName).filter(_.startsWith("_p="))
+        .map { d =>
+          Esc.unescapePathName(d.stripPrefix("_p=")) -> s"data/$gen/$d"
+        }.toMap
+    def writeTo(gen: String): Unit =
+      df.withColumn("_p", col(partCol).cast("string"))
+        .repartition(col("_p"))
+        .write.mode("overwrite")
+        .option("compression", "zstd").partitionBy("_p")
+        .parquet(s"$path/data/$gen")
+    genName match {
+      case None =>
+        val gen = "gen-" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+        writeTo(gen)
+        list(gen)
+      case Some(gen) =>
+        val stage =
+          s".$gen.${java.util.UUID.randomUUID().toString.take(8)}.stage"
+        writeTo(stage)
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          new java.net.URI(path), df.sparkSession.sparkContext.hadoopConfiguration)
+        val target = new org.apache.hadoop.fs.Path(s"$path/data/$gen")
+        try fc.rename(new org.apache.hadoop.fs.Path(s"$path/data/$stage"),
+          target) // default Rename.NONE: fails if the gen already exists
+        catch {
+          case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                    _: java.io.IOException) =>
+            if (!fs.exists(target)) throw e
+            // dir race lost: a concurrent delivery of the SAME key already
+            // published this gen — adopt it, discard our staging copy
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/data/$stage"), true)
+        }
+        list(gen)
+    }
   }
 
   /** The version's recorded union schema (`_schema-<v>`), if present.
@@ -171,7 +231,7 @@ object SnapshotStore {
   private def versionSchema(spark: SparkSession, path: String, v: Int)
       : org.apache.spark.sql.types.StructType =
     readSchema(spark, path, v).getOrElse {
-      val dirs = readManifest(spark, path, v).values.flatten.toSeq.sorted
+      val dirs = readManifestForWrite(spark, path, v).values.flatten.toSeq.sorted
         .map(d => s"$path/$d")
       org.apache.spark.sql.types.StructType(
         spark.read.option("mergeSchema", "true").parquet(dirs: _*)
@@ -233,9 +293,24 @@ object SnapshotStore {
       case e: java.io.IOException if fs.exists(manifest) => lose(e)
     }
     schema.foreach { sch =>
-      val sp = fs.create(
-        new org.apache.hadoop.fs.Path(path, s"_schema-$v"), true)
+      // staged + renamed like the manifest: a concurrent reader must see
+      // `_schema-<v>` either absent (mergeSchema fallback) or COMPLETE —
+      // an in-place create exposes an empty/partial file mid-write and
+      // DataType.fromJson fails on it (caught by the multi-writer soak)
+      val stmp = new org.apache.hadoop.fs.Path(root,
+        s"._schema-$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val sp = fs.create(stmp, true)
       sp.write(sch.json.getBytes("UTF-8")); sp.close()
+      try fc.rename(stmp, new org.apache.hadoop.fs.Path(root, s"_schema-$v"))
+      catch {
+        // only the manifest-CAS winner records v's schema, so a collision
+        // here means it is already recorded — discard the staging copy
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.io.IOException) =>
+          if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"_schema-$v")))
+            throw e
+          fs.delete(stmp, false)
+      }
     }
   }
 
@@ -280,7 +355,7 @@ object SnapshotStore {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val head = headVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
-    val entries = readManifest(spark, path, head)
+    val entries = readManifestForWrite(spark, path, head)
     // one resolution code path with MergeStore — the "same semantics
     // contract" is shared code, not a manually-synced copy
     val (resolved, upserts) = MergeStore.resolveBatch(batch, keyCols,
@@ -355,8 +430,13 @@ object SnapshotStore {
     * sources whose at-least-once redelivery would otherwise duplicate an
     * insert-only batch): the gen dir name derives from the key, and an
     * append whose gen is referenced by ANY retained manifest is a no-op.
-    * A crash BETWEEN gen write and commit leaves an unreferenced dir that
-    * the redelivery rewrites (mode=overwrite) and commits — either way
+    * The pinned dir is published by stage-and-rename (see [[writeGen]]),
+    * so concurrent duplicate deliveries — the zombie-writer case — race
+    * on the RENAME, never on writes inside one directory; the dir-race
+    * loser adopts the published dir and the manifest CAS then serializes
+    * the two commits, the second collapsing to a no-op (deduped dir
+    * lists). A crash BETWEEN gen publish and commit leaves a complete
+    * unreferenced dir the redelivery adopts and commits — either way
     * the batch lands exactly once. The guarantee window is the retention
     * window: once [[expire]] drops every manifest referencing the gen,
     * the key is forgotten (by then the source's own checkpoint has long
@@ -393,37 +473,59 @@ object SnapshotStore {
         .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     }
     for (g <- genName) {
-      // O(1) fresh-key fast path: commit always follows the gen write, so
-      // "gen dir absent" proves the key was never applied (within the
-      // retention window — after that the dirs are gone AND the key is
+      // O(1) fresh-key fast path: a pinned gen dir exists only fully
+      // written ([[writeGen]]'s stage-and-rename), is NEVER cleaned by a
+      // CAS loser (commit below gets no cleanup list for pinned gens) and
+      // never deleted by [[expire]] while a retained manifest references
+      // it — so "dir absent" PROVES the key was never applied (within the
+      // retention window; after that the dirs are gone AND the key is
       // documented forgotten). Only when the dir exists (applied, or a
       // crash between write and commit) do we consult the manifests.
       val fs = hfs(spark, path)
       if (fs.exists(new org.apache.hadoop.fs.Path(path, s"data/$g"))) {
         // retained manifests are a CONTIGUOUS suffix of versions (expire
         // deletes a prefix), so scan head-downward and stop at the first
-        // missing one — bounded by the retention window, not the store's
-        // lifetime version count
+        // MISSING one — probed with fs.exists, so the expired-prefix
+        // boundary is distinguished from a MALFORMED retained manifest,
+        // which must propagate loudly (swallowing it as "not applied"
+        // would permit a duplicate re-append on top of corruption)
         var v = head
         var applied = false
         var exhausted = false
         while (!applied && !exhausted && v >= 1) {
-          try applied = readManifest(spark, path, v).values.flatten
+          if (!fs.exists(new org.apache.hadoop.fs.Path(path, s"_manifest-$v")))
+            exhausted = true
+          else try applied = readManifest(spark, path, v).values.flatten
             .exists(_.startsWith(s"data/$g/"))
-          catch { case _: IllegalArgumentException => exhausted = true }
+          catch { // swept between the exists probe and the read: boundary
+            case e: IllegalArgumentException if versionVanished(e) =>
+              exhausted = true
+          }
           v -= 1
         }
         if (applied) return
       }
     }
-    val entries = readManifest(spark, path, head)
+    val entries = readManifestForWrite(spark, path, head)
     val newEntries = writeGen(df, path, partCol, genName)
     if (newEntries.isEmpty) return
     beforeCommit() // test seam: a concurrent committer lands here
+    // dir lists are deduped: under a concurrent duplicate delivery the
+    // twin may have committed this pinned gen between our applied-scan
+    // and the head read, in which case our commit must be a content
+    // no-op, not a second reference that read() would scan twice
     commit(spark, path, head + 1,
       entries ++ newEntries.map { case (p, d) =>
-        p -> (entries.getOrElse(p, Nil) :+ d) },
-      newEntries.values.map(_.split("/").take(2).mkString("/"))
+        p -> (entries.getOrElse(p, Nil) :+ d).distinct },
+      // a PINNED gen is never cleaned on CAS loss: the winner of the race
+      // may be a duplicate delivery of the SAME key whose just-committed
+      // manifest references this very dir (deleting it would dangle the
+      // winner's files, and the retry would re-publish the dir a second
+      // time). An abandoned pinned gen (retries exhausted) is an orphan
+      // for expire's age-floored sweep. Random-named gens stay
+      // loser-cleaned as before.
+      if (genName.isDefined) Nil
+      else newEntries.values.map(_.split("/").take(2).mkString("/"))
         .toSeq.distinct,
       Some(unionSchema(versionSchema(spark, path, head), df.schema)))
   }
@@ -446,7 +548,7 @@ object SnapshotStore {
     require(minDirs >= 2, "minDirs < 2 would rewrite already-compact partitions")
     val head = headVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
-    val entries = readManifest(spark, path, head)
+    val entries = readManifestForWrite(spark, path, head)
     val chosen = entries.filter { case (p, dirs) =>
       dirs.size >= minDirs && values.forall(_.contains(p)) }
     if (chosen.isEmpty) return 0
@@ -503,11 +605,17 @@ object SnapshotStore {
       else fs.listStatus(root).map(_.getPath.getName)
         .collect { case n if n.startsWith("_manifest-") =>
           n.stripPrefix("_manifest-").toInt }.toSeq.sorted
-    versions.map { v =>
-      val entries = readManifest(spark, path, v)
-      val nRows =
-        if (entries.isEmpty) 0L else read(spark, path, Some(v)).count()
-      (v, entries.size, nRows)
+    versions.flatMap { v =>
+      // a version expired between the listing and this read drops out
+      // (the catalog reflects what is still retained), corruption stays loud
+      try {
+        val entries = readManifest(spark, path, v)
+        val nRows =
+          if (entries.isEmpty) 0L else read(spark, path, Some(v)).count()
+        Some((v, entries.size, nRows))
+      } catch {
+        case e: IllegalArgumentException if versionVanished(e) => None
+      }
     }.toDF("version", "n_partitions", "n_rows")
   }
 
@@ -633,7 +741,16 @@ object SnapshotStore {
     val root = new org.apache.hadoop.fs.Path(path)
     val head = headVersion(spark, path).getOrElse(return)
     val live = (math.max(1, head - keep + 1) to head)
-      .flatMap(v => readManifest(spark, path, v).values.flatten)
+      .flatMap { v =>
+        // a concurrent sweep (whose head, and so cutoff, was >= ours) may
+        // delete a manifest in our range mid-scan: skipping it is safe —
+        // any gen it shares with a version either sweep retains is
+        // reachable through that retained version's manifest
+        try readManifest(spark, path, v).values.flatten
+        catch {
+          case e: IllegalArgumentException if versionVanished(e) => Nil
+        }
+      }
       .map(_.split("/").take(2).mkString("/")).toSet
     (1 until math.max(1, head - keep + 1)).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifest-$v"), false)
@@ -641,12 +758,27 @@ object SnapshotStore {
     }
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     val now = System.currentTimeMillis()
+    // the age is the NEWEST status anywhere under the gen dir, not the
+    // dir's own mtime: object stores (S3A & co) synthesize directory
+    // mtimes, so only the youngest FILE reliably carries the "an
+    // in-flight commit just wrote here" signal the floor exists for
+    def newest(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(st.getPath).map(newest).toSeq).max
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { st =>
         val g = st.getPath.getName
-        if (!live.contains(s"data/$g") &&
-            now - st.getModificationTime >= minAgeMs)
+        if (!live.contains(s"data/$g") && now - newest(st) >= minAgeMs)
           fs.delete(new org.apache.hadoop.fs.Path(root, s"data/$g"), true)
       }
+    // crash-leftover manifest/schema staging files (a committer that died
+    // between create and rename) age out under the same floor
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if ((n.startsWith("._manifest-") || n.startsWith("._schema-")) &&
+          n.endsWith(".tmp") && now - st.getModificationTime >= minAgeMs)
+        fs.delete(st.getPath, false)
+    }
   }
 }

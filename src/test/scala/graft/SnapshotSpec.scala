@@ -532,6 +532,85 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotStore.headVersion(spark, dir).contains(3))
   }
 
+  test("concurrent duplicate delivery of the SAME idempotency key (zombie " +
+    "writer): exactly one lands, no dangling manifest references, no " +
+    "double-scanned dirs") {
+    val dir = freshDir(); writeBase(dir)
+    val batch = Seq((5L, "a", 50.0)).toDF("k", "p", "v")
+    var raced = false
+    // the twin delivery lands BETWEEN our gen publish and our commit —
+    // the exact window where pre-fix the CAS loser deleted the pinned gen
+    // the winner's manifest had just referenced, then re-published it as
+    // a SECOND dir-list entry (rows read twice)
+    SnapshotStore.append(batch, dir, "p", idempotencyKey = Some("dup-1"),
+      beforeCommit = () => if (!raced) {
+        raced = true
+        SnapshotStore.append(batch, dir, "p", idempotencyKey = Some("dup-1"))
+      })
+    assert(SnapshotStore.headVersion(spark, dir).contains(2),
+      "duplicate delivery minted an extra version with content")
+    assert(SnapshotStore.read(spark, dir).filter(col("k") === 5L).count() == 1,
+      "concurrent duplicate delivery double-applied the batch")
+    // every dir referenced by every retained manifest must exist on disk
+    (1 to 2).foreach { v =>
+      manifestDirs(dir, v).values.flatten.foreach(d =>
+        assert(new java.io.File(s"$dir/$d").isDirectory,
+          s"manifest v$v references a dangling dir: $d"))
+    }
+    // no dir appears twice in any partition's dir list
+    val m = manifestDirs(dir, 2)
+    m.foreach { case (p, ds) =>
+      assert(ds.distinct == ds, s"partition $p lists a dir twice: $ds") }
+    // no staging leftovers; redelivery after the race is still a no-op
+    val gens = new java.io.File(s"$dir/data").listFiles().map(_.getName)
+    assert(gens.forall(!_.endsWith(".stage")), s"staging leaked: ${gens.toSeq}")
+    SnapshotStore.append(batch, dir, "p", idempotencyKey = Some("dup-1"))
+    assert(SnapshotStore.headVersion(spark, dir).contains(2))
+  }
+
+  test("a MALFORMED retained manifest fails the idempotency scan loudly " +
+    "instead of permitting a duplicate re-append (expired-prefix boundary " +
+    "is probed, not inferred from the exception)") {
+    val dir = freshDir(); writeBase(dir)
+    val batch = Seq((5L, "a", 50.0)).toDF("k", "p", "v")
+    SnapshotStore.append(batch, dir, "p", idempotencyKey = Some("b-1")) // v2
+    // corrupt the retained manifest the scan must traverse (dir-less line);
+    // drop the .crc shadow so ChecksumFileSystem serves the corrupt bytes
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_manifest-2"), "a")
+    new java.io.File(dir, "._manifest-2.crc").delete()
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.append(batch, dir, "p", idempotencyKey = Some("b-1"))
+    }
+    assert(e.getMessage.contains("malformed manifest"),
+      s"corruption was swallowed as 'not applied': ${e.getMessage}")
+  }
+
+  test("expire's orphan age comes from the NEWEST file under the gen dir, " +
+    "not the dir's own mtime (object-store synthetic dir mtimes)") {
+    val dir = freshDir(); writeBase(dir)
+    SnapshotStore.merge(spark, dir,
+      Seq((1L, "a", 11.0)).toDF("k", "p", "v"), "p", Seq("k")) // v2
+    // an unreferenced gen whose DIR mtime looks ancient but whose newest
+    // file is fresh — the in-flight-commit shape on S3A-like stores
+    val orphan = new java.io.File(s"$dir/data/gen-orphan/_p=a")
+    assert(orphan.mkdirs())
+    val f = new java.io.File(orphan, "part-0.parquet")
+    assert(f.createNewFile())
+    val old = System.currentTimeMillis() - 7200000L
+    assert(orphan.setLastModified(old))
+    assert(orphan.getParentFile.setLastModified(old))
+    SnapshotStore.expire(spark, dir, keep = 1, minAgeMs = 3600000L)
+    assert(orphan.getParentFile.exists(),
+      "expire swept a gen whose newest file is younger than the floor")
+    // once the newest file is older than the floor too, the sweep takes it
+    assert(f.setLastModified(old))
+    assert(orphan.setLastModified(old))
+    assert(orphan.getParentFile.setLastModified(old))
+    SnapshotStore.expire(spark, dir, keep = 1, minAgeMs = 3600000L)
+    assert(!orphan.getParentFile.exists(), "aged-out orphan survived expire")
+  }
+
   test("mergeWithRetry exhausts to the original exception; the store " +
     "stays consistent") {
     val dir = freshDir(); writeBase(dir)
