@@ -761,11 +761,23 @@ object SnapshotStore {
     // the age is the NEWEST status anywhere under the gen dir, not the
     // dir's own mtime: object stores (S3A & co) synthesize directory
     // mtimes, so only the youngest FILE reliably carries the "an
-    // in-flight commit just wrote here" signal the floor exists for
+    // in-flight commit just wrote here" signal the floor exists for.
+    // A dir that VANISHES mid-recursion was swept by a concurrent expire
+    // between our listing and this probe — already-deleted is the outcome
+    // this sweep wanted, so treat it as such instead of failing the whole
+    // sweep on the racing sweeper's success (the per-dir delete below is
+    // a no-op on a gone path either way).
     def newest(st: org.apache.hadoop.fs.FileStatus): Long =
       if (!st.isDirectory) st.getModificationTime
-      else (st.getModificationTime +:
-        fs.listStatus(st.getPath).map(newest).toSeq).max
+      else {
+        val children =
+          try fs.listStatus(st.getPath)
+          catch {
+            case _: java.io.FileNotFoundException =>
+              Array.empty[org.apache.hadoop.fs.FileStatus]
+          }
+        (st.getModificationTime +: children.map(newest).toSeq).max
+      }
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { st =>
         val g = st.getPath.getName

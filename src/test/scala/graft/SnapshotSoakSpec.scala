@@ -9,29 +9,94 @@ import graft.storage.SnapshotStore
   * compactions, and retention sweeps against ONE store, under a seeded
   * schedule, and every lakehouse invariant must hold at the end. Races
   * that only emerge from composition (append landing mid-merge-retry,
-  * expire sweeping under a compaction, dir lists growing while a merge
-  * rewrites the partition) are the classic multi-writer failure mode the
-  * pairwise specs cannot see.
+  * expire sweeping under a compaction, two expires racing each other's
+  * dir deletes, dir lists growing while a merge rewrites the partition)
+  * are the classic multi-writer failure mode the pairwise specs cannot
+  * see — the r12 soak caught two (partially-written `_schema-<v>` read;
+  * retention under an in-flight commit) on its first run.
   *
   * Determinism argument: writers own DISJOINT key spaces (writer w merges
   * only key w; appends use globally-unique keys), so the final head
   * content is schedule-independent — base ∪ appended rows ∪ each
   * writer's last merged value — even though the store's serialization
   * order is not.
+  *
+  * Three soaks:
+  *   - two seeds × sizes of the append/merge/compact/expire mix (the r12
+  *     shape, grown to 5 writers × 12 ops), with CONCURRENT SCHEMA
+  *     EVOLUTION folded in: half of each writer's appends carry a
+  *     writer-private extra column, so `_schema-<v>` files are written
+  *     and unioned under full contention — plus the schema invariant
+  *     (every retained schema parses; consecutive retained versions are
+  *     field-supersets)
+  *   - a ROLLBACK mix (the one verb the r12 soak never exercised:
+  *     rollback commits an OLD manifest as a NEW head) — content becomes
+  *     schedule-dependent once rollbacks interleave, so the invariants
+  *     are structural, closed by a deterministic final rollback to v1
+  *     which must restore the base exactly
   */
 class SnapshotSoakSpec extends SparkSpec {
   import spark.implicits._
 
-  test("seeded 3-writer soak of append/merge/compact/expire: head content " +
-    "exact, every retained version readable, no dangling or leaked dirs") {
+  private val base = Seq((0L, "p0", 0.0), (1L, "p1", 0.0),
+    (2L, "p2", 0.0), (3L, "p3", 0.0))
+
+  /** Parses a retained `_schema-<v>` file (the spec reads the raw file —
+    * the store's reader is private, and the invariant is about what is ON
+    * DISK, not what the store chooses to expose).
+    */
+  private def schemaFields(dir: String, v: Int): Option[Set[(String, String)]] = {
+    val f = new java.io.File(dir, s"_schema-$v")
+    if (!f.isFile) None
+    else {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val st = org.apache.spark.sql.types.DataType.fromJson(txt)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      Some(st.fields.map(fd => fd.name -> fd.dataType.sql).toSet)
+    }
+  }
+
+  private def retainedVersions(dir: String): Seq[Int] =
+    new java.io.File(dir).listFiles().map(_.getName)
+      .collect { case n if n.startsWith("_manifest-") =>
+        n.stripPrefix("_manifest-").toInt }.sorted.toSeq
+
+  private def headMap(dir: String): Map[Long, (String, Double)] =
+    SnapshotStore.read(spark, dir).select("k", "p", "v").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+
+  private def assertStructure(dir: String): Unit = {
+    val retained = retainedVersions(dir)
+    assert(retained.nonEmpty, "no retained manifests after the soak")
+    retained.foreach { v =>
+      SnapshotStore.readManifest(spark, dir, v).values.flatten.foreach(d =>
+        assert(new java.io.File(s"$dir/$d").isDirectory,
+          s"retained manifest v$v references a dangling dir: $d"))
+      SnapshotStore.read(spark, dir, Some(v)).count() // must not throw
+    }
+    // no partition's dir list holds duplicates at head
+    SnapshotStore.readManifest(spark, dir, retained.max).foreach {
+      case (p, ds) =>
+        assert(ds.distinct == ds, s"partition $p lists a dir twice: $ds")
+    }
+  }
+
+  private def quiescentSweep(dir: String): Unit = {
+    SnapshotStore.expire(spark, dir, keep = 1, minAgeMs = 0L)
+    val headGens = SnapshotStore
+      .readManifest(spark, dir, SnapshotStore.headVersion(spark, dir).get)
+      .values.flatten.map(_.split("/").take(2).mkString("/")).toSet
+    val onDisk = new java.io.File(s"$dir/data").listFiles()
+      .map("data/" + _.getName).toSet
+    assert(onDisk == headGens,
+      s"quiescent sweep mismatch — leaked: ${onDisk -- headGens}, " +
+        s"dangling: ${headGens -- onDisk}")
+  }
+
+  private def soak(nWriters: Int, opsPer: Int, seed: Int): Unit = {
     val dir = java.nio.file.Files.createTempDirectory("graft_soak")
       .toString + "/st"
-    val nWriters = 3
-    val opsPer = 6
-    val seed = 20260814
-
-    val base = Seq((0L, "p0", 0.0), (1L, "p1", 0.0),
-      (2L, "p2", 0.0), (3L, "p3", 0.0))
     SnapshotStore.write(base.toDF("k", "p", "v"), dir, "p")
 
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
@@ -46,9 +111,15 @@ class SnapshotSoakSpec extends SparkSpec {
         try {
           (0 until opsPer).foreach { i =>
             r.nextInt(4) match {
-              case 0 => // idempotency-keyed append of a globally-unique key
+              case 0 => // idempotency-keyed append of a globally-unique key;
+                // every second append carries a writer-private EXTRA column,
+                // so `_schema-<v>` union/record/read runs under contention
                 val row = (w * 1000L + i, s"p${r.nextInt(4)}", i * 1.0)
-                SnapshotStore.append(Seq(row).toDF("k", "p", "v"), dir, "p",
+                val df =
+                  if (i % 2 == 0) Seq(row).toDF("k", "p", "v")
+                  else Seq((row._1, row._2, row._3, s"w$w"))
+                    .toDF("k", "p", "v", s"c$w")
+                SnapshotStore.append(df, dir, "p",
                   idempotencyKey = Some(s"w$w-b$i"), maxRetries = 50)
                 appendedRows.add(row)
               case 1 => // retried upsert of the writer's OWN key
@@ -61,7 +132,10 @@ class SnapshotSoakSpec extends SparkSpec {
                 try SnapshotStore.compactPartitions(spark, dir, "p")
                 catch { case _: java.util.ConcurrentModificationException => }
               case 3 => // retention with the default orphan-age floor; keep
-                // comfortably exceeds commits any in-flight op can overlap
+                // comfortably exceeds commits any in-flight op can overlap.
+                // With 5 writers these overlap EACH OTHER — the
+                // concurrent-expire seeds the r12 ADVICE asked for (a dir
+                // vanishing under a racing sweep's newest() recursion).
                 SnapshotStore.expire(spark, dir, keep = 8)
             }
           }
@@ -86,44 +160,114 @@ class SnapshotSoakSpec extends SparkSpec {
           appendedRows.forEach(r => b += (r._1 -> (r._2, r._3)))
           b.result()
         }
-    def headMap() = SnapshotStore.read(spark, dir)
-      .select("k", "p", "v").collect()
-      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
-    assert(headMap() == expected,
+    assert(headMap(dir) == expected,
       s"head diverged from the serialized expectation")
 
-    // every retained version is readable and references only live dirs
+    // every retained version readable, no dangling/duplicated dirs
     // (no bound on retained.size here: how many commits land AFTER a
     // writer's last expire is schedule-dependent; retention efficacy is
-    // proven by the quiescent sweeps below)
-    val retained = new java.io.File(dir).listFiles().map(_.getName)
-      .collect { case n if n.startsWith("_manifest-") =>
-        n.stripPrefix("_manifest-").toInt }.sorted.toSeq
-    assert(retained.nonEmpty, "no retained manifests after the soak")
-    retained.foreach { v =>
-      SnapshotStore.readManifest(spark, dir, v).values.flatten.foreach(d =>
-        assert(new java.io.File(s"$dir/$d").isDirectory,
-          s"retained manifest v$v references a dangling dir: $d"))
-      SnapshotStore.read(spark, dir, Some(v)).count() // must not throw
-    }
-    // no partition's dir list holds duplicates at head
-    SnapshotStore.readManifest(spark, dir, retained.max).foreach {
-      case (p, ds) =>
-        assert(ds.distinct == ds, s"partition $p lists a dir twice: $ds")
+    // proven by the quiescent sweep below)
+    assertStructure(dir)
+
+    // schema invariant: every retained `_schema-<v>` parses (the r12 soak
+    // caught a reader observing a partial one), and — evolution being
+    // additive-only with every committer unioning against the head it
+    // raced for — consecutive retained versions are field-SUPERSETS
+    val retained = retainedVersions(dir)
+    val schemas = retained.map(v => v -> schemaFields(dir, v))
+    schemas.foreach { case (v, s) =>
+      assert(s.isDefined, s"retained v$v has no parseable _schema file") }
+    schemas.sliding(2).foreach {
+      case Seq((v1, Some(s1)), (v2, Some(s2))) =>
+        assert(s1.subsetOf(s2),
+          s"schema shrank v$v1 -> v$v2: lost ${s1 -- s2}")
+      case _ => ()
     }
 
     // final quiescent sweep: with no writer live, a zero-floor expire must
     // leave EXACTLY the head's referenced gens (no leaked stage dirs, no
     // unreferenced survivors) and the head content intact
-    SnapshotStore.expire(spark, dir, keep = 1, minAgeMs = 0L)
-    val headGens = SnapshotStore
-      .readManifest(spark, dir, SnapshotStore.headVersion(spark, dir).get)
-      .values.flatten.map(_.split("/").take(2).mkString("/")).toSet
-    val onDisk = new java.io.File(s"$dir/data").listFiles()
-      .map("data/" + _.getName).toSet
-    assert(onDisk == headGens,
-      s"quiescent sweep mismatch — leaked: ${onDisk -- headGens}, " +
-        s"dangling: ${headGens -- onDisk}")
-    assert(headMap() == expected, "final sweep changed head content")
+    quiescentSweep(dir)
+    assert(headMap(dir) == expected, "final sweep changed head content")
+  }
+
+  test("seeded 3-writer soak of append/merge/compact/expire: head content " +
+    "exact, every retained version readable, no dangling or leaked dirs") {
+    soak(nWriters = 3, opsPer = 6, seed = 20260814)
+  }
+
+  test("seeded 5-writer x 12-op soak (second seed): same invariants under " +
+    "heavier interleaving and concurrent schema evolution") {
+    soak(nWriters = 5, opsPer = 12, seed = 20260815)
+  }
+
+  test("seeded rollback-mix soak: structural invariants hold under " +
+    "concurrent rollbacks, and a final rollback to v1 restores the base") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_soak_rb")
+      .toString + "/st"
+    val nWriters = 3
+    val opsPer = 8
+    val seed = 20260816
+    SnapshotStore.write(base.toDF("k", "p", "v"), dir, "p")
+
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until nWriters).map { w =>
+      new Thread(() => {
+        val r = new scala.util.Random(seed + w)
+        try {
+          (0 until opsPer).foreach { i =>
+            r.nextInt(4) match {
+              case 0 =>
+                SnapshotStore.append(
+                  Seq((w * 1000L + i, s"p${r.nextInt(4)}", i * 1.0))
+                    .toDF("k", "p", "v"),
+                  dir, "p", idempotencyKey = Some(s"w$w-b$i"),
+                  maxRetries = 50)
+              case 1 =>
+                SnapshotStore.mergeWithRetry(spark, dir,
+                  Seq((w.toLong, s"p$w", i * 10.0 + w)).toDF("k", "p", "v"),
+                  "p", Seq("k"), maxRetries = 50)
+              case 2 => // roll back to a RECENT version (within the head's
+                // last 3) — concurrent commits only grow head, so the
+                // target stays <= head; a lost CAS is a documented re-call
+                val head = SnapshotStore.headVersion(spark, dir).get
+                val to = math.max(1, head - r.nextInt(3))
+                try SnapshotStore.rollback(spark, dir, to)
+                catch { case _: java.util.ConcurrentModificationException => }
+              case 3 =>
+                try SnapshotStore.compactPartitions(spark, dir, "p")
+                catch { case _: java.util.ConcurrentModificationException => }
+            }
+            // no expire in this mix: rollback past the retention window is
+            // documented-unsupported (as in Iceberg), so the soak exercises
+            // the supported composition
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      }, s"soak-rb-writer-$w")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(600000))
+    assert(errors.isEmpty, {
+      val sw = new java.io.StringWriter
+      errors.forEach(_.printStackTrace(new java.io.PrintWriter(sw)))
+      s"rollback soak writers threw:\n$sw"
+    })
+
+    // rollbacks interleaving with merges make head content schedule-
+    // dependent; what must STILL hold is structural consistency...
+    assertStructure(dir)
+    retainedVersions(dir).foreach { v =>
+      assert(schemaFields(dir, v).isDefined,
+        s"retained v$v has no parseable _schema file")
+    }
+    // ...and the deterministic closer: v1 was never expired (no expire in
+    // the mix), so rolling back to it must restore the base EXACTLY —
+    // whatever the interleaving did in between
+    SnapshotStore.rollback(spark, dir, 1)
+    assert(headMap(dir) == base.map(r => r._1 -> (r._2, r._3)).toMap,
+      "rollback to v1 did not restore the base")
+    quiescentSweep(dir)
+    assert(headMap(dir) == base.map(r => r._1 -> (r._2, r._3)).toMap,
+      "final sweep changed rolled-back head content")
   }
 }
