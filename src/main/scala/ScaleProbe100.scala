@@ -739,19 +739,26 @@ object ScaleProbe100 {
       ratio("zorder_write")
     }
 
-    // 13. snapshot-manifest ceiling (r10 VERDICT next-round #3): the flat
-    // manifest is one line per live partition, parsed into a driver map on
-    // every read/merge/changes. The scale story cites 10k partitions; this
-    // rung measures the flat tier at 10k and 100k entries on a REAL store
-    // seeded with 3 real partitions plus synthetic manifest entries — whose
-    // dirs do not exist, so the rung is ALSO the pruning proof: any
-    // operator that touched an untouched partition would throw on open.
-    // merge/changes run the complete operator path (manifest parse, 3-dir
-    // pruned scan, full-width CAS commit of the 10k/100k-line manifest).
+    // 13. snapshot-manifest ceiling (r10 VERDICT next-round #3; 1M rung +
+    // segment tier r13): one entry per live partition, resolved on every
+    // read/merge/changes. r12 measured the FLAT tier ~linear in entries
+    // (manifest_read_10k_to_100k = 13.3 — the one super-linear curve in
+    // this artifact), so r13 added the content-addressed SEGMENT tier
+    // (SnapshotStore manifest-tier comment) and this section now measures
+    // it at 10k, 100k and 1M entries on a REAL store seeded with 3 real
+    // partitions plus synthetic manifest entries — whose dirs do not
+    // exist, so the rung is ALSO the pruning proof: any operator that
+    // touched an untouched partition would throw on open. merge/changes
+    // run the complete operator path (head resolve, touched-bucket parse,
+    // 3-dir pruned scan, touched-bucket segment publish + head CAS) and
+    // should be ~FLAT in store size; the full-map read stays inherently
+    // O(N) (it must produce N entries) but parses segments in parallel;
+    // pruned_read is the readPartitions-shaped resolution (3 values) and
+    // should be ~flat.
     if (on("manifest")) {
       walls("sentinel_manifest") = cleanSentinel("manifest")
       import graft.storage.SnapshotStore
-      for (n <- Seq(10000, 100000)) {
+      for (n <- Seq(10000, 100000, 1000000)) {
         val dir = java.nio.file.Files
           .createTempDirectory(s"graft_scale100_manifest$n").toString + "/st"
         val seed = spark.range(3000).select(col("id").as("k"),
@@ -768,35 +775,55 @@ object ScaleProbe100 {
         // (nonexistent-dir) entries are designed to make impossible
         SnapshotStore.commit(spark, dir, 2, real ++ synth, Nil,
           Some(SnapshotStore.read(spark, dir, Some(1)).schema))
-        time(s"manifest_read_x10_$n") {
+        timeMin2(s"manifest_read_x10_$n") {
           (1 to 10).foreach(_ => SnapshotStore.readManifest(spark, dir, 2))
+        }
+        // the dirs-only resolve is what read()/expire actually pay — the
+        // value-keyed full map above is the merge-fallback shape only
+        timeMin2(s"manifest_dirs_x10_$n") {
+          (1 to 10).foreach(_ => SnapshotStore.readManifestDirs(spark, dir, 2))
+        }
+        timeMin2(s"manifest_pruned_read_x10_$n") {
+          (1 to 10).foreach(_ => SnapshotStore.readManifestValues(
+            spark, dir, 2, Seq("rp0", "rp1", "rp2")))
         }
         val batch = seed.filter(col("k") % 10 === 0)
           .withColumn("v", col("v") + lit(1.0)).localCheckpoint()
-        time(s"manifest_merge_$n") {
+        timeMin2(s"manifest_merge_$n") {
           SnapshotStore.merge(spark, dir, batch, "p", Seq("k"))
         }
-        time(s"manifest_changes_$n") {
+        timeMin2(s"manifest_changes_$n") {
           SnapshotStore.changes(spark, dir, 2, 3, Seq("k"))
             .write.mode("overwrite").format("noop").save()
         }
       }
-      for (a <- walls.get("manifest_merge_10000");
-           b <- walls.get("manifest_merge_100000")) {
-        ratios("manifest_merge_10k_to_100k") = b / a
-        println(f"PROBE manifest_merge_10k_to_100k ${b / a}%.2f (flat claim ~ 1)")
-      }
-      for (a <- walls.get("manifest_changes_10000");
-           b <- walls.get("manifest_changes_100000")) {
-        ratios("manifest_changes_10k_to_100k") = b / a
-        println(f"PROBE manifest_changes_10k_to_100k ${b / a}%.2f (flat claim ~ 1)")
-      }
-      for (a <- walls.get("manifest_read_x10_10000");
-           b <- walls.get("manifest_read_x10_100000")) {
-        ratios("manifest_read_10k_to_100k") = b / a
-        println(f"PROBE manifest_read_10k_to_100k ${b / a}%.2f " +
-          "(per-read driver parse; linear-in-entries = 10)")
-      }
+      def bankRatio(metric: String, lo: Int, hi: Int, tag: String,
+                    claim: String): Unit =
+        for (a <- walls.get(s"manifest_${metric}_$lo");
+             b <- walls.get(s"manifest_${metric}_$hi")) {
+          ratios(s"manifest_${metric}_$tag") = b / a
+          println(f"PROBE manifest_${metric}_$tag ${b / a}%.2f ($claim)")
+        }
+      bankRatio("merge", 10000, 100000, "10k_to_100k", "flat claim ~ 1")
+      bankRatio("merge", 100000, 1000000, "100k_to_1M", "flat claim ~ 1")
+      bankRatio("changes", 10000, 100000, "10k_to_100k", "flat claim ~ 1")
+      bankRatio("changes", 100000, 1000000, "100k_to_1M", "flat claim ~ 1")
+      bankRatio("read_x10", 10000, 100000, "10k_to_100k",
+        "full value-keyed map; boundary-crossing fallback shape only — " +
+          "no operational path resolves it (read=dirs, merge/append/" +
+          "compact=pruned buckets)")
+      bankRatio("read_x10", 100000, 1000000, "100k_to_1M",
+        "full value-keyed map; boundary-crossing fallback shape only — " +
+          "no operational path resolves it (read=dirs, merge/append/" +
+          "compact=pruned buckets)")
+      bankRatio("dirs_x10", 10000, 100000, "10k_to_100k",
+        "read()'s resolve; O(entries) light parse, linear = 10")
+      bankRatio("dirs_x10", 100000, 1000000, "100k_to_1M",
+        "read()'s resolve; O(entries) light parse, linear = 10")
+      bankRatio("pruned_read_x10", 10000, 100000, "10k_to_100k",
+        "flat claim ~ 1")
+      bankRatio("pruned_read_x10", 100000, 1000000, "100k_to_1M",
+        "flat claim ~ 1")
     }
 
     // bucketed-vs-plain advantage as a ratio row (both are x3 recurring)

@@ -181,34 +181,49 @@ object Bench {
       if (fleetNames(name)) {
         val first = runOnce(name, fn)
         // A gate that took >=2 s is the one that ran the REAL 7-stream
-        // fleet (cache reads are ~0.1-0.3 s). Give the fleet the same
-        // stall-resistant min-of-2 the expensive batch queries get: reset
-        // the result cache, run the whole fleet again, charge the min —
-        // r7's official vector charged a 26.3 s fleet wall that probe
-        // sessions measure at ~7 s; one transient host window can no
-        // longer own 33% of the vector. Per-gate attribution keeps the
-        // min of both runs too.
+        // fleet (cache reads are ~0.1-0.3 s). Bank the fleet with the SAME
+        // repeat discipline as the batch queries — median-of-3, per wall
+        // AND per gate: r11 banked a single noisy fleet wall (s_dedup_keys
+        // 7.15 s, host variance) and spent a round adjudicating it; a
+        // median over three same-code fleet runs makes one transient host
+        // window unable to own the family's official time in either
+        // direction. A failed re-run measures the failure, not the fleet —
+        // it is dropped, the discipline degrades to min of the successful
+        // runs (min = the stall-resistant estimator when only two remain),
+        // and further fleet repeats are disabled for the family.
         if (first >= 2.0 && !fleetRerunDisabled) {
-          val g1 = graft.queries.StreamGate.fleetGateSeconds.toMap
-          graft.queries.StreamGate.resetFleetCache()
-          var secondOk = true
-          val second = timed {
-            try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-            catch { case e: Throwable =>
-              secondOk = false
-              System.err.println(s"[bench] $name fleet re-run failed: ${e.getMessage}")
+          val walls = scala.collection.mutable.ListBuffer(first)
+          val gateRuns = scala.collection.mutable.ListBuffer(
+            graft.queries.StreamGate.fleetGateSeconds.toMap)
+          var ok = true
+          (1 to 2).foreach { _ =>
+            if (ok) {
+              graft.queries.StreamGate.resetFleetCache()
+              var thisOk = true
+              val w = timed {
+                try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+                catch { case e: Throwable =>
+                  thisOk = false
+                  System.err.println(
+                    s"[bench] $name fleet re-run failed: ${e.getMessage}")
+                }
+              }
+              spark.sharedState.cacheManager.clearCache()
+              if (thisOk) {
+                walls += w
+                gateRuns += graft.queries.StreamGate.fleetGateSeconds.toMap
+              } else { ok = false; fleetRerunDisabled = true }
             }
           }
-          spark.sharedState.cacheManager.clearCache()
-          // a FAILED second run measures the failure, not the fleet — its
-          // tiny elapsed must never become the official min
-          if (secondOk) {
-            g1.foreach { case (k, v) =>
-              graft.queries.StreamGate.fleetGateSeconds(k) = math.min(
-                v, graft.queries.StreamGate.fleetGateSeconds.getOrElse(k, v))
-            }
-            math.min(first, second)
-          } else { fleetRerunDisabled = true; first }
+          def bank(vs: Seq[Double]): Double = {
+            val s = vs.sorted
+            if (s.size >= 3) s(s.size / 2) else s.head // median | min | only
+          }
+          gateRuns.flatMap(_.keySet).toSet.foreach { (g: String) =>
+            graft.queries.StreamGate.fleetGateSeconds(g) =
+              bank(gateRuns.flatMap(_.get(g)).toSeq)
+          }
+          bank(walls.toSeq)
         } else first
       } else {
         val first = runOnce(name, fn)
@@ -439,7 +454,7 @@ object Bench {
     val valueNormalized = total / hostFactor
     val fastJson = fastAnomalies.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"value_normalized":$valueNormalized,"raw_total":$rawTotal,"unit":"sec","cpus":$cpus,"queries":$qs,"queries_raw":$qsRaw,"anomalously_fast":$fastJson,"ingest_lines_per_sec":$ingestRate,"sf":"$sfDir","per_query":"batch: median_of_3 under 2s, min_of_2 above; streaming family: one concurrent fleet run twice (min), wall charged to its first gate (see fleet_per_gate/fleet_detail)","sentinel_baseline_sec":$sentinelBase,"sentinel_median":$probeMedian,"host_factor":${math.rint(hostFactor * 100) / 100},"host_ref_sentinel_median":$hostRef,"sentinel_probes":$probeJson,"stalled_initial":${stalledInitial.mkString("[", ",", "]")},"stalled_windows":${residual.mkString("[", ",", "]")},"retried":$retriedJson,"fleet_per_gate":$fleetJson,"fleet_detail":$fleetDetailJson,"clean":$clean}"""
+      s"""{"metric":"total","value":$total,"value_normalized":$valueNormalized,"raw_total":$rawTotal,"unit":"sec","cpus":$cpus,"queries":$qs,"queries_raw":$qsRaw,"anomalously_fast":$fastJson,"ingest_lines_per_sec":$ingestRate,"sf":"$sfDir","per_query":"batch: median_of_3 under 2s, min_of_2 above; streaming family: one concurrent fleet run 3x, median per wall and per gate, wall charged to its first gate (see fleet_per_gate/fleet_detail)","sentinel_baseline_sec":$sentinelBase,"sentinel_median":$probeMedian,"host_factor":${math.rint(hostFactor * 100) / 100},"host_ref_sentinel_median":$hostRef,"sentinel_probes":$probeJson,"stalled_initial":${stalledInitial.mkString("[", ",", "]")},"stalled_windows":${residual.mkString("[", ",", "]")},"retried":$retriedJson,"fleet_per_gate":$fleetJson,"fleet_detail":$fleetDetailJson,"clean":$clean}"""
     println(json)
     // durable copy: the driver's stdout capture truncates long lines, so the
     // full per-query vector also lands as a file, diffable across rounds —

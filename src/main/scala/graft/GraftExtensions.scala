@@ -29,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(plans.ProfileSql.descriptor)
     ext.injectTableFunction(plans.SnapshotSql.descriptor)
     ext.injectTableFunction(plans.ChangesSql.descriptor)
+    // CALL-style maintenance verbs (one-row status receipts): the
+    // operations half of the SQL surface — compact/rollback/expire run
+    // through the same store code paths as the DataFrame API
+    ext.injectTableFunction(plans.MaintenanceSql.Compact.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.Rollback.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.Expire.descriptor)
     // Function registration needs a live session's registry; inject via
     // a check rule that runs once at analysis start (idempotent registry ops).
     ext.injectCheckRule { session =>

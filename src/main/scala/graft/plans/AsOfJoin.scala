@@ -211,6 +211,12 @@ object AsOf {
       SnapshotSql.name, SnapshotSql.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       ChangesSql.name, ChangesSql.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.Compact.name, MaintenanceSql.Compact.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.Rollback.name, MaintenanceSql.Rollback.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.Expire.name, MaintenanceSql.Expire.builder, "scala_udf")
   }
 
   /** Parses a tolerance interval string (e.g. "30 minutes") to microseconds,

@@ -1,0 +1,149 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** SQL reach for the [[graft.storage.SnapshotStore]] MAINTENANCE verbs —
+  * the operations half of R13's "regular SQL syntax" story
+  * (`/root/reference/README.md:7,32`): reads already have `graft_snapshot`
+  * / `graft_changes`; these CALL-style TVFs give compaction, rollback and
+  * retention the same reach, so an operator on a SQL-only surface (a
+  * scheduled `spark-sql` job, a JDBC gateway) can run the store's
+  * housekeeping without a Scala deployment.
+  *
+  * {{{
+  *   SELECT * FROM graft_compact('/data/orders_snap', 'o_orderdate')
+  *   SELECT * FROM graft_rollback('/data/orders_snap', '3')
+  *   SELECT * FROM graft_expire('/data/orders_snap', '2', '0')
+  * }}}
+  *
+  * Each returns ONE status row (verb, path, outcome fields, the head
+  * version after the verb) — the `CALL procedure` result-set shape, carried
+  * by a TVF because Spark exposes table functions, not procedures, through
+  * `SparkSessionExtensions`. One code path with the store: the TVF calls
+  * the SAME `compactPartitions`/`rollback`/`expire` the DataFrame API
+  * uses, so CAS discipline, retention floors and manifest formats cannot
+  * drift between the two surfaces (the [[NearDupSql]] argument).
+  *
+  * Execution model: the verb runs when the statement is ANALYZED —
+  * `spark.sql(...)` on these is eager, like a DDL command, not lazy like a
+  * query. That is the correct shape for a maintenance verb (the caller
+  * wants the side effect; the returned row is a receipt) and is pinned by
+  * SqlSurfaceSpec.
+  */
+object MaintenanceSql {
+
+  private def str(name: String, args: Seq[Expression], i: Int): String = {
+    val e = args(i)
+    require(e.foldable && e.dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"$name argument ${i + 1} must be a string literal, got ${e.sql}")
+    val v = e.eval()
+    require(v != null, s"$name argument ${i + 1} must not be NULL")
+    v.toString
+  }
+
+  private def num(name: String, args: Seq[Expression], i: Int,
+                  what: String): Long = {
+    val s = str(name, args, i)
+    try s.trim.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$name argument ${i + 1} ($what) must be an integer, got '$s'")
+    }
+  }
+
+  private def statusRow(spark: SparkSession, verb: String, path: String,
+                        detail: Long): LogicalPlan = {
+    import spark.implicits._
+    val head = graft.storage.SnapshotStore.headVersion(spark, path)
+      .map(_.toLong).getOrElse(-1L)
+    Seq((verb, path, detail, head))
+      .toDF("verb", "path", "detail", "head_version")
+      .queryExecution.analyzed
+  }
+
+  /** `graft_compact(path, partCol [, minDirs])` — compacts partitions whose
+    * manifest entry accumulated `minDirs`+ append dirs; `detail` = number
+    * of partitions compacted (0 = nothing to do, no version committed).
+    */
+  object Compact {
+    val name = "graft_compact"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_compact(path, partCol[, minDirs]) - compacts SnapshotStore " +
+        "partitions holding minDirs+ (default 2) append dirs into one dir " +
+        "each, as a new snapshot version; returns one status row (detail = " +
+        "partitions compacted); string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 2 || args.size == 3,
+        s"$name takes (path, partCol[, minDirs]); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val minDirs =
+        if (args.size == 3) num(name, args, 2, "minDirs").toInt else 2
+      val n = graft.storage.SnapshotStore.compactPartitions(
+        spark, str(name, args, 0), str(name, args, 1), None, minDirs)
+      statusRow(spark, "compact", str(name, args, 0), n.toLong)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  /** `graft_rollback(path, toVersion)` — commits a new head whose manifest
+    * is `toVersion`'s (history is never rewritten); `detail` = the version
+    * rolled back to.
+    */
+  object Rollback {
+    val name = "graft_rollback"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_rollback(path, toVersion) - rolls a SnapshotStore back to " +
+        "toVersion by committing its manifest as a NEW head (old versions " +
+        "stay readable until expired); returns one status row; " +
+        "string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 2,
+        s"$name takes (path, toVersion); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val to = num(name, args, 1, "toVersion").toInt
+      graft.storage.SnapshotStore.rollback(spark, str(name, args, 0), to)
+      statusRow(spark, "rollback", str(name, args, 0), to.toLong)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  /** `graft_expire(path, keep [, minAgeMs])` — drops manifests older than
+    * the newest `keep` and sweeps unreferenced gen dirs past the orphan-age
+    * floor (default 1h — pass 0 only when no writer can be live); `detail`
+    * = retained version count after the sweep.
+    */
+  object Expire {
+    val name = "graft_expire"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_expire(path, keep[, minAgeMs]) - drops SnapshotStore versions " +
+        "older than the newest `keep` and deletes unreferenced data dirs " +
+        "older than minAgeMs (default 3600000); returns one status row " +
+        "(detail = retained versions); string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 2 || args.size == 3,
+        s"$name takes (path, keep[, minAgeMs]); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      val minAge =
+        if (args.size == 3) num(name, args, 2, "minAgeMs") else 3600000L
+      graft.storage.SnapshotStore.expire(
+        spark, path, num(name, args, 1, "keep").toInt, minAge)
+      val retained = graft.storage.SnapshotStore.history(spark, path).count()
+      statusRow(spark, "expire", path, retained)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+}

@@ -820,6 +820,80 @@ object Extended extends QueryModule {
           count(col("o_orderstatus")).as("n_status"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // The SEGMENTED manifest tier end-to-end under the oracle gate (r13;
+    // scale rationale in SnapshotStore's manifest-tier comment — flat
+    // manifests parse linearly in partition count, measured 13.3x from
+    // 10k to 100k entries): the threshold is forced tiny so this
+    // 5-partition store exercises the full segment code path — segmented
+    // write, touched-bucket merge, append, bucket-pruned readPartitions —
+    // and every version's content must still hash-match the relational
+    // oracle. Versions 1-3 read whole; slice 4 is the PRUNED read of two
+    // named partitions (the readPartitions manifest-bucket path).
+    "q_snapshot_segmented" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_segq")
+        .toString + "/orders_seg"
+      val Thresh = "graft.snapshot.segmentThreshold"
+      val prior = sys.props.get(Thresh)
+      sys.props(Thresh) = "4"
+      try {
+        def third(r: Int) = orders.filter(col("o_orderkey") % 3 === r)
+        graft.storage.SnapshotStore.write(third(1), dir, "o_orderpriority")
+        graft.storage.SnapshotStore.merge(s, dir, third(2),
+          "o_orderpriority", Seq("o_orderkey"))
+        graft.storage.SnapshotStore.append(third(0), dir, "o_orderpriority")
+        // the row's claim is the SEGMENTED path — fail loudly if the
+        // store silently stayed flat
+        (1 to 3).foreach { v =>
+          require(graft.storage.SnapshotStore.readHead(s, dir, v)
+            .isInstanceOf[graft.storage.SnapshotStore.SegHead],
+            s"q_snapshot_segmented: version $v is not segmented")
+        }
+        def agg(v: Int) =
+          mergeAgg(graft.storage.SnapshotStore.read(s, dir, Some(v)))
+            .withColumn("slice", lit(v))
+        val pruned = mergeAgg(graft.storage.SnapshotStore.readPartitions(
+            s, dir, Seq("1-URGENT", "5-LOW")))
+          .withColumn("slice", lit(4))
+        agg(1).unionByName(agg(2)).unionByName(agg(3)).unionByName(pruned)
+          .orderBy(col("slice"), col("o_orderpriority"))
+      } finally prior match {
+        case Some(v) => sys.props(Thresh) = v
+        case None => sys.props -= Thresh
+      }
+    }),
+
+    // Store maintenance through PURE SQL (r13; the operations half of
+    // R13's "regular SQL syntax", README.md:7,32): compact and rollback
+    // run as CALL-style TVFs — their one-row receipts are require-pinned
+    // here (counts and head versions are deterministic), and the oracle
+    // hash-checks the CONTENT the verbs leave behind: after two appends,
+    // graft_compact collapses every partition's dir list, then
+    // graft_rollback returns the store to version 2, so the head must
+    // read as exactly thirds 1+2 of orders.
+    "q_maintain_sql" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      graft.plans.AsOf.register(s)
+      val dir = java.nio.file.Files.createTempDirectory("graft_mntq")
+        .toString + "/orders_mnt"
+      def third(r: Int) = orders.filter(col("o_orderkey") % 3 === r)
+      graft.storage.SnapshotStore.write(third(1), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(third(2), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(third(0), dir, "o_orderpriority")
+      val c = s.sql(
+        s"SELECT * FROM graft_compact('$dir', 'o_orderpriority')").collect()
+      require(c.length == 1 && c(0).getString(0) == "compact" &&
+        c(0).getLong(2) == 5L && c(0).getLong(3) == 4L,
+        s"unexpected compact receipt: ${c.toSeq}")
+      val r = s.sql(
+        s"SELECT * FROM graft_rollback('$dir', '2')").collect()
+      require(r.length == 1 && r(0).getString(0) == "rollback" &&
+        r(0).getLong(2) == 2L && r(0).getLong(3) == 5L,
+        s"unexpected rollback receipt: ${r.toSeq}")
+      mergeAgg(graft.storage.SnapshotStore.read(s, dir))
+        .orderBy(col("o_orderpriority"))
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -1305,6 +1379,33 @@ object Extended extends QueryModule {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
         |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_snapshot_segmented" -> {
+      def sAgg(v: Int, pred: String) =
+        s"""SELECT o_orderpriority, count(*) AS n_orders,
+           |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |      AS sum_cents,
+           |    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           |    $v AS slice
+           |  FROM orders WHERE $pred GROUP BY o_orderpriority""".stripMargin
+      Seq(sAgg(1, "o_orderkey % 3 = 1"),
+        sAgg(2, "o_orderkey % 3 IN (1, 2)"),
+        sAgg(3, "TRUE"),
+        sAgg(4, "o_orderpriority IN ('1-URGENT', '5-LOW')"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          ")\nORDER BY slice, o_orderpriority")
+    },
+
+    // compact is pure layout and rollback returns the head to version 2
+    // (thirds 1+2 appended) — the SQL verbs must leave exactly that content
+    "q_maintain_sql" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q_profile_table" ->

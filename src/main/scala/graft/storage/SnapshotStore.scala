@@ -20,7 +20,11 @@ import graft.operators.Joins
   *     rewrites its touched partitions whole), but [[append]] adds dirs
   *     without rewriting, so an append-heavy partition accumulates a
   *     dir LIST until [[compactPartitions]] (or any merge touching it)
-  *     collapses it back to one. Committed with rename-no-overwrite (the
+  *     collapses it back to one. Past [[segmentThreshold]] live
+  *     partitions the manifest SEGMENTS: the head file lists
+  *     content-addressed hash-bucket files under `segs/` and commits
+  *     touch only changed buckets (see the manifest-tier comment below).
+  *     Committed with rename-no-overwrite (the
   *     same single-winner CAS primitive as [[LogTableWriter.compact]]),
   *     so a snapshot either exists completely or not at all — there is
   *     NO window where some partitions are new and others old (the
@@ -56,8 +60,41 @@ import graft.operators.Joins
   * to a one-off parquet `mergeSchema` inference. Column REMOVAL /
   * rename / retype is not supported — that is a new store (additive-only
   * contract, fail-fast on a type conflict).
+  *
+  * ==Filesystem contract==
+  * Every write-side guarantee above bottoms out in ONE primitive:
+  * `FileContext.rename` with default `Rename.NONE` being an ATOMIC,
+  * single-winner, no-overwrite operation (the manifest CAS, the pinned-gen
+  * publish, the `_schema-<v>` publish). That holds on HDFS, local
+  * filesystems, and rename-atomic object stores (ABFS/Gen2); it does NOT
+  * hold on S3A, whose "rename" is a client-side copy-then-delete — two
+  * concurrent committers can both believe they won, which breaks snapshot
+  * isolation and the exactly-once append. Mutating entry points therefore
+  * fail fast on `s3/s3a/s3n` paths; front such stores with an
+  * HDFS-compatible tier, or accept SINGLE-WRITER-ONLY operation explicitly
+  * via `-Dgraft.snapshot.unsafeFs=true` (reads need no rename and carry no
+  * restriction). This mirrors the public Iceberg/Delta posture: a
+  * commit-coordination primitive (metastore lock / DynamoDB / rename) is
+  * required where the FS rename is not atomic.
   */
 object SnapshotStore {
+
+  /** Fail-fast guard for the rename-no-overwrite contract above: mutators
+    * call this before writing anything. Scheme-based — the known
+    * copy-based-rename stores are rejected, everything else (hdfs, file,
+    * viewfs, abfs, …) is accepted.
+    */
+  private def requireAtomicRename(path: String): Unit = {
+    val scheme = Option(new java.net.URI(path).getScheme)
+      .getOrElse("file").toLowerCase
+    require(!Set("s3", "s3a", "s3n").contains(scheme) ||
+      sys.props.get("graft.snapshot.unsafeFs").contains("true"),
+      s"SnapshotStore commits require atomic rename-no-overwrite; " +
+        s"$scheme:// rename is copy-based and non-atomic, so concurrent " +
+        "writers can corrupt the store. Front it with an HDFS-compatible " +
+        "commit tier, or set -Dgraft.snapshot.unsafeFs=true to accept " +
+        "single-writer-only operation")
+  }
 
   private val Esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 
@@ -76,28 +113,281 @@ object SnapshotStore {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** value → dirs. Dir lists are tab-separated: partition VALUES are
-    * path-escaped (tab → %09) and dir strings are built from escaped
-    * values, so TAB never occurs inside a field. `private[graft]` for the
-    * scale probe (manifest-ceiling rung), not API.
+  // ---- manifest tier: flat under the threshold, content-addressed -------
+  // ---- hash-bucketed segments above it -----------------------------------
+  //
+  // The flat one-line-per-partition manifest parses linearly in partition
+  // count (measured 13.3x from 10k to 100k entries — the one super-linear
+  // curve in SCALE100.json). At 1M partitions (daily x tenant at a true
+  // 100 TB) that is ~0.5 s of driver parse per manifest resolution and a
+  // multi-MB file rewritten whole on EVERY commit. The segment tier is the
+  // Iceberg manifest-list argument re-expressed minimally:
+  //   - `_manifest-<v>` becomes a small HEAD file: a marker line
+  //     (`graft-segments TAB nBuckets TAB totalEntries`) plus one
+  //     line per non-empty bucket (`bucket TAB nEntries TAB segs/seg-<md5>`)
+  //   - each segment holds one hash-bucket's entries in the SAME line
+  //     format as a flat manifest, and is CONTENT-ADDRESSED (named by the
+  //     md5 of its bytes): an untouched bucket serializes to the same
+  //     bytes, hashes to the same name, and is re-referenced WITHOUT any
+  //     I/O — so a commit's segment writes are proportional to its TOUCHED
+  //     buckets, versions share untouched segments the way they share gen
+  //     dirs, and two racing writers of identical content converge on one
+  //     file (the rename loser discards its staging copy).
+  // What each operation costs at N partitions, B touched:
+  //   - commitDelta (merge/append/compact): O(B) segment reads + writes
+  //   - readPartitions / merge's touched-dir lookup: parses only the
+  //     requested values' buckets — O(B)
+  //   - changes: buckets whose (content-addressed) refs are EQUAL between
+  //     the versions cannot differ — only differing buckets are parsed
+  //   - rollback: copies the target's head text verbatim (segment refs and
+  //     all) — O(head), no segment touched
+  //   - full read / expire: inherently O(N); segments parse in parallel
+  //     (the flat tier is one serial string split), and expire parses each
+  //     DISTINCT segment once across all retained versions
+  // The marker line cannot collide with a partition value: the marker
+  // begins with the \u0001 control character, values are path-escaped
+  // into the manifest, and escapePathName always %-escapes control
+  // characters, so no escaped value can start a line with the marker
+  // (SnapshotSpec pins this). Buckets come from the logical value's
+  // String.hashCode (spec-fixed, JVM-stable), bucket count is the power of
+  // two targeting ~4k entries per segment; a commit whose entry count
+  // crosses a bucket-count boundary (or the flat threshold, in either
+  // direction) re-segments whole — rare, amortized, and the upgrade path
+  // for a flat store outgrowing the threshold.
+
+  /** Entry count at and above which commits write the segmented format.
+    * Overridable for tests (`-Dgraft.snapshot.segmentThreshold=4` makes a
+    * 5-partition store exercise the whole segment code path).
     */
-  private[graft] def readManifest(spark: SparkSession, path: String,
-                                  version: Int): Map[String, Seq[String]] = {
+  private[graft] def segmentThreshold: Int =
+    sys.props.get("graft.snapshot.segmentThreshold").map(_.toInt)
+      .getOrElse(8192)
+
+  private val SegMarker = "\u0001graft-segments"
+
+  private def chooseBuckets(n: Int): Int = {
+    var b = 16
+    while (b.toLong * 4096 < n) b *= 2
+    b
+  }
+
+  private def bucketOf(value: String, nBuckets: Int): Int =
+    math.floorMod(value.hashCode, nBuckets)
+
+  private[graft] sealed trait Head { def totalEntries: Int }
+  private[graft] case class FlatHead(entries: Map[String, Seq[String]])
+      extends Head { def totalEntries: Int = entries.size }
+  /** refs: bucket → (nEntries, store-relative segment path). */
+  private[graft] case class SegHead(nBuckets: Int, total: Int,
+      refs: Map[Int, (Int, String)]) extends Head {
+    def totalEntries: Int = total
+  }
+
+  private def readFileUtf8(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path): String = {
+    // bulk byte read, not scala.io.Source (whose char-iterator costs ~1 s
+    // per MB — measured dominating the 1M-partition manifest rung)
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream(64 * 1024)
+      val chunk = new Array[Byte](64 * 1024)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** Parses flat-format manifest/segment lines (escaped value TAB dirs).
+    * Index-walk, not split-regex chains: the 1M-entry rung is driver CPU
+    * and allocation bound, so per-line garbage is the constant that shows.
+    */
+  private def parseLines(txt: String, src: String): Map[String, Seq[String]] = {
+    val b = Map.newBuilder[String, Seq[String]]
+    var start = 0
+    val n = txt.length
+    while (start < n) {
+      var end = txt.indexOf('\n', start)
+      if (end < 0) end = n
+      if (end > start) {
+        val line = txt.substring(start, end)
+        val i = line.indexOf('\t')
+        // fail FAST on a dir-less line (truncated write, corruption):
+        // mapping it to an empty dir list would silently drop the
+        // partition's rows from every read instead of surfacing the
+        // broken manifest
+        require(i > 0 && i < line.length - 1,
+          s"malformed manifest line in $src (no dirs): '$line'")
+        b += Esc.unescapePathName(line.substring(0, i)) ->
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            line.substring(i + 1).split("\t"))
+      }
+      start = end + 1
+    }
+    b.result()
+  }
+
+  private def serializeEntries(entries: Map[String, Seq[String]]): String =
+    entries.toSeq.sortBy(_._1)
+      .map { case (value, ds) =>
+        (Esc.escapePathName(value) +: ds).mkString("\t") }
+      .mkString("\n")
+
+  /** Parses `_manifest-<v>` WITHOUT loading segments (O(head file)). */
+  private[graft] def readHead(spark: SparkSession, path: String,
+                              version: Int): Head = {
     val fs = hfs(spark, path)
     val mf = new org.apache.hadoop.fs.Path(path, s"_manifest-$version")
     require(fs.exists(mf), s"no snapshot version $version at $path")
-    val in = fs.open(mf)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    txt.split("\n").filter(_.nonEmpty).map { line =>
-      val parts = line.split("\t").toSeq
-      // fail FAST on a dir-less line (truncated write, corruption): mapping
-      // it to an empty dir list would silently drop the partition's rows
-      // from every read instead of surfacing the broken manifest
-      require(parts.size >= 2,
-        s"malformed manifest line in $mf (no dirs): '$line'")
-      Esc.unescapePathName(parts.head) -> parts.tail
-    }.toMap
+    val txt = readFileUtf8(fs, mf)
+    if (!txt.startsWith(SegMarker + "\t")) FlatHead(parseLines(txt, mf.toString))
+    else {
+      val lines = txt.split("\n").filter(_.nonEmpty)
+      val h = lines.head.split("\t")
+      require(h.length == 3, s"malformed segment header in $mf")
+      val refs = lines.tail.map { line =>
+        val f = line.split("\t")
+        require(f.length == 3, s"malformed segment ref in $mf: '$line'")
+        f(0).toInt -> (f(1).toInt, f(2))
+      }.toMap
+      SegHead(h(1).toInt, h(2).toInt, refs)
+    }
+  }
+
+  /** Loads one segment. A segment that VANISHED under a retained manifest
+    * can only mean a concurrent [[expire]] dropped the whole version
+    * between our head read and this load — surfaced with the same message
+    * as a missing manifest so [[versionVanished]] callers treat both races
+    * uniformly; any other corruption stays loud.
+    */
+  private def loadSeg(spark: SparkSession, path: String, version: Int,
+                      segRel: String): Map[String, Seq[String]] = {
+    val fs = hfs(spark, path)
+    try parseLines(readFileUtf8(fs, new org.apache.hadoop.fs.Path(path, segRel)),
+      s"$path/$segRel")
+    catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"no snapshot version $version at $path — segment $segRel swept " +
+            "by a concurrent expire")
+    }
+  }
+
+  /** value → dirs, the version's FULL entry map. Dir lists are
+    * tab-separated: partition VALUES are path-escaped (tab → %09) and dir
+    * strings are built from escaped values, so TAB never occurs inside a
+    * field. Segmented heads load their segments in parallel (driver
+    * threads — segment parses are independent). `private[graft]` for the
+    * scale probe (manifest-ceiling rung), not API.
+    */
+  private[graft] def readManifest(spark: SparkSession, path: String,
+                                  version: Int): Map[String, Seq[String]] =
+    readHead(spark, path, version) match {
+      case FlatHead(e) => e
+      case SegHead(_, _, refs) => loadSegs(spark, path, version,
+        refs.values.map(_._2).toSeq)
+    }
+
+  /** Parallel load+parse of `segs`, merged into one map. `keep` filters
+    * entries INSIDE each segment load, so a filtering scan (compaction
+    * discovery) never materializes the store-wide map — only survivors.
+    */
+  private def loadSegs(spark: SparkSession, path: String, version: Int,
+                       segs: Seq[String],
+                       keep: (String, Seq[String]) => Boolean = (_, _) => true)
+      : Map[String, Seq[String]] = {
+    if (segs.isEmpty) return Map.empty
+    if (segs.size == 1)
+      return loadSeg(spark, path, version, segs.head)
+        .filter { case (k, ds) => keep(k, ds) }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, segs.size))
+    try {
+      val futs = segs.map { seg =>
+        pool.submit(new java.util.concurrent.Callable[Map[String, Seq[String]]] {
+          def call(): Map[String, Seq[String]] =
+            loadSeg(spark, path, version, seg)
+              .filter { case (k, ds) => keep(k, ds) }
+        })
+      }
+      // single sized builder pass — a flatMap-then-toMap materializes an
+      // intermediate N-tuple Seq that dominated the 1M-entry rung
+      val b = Map.newBuilder[String, Seq[String]]
+      futs.foreach { f =>
+        try b ++= f.get()
+        catch { // surface the real parse/race failure, not the wrapper
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+      b.result()
+    } finally pool.shutdown()
+  }
+
+  /** The version's referenced DIRS only — the resolution [[read]] and
+    * [[expire]] actually need. Skips the value-keyed map entirely (no
+    * unescape, no map build — at 1M entries those JVM constants dominate
+    * the full-map resolve several-fold): each segment line contributes
+    * its post-TAB fields directly.
+    */
+  private[graft] def readManifestDirs(spark: SparkSession, path: String,
+                                      version: Int): Seq[String] =
+    readHead(spark, path, version) match {
+      case FlatHead(e) => e.values.flatten.toSeq
+      case SegHead(_, _, refs) =>
+        val segs = refs.values.map(_._2).toSeq
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, math.max(1, segs.size)))
+        try {
+          val futs = segs.map { seg =>
+            pool.submit(new java.util.concurrent.Callable[Array[String]] {
+              def call(): Array[String] = {
+                val fs = hfs(spark, path)
+                val txt =
+                  try readFileUtf8(fs,
+                    new org.apache.hadoop.fs.Path(path, seg))
+                  catch {
+                    case _: java.io.FileNotFoundException =>
+                      throw new IllegalArgumentException(
+                        s"no snapshot version $version at $path — segment " +
+                          s"$seg swept by a concurrent expire")
+                  }
+                txt.split("\n").filter(_.nonEmpty).flatMap { line =>
+                  val i = line.indexOf('\t')
+                  require(i > 0 && i < line.length - 1,
+                    s"malformed manifest line in $path/$seg (no dirs): '$line'")
+                  line.substring(i + 1).split("\t")
+                }
+              }
+            })
+          }
+          val b = Seq.newBuilder[String]
+          futs.foreach { f =>
+            try b ++= f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          }
+          b.result()
+        } finally pool.shutdown()
+    }
+
+  /** The version's entries RESTRICTED to `values` — parses only the
+    * buckets those values hash into on a segmented head (O(touched), the
+    * manifest-lookup pruning [[readPartitions]] and [[merge]] ride on);
+    * a flat head is one small parse either way.
+    */
+  private[graft] def readManifestValues(spark: SparkSession, path: String,
+      version: Int, values: Seq[String]): Map[String, Seq[String]] = {
+    val vset = values.toSet
+    readHead(spark, path, version) match {
+      case FlatHead(e) => e.filter { case (k, _) => vset(k) }
+      case SegHead(nb, _, refs) =>
+        val buckets = vset.map(bucketOf(_, nb))
+        loadSegs(spark, path, version,
+          buckets.toSeq.sorted.flatMap(b => refs.get(b).map(_._2)))
+          .filter { case (k, _) => vset(k) }
+    }
   }
 
   /** True iff `e` is [[readManifest]]'s missing-version failure — the
@@ -118,7 +408,12 @@ object SnapshotStore {
     */
   private def readManifestForWrite(spark: SparkSession, path: String,
                                    v: Int): Map[String, Seq[String]] =
-    try readManifest(spark, path, v)
+    forWrite(path, v)(readManifest(spark, path, v))
+
+  /** Wraps any manifest resolution for a WRITE path (vanished version →
+    * `ConcurrentModificationException`, see [[readManifestForWrite]]). */
+  private def forWrite[T](path: String, v: Int)(body: => T): T =
+    try body
     catch {
       case e: IllegalArgumentException if versionVanished(e) =>
         throw new java.util.ConcurrentModificationException(
@@ -231,7 +526,8 @@ object SnapshotStore {
   private def versionSchema(spark: SparkSession, path: String, v: Int)
       : org.apache.spark.sql.types.StructType =
     readSchema(spark, path, v).getOrElse {
-      val dirs = readManifestForWrite(spark, path, v).values.flatten.toSeq.sorted
+      val dirs = forWrite(path, v)(readManifestDirs(spark, path, v))
+        .sorted
         .map(d => s"$path/$d")
       org.apache.spark.sql.types.StructType(
         spark.read.option("mergeSchema", "true").parquet(dirs: _*)
@@ -251,29 +547,25 @@ object SnapshotStore {
         .parquet(dirs: _*).drop("_p")
     }
 
-  /** Single-winner CAS commit of `entries` as version `v` (LogTableWriter
-    * manifest discipline); cleans `genDirs` and aborts if another
-    * committer won the rename. `schema` (when given) is recorded as
-    * `_schema-<v>` AFTER the manifest rename — the winner is already
+  /** Single-winner CAS publish of `headContent` as `_manifest-<v>`
+    * (LogTableWriter manifest discipline); cleans `genDirs` and aborts if
+    * another committer won the rename. `schema` (when given) is recorded
+    * as `_schema-<v>` AFTER the manifest rename — the winner is already
     * decided, and a crash in between only costs the fallback inference.
+    * Segment files a losing committer wrote are NOT cleaned here: they are
+    * content-addressed, so the winner (or any later commit) may reference
+    * byte-identical files — orphans age out under [[expire]]'s floor.
     */
-  private[graft] def commit(spark: SparkSession, path: String, v: Int,
-                            entries: Map[String, Seq[String]],
-                            genDirs: Seq[String],
-                            schema: Option[org.apache.spark.sql.types.StructType] = None)
+  private def publishHead(spark: SparkSession, path: String, v: Int,
+                          headContent: String, genDirs: Seq[String],
+                          schema: Option[org.apache.spark.sql.types.StructType])
       : Unit = {
     val fs = hfs(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(root,
       s"._manifest-$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
-    // values are path-escaped in the manifest (same escaping as the dir
-    // names), so a partition value containing TAB/newline round-trips
-    // instead of corrupting the line format
-    out.write(entries.toSeq.sortBy(_._1)
-      .map { case (value, ds) =>
-        (Esc.escapePathName(value) +: ds).mkString("\t") }
-      .mkString("\n").getBytes("UTF-8"))
+    out.write(headContent.getBytes("UTF-8"))
     out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       root.toUri, spark.sparkContext.hadoopConfiguration)
@@ -314,8 +606,121 @@ object SnapshotStore {
     }
   }
 
+  /** Writes one segment's content if no byte-identical segment exists yet
+    * (content-addressed: the name is the md5 of the bytes) and returns its
+    * store-relative path. The rename loser's file is BY CONSTRUCTION
+    * byte-identical to the winner's, so losing is adoption.
+    */
+  private def writeSegIfMissing(spark: SparkSession, path: String,
+                                content: String): String = {
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rel = s"segs/seg-$hash"
+    val fs = hfs(spark, path)
+    val target = new org.apache.hadoop.fs.Path(path, rel)
+    if (!fs.exists(target)) {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(path, "segs"))
+      val tmp = new org.apache.hadoop.fs.Path(path,
+        s"segs/.seg-$hash.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = fs.create(tmp, true)
+      out.write(content.getBytes("UTF-8"))
+      out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      try fc.rename(tmp, target)
+      catch {
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.io.IOException) =>
+          if (!fs.exists(target)) throw e
+          fs.delete(tmp, false)
+      }
+    }
+    rel
+  }
+
+  /** Serializes the head content for a FULL entry map, choosing the tier:
+    * flat below [[segmentThreshold]], segmented (writing any missing
+    * segment files) at or above it.
+    */
+  private def headContentFor(spark: SparkSession, path: String,
+                             entries: Map[String, Seq[String]]): String =
+    if (entries.size < segmentThreshold) serializeEntries(entries)
+    else {
+      val nb = chooseBuckets(entries.size)
+      val byBucket = entries.groupBy { case (k, _) => bucketOf(k, nb) }
+      val refs = byBucket.toSeq.sortBy(_._1).map { case (b, es) =>
+        (b, es.size, writeSegIfMissing(spark, path, serializeEntries(es)))
+      }
+      (Seq(SegMarker, nb.toString, entries.size.toString).mkString("\t") +:
+        refs.map { case (b, n, seg) => s"$b\t$n\t$seg" }).mkString("\n")
+    }
+
+  /** Single-winner CAS commit of the FULL `entries` map as version `v`.
+    * `private[graft]` for the scale probe's synthetic commits; real
+    * mutators go through [[commitDelta]], which only touches changed
+    * buckets.
+    */
+  private[graft] def commit(spark: SparkSession, path: String, v: Int,
+                            entries: Map[String, Seq[String]],
+                            genDirs: Seq[String],
+                            schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Unit =
+    publishHead(spark, path, v, headContentFor(spark, path, entries),
+      genDirs, schema)
+
+  /** Commits version `v` = version `prev` with `removed` partitions
+    * dropped and `added` partitions upserted — the O(touched) commit path:
+    * on a segmented head only the buckets containing touched values are
+    * read back, rewritten, and (content-addressed) published; every other
+    * bucket's segment is re-referenced byte-for-byte with no I/O. Falls
+    * back to a full-map commit when the prior head is flat, or when the
+    * new entry count crosses a bucket-count or tier boundary (the
+    * re-segmentation / upgrade / downgrade cases — rare and amortized).
+    */
+  private[graft] def commitDelta(spark: SparkSession, path: String, v: Int,
+      prev: Int, removed: Set[String], added: Map[String, Seq[String]],
+      genDirs: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+    def fullFallback(): Unit = {
+      val full = readManifestForWrite(spark, path, prev) -- removed ++ added
+      commit(spark, path, v, full, genDirs, schema)
+    }
+    forWrite(path, prev)(readHead(spark, path, prev)) match {
+      case FlatHead(_) => fullFallback()
+      case SegHead(nb, total, refs) =>
+        val touched = (removed ++ added.keySet).map(b => bucketOf(b, nb))
+        val prevBuckets: Map[Int, Map[String, Seq[String]]] =
+          touched.toSeq.sorted.map { b =>
+            b -> refs.get(b)
+              .map(r => forWrite(path, prev)(loadSeg(spark, path, prev, r._2)))
+              .getOrElse(Map.empty[String, Seq[String]])
+          }.toMap
+        val newBuckets = prevBuckets.map { case (b, es) =>
+          b -> (es -- removed.filter(bucketOf(_, nb) == b) ++
+            added.filter { case (k, _) => bucketOf(k, nb) == b })
+        }
+        val newTotal = total +
+          touched.toSeq.map(b => newBuckets(b).size - prevBuckets(b).size).sum
+        if (newTotal < segmentThreshold || chooseBuckets(newTotal) != nb)
+          fullFallback()
+        else {
+          val newRefs = refs -- newBuckets.filter(_._2.isEmpty).keys ++
+            newBuckets.filter(_._2.nonEmpty).map { case (b, es) =>
+              b -> (es.size,
+                writeSegIfMissing(spark, path, serializeEntries(es)))
+            }
+          val content = (Seq(SegMarker, nb.toString, newTotal.toString)
+            .mkString("\t") +:
+            newRefs.toSeq.sortBy(_._1).map { case (b, (n, seg)) =>
+              s"$b\t$n\t$seg" }).mkString("\n")
+          publishHead(spark, path, v, content, genDirs, schema)
+        }
+    }
+  }
+
   /** Initial snapshot (version 1). */
   def write(df: DataFrame, path: String, partCol: String): Unit = {
+    requireAtomicRename(path)
     require(headVersion(df.sparkSession, path).isEmpty,
       s"$path already holds a snapshot store; use merge")
     val entries = writeGen(df, path, partCol)
@@ -335,7 +740,7 @@ object SnapshotStore {
            version: Option[Int] = None): DataFrame = {
     val v = version.orElse(headVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
-    val dirs = readManifest(spark, path, v).values.flatten.toSeq.sorted
+    val dirs = readManifestDirs(spark, path, v).sorted
       .map(d => s"$path/$d")
     readWithSchema(spark, path, v, dirs)
   }
@@ -352,10 +757,10 @@ object SnapshotStore {
             precedenceCol: Option[String] = None,
             broadcastRowLimit: Long = Joins.BroadcastRowLimit,
             beforeCommit: () => Unit = () => ()): Unit = {
+    requireAtomicRename(path)
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val head = headVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
-    val entries = readManifestForWrite(spark, path, head)
     // one resolution code path with MergeStore — the "same semantics
     // contract" is shared code, not a manually-synced copy
     val (resolved, upserts) = MergeStore.resolveBatch(batch, keyCols,
@@ -364,6 +769,11 @@ object SnapshotStore {
     val parts = resolved.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toIndexedSeq
     if (parts.isEmpty) return
+    // touched-values manifest lookup: on a segmented head this parses
+    // only the buckets the batch's partitions hash into — the merge
+    // itself never pays the store-wide manifest parse
+    val entries = forWrite(path, head)(
+      readManifestValues(spark, path, head, parts))
     val touchedDirs = parts.flatMap(entries.get).flatten
     val merged = if (touchedDirs.isEmpty) upserts else {
       val base = readWithSchema(spark, path, head,
@@ -377,8 +787,9 @@ object SnapshotStore {
     beforeCommit() // test seam: a concurrent committer lands here
     // touched partitions whose rows were ALL deleted simply leave the
     // manifest — no directory surgery, the files stay for old versions
-    commit(spark, path, head + 1,
-      (entries -- parts) ++ newEntries.map { case (p, d) => p -> Seq(d) },
+    commitDelta(spark, path, head + 1, head,
+      removed = parts.toSet,
+      added = newEntries.map { case (p, d) => p -> Seq(d) },
       newEntries.values.map(_.split("/").take(2).mkString("/"))
         .toSeq.distinct,
       Some(unionSchema(versionSchema(spark, path, head), upserts.schema)))
@@ -465,6 +876,7 @@ object SnapshotStore {
   private def appendOnce(df: DataFrame, path: String, partCol: String,
                          idempotencyKey: Option[String],
                          beforeCommit: () => Unit = () => ()): Unit = {
+    requireAtomicRename(path)
     val spark = df.sparkSession
     val head = headVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path; use write"))
@@ -495,7 +907,7 @@ object SnapshotStore {
         while (!applied && !exhausted && v >= 1) {
           if (!fs.exists(new org.apache.hadoop.fs.Path(path, s"_manifest-$v")))
             exhausted = true
-          else try applied = readManifest(spark, path, v).values.flatten
+          else try applied = readManifestDirs(spark, path, v)
             .exists(_.startsWith(s"data/$g/"))
           catch { // swept between the exists probe and the read: boundary
             case e: IllegalArgumentException if versionVanished(e) =>
@@ -506,16 +918,21 @@ object SnapshotStore {
         if (applied) return
       }
     }
-    val entries = readManifestForWrite(spark, path, head)
     val newEntries = writeGen(df, path, partCol, genName)
     if (newEntries.isEmpty) return
+    // touched-values lookup (O(batch buckets) on a segmented head): the
+    // append needs the prior dir lists ONLY for the partitions the batch
+    // touches — the store-wide map never materializes on this hot path
+    val entries = forWrite(path, head)(
+      readManifestValues(spark, path, head, newEntries.keys.toSeq))
     beforeCommit() // test seam: a concurrent committer lands here
     // dir lists are deduped: under a concurrent duplicate delivery the
     // twin may have committed this pinned gen between our applied-scan
     // and the head read, in which case our commit must be a content
     // no-op, not a second reference that read() would scan twice
-    commit(spark, path, head + 1,
-      entries ++ newEntries.map { case (p, d) =>
+    commitDelta(spark, path, head + 1, head,
+      removed = Set.empty,
+      added = newEntries.map { case (p, d) =>
         p -> (entries.getOrElse(p, Nil) :+ d).distinct },
       // a PINNED gen is never cleaned on CAS loss: the winner of the race
       // may be a duplicate delivery of the SAME key whose just-committed
@@ -545,19 +962,34 @@ object SnapshotStore {
   def compactPartitions(spark: SparkSession, path: String, partCol: String,
                         values: Option[Seq[String]] = None,
                         minDirs: Int = 2): Int = {
+    requireAtomicRename(path)
     require(minDirs >= 2, "minDirs < 2 would rewrite already-compact partitions")
     val head = headVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
-    val entries = readManifestForWrite(spark, path, head)
-    val chosen = entries.filter { case (p, dirs) =>
+    // discovery with values given is a pruned-bucket lookup; the
+    // store-wide sweep (values = None) scans every segment but keeps
+    // only QUALIFYING entries — the store-wide map never materializes
+    val chosen = (values match {
+      case Some(vs) =>
+        forWrite(path, head)(readManifestValues(spark, path, head, vs))
+      case None =>
+        forWrite(path, head)(readHead(spark, path, head)) match {
+          case FlatHead(e) => e
+          case SegHead(_, _, refs) =>
+            forWrite(path, head)(loadSegs(spark, path, head,
+              refs.values.map(_._2).toSeq,
+              keep = (_, dirs) => dirs.size >= minDirs))
+        }
+    }).filter { case (p, dirs) =>
       dirs.size >= minDirs && values.forall(_.contains(p)) }
     if (chosen.isEmpty) return 0
     val sch = versionSchema(spark, path, head)
     val df = readWithSchema(spark, path, head,
       chosen.values.flatten.toSeq.sorted.map(d => s"$path/$d"))
     val newEntries = writeGen(df, path, partCol)
-    commit(spark, path, head + 1,
-      entries ++ newEntries.map { case (p, d) => p -> Seq(d) },
+    commitDelta(spark, path, head + 1, head,
+      removed = Set.empty,
+      added = newEntries.map { case (p, d) => p -> Seq(d) },
       newEntries.values.map(_.split("/").take(2).mkString("/"))
         .toSeq.distinct,
       Some(sch))
@@ -575,11 +1007,15 @@ object SnapshotStore {
                      version: Option[Int] = None): DataFrame = {
     val v = version.orElse(headVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
-    val entries = readManifest(spark, path, v)
+    // pruned-bucket lookup: on a segmented head only the requested
+    // values' buckets are parsed (the manifest itself is pruned, not just
+    // the data read)
+    val entries = readManifestValues(spark, path, v, values)
     val dirs = values.distinct.flatMap(entries.get).flatten.sorted
       .map(d => s"$path/$d")
     if (dirs.isEmpty) {
-      require(entries.nonEmpty, s"snapshot $v at $path has no partitions")
+      require(readHead(spark, path, v).totalEntries > 0,
+        s"snapshot $v at $path has no partitions")
       // zero rows, but the VERSION's full union schema — a single
       // "representative" dir (the pre-r11 shape) would nondeterministically
       // miss columns added by later generations, since gen names are
@@ -607,12 +1043,13 @@ object SnapshotStore {
           n.stripPrefix("_manifest-").toInt }.toSeq.sorted
     versions.flatMap { v =>
       // a version expired between the listing and this read drops out
-      // (the catalog reflects what is still retained), corruption stays loud
+      // (the catalog reflects what is still retained), corruption stays
+      // loud. Partition count comes from the HEAD file alone (a segmented
+      // head carries it in the header — no segment parse for the catalog).
       try {
-        val entries = readManifest(spark, path, v)
-        val nRows =
-          if (entries.isEmpty) 0L else read(spark, path, Some(v)).count()
-        Some((v, entries.size, nRows))
+        val nParts = readHead(spark, path, v).totalEntries
+        val nRows = if (nParts == 0) 0L else read(spark, path, Some(v)).count()
+        Some((v, nParts, nRows))
       } catch {
         case e: IllegalArgumentException if versionVanished(e) => None
       }
@@ -643,8 +1080,26 @@ object SnapshotStore {
   def changes(spark: SparkSession, path: String, fromVersion: Int,
               toVersion: Int, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "changes needs at least one key column")
-    val fromM = readManifest(spark, path, fromVersion)
-    val toM = readManifest(spark, path, toVersion)
+    // Manifest diff, bucket-pruned when both heads are segmented with the
+    // same bucket count: content-addressing makes segment-ref equality ≡
+    // bucket-content equality, so only buckets whose refs DIFFER are
+    // parsed at all — a 3-partition merge into a 1M-partition store diffs
+    // by parsing ~3 buckets per side, never the store-wide manifest.
+    // Mixed/boundary-crossing formats fall back to the full parse.
+    val (fromM, toM) =
+      (readHead(spark, path, fromVersion), readHead(spark, path, toVersion))
+      match {
+        case (SegHead(nb1, _, r1), SegHead(nb2, _, r2)) if nb1 == nb2 =>
+          val diff = (r1.keySet ++ r2.keySet)
+            .filter(b => r1.get(b).map(_._2) != r2.get(b).map(_._2))
+          def load(refs: Map[Int, (Int, String)], v: Int) =
+            loadSegs(spark, path, v,
+              diff.toSeq.sorted.flatMap(b => refs.get(b).map(_._2)))
+          (load(r1, fromVersion), load(r2, toVersion))
+        case (FlatHead(e1), FlatHead(e2)) => (e1, e2)
+        case _ => (readManifest(spark, path, fromVersion),
+          readManifest(spark, path, toVersion))
+      }
     val changed = (fromM.keySet ++ toM.keySet)
       .filter(p => fromM.get(p) != toM.get(p))
     def rd(m: Map[String, Seq[String]], v: Int): Option[DataFrame] = {
@@ -709,13 +1164,20 @@ object SnapshotStore {
     * The operational "that merge was wrong, undo it" lever.
     */
   def rollback(spark: SparkSession, path: String, toVersion: Int): Unit = {
+    requireAtomicRename(path)
     val head = headVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
     require(toVersion >= 1 && toVersion <= head,
       s"cannot roll back to $toVersion (head is $head)")
     if (toVersion == head) return
-    commit(spark, path, head + 1,
-      readManifest(spark, path, toVersion), Nil,
+    // verbatim head-text copy: the new head IS the target's manifest — on
+    // a segmented store the segment refs carry over byte-for-byte (the
+    // retained target's segments still exist), so a rollback never parses
+    // or rewrites a single segment regardless of store size
+    val fs = hfs(spark, path)
+    val mf = new org.apache.hadoop.fs.Path(path, s"_manifest-$toVersion")
+    require(fs.exists(mf), s"no snapshot version $toVersion at $path")
+    publishHead(spark, path, head + 1, readFileUtf8(fs, mf), Nil,
       readSchema(spark, path, toVersion))
   }
 
@@ -736,22 +1198,45 @@ object SnapshotStore {
     */
   def expire(spark: SparkSession, path: String, keep: Int,
              minAgeMs: Long = 3600000L): Unit = {
+    requireAtomicRename(path)
     require(keep >= 1, "must keep at least the head snapshot")
     val fs = hfs(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val head = headVersion(spark, path).getOrElse(return)
-    val live = (math.max(1, head - keep + 1) to head)
+    // heads first (cheap), then every DISTINCT segment exactly once:
+    // segments are shared across versions by content-addressing, so a
+    // store with `keep` retained versions of a 1M-partition manifest
+    // parses ~one manifest's worth of segments, not keep x N lines
+    val retainedHeads = (math.max(1, head - keep + 1) to head)
       .flatMap { v =>
         // a concurrent sweep (whose head, and so cutoff, was >= ours) may
         // delete a manifest in our range mid-scan: skipping it is safe —
         // any gen it shares with a version either sweep retains is
         // reachable through that retained version's manifest
-        try readManifest(spark, path, v).values.flatten
+        try Some(v -> readHead(spark, path, v))
+        catch {
+          case e: IllegalArgumentException if versionVanished(e) => None
+        }
+      }
+    val liveSegs: Set[String] = retainedHeads.flatMap {
+      case (_, SegHead(_, _, refs)) => refs.values.map(_._2)
+      case _ => Nil
+    }.toSet
+    val live: Set[String] = {
+      val flatDirs = retainedHeads.flatMap {
+        case (_, FlatHead(e)) => e.values.flatten
+        case _ => Nil
+      }
+      val segDirs = liveSegs.toSeq.sorted.flatMap { seg =>
+        // a segment swept by a concurrent expire (with its whole version)
+        // contributes nothing — same skip rationale as a vanished head
+        try loadSeg(spark, path, head, seg).values.flatten
         catch {
           case e: IllegalArgumentException if versionVanished(e) => Nil
         }
       }
-      .map(_.split("/").take(2).mkString("/")).toSet
+      (flatDirs ++ segDirs).map(_.split("/").take(2).mkString("/")).toSet
+    }
     (1 until math.max(1, head - keep + 1)).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifest-$v"), false)
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_schema-$v"), false)
@@ -783,6 +1268,21 @@ object SnapshotStore {
         val g = st.getPath.getName
         if (!live.contains(s"data/$g") && now - newest(st) >= minAgeMs)
           fs.delete(new org.apache.hadoop.fs.Path(root, s"data/$g"), true)
+      }
+    // segment GC: content-addressed segment files referenced by NO
+    // retained head age out under the same floor (a racing commit writes
+    // its segments BEFORE the manifest CAS references them — the floor
+    // protects that window exactly as it does for gen dirs), along with
+    // crash-leftover segment staging files. Segment files are plain files,
+    // so their own mtime is trustworthy (no synthetic-dir-mtime issue).
+    val segsDir = new org.apache.hadoop.fs.Path(root, "segs")
+    if (fs.exists(segsDir))
+      fs.listStatus(segsDir).foreach { st =>
+        val n = st.getPath.getName
+        val stale = (n.startsWith(".seg-") && n.endsWith(".tmp")) ||
+          (n.startsWith("seg-") && !liveSegs.contains(s"segs/$n"))
+        if (stale && now - st.getModificationTime >= minAgeMs)
+          fs.delete(st.getPath, false)
       }
     // crash-leftover manifest/schema staging files (a committer that died
     // between create and rename) age out under the same floor

@@ -334,4 +334,57 @@ class SqlSurfaceSpec extends SparkSpec {
       s"SELECT * FROM graft_changes('$dir', '1', '2', ' ')").collect())
     assert(e3.getMessage.contains("at least one column"))
   }
+
+  test("graft_compact / graft_rollback / graft_expire TVFs: the maintenance " +
+    "verbs run through SQL with the same outcomes as the store API") {
+    import spark.implicits._
+    plans.AsOf.register(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mntsql").toString + "/st"
+    graft.storage.SnapshotStore.write(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v"), dir, "p")
+    // two appends pile dirs onto partition a (fresh keys, insert-only)
+    graft.storage.SnapshotStore.append(
+      Seq((3L, "a", 30.0)).toDF("k", "p", "v"), dir, "p")
+    graft.storage.SnapshotStore.append(
+      Seq((4L, "a", 40.0)).toDF("k", "p", "v"), dir, "p")
+    def headRows() = graft.storage.SnapshotStore.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    val before = headRows()
+    // compact via SQL: one status row, 1 partition compacted, head advanced
+    val c = spark.sql(s"SELECT * FROM graft_compact('$dir', 'p')").collect()
+    assert(c.length == 1)
+    assert(c(0).getString(0) == "compact" && c(0).getLong(2) == 1L &&
+      c(0).getLong(3) == 4L, s"compact status: ${c(0)}")
+    assert(headRows() == before, "compaction is pure layout")
+    assert(graft.storage.SnapshotStore
+      .readManifest(spark, dir, 4)("a").size == 1, "partition a left uncompacted")
+    // rollback via SQL to v1: new head (5) whose content is v1's
+    val r = spark.sql(s"SELECT * FROM graft_rollback('$dir', '1')").collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "rollback" && r(0).getLong(2) == 1L &&
+      r(0).getLong(3) == 5L, s"rollback status: ${r(0)}")
+    assert(headRows() == Set((1L, "a", 10.0), (2L, "b", 20.0)))
+    // expire via SQL (keep 2, age floor 0 — quiescent): versions 1-3 drop
+    val x = spark.sql(s"SELECT * FROM graft_expire('$dir', '2', '0')").collect()
+    assert(x.length == 1)
+    assert(x(0).getString(0) == "expire" && x(0).getLong(2) == 2L &&
+      x(0).getLong(3) == 5L, s"expire status: ${x(0)}")
+    intercept[Exception](
+      graft.storage.SnapshotStore.read(spark, dir, Some(3)).collect())
+    assert(headRows() == Set((1L, "a", 10.0), (2L, "b", 20.0)),
+      "head survives expiry")
+    // eager CALL semantics: spark.sql alone (no action) runs the verb
+    spark.sql(s"SELECT * FROM graft_rollback('$dir', '4')")
+    assert(graft.storage.SnapshotStore.headVersion(spark, dir).contains(6),
+      "maintenance TVFs execute at analysis (CALL semantics)")
+    // malformed arguments fail clearly
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_rollback('$dir', 'x')").collect())
+    assert(e1.getMessage.contains("must be an integer"))
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_compact('$dir')").collect())
+    assert(e2.getMessage.contains("takes (path, partCol"))
+  }
 }
