@@ -217,6 +217,8 @@ object AsOf {
       MaintenanceSql.Rollback.name, MaintenanceSql.Rollback.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Expire.name, MaintenanceSql.Expire.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.Rename.name, MaintenanceSql.Rename.builder, "scala_udf")
   }
 
   /** Parses a tolerance interval string (e.g. "30 minutes") to microseconds,

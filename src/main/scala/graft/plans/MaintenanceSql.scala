@@ -117,6 +117,31 @@ object MaintenanceSql {
       (FunctionIdentifier(name), info, builder)
   }
 
+  /** `graft_rename(path, oldName, newName)` — metadata-only logical
+    * column rename (the store's field-ID layer: physical names in files
+    * never change); `detail` = 1.
+    */
+  object Rename {
+    val name = "graft_rename"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_rename(path, oldName, newName) - renames a SnapshotStore " +
+        "column as a metadata-only new version (old versions keep their " +
+        "names; data files are untouched); returns one status row; " +
+        "string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 3,
+        s"$name takes (path, oldName, newName); got ${args.size} arguments")
+      val spark = SparkSession.active
+      graft.storage.SnapshotStore.renameColumn(
+        spark, str(name, args, 0), str(name, args, 1), str(name, args, 2))
+      statusRow(spark, "rename", str(name, args, 0), 1L)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
   /** `graft_expire(path, keep [, minAgeMs])` — drops manifests older than
     * the newest `keep` and sweeps unreferenced gen dirs past the orphan-age
     * floor (default 1h — pass 0 only when no writer can be live); `detail`

@@ -865,6 +865,53 @@ object Extended extends QueryModule {
       }
     }),
 
+    // Column RENAME as a metadata-only commit (r13; the evolution verb a
+    // multi-year store receives first — the Iceberg field-ID idea re-
+    // expressed as a physical->logical mapping, SnapshotStore's
+    // logical-name layer): v1 writes even orders with o_totalprice,
+    // graft_rename (the SQL verb) renames it to `price`, and the merge
+    // that follows uses the NEW name while its files keep the stable
+    // physical one. Slice 1 time-travels to v1 and must read under the
+    // OLD name; slice 3 reads the head under the new name; both aggregate
+    // to the same aliased shape for one relational oracle.
+    "q_snapshot_rename" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      graft.plans.AsOf.register(s)
+      val dir = java.nio.file.Files.createTempDirectory("graft_renq")
+        .toString + "/orders_ren"
+      graft.storage.SnapshotStore.write(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")),
+        dir, "o_orderpriority")
+      val r = s.sql(
+        s"SELECT * FROM graft_rename('$dir', 'o_totalprice', 'price')")
+        .collect()
+      require(r.length == 1 && r(0).getString(0) == "rename" &&
+        r(0).getLong(3) == 2L, s"unexpected rename receipt: ${r.toSeq}")
+      graft.storage.SnapshotStore.merge(s, dir,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice").as("price")),
+        "o_orderpriority", Seq("o_orderkey"))
+      val v1 = graft.storage.SnapshotStore.read(s, dir, Some(1))
+      val head = graft.storage.SnapshotStore.read(s, dir)
+      require(v1.columns.contains("o_totalprice") &&
+        !v1.columns.contains("price"),
+        "time travel must read v1 under v1's names")
+      require(head.columns.contains("price") &&
+        !head.columns.contains("o_totalprice"),
+        "head must read under the renamed name")
+      def agg(df: org.apache.spark.sql.DataFrame, priceCol: String,
+              slice: Int) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col(priceCol) * 100).cast("long")).as("sum_cents"))
+          .withColumn("slice", lit(slice))
+      agg(v1, "o_totalprice", 1).unionByName(agg(head, "price", 3))
+        .orderBy(col("slice"), col("o_orderpriority"))
+    }),
+
     // Store maintenance through PURE SQL (r13; the operations half of
     // R13's "regular SQL syntax", README.md:7,32): compact and rollback
     // run as CALL-style TVFs — their one-row receipts are require-pinned
@@ -1393,6 +1440,18 @@ object Extended extends QueryModule {
         sAgg(2, "o_orderkey % 3 IN (1, 2)"),
         sAgg(3, "TRUE"),
         sAgg(4, "o_orderpriority IN ('1-URGENT', '5-LOW')"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          ")\nORDER BY slice, o_orderpriority")
+    },
+
+    "q_snapshot_rename" -> {
+      def rAgg(v: Int, pred: String) =
+        s"""SELECT o_orderpriority, count(*) AS n_orders,
+           |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |      AS sum_cents,
+           |    $v AS slice
+           |  FROM orders WHERE $pred GROUP BY o_orderpriority""".stripMargin
+      Seq(rAgg(1, "o_orderkey % 2 = 0"), rAgg(3, "TRUE"))
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           ")\nORDER BY slice, o_orderpriority")
     },

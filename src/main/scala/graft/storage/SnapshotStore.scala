@@ -57,25 +57,30 @@ import graft.operators.Joins
   * versions to the union schema before diffing (a legacy preimage reads
   * NULL for a column added since). Stores without a recorded schema
   * (pre-r11, or a crash between manifest CAS and schema write) degrade
-  * to a one-off parquet `mergeSchema` inference. Column REMOVAL /
-  * rename / retype is not supported — that is a new store (additive-only
-  * contract, fail-fast on a type conflict).
+  * to a one-off parquet `mergeSchema` inference. Column RENAME is
+  * supported as a metadata-only commit ([[renameColumn]] — see the
+  * logical-name layer below); column REMOVAL / retype is not — that is
+  * a new store (fail-fast on a type conflict).
   *
   * ==Filesystem contract==
-  * Every write-side guarantee above bottoms out in ONE primitive:
-  * `FileContext.rename` with default `Rename.NONE` being an ATOMIC,
-  * single-winner, no-overwrite operation (the manifest CAS, the pinned-gen
-  * publish, the `_schema-<v>` publish). That holds on HDFS, local
-  * filesystems, and rename-atomic object stores (ABFS/Gen2); it does NOT
-  * hold on S3A, whose "rename" is a client-side copy-then-delete — two
-  * concurrent committers can both believe they won, which breaks snapshot
-  * isolation and the exactly-once append. Mutating entry points therefore
-  * fail fast on `s3/s3a/s3n` paths; front such stores with an
-  * HDFS-compatible tier, or accept SINGLE-WRITER-ONLY operation explicitly
-  * via `-Dgraft.snapshot.unsafeFs=true` (reads need no rename and carry no
-  * restriction). This mirrors the public Iceberg/Delta posture: a
-  * commit-coordination primitive (metastore lock / DynamoDB / rename) is
-  * required where the FS rename is not atomic.
+  * Every write-side guarantee above bottoms out in ONE primitive: an
+  * ATOMIC, single-winner, no-overwrite file publish (the manifest CAS,
+  * the segment/schema/renames publishes, the pinned-gen dir publish).
+  * On HDFS that is `FileContext.rename(Rename.NONE)` (namenode-enforced);
+  * on `file://` the store publishes FILES via hard link instead —
+  * `link(2)` fails `EEXIST` atomically, where the local rename path is
+  * only an exists-probe + overwriting `rename(2)` (see [[publishFile]];
+  * the 5-writer soak caught the probe race as permanent crc-sidecar
+  * corruption). Rename-atomic object stores (ABFS/Gen2) ride the rename
+  * path; S3A does NOT qualify — its "rename" is a client-side
+  * copy-then-delete, so two concurrent committers can both believe they
+  * won, which breaks snapshot isolation and the exactly-once append.
+  * Mutating entry points therefore fail fast on `s3/s3a/s3n` paths; front
+  * such stores with an HDFS-compatible tier, or accept SINGLE-WRITER-ONLY
+  * operation explicitly via `-Dgraft.snapshot.unsafeFs=true` (reads need
+  * no rename and carry no restriction). This mirrors the public
+  * Iceberg/Delta posture: a commit-coordination primitive (metastore
+  * lock / DynamoDB / rename) is required where the FS cannot provide one.
   */
 object SnapshotStore {
 
@@ -499,6 +504,104 @@ object SnapshotStore {
     }
   }
 
+  // ---- column rename (logical-name layer) --------------------------------
+  //
+  // The Iceberg field-ID idea re-expressed minimally: the PHYSICAL column
+  // names in data files and `_schema-<v>` never change after a column
+  // first appears — a rename is a METADATA-ONLY commit that updates
+  // `_renames-<v>` (lines: physical TAB logical, escaped like manifest
+  // values). Writers map incoming logical names back to physical before
+  // writing (so every gen, whenever written, stores the same physical
+  // name), readers apply the version's mapping after reading — which
+  // makes rename compose with time travel (each version reads under ITS
+  // OWN names), with additive evolution (a column added after a rename
+  // is physical = logical), and with [[changes]] (both sides diff under
+  // the TO version's names; physical stability makes that well-defined).
+  // One documented reservation: a NEW column may not take a name that is
+  // still a physical name of the store (fail-fast) — that is the
+  // collision a real field-ID system dissolves, priced here at one clear
+  // error instead of an ID plumbed through every file.
+
+  /** physical → logical for version `v`; empty when never renamed. */
+  private[graft] def readRenames(spark: SparkSession, path: String,
+                                 v: Int): Map[String, String] = {
+    val fs = hfs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path, s"_renames-$v")
+    if (!fs.exists(p)) Map.empty
+    else readFileUtf8(fs, p).split("\n").filter(_.nonEmpty).map { line =>
+      val f = line.split("\t")
+      require(f.length == 2, s"malformed rename line in $p: '$line'")
+      Esc.unescapePathName(f(0)) -> Esc.unescapePathName(f(1))
+    }.toMap
+  }
+
+  /** physical columns → the version's logical names (read boundary). */
+  private def applyRenames(df: DataFrame,
+                           renames: Map[String, String]): DataFrame =
+    renames.foldLeft(df) { case (d, (phys, logical)) =>
+      if (phys == logical || !d.columns.contains(phys)) d
+      else d.withColumnRenamed(phys, logical)
+    }
+
+  /** logical columns → physical names (write boundary), failing fast on a
+    * NEW column that collides with a retired physical name.
+    */
+  private def toPhysical(df: DataFrame,
+                         renames: Map[String, String]): DataFrame = {
+    val inverse = renames.map(_.swap)
+    df.columns.foreach { c =>
+      require(inverse.contains(c) || !renames.contains(c) ||
+        renames(c) == c,
+        s"column name $c is retired by a rename (physical $c now reads as " +
+          s"${renames(c)}); a new column cannot reuse a physical name — " +
+          "pick another name")
+    }
+    inverse.foldLeft(df) { case (d, (logical, phys)) =>
+      if (logical == phys || !d.columns.contains(logical)) d
+      else d.withColumnRenamed(logical, phys)
+    }
+  }
+
+  /** The logical partition-column name mapped back to its physical name. */
+  private def physicalCol(name: String,
+                          renames: Map[String, String]): String =
+    renames.find(_._2 == name).map(_._1).getOrElse(name)
+
+  /** Renames logical column `oldName` to `newName` as a new, metadata-only
+    * version: the head's manifest text and physical schema are carried
+    * verbatim (no data file, segment, or gen dir is touched), only the
+    * rename mapping changes. Old versions keep reading under their own
+    * names; writers may use the new name from the next operation on.
+    */
+  def renameColumn(spark: SparkSession, path: String, oldName: String,
+                   newName: String): Unit = {
+    requireAtomicRename(path)
+    require(oldName != newName, "rename to the same name is a no-op")
+    val head = headVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val renames = readRenames(spark, path, head)
+    val phys = versionSchema(spark, path, head).fieldNames
+    val logical = phys.map(n => renames.getOrElse(n, n))
+    require(logical.contains(oldName), s"unknown column $oldName " +
+      s"(columns: ${logical.mkString(", ")})")
+    require(!logical.contains(newName), s"column $newName already exists")
+    val physOfOld = physicalCol(oldName, renames)
+    // a logical name may never shadow a LIVE physical name other than its
+    // own: reads rename physical->logical pairwise and two mappings onto
+    // one physical family would be order-dependent
+    require(!phys.contains(newName) || newName == physOfOld,
+      s"column name $newName is reserved by the store's physical layout " +
+        "(a column stored under that name was renamed away); pick another")
+    val updated = (renames - physOfOld) ++
+      (if (physOfOld == newName) Map.empty[String, String]
+       else Map(physOfOld -> newName))
+    val fs = hfs(spark, path)
+    val mf = new org.apache.hadoop.fs.Path(path, s"_manifest-$head")
+    require(fs.exists(mf), s"no snapshot version $head at $path")
+    publishHead(spark, path, head + 1, readFileUtf8(fs, mf), Nil,
+      readSchema(spark, path, head), updated)
+  }
+
   /** Additive union of two generation schemas: existing fields keep their
     * position and must agree on type (fail-fast — the documented
     * additive-only contract); new fields append as NULLABLE (legacy rows
@@ -547,6 +650,54 @@ object SnapshotStore {
         .parquet(dirs: _*).drop("_p")
     }
 
+  /** Publishes staged FILE `src` at `dst` with genuine single-winner
+    * no-overwrite semantics, throwing `FileAlreadyExistsException` on
+    * loss. `FileContext`'s `Rename.NONE` is only atomic where the
+    * platform enforces it (HDFS rename2): on local/checksum filesystems
+    * it degrades to an exists-probe + POSIX `rename(2)` — two racers can
+    * BOTH "win" the probe, the second's data overwrite is consistent but
+    * its `.crc` sidecar move then clobbers the first's, leaving a
+    * PERMANENTLY mismatched checksum pair (caught by the 5-writer soak as
+    * `ChecksumException` on a fresh manifest). `file://` therefore
+    * publishes via HARD LINK — `link(2)` fails `EEXIST` atomically, so
+    * exactly one racer links the name — and only the winner moves the crc
+    * sidecar (losers never reach it). Everything else keeps the native
+    * rename. Directory publishes (pinned gens) stay on rename: dirs
+    * cannot hard-link, and POSIX rename onto a non-empty directory fails,
+    * which is already single-winner.
+    */
+  private def publishFile(spark: SparkSession, storePath: String,
+                          src: org.apache.hadoop.fs.Path,
+                          dst: org.apache.hadoop.fs.Path): Unit = {
+    val scheme = Option(new java.net.URI(storePath).getScheme)
+      .getOrElse("file")
+    if (scheme == "file") {
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.Paths.get(src.toUri.getPath))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            dst.toString)
+      }
+      val fs = hfs(spark, storePath)
+      val srcCrc = new org.apache.hadoop.fs.Path(src.getParent,
+        s".${src.getName}.crc")
+      val dstCrc = new org.apache.hadoop.fs.Path(dst.getParent,
+        s".${dst.getName}.crc")
+      if (fs.exists(srcCrc)) {
+        fs.delete(dstCrc, false) // defensively; no loser writes it
+        fs.rename(srcCrc, dstCrc)
+      }
+      fs.delete(src, false) // unlink the staging name; dst keeps the inode
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new java.net.URI(storePath),
+        spark.sparkContext.hadoopConfiguration)
+      fc.rename(src, dst) // default Rename.NONE
+    }
+  }
+
   /** Single-winner CAS publish of `headContent` as `_manifest-<v>`
     * (LogTableWriter manifest discipline); cleans `genDirs` and aborts if
     * another committer won the rename. `schema` (when given) is recorded
@@ -558,7 +709,8 @@ object SnapshotStore {
     */
   private def publishHead(spark: SparkSession, path: String, v: Int,
                           headContent: String, genDirs: Seq[String],
-                          schema: Option[org.apache.spark.sql.types.StructType])
+                          schema: Option[org.apache.spark.sql.types.StructType],
+                          renames: Map[String, String] = Map.empty)
       : Unit = {
     val fs = hfs(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
@@ -567,8 +719,6 @@ object SnapshotStore {
     val out = fs.create(tmp, true)
     out.write(headContent.getBytes("UTF-8"))
     out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      root.toUri, spark.sparkContext.hadoopConfiguration)
     val manifest = new org.apache.hadoop.fs.Path(root, s"_manifest-$v")
     def lose(e: Throwable): Nothing = {
       fs.delete(tmp, false)
@@ -579,31 +729,38 @@ object SnapshotStore {
           "attempt was aborted and its partition dirs removed — re-read " +
           "the new head and retry", e)
     }
-    try fc.rename(tmp, manifest) // default Rename.NONE: fails if exists
+    try publishFile(spark, path, tmp, manifest)
     catch {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException => lose(e)
       case e: java.io.IOException if fs.exists(manifest) => lose(e)
     }
-    schema.foreach { sch =>
-      // staged + renamed like the manifest: a concurrent reader must see
-      // `_schema-<v>` either absent (mergeSchema fallback) or COMPLETE —
-      // an in-place create exposes an empty/partial file mid-write and
-      // DataType.fromJson fails on it (caught by the multi-writer soak)
+    // `_schema-<v>` and `_renames-<v>` publish the same way: staged +
+    // renamed, so a concurrent reader sees each either absent (fallback /
+    // no-renames) or COMPLETE — an in-place create exposes an
+    // empty/partial file mid-write (caught by the multi-writer soak)
+    def publishMeta(prefix: String, bytes: Array[Byte]): Unit = {
       val stmp = new org.apache.hadoop.fs.Path(root,
-        s"._schema-$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        s".$prefix-$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val sp = fs.create(stmp, true)
-      sp.write(sch.json.getBytes("UTF-8")); sp.close()
-      try fc.rename(stmp, new org.apache.hadoop.fs.Path(root, s"_schema-$v"))
+      sp.write(bytes); sp.close()
+      try publishFile(spark, path, stmp,
+        new org.apache.hadoop.fs.Path(root, s"$prefix-$v"))
       catch {
-        // only the manifest-CAS winner records v's schema, so a collision
-        // here means it is already recorded — discard the staging copy
+        // only the manifest-CAS winner records v's metadata, so a
+        // collision means it is already recorded — discard the staging copy
         case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
                   _: java.io.IOException) =>
-          if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"_schema-$v")))
+          if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"$prefix-$v")))
             throw e
           fs.delete(stmp, false)
       }
     }
+    schema.foreach(sch => publishMeta("_schema", sch.json.getBytes("UTF-8")))
+    if (renames.nonEmpty)
+      publishMeta("_renames", renames.toSeq.sortBy(_._1)
+        .map { case (p, l) =>
+          s"${Esc.escapePathName(p)}\t${Esc.escapePathName(l)}" }
+        .mkString("\n").getBytes("UTF-8"))
   }
 
   /** Writes one segment's content if no byte-identical segment exists yet
@@ -625,9 +782,7 @@ object SnapshotStore {
       val out = fs.create(tmp, true)
       out.write(content.getBytes("UTF-8"))
       out.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-      try fc.rename(tmp, target)
+      try publishFile(spark, path, tmp, target)
       catch {
         case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
                   _: java.io.IOException) =>
@@ -663,10 +818,11 @@ object SnapshotStore {
   private[graft] def commit(spark: SparkSession, path: String, v: Int,
                             entries: Map[String, Seq[String]],
                             genDirs: Seq[String],
-                            schema: Option[org.apache.spark.sql.types.StructType] = None)
+                            schema: Option[org.apache.spark.sql.types.StructType] = None,
+                            renames: Map[String, String] = Map.empty)
       : Unit =
     publishHead(spark, path, v, headContentFor(spark, path, entries),
-      genDirs, schema)
+      genDirs, schema, renames)
 
   /** Commits version `v` = version `prev` with `removed` partitions
     * dropped and `added` partitions upserted — the O(touched) commit path:
@@ -680,10 +836,11 @@ object SnapshotStore {
   private[graft] def commitDelta(spark: SparkSession, path: String, v: Int,
       prev: Int, removed: Set[String], added: Map[String, Seq[String]],
       genDirs: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+      schema: Option[org.apache.spark.sql.types.StructType],
+      renames: Map[String, String] = Map.empty): Unit = {
     def fullFallback(): Unit = {
       val full = readManifestForWrite(spark, path, prev) -- removed ++ added
-      commit(spark, path, v, full, genDirs, schema)
+      commit(spark, path, v, full, genDirs, schema, renames)
     }
     forWrite(path, prev)(readHead(spark, path, prev)) match {
       case FlatHead(_) => fullFallback()
@@ -713,7 +870,7 @@ object SnapshotStore {
             .mkString("\t") +:
             newRefs.toSeq.sortBy(_._1).map { case (b, (n, seg)) =>
               s"$b\t$n\t$seg" }).mkString("\n")
-          publishHead(spark, path, v, content, genDirs, schema)
+          publishHead(spark, path, v, content, genDirs, schema, renames)
         }
     }
   }
@@ -742,7 +899,8 @@ object SnapshotStore {
       .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
     val dirs = readManifestDirs(spark, path, v).sorted
       .map(d => s"$path/$d")
-    readWithSchema(spark, path, v, dirs)
+    applyRenames(readWithSchema(spark, path, v, dirs),
+      readRenames(spark, path, v))
   }
 
   /** MERGE `batch` (upsert + insert + delete, latest-wins via
@@ -761,6 +919,7 @@ object SnapshotStore {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val head = headVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
+    val renames = readRenames(spark, path, head)
     // one resolution code path with MergeStore — the "same semantics
     // contract" is shared code, not a manually-synced copy
     val (resolved, upserts) = MergeStore.resolveBatch(batch, keyCols,
@@ -776,14 +935,17 @@ object SnapshotStore {
       readManifestValues(spark, path, head, parts))
     val touchedDirs = parts.flatMap(entries.get).flatten
     val merged = if (touchedDirs.isEmpty) upserts else {
-      val base = readWithSchema(spark, path, head,
-        touchedDirs.map(d => s"$path/$d"))
+      // the base reads PHYSICAL and joins in LOGICAL space (batch names)
+      val base = applyRenames(readWithSchema(spark, path, head,
+        touchedDirs.map(d => s"$path/$d")), renames)
       upserts.unionByName(
         base.join(Joins.maybeBroadcast(keys, broadcastRowLimit),
           keyCols, "left_anti"),
         allowMissingColumns = true)
     }
-    val newEntries = writeGen(merged, path, partCol)
+    // write boundary: logical names map back to the stable physical ones
+    val newEntries = writeGen(toPhysical(merged, renames), path,
+      physicalCol(partCol, renames))
     beforeCommit() // test seam: a concurrent committer lands here
     // touched partitions whose rows were ALL deleted simply leave the
     // manifest — no directory surgery, the files stay for old versions
@@ -792,7 +954,9 @@ object SnapshotStore {
       added = newEntries.map { case (p, d) => p -> Seq(d) },
       newEntries.values.map(_.split("/").take(2).mkString("/"))
         .toSeq.distinct,
-      Some(unionSchema(versionSchema(spark, path, head), upserts.schema)))
+      Some(unionSchema(versionSchema(spark, path, head),
+        toPhysical(upserts, renames).schema)),
+      renames)
   }
 
   /** [[merge]] with a bounded CAS-loser retry loop: each attempt re-reads
@@ -918,7 +1082,9 @@ object SnapshotStore {
         if (applied) return
       }
     }
-    val newEntries = writeGen(df, path, partCol, genName)
+    val renames = readRenames(spark, path, head)
+    val newEntries = writeGen(toPhysical(df, renames), path,
+      physicalCol(partCol, renames), genName)
     if (newEntries.isEmpty) return
     // touched-values lookup (O(batch buckets) on a segmented head): the
     // append needs the prior dir lists ONLY for the partitions the batch
@@ -944,7 +1110,9 @@ object SnapshotStore {
       if (genName.isDefined) Nil
       else newEntries.values.map(_.split("/").take(2).mkString("/"))
         .toSeq.distinct,
-      Some(unionSchema(versionSchema(spark, path, head), df.schema)))
+      Some(unionSchema(versionSchema(spark, path, head),
+        toPhysical(df, renames).schema)),
+      renames)
   }
 
   /** Per-partition small-file compaction, snapshot-committed — the Iceberg
@@ -984,15 +1152,18 @@ object SnapshotStore {
       dirs.size >= minDirs && values.forall(_.contains(p)) }
     if (chosen.isEmpty) return 0
     val sch = versionSchema(spark, path, head)
+    val renames = readRenames(spark, path, head)
+    // pure physical round-trip: compaction never leaves physical space
     val df = readWithSchema(spark, path, head,
       chosen.values.flatten.toSeq.sorted.map(d => s"$path/$d"))
-    val newEntries = writeGen(df, path, partCol)
+    val newEntries = writeGen(df, path, physicalCol(partCol, renames))
     commitDelta(spark, path, head + 1, head,
       removed = Set.empty,
       added = newEntries.map { case (p, d) => p -> Seq(d) },
       newEntries.values.map(_.split("/").take(2).mkString("/"))
         .toSeq.distinct,
-      Some(sch))
+      Some(sch),
+      renames)
     chosen.size
   }
 
@@ -1021,7 +1192,8 @@ object SnapshotStore {
       // miss columns added by later generations, since gen names are
       // random hex and sorting picks an arbitrary one
       read(spark, path, Some(v)).limit(0)
-    } else readWithSchema(spark, path, v, dirs)
+    } else applyRenames(readWithSchema(spark, path, v, dirs),
+      readRenames(spark, path, v))
   }
 
   /** Version catalog — the Iceberg "snapshots" metadata-table analog: one
@@ -1108,15 +1280,25 @@ object SnapshotStore {
       if (dirs.isEmpty) None
       else Some(readWithSchema(spark, path, v, dirs))
     }
-    val (oldRaw, newRaw) = (rd(fromM, fromVersion), rd(toM, toVersion)) match {
+    val (oldPhys, newPhys) = (rd(fromM, fromVersion), rd(toM, toVersion)) match {
       case (Some(o), Some(n)) => (o, n)
       case (Some(o), None) => (o, o.limit(0))
       case (None, Some(n)) => (n.limit(0), n)
       case (None, None) =>
         // no partition differs — an empty feed with the store's schema
-        val any = read(spark, path, Some(toVersion)).limit(0)
+        // (read() applies renames; strip back to physical so the rename
+        // application below stays uniform)
+        val any = readWithSchema(spark, path, toVersion,
+          readManifestDirs(spark, path, toVersion).sorted
+            .map(d => s"$path/$d")).limit(0)
         (any, any)
     }
+    // a column renamed between the versions is the SAME field (physical
+    // names are stable): both sides read under the TO version's logical
+    // names, so the feed diffs fields, not labels
+    val toRenames = readRenames(spark, path, toVersion)
+    val (oldRaw, newRaw) =
+      (applyRenames(oldPhys, toRenames), applyRenames(newPhys, toRenames))
     // additive schema evolution across the compared versions: align BOTH
     // sides to the union schema (the newer side's field definitions lead),
     // so a column added between the versions reads as NULL in the legacy
@@ -1178,7 +1360,8 @@ object SnapshotStore {
     val mf = new org.apache.hadoop.fs.Path(path, s"_manifest-$toVersion")
     require(fs.exists(mf), s"no snapshot version $toVersion at $path")
     publishHead(spark, path, head + 1, readFileUtf8(fs, mf), Nil,
-      readSchema(spark, path, toVersion))
+      readSchema(spark, path, toVersion),
+      readRenames(spark, path, toVersion))
   }
 
   /** Drops manifests older than the newest `keep` and deletes gen dirs no
@@ -1240,6 +1423,7 @@ object SnapshotStore {
     (1 until math.max(1, head - keep + 1)).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifest-$v"), false)
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_schema-$v"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_renames-$v"), false)
     }
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     val now = System.currentTimeMillis()
@@ -1288,7 +1472,8 @@ object SnapshotStore {
     // between create and rename) age out under the same floor
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if ((n.startsWith("._manifest-") || n.startsWith("._schema-")) &&
+      if ((n.startsWith("._manifest-") || n.startsWith("._schema-") ||
+           n.startsWith("._renames-")) &&
           n.endsWith(".tmp") && now - st.getModificationTime >= minAgeMs)
         fs.delete(st.getPath, false)
     }

@@ -222,6 +222,12 @@ class PlanSpec extends SparkSpec {
         !p.contains("Exchange hashpartitioning(o_orderkey"),
         s"bucketed join still shuffles an input:\n$p")
       assert(p.contains("SelectedBucketsCount"), s"scans not bucketed:\n$p")
+      // r13: the layout writes ONE key-sorted file per bucket and the
+      // catalog records SORTED BY, so the SMJ's inputs need no Sort
+      // either — the per-query cost of the recurring join is the scan
+      // itself (the final ORDER BY's Sort on o_orderpriority remains)
+      assert(!p.contains("Sort [l_orderkey") && !p.contains("Sort [o_orderkey"),
+        s"bucketed join still sorts an input:\n$p")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       spark.conf.set("spark.sql.adaptive.enabled", prevA)

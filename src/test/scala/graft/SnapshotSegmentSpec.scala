@@ -278,7 +278,7 @@ class SnapshotSegmentSpec extends SparkSpec {
           try (0 until 6).foreach { i =>
             r.nextInt(4) match {
               case 0 =>
-                val row = (w * 1000L + i, s"p${r.nextInt(4)}", i * 1.0)
+                val row = ((w + 1) * 1000L + i, s"p${r.nextInt(4)}", i * 1.0)
                 SnapshotStore.append(Seq(row).toDF("k", "p", "v"), dir, "p",
                   idempotencyKey = Some(s"w$w-b$i"), maxRetries = 50)
                 appended.add(row)

@@ -16,10 +16,14 @@ import graft.storage.SnapshotStore
   * retention under an in-flight commit) on its first run.
   *
   * Determinism argument: writers own DISJOINT key spaces (writer w merges
-  * only key w; appends use globally-unique keys), so the final head
-  * content is schedule-independent — base ∪ appended rows ∪ each
-  * writer's last merged value — even though the store's serialization
-  * order is not.
+  * only key w; appends use globally-unique keys at (w+1)*1000+i, disjoint
+  * from the base keys 0-3 and every merge key), so the final head content
+  * is schedule-independent — base ∪ appended rows ∪ each writer's last
+  * merged value — even though the store's serialization order is not.
+  * (An earlier scheme let writer 0's append keys collide with the merge
+  * keys — that both violated append's documented new-keys-only contract
+  * and made the head content depend on row-collection order, which
+  * surfaced as a once-in-several-runs flake.)
   *
   * Three soaks:
   *   - two seeds × sizes of the append/merge/compact/expire mix (the r12
@@ -114,7 +118,7 @@ class SnapshotSoakSpec extends SparkSpec {
               case 0 => // idempotency-keyed append of a globally-unique key;
                 // every second append carries a writer-private EXTRA column,
                 // so `_schema-<v>` union/record/read runs under contention
-                val row = (w * 1000L + i, s"p${r.nextInt(4)}", i * 1.0)
+                val row = ((w + 1) * 1000L + i, s"p${r.nextInt(4)}", i * 1.0)
                 val df =
                   if (i % 2 == 0) Seq(row).toDF("k", "p", "v")
                   else Seq((row._1, row._2, row._3, s"w$w"))
@@ -219,7 +223,7 @@ class SnapshotSoakSpec extends SparkSpec {
             r.nextInt(4) match {
               case 0 =>
                 SnapshotStore.append(
-                  Seq((w * 1000L + i, s"p${r.nextInt(4)}", i * 1.0))
+                  Seq(((w + 1) * 1000L + i, s"p${r.nextInt(4)}", i * 1.0))
                     .toDF("k", "p", "v"),
                   dir, "p", idempotencyKey = Some(s"w$w-b$i"),
                   maxRetries = 50)

@@ -387,4 +387,28 @@ class SqlSurfaceSpec extends SparkSpec {
       s"SELECT * FROM graft_compact('$dir')").collect())
     assert(e2.getMessage.contains("takes (path, partCol"))
   }
+
+  test("graft_rename TVF: metadata-only column rename through SQL, same " +
+    "outcome as the store API; unknown column fails clearly") {
+    import spark.implicits._
+    plans.AsOf.register(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rensql").toString + "/st"
+    graft.storage.SnapshotStore.write(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v"), dir, "p")
+    val r = spark.sql(
+      s"SELECT * FROM graft_rename('$dir', 'v', 'score')").collect()
+    assert(r.length == 1 && r(0).getString(0) == "rename" &&
+      r(0).getLong(3) == 2L, s"rename receipt: ${r.toSeq}")
+    assert(graft.storage.SnapshotStore.read(spark, dir).columns.toSeq ==
+      Seq("k", "p", "score"))
+    assert(graft.storage.SnapshotStore.read(spark, dir, Some(1))
+      .columns.toSeq == Seq("k", "p", "v"))
+    // and the renamed store reads through graft_snapshot under new names
+    assert(spark.sql(s"SELECT score FROM graft_snapshot('$dir', 'head')")
+      .collect().map(_.getDouble(0)).toSet == Set(10.0, 20.0))
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_rename('$dir', 'nope', 'x')").collect())
+    assert(e.getMessage.contains("unknown column"))
+  }
 }
