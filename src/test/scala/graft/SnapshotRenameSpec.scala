@@ -144,6 +144,41 @@ class SnapshotRenameSpec extends SparkSpec {
       "legacy rows must read NULL for the post-rename added column")
   }
 
+  test("rename composes with the segmented manifest tier: metadata-only " +
+    "on a segmented store (head text verbatim, no segment touched), and " +
+    "post-rename merges use the new name") {
+    val Thresh = "graft.snapshot.segmentThreshold"
+    val prior = sys.props.get(Thresh)
+    sys.props(Thresh) = "4"
+    try {
+      val dir = newDir("seg")
+      val wide = (0 until 6).map(i => (i.toLong, s"p$i", i * 1.0))
+      SnapshotStore.write(wide.toDF("k", "p", "v"), dir, "p")
+      def headText(v: Int): String = new String(java.nio.file.Files
+        .readAllBytes(java.nio.file.Paths.get(dir, s"_manifest-$v")), "UTF-8")
+      assert(headText(1).startsWith("\u0001graft-segments\t"),
+        "fixture must be segmented")
+      SnapshotStore.renameColumn(spark, dir, "v", "score") // v2
+      assert(headText(2) == headText(1),
+        "segmented rename must copy the head text verbatim")
+      SnapshotStore.merge(spark, dir,
+        Seq((2L, "p2", 99.0)).toDF("k", "p", "score"), "p", Seq("k")) // v3
+      // the merge changed exactly one bucket ref vs the rename head
+      val refs2 = headText(2).split("\n").drop(1).toSet
+      val refs3 = headText(3).split("\n").drop(1).toSet
+      assert((refs2 -- refs3).size == 1 && (refs3 -- refs2).size == 1,
+        "post-rename merge must stay touched-bucket-only")
+      assert(SnapshotStore.read(spark, dir).select("k", "score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+        (wide.map(r => r._1 -> r._3).toMap + (2L -> 99.0)))
+      assert(SnapshotStore.readPartitions(spark, dir, Seq("p2"))
+        .columns.contains("score"))
+    } finally prior match {
+      case Some(v) => sys.props(Thresh) = v
+      case None => sys.props -= Thresh
+    }
+  }
+
   test("expire drops _renames files of expired versions and keeps the " +
     "retained ones") {
     val dir = newDir("gc")
