@@ -73,6 +73,71 @@ object SnapshotSql {
     (FunctionIdentifier(name), info, builder)
 }
 
+/** SQL reach for the stats-pruned read ([[graft.storage.SnapshotStore
+  * .readWhere]]):
+  *
+  * {{{
+  *   SELECT * FROM graft_snapshot_where('/data/orders_snap', 'head',
+  *                                      'ts >= DATE''2024-01-01''')
+  * }}}
+  *
+  * The predicate is a SQL boolean expression over the version's (logical)
+  * columns; gens whose recorded min/max bounds prove it unsatisfiable are
+  * never listed or opened, and the full predicate still applies to what
+  * survives. A plain `WHERE` over `graft_snapshot(...)` is equally
+  * CORRECT — this rung exists because that filter lands ABOVE the
+  * already-planned scan, after every gen was listed; here the pruning
+  * decision happens at manifest-resolution time. One code path with the
+  * store (the [[NearDupSql]] argument).
+  */
+object SnapshotWhereSql {
+
+  val name = "graft_snapshot_where"
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    SnapshotWhereSql.getClass.getCanonicalName, name,
+    "graft_snapshot_where(path, version, predicate) - reads a " +
+      "SnapshotStore at `path` with manifest-level data skipping: gens " +
+      "whose recorded column stats rule the predicate out are never " +
+      "opened; version is a positive integer literal or 'head'; the " +
+      "predicate is a SQL boolean expression; string-literal arguments",
+    "", "")
+
+  def builder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 3,
+      s"$name takes 3 string-literal arguments (path, version, " +
+        s"predicate); got ${args.size}")
+    def str(i: Int): String = {
+      val e = args(i)
+      require(e.foldable && e.dataType == StringType,
+        s"$name argument ${i + 1} must be a string literal, got ${e.sql}")
+      val v = e.eval()
+      require(v != null, s"$name argument ${i + 1} must not be NULL")
+      v.toString
+    }
+    val path = str(0)
+    val version = str(1).trim.toLowerCase match {
+      case "head" => None
+      case s =>
+        val v = try s.toInt catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$name version must be a positive integer or 'head', got '$s'")
+        }
+        require(v >= 1,
+          s"$name version must be a positive integer or 'head', got $v")
+        Some(v)
+    }
+    graft.storage.SnapshotStore.readWhere(SparkSession.active, path,
+      org.apache.spark.sql.functions.expr(str(2)), version)
+      .queryExecution.analyzed
+  }
+
+  def descriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(name), info, builder)
+}
+
 /** SQL reach for the incremental CHANGES feed — the seventh TVF rung:
   *
   * {{{

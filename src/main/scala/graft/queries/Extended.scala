@@ -941,9 +941,51 @@ object Extended extends QueryModule {
         s"unexpected rollback receipt: ${r.toSeq}")
       mergeAgg(graft.storage.SnapshotStore.read(s, dir))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Manifest-level DATA SKIPPING (r13): the store records per-gen
+    // min/max bounds for declared stats columns (the Iceberg file-stats
+    // argument at gen granularity), and readWhere prunes gens from the
+    // MANIFEST alone — no listing, no footer probe. The fixture appends
+    // key-QUARTILE chunks (value-disjoint ranges, the time-sliced
+    // log-ingest shape), queries the middle half, and require-pins that
+    // the scan opened exactly the two overlapping gens of the four.
+    "q_snapshot_skip" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_skipq")
+        .toString + "/orders_skip"
+      val k = col("o_orderkey")
+      val mx = orders.agg(max(k)).head().getLong(0)
+      val (q1, q2, q3) = (mx / 4, mx / 2, 3 * mx / 4)
+      graft.storage.SnapshotStore.write(orders.filter(k <= q1),
+        dir, "o_orderpriority", statsCols = Seq("o_orderkey"))
+      graft.storage.SnapshotStore.append(orders.filter(k > q1 && k <= q2),
+        dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(orders.filter(k > q2 && k <= q3),
+        dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(orders.filter(k > q3),
+        dir, "o_orderpriority")
+      val pruned = graft.storage.SnapshotStore.readWhere(s, dir,
+        k > q1 && k <= q3)
+      // the row's claim, pinned: 2 of the 4 gens opened
+      def gens(files: Array[String]) =
+        files.flatMap(_.split("/data/").lift(1)).map(_.split("/").head).toSet
+      require(gens(pruned.inputFiles).size == 2 &&
+        gens(graft.storage.SnapshotStore.read(s, dir).inputFiles).size == 4,
+        "q_snapshot_skip: stats pruning must open exactly 2 of 4 gens")
+      mergeAgg(pruned).orderBy(col("o_orderpriority"))
     }))
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_snapshot_skip" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders, mx
+        |WHERE o_orderkey > m // 4 AND o_orderkey <= (3 * m) // 4
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_grouping_sets" ->
       """SELECT CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid,
         |  l_returnflag, l_linestatus, count(*) AS cnt,

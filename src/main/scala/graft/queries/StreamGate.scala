@@ -316,7 +316,8 @@ object StreamGate extends QueryModule {
       else fn(s, d))
   } :+ ("s_merge_cdc" -> (mergeCdcGate(_, _))) :+
     ("s_ivm_cdc" -> (ivmCdcGate(_, _))) :+
-    ("s_append_compact" -> (appendCompactGate(_, _)))
+    ("s_append_compact" -> (appendCompactGate(_, _))) :+
+    ("s_changes_source" -> (changesSourceGate(_, _)))
 
   /** The concurrent-fleet roster (s_merge_cdc runs standalone — its replay
     * input is the orders table, not the events chunks); FleetParitySpec
@@ -489,6 +490,60 @@ object StreamGate extends QueryModule {
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** The snapshot store as a Structured Streaming SOURCE — the READ side
+    * of the CDC loop ([[mergeCdcGate]]/[[appendCompactGate]] being the
+    * write side): a 4-version chain (initial write; update+insert merge;
+    * insert-only append; delete merge) drains through the `graft-changes`
+    * source ([[graft.streaming.ChangesSourceProvider]]) with
+    * `startingVersion=0` (initial snapshot as inserts) and
+    * `maxVersionsPerTrigger=1`, so a COMPLETE-mode stateful aggregate
+    * genuinely merges one commit's delta per micro-batch. The gate returns
+    * the feed rolled up by (commit version, change type) — count, cents
+    * sum, key span — which the oracle reconstructs relationally from the
+    * same %-filters: per-version attribution, insert/update/delete
+    * classification (updates emit BOTH images), and the initial-snapshot
+    * contract all hash-gated at once. Not part of the events fleet: its
+    * replay input is the orders table.
+    */
+  private def changesSourceGate(s: org.apache.spark.sql.SparkSession,
+                                d: String): DataFrame = {
+    import graft.storage.SnapshotStore
+    val store = Files.createTempDirectory("graft_schsrc").toString + "/st"
+    val orders = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    SnapshotStore.write(orders.filter(col("o_orderkey") % 4 === 0),
+      store, "o_orderpriority") // v1
+    val upd = orders
+      .filter(col("o_orderkey") % 4 === 0 && col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+    SnapshotStore.merge(s, store,
+      upd.unionByName(orders.filter(col("o_orderkey") % 4 === 1)),
+      "o_orderpriority", Seq("o_orderkey")) // v2: updates + inserts
+    SnapshotStore.append(orders.filter(col("o_orderkey") % 4 === 2),
+      store, "o_orderpriority") // v3: insert-only fast path
+    SnapshotStore.merge(s, store,
+      orders.filter(col("o_orderkey") % 4 === 0 && col("o_orderkey") % 7 === 0)
+        .withColumn("_del", lit(true)),
+      "o_orderpriority", Seq("o_orderkey"), deleteCol = Some("_del")) // v4
+    val ck = Files.createTempDirectory("graft_schsrc_ck").toString
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val q = s.readStream.format("graft-changes")
+      .option("path", store).option("keys", "o_orderkey")
+      .option("startingVersion", "0").option("maxVersionsPerTrigger", "1")
+      .load()
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(cents).as("sum_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .writeStream.format("memory").queryName("s_changes_source")
+      .outputMode("complete")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("s_changes_source")
+      .orderBy(col("_commit_version"), col("_change_type"))
   }
 
   private val runners: Seq[(String, QFn)] = Seq(
@@ -683,6 +738,32 @@ object StreamGate extends QueryModule {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // relational reconstruction of each commit's delta: v1 = the %4=0
+    // base as the initial snapshot (inserts), v2 = %5-of-base updates
+    // (BOTH images; postimage +1.0) plus %4=1 inserts, v3 = the %4=2
+    // append (inserts), v4 = %7-of-base deletes (preimage carries the v2
+    // update where both filters hit)
+    "s_changes_source" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        |    WHERE o_orderkey % 4 = 0),
+        |  upd AS (SELECT k, p FROM base WHERE k % 5 = 0),
+        |  feed AS (
+        |    SELECT 1 AS v, 'insert' AS t, k, p FROM base
+        |    UNION ALL SELECT 2, 'update_preimage', k, p FROM upd
+        |    UNION ALL SELECT 2, 'update_postimage', k, p + 1.0 FROM upd
+        |    UNION ALL SELECT 2, 'insert', o_orderkey, o_totalprice
+        |      FROM orders WHERE o_orderkey % 4 = 1
+        |    UNION ALL SELECT 3, 'insert', o_orderkey, o_totalprice
+        |      FROM orders WHERE o_orderkey % 4 = 2
+        |    UNION ALL SELECT 4, 'delete', k,
+        |        p + CASE WHEN k % 5 = 0 THEN 1.0 ELSE 0 END
+        |      FROM base WHERE k % 7 = 0)
+        |SELECT v AS _commit_version, t AS _change_type,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM feed GROUP BY v, t ORDER BY v, t""".stripMargin,
 
     "s_tumbling_counts" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS t, count(*) AS cnt

@@ -444,14 +444,21 @@ object SnapshotStore {
     * age-floored orphan sweep removes.
     */
   private def writeGen(df: DataFrame, path: String, partCol: String,
-                       genName: Option[String] = None): Map[String, String] = {
+                       genName: Option[String] = None,
+                       statsCols: Seq[String] = Nil): Map[String, String] = {
     val fs = hfs(df.sparkSession, path)
-    def list(gen: String): Map[String, String] =
+    def list(gen: String): Map[String, String] = {
+      val stats = genStats(df.sparkSession, path, gen, statsCols)
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/$gen"))
         .map(_.getPath.getName).filter(_.startsWith("_p="))
         .map { d =>
-          Esc.unescapePathName(d.stripPrefix("_p=")) -> s"data/$gen/$d"
+          val value = Esc.unescapePathName(d.stripPrefix("_p="))
+          value -> (stats.get(value) match {
+            case Some(blob) => s"data/$gen/$d$StatsSep$blob"
+            case None => s"data/$gen/$d"
+          })
         }.toMap
+    }
     def writeTo(gen: String): Unit =
       df.withColumn("_p", col(partCol).cast("string"))
         .repartition(col("_p"))
@@ -483,6 +490,289 @@ object SnapshotStore {
         }
         list(gen)
     }
+  }
+
+  // ---- gen-level column statistics (manifest data skipping) --------------
+  //
+  // The Iceberg file-stats argument at GEN granularity: each manifest dir
+  // field may carry a min/max blob for the store's declared stats columns
+  // (`_statscols`, physical names), separated from the dir path by U+0002
+  // — a control character escapePathName always %-escapes, so no partition
+  // value or column name can forge it. [[readWhere]] evaluates a predicate
+  // against each dir's blob BEFORE Spark ever lists a file: a time-range
+  // read of an append-heavy store opens only the appended gens whose range
+  // overlaps — the within-partition counterpart of the manifest's
+  // partition pruning (and of LogTableWriter's file-level time skip), and
+  // at 100 TB the difference between "list+footer-probe every gen of the
+  // partition" and "open the two gens that matter". Stats ride INSIDE the
+  // manifest entry text, so they copy forward verbatim with untouched
+  // entries, share segments content-addressed, and cost commits one
+  // |batch|-sized aggregate over the just-written gen (read back from the
+  // page-hot files, not a lineage recompute). Dirs without a blob (pre-
+  // stats commits, columns absent from an old gen, all-NULL slices) are
+  // conservatively read. Supported stat types: integral, floating, date,
+  // timestamp — string bounds need Iceberg's truncate+increment discipline
+  // to stay sound and are refused at declaration instead of done wrong.
+
+  private val StatsSep = "\u0002"
+
+  /** The dir-path part of a manifest dir field (strips the stats blob). */
+  private[graft] def dirOf(field: String): String = {
+    val i = field.indexOf(StatsSep)
+    if (i < 0) field else field.substring(0, i)
+  }
+
+  private def statsOf(field: String): Option[String] = {
+    val i = field.indexOf(StatsSep)
+    if (i < 0) None else Some(field.substring(i + 1))
+  }
+
+  /** Declared stats columns (physical names), empty when never declared.
+    * A writer-side hint only: [[readWhere]] trusts per-dir blobs, never
+    * this file, so a lost/partial declaration degrades to fewer stats.
+    */
+  private[graft] def statsColsOf(spark: SparkSession, path: String): Seq[String] = {
+    val fs = hfs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path, "_statscols")
+    if (!fs.exists(p)) Nil
+    else readFileUtf8(fs, p).split("\n").filter(_.nonEmpty)
+      .map(Esc.unescapePathName).toSeq
+  }
+
+  private def supportedStatsType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | DateType | TimestampType => true
+      case _ => false
+    }
+  }
+
+  private def statCode(dt: org.apache.spark.sql.types.DataType): Char = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => 'l'
+      case FloatType | DoubleType => 'd'
+      case DateType => 'a'
+      case TimestampType => 't'
+      case other => throw new IllegalArgumentException(
+        s"unsupported stats type $other")
+    }
+  }
+
+  /** External row value → the blob's canonical string (epoch days for
+    * dates, epoch micros for timestamps, plain toString for numbers —
+    * deterministic, so identical content serializes identically and
+    * content-addressed segments stay shared).
+    */
+  private def statValue(v: Any): String = v match {
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+    case d: java.time.LocalDate => d.toEpochDay.toString
+    case t: java.sql.Timestamp =>
+      (t.getTime * 1000L + (t.getNanos / 1000L) % 1000L).toString
+    case i: java.time.Instant =>
+      (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    case other => other.toString
+  }
+
+  /** Per-partition-value stats blobs for the just-written gen, read back
+    * from its OWN files (page-hot; never a lineage recompute): one
+    * |gen|-sized aggregate, |touched partitions| rows collected.
+    */
+  private def genStats(spark: SparkSession, path: String, gen: String,
+                       statsCols: Seq[String]): Map[String, String] = {
+    if (statsCols.isEmpty) return Map.empty
+    val df = spark.read.parquet(s"$path/data/$gen")
+    val present = statsCols.filter(df.columns.contains)
+      .filter(c => supportedStatsType(df.schema(c).dataType))
+    if (present.isEmpty) return Map.empty
+    val aggs = present.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val rows = df.groupBy(col("_p"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.flatMap { r =>
+      val blob = present.flatMap { c =>
+        val mn = r.get(r.fieldIndex(s"min_$c"))
+        val mx = r.get(r.fieldIndex(s"max_$c"))
+        if (mn == null || mx == null) None // all-NULL slice: no bound
+        else Some(s"${Esc.escapePathName(c)}=" +
+          s"${statCode(df.schema(c).dataType)}:${statValue(mn)}:${statValue(mx)}")
+      }.mkString(";")
+      if (blob.isEmpty) None else Some(r.getString(0) -> blob)
+    }.toMap
+  }
+
+  /** Blob → col → (code, lo, hi). Malformed blobs are LOUD (a manifest
+    * carrying a half-written blob is corruption, not a missing feature).
+    */
+  private def parseStats(blob: String): Map[String, (Char, String, String)] =
+    blob.split(";").filter(_.nonEmpty).map { part =>
+      val eq = part.indexOf('=')
+      require(eq > 0, s"malformed stats blob field: '$part'")
+      val f = part.substring(eq + 1).split(":")
+      require(f.length == 3 && f(0).length == 1,
+        s"malformed stats blob field: '$part'")
+      Esc.unescapePathName(part.substring(0, eq)) -> (f(0).head, f(1), f(2))
+    }.toMap
+
+  // tri-state pruning verdict: NoMatch means PROVABLY no row in the dir
+  // can satisfy the predicate; anything unprovable stays MightMatch
+  private sealed trait Prune
+  private case object MightMatch extends Prune
+  private case object NoMatch extends Prune
+
+  /** Conservative predicate-vs-stats evaluator over the ANALYZED tree
+    * ([[readWhere]] resolves the predicate against the version's logical
+    * schema first, so literals arrive typed in Catalyst's internal
+    * representations — epoch days / epoch micros, exactly the blob
+    * domain — and string-vs-date/timestamp comparisons fold to typed
+    * literals). Handles And/Or over binary comparisons of a column
+    * against a foldable expression (either side); the column side may be
+    * wrapped in an EXACT widening cast (integral→integral,
+    * float→double — a long→double cast is NOT unwrapped: its rounding
+    * could mis-prune a boundary row). Every other shape, every mixed or
+    * unbounded column: MightMatch. Comparisons run in BigDecimal so long
+    * bounds past 2^53 cannot be mis-pruned by double rounding.
+    */
+  private def evalPrune(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                        stats: Map[String, (Char, String, String)],
+                        logicalToPhysical: Map[String, String]): Prune = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    def exactWidening(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType | ShortType | IntegerType | LongType,
+            ShortType | IntegerType | LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    def attrName(x: Expression): Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      case c: Cast => c.child match {
+        case a: AttributeReference
+          if exactWidening(a.dataType, c.dataType) => Some(a.name)
+        case _ => None
+      }
+      case _ => None
+    }
+    def asLit(x: Expression): Option[Literal] = x match {
+      case l: Literal => Some(l)
+      case f if f.foldable && !f.exists(_.isInstanceOf[AttributeReference]) =>
+        try Some(Literal.create(f.eval(), f.dataType))
+        catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+    // literal (internal representation) in the column's stat domain
+    def litVal(l: Literal, code: Char): Option[BigDecimal] =
+      if (l.value == null) None
+      else (l.dataType, code) match {
+        case (ByteType | ShortType | IntegerType | LongType, 'l' | 'd') =>
+          Some(BigDecimal(l.value.toString))
+        case (FloatType | DoubleType, 'l' | 'd') =>
+          val d = l.value.toString.toDouble
+          if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
+        case (DateType, 'a') => Some(BigDecimal(l.value.toString)) // days
+        case (TimestampType, 't') => Some(BigDecimal(l.value.toString)) // µs
+        case _ => None
+      }
+    def cmp(name: String, lit: Literal,
+            noMatchIf: (BigDecimal, BigDecimal, BigDecimal) => Boolean): Prune = {
+      val phys = logicalToPhysical.getOrElse(name, name)
+      stats.get(phys) match {
+        case Some((code, loS, hiS)) =>
+          litVal(lit, code) match {
+            case Some(v) =>
+              val (lo, hi) = (BigDecimal(loS), BigDecimal(hiS))
+              if (noMatchIf(lo, hi, v)) NoMatch else MightMatch
+            case None => MightMatch
+          }
+        case None => MightMatch
+      }
+    }
+    // (column, literal, flipped) with flipped = the literal was on the left
+    def sides(c: BinaryComparison): Option[(String, Literal, Boolean)] =
+      (attrName(c.left), asLit(c.right), attrName(c.right), asLit(c.left)) match {
+        case (Some(a), Some(l), _, _) => Some((a, l, false))
+        case (_, _, Some(a), Some(l)) => Some((a, l, true))
+        case _ => None
+      }
+    e match {
+      case And(l, r) =>
+        if (evalPrune(l, stats, logicalToPhysical) == NoMatch ||
+          evalPrune(r, stats, logicalToPhysical) == NoMatch) NoMatch
+        else MightMatch
+      case Or(l, r) =>
+        if (evalPrune(l, stats, logicalToPhysical) == NoMatch &&
+          evalPrune(r, stats, logicalToPhysical) == NoMatch) NoMatch
+        else MightMatch
+      case c: GreaterThan => sides(c).map {
+        case (a, l, false) => cmp(a, l, (_, hi, v) => hi <= v) // col > v
+        case (a, l, true) => cmp(a, l, (lo, _, v) => lo >= v) // v > col
+      }.getOrElse(MightMatch)
+      case c: GreaterThanOrEqual => sides(c).map {
+        case (a, l, false) => cmp(a, l, (_, hi, v) => hi < v)
+        case (a, l, true) => cmp(a, l, (lo, _, v) => lo > v)
+      }.getOrElse(MightMatch)
+      case c: LessThan => sides(c).map {
+        case (a, l, false) => cmp(a, l, (lo, _, v) => lo >= v)
+        case (a, l, true) => cmp(a, l, (_, hi, v) => hi <= v)
+      }.getOrElse(MightMatch)
+      case c: LessThanOrEqual => sides(c).map {
+        case (a, l, false) => cmp(a, l, (lo, _, v) => lo > v)
+        case (a, l, true) => cmp(a, l, (_, hi, v) => hi < v)
+      }.getOrElse(MightMatch)
+      case c: EqualTo => sides(c).map {
+        case (a, l, _) => cmp(a, l, (lo, hi, v) => v < lo || v > hi)
+      }.getOrElse(MightMatch)
+      case c: EqualNullSafe => sides(c).map {
+        case (a, l, _) =>
+          if (l.value == null) MightMatch // nulls are untracked
+          else cmp(a, l, (lo, hi, v) => v < lo || v > hi)
+      }.getOrElse(MightMatch)
+      case _ => MightMatch
+    }
+  }
+
+  /** [[read]] with manifest-level DATA SKIPPING: gens whose recorded
+    * min/max bounds prove `pred` unsatisfiable are never listed, opened,
+    * or footer-probed — the scan plan's input is decided from the
+    * manifest alone. `pred` is then applied in full on what survives
+    * (stats are conservative, the filter is the semantics), so ANY
+    * predicate is correct here; only its stats-expressible conjuncts
+    * prune. SnapshotStatsSpec pins `inputFiles` ⊆ surviving dirs.
+    */
+  def readWhere(spark: SparkSession, path: String,
+                pred: org.apache.spark.sql.Column,
+                version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(headVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
+    val renames = readRenames(spark, path, v)
+    val logicalToPhysical = renames.map(_.swap)
+    // resolve the predicate against the version's LOGICAL schema (a
+    // zero-row analysis, no I/O): literals arrive typed in Catalyst's
+    // internal forms (epoch days/micros — the blob domain), implicit
+    // casts land explicitly, unknown columns fail here as loudly as
+    // read().filter would
+    val logicalSchema = org.apache.spark.sql.types.StructType(
+      versionSchema(spark, path, v).fields.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name))))
+    val expr = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      logicalSchema).filter(pred)
+      .queryExecution.analyzed match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      case _ => org.apache.spark.sql.catalyst.expressions.Literal(true)
+    }
+    val kept = readManifest(spark, path, v).values.flatten.filter { field =>
+      statsOf(field) match {
+        case None => true
+        case Some(blob) =>
+          evalPrune(expr, parseStats(blob), logicalToPhysical) != NoMatch
+      }
+    }.map(dirOf).toSeq.sorted.map(d => s"$path/$d")
+    val base =
+      if (kept.isEmpty) read(spark, path, Some(v)).limit(0)
+      else applyRenames(readWithSchema(spark, path, v, kept), renames)
+    base.filter(pred)
   }
 
   /** The version's recorded union schema (`_schema-<v>`), if present.
@@ -631,7 +921,7 @@ object SnapshotStore {
     readSchema(spark, path, v).getOrElse {
       val dirs = forWrite(path, v)(readManifestDirs(spark, path, v))
         .sorted
-        .map(d => s"$path/$d")
+        .map(d => s"$path/${dirOf(d)}")
       org.apache.spark.sql.types.StructType(
         spark.read.option("mergeSchema", "true").parquet(dirs: _*)
           .drop("_p").schema.map(_.copy(nullable = true)))
@@ -875,18 +1165,47 @@ object SnapshotStore {
     }
   }
 
-  /** Initial snapshot (version 1). */
-  def write(df: DataFrame, path: String, partCol: String): Unit = {
+  /** Initial snapshot (version 1). `statsCols` declares the store's
+    * data-skipping columns ([[readWhere]]): every commit records per-gen
+    * min/max bounds for them in the manifest. Names must be clean
+    * identifiers (the blob grammar reserves `; = :`); supported types
+    * only — string bounds are refused rather than done unsoundly.
+    */
+  def write(df: DataFrame, path: String, partCol: String,
+            statsCols: Seq[String] = Nil): Unit = {
     requireAtomicRename(path)
     require(headVersion(df.sparkSession, path).isEmpty,
       s"$path already holds a snapshot store; use merge")
-    val entries = writeGen(df, path, partCol)
+    statsCols.foreach { c =>
+      require(!c.exists(ch => ch == ';' || ch == '=' || ch == ':' ||
+        ch == '\t' || ch == '\n' || ch < ' '),
+        s"stats column name '$c' contains a reserved character")
+      if (df.columns.contains(c))
+        require(supportedStatsType(df.schema(c).dataType),
+          s"stats column $c has unsupported type ${df.schema(c).dataType} " +
+            "(integral, floating, date, timestamp only)")
+    }
+    val entries = writeGen(df, path, partCol, statsCols = statsCols)
     commit(df.sparkSession, path, 1,
       entries.map { case (p, d) => p -> Seq(d) },
       entries.values.map(d => d.split("/").take(2).mkString("/"))
         .toSeq.distinct,
       Some(unionSchema(new org.apache.spark.sql.types.StructType(),
         df.schema)))
+    if (statsCols.nonEmpty) {
+      // after the commit: a crash here leaves a stats-bearing v1 with no
+      // declaration — later commits just add no NEW stats, reads stay
+      // correct (per-dir blobs are self-describing)
+      val fs = hfs(df.sparkSession, path)
+      val tmp = new org.apache.hadoop.fs.Path(path,
+        s"._statscols.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write(statsCols.map(Esc.escapePathName).mkString("\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+      publishFile(df.sparkSession, path, tmp,
+        new org.apache.hadoop.fs.Path(path, "_statscols"))
+    }
   }
 
   /** Reads snapshot `version` (default: head). Untouched partitions are
@@ -898,7 +1217,7 @@ object SnapshotStore {
     val v = version.orElse(headVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
     val dirs = readManifestDirs(spark, path, v).sorted
-      .map(d => s"$path/$d")
+      .map(d => s"$path/${dirOf(d)}")
     applyRenames(readWithSchema(spark, path, v, dirs),
       readRenames(spark, path, v))
   }
@@ -937,7 +1256,7 @@ object SnapshotStore {
     val merged = if (touchedDirs.isEmpty) upserts else {
       // the base reads PHYSICAL and joins in LOGICAL space (batch names)
       val base = applyRenames(readWithSchema(spark, path, head,
-        touchedDirs.map(d => s"$path/$d")), renames)
+        touchedDirs.map(d => s"$path/${dirOf(d)}")), renames)
       upserts.unionByName(
         base.join(Joins.maybeBroadcast(keys, broadcastRowLimit),
           keyCols, "left_anti"),
@@ -945,7 +1264,7 @@ object SnapshotStore {
     }
     // write boundary: logical names map back to the stable physical ones
     val newEntries = writeGen(toPhysical(merged, renames), path,
-      physicalCol(partCol, renames))
+      physicalCol(partCol, renames), statsCols = statsColsOf(spark, path))
     beforeCommit() // test seam: a concurrent committer lands here
     // touched partitions whose rows were ALL deleted simply leave the
     // manifest — no directory surgery, the files stay for old versions
@@ -1084,7 +1403,8 @@ object SnapshotStore {
     }
     val renames = readRenames(spark, path, head)
     val newEntries = writeGen(toPhysical(df, renames), path,
-      physicalCol(partCol, renames), genName)
+      physicalCol(partCol, renames), genName,
+      statsCols = statsColsOf(spark, path))
     if (newEntries.isEmpty) return
     // touched-values lookup (O(batch buckets) on a segmented head): the
     // append needs the prior dir lists ONLY for the partitions the batch
@@ -1155,8 +1475,9 @@ object SnapshotStore {
     val renames = readRenames(spark, path, head)
     // pure physical round-trip: compaction never leaves physical space
     val df = readWithSchema(spark, path, head,
-      chosen.values.flatten.toSeq.sorted.map(d => s"$path/$d"))
-    val newEntries = writeGen(df, path, physicalCol(partCol, renames))
+      chosen.values.flatten.toSeq.sorted.map(d => s"$path/${dirOf(d)}"))
+    val newEntries = writeGen(df, path, physicalCol(partCol, renames),
+      statsCols = statsColsOf(spark, path))
     commitDelta(spark, path, head + 1, head,
       removed = Set.empty,
       added = newEntries.map { case (p, d) => p -> Seq(d) },
@@ -1183,7 +1504,7 @@ object SnapshotStore {
     // the data read)
     val entries = readManifestValues(spark, path, v, values)
     val dirs = values.distinct.flatMap(entries.get).flatten.sorted
-      .map(d => s"$path/$d")
+      .map(d => s"$path/${dirOf(d)}")
     if (dirs.isEmpty) {
       require(readHead(spark, path, v).totalEntries > 0,
         s"snapshot $v at $path has no partitions")
@@ -1276,7 +1597,7 @@ object SnapshotStore {
       .filter(p => fromM.get(p) != toM.get(p))
     def rd(m: Map[String, Seq[String]], v: Int): Option[DataFrame] = {
       val dirs = changed.toSeq.flatMap(m.get).flatten.sorted
-        .map(d => s"$path/$d")
+        .map(d => s"$path/${dirOf(d)}")
       if (dirs.isEmpty) None
       else Some(readWithSchema(spark, path, v, dirs))
     }
@@ -1290,7 +1611,7 @@ object SnapshotStore {
         // application below stays uniform)
         val any = readWithSchema(spark, path, toVersion,
           readManifestDirs(spark, path, toVersion).sorted
-            .map(d => s"$path/$d")).limit(0)
+            .map(d => s"$path/${dirOf(d)}")).limit(0)
         (any, any)
     }
     // a column renamed between the versions is the SAME field (physical

@@ -1,0 +1,273 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+import graft.storage.SnapshotStore
+
+/** Structured Streaming SOURCE over a [[graft.storage.SnapshotStore]]'s
+  * version history — the read side of the CDC loop (the write side being
+  * the `s_merge_cdc` / `s_append_compact` foreachBatch gates): every
+  * committed snapshot version becomes one unit of streaming progress, and
+  * the stream emits that version's row-level CHANGES feed
+  * ([[SnapshotStore.changes]]: `_change_type` ∈ insert / delete /
+  * update_preimage / update_postimage) tagged with `_commit_version`. A
+  * downstream consumer — an IVM rollup, a search-index updater, a replica
+  * — processes each commit's DELTA instead of rescanning a 100 TB head,
+  * with Structured Streaming's checkpointed offsets providing restart
+  * exactly-once. This is the Delta/Iceberg "table as a streaming source"
+  * capability (a public concept, re-derived here on the store's
+  * manifest-diff feed through Spark's public source-provider seam); it
+  * generalizes the reference's tail-follow ingest
+  * (`/root/reference/nginx.conf:48-64`) from files to a versioned table.
+  *
+  * Usage:
+  * {{{
+  * spark.readStream
+  *   .format("graft-changes")            // or classOf[ChangesSourceProvider].getName
+  *   .option("path", storeDir)
+  *   .option("keys", "o_orderkey")       // the store's merge keys
+  *   .option("startingVersion", "0")     // 0 = initial snapshot as inserts;
+  *                                       //   N>=1 = baseline (exclusive);
+  *                                       //   default = head at stream start
+  *   .option("maxVersionsPerTrigger", "1") // optional rate limit
+  *   .load()
+  * }}}
+  *
+  * Offsets are store VERSIONS (monotonic by construction — even rollback
+  * commits a NEW head version), so the engine's offset log composes with
+  * the store's manifest chain: re-running a batch after a crash re-derives
+  * the exact same feed because [[SnapshotStore.changes]] is a pure
+  * function of two retained manifests. Batches are emitted PER VERSION
+  * (a batch spanning versions unions one feed per commit) so
+  * `_commit_version` attribution survives trigger coalescing — net-effect
+  * collapsing across commits would be cheaper but silently merges
+  * insert+delete pairs away; attribution-faithful is the CDC contract.
+  * Rate limiting implements [[SupportsAdmissionControl]] (the engine hands
+  * the restart position to `latestOffset`, so a resumed stream paces
+  * correctly without source-side offset bookkeeping).
+  *
+  * The BASELINE version is fixed at first start and persisted under the
+  * checkpoint (`metadataPath`), so a restart resumes the same feed even if
+  * the first run never completed a batch. The schema is the store's head
+  * schema at each RUN's start (analysis time): a RESTART adopts additive
+  * evolution naturally (no Delta-style fresh-checkpoint requirement —
+  * physical names are stable, so the wider schema reads every version);
+  * evolution WITHIN a run is surfaced per `onSchemaEvolution`: `fail`
+  * (default — stop loudly; restarting adopts the wider schema) or
+  * `project` (keep the run's schema until restart). A version EXPIRED past
+  * the stream's read position fails loudly mid-batch (the store's
+  * missing-version error) — retention must exceed maximum consumer lag,
+  * the same contract as any log-compacted transport. One narrow race is
+  * documented rather than closed: a commit that lands between `load()`'s
+  * schema derivation and the run's first batch can widen the store before
+  * the run starts; it surfaces as the same loud `onSchemaEvolution` error.
+  */
+class ChangesSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-changes"
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-changes derives its schema from the snapshot store; " +
+        "a user-supplied schema is not supported")
+    val path = ChangesSource.pathOf(parameters)
+    (shortName(), ChangesSource.feedSchema(
+      ChangesSource.storeSchema(sqlContext, path)))
+  }
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source =
+    new ChangesSource(sqlContext, metadataPath, parameters)
+}
+
+object ChangesSource {
+
+  private[streaming] def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-changes requires 'path'"))
+
+  /** The store's logical schema (post-rename names) at its current head. */
+  private[streaming] def storeSchema(sqlContext: SQLContext,
+                                     path: String): StructType = {
+    val spark = sqlContext.sparkSession
+    require(SnapshotStore.headVersion(spark, path).isDefined,
+      s"graft-changes: no snapshot store at $path — the source needs at " +
+        "least one committed version to derive its schema")
+    SnapshotStore.read(spark, path).schema
+  }
+
+  /** `_change_type`, `_commit_version`, then the store's columns. */
+  private[streaming] def feedSchema(store: StructType): StructType =
+    StructType(
+      StructField("_change_type", StringType, nullable = false) +:
+      StructField("_commit_version", IntegerType, nullable = false) +:
+      store.fields.toSeq)
+}
+
+class ChangesSource(sqlContext: SQLContext, metadataPath: String,
+                    parameters: Map[String, String])
+    extends Source with SupportsTriggerAvailableNow {
+
+  private val spark = sqlContext.sparkSession
+  private val path = ChangesSource.pathOf(parameters)
+  private val keyCols: Seq[String] = parameters.getOrElse("keys",
+    throw new IllegalArgumentException(
+      "graft-changes requires 'keys' (comma-separated merge key columns)"))
+    .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  private val maxVersionsPerTrigger: Option[Int] =
+    parameters.get("maxVersionsPerTrigger").map { v =>
+      val n = v.toInt
+      require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n"); n
+    }
+  private val onEvolution: String = {
+    val v = parameters.getOrElse("onSchemaEvolution", "fail")
+    require(v == "fail" || v == "project",
+      s"onSchemaEvolution must be 'fail' or 'project', got '$v'")
+    v
+  }
+
+  /** Baseline version (exclusive), decided at FIRST start and persisted
+    * under the checkpoint so a restart resumes the same feed even when the
+    * first run completed no batch. Written build-then-rename; the engine
+    * constructs one source per checkpoint run, so the rename is
+    * crash-atomicity, not a CAS.
+    */
+  private val baseline: Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(metadataPath), spark.sparkContext.hadoopConfiguration)
+    val init = new org.apache.hadoop.fs.Path(metadataPath, "graft-changes-init")
+    if (fs.exists(init)) {
+      val in = fs.open(init)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.trim.toInt
+    } else {
+      val head = SnapshotStore.headVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-changes: no snapshot store at $path"))
+      val base = parameters.get("startingVersion").map(_.toInt) match {
+        case Some(v) =>
+          require(v >= 0 && v <= head,
+            s"startingVersion $v out of range [0, $head] at $path")
+          v
+        case None => head // only changes committed AFTER stream start
+      }
+      fs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
+      val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+        s".graft-changes-init.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write(base.toString.getBytes("UTF-8"))
+      finally out.close()
+      require(fs.rename(tmp, init), s"could not publish $init")
+      base
+    }
+  }
+
+  /** The RUN's schema: the store head's at source construction — matches
+    * what `sourceSchema` handed the analyzer at `load()` (both read the
+    * head; see the documented narrow race in the class doc).
+    */
+  private val fixedSchema: StructType = ChangesSource.feedSchema(
+    ChangesSource.storeSchema(sqlContext, path))
+
+  override def schema: StructType = fixedSchema
+
+  override def getOffset: Option[Offset] =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  /** Trigger.AvailableNow bound: the head frozen at run start — the run
+    * drains up to here (paced by `maxVersionsPerTrigger`) and stops,
+    * ignoring commits that land while it drains.
+    */
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(
+      SnapshotStore.headVersion(spark, path).getOrElse(baseline))
+
+  /** Next batch ceiling: the store head, capped to `start +
+    * maxVersionsPerTrigger` (and to the AvailableNow freeze point when
+    * set). Returning the start itself signals no data. The engine hands
+    * back the restart position as `startOffset`, so a resumed stream paces
+    * from where it actually is.
+    */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val floor = Option(startOffset).map(versionOf).getOrElse(baseline)
+    val head = availableNowCap.getOrElse(
+      SnapshotStore.headVersion(spark, path).getOrElse(baseline))
+    val capped = maxVersionsPerTrigger
+      .map(m => math.min(head, floor + m)).getOrElse(head)
+    LongOffset(math.max(capped, floor).toLong)
+  }
+
+  override def initialOffset(): OffsetV2 = LongOffset(baseline.toLong)
+
+  private def versionOf(o: OffsetV2): Int = o match {
+    case LongOffset(v) => v.toInt
+    case other => other.json.trim.toInt // SerializedOffset from the log
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(o => versionOf(o: OffsetV2)).getOrElse(baseline)
+    val to = versionOf(end: OffsetV2)
+    if (to <= from)
+      return org.apache.spark.sql.graftshim.StreamingBatchShim.asStreamingBatch(
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), fixedSchema))
+    val perVersion = ((from + 1) to to).map { v =>
+      val feed =
+        if (v == 1) // changes(0 -> 1): the initial snapshot, all inserts
+          SnapshotStore.read(spark, path, Some(1))
+            .withColumn("_change_type", lit("insert"))
+        else SnapshotStore.changes(spark, path, v - 1, v, keyCols)
+      feed.withColumn("_commit_version", lit(v))
+    }
+    val raw = perVersion.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+    org.apache.spark.sql.graftshim.StreamingBatchShim.asStreamingBatch(align(raw))
+  }
+
+  /** Conform a batch to the run's schema. A run-schema column MISSING from
+    * the feed is a legacy-version batch (the engine re-derives the last
+    * committed batch on restart, and that version predates an adopted
+    * evolution) — padded NULL, the store's own additive-evolution read
+    * semantics. A column the feed has that the run does NOT is mid-run
+    * evolution, surfaced per `onSchemaEvolution`; extra AND missing
+    * together means a mid-run RENAME (the feed reads under new names) —
+    * always loud, `project` would silently null the renamed column.
+    */
+  private def align(df: DataFrame): DataFrame = {
+    val extra = df.columns.filterNot(c => fixedSchema.fieldNames.contains(c))
+    val missing = fixedSchema.fieldNames.filterNot(df.columns.contains)
+    if (extra.nonEmpty && (missing.nonEmpty || onEvolution == "fail"))
+      throw new IllegalStateException(
+        s"graft-changes: the store at $path changed schema after stream " +
+          s"start (new: ${extra.mkString(", ")}" +
+          (if (missing.nonEmpty)
+            s"; gone: ${missing.mkString(", ")} — a rename?" else "") +
+          "). Restart the stream to adopt the evolved schema" +
+          (if (missing.isEmpty)
+            ", or set onSchemaEvolution=project to keep this run's schema"
+          else ""))
+    df.select(fixedSchema.map(f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"ChangesSource[$path, baseline=$baseline]"
+}

@@ -1,0 +1,282 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.storage.SnapshotStore
+import graft.streaming.ChangesSourceProvider
+
+/** The `graft-changes` streaming source: a SnapshotStore as a Structured
+  * Streaming SOURCE (the read side of the CDC loop). Pins per-version
+  * attribution, rate limiting via admission control, checkpoint restart
+  * exactly-once, the fixed-schema contract under store evolution, and
+  * composition with the segmented manifest tier.
+  */
+class ChangesSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir(tag: String): String =
+    Files.createTempDirectory(s"graft_chsrc_$tag").toString + "/st"
+
+  private def ck(tag: String): String =
+    Files.createTempDirectory(s"graft_chsrc_ck_$tag").toString
+
+  /** v1: keys 0..5. v2: update k=1 (+10), insert k=6. v3: delete k=2. */
+  private def buildStore(dir: String): Unit = {
+    val base = (0L to 5L).map(k => (k, s"p${k % 2}", k * 1.0))
+    SnapshotStore.write(base.toDF("k", "p", "v"), dir, "p")
+    SnapshotStore.merge(spark, dir,
+      Seq((1L, "p1", 11.0), (6L, "p0", 6.0)).toDF("k", "p", "v"), "p", Seq("k"))
+    SnapshotStore.merge(spark, dir,
+      Seq((2L, "p0", 0.0)).toDF("k", "p", "v")
+        .withColumn("_del", lit(true)), "p", Seq("k"),
+      deleteCol = Some("_del"))
+  }
+
+  private def readFeed(dir: String, checkpoint: String, name: String,
+                       options: Map[String, String]): DataFrame = {
+    val reader = spark.readStream.format(classOf[ChangesSourceProvider].getName)
+      .option("path", dir).option("keys", "k")
+    val q = options.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Runs one AvailableNow drain into `rows` via foreachBatch (the memory
+    * sink cannot RESUME from a checkpoint; foreachBatch can — restart
+    * scenarios go through here).
+    */
+  private def drainFeed(dir: String, checkpoint: String,
+                        options: Map[String, String],
+                        rows: java.util.concurrent.ConcurrentLinkedQueue[
+                          org.apache.spark.sql.Row]): Seq[org.apache.spark.sql.Row] = {
+    val reader = spark.readStream.format(classOf[ChangesSourceProvider].getName)
+      .option("path", dir).option("keys", "k")
+    val q = options.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(rows.add)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    rows.iterator().asScala.toSeq
+  }
+
+  test("startingVersion=0 emits the initial snapshot as inserts plus " +
+    "per-version CDF, each row tagged with its _commit_version") {
+    val dir = newDir("full"); buildStore(dir)
+    val got = readFeed(dir, ck("full"), "chsrc_full",
+      Map("startingVersion" -> "0"))
+      .select("_commit_version", "_change_type", "k", "v")
+      .as[(Int, String, Long, Double)].collect().toSet
+    val want = (0L to 5L).map(k => (1, "insert", k, k * 1.0)).toSet ++ Set(
+      (2, "update_preimage", 1L, 1.0), (2, "update_postimage", 1L, 11.0),
+      (2, "insert", 6L, 6.0),
+      (3, "delete", 2L, 2.0))
+    assert(got == want)
+  }
+
+  test("default baseline is head-at-start: a stream opened on a built " +
+    "store emits nothing until new versions commit, then exactly those") {
+    val dir = newDir("tail"); buildStore(dir)
+    val c = ck("tail")
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.Row]()
+    assert(drainFeed(dir, c, Map.empty, rows).isEmpty,
+      "no commits after stream start: empty feed")
+    SnapshotStore.merge(spark, dir,
+      Seq((7L, "p1", 7.0)).toDF("k", "p", "v"), "p", Seq("k")) // v4
+    val got = drainFeed(dir, c, Map.empty, rows)
+      .map(r => (r.getInt(r.fieldIndex("_commit_version")),
+        r.getString(r.fieldIndex("_change_type")),
+        r.getLong(r.fieldIndex("k")))).toSet
+    assert(got == Set((4, "insert", 7L)))
+  }
+
+  test("maxVersionsPerTrigger=1 paces one version per micro-batch " +
+    "(admission control), and the union equals the unpaced feed") {
+    val dir = newDir("pace"); buildStore(dir)
+    val cPaced = ck("pace")
+    val paced = readFeed(dir, cPaced, "chsrc_paced",
+      Map("startingVersion" -> "0", "maxVersionsPerTrigger" -> "1"))
+    val versions = paced.select("_commit_version").distinct()
+      .as[Int].collect().sorted
+    assert(versions.toSeq == Seq(1, 2, 3))
+    // pacing pin through the offset log: 3 versions → 3 committed batches
+    val offsetFiles = Option(new java.io.File(cPaced, "offsets").listFiles())
+      .getOrElse(Array.empty).map(_.getName).filterNot(_.startsWith("."))
+    assert(offsetFiles.toSet == Set("0", "1", "2"),
+      s"want 3 one-version batches, got offsets ${offsetFiles.mkString(",")}")
+    val unpaced = readFeed(dir, ck("pace2"), "chsrc_unpaced",
+      Map("startingVersion" -> "0"))
+    assert(paced.select("_commit_version", "_change_type", "k", "v")
+      .as[(Int, String, Long, Double)].collect().toSet ==
+      unpaced.select("_commit_version", "_change_type", "k", "v")
+        .as[(Int, String, Long, Double)].collect().toSet)
+  }
+
+  test("checkpoint restart resumes exactly after the consumed prefix: no " +
+    "version re-emitted, later versions picked up") {
+    val dir = newDir("resume")
+    SnapshotStore.write(
+      (0L to 3L).map(k => (k, "p0", k * 1.0)).toDF("k", "p", "v"), dir, "p")
+    val c = ck("resume")
+    val q1 = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.Row]()
+    val first = drainFeed(dir, c, Map("startingVersion" -> "0"), q1)
+    assert(first.map(_.getInt(1)).distinct == Seq(1))
+    SnapshotStore.merge(spark, dir,
+      Seq((9L, "p0", 9.0)).toDF("k", "p", "v"), "p", Seq("k")) // v2
+    SnapshotStore.merge(spark, dir,
+      Seq((0L, "p0", 100.0)).toDF("k", "p", "v"), "p", Seq("k")) // v3
+    val q2 = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.Row]()
+    val got = drainFeed(dir, c, Map("startingVersion" -> "0"), q2)
+      .map(r => (r.getInt(r.fieldIndex("_commit_version")),
+        r.getString(r.fieldIndex("_change_type")),
+        r.getLong(r.fieldIndex("k")))).toSet
+    assert(got == Set((2, "insert", 9L),
+      (3, "update_preimage", 0L), (3, "update_postimage", 0L)),
+      "restart must emit exactly v2..v3 — v1 already consumed")
+  }
+
+  test("additive store evolution BETWEEN runs is adopted: the restarted " +
+    "stream reads the new column, legacy feed rows surface NULL") {
+    val dir = newDir("evolve")
+    SnapshotStore.write(
+      Seq((0L, "p0", 1.0)).toDF("k", "p", "v"), dir, "p")
+    val c = ck("ev")
+    val q1 = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.Row]()
+    val first = drainFeed(dir, c, Map("startingVersion" -> "0"), q1)
+    assert(!first.head.schema.fieldNames.contains("extra"))
+    SnapshotStore.merge(spark, dir,
+      Seq((1L, "p0", 2.0, "x")).toDF("k", "p", "v", "extra"), "p", Seq("k"))
+    val q2 = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.Row]()
+    val got = drainFeed(dir, c, Map("startingVersion" -> "0"), q2)
+    assert(got.head.schema.fieldNames.contains("extra"),
+      "a restart adopts additive evolution — no fresh checkpoint needed")
+    val v2ins = got.filter(r =>
+      r.getInt(r.fieldIndex("_commit_version")) == 2 &&
+        r.getLong(r.fieldIndex("k")) == 1L)
+    assert(v2ins.map(_.getString(v2ins.head.fieldIndex("extra"))) == Seq("x"))
+  }
+
+  /** Drives a ProcessingTime stream and evolves the store WHILE it runs. */
+  private def midRunEvolve(mode: Option[String], name: String)
+                          (check: (org.apache.spark.sql.streaming.StreamingQuery,
+                                   String) => Unit): Unit = {
+    val dir = newDir(s"mid$name")
+    SnapshotStore.write(
+      Seq((0L, "p0", 1.0)).toDF("k", "p", "v"), dir, "p")
+    val reader = spark.readStream.format(classOf[ChangesSourceProvider].getName)
+      .option("path", dir).option("keys", "k").option("startingVersion", "0")
+    val q = mode.foldLeft(reader)((r, m) => r.option("onSchemaEvolution", m))
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ck(s"mid$name"))
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      // wait for v1 to land, then evolve the store mid-run
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table(name).isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(!spark.table(name).isEmpty, "v1 never arrived")
+      SnapshotStore.merge(spark, dir,
+        Seq((1L, "p0", 2.0, "x")).toDF("k", "p", "v", "extra"), "p", Seq("k"))
+      check(q, name)
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("store evolution WITHIN a run: fail (default) stops loudly") {
+    midRunEvolve(None, "chsrc_midfail") { (q, _) =>
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(30000)
+        throw new AssertionError("stream survived a mid-run schema change")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).map(x => x.getMessage +: msgs(x.getCause))
+          .getOrElse(Nil).filter(_ != null)
+      assert(msgs(e).exists(_.contains("changed schema after stream")),
+        s"want the schema-evolution error, got: ${msgs(e)}")
+    }
+  }
+
+  test("store evolution WITHIN a run: project keeps the run's schema") {
+    midRunEvolve(Some("project"), "chsrc_midproj") { (q, name) =>
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table(name).filter(col("_commit_version") === 2).isEmpty &&
+        System.currentTimeMillis() < deadline) {
+        assert(q.isActive, s"stream died: ${Option(q.exception).flatten}")
+        Thread.sleep(50)
+      }
+      val got = spark.table(name)
+      assert(got.columns.toSeq ==
+        Seq("_change_type", "_commit_version", "k", "p", "v"),
+        "project mode keeps the run's start schema")
+      assert(got.filter(col("_commit_version") === 2).count() == 1)
+    }
+  }
+
+  test("composes with the segmented manifest tier: the feed over a " +
+    "segmented store diffs only changed buckets and streams correctly") {
+    val Thresh = "graft.snapshot.segmentThreshold"
+    val prior = sys.props.get(Thresh)
+    sys.props(Thresh) = "4"
+    try {
+      val dir = newDir("seg")
+      SnapshotStore.write(
+        (0L to 7L).map(k => (k, s"p$k", k * 1.0)).toDF("k", "p", "v"),
+        dir, "p")
+      SnapshotStore.merge(spark, dir,
+        Seq((3L, "p3", 33.0)).toDF("k", "p", "v"), "p", Seq("k")) // v2
+      val got = readFeed(dir, ck("seg"), "chsrc_seg",
+        Map("startingVersion" -> "1"))
+        .select("_commit_version", "_change_type", "k", "v")
+        .as[(Int, String, Long, Double)].collect().toSet
+      assert(got == Set((2, "update_preimage", 3L, 3.0),
+        (2, "update_postimage", 3L, 33.0)))
+    } finally prior match {
+      case Some(v) => sys.props(Thresh) = v
+      case None => sys.props -= Thresh
+    }
+  }
+
+  test("fail-fast set: missing path/keys options, bad startingVersion, " +
+    "shortName registration resolves format(\"graft-changes\")") {
+    val dir = newDir("ff"); buildStore(dir)
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-changes").load()
+    }
+    // bad startingVersion surfaces from the stream run (source construction
+    // happens on the stream thread) with the range message intact
+    val e = intercept[Throwable] {
+      readFeed(dir, ck("ff1"), "chsrc_ff1", Map("startingVersion" -> "99"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).map(x => x.getMessage +: msgs(x.getCause))
+        .getOrElse(Nil).filter(_ != null)
+    assert(msgs(e).exists(_.contains("out of range")), s"got: ${msgs(e)}")
+    // shortName path: resolves through META-INF/services
+    val q = spark.readStream.format("graft-changes")
+      .option("path", dir).option("keys", "k")
+      .option("startingVersion", "0")
+      .load()
+      .writeStream.format("memory").queryName("chsrc_ff2")
+      .option("checkpointLocation", ck("ff2"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("chsrc_ff2").count() > 0)
+  }
+}

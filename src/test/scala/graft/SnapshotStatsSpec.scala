@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.storage.SnapshotStore
+
+/** Gen-level column statistics + manifest data skipping
+  * ([[SnapshotStore.readWhere]]): bounds recorded per (partition, gen) in
+  * the manifest entry text, predicates evaluated against them BEFORE any
+  * file is listed. Pins pruning exactness (inputFiles ⊆ surviving gens),
+  * conservative fallbacks (nulls, unsupported shapes, stats-less dirs),
+  * and composition with copy-forward, compaction, rename, the segmented
+  * tier, and the changes feed.
+  */
+class SnapshotStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir(tag: String): String =
+    Files.createTempDirectory(s"graft_stats_$tag").toString + "/st"
+
+  private def gens(files: Array[String]): Set[String] =
+    files.flatMap(_.split("/data/").lift(1)).map(_.split("/").head).toSet
+
+  /** 3 gens with disjoint ts/v ranges in one partition + one second
+    * partition slice per gen.
+    */
+  private def rangedStore(dir: String): Unit = {
+    def chunk(lo: Long, n: Int) =
+      (0 until n).map(i => (lo + i, s"p${i % 2}", (lo + i) * 1.0))
+        .toDF("k", "p", "v")
+    SnapshotStore.write(chunk(0L, 10), dir, "p", statsCols = Seq("k", "v"))
+    SnapshotStore.append(chunk(100L, 10), dir, "p")
+    SnapshotStore.append(chunk(200L, 10), dir, "p")
+  }
+
+  test("readWhere prunes gens by range and equals the unpruned filter") {
+    val dir = newDir("range"); rangedStore(dir)
+    val pred = col("k") >= 100L && col("k") < 110L
+    val pruned = SnapshotStore.readWhere(spark, dir, pred)
+    val full = SnapshotStore.read(spark, dir).filter(pred)
+    assert(pruned.select("k", "p", "v").collect().toSet ==
+      full.select("k", "p", "v").collect().toSet)
+    assert(gens(pruned.inputFiles).size == 1 &&
+      gens(SnapshotStore.read(spark, dir).inputFiles).size == 3,
+      "mid-range predicate must open exactly the middle gen")
+  }
+
+  test("comparison shapes: equality, literal-on-left, Or, double column; " +
+    "unsupported shapes fall back to reading everything — still correct") {
+    val dir = newDir("shapes"); rangedStore(dir)
+    assert(gens(SnapshotStore.readWhere(spark, dir,
+      col("k") === 205L).inputFiles).size == 1)
+    assert(gens(SnapshotStore.readWhere(spark, dir,
+      lit(5L) >= col("k")).inputFiles).size == 1, "literal-on-left flips")
+    assert(gens(SnapshotStore.readWhere(spark, dir,
+      col("k") < 10L || col("v") >= 200.0).inputFiles).size == 2,
+      "Or prunes only dirs BOTH arms rule out")
+    val hard = SnapshotStore.readWhere(spark, dir, col("k") % 7 === 1L)
+    assert(gens(hard.inputFiles).size == 3, "arithmetic shape: no pruning")
+    assert(hard.count() ==
+      SnapshotStore.read(spark, dir).filter(col("k") % 7 === 1L).count())
+    assert(gens(SnapshotStore.readWhere(spark, dir,
+      col("k") >= 0L && col("k") < 5L && col("p") === "p0")
+      .inputFiles).size == 1,
+      "a conjunct on a stats-less column stays MightMatch, the ranged " +
+        "conjunct still prunes")
+  }
+
+  test("an all-NULL slice records no bound and is conservatively read") {
+    val dir = newDir("nulls")
+    SnapshotStore.write(
+      Seq((1L, "p0", Some(1.0)), (2L, "p0", Some(2.0)))
+        .toDF("k", "p", "v"), dir, "p", statsCols = Seq("v"))
+    SnapshotStore.append(
+      Seq((10L, "p0", Option.empty[Double])).toDF("k", "p", "v"), dir, "p")
+    val got = SnapshotStore.readWhere(spark, dir, col("v").isNull)
+    assert(got.select("k").as[Long].collect().toSeq == Seq(10L))
+    assert(gens(got.inputFiles).size == 2,
+      "isNull is not stats-expressible; the NULL gen has no v-bound — " +
+        "both gens read")
+    // a range predicate still cannot drop the NULL slice's gen (no bound)
+    assert(gens(SnapshotStore.readWhere(spark, dir,
+      col("v") >= 100.0).inputFiles).size == 1,
+      "bounded gen pruned, unbounded gen kept")
+  }
+
+  test("stats copy forward verbatim with untouched entries; a merge's " +
+    "rewritten partition gets fresh bounds; compaction re-derives them") {
+    val dir = newDir("fwd"); rangedStore(dir)
+    SnapshotStore.merge(spark, dir,
+      Seq((500L, "p0", 500.0)).toDF("k", "p", "v"), "p", Seq("k"))
+    // p0 rewritten (one gen, k spans 0..500), p1 untouched (3 gens)
+    val wide = SnapshotStore.readWhere(spark, dir, col("k") >= 490L)
+    assert(wide.select("k").as[Long].collect().toSeq == Seq(500L))
+    assert(gens(wide.inputFiles).size == 1,
+      "p1's three carried-forward gens must still prune by their old stats")
+    val n = SnapshotStore.compactPartitions(spark, dir, "p")
+    assert(n == 1, "only p1 still has multiple dirs")
+    assert(gens(SnapshotStore.readWhere(spark, dir,
+      col("k") >= 490L).inputFiles).size == 1,
+      "post-compaction reads still prune: p1's compacted gen spans " +
+        "0..209 and is ruled out, p0's merged gen survives")
+  }
+
+  test("composes with rename (predicate under the logical name) and with " +
+    "the segmented manifest tier") {
+    val dir = newDir("ren"); rangedStore(dir)
+    SnapshotStore.renameColumn(spark, dir, "k", "key")
+    val got = SnapshotStore.readWhere(spark, dir,
+      col("key") >= 100L && col("key") < 110L)
+    assert(got.count() == 10 && gens(got.inputFiles).size == 1,
+      "stats live under the stable physical name; the logical predicate " +
+        "must map through the rename")
+    val Thresh = "graft.snapshot.segmentThreshold"
+    val prior = sys.props.get(Thresh)
+    sys.props(Thresh) = "2"
+    try {
+      val dir2 = newDir("seg"); rangedStore(dir2)
+      assert(SnapshotStore.readHead(spark, dir2, 3)
+        .isInstanceOf[SnapshotStore.SegHead], "fixture must be segmented")
+      val g = SnapshotStore.readWhere(spark, dir2,
+        col("k") >= 200L)
+      assert(g.count() == 10 && gens(g.inputFiles).size == 1)
+    } finally prior match {
+      case Some(v) => sys.props(Thresh) = v
+      case None => sys.props -= Thresh
+    }
+  }
+
+  test("changes feed and expire are stats-transparent; a stats-less store " +
+    "reads everything (back-compat)") {
+    val dir = newDir("cdc"); rangedStore(dir)
+    val feed = SnapshotStore.changes(spark, dir, 1, 3, Seq("k"))
+    assert(feed.filter(col("_change_type") === "insert").count() == 20,
+      "the two appends' rows are the feed, stats suffix notwithstanding")
+    SnapshotStore.expire(spark, dir, keep = 1, minAgeMs = 0L)
+    assert(SnapshotStore.read(spark, dir).count() == 30,
+      "expire must not sweep gens whose manifest fields carry stats")
+    val plain = newDir("plain")
+    SnapshotStore.write(Seq((1L, "p0", 1.0)).toDF("k", "p", "v"), plain, "p")
+    SnapshotStore.append(Seq((2L, "p0", 2.0)).toDF("k", "p", "v"), plain, "p")
+    val got = SnapshotStore.readWhere(spark, plain, col("k") === 1L)
+    assert(got.count() == 1 && gens(got.inputFiles).size == 2,
+      "no declared stats: nothing prunes, everything still reads")
+  }
+
+  test("fail-fast set: unsupported stats type, reserved characters in a " +
+    "stats column name") {
+    val dir = newDir("ff")
+    intercept[IllegalArgumentException] {
+      SnapshotStore.write(Seq((1L, "p0", "s")).toDF("k", "p", "txt"),
+        dir, "p", statsCols = Seq("txt"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotStore.write(Seq((1L, "p0", 1.0)).toDF("k", "p", "v"),
+        dir, "p", statsCols = Seq("v;w"))
+    }
+  }
+}

@@ -301,6 +301,38 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e2.getMessage.contains("2 string-literal arguments"))
   }
 
+  test("graft_snapshot_where TVF: the stats-pruned read from pure SQL — " +
+    "rows match the store API, the scan opens only surviving gens, " +
+    "malformed arguments fail clearly") {
+    import spark.implicits._
+    plans.AsOf.register(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snapwsql").toString + "/st"
+    def chunk(lo: Long, n: Int) =
+      (0 until n).map(i => (lo + i, "p0", (lo + i) * 1.0)).toDF("k", "p", "v")
+    graft.storage.SnapshotStore.write(chunk(0L, 5), dir, "p",
+      statsCols = Seq("k"))
+    graft.storage.SnapshotStore.append(chunk(100L, 5), dir, "p")
+    graft.storage.SnapshotStore.append(chunk(200L, 5), dir, "p")
+    val df = spark.sql(
+      s"SELECT * FROM graft_snapshot_where('$dir', 'head', 'k >= 100 AND k < 105')")
+    assert(df.select("k").as[Long].collect().sorted.toSeq ==
+      (100L to 104L))
+    def gens(files: Array[String]) =
+      files.flatMap(_.split("/data/").lift(1)).map(_.split("/").head).toSet
+    assert(gens(df.inputFiles).size == 1,
+      "the SQL rung must prune exactly like the DataFrame API")
+    assert(spark.sql(
+      s"SELECT * FROM graft_snapshot_where('$dir', '1', 'k >= 100')")
+      .count() == 0, "versioned: v1 has no such keys")
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_snapshot_where('$dir', 'vv', 'k > 0')").collect())
+    assert(e1.getMessage.contains("positive integer or 'head'"))
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_snapshot_where('$dir', 'head')").collect())
+    assert(e2.getMessage.contains("3 string-literal arguments"))
+  }
+
   test("graft_changes TVF: the CDF feed matches the store API, supports " +
     "composite keys, and rejects malformed arguments") {
     import spark.implicits._
