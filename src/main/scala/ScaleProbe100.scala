@@ -660,6 +660,68 @@ object ScaleProbe100 {
       ratio("changes_feed")
     }
 
+    // 12b. manifest data skipping (r13, q_snapshot_skip's scale story): an
+    // append-heavy store accumulates key-RANGE gens per partition (the
+    // time-sliced log-ingest shape); a mid-range predicate through
+    // readWhere must open only the overlapping gen, while read().filter
+    // lists and scans every gen of every partition. Banked: the wall
+    // advantage AND the files-opened fraction (the deterministic,
+    // window-proof form of the claim) at 10x and 100x gen counts/sizes.
+    if (on("skip")) {
+      walls("sentinel_skip") = cleanSentinel("skip")
+      val orders = Tables.table(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      for (n <- Seq(10, 100)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_scale100_skip$n").toString + "/st"
+        val group = n / 10 // replicas per appended gen: 10 gens either way
+        def replicas(g: Int): DataFrame =
+          (g * group until (g + 1) * group).map { k =>
+            orders.withColumn("o_orderkey",
+              col("o_orderkey") + k * 100000000L)
+          }.reduce(_ union _)
+        graft.storage.SnapshotStore.write(replicas(0), dir,
+          "o_orderpriority", statsCols = Seq("o_orderkey"))
+        (1 until 10).foreach { g =>
+          graft.storage.SnapshotStore.append(replicas(g), dir,
+            "o_orderpriority")
+        }
+        // a range inside gen 5's replica block
+        val lo = (5 * group + group / 2) * 100000000L
+        val pred = col("o_orderkey") >= lo &&
+          col("o_orderkey") < lo + 20000000L
+        def agg(df: DataFrame): Unit =
+          df.groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)), sum(col("o_totalprice")))
+            .write.mode("overwrite").format("noop").save()
+        // warm once each (page-cache discipline as changes_feed)
+        agg(graft.storage.SnapshotStore.read(spark, dir).filter(pred))
+        timeMin2(s"skip_full_${n}x") {
+          agg(graft.storage.SnapshotStore.read(spark, dir).filter(pred))
+        }
+        agg(graft.storage.SnapshotStore.readWhere(spark, dir, pred))
+        timeMin2(s"skip_pruned_${n}x") {
+          agg(graft.storage.SnapshotStore.readWhere(spark, dir, pred))
+        }
+        val fullFiles = graft.storage.SnapshotStore.read(spark, dir)
+          .inputFiles.length
+        val prunedFiles = graft.storage.SnapshotStore
+          .readWhere(spark, dir, pred).inputFiles.length
+        ratios(s"snapshot_skip_files_frac_${n}x") =
+          prunedFiles.toDouble / fullFiles
+        println(f"PROBE snapshot_skip_files_frac_${n}x " +
+          f"${prunedFiles.toDouble / fullFiles}%.3f " +
+          s"($prunedFiles of $fullFiles files; 1 of 10 gens = ~0.1)")
+        for (a <- walls.get(s"skip_full_${n}x");
+             b <- walls.get(s"skip_pruned_${n}x")) {
+          ratios(s"snapshot_skip_advantage_${n}x") = a / b
+          println(f"PROBE snapshot_skip_advantage_${n}x ${a / b}%.2fx " +
+            "(filter-over-full-read vs manifest-pruned readWhere)")
+        }
+      }
+    }
+
     // 10. table profile at 100× docs: the exact profile's count(DISTINCT
     // text) shuffles every distinct text once (plus the 5× Expand
     // multiply); the approx dial replaces both with per-partition HLL

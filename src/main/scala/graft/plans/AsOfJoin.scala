@@ -221,6 +221,10 @@ object AsOf {
       MaintenanceSql.Expire.name, MaintenanceSql.Expire.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Rename.name, MaintenanceSql.Rename.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.Tag.name, MaintenanceSql.Tag.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.DropTag.name, MaintenanceSql.DropTag.builder, "scala_udf")
   }
 
   /** Parses a tolerance interval string (e.g. "30 minutes") to microseconds,

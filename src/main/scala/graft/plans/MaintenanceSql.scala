@@ -142,6 +142,57 @@ object MaintenanceSql {
       (FunctionIdentifier(name), info, builder)
   }
 
+  /** `graft_tag(path, name [, version])` — tags a version (default: head)
+    * as an IMMUTABLE named ref that [[graft.storage.SnapshotStore.expire]]
+    * then retains regardless of the keep window; `detail` = the tagged
+    * version. `graft_drop_tag` retires one (`detail` = 1 if it existed).
+    */
+  object Tag {
+    val name = "graft_tag"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_tag(path, name[, version]) - tags a SnapshotStore version " +
+        "(default: head) as an immutable named ref retained across " +
+        "expire; read it back via graft_snapshot(path, 'tag:<name>'); " +
+        "returns one status row (detail = tagged version); string-literal " +
+        "arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 2 || args.size == 3,
+        s"$name takes (path, name[, version]); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val version =
+        if (args.size == 3) Some(num(name, args, 2, "version").toInt)
+        else None
+      val v = graft.storage.SnapshotStore.tag(
+        spark, str(name, args, 0), str(name, args, 1), version)
+      statusRow(spark, "tag", str(name, args, 0), v.toLong)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  object DropTag {
+    val name = "graft_drop_tag"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_drop_tag(path, name) - removes a SnapshotStore tag (its " +
+        "version re-enters normal retention); returns one status row " +
+        "(detail = 1 if the tag existed); string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 2,
+        s"$name takes (path, name); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val existed = graft.storage.SnapshotStore.deleteTag(
+        spark, str(name, args, 0), str(name, args, 1))
+      statusRow(spark, "drop_tag", str(name, args, 0),
+        if (existed) 1L else 0L)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
   /** `graft_expire(path, keep [, minAgeMs])` — drops manifests older than
     * the newest `keep` and sweeps unreferenced gen dirs past the orphan-age
     * floor (default 1h — pass 0 only when no writer can be live); `detail`

@@ -25,7 +25,9 @@ object SnapshotSql {
   val info: ExpressionInfo = new ExpressionInfo(
     SnapshotSql.getClass.getCanonicalName, name,
     "graft_snapshot(path, version) - reads a SnapshotStore at `path`; " +
-      "version is a positive integer literal, 'head', or 'history' (the " +
+      "version is a positive integer literal, 'head', 'tag:<name>' (an " +
+      "immutable named ref), 'asof:<epoch-millis|ISO-8601>' (timestamp " +
+      "time travel), 'tags' (the tag catalog), or 'history' (the " +
       "version catalog: version, n_partitions, n_rows); string-literal " +
       "arguments", "", "")
 
@@ -47,6 +49,38 @@ object SnapshotSql {
         // the version catalog, not a data read
         graft.storage.SnapshotStore.history(SparkSession.active, path)
           .queryExecution.analyzed
+      case "tags" =>
+        // the tag catalog: name -> version
+        val spark = SparkSession.active
+        import spark.implicits._
+        graft.storage.SnapshotStore.tags(spark, path).toSeq.sorted
+          .toDF("tag", "version").queryExecution.analyzed
+      case t if t.startsWith("tag:") =>
+        // read by immutable named ref (resolved now, at analysis —
+        // the same eagerness as an integer version literal)
+        val spark = SparkSession.active
+        val v = graft.storage.SnapshotStore.readTag(spark, path,
+          str(1).trim.substring(4))
+        graft.storage.SnapshotStore.read(spark, path, Some(v))
+          .queryExecution.analyzed
+      case t if t.startsWith("asof:") =>
+        // timestamp time travel: epoch millis or an ISO-8601 instant
+        val spark = SparkSession.active
+        val raw = str(1).trim.substring(5)
+        val ts = try raw.toLong catch {
+          case _: NumberFormatException =>
+            try java.time.Instant.parse(raw).toEpochMilli
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  s"$name asof timestamp must be epoch millis or an " +
+                    s"ISO-8601 instant (e.g. 2026-08-15T10:00:00Z), " +
+                    s"got '$raw'")
+            }
+        }
+        val v = graft.storage.SnapshotStore.versionAsOf(spark, path, ts)
+        graft.storage.SnapshotStore.read(spark, path, Some(v))
+          .queryExecution.analyzed
       case verStr =>
         val version = verStr match {
           case "head" => None
@@ -54,8 +88,9 @@ object SnapshotSql {
             val v = try s.toInt catch {
               case _: NumberFormatException =>
                 throw new IllegalArgumentException(
-                  s"$name version must be a positive integer, 'head', or " +
-                    s"'history', got '$s'")
+                  s"$name version must be a positive integer, 'head', " +
+                    s"'history', 'tags', 'tag:<name>', or 'asof:<ts>', " +
+                    s"got '$s'")
             }
             require(v >= 1,
               s"$name version must be a positive integer, 'head', or " +

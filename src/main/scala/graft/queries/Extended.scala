@@ -943,6 +943,37 @@ object Extended extends QueryModule {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Named TAGS (r13; Iceberg tag semantics): an immutable ref pins a
+    // version AGAINST RETENTION — the "which exact corpus trained run N,
+    // reproducibly, months later" lever. The fixture tags v2 through SQL,
+    // expires everything but the head with a zero age floor, then
+    // require-pins that v1 is GONE while tagged v2 still reads; slice 2
+    // reads by 'tag:gold', slice 3 the head — one relational oracle.
+    "q_snapshot_tag" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      graft.plans.AsOf.register(s)
+      val dir = java.nio.file.Files.createTempDirectory("graft_tagq")
+        .toString + "/orders_tag"
+      def third(r: Int) = orders.filter(col("o_orderkey") % 3 === r)
+      graft.storage.SnapshotStore.write(third(1), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.merge(s, dir, third(2),
+        "o_orderpriority", Seq("o_orderkey"))
+      graft.storage.SnapshotStore.append(third(0), dir, "o_orderpriority")
+      val r = s.sql(s"SELECT * FROM graft_tag('$dir', 'gold', '2')").collect()
+      require(r.length == 1 && r(0).getString(0) == "tag" &&
+        r(0).getLong(2) == 2L && r(0).getLong(3) == 3L,
+        s"unexpected tag receipt: ${r.toSeq}")
+      graft.storage.SnapshotStore.expire(s, dir, keep = 1, minAgeMs = 0L)
+      val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+      require(!left.contains("_manifest-1") && left.contains("_manifest-2"),
+        s"expire must drop v1 and retain tagged v2; left: $left")
+      def agg(df: org.apache.spark.sql.DataFrame, slice: Int) =
+        mergeAgg(df).withColumn("slice", lit(slice))
+      agg(s.sql(s"SELECT * FROM graft_snapshot('$dir', 'tag:gold')"), 2)
+        .unionByName(agg(graft.storage.SnapshotStore.read(s, dir), 3))
+        .orderBy(col("slice"), col("o_orderpriority"))
+    }),
+
     // Manifest-level DATA SKIPPING (r13): the store records per-gen
     // min/max bounds for declared stats columns (the Iceberg file-stats
     // argument at gen granularity), and readWhere prunes gens from the
@@ -977,6 +1008,19 @@ object Extended extends QueryModule {
     }))
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_snapshot_tag" -> {
+      def tAgg(v: Int, pred: String) =
+        s"""SELECT o_orderpriority, count(*) AS n_orders,
+           |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |      AS sum_cents,
+           |    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           |    $v AS slice
+           |  FROM orders WHERE $pred GROUP BY o_orderpriority""".stripMargin
+      Seq(tAgg(2, "o_orderkey % 3 IN (1, 2)"), tAgg(3, "TRUE"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          ")\nORDER BY slice, o_orderpriority")
+    },
+
     "q_snapshot_skip" ->
       """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
         |SELECT o_orderpriority, count(*) AS n_orders,

@@ -857,6 +857,121 @@ object SnapshotStore {
                           renames: Map[String, String]): String =
     renames.find(_._2 == name).map(_._1).getOrElse(name)
 
+  // ---- named TAGS (immutable version refs) -------------------------------
+  //
+  // The Iceberg tag idea: a TAG is an immutable named pointer at a version
+  // that [[expire]] must then RETAIN regardless of the keep window — the
+  // "which exact corpus trained run N, reproducibly, months later" lever a
+  // training pipeline needs (retention would otherwise silently age the
+  // training snapshot out). One file per tag (`_tag-<escaped name>`,
+  // containing the version), published through the same single-winner
+  // primitive as every commit, so two racing creators of one name get
+  // exactly one winner. Tags are immutable by design (re-pointing a "ref"
+  // is a branch, a different feature): retire with [[deleteTag]], create
+  // anew. Because a tagged version stays retained, `changes(tag, head)`
+  // stays computable forever and [[rollback]] to it always works.
+
+  private def tagPath(path: String, name: String) = {
+    require(name.nonEmpty && !name.exists(c => c <= ' ' || c == '/' ||
+      c == '\\'),
+      s"tag name '$name' must be non-empty with no whitespace or slashes")
+    new org.apache.hadoop.fs.Path(path, s"_tag-${Esc.escapePathName(name)}")
+  }
+
+  /** Tags `version` (default: head) as `name`; returns the tagged version.
+    * Fails if the tag exists (immutable) or the version is not retained.
+    */
+  def tag(spark: SparkSession, path: String, name: String,
+          version: Option[Int] = None): Int = {
+    requireAtomicRename(path)
+    val v = version.orElse(headVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val fs = hfs(spark, path)
+    require(fs.exists(new org.apache.hadoop.fs.Path(path, s"_manifest-$v")),
+      s"no snapshot version $v at $path")
+    val dst = tagPath(path, name)
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s"._tag.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    try publishFile(spark, path, tmp, dst)
+    catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.io.IOException) =>
+        fs.delete(tmp, false)
+        if (fs.exists(dst)) throw new IllegalArgumentException(
+          s"tag '$name' already exists at $path (tags are immutable; " +
+            "deleteTag first)", e)
+        else throw e
+    }
+    // close the tag-vs-expire race loudly: the manifest must still exist
+    // now that the tag is VISIBLE (expire reads tags before choosing its
+    // victims, so a sweep that started after our publish retains v; one
+    // that took v before our publish is detected here and the tag
+    // retracted rather than left dangling)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, s"_manifest-$v"))) {
+      fs.delete(dst, false)
+      throw new IllegalArgumentException(
+        s"snapshot version $v at $path was expired while tagging — " +
+          "re-tag a retained version")
+    }
+    v
+  }
+
+  /** The version a tag points at. */
+  def readTag(spark: SparkSession, path: String, name: String): Int = {
+    val fs = hfs(spark, path)
+    val p = tagPath(path, name)
+    require(fs.exists(p), s"no tag '$name' at $path")
+    readFileUtf8(fs, p).trim.toInt
+  }
+
+  /** All tags: name → version. */
+  def tags(spark: SparkSession, path: String): Map[String, Int] = {
+    val fs = hfs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return Map.empty
+    fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_tag-") =>
+        Esc.unescapePathName(n.stripPrefix("_tag-")) ->
+          readFileUtf8(fs, new org.apache.hadoop.fs.Path(root, n)).trim.toInt
+      }.toMap
+  }
+
+  /** Removes a tag (its version re-enters normal retention on the next
+    * [[expire]]). Returns whether it existed.
+    */
+  def deleteTag(spark: SparkSession, path: String, name: String): Boolean =
+    hfs(spark, path).delete(tagPath(path, name), false)
+
+  /** The newest RETAINED version committed at or before `tsMillis` —
+    * timestamp time travel ("the corpus as of last Tuesday"), carried by
+    * manifest-file modification times exactly as Delta carries it by
+    * commit-file timestamps (public semantics and public caveat alike: a
+    * file copied without mtime preservation shifts its apparent commit
+    * time; version-number travel is the precise form, this is the
+    * convenient one). Versions are scanned in DESCENDING order and the
+    * first qualifying one wins, so a clock-skewed mtime inversion can
+    * only widen the answer toward the newer version, never resurrect an
+    * older one above it.
+    */
+  def versionAsOf(spark: SparkSession, path: String, tsMillis: Long): Int = {
+    val fs = hfs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    require(fs.exists(root), s"no snapshots at $path")
+    val stamped = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("_manifest-"))
+      .map(st => st.getPath.getName.stripPrefix("_manifest-").toInt ->
+        st.getModificationTime)
+    require(stamped.nonEmpty, s"no snapshots at $path")
+    stamped.sortBy(-_._1).collectFirst {
+      case (v, mt) if mt <= tsMillis => v
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no snapshot at $path committed at or before $tsMillis (earliest " +
+        s"retained: version ${stamped.minBy(_._1)._1} at " +
+        s"${stamped.minBy(_._1)._2})"))
+  }
+
   /** Renames logical column `oldName` to `newName` as a new, metadata-only
     * version: the head's manifest text and physical schema are carried
     * verbatim (no data file, segment, or gen dir is touched), only the
@@ -1398,6 +1513,23 @@ object SnapshotStore {
           }
           v -= 1
         }
+        // TAGGED ISLANDS below the contiguous suffix still pin gen dirs:
+        // a gen whose only retained reference is a tagged old version
+        // (its partition since rewritten, the window since expired) keeps
+        // its dir alive — treating "dir exists but unscanned" as
+        // not-applied would re-commit those rows into the head on top of
+        // the merge that already carried them (duplicate). Rare path:
+        // only reached when the dir exists AND the suffix scan missed it.
+        if (!applied)
+          applied = tags(spark, path).values.toSeq.distinct
+            .filter(_ <= v).exists { tv => // the suffix scan covered > v
+              try readManifestDirs(spark, path, tv)
+                .exists(_.startsWith(s"data/$g/"))
+              catch {
+                case e: IllegalArgumentException if versionVanished(e) =>
+                  false // tag dropped + version swept mid-scan
+              }
+            }
         if (applied) return
       }
     }
@@ -1707,11 +1839,16 @@ object SnapshotStore {
     val fs = hfs(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val head = headVersion(spark, path).getOrElse(return)
+    // TAGGED versions are retained regardless of the keep window (read
+    // BEFORE choosing victims — see the ordering argument in [[tag]]);
+    // their manifests, schemas, renames, and referenced gens all survive
+    val tagged: Set[Int] = tags(spark, path).values.toSet
     // heads first (cheap), then every DISTINCT segment exactly once:
     // segments are shared across versions by content-addressing, so a
     // store with `keep` retained versions of a 1M-partition manifest
     // parses ~one manifest's worth of segments, not keep x N lines
-    val retainedHeads = (math.max(1, head - keep + 1) to head)
+    val retainedHeads =
+      ((math.max(1, head - keep + 1) to head).toSet ++ tagged).toSeq.sorted
       .flatMap { v =>
         // a concurrent sweep (whose head, and so cutoff, was >= ours) may
         // delete a manifest in our range mid-scan: skipping it is safe —
@@ -1741,7 +1878,7 @@ object SnapshotStore {
       }
       (flatDirs ++ segDirs).map(_.split("/").take(2).mkString("/")).toSet
     }
-    (1 until math.max(1, head - keep + 1)).foreach { v =>
+    (1 until math.max(1, head - keep + 1)).filterNot(tagged).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifest-$v"), false)
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_schema-$v"), false)
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_renames-$v"), false)
@@ -1793,9 +1930,11 @@ object SnapshotStore {
     // between create and rename) age out under the same floor
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if ((n.startsWith("._manifest-") || n.startsWith("._schema-") ||
-           n.startsWith("._renames-")) &&
-          n.endsWith(".tmp") && now - st.getModificationTime >= minAgeMs)
+      val isStaging =
+        ((n.startsWith("._manifest-") || n.startsWith("._schema-") ||
+          n.startsWith("._renames-")) && n.endsWith(".tmp")) ||
+        n.startsWith("._tag.tmp-") || n.startsWith("._statscols.tmp-")
+      if (isStaging && now - st.getModificationTime >= minAgeMs)
         fs.delete(st.getPath, false)
     }
   }

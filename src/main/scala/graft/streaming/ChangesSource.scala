@@ -157,8 +157,16 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
       val head = SnapshotStore.headVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(
           s"graft-changes: no snapshot store at $path"))
-      val base = parameters.get("startingVersion").map(_.toInt) match {
-        case Some(v) =>
+      val base = parameters.get("startingVersion").map(_.trim) match {
+        case Some(t) if t.toLowerCase.startsWith("tag:") =>
+          // start CDC from a TAGGED baseline ("everything since the
+          // run-N corpus"). The tag pins the BASELINE version itself;
+          // the per-version feed still needs the intermediate manifests,
+          // so the standing retention >= consumer-lag contract applies
+          // from the tag forward (an expired intermediate fails loud).
+          SnapshotStore.readTag(spark, path, t.substring(4))
+        case Some(s) =>
+          val v = s.toInt
           require(v >= 0 && v <= head,
             s"startingVersion $v out of range [0, $head] at $path")
           v

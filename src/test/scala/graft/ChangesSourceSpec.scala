@@ -229,6 +229,18 @@ class ChangesSourceSpec extends SparkSpec {
     }
   }
 
+  test("startingVersion accepts a TAG: the stream replays exactly the " +
+    "delta since the named baseline") {
+    val dir = newDir("tagbase"); buildStore(dir) // v1..v3
+    SnapshotStore.tag(spark, dir, "run1", Some(2))
+    val got = readFeed(dir, ck("tagbase"), "chsrc_tag",
+      Map("startingVersion" -> "tag:run1"))
+      .select("_commit_version", "_change_type", "k")
+      .as[(Int, String, Long)].collect().toSet
+    assert(got == Set((3, "delete", 2L)),
+      "baseline tag:run1 (v2) means the feed is exactly v3's delta")
+  }
+
   test("composes with the segmented manifest tier: the feed over a " +
     "segmented store diffs only changed buckets and streams correctly") {
     val Thresh = "graft.snapshot.segmentThreshold"

@@ -25,7 +25,7 @@ import graft.storage.SnapshotStore
   * and made the head content depend on row-collection order, which
   * surfaced as a once-in-several-runs flake.)
   *
-  * Three soaks:
+  * Four soaks:
   *   - two seeds × sizes of the append/merge/compact/expire mix (the r12
   *     shape, grown to 5 writers × 12 ops), with CONCURRENT SCHEMA
   *     EVOLUTION folded in: half of each writer's appends carry a
@@ -33,6 +33,13 @@ import graft.storage.SnapshotStore
   *     and unioned under full contention — plus the schema invariant
   *     (every retained schema parses; consecutive retained versions are
   *     field-supersets)
+  *   - a STATS+RENAME mix (r13): the store declares stats columns, so
+  *     every contended commit also records per-gen bounds (including
+  *     adopted duplicate-delivery gens and compaction rewrites), checked
+  *     by a final readWhere-vs-filter parity + blob-presence assert; a
+  *     fifth op toggles a metadata-only rename of a column no writer
+  *     writes (tag<->label), so rename CAS races interleave with every
+  *     other verb
   *   - a ROLLBACK mix (the one verb the r12 soak never exercised:
   *     rollback commits an OLD manifest as a NEW head) — content becomes
   *     schedule-dependent once rollbacks interleave, so the invariants
@@ -75,7 +82,7 @@ class SnapshotSoakSpec extends SparkSpec {
     assert(retained.nonEmpty, "no retained manifests after the soak")
     retained.foreach { v =>
       SnapshotStore.readManifest(spark, dir, v).values.flatten.foreach(d =>
-        assert(new java.io.File(s"$dir/$d").isDirectory,
+        assert(new java.io.File(s"$dir/${SnapshotStore.dirOf(d)}").isDirectory,
           s"retained manifest v$v references a dangling dir: $d"))
       SnapshotStore.read(spark, dir, Some(v)).count() // must not throw
     }
@@ -98,10 +105,19 @@ class SnapshotSoakSpec extends SparkSpec {
         s"dangling: ${headGens -- onDisk}")
   }
 
-  private def soak(nWriters: Int, opsPer: Int, seed: Int): Unit = {
+  private def soak(nWriters: Int, opsPer: Int, seed: Int,
+                   statsCols: Boolean = false,
+                   renameMix: Boolean = false): Unit = {
     val dir = java.nio.file.Files.createTempDirectory("graft_soak")
       .toString + "/st"
-    SnapshotStore.write(base.toDF("k", "p", "v"), dir, "p")
+    // the rename mix toggles a column NO writer ever writes (`tag`), so
+    // every concurrent merge/append keeps using non-retired names
+    val baseDf =
+      if (renameMix) base.map(r => (r._1, r._2, r._3, s"t${r._1}"))
+        .toDF("k", "p", "v", "tag")
+      else base.toDF("k", "p", "v")
+    SnapshotStore.write(baseDf, dir, "p",
+      statsCols = if (statsCols) Seq("k", "v") else Nil)
 
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
     val appendedRows =
@@ -109,12 +125,13 @@ class SnapshotSoakSpec extends SparkSpec {
     val lastMerged = new Array[Option[Double]](nWriters)
     (0 until nWriters).foreach(lastMerged(_) = None)
 
+    val nOps = if (renameMix) 6 else 4
     val threads = (0 until nWriters).map { w =>
       new Thread(() => {
         val r = new scala.util.Random(seed + w)
         try {
           (0 until opsPer).foreach { i =>
-            r.nextInt(4) match {
+            r.nextInt(nOps) match {
               case 0 => // idempotency-keyed append of a globally-unique key;
                 // every second append carries a writer-private EXTRA column,
                 // so `_schema-<v>` union/record/read runs under contention
@@ -141,6 +158,23 @@ class SnapshotSoakSpec extends SparkSpec {
                 // concurrent-expire seeds the r12 ADVICE asked for (a dir
                 // vanishing under a racing sweep's newest() recursion).
                 SnapshotStore.expire(spark, dir, keep = 8)
+              case 4 => // metadata-only RENAME toggling under contention:
+                // tag<->label; a lost CAS is a documented re-call, an
+                // unknown-column IAE means the other name is current
+                def tryRen(a: String, b: String): Boolean =
+                  try { SnapshotStore.renameColumn(spark, dir, a, b); true }
+                  catch {
+                    case _: java.util.ConcurrentModificationException => true
+                    case e: IllegalArgumentException
+                      if e.getMessage.contains("unknown column") => false
+                  }
+                if (!tryRen("tag", "label")) tryRen("label", "tag")
+              case 5 => // TAG lifecycle under contention: tag the head
+                // (may race a sweep — the IAE retraction path — or a
+                // duplicate name: both documented), drop an earlier one
+                try SnapshotStore.tag(spark, dir, s"t$w-$i")
+                catch { case _: IllegalArgumentException => }
+                if (i > 0) SnapshotStore.deleteTag(spark, dir, s"t$w-${i - 1}")
             }
           }
         } catch { case t: Throwable => errors.add(t) }
@@ -188,6 +222,31 @@ class SnapshotSoakSpec extends SparkSpec {
       case _ => ()
     }
 
+    // stats invariant under contention: every commit recorded bounds
+    // (merge rewrites, adopted duplicate-delivery gens, compaction
+    // rewrites), readWhere must agree with the unpruned filter, and at
+    // least one head entry actually carries a blob (the feature ran)
+    if (statsCols) {
+      val pred = col("k") >= 1000L && col("v") < 4.0
+      val a = SnapshotStore.readWhere(spark, dir, pred)
+        .select("k", "p", "v").collect().toSet
+      val b = SnapshotStore.read(spark, dir).filter(pred)
+        .select("k", "p", "v").collect().toSet
+      assert(a == b, "readWhere diverged from read().filter after the soak")
+      val headV = SnapshotStore.headVersion(spark, dir).get
+      assert(SnapshotStore.readManifest(spark, dir, headV).values.flatten
+        .exists(_.contains("\u0002")), "no stats blob survived the soak")
+    }
+
+    // tag invariant: every surviving tag points at a RETAINED manifest
+    // (the tag-vs-expire retraction closed the dangling direction); then
+    // release them so the quiescent sweep below measures pure head state
+    SnapshotStore.tags(spark, dir).foreach { case (n, tv) =>
+      assert(new java.io.File(dir, s"_manifest-$tv").isFile,
+        s"dangling tag $n -> v$tv after the soak")
+      SnapshotStore.deleteTag(spark, dir, n)
+    }
+
     // final quiescent sweep: with no writer live, a zero-floor expire must
     // leave EXACTLY the head's referenced gens (no leaked stage dirs, no
     // unreferenced survivors) and the head content intact
@@ -203,6 +262,14 @@ class SnapshotSoakSpec extends SparkSpec {
   test("seeded 5-writer x 12-op soak (second seed): same invariants under " +
     "heavier interleaving and concurrent schema evolution") {
     soak(nWriters = 5, opsPer = 12, seed = 20260815)
+  }
+
+  test("seeded stats+rename soak: per-gen bounds recorded under full " +
+    "contention (merge rewrites, adopted duplicate gens, compaction), " +
+    "readWhere agrees with the unpruned filter, and metadata-only renames " +
+    "toggle mid-mix without disturbing any other writer") {
+    soak(nWriters = 4, opsPer = 10, seed = 20260817,
+      statsCols = true, renameMix = true)
   }
 
   test("seeded rollback-mix soak: structural invariants hold under " +

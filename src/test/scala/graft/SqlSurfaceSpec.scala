@@ -295,7 +295,7 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(hist == Seq((1, 2, 2L), (2, 2, 2L)), s"history: $hist")
     val e1 = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_snapshot('$dir', 'vv')").collect())
-    assert(e1.getMessage.contains("positive integer, 'head', or 'history'"))
+    assert(e1.getMessage.contains("version must be a positive integer"))
     val e2 = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_snapshot('$dir')").collect())
     assert(e2.getMessage.contains("2 string-literal arguments"))
