@@ -317,7 +317,8 @@ object StreamGate extends QueryModule {
   } :+ ("s_merge_cdc" -> (mergeCdcGate(_, _))) :+
     ("s_ivm_cdc" -> (ivmCdcGate(_, _))) :+
     ("s_append_compact" -> (appendCompactGate(_, _))) :+
-    ("s_changes_source" -> (changesSourceGate(_, _)))
+    ("s_changes_source" -> (changesSourceGate(_, _))) :+
+    ("s_snapshot_sink" -> (snapshotSinkGate(_, _)))
 
   /** The concurrent-fleet roster (s_merge_cdc runs standalone — its replay
     * input is the orders table, not the events chunks); FleetParitySpec
@@ -546,6 +547,46 @@ object StreamGate extends QueryModule {
       .orderBy(col("_commit_version"), col("_change_type"))
   }
 
+  /** The DECLARATIVE ingest: the same four key-disjoint chunks as
+    * [[appendCompactGate]], but through `writeStream.format
+    * ("graft-snapshot")` ([[graft.streaming.SnapshotSinkProvider]]) with
+    * NO pre-created store — the sink auto-inits an empty v1 and every
+    * batch (including the first) flows through the idempotency-keyed
+    * append, so the whole store is built by the declarative pipeline.
+    * One closing compaction, then the same plain-aggregate oracle: the
+    * sink must leave exactly what foreachBatch+append leaves. Not part of
+    * the events fleet: its replay input is the orders table.
+    */
+  private def snapshotSinkGate(s: org.apache.spark.sql.SparkSession,
+                               d: String): DataFrame = {
+    import graft.storage.SnapshotStore
+    val store = Files.createTempDirectory("graft_ssink").toString + "/st"
+    val orders = t(s, d, "orders")
+    val chDir = replayCache(d, "sinkcdc", "orders") { dir =>
+      (0 until 4).foreach { i =>
+        orders.filter(col("o_orderkey") % 4 === i).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/chunk-$i")
+      }
+    }
+    val ck = Files.createTempDirectory("graft_ssink_ck").toString
+    val sch = s.read.parquet(s"$chDir/chunk-0").schema
+    val q = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+      .parquet(s"$chDir/chunk-*")
+      .writeStream.format("graft-snapshot")
+      .option("path", store).option("partCol", "o_orderpriority")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    SnapshotStore.compactPartitions(s, store, "o_orderpriority")
+    SnapshotStore.read(s, store)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   private val runners: Seq[(String, QFn)] = Seq(
     "s_tumbling_counts" -> ((s, d) =>
       windowedGate("s_tumbling_counts", s, d,
@@ -764,6 +805,17 @@ object StreamGate extends QueryModule {
         |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  min(k) AS min_key, max(k) AS max_key
         |FROM feed GROUP BY v, t ORDER BY v, t""".stripMargin,
+
+    // the four streamed %4 chunks reassemble the WHOLE table and the
+    // closing compaction is pure layout — same shape as s_append_compact,
+    // here certifying the DECLARATIVE sink (auto-init + keyed appends)
+    "s_snapshot_sink" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "s_tumbling_counts" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS t, count(*) AS cnt

@@ -762,13 +762,18 @@ object SnapshotStore {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       case _ => org.apache.spark.sql.catalyst.expressions.Literal(true)
     }
-    val kept = readManifest(spark, path, v).values.flatten.filter { field =>
+    // dirs-only resolution (readManifestDirs), NOT the value-keyed map:
+    // pruning needs each dir field's stats blob, never the partition
+    // value, and at 1M manifest entries the map's unescape+build
+    // constants dominate the whole resolve (the same argument behind
+    // read()'s dirs-only path)
+    val kept = readManifestDirs(spark, path, v).filter { field =>
       statsOf(field) match {
         case None => true
         case Some(blob) =>
           evalPrune(expr, parseStats(blob), logicalToPhysical) != NoMatch
       }
-    }.map(dirOf).toSeq.sorted.map(d => s"$path/$d")
+    }.map(dirOf).sorted.map(d => s"$path/$d")
     val base =
       if (kept.isEmpty) read(spark, path, Some(v)).limit(0)
       else applyRenames(readWithSchema(spark, path, v, kept), renames)
@@ -1291,15 +1296,7 @@ object SnapshotStore {
     requireAtomicRename(path)
     require(headVersion(df.sparkSession, path).isEmpty,
       s"$path already holds a snapshot store; use merge")
-    statsCols.foreach { c =>
-      require(!c.exists(ch => ch == ';' || ch == '=' || ch == ':' ||
-        ch == '\t' || ch == '\n' || ch < ' '),
-        s"stats column name '$c' contains a reserved character")
-      if (df.columns.contains(c))
-        require(supportedStatsType(df.schema(c).dataType),
-          s"stats column $c has unsupported type ${df.schema(c).dataType} " +
-            "(integral, floating, date, timestamp only)")
-    }
+    validateStatsCols(statsCols, df.schema)
     val entries = writeGen(df, path, partCol, statsCols = statsCols)
     commit(df.sparkSession, path, 1,
       entries.map { case (p, d) => p -> Seq(d) },
@@ -1307,25 +1304,64 @@ object SnapshotStore {
         .toSeq.distinct,
       Some(unionSchema(new org.apache.spark.sql.types.StructType(),
         df.schema)))
+    publishStatsCols(df.sparkSession, path, statsCols)
+  }
+
+  private def validateStatsCols(statsCols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    statsCols.foreach { c =>
+      require(!c.exists(ch => ch == ';' || ch == '=' || ch == ':' ||
+        ch == '\t' || ch == '\n' || ch < ' '),
+        s"stats column name '$c' contains a reserved character")
+      if (schema.fieldNames.contains(c))
+        require(supportedStatsType(schema(c).dataType),
+          s"stats column $c has unsupported type ${schema(c).dataType} " +
+            "(integral, floating, date, timestamp only)")
+    }
+
+  /** Published AFTER the initial commit: a crash between the two leaves a
+    * store with no declaration — later commits just add no NEW stats,
+    * reads stay correct (per-dir blobs are self-describing).
+    */
+  private def publishStatsCols(spark: SparkSession, path: String,
+                               statsCols: Seq[String]): Unit =
     if (statsCols.nonEmpty) {
-      // after the commit: a crash here leaves a stats-bearing v1 with no
-      // declaration — later commits just add no NEW stats, reads stay
-      // correct (per-dir blobs are self-describing)
-      val fs = hfs(df.sparkSession, path)
+      val fs = hfs(spark, path)
       val tmp = new org.apache.hadoop.fs.Path(path,
         s"._statscols.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
       val out = fs.create(tmp, false)
       try out.write(statsCols.map(Esc.escapePathName).mkString("\n")
         .getBytes("UTF-8"))
       finally out.close()
-      publishFile(df.sparkSession, path, tmp,
+      publishFile(spark, path, tmp,
         new org.apache.hadoop.fs.Path(path, "_statscols"))
     }
+
+  /** Commits an EMPTY version 1 carrying only a recorded schema — the
+    * "create table" verb. Exists for declarative writers (the
+    * `graft-snapshot` streaming sink auto-creates through here) whose
+    * FIRST batch must already flow through the idempotency-keyed
+    * [[append]] path: seeding v1 with that batch's rows via [[write]]
+    * would leave batch 0 unkeyed, and a replay would duplicate it.
+    * Racing a concurrent init (or any writer) loses the same manifest CAS
+    * as every commit — the caller treats an existing store as success.
+    */
+  def init(spark: SparkSession, path: String,
+           schema: org.apache.spark.sql.types.StructType,
+           statsCols: Seq[String] = Nil): Unit = {
+    requireAtomicRename(path)
+    require(headVersion(spark, path).isEmpty,
+      s"$path already holds a snapshot store")
+    validateStatsCols(statsCols, schema)
+    commit(spark, path, 1, Map.empty, Nil,
+      Some(unionSchema(new org.apache.spark.sql.types.StructType(), schema)))
+    publishStatsCols(spark, path, statsCols)
   }
 
   /** Reads snapshot `version` (default: head). Untouched partitions are
     * shared by reference across versions, so old snapshots cost no extra
-    * read work.
+    * read work. An EMPTY version (a fresh [[init]], or every row deleted)
+    * reads as zero rows under the version's recorded schema.
     */
   def read(spark: SparkSession, path: String,
            version: Option[Int] = None): DataFrame = {
@@ -1333,6 +1369,10 @@ object SnapshotStore {
       .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
     val dirs = readManifestDirs(spark, path, v).sorted
       .map(d => s"$path/${dirOf(d)}")
+    if (dirs.isEmpty)
+      return applyRenames(spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        versionSchema(spark, path, v)), readRenames(spark, path, v))
     applyRenames(readWithSchema(spark, path, v, dirs),
       readRenames(spark, path, v))
   }
@@ -1637,15 +1677,14 @@ object SnapshotStore {
     val entries = readManifestValues(spark, path, v, values)
     val dirs = values.distinct.flatMap(entries.get).flatten.sorted
       .map(d => s"$path/${dirOf(d)}")
-    if (dirs.isEmpty) {
-      require(readHead(spark, path, v).totalEntries > 0,
-        s"snapshot $v at $path has no partitions")
+    if (dirs.isEmpty)
       // zero rows, but the VERSION's full union schema — a single
       // "representative" dir (the pre-r11 shape) would nondeterministically
       // miss columns added by later generations, since gen names are
-      // random hex and sorting picks an arbitrary one
+      // random hex and sorting picks an arbitrary one. An EMPTY store
+      // (fresh init) takes the same path: read() handles zero dirs.
       read(spark, path, Some(v)).limit(0)
-    } else applyRenames(readWithSchema(spark, path, v, dirs),
+    else applyRenames(readWithSchema(spark, path, v, dirs),
       readRenames(spark, path, v))
   }
 

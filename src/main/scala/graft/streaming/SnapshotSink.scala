@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.storage.SnapshotStore
+
+/** Structured Streaming SINK into a [[graft.storage.SnapshotStore]] — the
+  * declarative form of the `foreachBatch` + idempotency-keyed `append`
+  * pattern the `s_append_compact` gate proves:
+  *
+  * {{{
+  * df.writeStream
+  *   .format("graft-snapshot")          // or classOf[SnapshotSinkProvider].getName
+  *   .option("path", storeDir)
+  *   .option("partCol", "o_orderpriority")
+  *   .option("checkpointLocation", ck)  // or an explicit option("ingestId", …)
+  *   .start()
+  * }}}
+  *
+  * Every micro-batch appends as one snapshot version through
+  * [[SnapshotStore.append]] with `idempotencyKey = <ingest id> + batchId`,
+  * so the engine's at-least-once redelivery becomes structural
+  * exactly-once: a replayed batch's pinned gen is already referenced by a
+  * retained manifest and the append no-ops — the sink carries NO state of
+  * its own (no sink log; the store's manifests ARE the commit record).
+  * Append-only by contract (`OutputMode.Append` enforced): insert-new-rows
+  * is what `append`'s O(batch) fast path means; an update/delete stream
+  * belongs in `foreachBatch` + `merge` (the `s_merge_cdc` shape).
+  *
+  * A missing store is AUTO-CREATED as an empty v1 ([[SnapshotStore.init]])
+  * carrying the stream's schema (+ optional `statsCols` declaration) —
+  * deliberately NOT seeded with batch 0's rows: the first batch must flow
+  * through the same keyed append path as every other batch, or its replay
+  * after a crash would duplicate it. Composes with everything the store
+  * has: declared stats columns bound every appended gen (time-ordered
+  * ingest → range-disjoint gens → `readWhere` skips), `graft_compact`
+  * collapses the accumulated dirs, tags pin ingest milestones, and the
+  * `graft-changes` SOURCE on the same store completes a store-to-store
+  * streaming pipeline.
+  */
+class SnapshotSinkProvider extends StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot"
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-snapshot is an append-only sink (got $outputMode); " +
+        "update/delete streams go through foreachBatch + SnapshotStore.merge")
+    new SnapshotSink(sqlContext, parameters)
+  }
+}
+
+class SnapshotSink(sqlContext: SQLContext,
+                   parameters: Map[String, String]) extends Sink {
+
+  private val spark = sqlContext.sparkSession
+  private val path = parameters.getOrElse("path",
+    throw new IllegalArgumentException("graft-snapshot requires 'path'"))
+  private val partCol = parameters.getOrElse("partCol",
+    throw new IllegalArgumentException("graft-snapshot requires 'partCol'"))
+  private val statsCols: Seq[String] = parameters.get("statsCols")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  /** Idempotency-key namespace: one logical INGEST. Two distinct streams
+    * appending to one store must not collide on `batchId`, so the key is
+    * scoped by the checkpoint (each stream has its own) or an explicit
+    * `ingestId` — required, because a silently shared default would make
+    * two streams' batch 0 deduplicate against each other.
+    */
+  private val ingestId: String = parameters.get("ingestId")
+    .orElse(parameters.get("checkpointLocation"))
+    .map(s => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12))
+    .getOrElse(throw new IllegalArgumentException(
+      "graft-snapshot requires 'checkpointLocation' or 'ingestId' to " +
+        "scope its idempotency keys"))
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // rebind off the micro-batch's incremental plan before append
+    // re-plans it through a normal write action
+    val batch = org.apache.spark.sql.graftshim.StreamingBatchShim.asBatch(data)
+    if (SnapshotStore.headVersion(spark, path).isEmpty) {
+      try SnapshotStore.init(spark, path, batch.schema, statsCols)
+      catch {
+        // lost the init race (a concurrent stream/writer created the
+        // store between the probe and our commit): the store exists,
+        // which is all init was for
+        case _: java.util.ConcurrentModificationException => ()
+        case e: IllegalArgumentException
+          if e.getMessage.contains("already holds") => ()
+      }
+    }
+    SnapshotStore.append(batch, path, partCol,
+      idempotencyKey = Some(s"sink-$ingestId-$batchId"))
+  }
+
+  override def toString: String = s"SnapshotSink[$path]"
+}

@@ -30,6 +30,21 @@ object StreamingBatchShim {
       LogicalRDD(qe.analyzed.output, qe.toRdd, isStreaming = true)(session))
   }
 
+  /** Rebinds a v1 `Sink.addBatch` DataFrame to a plain batch plan over its
+    * own executed rows: the engine hands addBatch a DataFrame tied to the
+    * micro-batch's IncrementalExecution, and re-planning it through a
+    * normal write action (as the snapshot sink's `append` does) is the
+    * classic v1-sink pitfall — `toRdd` once, wrap the rows. The inverse
+    * direction of [[asStreamingBatch]].
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    val session = ds.sparkSession.asInstanceOf[SparkSession]
+    val qe = ds.queryExecution
+    Dataset.ofRows(session,
+      LogicalRDD(qe.analyzed.output, qe.toRdd, isStreaming = false)(session))
+  }
+
   /** The Catalyst expression a Column wraps (`ExpressionUtils.expression`
     * is `private[sql]` since the 4.x Column/ColumnNode split). Used by the
     * snapshot store's stats pruning to walk a user predicate's tree —

@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.storage.SnapshotStore
+import graft.streaming.{ChangesSourceProvider, SnapshotSinkProvider}
+
+/** The `graft-snapshot` streaming SINK: declarative idempotency-keyed
+  * append into the store. Pins auto-init (empty v1 — never batch-0-seeded),
+  * per-batch versioning, restart/replay exactly-once, the append-only
+  * output-mode contract, stats declaration through the sink, and the full
+  * store-to-store streaming pipeline (graft-changes source → graft-snapshot
+  * sink).
+  */
+class SnapshotSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir(tag: String): String =
+    Files.createTempDirectory(s"graft_sink_$tag").toString + "/st"
+
+  private def ck(tag: String): String =
+    Files.createTempDirectory(s"graft_sink_ck_$tag").toString
+
+  /** 3 key-disjoint chunk files under one directory (1 per micro-batch). */
+  private def chunkDir(tag: String): String = {
+    val dir = Files.createTempDirectory(s"graft_sink_in_$tag").toString
+    (0 until 3).foreach { c =>
+      (0 until 4).map(i => (c * 100L + i, s"p${i % 2}", (c * 100 + i) * 1.0))
+        .toDF("k", "p", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/chunk-$c")
+    }
+    dir
+  }
+
+  private def runSink(in: String, store: String, checkpoint: String,
+                      extra: Map[String, String] = Map.empty): Unit = {
+    val sch = spark.read.parquet(s"$in/chunk-0").schema
+    val w = spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+      .parquet(s"$in/chunk-*")
+      .writeStream.format(classOf[SnapshotSinkProvider].getName)
+      .option("path", store).option("partCol", "p")
+      .option("checkpointLocation", checkpoint)
+    val q = extra.foldLeft(w) { case (x, (k, v)) => x.option(k, v) }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("auto-init + one version per micro-batch + exact content; v1 is " +
+    "EMPTY (batch 0 flows through the keyed append, never a seed write)") {
+    val (in, store) = (chunkDir("e2e"), newDir("e2e"))
+    runSink(in, store, ck("e2e"))
+    assert(SnapshotStore.headVersion(spark, store).contains(4),
+      "init v1 + 3 appended batches")
+    assert(SnapshotStore.read(spark, store, Some(1)).count() == 0,
+      "v1 is the empty init — no unkeyed seed batch")
+    val got = SnapshotStore.read(spark, store).select("k", "p", "v")
+      .as[(Long, String, Double)].collect().toSet
+    val want = (0 until 3).flatMap(c => (0 until 4).map(i =>
+      (c * 100L + i, s"p${i % 2}", (c * 100 + i) * 1.0))).toSet
+    assert(got == want)
+  }
+
+  test("restart on the same checkpoint appends nothing new; a direct " +
+    "addBatch replay of a committed batch no-ops") {
+    val (in, store) = (chunkDir("replay"), newDir("replay"))
+    val c = ck("replay")
+    runSink(in, store, c)
+    val head = SnapshotStore.headVersion(spark, store)
+    runSink(in, store, c) // restart: all batches already committed
+    assert(SnapshotStore.headVersion(spark, store) == head,
+      "restart must not commit new versions")
+    // direct replay injection: same ingest scope + batchId = no-op
+    val sink = new SnapshotSinkProvider().createSink(spark.sqlContext,
+      Map("path" -> store, "partCol" -> "p", "checkpointLocation" -> c),
+      Nil, org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(0, spark.read.parquet(s"$in/chunk-0"))
+    assert(SnapshotStore.headVersion(spark, store) == head,
+      "replayed batch 0 must no-op against its pinned gen")
+    assert(SnapshotStore.read(spark, store).count() == 12, "no duplicates")
+  }
+
+  test("statsCols declared through the sink: every appended gen carries " +
+    "bounds, readWhere skips to the overlapping chunk") {
+    val (in, store) = (chunkDir("stats"), newDir("stats"))
+    runSink(in, store, ck("stats"), Map("statsCols" -> "k"))
+    val got = SnapshotStore.readWhere(spark, store,
+      col("k") >= 100L && col("k") < 200L)
+    assert(got.count() == 4)
+    val gens = got.inputFiles.flatMap(_.split("/data/").lift(1))
+      .map(_.split("/").head).toSet
+    assert(gens.size == 1,
+      s"mid-chunk predicate must open exactly one of 3 gens, got $gens")
+  }
+
+  test("contract violations are loud: missing path/partCol/ingest scope, " +
+    "non-append output mode") {
+    val provider = new SnapshotSinkProvider()
+    intercept[IllegalArgumentException] {
+      provider.createSink(spark.sqlContext, Map("partCol" -> "p"),
+        Nil, org.apache.spark.sql.streaming.OutputMode.Append())
+        .asInstanceOf[Object] // createSink constructs eagerly
+    }
+    intercept[IllegalArgumentException] {
+      provider.createSink(spark.sqlContext,
+        Map("path" -> "/tmp/x", "partCol" -> "p"),
+        Nil, org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    intercept[IllegalArgumentException] {
+      provider.createSink(spark.sqlContext,
+        Map("path" -> "/tmp/x", "partCol" -> "p", "ingestId" -> "i"),
+        Nil, org.apache.spark.sql.streaming.OutputMode.Complete())
+    }
+  }
+
+  test("store-to-store streaming pipeline: graft-changes source over " +
+    "store A drains through the graft-snapshot sink into store B; " +
+    "B reproduces A exactly") {
+    val a = newDir("pipeA"); val b = newDir("pipeB")
+    SnapshotStore.write(
+      (0L until 4L).map(k => (k, s"p${k % 2}", k * 1.0)).toDF("k", "p", "v"),
+      a, "p")
+    SnapshotStore.append(
+      (100L until 104L).map(k => (k, s"p${k % 2}", k * 1.0))
+        .toDF("k", "p", "v"), a, "p")
+    SnapshotStore.append(
+      (200L until 204L).map(k => (k, s"p${k % 2}", k * 1.0))
+        .toDF("k", "p", "v"), a, "p")
+    val q = spark.readStream.format(classOf[ChangesSourceProvider].getName)
+      .option("path", a).option("keys", "k")
+      .option("startingVersion", "0").option("maxVersionsPerTrigger", "1")
+      .load()
+      .filter(col("_change_type") === "insert")
+      .select("k", "p", "v")
+      .writeStream.format("graft-snapshot")
+      .option("path", b).option("partCol", "p")
+      .option("checkpointLocation", ck("pipe"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def rows(dir: String) = SnapshotStore.read(spark, dir)
+      .select("k", "p", "v").as[(Long, String, Double)].collect().toSet
+    assert(rows(b) == rows(a), "the replicated store must equal the source")
+  }
+}
