@@ -73,18 +73,25 @@ object MaintenanceSql {
     val name = "graft_compact"
     val info: ExpressionInfo = new ExpressionInfo(
       MaintenanceSql.getClass.getCanonicalName, name,
-      "graft_compact(path, partCol[, minDirs]) - compacts SnapshotStore " +
-        "partitions holding minDirs+ (default 2) append dirs into one dir " +
-        "each, as a new snapshot version; returns one status row (detail = " +
+      "graft_compact(path, partCol[, minDirs[, sortBy]]) - compacts " +
+        "SnapshotStore partitions holding minDirs+ (default 2) append " +
+        "dirs into one dir each, as a new snapshot version; sortBy " +
+        "(comma-separated columns) writes the compacted generation " +
+        "sorted within partitions; returns one status row (detail = " +
         "partitions compacted); string-literal arguments", "", "")
     def builder(args: Seq[Expression]): LogicalPlan = {
-      require(args.size == 2 || args.size == 3,
-        s"$name takes (path, partCol[, minDirs]); got ${args.size} arguments")
+      require(args.size >= 2 && args.size <= 4,
+        s"$name takes (path, partCol[, minDirs[, sortBy]]); got " +
+          s"${args.size} arguments")
       val spark = SparkSession.active
       val minDirs =
-        if (args.size == 3) num(name, args, 2, "minDirs").toInt else 2
+        if (args.size >= 3) num(name, args, 2, "minDirs").toInt else 2
+      val sortBy =
+        if (args.size == 4) str(name, args, 3).split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        else Nil
       val n = graft.storage.SnapshotStore.compactPartitions(
-        spark, str(name, args, 0), str(name, args, 1), None, minDirs)
+        spark, str(name, args, 0), str(name, args, 1), None, minDirs, sortBy)
       statusRow(spark, "compact", str(name, args, 0), n.toLong)
     }
     def descriptor: (FunctionIdentifier, ExpressionInfo,

@@ -445,7 +445,8 @@ object SnapshotStore {
     */
   private def writeGen(df: DataFrame, path: String, partCol: String,
                        genName: Option[String] = None,
-                       statsCols: Seq[String] = Nil): Map[String, String] = {
+                       statsCols: Seq[String] = Nil,
+                       sortBy: Seq[String] = Nil): Map[String, String] = {
     val fs = hfs(df.sparkSession, path)
     def list(gen: String): Map[String, String] = {
       val stats = genStats(df.sparkSession, path, gen, statsCols)
@@ -459,12 +460,21 @@ object SnapshotStore {
           })
         }.toMap
     }
-    def writeTo(gen: String): Unit =
-      df.withColumn("_p", col(partCol).cast("string"))
+    def writeTo(gen: String): Unit = {
+      val parted = df.withColumn("_p", col(partCol).cast("string"))
         .repartition(col("_p"))
-        .write.mode("overwrite")
+      // sorted layout (compaction's OPTIMIZE shape): rows within each
+      // partition's files are ordered by `sortBy`, so parquet row-group
+      // stats stay tight and range scans skip pages the way
+      // LogTableWriter's sorted generations do
+      val laid =
+        if (sortBy.isEmpty) parted
+        else parted.sortWithinPartitions(
+          (col("_p") +: sortBy.map(col)): _*)
+      laid.write.mode("overwrite")
         .option("compression", "zstd").partitionBy("_p")
         .parquet(s"$path/data/$gen")
+    }
     genName match {
       case None =>
         val gen = "gen-" +
@@ -1618,10 +1628,18 @@ object SnapshotStore {
     * listed, or rewritten. `values` narrows the sweep; returns the number
     * of partitions compacted. Racing a concurrent merge loses the CAS —
     * re-call to retry against the new head (each call re-reads it).
+    *
+    * `sortBy` (logical names) writes the compacted generation SORTED
+    * within each partition — the OPTIMIZE-with-sort shape: compaction
+    * necessarily collapses the append tail's range-disjoint gens (the
+    * gen-level skipping [[readWhere]] uses on the tail), and the sorted
+    * layout hands that skipping down to parquet row-group stats inside
+    * the compacted files instead of losing it.
     */
   def compactPartitions(spark: SparkSession, path: String, partCol: String,
                         values: Option[Seq[String]] = None,
-                        minDirs: Int = 2): Int = {
+                        minDirs: Int = 2,
+                        sortBy: Seq[String] = Nil): Int = {
     requireAtomicRename(path)
     require(minDirs >= 2, "minDirs < 2 would rewrite already-compact partitions")
     val head = headVersion(spark, path).getOrElse(
@@ -1646,10 +1664,12 @@ object SnapshotStore {
     val sch = versionSchema(spark, path, head)
     val renames = readRenames(spark, path, head)
     // pure physical round-trip: compaction never leaves physical space
+    // (sortBy arrives in LOGICAL names and maps back like every column)
     val df = readWithSchema(spark, path, head,
       chosen.values.flatten.toSeq.sorted.map(d => s"$path/${dirOf(d)}"))
     val newEntries = writeGen(df, path, physicalCol(partCol, renames),
-      statsCols = statsColsOf(spark, path))
+      statsCols = statsColsOf(spark, path),
+      sortBy = sortBy.map(physicalCol(_, renames)))
     commitDelta(spark, path, head + 1, head,
       removed = Set.empty,
       added = newEntries.map { case (p, d) => p -> Seq(d) },

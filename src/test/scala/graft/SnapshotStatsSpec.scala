@@ -146,6 +146,53 @@ class SnapshotStatsSpec extends SparkSpec {
       "no declared stats: nothing prunes, everything still reads")
   }
 
+  test("SORTED compaction (OPTIMIZE shape): content is pure layout, rows " +
+    "within each partition file are ordered by the sort column, and the " +
+    "rename-mapped SQL rung agrees") {
+    plans.AsOf.register(spark)
+    val dir = newDir("sorted")
+    // interleaved appends: within each partition the tail's arrival order
+    // is NOT k-order, so unsorted compaction would preserve the shuffle
+    def chunk(ks: Seq[Long]) =
+      ks.map(k => (k, s"p${k % 2}", k * 1.0)).toDF("k", "p", "v")
+    SnapshotStore.write(chunk(Seq(50L, 51L)), dir, "p",
+      statsCols = Seq("k"))
+    SnapshotStore.append(chunk(Seq(10L, 11L)), dir, "p")
+    SnapshotStore.append(chunk(Seq(90L, 91L, 30L, 31L)), dir, "p")
+    val before = SnapshotStore.read(spark, dir)
+      .select("k", "p", "v").collect().toSet
+    val n = SnapshotStore.compactPartitions(spark, dir, "p",
+      sortBy = Seq("k"))
+    assert(n == 2)
+    assert(SnapshotStore.read(spark, dir).select("k", "p", "v")
+      .collect().toSet == before, "sorted compaction is pure layout")
+    // per-file sortedness, read straight from the files (the property
+    // parquet row-group pruning inherits at real file sizes)
+    val byFile = SnapshotStore.read(spark, dir)
+      .select(input_file_name().as("f"), col("k"))
+      .collect().groupBy(_.getString(0))
+      .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq }
+    assert(byFile.nonEmpty && byFile.forall { case (_, ks) =>
+      ks == ks.sorted },
+      s"rows not sorted within files: $byFile")
+    // rename composition: sortBy arrives in LOGICAL names — through SQL
+    SnapshotStore.renameColumn(spark, dir, "k", "key")
+    SnapshotStore.append(
+      Seq((70L, "p0", 70.0), (20L, "p0", 20.0)).toDF("key", "p", "v"),
+      dir, "p")
+    val receipt = spark.sql(
+      s"SELECT * FROM graft_compact('$dir', 'p', '2', 'key')").collect()
+    assert(receipt(0).getString(0) == "compact" &&
+      receipt(0).getLong(2) == 1L)
+    val p0 = SnapshotStore.read(spark, dir)
+      .filter(col("p") === "p0")
+      .select(input_file_name().as("f"), col("key"))
+      .collect().groupBy(_.getString(0))
+      .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq }
+    assert(p0.forall { case (_, ks) => ks == ks.sorted },
+      s"post-rename sorted compaction not ordered: $p0")
+  }
+
   test("fail-fast set: unsupported stats type, reserved characters in a " +
     "stats column name") {
     val dir = newDir("ff")
