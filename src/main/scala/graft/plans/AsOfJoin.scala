@@ -222,6 +222,10 @@ object AsOf {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Rename.name, MaintenanceSql.Rename.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.Merge.name, MaintenanceSql.Merge.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.Append.name, MaintenanceSql.Append.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Tag.name, MaintenanceSql.Tag.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.DropTag.name, MaintenanceSql.DropTag.builder, "scala_udf")

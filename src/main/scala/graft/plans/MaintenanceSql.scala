@@ -149,6 +149,82 @@ object MaintenanceSql {
       (FunctionIdentifier(name), info, builder)
   }
 
+  /** `graft_merge(path, sourceView, partCol, keyCols [, deleteCol])` —
+    * merges a registered view/table as one new snapshot version (upsert +
+    * insert, plus deletes where `deleteCol` is true), completing the
+    * WRITE side of the SQL surface: a SQL-only session can now ingest,
+    * not just read and maintain. `detail` = source row count. One code
+    * path with [[graft.storage.SnapshotStore.merge]] — resolution,
+    * schema-evolution union, CAS discipline, stats recording all the
+    * store's. A missing store is created from the source
+    * ([[graft.storage.SnapshotStore.write]]).
+    */
+  object Merge {
+    val name = "graft_merge"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_merge(path, sourceView, partCol, keyCols[, deleteCol]) - " +
+        "merges the named view/table into a SnapshotStore as a new " +
+        "version (creating the store if absent); keyCols is a " +
+        "comma-separated list; rows with deleteCol = true delete; " +
+        "returns one status row (detail = source rows); string-literal " +
+        "arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 4 || args.size == 5,
+        s"$name takes (path, sourceView, partCol, keyCols[, deleteCol]); " +
+          s"got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      val src = spark.table(str(name, args, 1))
+      val partCol = str(name, args, 2)
+      val keys = str(name, args, 3).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val deleteCol = if (args.size == 5) Some(str(name, args, 4)) else None
+      if (graft.storage.SnapshotStore.headVersion(spark, path).isEmpty) {
+        require(deleteCol.isEmpty,
+          s"$name: cannot create a store FROM a delete-bearing batch")
+        graft.storage.SnapshotStore.write(src, path, partCol)
+      } else
+        graft.storage.SnapshotStore.merge(spark, path, src, partCol, keys,
+          deleteCol = deleteCol)
+      statusRow(spark, "merge", path, src.count())
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  /** `graft_append(path, sourceView, partCol [, idempotencyKey])` — the
+    * O(batch) insert-only fast path from SQL; with a key, redelivery of
+    * the same statement no-ops (the store's exactly-once append
+    * contract). `detail` = source row count.
+    */
+  object Append {
+    val name = "graft_append"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_append(path, sourceView, partCol[, idempotencyKey]) - " +
+        "appends the named view/table (new keys only) to a SnapshotStore " +
+        "as a new version; with an idempotencyKey a replayed statement " +
+        "no-ops; returns one status row (detail = source rows); " +
+        "string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 3 || args.size == 4,
+        s"$name takes (path, sourceView, partCol[, idempotencyKey]); " +
+          s"got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      val src = spark.table(str(name, args, 1))
+      val key = if (args.size == 4) Some(str(name, args, 3)) else None
+      graft.storage.SnapshotStore.append(src, path, str(name, args, 2),
+        idempotencyKey = key)
+      statusRow(spark, "append", path, src.count())
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
   /** `graft_tag(path, name [, version])` — tags a version (default: head)
     * as an IMMUTABLE named ref that [[graft.storage.SnapshotStore.expire]]
     * then retains regardless of the keep window; `detail` = the tagged

@@ -420,6 +420,45 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e2.getMessage.contains("takes (path, partCol"))
   }
 
+  test("graft_merge / graft_append TVFs: the WRITE side of the SQL " +
+    "surface — create-on-first-merge, upsert+delete, keyed append " +
+    "idempotency, loud contract violations") {
+    import spark.implicits._
+    plans.AsOf.register(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mergesql").toString + "/st"
+    Seq((1L, "p0", 1.0), (2L, "p1", 2.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("msql_base")
+    val r1 = spark.sql(
+      s"SELECT * FROM graft_merge('$dir', 'msql_base', 'p', 'k')").collect()
+    assert(r1(0).getString(0) == "merge" && r1(0).getLong(2) == 2L &&
+      r1(0).getLong(3) == 1L, s"create-on-first-merge receipt: ${r1.toSeq}")
+    // upsert k=1, delete k=2, insert k=3 — one CDC-shaped view
+    Seq((1L, "p0", 10.0, false), (2L, "p1", 0.0, true),
+      (3L, "p0", 3.0, false)).toDF("k", "p", "v", "_del")
+      .createOrReplaceTempView("msql_cdc")
+    spark.sql(s"SELECT * FROM graft_merge('$dir', 'msql_cdc', 'p', 'k', " +
+      "'_del')").collect()
+    def rows() = graft.storage.SnapshotStore.read(spark, dir)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    assert(rows() == Map(1L -> 10.0, 3L -> 3.0), s"got ${rows()}")
+    // keyed append: the SAME statement replayed no-ops
+    Seq((100L, "p0", 100.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("msql_add")
+    (1 to 2).foreach { _ =>
+      spark.sql(s"SELECT * FROM graft_append('$dir', 'msql_add', 'p', " +
+        "'batch-7')").collect()
+    }
+    assert(rows() == Map(1L -> 10.0, 3L -> 3.0, 100L -> 100.0),
+      "replayed keyed append must no-op")
+    assert(graft.storage.SnapshotStore.headVersion(spark, dir)
+      .contains(3), "replay must not commit a version")
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_merge('$dir', 'msql_base', 'p')").collect())
+    assert(e.getMessage.contains("keyCols"), e.getMessage)
+  }
+
   test("graft_rename TVF: metadata-only column rename through SQL, same " +
     "outcome as the store API; unknown column fails clearly") {
     import spark.implicits._
