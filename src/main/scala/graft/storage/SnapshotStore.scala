@@ -933,23 +933,35 @@ object SnapshotStore {
     v
   }
 
-  /** The version a tag points at. */
+  /** The version a tag points at. A tag deleted between the existence
+    * probe and the read reports the same "no tag" as one never created.
+    */
   def readTag(spark: SparkSession, path: String, name: String): Int = {
     val fs = hfs(spark, path)
     val p = tagPath(path, name)
     require(fs.exists(p), s"no tag '$name' at $path")
-    readFileUtf8(fs, p).trim.toInt
+    try readFileUtf8(fs, p).trim.toInt
+    catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(s"no tag '$name' at $path")
+    }
   }
 
-  /** All tags: name → version. */
+  /** All tags: name → version. A tag deleted between the listing and its
+    * read simply drops out (the catalog reflects what is still live) —
+    * without the guard a concurrent [[deleteTag]] could fail an innocent
+    * [[expire]] or append idempotency scan mid-listing.
+    */
   def tags(spark: SparkSession, path: String): Map[String, Int] = {
     val fs = hfs(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(root)) return Map.empty
     fs.listStatus(root).map(_.getPath.getName)
-      .collect { case n if n.startsWith("_tag-") =>
-        Esc.unescapePathName(n.stripPrefix("_tag-")) ->
-          readFileUtf8(fs, new org.apache.hadoop.fs.Path(root, n)).trim.toInt
+      .collect { case n if n.startsWith("_tag-") => n }
+      .flatMap { n =>
+        try Some(Esc.unescapePathName(n.stripPrefix("_tag-")) ->
+          readFileUtf8(fs, new org.apache.hadoop.fs.Path(root, n)).trim.toInt)
+        catch { case _: java.io.FileNotFoundException => None }
       }.toMap
   }
 
