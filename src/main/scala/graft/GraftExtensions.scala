@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(plans.MaintenanceSql.Rollback.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Expire.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Rename.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.DropColumn.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Merge.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Append.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Tag.descriptor)

@@ -222,6 +222,9 @@ object AsOf {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Rename.name, MaintenanceSql.Rename.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.DropColumn.name, MaintenanceSql.DropColumn.builder,
+      "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Merge.name, MaintenanceSql.Merge.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Append.name, MaintenanceSql.Append.builder, "scala_udf")

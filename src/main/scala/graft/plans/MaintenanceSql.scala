@@ -276,6 +276,31 @@ object MaintenanceSql {
       (FunctionIdentifier(name), info, builder)
   }
 
+  /** `graft_drop_column(path, name)` — metadata-only logical column DROP
+    * (the schema loses the column; data files are untouched; the physical
+    * name is retired against re-add); `detail` = 1.
+    */
+  object DropColumn {
+    val name = "graft_drop_column"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_drop_column(path, name) - drops a SnapshotStore column as a " +
+        "metadata-only new version (old versions keep it; data files are " +
+        "untouched; the name is retired against re-add); returns one " +
+        "status row; string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 2,
+        s"$name takes (path, name); got ${args.size} arguments")
+      val spark = SparkSession.active
+      graft.storage.SnapshotStore.dropColumn(
+        spark, str(name, args, 0), str(name, args, 1))
+      statusRow(spark, "drop_column", str(name, args, 0), 1L)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
   /** `graft_expire(path, keep [, minAgeMs])` — drops manifests older than
     * the newest `keep` and sweeps unreferenced gen dirs past the orphan-age
     * floor (default 1h — pass 0 only when no writer can be live); `detail`

@@ -974,6 +974,49 @@ object Extended extends QueryModule {
         .orderBy(col("slice"), col("o_orderpriority"))
     }),
 
+    // Column DROP as a metadata-only commit (r13; the logical-name
+    // layer's second verb): v1 writes even orders WITH o_orderstatus, the SQL
+    // verb drops it, the merge that follows writes without it. Slice 1
+    // time-travels to v1 and must still read the column (its non-null
+    // count is part of the hash), slice 3 reads the pruned head; schema
+    // facts are require-pinned, values hash-gated.
+    "q_snapshot_drop" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      graft.plans.AsOf.register(s)
+      val dir = java.nio.file.Files.createTempDirectory("graft_dropq")
+        .toString + "/orders_drop"
+      graft.storage.SnapshotStore.write(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"), col("o_orderstatus")),
+        dir, "o_orderpriority")
+      val r = s.sql(s"SELECT * FROM graft_drop_column('$dir', 'o_orderstatus')")
+        .collect()
+      require(r.length == 1 && r(0).getString(0) == "drop_column" &&
+        r(0).getLong(3) == 2L, s"unexpected drop receipt: ${r.toSeq}")
+      graft.storage.SnapshotStore.merge(s, dir,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")),
+        "o_orderpriority", Seq("o_orderkey"))
+      val v1 = graft.storage.SnapshotStore.read(s, dir, Some(1))
+      val head = graft.storage.SnapshotStore.read(s, dir)
+      require(v1.columns.contains("o_orderstatus") &&
+        !head.columns.contains("o_orderstatus"),
+        "v1 must keep the column, the head must not")
+      def agg(df: org.apache.spark.sql.DataFrame,
+              clerk: org.apache.spark.sql.Column, slice: Int) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("sum_cents"),
+            clerk.as("n_status"))
+          .withColumn("slice", lit(slice))
+      agg(v1, count(col("o_orderstatus")), 1)
+        .unionByName(agg(head, max(lit(-1L)), 3))
+        .orderBy(col("slice"), col("o_orderpriority"))
+    }),
+
     // Manifest-level DATA SKIPPING (r13): the store records per-gen
     // min/max bounds for declared stats columns (the Iceberg file-stats
     // argument at gen granularity), and readWhere prunes gens from the
@@ -1008,6 +1051,19 @@ object Extended extends QueryModule {
     }))
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_snapshot_drop" -> {
+      def dAgg(v: Int, pred: String, clerk: String) =
+        s"""SELECT o_orderpriority, count(*) AS n_orders,
+           |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |      AS sum_cents,
+           |    CAST($clerk AS BIGINT) AS n_status, $v AS slice
+           |  FROM orders WHERE $pred GROUP BY o_orderpriority""".stripMargin
+      Seq(dAgg(1, "o_orderkey % 2 = 0", "count(o_orderstatus)"),
+        dAgg(3, "TRUE", "-1"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          ")\nORDER BY slice, o_orderpriority")
+    },
+
     "q_snapshot_tag" -> {
       def tAgg(v: Int, pred: String) =
         s"""SELECT o_orderpriority, count(*) AS n_orders,

@@ -827,7 +827,21 @@ object SnapshotStore {
   // collision a real field-ID system dissolves, priced here at one clear
   // error instead of an ID plumbed through every file.
 
-  /** physical → logical for version `v`; empty when never renamed. */
+  /** The tombstone "logical name" marking a DROPPED physical column inside
+    * the `_renames-<v>` mapping: a drop is a rename onto this sentinel, so
+    * every carrier the logical-name layer already has — commit
+    * carry-forward, rollback restore (the target's mapping IS its dropped
+    * set), expire sweep, the retired-physical-name write guard — serves
+    * drops with no second metadata file. The sentinel is a control
+    * character: `escapePathName` %-escapes it in the file, and column
+    * names are validated against control characters, so no user column
+    * can collide with it.
+    */
+  private val Dropped = "\u0001dropped"
+
+  /** physical → logical for version `v`; empty when never renamed. Entries
+    * whose logical name is [[Dropped]] mark dropped physical columns.
+    */
   private[graft] def readRenames(spark: SparkSession, path: String,
                                  v: Int): Map[String, String] = {
     val fs = hfs(spark, path)
@@ -840,26 +854,42 @@ object SnapshotStore {
     }.toMap
   }
 
-  /** physical columns → the version's logical names (read boundary). */
+  /** physical columns → the version's logical names (read boundary);
+    * DROPPED physical columns are projected away (they only surface when
+    * an OLD version's schema is in play, e.g. the changes feed's preimage
+    * side read under a pre-drop schema).
+    */
   private def applyRenames(df: DataFrame,
-                           renames: Map[String, String]): DataFrame =
-    renames.foldLeft(df) { case (d, (phys, logical)) =>
+                           renames: Map[String, String]): DataFrame = {
+    // drops FIRST, renames second — a deterministic two-phase fold (a
+    // Map's iteration order is arbitrary, and an interleaved fold could
+    // order a rename before a drop of an unrelated name)
+    val (drops, rens) = renames.partition(_._2 == Dropped)
+    val afterDrops = drops.keys.foldLeft(df)((d, phys) =>
+      if (d.columns.contains(phys)) d.drop(phys) else d)
+    rens.foldLeft(afterDrops) { case (d, (phys, logical)) =>
       if (phys == logical || !d.columns.contains(phys)) d
       else d.withColumnRenamed(phys, logical)
     }
+  }
 
   /** logical columns → physical names (write boundary), failing fast on a
-    * NEW column that collides with a retired physical name.
+    * NEW column that collides with a retired (renamed-away or dropped)
+    * physical name.
     */
   private def toPhysical(df: DataFrame,
                          renames: Map[String, String]): DataFrame = {
-    val inverse = renames.map(_.swap)
+    val inverse = renames.filterNot(_._2 == Dropped).map(_.swap)
     df.columns.foreach { c =>
       require(inverse.contains(c) || !renames.contains(c) ||
         renames(c) == c,
-        s"column name $c is retired by a rename (physical $c now reads as " +
-          s"${renames(c)}); a new column cannot reuse a physical name — " +
-          "pick another name")
+        if (renames.get(c).contains(Dropped))
+          s"column $c was DROPPED; its physical name is retired — " +
+            "pick another name"
+        else
+          s"column name $c is retired by a rename (physical $c now reads " +
+            s"as ${renames(c)}); a new column cannot reuse a physical " +
+            "name — pick another name")
     }
     inverse.foldLeft(df) { case (d, (logical, phys)) =>
       if (logical == phys || !d.columns.contains(logical)) d
@@ -1009,6 +1039,8 @@ object SnapshotStore {
                    newName: String): Unit = {
     requireAtomicRename(path)
     require(oldName != newName, "rename to the same name is a no-op")
+    require(!newName.exists(_ < ' '),
+      s"column name '$newName' contains a control character")
     val head = headVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
     val renames = readRenames(spark, path, head)
@@ -1024,6 +1056,9 @@ object SnapshotStore {
     require(!phys.contains(newName) || newName == physOfOld,
       s"column name $newName is reserved by the store's physical layout " +
         "(a column stored under that name was renamed away); pick another")
+    require(!renames.get(newName).contains(Dropped),
+      s"column name $newName was dropped; its physical name is retired " +
+        "(old generations still store values under it) — pick another")
     val updated = (renames - physOfOld) ++
       (if (physOfOld == newName) Map.empty[String, String]
        else Map(physOfOld -> newName))
@@ -1032,6 +1067,44 @@ object SnapshotStore {
     require(fs.exists(mf), s"no snapshot version $head at $path")
     publishHead(spark, path, head + 1, readFileUtf8(fs, mf), Nil,
       readSchema(spark, path, head), updated)
+  }
+
+  /** DROPS logical column `name` as a new, METADATA-ONLY version: the
+    * head's manifest text is carried verbatim (no data file, segment, or
+    * gen dir is touched), the recorded schema loses the column (so reads
+    * never fetch it again — the parquet reader simply doesn't request the
+    * field), and the rename mapping gains a tombstone entry that RETIRES
+    * the physical name forever: a later column may not reuse it, because
+    * old gen files still store values under it and a by-name parquet read
+    * would resurrect them into the new column (the collision a full
+    * field-ID system dissolves; priced here — exactly like rename's
+    * reservation — at one clear error). Old versions keep the column
+    * (time travel reads each version under its own schema), the changes
+    * feed diffs under the TO version's schema (a preimage read from a
+    * pre-drop version projects the column away rather than emitting
+    * spurious update pairs), and rollback to a pre-drop version restores
+    * it — the target's mapping IS its dropped set. Retype remains
+    * unsupported (a new store): drop+re-add-under-a-new-name is the
+    * recipe, and the retired-name rule is what keeps it sound.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Unit = {
+    requireAtomicRename(path)
+    val head = headVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val renames = readRenames(spark, path, head)
+    val schemaP = versionSchema(spark, path, head)
+    val logical = schemaP.fieldNames.map(n => renames.getOrElse(n, n))
+    require(logical.contains(name), s"unknown column $name " +
+      s"(columns: ${logical.mkString(", ")})")
+    require(logical.length > 1, "cannot drop the store's last column")
+    val phys = physicalCol(name, renames)
+    val pruned = org.apache.spark.sql.types.StructType(
+      schemaP.fields.filterNot(_.name == phys))
+    val fs = hfs(spark, path)
+    val mf = new org.apache.hadoop.fs.Path(path, s"_manifest-$head")
+    require(fs.exists(mf), s"no snapshot version $head at $path")
+    publishHead(spark, path, head + 1, readFileUtf8(fs, mf), Nil,
+      Some(pruned), (renames - phys) + (phys -> Dropped))
   }
 
   /** Additive union of two generation schemas: existing fields keep their
