@@ -167,7 +167,7 @@ object MaintenanceSql {
         "merges the named view/table into a SnapshotStore as a new " +
         "version (creating the store if absent); keyCols is a " +
         "comma-separated list; rows with deleteCol = true delete; " +
-        "returns one status row (detail = source rows); string-literal " +
+        "returns one status row (detail = versions committed; 0 = no-op); string-literal " +
         "arguments", "", "")
     def builder(args: Seq[Expression]): LogicalPlan = {
       require(args.size == 4 || args.size == 5,
@@ -180,14 +180,19 @@ object MaintenanceSql {
       val keys = str(name, args, 3).split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq
       val deleteCol = if (args.size == 5) Some(str(name, args, 4)) else None
-      if (graft.storage.SnapshotStore.headVersion(spark, path).isEmpty) {
+      val before = graft.storage.SnapshotStore.headVersion(spark, path)
+      if (before.isEmpty) {
         require(deleteCol.isEmpty,
           s"$name: cannot create a store FROM a delete-bearing batch")
         graft.storage.SnapshotStore.write(src, path, partCol)
       } else
         graft.storage.SnapshotStore.merge(spark, path, src, partCol, keys,
           deleteCol = deleteCol)
-      statusRow(spark, "merge", path, src.count())
+      // detail = versions committed (0 = empty batch no-op) — a row count
+      // would re-evaluate the whole source view just for the receipt
+      statusRow(spark, "merge", path,
+        (graft.storage.SnapshotStore.headVersion(spark, path).getOrElse(0) -
+          before.getOrElse(0)).toLong)
     }
     def descriptor: (FunctionIdentifier, ExpressionInfo,
         Seq[Expression] => LogicalPlan) =
@@ -216,9 +221,14 @@ object MaintenanceSql {
       val path = str(name, args, 0)
       val src = spark.table(str(name, args, 1))
       val key = if (args.size == 4) Some(str(name, args, 3)) else None
+      val before = graft.storage.SnapshotStore.headVersion(spark, path)
       graft.storage.SnapshotStore.append(src, path, str(name, args, 2),
         idempotencyKey = key)
-      statusRow(spark, "append", path, src.count())
+      // detail = versions committed: 0 means the keyed statement was a
+      // REPLAY and no-opped — the receipt carries the exactly-once fact
+      statusRow(spark, "append", path,
+        (graft.storage.SnapshotStore.headVersion(spark, path).getOrElse(0) -
+          before.getOrElse(0)).toLong)
     }
     def descriptor: (FunctionIdentifier, ExpressionInfo,
         Seq[Expression] => LogicalPlan) =
@@ -323,7 +333,10 @@ object MaintenanceSql {
         if (args.size == 3) num(name, args, 2, "minAgeMs") else 3600000L
       graft.storage.SnapshotStore.expire(
         spark, path, num(name, args, 1, "keep").toInt, minAge)
-      val retained = graft.storage.SnapshotStore.history(spark, path).count()
+      // retained-version count from one listing — history() would read
+      // and COUNT every retained version's data just for this receipt
+      val retained = graft.storage.SnapshotStore
+        .retainedVersionCount(spark, path)
       statusRow(spark, "expire", path, retained)
     }
     def descriptor: (FunctionIdentifier, ExpressionInfo,

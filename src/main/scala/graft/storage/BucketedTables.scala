@@ -99,6 +99,13 @@ object BucketedTables {
     // by the bucket key into nB partitions before the bucketed write), so
     // the ordering is genuinely true and the flag lets the recurring join
     // skip the per-query Sort of both fact sides, not just the Exchange.
+    // session-wide is SAFE, not just convenient: with this legacy flag on,
+    // FileSourceScanExec claims a sort order only when every bucket holds
+    // at most ONE file (its singleFilePartitions check) — a multi-file
+    // bucketed table elsewhere in the session keeps getting its Sort, so
+    // the flag can never manufacture wrong sort-merge results; it only
+    // lets the one-file-per-bucket layout below advertise the ordering it
+    // really has
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val layoutKey = s"v3|$dir|$nB|" +
       s"${sourceFingerprint(dir, "lineitem")}|${sourceFingerprint(dir, "orders")}"

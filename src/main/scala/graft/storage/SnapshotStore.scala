@@ -107,6 +107,17 @@ object SnapshotStore {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
+  /** Number of retained versions — one directory listing, no data read
+    * (the metadata form of `history().count()`).
+    */
+  def retainedVersionCount(spark: SparkSession, path: String): Long = {
+    val fs = hfs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).count(_.getPath.getName.startsWith("_manifest-"))
+      .toLong
+  }
+
   /** Newest committed version, if any. */
   def headVersion(spark: SparkSession, path: String): Option[Int] = {
     val fs = hfs(spark, path)
@@ -587,28 +598,43 @@ object SnapshotStore {
 
   /** Per-partition-value stats blobs for the just-written gen, read back
     * from its OWN files (page-hot; never a lineage recompute): one
-    * |gen|-sized aggregate, |touched partitions| rows collected.
+    * |gen|-sized aggregate, |touched partitions| rows collected. The
+    * partition key comes from the FILE PATH's raw `_p=` component, never
+    * from Spark's partition-column type inference — a value like
+    * "2024-01-01" or "007" would otherwise come back as a Date or an Int
+    * and mis-key (or crash) the lookup against [[writeGen]]'s dir names.
+    * Non-finite float/double bounds (a NaN row makes min/max NaN) record
+    * NO bound — a blob carrying "NaN" would permanently break every
+    * later [[readWhere]] on the store.
     */
   private def genStats(spark: SparkSession, path: String, gen: String,
                        statsCols: Seq[String]): Map[String, String] = {
     if (statsCols.isEmpty) return Map.empty
     val df = spark.read.parquet(s"$path/data/$gen")
+      .withColumn("_pdir",
+        regexp_extract(input_file_name(), "/_p=([^/]+)/", 1))
     val present = statsCols.filter(df.columns.contains)
       .filter(c => supportedStatsType(df.schema(c).dataType))
     if (present.isEmpty) return Map.empty
+    def finite(v: Any): Boolean = v match {
+      case d: java.lang.Double => !d.isNaN && !d.isInfinite
+      case f: java.lang.Float => !f.isNaN && !f.isInfinite
+      case _ => true
+    }
     val aggs = present.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val rows = df.groupBy(col("_p"))
+    val rows = df.groupBy(col("_pdir"))
       .agg(aggs.head, aggs.tail: _*).collect()
     rows.flatMap { r =>
       val blob = present.flatMap { c =>
         val mn = r.get(r.fieldIndex(s"min_$c"))
         val mx = r.get(r.fieldIndex(s"max_$c"))
-        if (mn == null || mx == null) None // all-NULL slice: no bound
+        if (mn == null || mx == null || !finite(mn) || !finite(mx)) None
         else Some(s"${Esc.escapePathName(c)}=" +
           s"${statCode(df.schema(c).dataType)}:${statValue(mn)}:${statValue(mx)}")
       }.mkString(";")
-      if (blob.isEmpty) None else Some(r.getString(0) -> blob)
+      if (blob.isEmpty) None
+      else Some(Esc.unescapePathName(r.getString(0)) -> blob)
     }.toMap
   }
 
@@ -1098,6 +1124,9 @@ object SnapshotStore {
       s"(columns: ${logical.mkString(", ")})")
     require(logical.length > 1, "cannot drop the store's last column")
     val phys = physicalCol(name, renames)
+    partColOf(spark, path).foreach(pc => require(pc != phys,
+      s"cannot drop $name: it is the store's partition column (every " +
+        "merge/append keys its layout on it)"))
     val pruned = org.apache.spark.sql.types.StructType(
       schemaP.fields.filterNot(_.name == phys))
     val fs = hfs(spark, path)
@@ -1400,6 +1429,42 @@ object SnapshotStore {
       Some(unionSchema(new org.apache.spark.sql.types.StructType(),
         df.schema)))
     publishStatsCols(df.sparkSession, path, statsCols)
+    publishPartCol(df.sparkSession, path, partCol)
+  }
+
+  /** Records the store's PHYSICAL partition column (`_partcol`, published
+    * after the initial commit like `_statscols`): a writer-side guard
+    * source — [[dropColumn]] consults it to refuse dropping the column
+    * every subsequent merge/append needs. Physical names never change, so
+    * the record never does either; legacy stores without it simply skip
+    * the guard (the next write still fails loudly, just less precisely).
+    */
+  private def publishPartCol(spark: SparkSession, path: String,
+                             partCol: String): Unit = {
+    val fs = hfs(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s"._partcol.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(Esc.escapePathName(partCol).getBytes("UTF-8"))
+    finally out.close()
+    try publishFile(spark, path, tmp,
+      new org.apache.hadoop.fs.Path(path, "_partcol"))
+    catch { // a racing init/write already recorded it — same value
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+      case e: java.io.IOException =>
+        if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_partcol")))
+          throw e
+        fs.delete(tmp, false)
+    }
+  }
+
+  private[graft] def partColOf(spark: SparkSession,
+                               path: String): Option[String] = {
+    val fs = hfs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path, "_partcol")
+    if (!fs.exists(p)) None
+    else Some(Esc.unescapePathName(readFileUtf8(fs, p).trim))
   }
 
   private def validateStatsCols(statsCols: Seq[String],
@@ -1443,7 +1508,8 @@ object SnapshotStore {
     */
   def init(spark: SparkSession, path: String,
            schema: org.apache.spark.sql.types.StructType,
-           statsCols: Seq[String] = Nil): Unit = {
+           statsCols: Seq[String] = Nil,
+           partCol: Option[String] = None): Unit = {
     requireAtomicRename(path)
     require(headVersion(spark, path).isEmpty,
       s"$path already holds a snapshot store")
@@ -1451,6 +1517,7 @@ object SnapshotStore {
     commit(spark, path, 1, Map.empty, Nil,
       Some(unionSchema(new org.apache.spark.sql.types.StructType(), schema)))
     publishStatsCols(spark, path, statsCols)
+    partCol.foreach(publishPartCol(spark, path, _))
   }
 
   /** Reads snapshot `version` (default: head). Untouched partitions are
@@ -1983,31 +2050,30 @@ object SnapshotStore {
     val fs = hfs(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val head = headVersion(spark, path).getOrElse(return)
-    // TAGGED versions are retained regardless of the keep window (read
-    // BEFORE choosing victims — see the ordering argument in [[tag]]);
-    // their manifests, schemas, renames, and referenced gens all survive
-    val tagged: Set[Int] = tags(spark, path).values.toSet
-    // heads first (cheap), then every DISTINCT segment exactly once:
-    // segments are shared across versions by content-addressing, so a
-    // store with `keep` retained versions of a 1M-partition manifest
-    // parses ~one manifest's worth of segments, not keep x N lines
-    val retainedHeads =
-      ((math.max(1, head - keep + 1) to head).toSet ++ tagged).toSeq.sorted
-      .flatMap { v =>
-        // a concurrent sweep (whose head, and so cutoff, was >= ours) may
-        // delete a manifest in our range mid-scan: skipping it is safe —
-        // any gen it shares with a version either sweep retains is
-        // reachable through that retained version's manifest
-        try Some(v -> readHead(spark, path, v))
-        catch {
-          case e: IllegalArgumentException if versionVanished(e) => None
+    // TAGGED versions are retained regardless of the keep window: their
+    // manifests, schemas, renames, and referenced gens all survive. Heads
+    // first (cheap), then every DISTINCT segment exactly once: segments
+    // are shared across versions by content-addressing, so a store with
+    // `keep` retained versions of a 1M-partition manifest parses ~one
+    // manifest's worth of segments, not keep x N lines.
+    def resolve(tagged: Set[Int])
+        : (Set[String], Set[String]) = {
+      val retainedHeads =
+        ((math.max(1, head - keep + 1) to head).toSet ++ tagged).toSeq.sorted
+        .flatMap { v =>
+          // a concurrent sweep (whose head, and so cutoff, was >= ours)
+          // may delete a manifest in our range mid-scan: skipping it is
+          // safe — any gen it shares with a version either sweep retains
+          // is reachable through that retained version's manifest
+          try Some(v -> readHead(spark, path, v))
+          catch {
+            case e: IllegalArgumentException if versionVanished(e) => None
+          }
         }
-      }
-    val liveSegs: Set[String] = retainedHeads.flatMap {
-      case (_, SegHead(_, _, refs)) => refs.values.map(_._2)
-      case _ => Nil
-    }.toSet
-    val live: Set[String] = {
+      val liveSegs: Set[String] = retainedHeads.flatMap {
+        case (_, SegHead(_, _, refs)) => refs.values.map(_._2)
+        case _ => Nil
+      }.toSet
       val flatDirs = retainedHeads.flatMap {
         case (_, FlatHead(e)) => e.values.flatten
         case _ => Nil
@@ -2020,7 +2086,30 @@ object SnapshotStore {
           case e: IllegalArgumentException if versionVanished(e) => Nil
         }
       }
-      (flatDirs ++ segDirs).map(_.split("/").take(2).mkString("/")).toSet
+      (liveSegs,
+        (flatDirs ++ segDirs).map(_.split("/").take(2).mkString("/")).toSet)
+    }
+    // tag fixpoint: a tag published DURING the resolution must be honored
+    // CONSISTENTLY — keeping its manifest while its gens miss the live
+    // set would strand a retained version without data, which is worse
+    // than a clean sweep. So tags are re-read after each resolution and
+    // the resolution repeats until no new tag appears (bounded; in
+    // practice one pass). A tag that lands after the LAST re-read gets no
+    // protection from this sweep — its version is swept whole and tag()'s
+    // own post-publish manifest re-check retracts it loudly: the same
+    // two-unsynchronized-actors posture as Iceberg tag/expire without a
+    // catalog lock (SURVEY §4 — a commit-coordination primitive is
+    // required where the FS cannot provide one).
+    var tagged: Set[Int] = tags(spark, path).values.toSet
+    var (liveSegs, live) = resolve(tagged)
+    var tries = 0
+    var again = tags(spark, path).values.toSet
+    while ((again -- tagged).nonEmpty && tries < 3) {
+      tagged = tagged ++ again
+      val r = resolve(tagged)
+      liveSegs = r._1; live = r._2
+      tries += 1
+      again = tags(spark, path).values.toSet
     }
     (1 until math.max(1, head - keep + 1)).filterNot(tagged).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifest-$v"), false)
@@ -2077,7 +2166,8 @@ object SnapshotStore {
       val isStaging =
         ((n.startsWith("._manifest-") || n.startsWith("._schema-") ||
           n.startsWith("._renames-")) && n.endsWith(".tmp")) ||
-        n.startsWith("._tag.tmp-") || n.startsWith("._statscols.tmp-")
+        n.startsWith("._tag.tmp-") || n.startsWith("._statscols.tmp-") ||
+        n.startsWith("._partcol.tmp-")
       if (isStaging && now - st.getModificationTime >= minAgeMs)
         fs.delete(st.getPath, false)
     }

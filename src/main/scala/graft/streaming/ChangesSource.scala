@@ -247,25 +247,35 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
   }
 
   /** Conform a batch to the run's schema. A run-schema column MISSING from
-    * the feed is a legacy-version batch (the engine re-derives the last
-    * committed batch on restart, and that version predates an adopted
-    * evolution) — padded NULL, the store's own additive-evolution read
-    * semantics. A column the feed has that the run does NOT is mid-run
-    * evolution, surfaced per `onSchemaEvolution`; extra AND missing
-    * together means a mid-run RENAME (the feed reads under new names) —
-    * always loud, `project` would silently null the renamed column.
+    * the feed is either a legacy-version batch (the engine re-derives the
+    * last committed batch on restart, and that version predates an
+    * adopted evolution — padded NULL, the store's own additive-evolution
+    * read semantics) or a mid-run DROP/RENAME; the two are told apart by
+    * the store's CURRENT head schema — a column still in the head is a
+    * legacy replay, one gone from the head was dropped or renamed mid-run
+    * and is ALWAYS loud (`project` would silently null real values). A
+    * column the feed has that the run does NOT is mid-run additive
+    * evolution, surfaced per `onSchemaEvolution`.
     */
   private def align(df: DataFrame): DataFrame = {
     val extra = df.columns.filterNot(c => fixedSchema.fieldNames.contains(c))
     val missing = fixedSchema.fieldNames.filterNot(df.columns.contains)
-    if (extra.nonEmpty && (missing.nonEmpty || onEvolution == "fail"))
+    val gone = // missing from the feed AND from the store's head = removed
+      if (missing.isEmpty) Array.empty[String]
+      else {
+        val headCols = ChangesSource.feedSchema(
+          ChangesSource.storeSchema(sqlContext, path)).fieldNames.toSet
+        missing.filterNot(headCols.contains)
+      }
+    if (gone.nonEmpty || (extra.nonEmpty && onEvolution == "fail"))
       throw new IllegalStateException(
         s"graft-changes: the store at $path changed schema after stream " +
           s"start (new: ${extra.mkString(", ")}" +
-          (if (missing.nonEmpty)
-            s"; gone: ${missing.mkString(", ")} — a rename?" else "") +
+          (if (gone.nonEmpty)
+            s"; removed: ${gone.mkString(", ")} — a drop or rename?"
+          else "") +
           "). Restart the stream to adopt the evolved schema" +
-          (if (missing.isEmpty)
+          (if (gone.isEmpty)
             ", or set onSchemaEvolution=project to keep this run's schema"
           else ""))
     df.select(fixedSchema.map(f =>

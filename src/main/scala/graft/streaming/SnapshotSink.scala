@@ -78,15 +78,20 @@ class SnapshotSink(sqlContext: SQLContext,
     .map(s => java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12))
     .getOrElse(throw new IllegalArgumentException(
-      "graft-snapshot requires 'checkpointLocation' or 'ingestId' to " +
-        "scope its idempotency keys"))
+      "graft-snapshot requires an explicit 'checkpointLocation' or " +
+        "'ingestId' option to scope its idempotency keys — the session's " +
+        "spark.sql.streaming.checkpointLocation default cannot serve: " +
+        "the engine derives a per-start subdirectory under it, so the " +
+        "scope would not survive a restart and replayed batches would " +
+        "stop deduplicating"))
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // rebind off the micro-batch's incremental plan before append
     // re-plans it through a normal write action
     val batch = org.apache.spark.sql.graftshim.StreamingBatchShim.asBatch(data)
     if (SnapshotStore.headVersion(spark, path).isEmpty) {
-      try SnapshotStore.init(spark, path, batch.schema, statsCols)
+      try SnapshotStore.init(spark, path, batch.schema, statsCols,
+        partCol = Some(partCol))
       catch {
         // lost the init race (a concurrent stream/writer created the
         // store between the probe and our commit): the store exists,

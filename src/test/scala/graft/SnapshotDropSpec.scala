@@ -96,10 +96,19 @@ class SnapshotDropSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("DROPPED"),
       s"physical name v must be retired: ${e3.getMessage}")
-    intercept[IllegalArgumentException] {
-      SnapshotStore.dropColumn(spark, dir, "k") // p would remain... k,p left
+    // live columns now k, p: the PARTITION column is refused while others
+    // remain (the recorded _partcol guard) …
+    val e4 = intercept[IllegalArgumentException] {
       SnapshotStore.dropColumn(spark, dir, "p")
     }
+    assert(e4.getMessage.contains("partition column"),
+      s"the recorded _partcol must guard the layout column: ${e4.getMessage}")
+    // … and after dropping k, the LAST column is refused regardless
+    SnapshotStore.dropColumn(spark, dir, "k")
+    val e5 = intercept[IllegalArgumentException] {
+      SnapshotStore.dropColumn(spark, dir, "p")
+    }
+    assert(e5.getMessage.contains("last column"), e5.getMessage)
   }
 
   test("rollback to a pre-drop version restores the column (the target's " +

@@ -431,7 +431,7 @@ class SqlSurfaceSpec extends SparkSpec {
       .createOrReplaceTempView("msql_base")
     val r1 = spark.sql(
       s"SELECT * FROM graft_merge('$dir', 'msql_base', 'p', 'k')").collect()
-    assert(r1(0).getString(0) == "merge" && r1(0).getLong(2) == 2L &&
+    assert(r1(0).getString(0) == "merge" && r1(0).getLong(2) == 1L &&
       r1(0).getLong(3) == 1L, s"create-on-first-merge receipt: ${r1.toSeq}")
     // upsert k=1, delete k=2, insert k=3 — one CDC-shaped view
     Seq((1L, "p0", 10.0, false), (2L, "p1", 0.0, true),
@@ -446,10 +446,12 @@ class SqlSurfaceSpec extends SparkSpec {
     // keyed append: the SAME statement replayed no-ops
     Seq((100L, "p0", 100.0)).toDF("k", "p", "v")
       .createOrReplaceTempView("msql_add")
-    (1 to 2).foreach { _ =>
+    val appends = (1 to 2).map { _ =>
       spark.sql(s"SELECT * FROM graft_append('$dir', 'msql_add', 'p', " +
-        "'batch-7')").collect()
+        "'batch-7')").collect()(0).getLong(2)
     }
+    assert(appends == Seq(1L, 0L),
+      s"receipt detail must carry versions-committed (replay = 0): $appends")
     assert(rows() == Map(1L -> 10.0, 3L -> 3.0, 100L -> 100.0),
       "replayed keyed append must no-op")
     assert(graft.storage.SnapshotStore.headVersion(spark, dir)
