@@ -31,7 +31,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * `spark.sql(...)` on these is eager, like a DDL command, not lazy like a
   * query. That is the correct shape for a maintenance verb (the caller
   * wants the side effect; the returned row is a receipt) and is pinned by
-  * SqlSurfaceSpec.
+  * SqlSurfaceSpec. The flip side is an explicit contract: ANY analysis of
+  * a statement containing one of these TVFs executes the verb — including
+  * `EXPLAIN SELECT * FROM graft_rollback(...)` (there is no dry-run), and
+  * re-resolving a view that wraps one. Do not wrap maintenance verbs in
+  * views, and treat EXPLAIN on them as execution; SqlSurfaceSpec pins the
+  * EXPLAIN-executes behavior so it is a documented contract, not a
+  * surprise. (All verbs are idempotent-or-monotonic — a re-run compacts /
+  * re-tags / re-expires the same target — so an accidental double
+  * analysis degrades to wasted work, never corruption.)
   */
 object MaintenanceSql {
 

@@ -585,6 +585,17 @@ object SnapshotStore {
     * dates, epoch micros for timestamps, plain toString for numbers —
     * deterministic, so identical content serializes identically and
     * content-addressed segments stay shared).
+    *
+    * FLOAT bounds serialize as their EXACT widened double
+    * (`f.doubleValue.toString`), never `Float.toString`: predicates
+    * compare in the double domain (a float row widens exactly under a
+    * double literal), and Float's shortest round-trip decimal is a
+    * DIFFERENT real than the widened double — e.g. 0.1f prints "0.1"
+    * but widens to 0.100000001490…, so a blob carrying "0.1" would let
+    * `readWhere(f > 0.1)` prune a gen whose rows satisfy the predicate.
+    * Double.toString's shortest decimal is order-faithful (distinct
+    * doubles → decimals in the same order), so comparing blob decimals
+    * as BigDecimal matches comparing the doubles themselves.
     */
   private def statValue(v: Any): String = v match {
     case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
@@ -593,16 +604,23 @@ object SnapshotStore {
       (t.getTime * 1000L + (t.getNanos / 1000L) % 1000L).toString
     case i: java.time.Instant =>
       (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    case f: java.lang.Float => f.doubleValue.toString
     case other => other.toString
   }
 
   /** Per-partition-value stats blobs for the just-written gen, read back
     * from its OWN files (page-hot; never a lineage recompute): one
     * |gen|-sized aggregate, |touched partitions| rows collected. The
-    * partition key comes from the FILE PATH's raw `_p=` component, never
-    * from Spark's partition-column type inference — a value like
-    * "2024-01-01" or "007" would otherwise come back as a Date or an Int
-    * and mis-key (or crash) the lookup against [[writeGen]]'s dir names.
+    * partition key is the `_p` PARTITION COLUMN read under an EXPLICIT
+    * StringType schema: pinning the type bypasses partition-column type
+    * inference (a value like "2024-01-01" or "007" would otherwise come
+    * back as a Date or an Int and mis-key the lookup against
+    * [[writeGen]]'s dir names), and Spark's partition parsing applies
+    * exactly ONE Hive unescape to the dir name — the writer's one
+    * escape. The previously-used `input_file_name()` route is URL-
+    * encoded on top of the Hive escape, so any value with a character
+    * both layers touch (':', '=', '%', '#') double-encoded and its
+    * stats silently never attached.
     * Non-finite float/double bounds (a NaN row makes min/max NaN) record
     * NO bound — a blob carrying "NaN" would permanently break every
     * later [[readWhere]] on the store.
@@ -610,9 +628,14 @@ object SnapshotStore {
   private def genStats(spark: SparkSession, path: String, gen: String,
                        statsCols: Seq[String]): Map[String, String] = {
     if (statsCols.isEmpty) return Map.empty
-    val df = spark.read.parquet(s"$path/data/$gen")
-      .withColumn("_pdir",
-        regexp_extract(input_file_name(), "/_p=([^/]+)/", 1))
+    val genPath = s"$path/data/$gen"
+    // footer probe only for the gen's DATA schema; `_p` re-pinned to string
+    val inferred = spark.read.parquet(genPath).schema
+    val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
+      if (f.name == "_p") f.copy(dataType = org.apache.spark.sql.types.StringType)
+      else f))
+    val df = spark.read.schema(pinned).parquet(genPath)
+      .withColumn("_pdir", col("_p"))
     val present = statsCols.filter(df.columns.contains)
       .filter(c => supportedStatsType(df.schema(c).dataType))
     if (present.isEmpty) return Map.empty
@@ -634,7 +657,10 @@ object SnapshotStore {
           s"${statCode(df.schema(c).dataType)}:${statValue(mn)}:${statValue(mx)}")
       }.mkString(";")
       if (blob.isEmpty) None
-      else Some(Esc.unescapePathName(r.getString(0)) -> blob)
+      // _pdir is the partition VALUE (already exactly-once unescaped by
+      // Spark's partition parsing) — a second unescape would mis-key any
+      // value containing a literal '%XX'
+      else Some(r.getString(0) -> blob)
     }.toMap
   }
 
@@ -810,8 +836,14 @@ object SnapshotStore {
           evalPrune(expr, parseStats(blob), logicalToPhysical) != NoMatch
       }
     }.map(dirOf).sorted.map(d => s"$path/$d")
+    // everything-pruned: the empty frame under the version's logical
+    // schema DIRECTLY (read().limit(0) would plan a parquet scan over
+    // every gen dir — the exact listing cost pruning exists to avoid,
+    // paid in the best-case scenario)
     val base =
-      if (kept.isEmpty) read(spark, path, Some(v)).limit(0)
+      if (kept.isEmpty) applyRenames(spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        versionSchema(spark, path, v)), renames)
       else applyRenames(readWithSchema(spark, path, v, kept), renames)
     base.filter(pred)
   }
@@ -1466,6 +1498,29 @@ object SnapshotStore {
     if (!fs.exists(p)) None
     else Some(Esc.unescapePathName(readFileUtf8(fs, p).trim))
   }
+
+  /** Fails fast when `partCol` (a head-version LOGICAL name) does not
+    * resolve to the store's recorded physical partition column — the
+    * guard a declarative writer (the `graft-snapshot` sink) runs before
+    * its first append: a second stream (or a restart with a different
+    * option value) partitioning new gens by a DIFFERENT column would
+    * interleave two partition-key domains in one store, silently
+    * mis-resolving every later merge/readPartitions. Legacy stores
+    * without a `_partcol` record skip the guard (nothing to check
+    * against).
+    */
+  private[graft] def requirePartCol(spark: SparkSession, path: String,
+                                    partCol: String): Unit =
+    (partColOf(spark, path), headVersion(spark, path)) match {
+      case (Some(recorded), Some(v)) =>
+        val phys = physicalCol(partCol, readRenames(spark, path, v))
+        require(phys == recorded,
+          s"partCol '$partCol' (physical '$phys') does not match the " +
+            s"store's recorded partition column '$recorded' at $path — " +
+            "appending under a second partition key would interleave two " +
+            "partition-key domains in one store")
+      case _ => ()
+    }
 
   private def validateStatsCols(statsCols: Seq[String],
       schema: org.apache.spark.sql.types.StructType): Unit =

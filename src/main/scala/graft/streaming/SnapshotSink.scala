@@ -101,6 +101,11 @@ class SnapshotSink(sqlContext: SQLContext,
           if e.getMessage.contains("already holds") => ()
       }
     }
+    // fail fast on a partCol that doesn't resolve to the store's recorded
+    // partition column (a restart with a different option value, or a
+    // second stream configured differently, must not interleave a second
+    // partition-key domain into the store)
+    SnapshotStore.requirePartCol(spark, path, partCol)
     SnapshotStore.append(batch, path, partCol,
       idempotencyKey = Some(s"sink-$ingestId-$batchId"))
   }

@@ -116,6 +116,38 @@ class SnapshotSinkSpec extends SparkSpec {
     }
   }
 
+  test("a partCol that does not resolve to the store's recorded partition " +
+    "column fails fast — a restart (or second stream) configured " +
+    "differently must not interleave a second partition-key domain") {
+    val (in, store) = (chunkDir("pc"), newDir("pc"))
+    runSink(in, store, ck("pc")) // store recorded with partCol = p
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val sch = spark.read.parquet(s"$in/chunk-0").schema
+      val q = spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+        .parquet(s"$in/chunk-*")
+        .writeStream.format(classOf[SnapshotSinkProvider].getName)
+        .option("path", store).option("partCol", "v") // wrong column
+        .option("checkpointLocation", ck("pc2"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("recorded partition column")),
+      s"expected the partCol guard, got: $e")
+    assert(SnapshotStore.headVersion(spark, store).contains(4),
+      "the guard must fire BEFORE any mis-partitioned gen is appended")
+    // the guard maps through the logical-name layer: after a rename the
+    // CURRENT logical name passes, the old physical name also passes
+    // (physical names never change), an unrelated column still fails
+    SnapshotStore.renameColumn(spark, store, "p", "part")
+    SnapshotStore.requirePartCol(spark, store, "part")
+    intercept[IllegalArgumentException] {
+      SnapshotStore.requirePartCol(spark, store, "v")
+    }
+  }
+
   test("store-to-store streaming pipeline: graft-changes source over " +
     "store A drains through the graft-snapshot sink into store B; " +
     "B reproduces A exactly") {

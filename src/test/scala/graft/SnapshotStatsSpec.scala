@@ -193,6 +193,61 @@ class SnapshotStatsSpec extends SparkSpec {
       s"post-rename sorted compaction not ordered: $p0")
   }
 
+  test("FLOAT bounds live in the widened-double domain: a fractional " +
+    "double-literal boundary predicate must not prune rows the full " +
+    "filter returns (0.1f prints \"0.1\" but widens ABOVE 0.1)") {
+    val dir = newDir("float")
+    SnapshotStore.write(
+      Seq((1L, "p0", 0.1f), (2L, "p0", 0.05f)).toDF("k", "p", "f"),
+      dir, "p", statsCols = Seq("f"))
+    SnapshotStore.append(
+      Seq((3L, "p0", 0.01f)).toDF("k", "p", "f"), dir, "p")
+    val pred = col("f") > 0.1 // double literal below 0.1f's widened value
+    val pruned = SnapshotStore.readWhere(spark, dir, pred)
+    val full = SnapshotStore.read(spark, dir).filter(pred)
+    assert(pruned.select("k").as[Long].collect().toSet ==
+      full.select("k").as[Long].collect().toSet)
+    assert(pruned.select("k").as[Long].collect().toSeq == Seq(1L),
+      "the 0.1f row satisfies f > 0.1 under double widening")
+    assert(gens(pruned.inputFiles).size == 1,
+      "the gen whose widened max (0.0099999…) is below 0.1 still prunes")
+  }
+
+  test("partition values the escaping layers touch (':' and a literal " +
+    "'%3A') keep their stats attached and keyed to the RIGHT partition") {
+    val dir = newDir("colon")
+    // "a%3Ab" unescapes to "a:b" — under a double-decode bug the two
+    // partitions' bounds would cross-attach
+    SnapshotStore.write(
+      Seq((0L, "a:b", 0.0), (1000L, "a%3Ab", 0.0)).toDF("k", "p", "v"),
+      dir, "p", statsCols = Seq("k"))
+    SnapshotStore.append(
+      Seq((100L, "a:b", 0.0), (1100L, "a%3Ab", 0.0)).toDF("k", "p", "v"),
+      dir, "p")
+    val g1 = SnapshotStore.readWhere(spark, dir, col("k") === 0L)
+    assert(g1.select("p").as[String].collect().toSeq == Seq("a:b"))
+    assert(gens(g1.inputFiles).size == 1,
+      "the ':'-escaped dir's bounds must attach and prune gen 2")
+    val g2 = SnapshotStore.readWhere(spark, dir, col("k") === 1100L)
+    assert(g2.select("p").as[String].collect().toSeq == Seq("a%3Ab"))
+    assert(gens(g2.inputFiles).size == 1,
+      "the literal-'%3A' dir's bounds must attach and prune gen 1")
+    assert(SnapshotStore.read(spark, dir).select("p").distinct()
+      .as[String].collect().toSet == Set("a:b", "a%3Ab"),
+      "values round-trip exactly once through the escape")
+  }
+
+  test("everything-pruned readWhere returns the empty frame WITHOUT " +
+    "planning a scan over the store's gen dirs") {
+    val dir = newDir("allpruned"); rangedStore(dir)
+    val got = SnapshotStore.readWhere(spark, dir, col("k") >= 10000L)
+    assert(got.count() == 0)
+    assert(got.inputFiles.isEmpty,
+      "best-case pruning must not pay a full file listing via limit(0)")
+    assert(got.columns.toSeq ==
+      SnapshotStore.read(spark, dir).columns.toSeq)
+  }
+
   test("fail-fast set: unsupported stats type, reserved characters in a " +
     "stats column name") {
     val dir = newDir("ff")

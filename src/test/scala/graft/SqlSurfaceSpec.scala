@@ -411,6 +411,12 @@ class SqlSurfaceSpec extends SparkSpec {
     spark.sql(s"SELECT * FROM graft_rollback('$dir', '4')")
     assert(graft.storage.SnapshotStore.headVersion(spark, dir).contains(6),
       "maintenance TVFs execute at analysis (CALL semantics)")
+    // …and the documented flip side of that contract: EXPLAIN analyzes,
+    // so EXPLAIN EXECUTES a maintenance verb (there is no dry-run) — a
+    // known contract pinned here, per the MaintenanceSql scaladoc
+    spark.sql(s"EXPLAIN SELECT * FROM graft_rollback('$dir', '5')").collect()
+    assert(graft.storage.SnapshotStore.headVersion(spark, dir).contains(7),
+      "EXPLAIN on a maintenance TVF executes the verb (pinned contract)")
     // malformed arguments fail clearly
     val e1 = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_rollback('$dir', 'x')").collect())
