@@ -1048,6 +1048,54 @@ object Extended extends QueryModule {
         gens(graft.storage.SnapshotStore.read(s, dir).inputFiles).size == 4,
         "q_snapshot_skip: stats pruning must open exactly 2 of 4 gens")
       mergeAgg(pruned).orderBy(col("o_orderpriority"))
+    }),
+
+    // STRING stats bounds (r14): the reference's own table is 12-of-16
+    // String columns (`/root/reference/nginx.click:1`) — a real user's
+    // first skip predicate is as likely `verb = 'GET'` or a URL prefix
+    // as a time range. Bounds follow Iceberg's public truncate(N)
+    // discipline (prefix lower bound; increment-last-code-point upper
+    // bound) and compare in UTF8 byte order. The fixture appends
+    // key-quartile chunks of a zero-padded string key, then require-pins
+    // BOTH string rungs: a range predicate opens 2 of 4 gens, a
+    // pure-prefix LIKE opens 1.
+    "q_snapshot_skip_str" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_skipstr")
+        .toString + "/orders_skip_str"
+      val k = col("o_orderkey")
+      val df = orders.withColumn("skey", format_string("k%08d", k))
+      val mx = orders.agg(max(k)).head().getLong(0)
+      val (q1, q2, q3) = (mx / 4, mx / 2, 3 * mx / 4)
+      def b(n: Long) = f"k$n%08d"
+      graft.storage.SnapshotStore.write(df.filter(k <= q1), dir,
+        "o_orderpriority", statsCols = Seq("skey"))
+      graft.storage.SnapshotStore.append(df.filter(k > q1 && k <= q2),
+        dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(df.filter(k > q2 && k <= q3),
+        dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(df.filter(k > q3),
+        dir, "o_orderpriority")
+      val ranged = graft.storage.SnapshotStore.readWhere(s, dir,
+        col("skey") > b(q1) && col("skey") <= b(q3))
+      val prefixed = graft.storage.SnapshotStore.readWhere(s, dir,
+        col("skey").like("k000000%")) // keys 1..99: inside gen 1 only
+      def gens(files: Array[String]) =
+        files.flatMap(_.split("/data/").lift(1)).map(_.split("/").head).toSet
+      require(gens(ranged.inputFiles).size == 2 &&
+        gens(prefixed.inputFiles).size == 1 &&
+        gens(graft.storage.SnapshotStore.read(s, dir).inputFiles).size == 4,
+        "q_snapshot_skip_str: string bounds must prune 2-of-4 (range) " +
+          "and 1-of-4 (prefix)")
+      def agg(x: org.apache.spark.sql.DataFrame, slice: Int) =
+        x.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("sum_cents"),
+            min(col("skey")).as("min_sk"), max(col("skey")).as("max_sk"))
+          .withColumn("slice", lit(slice))
+      agg(ranged, 1).unionByName(agg(prefixed, 2))
+        .orderBy(col("slice"), col("o_orderpriority"))
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -1086,6 +1134,28 @@ object Extended extends QueryModule {
         |FROM orders, mx
         |WHERE o_orderkey > m // 4 AND o_orderkey <= (3 * m) // 4
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_snapshot_skip_str" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |  sk AS (SELECT o.*, printf('k%08d', o_orderkey) AS skey
+        |         FROM orders o)
+        |SELECT * FROM (
+        |  SELECT o_orderpriority, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents,
+        |    min(skey) AS min_sk, max(skey) AS max_sk, 1 AS slice
+        |  FROM sk, mx
+        |  WHERE skey > printf('k%08d', m // 4)
+        |    AND skey <= printf('k%08d', (3 * m) // 4)
+        |  GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT o_orderpriority, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents,
+        |    min(skey) AS min_sk, max(skey) AS max_sk, 2 AS slice
+        |  FROM sk WHERE skey LIKE 'k000000%'
+        |  GROUP BY o_orderpriority
+        |) ORDER BY slice, o_orderpriority""".stripMargin,
     "q_grouping_sets" ->
       """SELECT CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid,
         |  l_returnflag, l_linestatus, count(*) AS cnt,

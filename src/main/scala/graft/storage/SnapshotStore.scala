@@ -532,8 +532,72 @@ object SnapshotStore {
   // page-hot files, not a lineage recompute). Dirs without a blob (pre-
   // stats commits, columns absent from an old gen, all-NULL slices) are
   // conservatively read. Supported stat types: integral, floating, date,
-  // timestamp — string bounds need Iceberg's truncate+increment discipline
-  // to stay sound and are refused at declaration instead of done wrong.
+  // timestamp, and (r14) string — string bounds follow Iceberg's public
+  // truncate(N) discipline, see [[stringBounds]].
+
+  /** String bounds truncate to this many Unicode CODE POINTS — long
+    * values (URLs, comments) would otherwise bloat every manifest entry,
+    * and 16 code points separate real-world categorical/prefix data
+    * (verbs, levels, path prefixes) while keeping the blob ~bounded.
+    */
+  private val StatsTruncLen = 16
+
+  private def truncCodePoints(s: String, n: Int): String =
+    if (s.codePointCount(0, s.length) <= n) s
+    else s.substring(0, s.offsetByCodePoints(0, n))
+
+  /** The smallest valid string strictly greater than every extension of
+    * `t` (code-point order == UTF-8 byte order): increment `t`'s last
+    * code point, skipping the surrogate gap (D800-DFFF are not code
+    * points a decoded string can carry); a maxed-out (U+10FFFF) tail
+    * carries leftward; all-maxed has no successor — None.
+    */
+  private def incrementLastCodePoint(t: String): Option[String] = {
+    val cps = t.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) != 0x10FFFF) {
+        val next =
+          if (cps(i) + 1 >= 0xD800 && cps(i) + 1 <= 0xDFFF) 0xE000
+          else cps(i) + 1
+        val out = new java.lang.StringBuilder
+        (0 until i).foreach(j => out.appendCodePoint(cps(j)))
+        out.appendCodePoint(next)
+        return Some(out.toString)
+      }
+      i -= 1
+    }
+    None
+  }
+
+  /** Iceberg's truncate(N) discipline (a public concept, re-derived):
+    * lower bound = min truncated to N code points (a prefix sorts ≤ the
+    * full string in UTF-8 byte order); upper bound = max truncated, and
+    * when truncation dropped anything, last code point INCREMENTED —
+    * every extension of the prefix sorts strictly below the incremented
+    * prefix, so the bound stays sound. Increment overflow (an all-
+    * U+10FFFF prefix) has no sound upper bound: record nothing, the gen
+    * reads conservatively. Values arrive from the gen's own parquet
+    * files, so they are valid UTF-8 by construction (no lone-surrogate
+    * order hazard between Java's char order and UTF8String's byte
+    * order), and all COMPARISONS against these bounds run in UTF8String
+    * byte order — the exact order Spark's min/max and string filters
+    * use.
+    */
+  private def stringBounds(mn: String, mx: String): Option[(String, String)] = {
+    val lo = truncCodePoints(mn, StatsTruncLen)
+    val hiT = truncCodePoints(mx, StatsTruncLen)
+    val hi = if (hiT == mx) Some(mx) else incrementLastCodePoint(hiT)
+    hi.map(h => (lo, h))
+  }
+
+  /** Escapes a string bound into the blob grammar: `escapePathName`
+    * covers `: = %` and control chars; ';' (the blob's field separator,
+    * not in Hive's escape set) is folded to its own %-escape, which the
+    * single `unescapePathName` at parse time already decodes.
+    */
+  private def escapeStatValue(v: String): String =
+    Esc.escapePathName(v).replace(";", "%3B")
 
   private val StatsSep = "\u0002"
 
@@ -564,7 +628,8 @@ object SnapshotStore {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType | DateType | TimestampType => true
+           FloatType | DoubleType | DateType | TimestampType |
+           StringType => true
       case _ => false
     }
   }
@@ -576,6 +641,7 @@ object SnapshotStore {
       case FloatType | DoubleType => 'd'
       case DateType => 'a'
       case TimestampType => 't'
+      case StringType => 's'
       case other => throw new IllegalArgumentException(
         s"unsupported stats type $other")
     }
@@ -653,8 +719,16 @@ object SnapshotStore {
         val mn = r.get(r.fieldIndex(s"min_$c"))
         val mx = r.get(r.fieldIndex(s"max_$c"))
         if (mn == null || mx == null || !finite(mn) || !finite(mx)) None
-        else Some(s"${Esc.escapePathName(c)}=" +
-          s"${statCode(df.schema(c).dataType)}:${statValue(mn)}:${statValue(mx)}")
+        else df.schema(c).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            stringBounds(mn.toString, mx.toString).map { case (lo, hi) =>
+              s"${Esc.escapePathName(c)}=s:" +
+                s"${escapeStatValue(lo)}:${escapeStatValue(hi)}"
+            }
+          case dt =>
+            Some(s"${Esc.escapePathName(c)}=" +
+              s"${statCode(dt)}:${statValue(mn)}:${statValue(mx)}")
+        }
       }.mkString(";")
       if (blob.isEmpty) None
       // _pdir is the partition VALUE (already exactly-once unescaped by
@@ -666,15 +740,19 @@ object SnapshotStore {
 
   /** Blob → col → (code, lo, hi). Malformed blobs are LOUD (a manifest
     * carrying a half-written blob is corruption, not a missing feature).
+    * Values unescape here (numeric bounds are escape-invariant; string
+    * bounds round-trip their one escape), and the `-1` split limit keeps
+    * EMPTY string bounds — "" is a legal min — as real fields.
     */
   private def parseStats(blob: String): Map[String, (Char, String, String)] =
     blob.split(";").filter(_.nonEmpty).map { part =>
       val eq = part.indexOf('=')
       require(eq > 0, s"malformed stats blob field: '$part'")
-      val f = part.substring(eq + 1).split(":")
+      val f = part.substring(eq + 1).split(":", -1)
       require(f.length == 3 && f(0).length == 1,
         s"malformed stats blob field: '$part'")
-      Esc.unescapePathName(part.substring(0, eq)) -> (f(0).head, f(1), f(2))
+      Esc.unescapePathName(part.substring(0, eq)) ->
+        (f(0).head, Esc.unescapePathName(f(1)), Esc.unescapePathName(f(2)))
     }.toMap
 
   // tri-state pruning verdict: NoMatch means PROVABLY no row in the dir
@@ -736,18 +814,50 @@ object SnapshotStore {
         case (TimestampType, 't') => Some(BigDecimal(l.value.toString)) // µs
         case _ => None
       }
+    def strCmp(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // (compare(lo, v), compare(hi, v)) in the column's stat domain —
+    // numeric codes compare as BigDecimal (long bounds past 2^53 cannot
+    // be mis-pruned by double rounding), code 's' compares in UTF8String
+    // byte order (the order Spark's min/max and string filters use;
+    // java.lang.String's char order DIVERGES past the BMP and would
+    // mis-prune supplementary characters)
+    def compares(l: Literal, code: Char, loS: String,
+                 hiS: String): Option[(Int, Int)] =
+      if (l.value == null) None
+      else (l.dataType, code) match {
+        case (StringType, 's') =>
+          val v = l.value.toString
+          Some((strCmp(loS, v), strCmp(hiS, v)))
+        case _ =>
+          litVal(l, code).map(v =>
+            (BigDecimal(loS).compare(v), BigDecimal(hiS).compare(v)))
+      }
     def cmp(name: String, lit: Literal,
-            noMatchIf: (BigDecimal, BigDecimal, BigDecimal) => Boolean): Prune = {
+            noMatchIf: (Int, Int) => Boolean): Prune = {
       val phys = logicalToPhysical.getOrElse(name, name)
       stats.get(phys) match {
         case Some((code, loS, hiS)) =>
-          litVal(lit, code) match {
-            case Some(v) =>
-              val (lo, hi) = (BigDecimal(loS), BigDecimal(hiS))
-              if (noMatchIf(lo, hi, v)) NoMatch else MightMatch
+          compares(lit, code, loS, hiS) match {
+            case Some((cLo, cHi)) =>
+              if (noMatchIf(cLo, cHi)) NoMatch else MightMatch
             case None => MightMatch
           }
         case None => MightMatch
+      }
+    }
+    // `col` has prefix `p` ⟹ p ≤ col < incrementLast(p): NoMatch when
+    // hi < p, or lo ≥ the increment (when one exists)
+    def prefixPrune(name: String, p: String): Prune = {
+      val phys = logicalToPhysical.getOrElse(name, name)
+      stats.get(phys) match {
+        case Some(('s', loS, hiS)) =>
+          val hiBelow = strCmp(hiS, p) < 0
+          val loAbove = incrementLastCodePoint(p)
+            .exists(u => strCmp(loS, u) >= 0)
+          if (hiBelow || loAbove) NoMatch else MightMatch
+        case _ => MightMatch
       }
     }
     // (column, literal, flipped) with flipped = the literal was on the left
@@ -767,29 +877,54 @@ object SnapshotStore {
           evalPrune(r, stats, logicalToPhysical) == NoMatch) NoMatch
         else MightMatch
       case c: GreaterThan => sides(c).map {
-        case (a, l, false) => cmp(a, l, (_, hi, v) => hi <= v) // col > v
-        case (a, l, true) => cmp(a, l, (lo, _, v) => lo >= v) // v > col
+        case (a, l, false) => cmp(a, l, (_, cHi) => cHi <= 0) // col > v
+        case (a, l, true) => cmp(a, l, (cLo, _) => cLo >= 0) // v > col
       }.getOrElse(MightMatch)
       case c: GreaterThanOrEqual => sides(c).map {
-        case (a, l, false) => cmp(a, l, (_, hi, v) => hi < v)
-        case (a, l, true) => cmp(a, l, (lo, _, v) => lo > v)
+        case (a, l, false) => cmp(a, l, (_, cHi) => cHi < 0)
+        case (a, l, true) => cmp(a, l, (cLo, _) => cLo > 0)
       }.getOrElse(MightMatch)
       case c: LessThan => sides(c).map {
-        case (a, l, false) => cmp(a, l, (lo, _, v) => lo >= v)
-        case (a, l, true) => cmp(a, l, (_, hi, v) => hi <= v)
+        case (a, l, false) => cmp(a, l, (cLo, _) => cLo >= 0)
+        case (a, l, true) => cmp(a, l, (_, cHi) => cHi <= 0)
       }.getOrElse(MightMatch)
       case c: LessThanOrEqual => sides(c).map {
-        case (a, l, false) => cmp(a, l, (lo, _, v) => lo > v)
-        case (a, l, true) => cmp(a, l, (_, hi, v) => hi < v)
+        case (a, l, false) => cmp(a, l, (cLo, _) => cLo > 0)
+        case (a, l, true) => cmp(a, l, (_, cHi) => cHi < 0)
       }.getOrElse(MightMatch)
       case c: EqualTo => sides(c).map {
-        case (a, l, _) => cmp(a, l, (lo, hi, v) => v < lo || v > hi)
+        case (a, l, _) => cmp(a, l, (cLo, cHi) => cLo > 0 || cHi < 0)
       }.getOrElse(MightMatch)
       case c: EqualNullSafe => sides(c).map {
         case (a, l, _) =>
           if (l.value == null) MightMatch // nulls are untracked
-          else cmp(a, l, (lo, hi, v) => v < lo || v > hi)
+          else cmp(a, l, (cLo, cHi) => cLo > 0 || cHi < 0)
       }.getOrElse(MightMatch)
+      case sw: StartsWith =>
+        (attrName(sw.left), asLit(sw.right)) match {
+          case (Some(a), Some(l))
+            if l.value != null && l.dataType == StringType =>
+            prefixPrune(a, l.value.toString)
+          case _ => MightMatch
+        }
+      // a pure-prefix LIKE ('abc%': one trailing %, no other wildcard or
+      // escape) prunes like StartsWith — the ANALYZED tree still holds
+      // Like (the StartsWith rewrite is an optimizer rule, and the
+      // optimizer would fold a filter over the empty analysis relation
+      // away entirely)
+      case lk: Like =>
+        (attrName(lk.left), asLit(lk.right)) match {
+          case (Some(a), Some(l))
+            if l.value != null && l.dataType == StringType =>
+            val pat = l.value.toString
+            val body = pat.dropRight(1)
+            if (pat.nonEmpty && pat.endsWith("%") &&
+              !body.exists(ch => ch == '%' || ch == '_' ||
+                ch == lk.escapeChar))
+              prefixPrune(a, body)
+            else MightMatch
+          case _ => MightMatch
+        }
       case _ => MightMatch
     }
   }
@@ -1444,8 +1579,9 @@ object SnapshotStore {
   /** Initial snapshot (version 1). `statsCols` declares the store's
     * data-skipping columns ([[readWhere]]): every commit records per-gen
     * min/max bounds for them in the manifest. Names must be clean
-    * identifiers (the blob grammar reserves `; = :`); supported types
-    * only — string bounds are refused rather than done unsoundly.
+    * identifiers (the blob grammar reserves `; = :`); supported types:
+    * integral, floating, date, timestamp, string (string bounds follow
+    * the truncate+increment discipline, [[stringBounds]]).
     */
   def write(df: DataFrame, path: String, partCol: String,
             statsCols: Seq[String] = Nil): Unit = {
@@ -1531,7 +1667,7 @@ object SnapshotStore {
       if (schema.fieldNames.contains(c))
         require(supportedStatsType(schema(c).dataType),
           s"stats column $c has unsupported type ${schema(c).dataType} " +
-            "(integral, floating, date, timestamp only)")
+            "(integral, floating, date, timestamp, string only)")
     }
 
   /** Published AFTER the initial commit: a crash between the two leaves a

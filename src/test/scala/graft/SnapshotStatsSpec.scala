@@ -252,12 +252,115 @@ class SnapshotStatsSpec extends SparkSpec {
     "stats column name") {
     val dir = newDir("ff")
     intercept[IllegalArgumentException] {
-      SnapshotStore.write(Seq((1L, "p0", "s")).toDF("k", "p", "txt"),
-        dir, "p", statsCols = Seq("txt"))
+      SnapshotStore.write(Seq((1L, "p0", true)).toDF("k", "p", "flag"),
+        dir, "p", statsCols = Seq("flag"))
     }
     intercept[IllegalArgumentException] {
       SnapshotStore.write(Seq((1L, "p0", 1.0)).toDF("k", "p", "v"),
         dir, "p", statsCols = Seq("v;w"))
     }
+  }
+
+  /** 3 gens with range-disjoint STRING keys in one partition. */
+  private def stringStore(dir: String, mk: Long => String): Unit = {
+    def chunk(lo: Long, n: Int) =
+      (0 until n).map(i => (mk(lo + i), s"p${i % 2}", lo + i))
+        .toDF("sk", "p", "k")
+    SnapshotStore.write(chunk(0L, 10), dir, "p", statsCols = Seq("sk"))
+    SnapshotStore.append(chunk(100L, 10), dir, "p")
+    SnapshotStore.append(chunk(200L, 10), dir, "p")
+  }
+
+  test("STRING bounds prune range, equality, startsWith and pure-prefix " +
+    "LIKE; non-prefix LIKE falls back to reading everything") {
+    val dir = newDir("str")
+    stringStore(dir, n => f"key$n%05d") // 8 chars: exact bounds
+    def check(pred: org.apache.spark.sql.Column, nGens: Int): Unit = {
+      val pruned = SnapshotStore.readWhere(spark, dir, pred)
+      val full = SnapshotStore.read(spark, dir).filter(pred)
+      assert(pruned.select("k").as[Long].collect().toSet ==
+        full.select("k").as[Long].collect().toSet, s"content for $pred")
+      assert(gens(pruned.inputFiles).size == nGens, s"gens for $pred")
+    }
+    check(col("sk") >= "key00100" && col("sk") < "key00110", 1)
+    check(col("sk") === "key00205", 1)
+    check(lit("key00009") >= col("sk"), 1, // literal-on-left flips
+    )
+    check(col("sk").startsWith("key001"), 1)
+    check(col("sk").like("key002%"), 1)
+    check(col("sk").like("key%"), 3) // prefix shared by every gen
+    check(col("sk").like("%205"), 3) // not a pure prefix: no pruning
+    check(col("sk").like("key00_05"), 3) // '_' wildcard: no pruning
+  }
+
+  test("STRING truncation discipline: bounds cap at 16 code points, the " +
+    "upper bound increments, and values differing only PAST the cap " +
+    "never mis-prune") {
+    val dir = newDir("trunc")
+    // 28-char keys: 10-char pad + 6 digits + constant 12-char tail — the
+    // 16-code-point cap keeps exactly pad+digits (gens still separate)
+    // and truncates the tail (the upper bound must increment)
+    stringStore(dir, n => f"padpadpad-$n%06dsuffixsuffix")
+    val pred = col("sk") >= "padpadpad-000100suffixsuffix" &&
+      col("sk") <= "padpadpad-000109suffixsuffix"
+    val pruned = SnapshotStore.readWhere(spark, dir, pred)
+    assert(pruned.count() == 10)
+    assert(gens(pruned.inputFiles).size == 1,
+      "truncated-at-16 bounds still separate these gens")
+    // a predicate whose decision point lies BEYOND the truncation cap:
+    // conservative (the boundary gen kept), never wrong
+    val edge = col("sk") > "padpadpad-000004suffixsuffix"
+    val got = SnapshotStore.readWhere(spark, dir, edge)
+    assert(got.count() ==
+      SnapshotStore.read(spark, dir).filter(edge).count(),
+      "truncation must stay conservative at sub-cap-invisible boundaries")
+    // all-maxed prefix: no sound upper bound exists — no bounds recorded,
+    // gen conservatively read
+    val dir2 = newDir("maxcp")
+    val maxed = new String(Character.toChars(0x10FFFF)) * 17
+    SnapshotStore.write(Seq((maxed, "p0", 1L)).toDF("sk", "p", "k"),
+      dir2, "p", statsCols = Seq("sk"))
+    SnapshotStore.append(Seq(("aaa", "p0", 2L)).toDF("sk", "p", "k"),
+      dir2, "p")
+    val g = SnapshotStore.readWhere(spark, dir2, col("sk") > "zzz")
+    assert(g.select("k").as[Long].collect().toSeq == Seq(1L))
+    assert(gens(g.inputFiles).size == 1,
+      "the unboundable (all-U+10FFFF) gen is kept conservatively; the " +
+        "bounded 'aaa' gen prunes")
+  }
+
+  test("STRING bounds survive non-ASCII (multi-byte and supplementary " +
+    "code points compare in UTF8 byte order, not Java char order) and " +
+    "blob-reserved characters in values") {
+    val dir = newDir("utf8")
+    // gen 1: ASCII high-end; gen 2: supplementary-plane values. In Java
+    // char order the surrogate pair (😀) sorts BELOW �;
+    // in UTF-8 byte order it sorts ABOVE — the domain Spark filters in.
+    SnapshotStore.write(
+      Seq(("zebra", "p0", 1L), ("zulu", "p0", 2L)).toDF("sk", "p", "k"),
+      dir, "p", statsCols = Seq("sk"))
+    SnapshotStore.append(
+      Seq(("😀grin", "p0", 3L), ("�repl", "p0", 4L))
+        .toDF("sk", "p", "k"), dir, "p")
+    val pred = col("sk") > "￿"
+    val got = SnapshotStore.readWhere(spark, dir, pred)
+    val full = SnapshotStore.read(spark, dir).filter(pred)
+    assert(got.select("k").as[Long].collect().toSet ==
+      full.select("k").as[Long].collect().toSet,
+      "supplementary-plane rows must survive the bounds check")
+    assert(got.select("k").as[Long].collect().toSet == Set(3L),
+      "only the emoji row sorts above U+FFFF in UTF-8 byte order")
+    assert(gens(got.inputFiles).size == 1, "the ASCII gen prunes")
+    // blob-grammar characters in values round-trip the escape
+    val dir2 = newDir("resv")
+    SnapshotStore.write(
+      Seq(("a:b;c=d", "p0", 1L), ("a:b;c=e", "p0", 2L))
+        .toDF("sk", "p", "k"), dir2, "p", statsCols = Seq("sk"))
+    SnapshotStore.append(
+      Seq(("zz", "p0", 3L)).toDF("sk", "p", "k"), dir2, "p")
+    val g2 = SnapshotStore.readWhere(spark, dir2, col("sk") === "a:b;c=d")
+    assert(g2.select("k").as[Long].collect().toSeq == Seq(1L))
+    assert(gens(g2.inputFiles).size == 1,
+      "reserved-char bounds must parse back and prune the zz gen")
   }
 }

@@ -325,6 +325,23 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT * FROM graft_snapshot_where('$dir', '1', 'k >= 100')")
       .count() == 0, "versioned: v1 has no such keys")
+    // STRING bounds through the SQL rung: equality and pure-prefix LIKE
+    val dirS = java.nio.file.Files
+      .createTempDirectory("graft_snapwsqls").toString + "/st"
+    def schunk(tag: String, lo: Long) =
+      (0 until 5).map(i => (f"$tag${lo + i}%04d", "p0", lo + i))
+        .toDF("sk", "p", "k")
+    graft.storage.SnapshotStore.write(schunk("aa", 0L), dirS, "p",
+      statsCols = Seq("sk"))
+    graft.storage.SnapshotStore.append(schunk("bb", 100L), dirS, "p")
+    val sEq = spark.sql(
+      s"""SELECT * FROM graft_snapshot_where('$dirS', 'head', 'sk = "bb0102"')""")
+    assert(sEq.select("k").as[Long].collect().toSeq == Seq(102L))
+    assert(gens(sEq.inputFiles).size == 1, "string equality prunes via SQL")
+    val sLike = spark.sql(
+      s"""SELECT * FROM graft_snapshot_where('$dirS', 'head', 'sk LIKE "aa%"')""")
+    assert(sLike.count() == 5)
+    assert(gens(sLike.inputFiles).size == 1, "prefix LIKE prunes via SQL")
     val e1 = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_snapshot_where('$dir', 'vv', 'k > 0')").collect())
     assert(e1.getMessage.contains("positive integer or 'head'"))
