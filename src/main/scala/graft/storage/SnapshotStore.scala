@@ -129,290 +129,39 @@ object SnapshotStore {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  // ---- manifest tier: flat under the threshold, content-addressed -------
-  // ---- hash-bucketed segments above it -----------------------------------
+  // ---- manifest tier + codecs: see SnapshotFormat ------------------------
   //
-  // The flat one-line-per-partition manifest parses linearly in partition
-  // count (measured 13.3x from 10k to 100k entries — the one super-linear
-  // curve in SCALE100.json). At 1M partitions (daily x tenant at a true
-  // 100 TB) that is ~0.5 s of driver parse per manifest resolution and a
-  // multi-MB file rewritten whole on EVERY commit. The segment tier is the
-  // Iceberg manifest-list argument re-expressed minimally:
-  //   - `_manifest-<v>` becomes a small HEAD file: a marker line
-  //     (`graft-segments TAB nBuckets TAB totalEntries`) plus one
-  //     line per non-empty bucket (`bucket TAB nEntries TAB segs/seg-<md5>`)
-  //   - each segment holds one hash-bucket's entries in the SAME line
-  //     format as a flat manifest, and is CONTENT-ADDRESSED (named by the
-  //     md5 of its bytes): an untouched bucket serializes to the same
-  //     bytes, hashes to the same name, and is re-referenced WITHOUT any
-  //     I/O — so a commit's segment writes are proportional to its TOUCHED
-  //     buckets, versions share untouched segments the way they share gen
-  //     dirs, and two racing writers of identical content converge on one
-  //     file (the rename loser discards its staging copy).
-  // What each operation costs at N partitions, B touched:
-  //   - commitDelta (merge/append/compact): O(B) segment reads + writes
-  //   - readPartitions / merge's touched-dir lookup: parses only the
-  //     requested values' buckets — O(B)
-  //   - changes: buckets whose (content-addressed) refs are EQUAL between
-  //     the versions cannot differ — only differing buckets are parsed
-  //   - rollback: copies the target's head text verbatim (segment refs and
-  //     all) — O(head), no segment touched
-  //   - full read / expire: inherently O(N); segments parse in parallel
-  //     (the flat tier is one serial string split), and expire parses each
-  //     DISTINCT segment once across all retained versions
-  // The marker line cannot collide with a partition value: the marker
-  // begins with the \u0001 control character, values are path-escaped
-  // into the manifest, and escapePathName always %-escapes control
-  // characters, so no escaped value can start a line with the marker
-  // (SnapshotSpec pins this). Buckets come from the logical value's
-  // String.hashCode (spec-fixed, JVM-stable), bucket count is the power of
-  // two targeting ~4k entries per segment; a commit whose entry count
-  // crosses a bucket-count boundary (or the flat threshold, in either
-  // direction) re-segments whole — rare, amortized, and the upgrade path
-  // for a flat store outgrowing the threshold.
+  // The manifest text format, the content-addressed hash-bucketed segment
+  // tier (the Iceberg manifest-list argument -- costs and collision
+  // arguments documented there), the per-gen stats-blob codec and the
+  // `_renames-<v>` parsing live in [[SnapshotFormat]]. This object holds
+  // the VERBS: what is promised, when bytes are written, how races
+  // resolve. The format layer never mutates the store.
+  import SnapshotFormat._
 
-  /** Entry count at and above which commits write the segmented format.
-    * Overridable for tests (`-Dgraft.snapshot.segmentThreshold=4` makes a
-    * 5-partition store exercise the whole segment code path).
-    */
-  private[graft] def segmentThreshold: Int =
-    sys.props.get("graft.snapshot.segmentThreshold").map(_.toInt)
-      .getOrElse(8192)
-
-  private val SegMarker = "\u0001graft-segments"
-
-  private def chooseBuckets(n: Int): Int = {
-    var b = 16
-    while (b.toLong * 4096 < n) b *= 2
-    b
-  }
-
-  private def bucketOf(value: String, nBuckets: Int): Int =
-    math.floorMod(value.hashCode, nBuckets)
-
-  private[graft] sealed trait Head { def totalEntries: Int }
-  private[graft] case class FlatHead(entries: Map[String, Seq[String]])
-      extends Head { def totalEntries: Int = entries.size }
-  /** refs: bucket → (nEntries, store-relative segment path). */
-  private[graft] case class SegHead(nBuckets: Int, total: Int,
-      refs: Map[Int, (Int, String)]) extends Head {
-    def totalEntries: Int = total
-  }
-
-  private def readFileUtf8(fs: org.apache.hadoop.fs.FileSystem,
-                           p: org.apache.hadoop.fs.Path): String = {
-    // bulk byte read, not scala.io.Source (whose char-iterator costs ~1 s
-    // per MB — measured dominating the 1M-partition manifest rung)
-    val in = fs.open(p)
-    try {
-      val buf = new java.io.ByteArrayOutputStream(64 * 1024)
-      val chunk = new Array[Byte](64 * 1024)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      new String(buf.toByteArray, "UTF-8")
-    } finally in.close()
-  }
-
-  /** Parses flat-format manifest/segment lines (escaped value TAB dirs).
-    * Index-walk, not split-regex chains: the 1M-entry rung is driver CPU
-    * and allocation bound, so per-line garbage is the constant that shows.
-    */
-  private def parseLines(txt: String, src: String): Map[String, Seq[String]] = {
-    val b = Map.newBuilder[String, Seq[String]]
-    var start = 0
-    val n = txt.length
-    while (start < n) {
-      var end = txt.indexOf('\n', start)
-      if (end < 0) end = n
-      if (end > start) {
-        val line = txt.substring(start, end)
-        val i = line.indexOf('\t')
-        // fail FAST on a dir-less line (truncated write, corruption):
-        // mapping it to an empty dir list would silently drop the
-        // partition's rows from every read instead of surfacing the
-        // broken manifest
-        require(i > 0 && i < line.length - 1,
-          s"malformed manifest line in $src (no dirs): '$line'")
-        b += Esc.unescapePathName(line.substring(0, i)) ->
-          scala.collection.immutable.ArraySeq.unsafeWrapArray(
-            line.substring(i + 1).split("\t"))
-      }
-      start = end + 1
-    }
-    b.result()
-  }
-
-  private def serializeEntries(entries: Map[String, Seq[String]]): String =
-    entries.toSeq.sortBy(_._1)
-      .map { case (value, ds) =>
-        (Esc.escapePathName(value) +: ds).mkString("\t") }
-      .mkString("\n")
-
-  /** Parses `_manifest-<v>` WITHOUT loading segments (O(head file)). */
+  // private[graft] re-exports for the specs and the scale probe (the
+  // format layer itself is private[storage])
+  private[graft] type Head = SnapshotFormat.Head
+  private[graft] type FlatHead = SnapshotFormat.FlatHead
+  private[graft] type SegHead = SnapshotFormat.SegHead
   private[graft] def readHead(spark: SparkSession, path: String,
-                              version: Int): Head = {
-    val fs = hfs(spark, path)
-    val mf = new org.apache.hadoop.fs.Path(path, s"_manifest-$version")
-    require(fs.exists(mf), s"no snapshot version $version at $path")
-    val txt = readFileUtf8(fs, mf)
-    if (!txt.startsWith(SegMarker + "\t")) FlatHead(parseLines(txt, mf.toString))
-    else {
-      val lines = txt.split("\n").filter(_.nonEmpty)
-      val h = lines.head.split("\t")
-      require(h.length == 3, s"malformed segment header in $mf")
-      val refs = lines.tail.map { line =>
-        val f = line.split("\t")
-        require(f.length == 3, s"malformed segment ref in $mf: '$line'")
-        f(0).toInt -> (f(1).toInt, f(2))
-      }.toMap
-      SegHead(h(1).toInt, h(2).toInt, refs)
-    }
-  }
-
-  /** Loads one segment. A segment that VANISHED under a retained manifest
-    * can only mean a concurrent [[expire]] dropped the whole version
-    * between our head read and this load — surfaced with the same message
-    * as a missing manifest so [[versionVanished]] callers treat both races
-    * uniformly; any other corruption stays loud.
-    */
-  private def loadSeg(spark: SparkSession, path: String, version: Int,
-                      segRel: String): Map[String, Seq[String]] = {
-    val fs = hfs(spark, path)
-    try parseLines(readFileUtf8(fs, new org.apache.hadoop.fs.Path(path, segRel)),
-      s"$path/$segRel")
-    catch {
-      case _: java.io.FileNotFoundException =>
-        throw new IllegalArgumentException(
-          s"no snapshot version $version at $path — segment $segRel swept " +
-            "by a concurrent expire")
-    }
-  }
-
-  /** value → dirs, the version's FULL entry map. Dir lists are
-    * tab-separated: partition VALUES are path-escaped (tab → %09) and dir
-    * strings are built from escaped values, so TAB never occurs inside a
-    * field. Segmented heads load their segments in parallel (driver
-    * threads — segment parses are independent). `private[graft]` for the
-    * scale probe (manifest-ceiling rung), not API.
-    */
+                              version: Int): SnapshotFormat.Head =
+    SnapshotFormat.readHead(spark, path, version)
   private[graft] def readManifest(spark: SparkSession, path: String,
                                   version: Int): Map[String, Seq[String]] =
-    readHead(spark, path, version) match {
-      case FlatHead(e) => e
-      case SegHead(_, _, refs) => loadSegs(spark, path, version,
-        refs.values.map(_._2).toSeq)
-    }
-
-  /** Parallel load+parse of `segs`, merged into one map. `keep` filters
-    * entries INSIDE each segment load, so a filtering scan (compaction
-    * discovery) never materializes the store-wide map — only survivors.
-    */
-  private def loadSegs(spark: SparkSession, path: String, version: Int,
-                       segs: Seq[String],
-                       keep: (String, Seq[String]) => Boolean = (_, _) => true)
-      : Map[String, Seq[String]] = {
-    if (segs.isEmpty) return Map.empty
-    if (segs.size == 1)
-      return loadSeg(spark, path, version, segs.head)
-        .filter { case (k, ds) => keep(k, ds) }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, segs.size))
-    try {
-      val futs = segs.map { seg =>
-        pool.submit(new java.util.concurrent.Callable[Map[String, Seq[String]]] {
-          def call(): Map[String, Seq[String]] =
-            loadSeg(spark, path, version, seg)
-              .filter { case (k, ds) => keep(k, ds) }
-        })
-      }
-      // single sized builder pass — a flatMap-then-toMap materializes an
-      // intermediate N-tuple Seq that dominated the 1M-entry rung
-      val b = Map.newBuilder[String, Seq[String]]
-      futs.foreach { f =>
-        try b ++= f.get()
-        catch { // surface the real parse/race failure, not the wrapper
-          case e: java.util.concurrent.ExecutionException =>
-            throw e.getCause
-        }
-      }
-      b.result()
-    } finally pool.shutdown()
-  }
-
-  /** The version's referenced DIRS only — the resolution [[read]] and
-    * [[expire]] actually need. Skips the value-keyed map entirely (no
-    * unescape, no map build — at 1M entries those JVM constants dominate
-    * the full-map resolve several-fold): each segment line contributes
-    * its post-TAB fields directly.
-    */
+    SnapshotFormat.readManifest(spark, path, version)
   private[graft] def readManifestDirs(spark: SparkSession, path: String,
                                       version: Int): Seq[String] =
-    readHead(spark, path, version) match {
-      case FlatHead(e) => e.values.flatten.toSeq
-      case SegHead(_, _, refs) =>
-        val segs = refs.values.map(_._2).toSeq
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(16, math.max(1, segs.size)))
-        try {
-          val futs = segs.map { seg =>
-            pool.submit(new java.util.concurrent.Callable[Array[String]] {
-              def call(): Array[String] = {
-                val fs = hfs(spark, path)
-                val txt =
-                  try readFileUtf8(fs,
-                    new org.apache.hadoop.fs.Path(path, seg))
-                  catch {
-                    case _: java.io.FileNotFoundException =>
-                      throw new IllegalArgumentException(
-                        s"no snapshot version $version at $path — segment " +
-                          s"$seg swept by a concurrent expire")
-                  }
-                txt.split("\n").filter(_.nonEmpty).flatMap { line =>
-                  val i = line.indexOf('\t')
-                  require(i > 0 && i < line.length - 1,
-                    s"malformed manifest line in $path/$seg (no dirs): '$line'")
-                  line.substring(i + 1).split("\t")
-                }
-              }
-            })
-          }
-          val b = Seq.newBuilder[String]
-          futs.foreach { f =>
-            try b ++= f.get()
-            catch {
-              case e: java.util.concurrent.ExecutionException =>
-                throw e.getCause
-            }
-          }
-          b.result()
-        } finally pool.shutdown()
-    }
-
-  /** The version's entries RESTRICTED to `values` — parses only the
-    * buckets those values hash into on a segmented head (O(touched), the
-    * manifest-lookup pruning [[readPartitions]] and [[merge]] ride on);
-    * a flat head is one small parse either way.
-    */
+    SnapshotFormat.readManifestDirs(spark, path, version)
   private[graft] def readManifestValues(spark: SparkSession, path: String,
-      version: Int, values: Seq[String]): Map[String, Seq[String]] = {
-    val vset = values.toSet
-    readHead(spark, path, version) match {
-      case FlatHead(e) => e.filter { case (k, _) => vset(k) }
-      case SegHead(nb, _, refs) =>
-        val buckets = vset.map(bucketOf(_, nb))
-        loadSegs(spark, path, version,
-          buckets.toSeq.sorted.flatMap(b => refs.get(b).map(_._2)))
-          .filter { case (k, _) => vset(k) }
-    }
-  }
+      version: Int, values: Seq[String]): Map[String, Seq[String]] =
+    SnapshotFormat.readManifestValues(spark, path, version, values)
+  private[graft] def dirOf(field: String): String =
+    SnapshotFormat.dirOf(field)
+  private[graft] def readRenames(spark: SparkSession, path: String,
+                                 v: Int): Map[String, String] =
+    SnapshotFormat.readRenames(spark, path, v)
 
-  /** True iff `e` is [[readManifest]]'s missing-version failure — the
-    * signature of a version a concurrent [[expire]] dropped between a
-    * writer resolving it and reading it. Deliberately narrow: the
-    * malformed-manifest require stays LOUD through every caller.
-    */
-  private def versionVanished(e: IllegalArgumentException): Boolean =
-    e.getMessage != null && e.getMessage.contains("no snapshot version")
 
   /** [[readManifest]] for WRITE paths: a version that vanished to a
     * concurrent retention sweep surfaces as the same
@@ -535,82 +284,8 @@ object SnapshotStore {
   // timestamp, and (r14) string — string bounds follow Iceberg's public
   // truncate(N) discipline, see [[stringBounds]].
 
-  /** String bounds truncate to this many Unicode CODE POINTS — long
-    * values (URLs, comments) would otherwise bloat every manifest entry,
-    * and 16 code points separate real-world categorical/prefix data
-    * (verbs, levels, path prefixes) while keeping the blob ~bounded.
-    */
-  private val StatsTruncLen = 16
 
-  private def truncCodePoints(s: String, n: Int): String =
-    if (s.codePointCount(0, s.length) <= n) s
-    else s.substring(0, s.offsetByCodePoints(0, n))
 
-  /** The smallest valid string strictly greater than every extension of
-    * `t` (code-point order == UTF-8 byte order): increment `t`'s last
-    * code point, skipping the surrogate gap (D800-DFFF are not code
-    * points a decoded string can carry); a maxed-out (U+10FFFF) tail
-    * carries leftward; all-maxed has no successor — None.
-    */
-  private def incrementLastCodePoint(t: String): Option[String] = {
-    val cps = t.codePoints().toArray
-    var i = cps.length - 1
-    while (i >= 0) {
-      if (cps(i) != 0x10FFFF) {
-        val next =
-          if (cps(i) + 1 >= 0xD800 && cps(i) + 1 <= 0xDFFF) 0xE000
-          else cps(i) + 1
-        val out = new java.lang.StringBuilder
-        (0 until i).foreach(j => out.appendCodePoint(cps(j)))
-        out.appendCodePoint(next)
-        return Some(out.toString)
-      }
-      i -= 1
-    }
-    None
-  }
-
-  /** Iceberg's truncate(N) discipline (a public concept, re-derived):
-    * lower bound = min truncated to N code points (a prefix sorts ≤ the
-    * full string in UTF-8 byte order); upper bound = max truncated, and
-    * when truncation dropped anything, last code point INCREMENTED —
-    * every extension of the prefix sorts strictly below the incremented
-    * prefix, so the bound stays sound. Increment overflow (an all-
-    * U+10FFFF prefix) has no sound upper bound: record nothing, the gen
-    * reads conservatively. Values arrive from the gen's own parquet
-    * files, so they are valid UTF-8 by construction (no lone-surrogate
-    * order hazard between Java's char order and UTF8String's byte
-    * order), and all COMPARISONS against these bounds run in UTF8String
-    * byte order — the exact order Spark's min/max and string filters
-    * use.
-    */
-  private def stringBounds(mn: String, mx: String): Option[(String, String)] = {
-    val lo = truncCodePoints(mn, StatsTruncLen)
-    val hiT = truncCodePoints(mx, StatsTruncLen)
-    val hi = if (hiT == mx) Some(mx) else incrementLastCodePoint(hiT)
-    hi.map(h => (lo, h))
-  }
-
-  /** Escapes a string bound into the blob grammar: `escapePathName`
-    * covers `: = %` and control chars; ';' (the blob's field separator,
-    * not in Hive's escape set) is folded to its own %-escape, which the
-    * single `unescapePathName` at parse time already decodes.
-    */
-  private def escapeStatValue(v: String): String =
-    Esc.escapePathName(v).replace(";", "%3B")
-
-  private val StatsSep = "\u0002"
-
-  /** The dir-path part of a manifest dir field (strips the stats blob). */
-  private[graft] def dirOf(field: String): String = {
-    val i = field.indexOf(StatsSep)
-    if (i < 0) field else field.substring(0, i)
-  }
-
-  private def statsOf(field: String): Option[String] = {
-    val i = field.indexOf(StatsSep)
-    if (i < 0) None else Some(field.substring(i + 1))
-  }
 
   /** Declared stats columns (physical names), empty when never declared.
     * A writer-side hint only: [[readWhere]] trusts per-dir blobs, never
@@ -622,56 +297,6 @@ object SnapshotStore {
     if (!fs.exists(p)) Nil
     else readFileUtf8(fs, p).split("\n").filter(_.nonEmpty)
       .map(Esc.unescapePathName).toSeq
-  }
-
-  private def supportedStatsType(dt: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType | DateType | TimestampType |
-           StringType => true
-      case _ => false
-    }
-  }
-
-  private def statCode(dt: org.apache.spark.sql.types.DataType): Char = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case ByteType | ShortType | IntegerType | LongType => 'l'
-      case FloatType | DoubleType => 'd'
-      case DateType => 'a'
-      case TimestampType => 't'
-      case StringType => 's'
-      case other => throw new IllegalArgumentException(
-        s"unsupported stats type $other")
-    }
-  }
-
-  /** External row value → the blob's canonical string (epoch days for
-    * dates, epoch micros for timestamps, plain toString for numbers —
-    * deterministic, so identical content serializes identically and
-    * content-addressed segments stay shared).
-    *
-    * FLOAT bounds serialize as their EXACT widened double
-    * (`f.doubleValue.toString`), never `Float.toString`: predicates
-    * compare in the double domain (a float row widens exactly under a
-    * double literal), and Float's shortest round-trip decimal is a
-    * DIFFERENT real than the widened double — e.g. 0.1f prints "0.1"
-    * but widens to 0.100000001490…, so a blob carrying "0.1" would let
-    * `readWhere(f > 0.1)` prune a gen whose rows satisfy the predicate.
-    * Double.toString's shortest decimal is order-faithful (distinct
-    * doubles → decimals in the same order), so comparing blob decimals
-    * as BigDecimal matches comparing the doubles themselves.
-    */
-  private def statValue(v: Any): String = v match {
-    case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
-    case d: java.time.LocalDate => d.toEpochDay.toString
-    case t: java.sql.Timestamp =>
-      (t.getTime * 1000L + (t.getNanos / 1000L) % 1000L).toString
-    case i: java.time.Instant =>
-      (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
-    case f: java.lang.Float => f.doubleValue.toString
-    case other => other.toString
   }
 
   /** Per-partition-value stats blobs for the just-written gen, read back
@@ -737,23 +362,6 @@ object SnapshotStore {
       else Some(r.getString(0) -> blob)
     }.toMap
   }
-
-  /** Blob → col → (code, lo, hi). Malformed blobs are LOUD (a manifest
-    * carrying a half-written blob is corruption, not a missing feature).
-    * Values unescape here (numeric bounds are escape-invariant; string
-    * bounds round-trip their one escape), and the `-1` split limit keeps
-    * EMPTY string bounds — "" is a legal min — as real fields.
-    */
-  private def parseStats(blob: String): Map[String, (Char, String, String)] =
-    blob.split(";").filter(_.nonEmpty).map { part =>
-      val eq = part.indexOf('=')
-      require(eq > 0, s"malformed stats blob field: '$part'")
-      val f = part.substring(eq + 1).split(":", -1)
-      require(f.length == 3 && f(0).length == 1,
-        s"malformed stats blob field: '$part'")
-      Esc.unescapePathName(part.substring(0, eq)) ->
-        (f(0).head, Esc.unescapePathName(f(1)), Esc.unescapePathName(f(2)))
-    }.toMap
 
   // tri-state pruning verdict: NoMatch means PROVABLY no row in the dir
   // can satisfy the predicate; anything unprovable stays MightMatch
@@ -1019,33 +627,6 @@ object SnapshotStore {
   // still a physical name of the store (fail-fast) — that is the
   // collision a real field-ID system dissolves, priced here at one clear
   // error instead of an ID plumbed through every file.
-
-  /** The tombstone "logical name" marking a DROPPED physical column inside
-    * the `_renames-<v>` mapping: a drop is a rename onto this sentinel, so
-    * every carrier the logical-name layer already has — commit
-    * carry-forward, rollback restore (the target's mapping IS its dropped
-    * set), expire sweep, the retired-physical-name write guard — serves
-    * drops with no second metadata file. The sentinel is a control
-    * character: `escapePathName` %-escapes it in the file, and column
-    * names are validated against control characters, so no user column
-    * can collide with it.
-    */
-  private val Dropped = "\u0001dropped"
-
-  /** physical → logical for version `v`; empty when never renamed. Entries
-    * whose logical name is [[Dropped]] mark dropped physical columns.
-    */
-  private[graft] def readRenames(spark: SparkSession, path: String,
-                                 v: Int): Map[String, String] = {
-    val fs = hfs(spark, path)
-    val p = new org.apache.hadoop.fs.Path(path, s"_renames-$v")
-    if (!fs.exists(p)) Map.empty
-    else readFileUtf8(fs, p).split("\n").filter(_.nonEmpty).map { line =>
-      val f = line.split("\t")
-      require(f.length == 2, s"malformed rename line in $p: '$line'")
-      Esc.unescapePathName(f(0)) -> Esc.unescapePathName(f(1))
-    }.toMap
-  }
 
   /** physical columns → the version's logical names (read boundary);
     * DROPPED physical columns are projected away (they only surface when
@@ -2238,129 +1819,6 @@ object SnapshotStore {
              minAgeMs: Long = 3600000L): Unit = {
     requireAtomicRename(path)
     require(keep >= 1, "must keep at least the head snapshot")
-    val fs = hfs(spark, path)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val head = headVersion(spark, path).getOrElse(return)
-    // TAGGED versions are retained regardless of the keep window: their
-    // manifests, schemas, renames, and referenced gens all survive. Heads
-    // first (cheap), then every DISTINCT segment exactly once: segments
-    // are shared across versions by content-addressing, so a store with
-    // `keep` retained versions of a 1M-partition manifest parses ~one
-    // manifest's worth of segments, not keep x N lines.
-    def resolve(tagged: Set[Int])
-        : (Set[String], Set[String]) = {
-      val retainedHeads =
-        ((math.max(1, head - keep + 1) to head).toSet ++ tagged).toSeq.sorted
-        .flatMap { v =>
-          // a concurrent sweep (whose head, and so cutoff, was >= ours)
-          // may delete a manifest in our range mid-scan: skipping it is
-          // safe — any gen it shares with a version either sweep retains
-          // is reachable through that retained version's manifest
-          try Some(v -> readHead(spark, path, v))
-          catch {
-            case e: IllegalArgumentException if versionVanished(e) => None
-          }
-        }
-      val liveSegs: Set[String] = retainedHeads.flatMap {
-        case (_, SegHead(_, _, refs)) => refs.values.map(_._2)
-        case _ => Nil
-      }.toSet
-      val flatDirs = retainedHeads.flatMap {
-        case (_, FlatHead(e)) => e.values.flatten
-        case _ => Nil
-      }
-      val segDirs = liveSegs.toSeq.sorted.flatMap { seg =>
-        // a segment swept by a concurrent expire (with its whole version)
-        // contributes nothing — same skip rationale as a vanished head
-        try loadSeg(spark, path, head, seg).values.flatten
-        catch {
-          case e: IllegalArgumentException if versionVanished(e) => Nil
-        }
-      }
-      (liveSegs,
-        (flatDirs ++ segDirs).map(_.split("/").take(2).mkString("/")).toSet)
-    }
-    // tag fixpoint: a tag published DURING the resolution must be honored
-    // CONSISTENTLY — keeping its manifest while its gens miss the live
-    // set would strand a retained version without data, which is worse
-    // than a clean sweep. So tags are re-read after each resolution and
-    // the resolution repeats until no new tag appears (bounded; in
-    // practice one pass). A tag that lands after the LAST re-read gets no
-    // protection from this sweep — its version is swept whole and tag()'s
-    // own post-publish manifest re-check retracts it loudly: the same
-    // two-unsynchronized-actors posture as Iceberg tag/expire without a
-    // catalog lock (SURVEY §4 — a commit-coordination primitive is
-    // required where the FS cannot provide one).
-    var tagged: Set[Int] = tags(spark, path).values.toSet
-    var (liveSegs, live) = resolve(tagged)
-    var tries = 0
-    var again = tags(spark, path).values.toSet
-    while ((again -- tagged).nonEmpty && tries < 3) {
-      tagged = tagged ++ again
-      val r = resolve(tagged)
-      liveSegs = r._1; live = r._2
-      tries += 1
-      again = tags(spark, path).values.toSet
-    }
-    (1 until math.max(1, head - keep + 1)).filterNot(tagged).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifest-$v"), false)
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"_schema-$v"), false)
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"_renames-$v"), false)
-    }
-    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
-    val now = System.currentTimeMillis()
-    // the age is the NEWEST status anywhere under the gen dir, not the
-    // dir's own mtime: object stores (S3A & co) synthesize directory
-    // mtimes, so only the youngest FILE reliably carries the "an
-    // in-flight commit just wrote here" signal the floor exists for.
-    // A dir that VANISHES mid-recursion was swept by a concurrent expire
-    // between our listing and this probe — already-deleted is the outcome
-    // this sweep wanted, so treat it as such instead of failing the whole
-    // sweep on the racing sweeper's success (the per-dir delete below is
-    // a no-op on a gone path either way).
-    def newest(st: org.apache.hadoop.fs.FileStatus): Long =
-      if (!st.isDirectory) st.getModificationTime
-      else {
-        val children =
-          try fs.listStatus(st.getPath)
-          catch {
-            case _: java.io.FileNotFoundException =>
-              Array.empty[org.apache.hadoop.fs.FileStatus]
-          }
-        (st.getModificationTime +: children.map(newest).toSeq).max
-      }
-    if (fs.exists(dataDir))
-      fs.listStatus(dataDir).foreach { st =>
-        val g = st.getPath.getName
-        if (!live.contains(s"data/$g") && now - newest(st) >= minAgeMs)
-          fs.delete(new org.apache.hadoop.fs.Path(root, s"data/$g"), true)
-      }
-    // segment GC: content-addressed segment files referenced by NO
-    // retained head age out under the same floor (a racing commit writes
-    // its segments BEFORE the manifest CAS references them — the floor
-    // protects that window exactly as it does for gen dirs), along with
-    // crash-leftover segment staging files. Segment files are plain files,
-    // so their own mtime is trustworthy (no synthetic-dir-mtime issue).
-    val segsDir = new org.apache.hadoop.fs.Path(root, "segs")
-    if (fs.exists(segsDir))
-      fs.listStatus(segsDir).foreach { st =>
-        val n = st.getPath.getName
-        val stale = (n.startsWith(".seg-") && n.endsWith(".tmp")) ||
-          (n.startsWith("seg-") && !liveSegs.contains(s"segs/$n"))
-        if (stale && now - st.getModificationTime >= minAgeMs)
-          fs.delete(st.getPath, false)
-      }
-    // crash-leftover manifest/schema staging files (a committer that died
-    // between create and rename) age out under the same floor
-    fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      val isStaging =
-        ((n.startsWith("._manifest-") || n.startsWith("._schema-") ||
-          n.startsWith("._renames-")) && n.endsWith(".tmp")) ||
-        n.startsWith("._tag.tmp-") || n.startsWith("._statscols.tmp-") ||
-        n.startsWith("._partcol.tmp-")
-      if (isStaging && now - st.getModificationTime >= minAgeMs)
-        fs.delete(st.getPath, false)
-    }
+    SnapshotRetention.expire(spark, path, keep, minAgeMs)
   }
 }
