@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(plans.MaintenanceSql.Expire.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Rename.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.DropColumn.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.Retype.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Merge.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Append.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Tag.descriptor)

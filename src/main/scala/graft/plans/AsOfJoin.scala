@@ -225,6 +225,8 @@ object AsOf {
       MaintenanceSql.DropColumn.name, MaintenanceSql.DropColumn.builder,
       "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.Retype.name, MaintenanceSql.Retype.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Merge.name, MaintenanceSql.Merge.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Append.name, MaintenanceSql.Append.builder, "scala_udf")

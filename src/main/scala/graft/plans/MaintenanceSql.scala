@@ -157,6 +157,40 @@ object MaintenanceSql {
       (FunctionIdentifier(name), info, builder)
   }
 
+  /** `graft_retype(path, name, newType)` — metadata-only SAFE-WIDENING
+    * retype (int→long and friends; the store's evolution matrix is
+    * add/rename/drop/widen); `newType` is a Spark DDL type name
+    * (`long`, `double`, `timestamp_ntz`); `detail` = 1.
+    */
+  object Retype {
+    val name = "graft_retype"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_retype(path, column, newType) - widens a SnapshotStore " +
+        "column's type as a metadata-only new version (old gens keep " +
+        "their narrow physical type; the reader upcasts); only exact " +
+        "widenings (byte/short/int -> wider integral or double, float " +
+        "-> double, date -> timestamp_ntz) are accepted; returns one " +
+        "status row; string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 3,
+        s"$name takes (path, column, newType); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val dt =
+        try org.apache.spark.sql.types.DataType.fromDDL(str(name, args, 2))
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"$name: unknown type '${str(name, args, 2)}'", e)
+        }
+      graft.storage.SnapshotStore.retypeColumn(
+        spark, str(name, args, 0), str(name, args, 1), dt)
+      statusRow(spark, "retype", str(name, args, 0), 1L)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
   /** `graft_merge(path, sourceView, partCol, keyCols [, deleteCol])` —
     * merges a registered view/table as one new snapshot version (upsert +
     * insert, plus deletes where `deleteCol` is true), completing the

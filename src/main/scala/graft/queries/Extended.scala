@@ -1050,6 +1050,46 @@ object Extended extends QueryModule {
       mergeAgg(pruned).orderBy(col("o_orderpriority"))
     }),
 
+    // Metadata-only safe-widening RETYPE (r14): the store's evolution
+    // matrix is add/rename/drop/WIDEN — an int key outgrowing 2^31 is a
+    // when, not an if, at 100 TB. v1 stores the key as INT; the retype
+    // commit widens the recorded schema only (no data rewritten; the
+    // parquet reader upcasts old gens at scan time); the post-retype
+    // append lands keys past 2^31. Slice 1 time-travels to the narrow
+    // version, slice 3 reads the wide head — both require-pinned to
+    // their schema types.
+    "q_snapshot_retype" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_retypeq")
+        .toString + "/orders_retype"
+      graft.storage.SnapshotStore.write(
+        orders.withColumn("o_orderkey", col("o_orderkey").cast("int")),
+        dir, "o_orderpriority")
+      graft.storage.SnapshotStore.retypeColumn(s, dir, "o_orderkey",
+        org.apache.spark.sql.types.LongType)
+      graft.storage.SnapshotStore.append(
+        orders.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey",
+            col("o_orderkey") + lit(10000000000L)),
+        dir, "o_orderpriority")
+      val v1 = graft.storage.SnapshotStore.read(s, dir, Some(1))
+      val head = graft.storage.SnapshotStore.read(s, dir)
+      require(v1.schema("o_orderkey").dataType ==
+        org.apache.spark.sql.types.IntegerType &&
+        head.schema("o_orderkey").dataType ==
+          org.apache.spark.sql.types.LongType,
+        "q_snapshot_retype: v1 must read narrow, the head wide")
+      def agg(df: org.apache.spark.sql.DataFrame, slice: Int) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey").cast("long")).as("sum_key"),
+            min(col("o_orderkey").cast("long")).as("min_key"),
+            max(col("o_orderkey").cast("long")).as("max_key"))
+          .withColumn("slice", lit(slice))
+      agg(v1, 1).unionByName(agg(head, 3))
+        .orderBy(col("slice"), col("o_orderpriority"))
+    }),
+
     // STRING stats bounds (r14): the reference's own table is 12-of-16
     // String columns (`/root/reference/nginx.click:1`) — a real user's
     // first skip predicate is as likely `verb = 'GET'` or a URL prefix
@@ -1134,6 +1174,25 @@ object Extended extends QueryModule {
         |FROM orders, mx
         |WHERE o_orderkey > m // 4 AND o_orderkey <= (3 * m) // 4
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_snapshot_retype" ->
+      """WITH big AS (SELECT * REPLACE (o_orderkey + 10000000000
+        |                              AS o_orderkey)
+        |             FROM orders WHERE o_orderkey % 101 = 0),
+        |  h AS (SELECT * FROM orders UNION ALL SELECT * FROM big)
+        |SELECT * FROM (
+        |  SELECT o_orderpriority, count(*) AS n_orders,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |    1 AS slice
+        |  FROM orders GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT o_orderpriority, count(*) AS n_orders,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |    3 AS slice
+        |  FROM h GROUP BY o_orderpriority
+        |) ORDER BY slice, o_orderpriority""".stripMargin,
 
     "q_snapshot_skip_str" ->
       """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),

@@ -57,10 +57,11 @@ import graft.operators.Joins
   * versions to the union schema before diffing (a legacy preimage reads
   * NULL for a column added since). Stores without a recorded schema
   * (pre-r11, or a crash between manifest CAS and schema write) degrade
-  * to a one-off parquet `mergeSchema` inference. Column RENAME is
-  * supported as a metadata-only commit ([[renameColumn]] — see the
-  * logical-name layer below); column REMOVAL / retype is not — that is
-  * a new store (fail-fast on a type conflict).
+  * to a one-off parquet `mergeSchema` inference. Column RENAME
+  * ([[renameColumn]] — see the logical-name layer below), DROP
+  * ([[dropColumn]]) and safe-widening RETYPE ([[retypeColumn]]) are
+  * metadata-only commits; any other retype is a new store (fail-fast on
+  * a type conflict).
   *
   * ==Filesystem contract==
   * Every write-side guarantee above bottoms out in ONE primitive: an
@@ -857,9 +858,10 @@ object SnapshotStore {
     * feed diffs under the TO version's schema (a preimage read from a
     * pre-drop version projects the column away rather than emitting
     * spurious update pairs), and rollback to a pre-drop version restores
-    * it — the target's mapping IS its dropped set. Retype remains
-    * unsupported (a new store): drop+re-add-under-a-new-name is the
-    * recipe, and the retired-name rule is what keeps it sound.
+    * it — the target's mapping IS its dropped set. Safe WIDENING retypes
+    * have their own metadata-only verb ([[retypeColumn]]); any other
+    * retype is drop+re-add-under-a-new-name, and the retired-name rule
+    * is what keeps that sound.
     */
   def dropColumn(spark: SparkSession, path: String, name: String): Unit = {
     requireAtomicRename(path)
@@ -884,8 +886,89 @@ object SnapshotStore {
       Some(pruned), (renames - phys) + (phys -> Dropped))
   }
 
+  /** The retype matrix: EXACT value-preserving widenings the parquet
+    * reader natively upcasts at scan time (probed on Spark 4.1:
+    * INT32→int64/double updaters, float→double, date→timestamp_ntz).
+    * Everything else is refused — long→double rounds past 2^53,
+    * date→TIMESTAMP (tz-based) would invent a zone the stored days never
+    * had AND the reader rejects it, narrowings lose data. The refusal is
+    * spec-pinned; the recipe for an unsupported retype remains
+    * drop + re-add under a new name.
+    */
+  private def safeWidening(from: org.apache.spark.sql.types.DataType,
+                           to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case _ => false
+    }
+  }
+
+  /** WIDENS logical column `name` to `newType` as a new, METADATA-ONLY
+    * version — the commonest evolution ask after add/rename/drop (an int
+    * key outgrowing 2^31 is a when, not an if, at 100 TB). The head's
+    * manifest text and rename mapping carry verbatim; only the recorded
+    * schema changes. No data file is rewritten: gens written before the
+    * retype keep their narrow physical type and the parquet reader
+    * upcasts them at scan time under the new recorded schema (the same
+    * native widening Delta's type-widening feature rides); gens written
+    * after store the wide type. Time travel reads each version under ITS
+    * OWN type; [[changes]] across the boundary casts the preimage side to
+    * the TO version's types, so a retype alone produces NO spurious
+    * update pairs; rollback to a pre-retype version restores the narrow
+    * schema (whose manifest references no wide gen). Only the exact,
+    * reader-supported widenings in [[safeWidening]] are accepted.
+    *
+    * Two priced edges, both documented rather than hidden: (1) after a
+    * retype, the mergeSchema DEGRADE path for a lost `_schema` file (a
+    * crash window; never the steady state) can no longer reconcile
+    * mixed-width gens and fails loudly instead of reading; (2) a
+    * subsequent batch may arrive EITHER width — narrower batches are
+    * accepted (the union keeps the recorded wide type), but a batch
+    * WIDER than the recorded schema is refused with a pointer here: an
+    * implicit retype hidden inside a write is how two writers disagree
+    * about a store's types.
+    */
+  def retypeColumn(spark: SparkSession, path: String, name: String,
+                   newType: org.apache.spark.sql.types.DataType): Unit = {
+    requireAtomicRename(path)
+    val head = headVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val renames = readRenames(spark, path, head)
+    val schemaP = versionSchema(spark, path, head)
+    val logical = schemaP.fieldNames.map(n => renames.getOrElse(n, n))
+    require(logical.contains(name), s"unknown column $name " +
+      s"(columns: ${logical.mkString(", ")})")
+    val phys = physicalCol(name, renames)
+    val cur = schemaP(phys).dataType
+    require(cur != newType, s"column $name already has type $newType")
+    require(safeWidening(cur, newType),
+      s"unsupported retype $cur -> $newType for column $name: only exact, " +
+        "reader-supported widenings (byte/short/int -> wider integral or " +
+        "double, float -> double, date -> timestamp_ntz) are metadata-only; " +
+        "anything else is drop + re-add under a new name")
+    val widened = org.apache.spark.sql.types.StructType(
+      schemaP.fields.map(f =>
+        if (f.name == phys) f.copy(dataType = newType) else f))
+    val fs = hfs(spark, path)
+    val mf = new org.apache.hadoop.fs.Path(path, s"_manifest-$head")
+    require(fs.exists(mf), s"no snapshot version $head at $path")
+    publishHead(spark, path, head + 1, readFileUtf8(fs, mf), Nil,
+      Some(widened), renames)
+  }
+
   /** Additive union of two generation schemas: existing fields keep their
-    * position and must agree on type (fail-fast — the documented
+    * position; a batch field NARROWER than the recorded type (a safe
+    * widening away) is accepted and the recorded wide type wins — post-
+    * [[retypeColumn]] writers may keep shipping the old width, their gen
+    * files stay narrow and the reader upcasts. A batch field WIDER than
+    * recorded is refused with a pointer at [[retypeColumn]]: an implicit
+    * retype hidden inside a write is how two writers disagree about a
+    * store's types. Any other mismatch fails fast (the documented
     * additive-only contract); new fields append as NULLABLE (legacy rows
     * read NULL for them). Top-level nullability is forced true, matching
     * what the parquet file source does to user schemas anyway.
@@ -895,9 +978,17 @@ object SnapshotStore {
       : org.apache.spark.sql.types.StructType = {
     val byName = next.fields.map(f => f.name -> f).toMap
     prior.fields.foreach { f =>
-      byName.get(f.name).foreach(n => require(n.dataType == f.dataType,
-        s"schema evolution is additive-only: column ${f.name} changed " +
-          s"type ${f.dataType} -> ${n.dataType}"))
+      byName.get(f.name).foreach { n =>
+        if (n.dataType != f.dataType) {
+          require(!safeWidening(f.dataType, n.dataType),
+            s"column ${f.name} arrives ${n.dataType} but the store " +
+              s"records ${f.dataType}: widen the store FIRST " +
+              s"(retypeColumn / graft_retype), then write")
+          require(safeWidening(n.dataType, f.dataType),
+            s"schema evolution is additive-only: column ${f.name} changed " +
+              s"type ${f.dataType} -> ${n.dataType}")
+        }
+      }
     }
     val priorNames = prior.fieldNames.toSet
     org.apache.spark.sql.types.StructType(
@@ -1744,8 +1835,14 @@ object SnapshotStore {
         newRaw.schema.fieldNames.contains(f.name))
     def align(df: DataFrame): DataFrame =
       df.select(fields.map(f =>
-        if (df.columns.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)): _*)
+        if (!df.columns.contains(f.name))
+          lit(null).cast(f.dataType).as(f.name)
+        // a column retyped between the versions is the SAME field: cast
+        // the narrow side to the TO version's type so a retype alone
+        // produces no spurious update pairs (1 == 1L after the cast)
+        else if (df.schema(f.name).dataType != f.dataType)
+          col(f.name).cast(f.dataType).as(f.name)
+        else col(f.name)): _*)
     val (oldDf, newDf) = (align(oldRaw), align(newRaw))
     val cols = oldDf.columns.toSeq
     keyCols.foreach(k => require(cols.contains(k), s"unknown key column $k"))
