@@ -26,10 +26,11 @@ object SnapshotSql {
     SnapshotSql.getClass.getCanonicalName, name,
     "graft_snapshot(path, version) - reads a SnapshotStore at `path`; " +
       "version is a positive integer literal, 'head', 'tag:<name>' (an " +
-      "immutable named ref), 'asof:<epoch-millis|ISO-8601>' (timestamp " +
-      "time travel), 'tags' (the tag catalog), or 'history' (the " +
-      "version catalog: version, n_partitions, n_rows); string-literal " +
-      "arguments", "", "")
+      "immutable named ref), 'branch:<name>' (a WAP staging branch's " +
+      "tip - the audit surface), 'asof:<epoch-millis|ISO-8601>' " +
+      "(timestamp time travel), 'tags' (the tag catalog), 'branches' " +
+      "(the branch catalog), or 'history' (the version catalog: " +
+      "version, n_partitions, n_rows); string-literal arguments", "", "")
 
   def builder(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 2,
@@ -55,6 +56,16 @@ object SnapshotSql {
         import spark.implicits._
         graft.storage.SnapshotStore.tags(spark, path).toSeq.sorted
           .toDF("tag", "version").queryExecution.analyzed
+      case "branches" =>
+        // the branch catalog: name -> the branch's staged version counter
+        val spark = SparkSession.active
+        import spark.implicits._
+        graft.storage.SnapshotStore.branches(spark, path).toSeq.sorted
+          .toDF("branch", "tip").queryExecution.analyzed
+      case b if b.startsWith("branch:") =>
+        // the WAP audit surface: read the branch tip from pure SQL
+        graft.storage.SnapshotStore.readBranch(SparkSession.active, path,
+          str(1).trim.substring(7)).queryExecution.analyzed
       case t if t.startsWith("tag:") =>
         // read by immutable named ref (resolved now, at analysis —
         // the same eagerness as an integer version literal)

@@ -1050,6 +1050,39 @@ object Extended extends QueryModule {
       mergeAgg(pruned).orderBy(col("o_orderpriority"))
     }),
 
+    // BRANCHES — write-audit-publish (r14): the corpus-gate shape every
+    // training-data team runs. Candidate rows stage on a branch (real
+    // gens in the store's data/, metadata-only staging), the AUDIT reads
+    // the tip while the main head stays untouched, and publish fast-
+    // forwards the whole candidate set in ONE atomic commit (the
+    // manifest CAS is the fast-forward guard). Slices: 1 = the head
+    // DURING staging (must still be v1), 2 = the branch tip (the audit),
+    // 3 = the post-publish head. Head-stability and publish-version
+    // require-pinned.
+    "q_snapshot_branch" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_branchq")
+        .toString + "/orders_branch"
+      graft.storage.SnapshotStore.write(orders, dir, "o_orderpriority")
+      graft.storage.SnapshotStore.branchCreate(s, dir, "staging")
+      graft.storage.SnapshotStore.appendBranch(
+        orders.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)),
+        dir, "staging", "o_orderpriority")
+      require(graft.storage.SnapshotStore.headVersion(s, dir).contains(1),
+        "q_snapshot_branch: staged writes must not advance the head")
+      val during = graft.storage.SnapshotStore.read(s, dir)
+      val audit = graft.storage.SnapshotStore.readBranch(s, dir, "staging")
+      val v = graft.storage.SnapshotStore.publishBranch(s, dir, "staging")
+      require(v == 2, s"q_snapshot_branch: publish must fast-forward to 2")
+      val after = graft.storage.SnapshotStore.read(s, dir)
+      Seq((during, 1), (audit, 2), (after, 3))
+        .map { case (df, slice) =>
+          mergeAgg(df).withColumn("slice", lit(slice)) }
+        .reduce(_ unionByName _)
+        .orderBy(col("slice"), col("o_orderpriority"))
+    }),
+
     // Metadata-only safe-widening RETYPE (r14): the store's evolution
     // matrix is add/rename/drop/WIDEN — an int key outgrowing 2^31 is a
     // when, not an if, at 100 TB. v1 stores the key as INT; the retype
@@ -1174,6 +1207,24 @@ object Extended extends QueryModule {
         |FROM orders, mx
         |WHERE o_orderkey > m // 4 AND o_orderkey <= (3 * m) // 4
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_snapshot_branch" -> {
+      def bAgg(slice: Int, src: String) =
+        s"""SELECT o_orderpriority, count(*) AS n_orders,
+           |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |      AS sum_cents,
+           |    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           |    $slice AS slice
+           |  FROM $src GROUP BY o_orderpriority""".stripMargin
+      """WITH big AS (SELECT * REPLACE (o_orderkey + 10000000 AS o_orderkey)
+        |             FROM orders WHERE o_orderkey % 101 = 0),
+        |  h AS (SELECT * FROM orders UNION ALL SELECT * FROM big)
+        |SELECT * FROM (
+        |""".stripMargin +
+        Seq(bAgg(1, "orders"), bAgg(2, "h"), bAgg(3, "h"))
+          .mkString("\nUNION ALL\n") +
+        "\n) ORDER BY slice, o_orderpriority"
+    },
 
     "q_snapshot_retype" ->
       """WITH big AS (SELECT * REPLACE (o_orderkey + 10000000000

@@ -1,0 +1,282 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The [[SnapshotStore]]'s BRANCH layer — write-audit-publish (WAP), the
+  * shape every training-data team runs: stage candidate commits on a
+  * named branch, validate them (profile / filter report / dedup audit),
+  * then FAST-FORWARD publish to the main head in one atomic commit — or
+  * drop the branch and nothing ever happened. The Iceberg WAP/audit-
+  * branch idea (a public concept), re-derived on the store's own
+  * primitives.
+  *
+  * ==Representation: staged manifests==
+  * A branch is a chain of SELF-CONTAINED staged files
+  * `_staged-<name>-<k>` (k = the branch's own version counter), each
+  * carrying the fork-point BASE version, the branch's schema JSON, its
+  * rename mapping, and a FLAT manifest of `value TAB dirs` entries.
+  * Branch writes append real gen dirs into the store's own `data/`
+  * (same [[SnapshotStore.writeGen]], same stats blobs, same orphan-sweep
+  * lifecycle), so a branch gen is bit-identical to the gen the same
+  * batch would produce on main — publish re-points metadata, never
+  * rewrites data. Staged files publish through the same single-winner
+  * CAS as every commit: two concurrent writers of branch version k+1 get
+  * exactly one winner (the loser retries against the new tip).
+  *
+  * ==Publish = fast-forward, enforced by the manifest CAS==
+  * [[publish]] commits the branch tip's entries as `_manifest-<base+1>`.
+  * If main advanced past the fork point, that manifest name is taken and
+  * the CAS loses — surfacing the exact Iceberg fast-forward contract
+  * ("publish only if main has not moved") with no extra coordination
+  * machinery. The staged chain is deleted after a successful publish;
+  * re-branch from the new head to retry after a refusal.
+  *
+  * ==Retention interplay==
+  * Gens referenced ONLY by staged files must survive [[SnapshotStore
+  * .expire]]: the sweep resolves every branch tip into its live set
+  * (see [[SnapshotRetention]]). The fork-point VERSION may expire
+  * freely — staged files are self-contained (schema, renames, entries),
+  * so a branch outliving its base still reads and publishes. An
+  * abandoned branch holds its gens live until [[drop]] releases them to
+  * the orphan sweep.
+  *
+  * ==Scale posture==
+  * Staged manifests are FLAT by design: branch staging is the human-
+  * gated candidate path, not the high-rate ingest path, and a WAP batch
+  * is audited before anything depends on it. A branch append on an
+  * N-partition store therefore pays one O(N) serialize (vs main-line
+  * append's O(batch) segment delta); [[publish]] hands the entries to
+  * [[SnapshotStore.commit]], which re-segments above the threshold, so
+  * the MAIN line never inherits the flat cost.
+  */
+private[storage] object SnapshotBranch {
+
+  import SnapshotFormat._
+
+  private val Esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+  private def hfs(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  private val Marker = "graft-staged"
+  private val RenMarker = "renames"
+  private val ManMarker = "manifest"
+
+  private def escName(name: String): String = {
+    require(name.nonEmpty && !name.exists(c => c <= ' ' || c == '/' ||
+      c == '\\'),
+      s"branch name '$name' must be non-empty without spaces, control " +
+        "characters or path separators")
+    Esc.escapePathName(name)
+  }
+
+  private def stagedPath(path: String, name: String, k: Int) =
+    new org.apache.hadoop.fs.Path(path, s"_staged-${escName(name)}-$k")
+
+  private[storage] case class Staged(base: Int, k: Int,
+      schema: org.apache.spark.sql.types.StructType,
+      renames: Map[String, String],
+      entries: Map[String, Seq[String]])
+
+  /** The branch's newest staged version, if the branch exists. */
+  private[storage] def tipOf(spark: SparkSession, path: String,
+                             name: String): Option[Int] = {
+    val fs = hfs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return None
+    val prefix = s"_staged-${escName(name)}-"
+    val ks = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith(prefix) &&
+        n.stripPrefix(prefix).forall(_.isDigit) =>
+        n.stripPrefix(prefix).toInt }
+    if (ks.isEmpty) None else Some(ks.max)
+  }
+
+  /** Every branch tip at the store — (name, tip) — for the retention
+    * sweep and the catalog.
+    */
+  private[storage] def allTips(spark: SparkSession,
+                               path: String): Map[String, Int] = {
+    val fs = hfs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return Map.empty
+    fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("_staged-") && !n.endsWith(".tmp"))
+      .flatMap { n =>
+        val body = n.stripPrefix("_staged-")
+        val dash = body.lastIndexOf('-')
+        if (dash <= 0 || !body.substring(dash + 1).forall(_.isDigit)) None
+        else Some(Esc.unescapePathName(body.substring(0, dash)) ->
+          body.substring(dash + 1).toInt)
+      }
+      .groupBy(_._1).map { case (n, ks) => n -> ks.map(_._2).max }
+  }
+
+  private def serialize(st: Staged): String = {
+    val sb = new StringBuilder
+    sb.append(s"$Marker\t${st.base}\t${st.k}\n")
+    sb.append(st.schema.json).append('\n')
+    sb.append(RenMarker).append('\n')
+    st.renames.toSeq.sortBy(_._1).foreach { case (p, l) =>
+      sb.append(Esc.escapePathName(p)).append('\t')
+        .append(Esc.escapePathName(l)).append('\n')
+    }
+    sb.append(ManMarker).append('\n')
+    sb.append(serializeEntries(st.entries))
+    sb.toString
+  }
+
+  private def parse(txt: String, src: String): Staged = {
+    val renIdx = txt.indexOf(s"\n$RenMarker\n")
+    val manIdx = txt.indexOf(s"\n$ManMarker\n")
+    require(txt.startsWith(Marker + "\t") && renIdx > 0 && manIdx > renIdx,
+      s"malformed staged branch file $src")
+    val headLines = txt.substring(0, renIdx).split("\n")
+    val h = headLines(0).split("\t")
+    require(h.length == 3 && headLines.length == 2,
+      s"malformed staged branch header in $src")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(headLines(1))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // an empty renames section ends on the SAME '\n' the manifest marker
+    // starts on — begin would cross end
+    val renStart = renIdx + RenMarker.length + 2
+    val renames = (if (renStart >= manIdx) ""
+                   else txt.substring(renStart, manIdx))
+      .split("\n").filter(_.nonEmpty).map { line =>
+        val f = line.split("\t")
+        require(f.length == 2, s"malformed staged rename line in $src")
+        Esc.unescapePathName(f(0)) -> Esc.unescapePathName(f(1))
+      }.toMap
+    val entries = parseLines(
+      txt.substring(manIdx + ManMarker.length + 2), src)
+    Staged(h(1).toInt, h(2).toInt, schema, renames, entries)
+  }
+
+  private[storage] def readStaged(spark: SparkSession, path: String,
+                                  name: String): Staged = {
+    val k = tipOf(spark, path, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' at $path"))
+    val p = stagedPath(path, name, k)
+    parse(readFileUtf8(hfs(spark, path), p), p.toString)
+  }
+
+  private def writeStaged(spark: SparkSession, path: String,
+                          name: String, st: Staged): Unit = {
+    val fs = hfs(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s"._staged.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(serialize(st).getBytes("UTF-8")) finally out.close()
+    try SnapshotStore.publishFile(spark, path, tmp,
+      stagedPath(path, name, st.k))
+    catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.io.IOException) =>
+        if (!fs.exists(stagedPath(path, name, st.k))) throw e
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"branch '$name' at $path advanced concurrently (staged " +
+            s"version ${st.k} already published); re-read the tip and retry",
+          e)
+    }
+  }
+
+  /** Creates branch `name` forked from the CURRENT head: staged version 0
+    * is the head's full entry map (segment-aware resolve, flat staged
+    * serialization) plus its schema and renames — self-contained from
+    * birth. Racing creators of one name get exactly one winner.
+    */
+  private[storage] def create(spark: SparkSession, path: String,
+                              name: String): Unit = {
+    SnapshotStore.requireAtomicRename(path)
+    require(tipOf(spark, path, name).isEmpty,
+      s"branch '$name' already exists at $path")
+    val head = SnapshotStore.headVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    writeStaged(spark, path, name, Staged(head, 0,
+      SnapshotStore.versionSchema(spark, path, head),
+      SnapshotStore.readRenames(spark, path, head),
+      readManifest(spark, path, head)))
+  }
+
+  /** Insert-only APPEND to the branch (the WAP candidate write): gens
+    * land in the store's own `data/` with the store's declared stats;
+    * only the staged metadata distinguishes them from a main-line
+    * append. Schema evolution follows the store's union rules.
+    */
+  private[storage] def append(df: DataFrame, path: String, name: String,
+                              partCol: String): Unit = {
+    val spark = df.sparkSession
+    SnapshotStore.requireAtomicRename(path)
+    val st = readStaged(spark, path, name)
+    val phys = SnapshotStore.toPhysical(df, st.renames)
+    val newEntries = SnapshotStore.writeGen(phys, path,
+      SnapshotStore.physicalCol(partCol, st.renames),
+      statsCols = SnapshotStore.statsColsOf(spark, path))
+    val merged = st.entries ++ newEntries.map { case (p, d) =>
+      p -> (st.entries.getOrElse(p, Nil) :+ d)
+    }
+    writeStaged(spark, path, name, Staged(st.base, st.k + 1,
+      SnapshotStore.unionSchema(st.schema, phys.schema),
+      st.renames, merged))
+  }
+
+  /** Reads the branch tip (the WAP audit surface). */
+  private[storage] def read(spark: SparkSession, path: String,
+                            name: String): DataFrame = {
+    val st = readStaged(spark, path, name)
+    val dirs = st.entries.values.flatten.map(dirOf).toSeq.sorted.distinct
+      .map(d => s"$path/$d")
+    val base =
+      if (dirs.isEmpty) spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        st.schema)
+      else spark.read.schema(st.schema).parquet(dirs: _*).drop("_p")
+    SnapshotStore.applyRenames(base, st.renames)
+  }
+
+  /** FAST-FORWARD publish: commits the branch tip as version base+1 on
+    * the main line and deletes the staged chain. A main head that moved
+    * past the fork point makes the manifest CAS lose — surfaced as the
+    * WAP refusal ("re-branch from the new head"), never a silent
+    * overwrite. Returns the published version.
+    */
+  private[storage] def publish(spark: SparkSession, path: String,
+                               name: String): Int = {
+    SnapshotStore.requireAtomicRename(path)
+    val st = readStaged(spark, path, name)
+    val target = st.base + 1
+    try SnapshotStore.commit(spark, path, target, st.entries, Nil,
+      Some(st.schema), st.renames)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        throw new IllegalStateException(
+          s"cannot fast-forward branch '$name' at $path: main advanced " +
+            s"past the fork point (version ${st.base}); audit the new " +
+            "head and re-create the branch", e)
+    }
+    drop(spark, path, name)
+    target
+  }
+
+  /** Deletes the branch's staged chain. Its gens lose their last
+    * reference and age out under the orphan sweep's floor (never
+    * immediately — a racing reader of the tip stays safe).
+    */
+  private[storage] def drop(spark: SparkSession, path: String,
+                            name: String): Boolean = {
+    val fs = hfs(spark, path)
+    val prefix = s"_staged-${escName(name)}-"
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return false
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix) &&
+        p.getName.stripPrefix(prefix).forall(_.isDigit))
+    // newest-first: a concurrent tip reader that already resolved k can
+    // still open it while older staged files disappear behind it
+    files.sortBy(-_.getName.stripPrefix(prefix).toInt)
+      .foreach(fs.delete(_, false))
+    files.nonEmpty
+  }
+}

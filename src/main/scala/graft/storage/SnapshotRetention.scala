@@ -64,8 +64,19 @@ private[storage] object SnapshotRetention {
           case e: IllegalArgumentException if versionVanished(e) => Nil
         }
       }
+      // BRANCH-staged gens are live: a gen whose only reference is a
+      // staged file (an unpublished WAP candidate) must survive until
+      // the branch publishes or drops. Tips suffice — branch appends
+      // only ADD dirs, so every older staged version's entries are a
+      // subset of the tip's. A branch dropped mid-sweep contributes
+      // nothing (its gens age out from the NEXT sweep on).
+      val stagedDirs = SnapshotBranch.allTips(spark, path).keys.flatMap { n =>
+        try SnapshotBranch.readStaged(spark, path, n).entries.values.flatten
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      }
       (liveSegs,
-        (flatDirs ++ segDirs).map(_.split("/").take(2).mkString("/")).toSet)
+        (flatDirs ++ segDirs ++ stagedDirs)
+          .map(_.split("/").take(2).mkString("/")).toSet)
     }
     // tag fixpoint: a tag published DURING the resolution must be honored
     // CONSISTENTLY — keeping its manifest while its gens miss the live
@@ -145,7 +156,7 @@ private[storage] object SnapshotRetention {
         ((n.startsWith("._manifest-") || n.startsWith("._schema-") ||
           n.startsWith("._renames-")) && n.endsWith(".tmp")) ||
         n.startsWith("._tag.tmp-") || n.startsWith("._statscols.tmp-") ||
-        n.startsWith("._partcol.tmp-")
+        n.startsWith("._partcol.tmp-") || n.startsWith("._staged.tmp-")
       if (isStaging && now - st.getModificationTime >= minAgeMs)
         fs.delete(st.getPath, false)
     }

@@ -90,7 +90,7 @@ object SnapshotStore {
     * copy-based-rename stores are rejected, everything else (hdfs, file,
     * viewfs, abfs, …) is accepted.
     */
-  private def requireAtomicRename(path: String): Unit = {
+  private[storage] def requireAtomicRename(path: String): Unit = {
     val scheme = Option(new java.net.URI(path).getScheme)
       .getOrElse("file").toLowerCase
     require(!Set("s3", "s3a", "s3n").contains(scheme) ||
@@ -204,7 +204,7 @@ object SnapshotStore {
     * leaves only an unreferenced `.{gen}.*.stage` dir that [[expire]]'s
     * age-floored orphan sweep removes.
     */
-  private def writeGen(df: DataFrame, path: String, partCol: String,
+  private[storage] def writeGen(df: DataFrame, path: String, partCol: String,
                        genName: Option[String] = None,
                        statsCols: Seq[String] = Nil,
                        sortBy: Seq[String] = Nil): Map[String, String] = {
@@ -634,7 +634,7 @@ object SnapshotStore {
     * an OLD version's schema is in play, e.g. the changes feed's preimage
     * side read under a pre-drop schema).
     */
-  private def applyRenames(df: DataFrame,
+  private[storage] def applyRenames(df: DataFrame,
                            renames: Map[String, String]): DataFrame = {
     // drops FIRST, renames second — a deterministic two-phase fold (a
     // Map's iteration order is arbitrary, and an interleaved fold could
@@ -652,7 +652,7 @@ object SnapshotStore {
     * NEW column that collides with a retired (renamed-away or dropped)
     * physical name.
     */
-  private def toPhysical(df: DataFrame,
+  private[storage] def toPhysical(df: DataFrame,
                          renames: Map[String, String]): DataFrame = {
     val inverse = renames.filterNot(_._2 == Dropped).map(_.swap)
     df.columns.foreach { c =>
@@ -673,7 +673,7 @@ object SnapshotStore {
   }
 
   /** The logical partition-column name mapped back to its physical name. */
-  private def physicalCol(name: String,
+  private[storage] def physicalCol(name: String,
                           renames: Map[String, String]): String =
     renames.find(_._2 == name).map(_._1).getOrElse(name)
 
@@ -886,6 +886,41 @@ object SnapshotStore {
       Some(pruned), (renames - phys) + (phys -> Dropped))
   }
 
+  // ---- branches (write-audit-publish) — see SnapshotBranch ---------------
+
+  /** Creates branch `name` forked from the current head — the WAP
+    * staging lever: stage candidate commits, audit, fast-forward publish
+    * or drop. Full design in [[SnapshotBranch]].
+    */
+  def branchCreate(spark: SparkSession, path: String, name: String): Unit =
+    SnapshotBranch.create(spark, path, name)
+
+  /** Insert-only append to branch `name` (the WAP candidate write). */
+  def appendBranch(df: DataFrame, path: String, name: String,
+                   partCol: String): Unit =
+    SnapshotBranch.append(df, path, name, partCol)
+
+  /** Reads branch `name`'s tip (the WAP audit surface). */
+  def readBranch(spark: SparkSession, path: String, name: String): DataFrame =
+    SnapshotBranch.read(spark, path, name)
+
+  /** FAST-FORWARD publishes branch `name` as the new main head and drops
+    * the branch; refuses (loudly) if main advanced past the fork point.
+    * Returns the published version.
+    */
+  def publishBranch(spark: SparkSession, path: String, name: String): Int =
+    SnapshotBranch.publish(spark, path, name)
+
+  /** Drops branch `name`; its unpublished gens age out under the orphan
+    * sweep. Returns whether the branch existed.
+    */
+  def dropBranch(spark: SparkSession, path: String, name: String): Boolean =
+    SnapshotBranch.drop(spark, path, name)
+
+  /** Branch catalog: name → the branch's own staged version counter. */
+  def branches(spark: SparkSession, path: String): Map[String, Int] =
+    SnapshotBranch.allTips(spark, path)
+
   /** The retype matrix: EXACT value-preserving widenings the parquet
     * reader natively upcasts at scan time (probed on Spark 4.1:
     * INT32→int64/double updaters, float→double, date→timestamp_ntz).
@@ -973,7 +1008,7 @@ object SnapshotStore {
     * read NULL for them). Top-level nullability is forced true, matching
     * what the parquet file source does to user schemas anyway.
     */
-  private def unionSchema(prior: org.apache.spark.sql.types.StructType,
+  private[storage] def unionSchema(prior: org.apache.spark.sql.types.StructType,
                           next: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
     val byName = next.fields.map(f => f.name -> f).toMap
@@ -999,7 +1034,7 @@ object SnapshotStore {
   /** The version's effective schema: recorded if available, else inferred
     * once over the version's dirs via mergeSchema.
     */
-  private def versionSchema(spark: SparkSession, path: String, v: Int)
+  private[storage] def versionSchema(spark: SparkSession, path: String, v: Int)
       : org.apache.spark.sql.types.StructType =
     readSchema(spark, path, v).getOrElse {
       val dirs = forWrite(path, v)(readManifestDirs(spark, path, v))
@@ -1039,7 +1074,7 @@ object SnapshotStore {
     * cannot hard-link, and POSIX rename onto a non-empty directory fails,
     * which is already single-winner.
     */
-  private def publishFile(spark: SparkSession, storePath: String,
+  private[storage] def publishFile(spark: SparkSession, storePath: String,
                           src: org.apache.hadoop.fs.Path,
                           dst: org.apache.hadoop.fs.Path): Unit = {
     val scheme = Option(new java.net.URI(storePath).getScheme)

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.storage.SnapshotStore
+
+/** Branches (write-audit-publish) over the snapshot store
+  * ([[SnapshotStore.branchCreate]]/appendBranch/readBranch/publishBranch/
+  * dropBranch): staged candidate commits, audit reads, atomic
+  * fast-forward publish enforced by the manifest CAS, and the expire
+  * interplay (staged gens live until publish or drop).
+  */
+class SnapshotBranchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir(tag: String): String =
+    Files.createTempDirectory(s"graft_branch_$tag").toString + "/st"
+
+  private def chunk(lo: Long, n: Int = 4) =
+    (0 until n).map(i => (lo + i, s"p${i % 2}", (lo + i) * 1.0))
+      .toDF("k", "p", "v")
+
+  test("WAP lifecycle: staged writes leave the head untouched, the audit " +
+    "read sees them, publish fast-forwards them in one commit, the " +
+    "branch is gone afterwards") {
+    val dir = newDir("wap")
+    SnapshotStore.write(chunk(0L), dir, "p")
+    SnapshotStore.branchCreate(spark, dir, "staging")
+    SnapshotStore.appendBranch(chunk(100L), dir, "staging", "p")
+    SnapshotStore.appendBranch(chunk(200L), dir, "staging", "p")
+    assert(SnapshotStore.headVersion(spark, dir).contains(1),
+      "staged writes must not advance the main head")
+    assert(SnapshotStore.read(spark, dir).count() == 4)
+    val audit = SnapshotStore.readBranch(spark, dir, "staging")
+    assert(audit.select("k").as[Long].collect().sorted.toSeq ==
+      ((0L to 3L) ++ (100L to 103L) ++ (200L to 203L)))
+    assert(SnapshotStore.branches(spark, dir) == Map("staging" -> 2))
+    val v = SnapshotStore.publishBranch(spark, dir, "staging")
+    assert(v == 2 && SnapshotStore.headVersion(spark, dir).contains(2))
+    assert(SnapshotStore.read(spark, dir).count() == 12,
+      "publish lands every staged batch atomically")
+    assert(SnapshotStore.read(spark, dir, Some(1)).count() == 4,
+      "the pre-publish version stays readable (time travel)")
+    assert(SnapshotStore.branches(spark, dir).isEmpty,
+      "publish retires the branch")
+    intercept[IllegalArgumentException](
+      SnapshotStore.readBranch(spark, dir, "staging"))
+  }
+
+  test("fast-forward refusal: a main head that advanced past the fork " +
+    "point refuses publish loudly; the branch stays auditable and " +
+    "droppable") {
+    val dir = newDir("ff")
+    SnapshotStore.write(chunk(0L), dir, "p")
+    SnapshotStore.branchCreate(spark, dir, "cand")
+    SnapshotStore.appendBranch(chunk(100L), dir, "cand", "p")
+    SnapshotStore.append(chunk(500L), dir, "p") // main moves
+    val e = intercept[IllegalStateException](
+      SnapshotStore.publishBranch(spark, dir, "cand"))
+    assert(e.getMessage.contains("main advanced"))
+    assert(SnapshotStore.readBranch(spark, dir, "cand").count() == 8,
+      "a refused branch is still auditable")
+    assert(SnapshotStore.read(spark, dir).count() == 8,
+      "main holds ITS append, not the branch's")
+    assert(SnapshotStore.dropBranch(spark, dir, "cand"))
+    assert(!SnapshotStore.dropBranch(spark, dir, "cand"))
+  }
+
+  test("expire interplay: gens referenced only by a staged branch " +
+    "survive the sweep; dropping the branch releases them to the next " +
+    "orphan sweep") {
+    val dir = newDir("exp")
+    SnapshotStore.write(chunk(0L), dir, "p")
+    SnapshotStore.merge(spark, dir,
+      Seq((0L, "p0", 99.0)).toDF("k", "p", "v"), "p", Seq("k"))
+    SnapshotStore.branchCreate(spark, dir, "hold")
+    SnapshotStore.appendBranch(chunk(100L), dir, "hold", "p")
+    SnapshotStore.expire(spark, dir, keep = 1, minAgeMs = 0L)
+    assert(SnapshotStore.readBranch(spark, dir, "hold")
+      .select("k").as[Long].collect().sorted.toSeq ==
+      ((0L to 3L) ++ (100L to 103L)),
+      "staged gens AND the fork point's gens must survive the sweep")
+    val dataDir = new java.io.File(s"$dir/data")
+    val before = dataDir.listFiles().length
+    SnapshotStore.dropBranch(spark, dir, "hold")
+    SnapshotStore.expire(spark, dir, keep = 1, minAgeMs = 0L)
+    assert(dataDir.listFiles().length < before,
+      "dropped-branch gens are garbage to the next sweep")
+    assert(SnapshotStore.read(spark, dir).count() == 4,
+      "main is untouched by the branch's whole lifecycle")
+  }
+
+  test("composes with the logical-name layer and additive evolution: a " +
+    "branch forked after a rename writes under logical names; a branch " +
+    "append may add a column; publish carries schema and renames") {
+    val dir = newDir("evo")
+    SnapshotStore.write(chunk(0L), dir, "p")
+    SnapshotStore.renameColumn(spark, dir, "k", "key")
+    SnapshotStore.branchCreate(spark, dir, "evo")
+    SnapshotStore.appendBranch(
+      Seq((100L, "p0", 1.0, "x")).toDF("key", "p", "v", "note"),
+      dir, "evo", "p")
+    val audit = SnapshotStore.readBranch(spark, dir, "evo")
+    assert(audit.columns.contains("key") && audit.columns.contains("note"))
+    assert(audit.filter(col("key") < 100L).select("note")
+      .collect().forall(_.isNullAt(0)),
+      "legacy rows read NULL for the branch-added column")
+    SnapshotStore.publishBranch(spark, dir, "evo")
+    val head = SnapshotStore.read(spark, dir)
+    assert(head.columns.contains("key") && head.columns.contains("note"))
+    assert(head.count() == 5)
+    // time travel BELOW the fork still reads the pre-rename-free schema
+    assert(SnapshotStore.read(spark, dir, Some(1)).columns.toSet
+      .contains("k"))
+  }
+
+  test("SQL rungs: graft_snapshot(path, 'branch:<name>') audits from " +
+    "pure SQL, 'branches' lists the catalog; contract violations loud") {
+    plans.AsOf.register(spark)
+    val dir = newDir("sql")
+    SnapshotStore.write(chunk(0L), dir, "p")
+    SnapshotStore.branchCreate(spark, dir, "gate")
+    SnapshotStore.appendBranch(chunk(100L), dir, "gate", "p")
+    assert(spark.sql(
+      s"SELECT * FROM graft_snapshot('$dir', 'branch:gate')").count() == 8)
+    val cat = spark.sql(
+      s"SELECT * FROM graft_snapshot('$dir', 'branches')").collect()
+    assert(cat.length == 1 && cat(0).getString(0) == "gate" &&
+      cat(0).getInt(1) == 1)
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_snapshot('$dir', 'branch:nope')").collect())
+    intercept[IllegalArgumentException](
+      SnapshotStore.branchCreate(spark, dir, "gate"))
+    intercept[IllegalArgumentException](
+      SnapshotStore.branchCreate(spark, dir, "bad/name"))
+    intercept[IllegalArgumentException](
+      SnapshotStore.branchCreate(spark, newDir("none"), "x"))
+  }
+}
