@@ -886,6 +886,34 @@ object SnapshotStore {
       Some(pruned), (renames - phys) + (phys -> Dropped))
   }
 
+  /** Version `v`'s new gen dirs relative to `v-1` when the commit only
+    * ADDED dirs (an append or a metadata-only commit) — sorted,
+    * stats-stripped, store-relative. None when any dir was removed or
+    * replaced (merge / compact / rollback): those commits' feeds carry
+    * delete+insert / update pairs that must stay version-atomic for a
+    * delta-folding consumer. v=1 is the initial snapshot (all dirs).
+    * The size-aware `graft-changes` admission rides on this.
+    */
+  private[graft] def insertOnlyDirs(spark: SparkSession, path: String,
+                                    v: Int): Option[Seq[String]] = {
+    val cur = readManifestDirs(spark, path, v).map(dirOf).toSet
+    if (v == 1) return Some(cur.toSeq.sorted)
+    val prev = readManifestDirs(spark, path, v - 1).map(dirOf).toSet
+    if (prev.subsetOf(cur)) Some((cur -- prev).toSeq.sorted) else None
+  }
+
+  /** Reads specific gen dirs under version `v`'s schema and logical
+    * names — the feed read behind the size-split `graft-changes` batch.
+    */
+  private[graft] def readDirs(spark: SparkSession, path: String, v: Int,
+                              relDirs: Seq[String]): DataFrame =
+    if (relDirs.isEmpty)
+      applyRenames(spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        versionSchema(spark, path, v)), readRenames(spark, path, v))
+    else applyRenames(readWithSchema(spark, path, v,
+      relDirs.map(d => s"$path/$d")), readRenames(spark, path, v))
+
   // ---- branches (write-audit-publish) — see SnapshotBranch ---------------
 
   /** Creates branch `name` forked from the current head — the WAP

@@ -116,6 +116,24 @@ object ChangesSource {
       store.fields.toSeq)
 }
 
+/** A sub-version offset for the size-split feed: versions ≤ `v` fully
+  * consumed plus the first `split` dirs of version v+1's insert set.
+  * Serializes as JSON so the engine's offset log round-trips it; plain
+  * integer offsets (pre-split checkpoints, LongOffset) stay readable.
+  */
+case class ChangesSplitOffset(v: Int, split: Int) extends Offset {
+  override val json: String = s"""{"v":$v,"split":$split}"""
+}
+
+object ChangesSplitOffset {
+  private val Pat = """\{\s*"v"\s*:\s*(\d+)\s*,\s*"split"\s*:\s*(\d+)\s*\}""".r
+  def parse(txt: String): (Int, Int) = txt.trim match {
+    case Pat(v, s) => (v.toInt, s.toInt)
+    case other => throw new IllegalArgumentException(
+      s"malformed graft-changes offset: '$other'")
+  }
+}
+
 class ChangesSource(sqlContext: SQLContext, metadataPath: String,
                     parameters: Map[String, String])
     extends Source with SupportsTriggerAvailableNow {
@@ -130,6 +148,27 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
     parameters.get("maxVersionsPerTrigger").map { v =>
       val n = v.toInt
       require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n"); n
+    }
+
+  /** Size-aware admission: with `maxBytesPerTrigger` set, an INSERT-ONLY
+    * commit (an append — its dir set is a superset of the previous
+    * version's) is split across micro-batches at gen-dir granularity, at
+    * least one dir per trigger (progress under any budget), so one bulk
+    * backfill commit cannot stall the consumer behind an unbounded
+    * batch. Merge / compact / rollback commits stay VERSION-ATOMIC
+    * regardless of the budget — their feeds carry delete+insert and
+    * update pre/post pairs that a delta-folding consumer must see in one
+    * batch, or it observes a state that never existed (a key deleted in
+    * batch N and re-inserted in N+1). Split batches read the admitted
+    * gen dirs directly as inserts (sound under append's new-keys-only
+    * contract) under the version's schema and names, tagged with their
+    * `_commit_version` — attribution survives the split. With the
+    * budget set, each micro-batch advances at most one version.
+    */
+  private val maxBytesPerTrigger: Option[Long] =
+    parameters.get("maxBytesPerTrigger").map { v =>
+      val n = v.toLong
+      require(n >= 1, s"maxBytesPerTrigger must be >= 1, got $n"); n
     }
   private val onEvolution: String = {
     val v = parameters.getOrElse("onSchemaEvolution", "fail")
@@ -208,33 +247,94 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
 
   /** Next batch ceiling: the store head, capped to `start +
     * maxVersionsPerTrigger` (and to the AvailableNow freeze point when
-    * set). Returning the start itself signals no data. The engine hands
-    * back the restart position as `startOffset`, so a resumed stream paces
-    * from where it actually is.
+    * set); under `maxBytesPerTrigger`, to the byte-budgeted dir position
+    * inside the next insert-only version. Returning the start itself
+    * signals no data. The engine hands back the restart position as
+    * `startOffset`, so a resumed stream paces from where it actually is.
     */
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val floor = Option(startOffset).map(versionOf).getOrElse(baseline)
+    val (fv, fs) = Option(startOffset).map(posOf).getOrElse((baseline, 0))
     val head = availableNowCap.getOrElse(
       SnapshotStore.headVersion(spark, path).getOrElse(baseline))
-    val capped = maxVersionsPerTrigger
-      .map(m => math.min(head, floor + m)).getOrElse(head)
-    LongOffset(math.max(capped, floor).toLong)
+    maxBytesPerTrigger match {
+      case None =>
+        // a split position left by a previous byte-budgeted run finishes
+        // its version first; version-granular pacing from there on
+        if (fs > 0) offsetFor(fv + 1, 0)
+        else {
+          val capped = maxVersionsPerTrigger
+            .map(m => math.min(head, fv + m)).getOrElse(head)
+          offsetFor(math.max(capped, fv), 0)
+        }
+      case Some(budget) =>
+        if (fv >= head && fs == 0) return offsetFor(fv, fs)
+        val u = fv + 1
+        SnapshotStore.insertOnlyDirs(spark, path, u) match {
+          case None => offsetFor(u, 0) // merge/compact: version-atomic
+          case Some(dirs) =>
+            val remaining = dirs.drop(fs)
+            if (remaining.isEmpty) offsetFor(u, 0)
+            else {
+              val fsys = org.apache.hadoop.fs.FileSystem.get(
+                new java.net.URI(path),
+                spark.sparkContext.hadoopConfiguration)
+              var taken = 0
+              var bytes = 0L
+              // at least one dir per trigger: progress under any budget
+              while (taken < remaining.size &&
+                (taken == 0 || bytes < budget)) {
+                bytes += fsys.getContentSummary(
+                  new org.apache.hadoop.fs.Path(path,
+                    remaining(taken))).getLength
+                taken += 1
+              }
+              // overshoot rollback: the dir that crossed the budget waits
+              // for the next trigger (unless it is the only one)
+              if (taken > 1 && bytes > budget) taken -= 1
+              if (fs + taken >= dirs.size) offsetFor(u, 0)
+              else offsetFor(fv, fs + taken)
+            }
+        }
+    }
   }
 
   override def initialOffset(): OffsetV2 = LongOffset(baseline.toLong)
 
-  private def versionOf(o: OffsetV2): Int = o match {
-    case LongOffset(v) => v.toInt
-    case other => other.json.trim.toInt // SerializedOffset from the log
+  private def offsetFor(v: Int, split: Int): OffsetV2 =
+    if (split == 0) LongOffset(v.toLong) else ChangesSplitOffset(v, split)
+
+  /** Offset position: (v, split) = versions ≤ v fully consumed, plus the
+    * first `split` dirs of version v+1's insert set. Plain integers
+    * (LongOffset and pre-r14 checkpoint logs) parse as (v, 0).
+    */
+  private def posOf(o: OffsetV2): (Int, Int) = o match {
+    case LongOffset(v) => (v.toInt, 0)
+    case ChangesSplitOffset(v, s) => (v, s)
+    case other =>
+      val txt = other.json.trim
+      if (txt.startsWith("{")) ChangesSplitOffset.parse(txt)
+      else (txt.toInt, 0)
   }
 
+  /** The admitted dirs of version `v` read directly as inserts — the
+    * split-batch feed (see `maxBytesPerTrigger`): sound because only
+    * insert-only commits split, and deterministic across crash replays
+    * because the dir list is a sorted pure function of two immutable
+    * manifests.
+    */
+  private def dirInserts(v: Int, dirs: Seq[String]): Option[DataFrame] =
+    if (dirs.isEmpty) None
+    else Some(SnapshotStore.readDirs(spark, path, v, dirs)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(v)))
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(o => versionOf(o: OffsetV2)).getOrElse(baseline)
-    val to = versionOf(end: OffsetV2)
-    if (to <= from)
+    val (va, sa) = start.map(o => posOf(o: OffsetV2)).getOrElse((baseline, 0))
+    val (vb, sb) = posOf(end: OffsetV2)
+    if ((vb, sb) == (va, sa) || vb < va)
       return org.apache.spark.sql.graftshim.StreamingBatchShim.asStreamingBatch(
         spark.createDataFrame(java.util.Collections.emptyList[Row](), fixedSchema))
-    val perVersion = ((from + 1) to to).map { v =>
+    def perVersionFeed(v: Int): DataFrame = {
       val feed =
         if (v == 1) // changes(0 -> 1): the initial snapshot, all inserts
           SnapshotStore.read(spark, path, Some(1))
@@ -242,7 +342,35 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
         else SnapshotStore.changes(spark, path, v - 1, v, keyCols)
       feed.withColumn("_commit_version", lit(v))
     }
-    val raw = perVersion.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+    val pieces = Seq.newBuilder[DataFrame]
+    var fullFrom = va + 1
+    if (sa > 0) {
+      // finish (or continue) the partially-consumed version va+1
+      val u = va + 1
+      val dirs = SnapshotStore.insertOnlyDirs(spark, path, u).getOrElse(
+        throw new IllegalStateException(
+          s"graft-changes: offset ($va,$sa) splits version $u but the " +
+            "commit is not insert-only — offset log corrupted?"))
+      val upto = if (vb == va) sb else dirs.size
+      dirInserts(u, dirs.slice(sa, upto)).foreach(pieces += _)
+      fullFrom = u + 1
+    }
+    if (vb >= fullFrom)
+      (fullFrom to vb).foreach(v => pieces += perVersionFeed(v))
+    if (sb > 0 && !(vb == va && sa > 0)) {
+      // the partially-admitted head of version vb+1
+      val dirs = SnapshotStore.insertOnlyDirs(spark, path, vb + 1).getOrElse(
+        throw new IllegalStateException(
+          s"graft-changes: offset ($vb,$sb) splits version ${vb + 1} but " +
+            "the commit is not insert-only — offset log corrupted?"))
+      dirInserts(vb + 1, dirs.take(sb)).foreach(pieces += _)
+    }
+    val built = pieces.result()
+    val raw =
+      if (built.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[Row](),
+          fixedSchema)
+      else built.reduceLeft(_.unionByName(_, allowMissingColumns = true))
     org.apache.spark.sql.graftshim.StreamingBatchShim.asStreamingBatch(align(raw))
   }
 

@@ -265,6 +265,105 @@ class ChangesSourceSpec extends SparkSpec {
     }
   }
 
+  /** One AvailableNow drain capturing PER-BATCH rows (batchId → rows). */
+  private def drainBatches(dir: String, checkpoint: String,
+                           options: Map[String, String],
+                           trigger: Trigger = Trigger.AvailableNow())
+      : Map[Long, Seq[org.apache.spark.sql.Row]] = {
+    val batches = scala.collection.concurrent.TrieMap[
+      Long, Seq[org.apache.spark.sql.Row]]()
+    val reader = spark.readStream.format(classOf[ChangesSourceProvider].getName)
+      .option("path", dir).option("keys", "k")
+    val q = options.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        batches(id) = b.collect().toSeq
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger).start()
+    q.awaitTermination()
+    batches.toMap
+  }
+
+  test("maxBytesPerTrigger splits a multi-dir append across micro-batches " +
+    "(one dir per trigger under a tiny budget) with _commit_version " +
+    "attribution intact; the union equals the unsplit feed") {
+    val dir = newDir("bytes")
+    SnapshotStore.write(
+      Seq((0L, "p0", 0.0), (1L, "p1", 1.0)).toDF("k", "p", "v"), dir, "p")
+    // ONE bulk append touching 4 partitions = 4 new manifest dirs
+    SnapshotStore.append(
+      (10L to 13L).map(k => (k, s"q$k", k * 1.0)).toDF("k", "p", "v"),
+      dir, "p")
+    val batches = drainBatches(dir, ck("bytes"),
+      Map("startingVersion" -> "0", "maxBytesPerTrigger" -> "1"))
+    val nonEmpty = batches.values.filter(_.nonEmpty).toSeq
+    assert(nonEmpty.size == 6,
+      s"2 dirs of v1 + 4 dirs of v2, one per trigger; got " +
+        s"${nonEmpty.size} non-empty batches")
+    assert(nonEmpty.forall(b =>
+      b.map(_.getInt(b.head.fieldIndex("_commit_version")))
+        .distinct.size == 1),
+      "a split batch never mixes commit versions")
+    val got = nonEmpty.flatten.map(r => (
+      r.getInt(r.fieldIndex("_commit_version")),
+      r.getString(r.fieldIndex("_change_type")),
+      r.getLong(r.fieldIndex("k")),
+      r.getDouble(r.fieldIndex("v")))).toSet
+    val want = Set((1, "insert", 0L, 0.0), (1, "insert", 1L, 1.0)) ++
+      (10L to 13L).map(k => (2, "insert", k, k * 1.0))
+    assert(got == want, "the split union must equal the unsplit feed")
+  }
+
+  test("merge commits stay VERSION-ATOMIC under the byte budget: a " +
+    "delta-folding consumer must see update pairs in one batch") {
+    val dir = newDir("atomic")
+    SnapshotStore.write(
+      (0L to 3L).map(k => (k, s"p${k % 2}", k * 1.0)).toDF("k", "p", "v"),
+      dir, "p")
+    SnapshotStore.merge(spark, dir,
+      Seq((1L, "p1", 11.0, false), (9L, "p0", 9.0, false),
+        (2L, "p0", 0.0, true)).toDF("k", "p", "v", "_del"),
+      "p", Seq("k"), deleteCol = Some("_del"))
+    val batches = drainBatches(dir, ck("atomic"),
+      Map("startingVersion" -> "1", "maxBytesPerTrigger" -> "1"))
+    val nonEmpty = batches.values.filter(_.nonEmpty).toSeq
+    assert(nonEmpty.size == 1,
+      s"the merge's feed must land whole; got ${nonEmpty.size} batches")
+    val types = nonEmpty.head.map(r =>
+      r.getString(r.fieldIndex("_change_type"))).toSet
+    assert(types == Set("insert", "delete",
+      "update_preimage", "update_postimage"))
+  }
+
+  test("a checkpoint stopped MID-SPLIT resumes without loss or " +
+    "duplication — even when the budget option is removed on restart") {
+    val dir = newDir("resume")
+    SnapshotStore.write(
+      Seq((0L, "p0", 0.0), (1L, "p1", 1.0)).toDF("k", "p", "v"), dir, "p")
+    SnapshotStore.append(
+      (10L to 12L).map(k => (k, s"q$k", k * 1.0)).toDF("k", "p", "v"),
+      dir, "p")
+    val checkpoint = ck("resume")
+    // Trigger.Once: exactly ONE micro-batch — under the tiny budget that
+    // is the first dir of v1, leaving a {"v":0,"split":1} offset in the log
+    val run1 = drainBatches(dir, checkpoint,
+      Map("startingVersion" -> "0", "maxBytesPerTrigger" -> "1"),
+      Trigger.Once())
+    assert(run1.values.flatten.size == 1, "one dir's rows in run 1")
+    // restart WITHOUT the budget: the split position finishes its
+    // version first, then version-granular pacing drains the rest
+    val run2 = drainBatches(dir, checkpoint, Map("startingVersion" -> "0"))
+    val all = (run1.values.flatten ++ run2.values.flatten).map(r => (
+      r.getInt(r.fieldIndex("_commit_version")),
+      r.getLong(r.fieldIndex("k")))).toSeq
+    assert(all.size == all.distinct.size, "no duplication across restart")
+    assert(all.toSet ==
+      (Set((1, 0L), (1, 1L)) ++ (10L to 12L).map(k => (2, k))),
+      "no loss across the mid-split restart")
+  }
+
   test("fail-fast set: missing path/keys options, bad startingVersion, " +
     "shortName registration resolves format(\"graft-changes\")") {
     val dir = newDir("ff"); buildStore(dir)
