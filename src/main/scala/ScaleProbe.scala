@@ -347,6 +347,7 @@ object ScaleProbe {
         .createTempDirectory("graft_scale_bucket").toString
       li10.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       ord10.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      graft.storage.BucketedTables.enableSortedBucketScan(spark)
       time("bucketed_build_10x") {
         graft.storage.BucketedTables.ensureFactBuckets(spark, dir)
       }

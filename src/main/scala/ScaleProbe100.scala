@@ -211,6 +211,7 @@ object ScaleProbe100 {
         .write.mode("overwrite").parquet(s"$dir/orders.parquet")
       println("PROBE bucketed_auto_buckets_100x = " +
         graft.storage.BucketedTables.autoBuckets(dir))
+      graft.storage.BucketedTables.enableSortedBucketScan(spark)
       time("bucketed_build_100x") {
         graft.storage.BucketedTables.ensureFactBuckets(spark, dir)
       }

@@ -135,6 +135,9 @@ object Relational extends QueryModule {
     // side would broadcast at test SF). Bucketing is pure physical layout:
     // the oracle is the plain DuckDB join over the unbucketed parquet.
     "q_join_bucketed" -> ((s, d) => {
+      // the Sort-free scan is an EXPLICIT session contract (a named
+      // mutation the query opts into), not a side effect of the layout
+      graft.storage.BucketedTables.enableSortedBucketScan(s)
       val (liT, ordT) = graft.storage.BucketedTables.ensureFactBuckets(s, d)
       // sum_qty, not sum(l_extendedprice): a ~6e9-magnitude double sum
       // differs in the last ulp across partial-sum orders (caught by the

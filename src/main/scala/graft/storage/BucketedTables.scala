@@ -89,24 +89,40 @@ object BucketedTables {
     * `numBuckets = 0` (the default) derives the count from the source size
     * via [[autoBuckets]]; pass an explicit count to pin a layout.
     */
+  /** EXPLICIT session contract for the Sort-free bucketed join — call it
+    * once per session that queries this layout (the `q_join_bucketed`
+    * gate does; a co-resident workload that wants the conservative
+    * planner default simply doesn't):
+    *
+    * Spark reports a bucketed scan's SORT ordering only behind
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` (off by default
+    * since 3.0 because it is wrong when a bucket holds multiple files —
+    * pre-2.4 assumed sorted regardless). [[ensureFactBuckets]]'s layout
+    * guarantees exactly ONE file per bucket by construction (repartition
+    * by the bucket key into nB partitions before the bucketed write), so
+    * the ordering is genuinely true and the flag lets the recurring join
+    * skip the per-query Sort of both fact sides, not just the Exchange.
+    * The flag CANNOT manufacture wrong results for other tables: with it
+    * on, FileSourceScanExec claims a sort order only when every bucket
+    * holds at most one file (its singleFilePartitions check), so a
+    * multi-file bucketed table elsewhere in the session keeps getting
+    * its Sort. The only externally-visible effect is plan shape.
+    *
+    * This is a named, documented session mutation — deliberately NOT
+    * hidden inside [[ensureFactBuckets]] (a library silently flipping a
+    * session legacy flag surprises co-resident workloads); returns the
+    * prior value so a caller that wants scoping can restore it.
+    */
+  def enableSortedBucketScan(spark: SparkSession): Option[String] = {
+    val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    prior
+  }
+
   def ensureFactBuckets(spark: SparkSession, dir: String,
                         numBuckets: Int = 0): (String, String) = {
     val nB = if (numBuckets > 0) numBuckets else autoBuckets(dir)
-    // Spark reports a bucketed scan's SORT ordering only behind this flag
-    // (off by default since 3.0 because it is wrong when a bucket holds
-    // multiple files — pre-2.4 assumed sorted regardless). This layout
-    // guarantees exactly ONE file per bucket by construction (repartition
-    // by the bucket key into nB partitions before the bucketed write), so
-    // the ordering is genuinely true and the flag lets the recurring join
-    // skip the per-query Sort of both fact sides, not just the Exchange.
-    // session-wide is SAFE, not just convenient: with this legacy flag on,
-    // FileSourceScanExec claims a sort order only when every bucket holds
-    // at most ONE file (its singleFilePartitions check) — a multi-file
-    // bucketed table elsewhere in the session keeps getting its Sort, so
-    // the flag can never manufacture wrong sort-merge results; it only
-    // lets the one-file-per-bucket layout below advertise the ordering it
-    // really has
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val layoutKey = s"v3|$dir|$nB|" +
       s"${sourceFingerprint(dir, "lineitem")}|${sourceFingerprint(dir, "orders")}"
     val h = java.security.MessageDigest.getInstance("MD5")

@@ -116,6 +116,95 @@ class SnapshotSinkSpec extends SparkSpec {
     }
   }
 
+  test("concurrent-streams soak (seeded): two graft-snapshot sinks with " +
+    "distinct ingest scopes, a LIVE graft-changes reader, and background " +
+    "compact/expire churn — no duplicate rows, no loss, exact reader " +
+    "delivery, nobody wedges") {
+    val store = newDir("soak2")
+    // disjoint key spaces per writer (append's new-keys-only contract
+    // must hold GLOBALLY across both sinks)
+    def inputs(tag: String, writer: Int): String = {
+      val dir = Files.createTempDirectory(s"graft_sink_in_$tag").toString
+      (0 until 4).foreach { c =>
+        (0 until 25).map { i =>
+          val k = (writer + 1) * 100000L + c * 100L + i
+          (k, s"p${i % 3}", k * 1.0)
+        }.toDF("k", "p", "v").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/chunk-$c")
+      }
+      dir
+    }
+    val (inA, inB) = (inputs("soakA", 0), inputs("soakB", 1))
+    val expected = (for (w <- 0 to 1; c <- 0 until 4; i <- 0 until 25)
+      yield (w + 1) * 100000L + c * 100L + i).toSet
+    // pre-init so the reader can open before the first sink batch lands
+    val sch = spark.read.parquet(s"$inA/chunk-0").schema
+    SnapshotStore.init(spark, store, sch, partCol = Some("p"))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val readerCk = ck("soakrd")
+    def drainOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.streaming.ChangesSourceProvider].getName)
+        .option("path", store).option("keys", "k")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("_commit_version", "k").collect()
+            .foreach(r => seen.add((r.getInt(0), r.getLong(1))))
+        }
+        .option("checkpointLocation", readerCk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // background maintenance churn: CAS losses against the live sinks are
+    // the contention under test, not failures
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val churnFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val churn = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          SnapshotStore.compactPartitions(spark, store, "p")
+          // generous keep: the retention >= reader-lag contract, held;
+          // the positive floor keeps in-flight sink gens safe
+          SnapshotStore.expire(spark, store, keep = 50, minAgeMs = 60000L)
+        } catch {
+          case _: java.util.ConcurrentModificationException => ()
+          case t: Throwable => churnFailure.set(t); stop.set(true)
+        }
+        Thread.sleep(50)
+      }
+    })
+    churn.start()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val fa = pool.submit(new Runnable {
+      def run(): Unit = runSink(inA, store, ck("soakA")) })
+    val fb = pool.submit(new Runnable {
+      def run(): Unit = runSink(inB, store, ck("soakB")) })
+    try {
+      while (!fa.isDone || !fb.isDone) drainOnce() // reader races the writers
+      fa.get(); fb.get() // sink failures surface loudly
+    } finally { stop.set(true); churn.join(); pool.shutdown() }
+    assert(churnFailure.get() == null,
+      s"maintenance churn died: ${churnFailure.get()}")
+    drainOnce() // final catch-up over the settled store
+    // store invariants: every key exactly once, nothing lost
+    val headKeys = SnapshotStore.read(spark, store)
+      .select("k").as[Long].collect().toSeq
+    assert(headKeys.size == 200 && headKeys.distinct.size == 200,
+      "idempotency scopes must not collide and appends must not duplicate")
+    assert(headKeys.toSet == expected)
+    // reader invariants: exact delivery (no loss, no duplicate delivery
+    // across the interleaved drains; compaction versions diff EMPTY so
+    // churn adds no rows)
+    import scala.jdk.CollectionConverters._
+    val delivered = seen.iterator().asScala.toSeq
+    assert(delivered.map(_._2).toSet == expected, "reader must see every row")
+    assert(delivered.size == delivered.distinct.size &&
+      delivered.map(_._2).distinct.size == 200,
+      "reader must see every row exactly once (committed batches are " +
+        "never re-delivered across drains)")
+  }
+
   test("a partCol that does not resolve to the store's recorded partition " +
     "column fails fast — a restart (or second stream) configured " +
     "differently must not interleave a second partition-key domain") {
