@@ -16,7 +16,7 @@ package graft
   *
   * Args select sections
   * (`segments lm vidx bucketed spool spoolmulti incr boiler zorder ndstore
-  * merge profile snapshot changes manifest`); no args
+  * merge profile snapshot changes manifest skip branch`); no args
   * runs everything. Corpus dirs build lazily, so a single-section run
   * only pays for the corpora that section reads.
   */
@@ -721,6 +721,56 @@ object ScaleProbe100 {
             "(filter-over-full-read vs manifest-pruned readWhere)")
         }
       }
+      // STRING bounds rung (r14): same 10-gen replica shape, the skip
+      // column a zero-padded string key — the reference's own table is
+      // 12-of-16 strings, so the string path is the one a real user's
+      // first predicate hits. 100x size only.
+      {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_scale100_skipstr").toString + "/st"
+        def replicas(g: Int): DataFrame =
+          (g * 10 until (g + 1) * 10).map { k =>
+            orders.withColumn("o_orderkey",
+              col("o_orderkey") + k * 100000000L)
+          }.reduce(_ union _)
+            .withColumn("skey", format_string("k%012d", col("o_orderkey")))
+        graft.storage.SnapshotStore.write(replicas(0), dir,
+          "o_orderpriority", statsCols = Seq("skey"))
+        (1 until 10).foreach { g =>
+          graft.storage.SnapshotStore.append(replicas(g), dir,
+            "o_orderpriority")
+        }
+        val lo = (5 * 10 + 5) * 100000000L
+        val pred = col("skey") >= f"k$lo%012d" &&
+          col("skey") < f"k${lo + 20000000L}%012d"
+        def agg(df: DataFrame): Unit =
+          df.groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)), min(col("skey")), max(col("skey")))
+            .write.mode("overwrite").format("noop").save()
+        agg(graft.storage.SnapshotStore.read(spark, dir).filter(pred))
+        timeMin2("skip_str_full_100x") {
+          agg(graft.storage.SnapshotStore.read(spark, dir).filter(pred))
+        }
+        agg(graft.storage.SnapshotStore.readWhere(spark, dir, pred))
+        timeMin2("skip_str_pruned_100x") {
+          agg(graft.storage.SnapshotStore.readWhere(spark, dir, pred))
+        }
+        val fullFiles = graft.storage.SnapshotStore.read(spark, dir)
+          .inputFiles.length
+        val prunedFiles = graft.storage.SnapshotStore
+          .readWhere(spark, dir, pred).inputFiles.length
+        ratios("snapshot_skip_str_files_frac_100x") =
+          prunedFiles.toDouble / fullFiles
+        println(f"PROBE snapshot_skip_str_files_frac_100x " +
+          f"${prunedFiles.toDouble / fullFiles}%.3f " +
+          s"($prunedFiles of $fullFiles files; 1 of 10 gens = ~0.1)")
+        for (a <- walls.get("skip_str_full_100x");
+             b <- walls.get("skip_str_pruned_100x")) {
+          ratios("snapshot_skip_str_advantage_100x") = a / b
+          println(f"PROBE snapshot_skip_str_advantage_100x ${a / b}%.2fx " +
+            "(string-predicate filter-over-full-read vs pruned readWhere)")
+        }
+      }
     }
 
     // 10. table profile at 100× docs: the exact profile's count(DISTINCT
@@ -896,6 +946,46 @@ object ScaleProbe100 {
         "flat claim ~ 1")
       bankRatio("pruned_read_x10", 100000, 1000000, "100k_to_1M",
         "flat claim ~ 1")
+    }
+
+    // 13b. BRANCH (WAP) cost at a 100k-partition manifest: staged files
+    // are FLAT by design (the human-gated candidate path), so create /
+    // append / publish each pay one O(N) serialize or parse — this rung
+    // banks what that documented honesty costs in seconds next to the
+    // main line's O(touched) merge at the same N (manifest_merge_100000).
+    if (on("branch")) {
+      walls("sentinel_branch") = cleanSentinel("branch")
+      import graft.storage.SnapshotStore
+      val n = 100000
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_scale100_branch$n").toString + "/st"
+      val seed = spark.range(3000).select(col("id").as("k"),
+        concat(lit("rp"), col("id") % 3).as("p"),
+        (col("id") * lit(1.0)).as("v"))
+      SnapshotStore.write(seed, dir, "p")
+      val real = SnapshotStore.readManifest(spark, dir, 1)
+      val synth = (0 until n - real.size).map { i =>
+        f"zsyn$i%06d" -> Seq(f"data/gen-zsyn/_p=zsyn$i%06d") }.toMap
+      SnapshotStore.commit(spark, dir, 2, real ++ synth, Nil,
+        Some(SnapshotStore.read(spark, dir, Some(1)).schema))
+      val batch = seed.filter(col("k") % 10 === 0)
+        .withColumn("v", col("v") + lit(2.0)).localCheckpoint()
+      time(s"branch_create_$n") {
+        SnapshotStore.branchCreate(spark, dir, "wap")
+      }
+      time(s"branch_append_$n") {
+        SnapshotStore.appendBranch(batch, dir, "wap", "p")
+      }
+      time(s"branch_publish_$n") {
+        SnapshotStore.publishBranch(spark, dir, "wap")
+      }
+      for (a <- walls.get(s"branch_publish_$n");
+           m <- walls.get("manifest_merge_100000")) {
+        ratios("branch_publish_vs_merge_100k") = a / m
+        println(f"PROBE branch_publish_vs_merge_100k ${a / m}%.2f " +
+          "(flat-staged WAP publish vs the main line's O(touched) merge " +
+          "at the same 100k partitions — the documented staging cost)")
+      }
     }
 
     // bucketed-vs-plain advantage as a ratio row (both are x3 recurring)

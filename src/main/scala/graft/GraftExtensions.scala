@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(plans.MaintenanceSql.Append.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Tag.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.DropTag.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.Branch.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.PublishBranch.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.DropBranch.descriptor)
     // Function registration needs a live session's registry; inject via
     // a check rule that runs once at analysis start (idempotent registry ops).
     ext.injectCheckRule { session =>

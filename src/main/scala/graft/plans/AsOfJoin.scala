@@ -234,6 +234,14 @@ object AsOf {
       MaintenanceSql.Tag.name, MaintenanceSql.Tag.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.DropTag.name, MaintenanceSql.DropTag.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.Branch.name, MaintenanceSql.Branch.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.PublishBranch.name, MaintenanceSql.PublishBranch.builder,
+      "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.DropBranch.name, MaintenanceSql.DropBranch.builder,
+      "scala_udf")
   }
 
   /** Parses a tolerance interval string (e.g. "30 minutes") to microseconds,

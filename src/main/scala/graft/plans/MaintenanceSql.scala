@@ -353,6 +353,86 @@ object MaintenanceSql {
       (FunctionIdentifier(name), info, builder)
   }
 
+  /** Branch (write-audit-publish) verbs: `graft_branch(path, name)`
+    * creates a staging branch forked from the head (`detail` = the fork
+    * version); `graft_publish_branch(path, name)` fast-forward publishes
+    * it (`detail` = the published version; refuses loudly when main
+    * advanced past the fork); `graft_drop_branch(path, name)` discards
+    * it (`detail` = 1 if it existed). Audit reads go through
+    * `graft_snapshot(path, 'branch:<name>')`; writes to a branch are a
+    * DataFrame-API verb (`appendBranch`) — SQL ingest of candidates
+    * composes as `graft_branch` + appendBranch + audit + publish.
+    */
+  object Branch {
+    val name = "graft_branch"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_branch(path, name) - creates a write-audit-publish staging " +
+        "branch forked from the SnapshotStore head; stage with " +
+        "appendBranch, audit via graft_snapshot(path, 'branch:<name>'), " +
+        "then graft_publish_branch or graft_drop_branch; returns one " +
+        "status row (detail = fork version); string-literal arguments",
+      "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 2,
+        s"$name takes (path, name); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      val fork = graft.storage.SnapshotStore.headVersion(spark, path)
+        .getOrElse(-1)
+      graft.storage.SnapshotStore.branchCreate(
+        spark, path, str(name, args, 1))
+      statusRow(spark, "branch", path, fork.toLong)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  object PublishBranch {
+    val name = "graft_publish_branch"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_publish_branch(path, name) - fast-forward publishes a " +
+        "staging branch as the new SnapshotStore head (refuses when main " +
+        "advanced past the fork point) and retires the branch; returns " +
+        "one status row (detail = published version); string-literal " +
+        "arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 2,
+        s"$name takes (path, name); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val v = graft.storage.SnapshotStore.publishBranch(
+        spark, str(name, args, 0), str(name, args, 1))
+      statusRow(spark, "publish_branch", str(name, args, 0), v.toLong)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  object DropBranch {
+    val name = "graft_drop_branch"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_drop_branch(path, name) - discards a staging branch (its " +
+        "unpublished gens age out under the orphan sweep); returns one " +
+        "status row (detail = 1 if the branch existed); string-literal " +
+        "arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 2,
+        s"$name takes (path, name); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val existed = graft.storage.SnapshotStore.dropBranch(
+        spark, str(name, args, 0), str(name, args, 1))
+      statusRow(spark, "drop_branch", str(name, args, 0),
+        if (existed) 1L else 0L)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
   /** `graft_expire(path, keep [, minAgeMs])` — drops manifests older than
     * the newest `keep` and sweeps unreferenced gen dirs past the orphan-age
     * floor (default 1h — pass 0 only when no writer can be live); `detail`

@@ -27,15 +27,25 @@ private[storage] object SnapshotRetention {
                               minAgeMs: Long): Unit = {
     val fs = hfs(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
-    val head = SnapshotStore.headVersion(spark, path).getOrElse(return)
+    if (SnapshotStore.headVersion(spark, path).isEmpty) return
     // TAGGED versions are retained regardless of the keep window: their
     // manifests, schemas, renames, and referenced gens all survive. Heads
     // first (cheap), then every DISTINCT segment exactly once: segments
     // are shared across versions by content-addressing, so a store with
     // `keep` retained versions of a 1M-partition manifest parses ~one
     // manifest's worth of segments, not keep x N lines.
+    // The HEAD is re-read inside every resolution pass (not snapshotted
+    // once at sweep start): a concurrent branch PUBLISH re-points gens
+    // OLDER than the orphan floor into a brand-new manifest and drops
+    // the staged chain — a sweep working from a pre-publish head would
+    // see neither the staged refs nor the new manifest and sweep
+    // published data. Re-reading per pass (plus the head-advance
+    // fixpoint below) closes that window to the same residual as the
+    // tag race: a publish landing after the LAST re-read, priced by the
+    // same two-unsynchronized-actors posture (SURVEY §4).
     def resolve(tagged: Set[Int])
-        : (Set[String], Set[String]) = {
+        : (Int, Set[String], Set[String]) = {
+      val head = SnapshotStore.headVersion(spark, path).getOrElse(0)
       val retainedHeads =
         ((math.max(1, head - keep + 1) to head).toSet ++ tagged).toSeq.sorted
         .flatMap { v =>
@@ -74,7 +84,7 @@ private[storage] object SnapshotRetention {
         try SnapshotBranch.readStaged(spark, path, n).entries.values.flatten
         catch { case scala.util.control.NonFatal(_) => Nil }
       }
-      (liveSegs,
+      (head, liveSegs,
         (flatDirs ++ segDirs ++ stagedDirs)
           .map(_.split("/").take(2).mkString("/")).toSet)
     }
@@ -90,15 +100,17 @@ private[storage] object SnapshotRetention {
     // catalog lock (SURVEY §4 — a commit-coordination primitive is
     // required where the FS cannot provide one).
     var tagged: Set[Int] = SnapshotStore.tags(spark, path).values.toSet
-    var (liveSegs, live) = resolve(tagged)
+    var (head, liveSegs, live) = resolve(tagged)
     var tries = 0
     var again = SnapshotStore.tags(spark, path).values.toSet
-    while ((again -- tagged).nonEmpty && tries < 3) {
+    var headAgain = SnapshotStore.headVersion(spark, path).getOrElse(0)
+    while (((again -- tagged).nonEmpty || headAgain > head) && tries < 3) {
       tagged = tagged ++ again
       val r = resolve(tagged)
-      liveSegs = r._1; live = r._2
+      head = r._1; liveSegs = r._2; live = r._3
       tries += 1
       again = SnapshotStore.tags(spark, path).values.toSet
+      headAgain = SnapshotStore.headVersion(spark, path).getOrElse(0)
     }
     (1 until math.max(1, head - keep + 1)).filterNot(tagged).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifest-$v"), false)

@@ -137,5 +137,20 @@ class SnapshotBranchSpec extends SparkSpec {
       SnapshotStore.branchCreate(spark, dir, "bad/name"))
     intercept[IllegalArgumentException](
       SnapshotStore.branchCreate(spark, newDir("none"), "x"))
+    // the WAP lifecycle verbs from pure SQL: publish the staged branch,
+    // then create-and-drop a second one
+    val pub = spark.sql(
+      s"SELECT * FROM graft_publish_branch('$dir', 'gate')").collect()
+    assert(pub(0).getString(0) == "publish_branch" &&
+      pub(0).getLong(2) == 2L && pub(0).getLong(3) == 2L)
+    assert(SnapshotStore.read(spark, dir).count() == 8)
+    val cr = spark.sql(
+      s"SELECT * FROM graft_branch('$dir', 'gate2')").collect()
+    assert(cr(0).getString(0) == "branch" && cr(0).getLong(2) == 2L,
+      "detail = the fork version")
+    val dr = spark.sql(
+      s"SELECT * FROM graft_drop_branch('$dir', 'gate2')").collect()
+    assert(dr(0).getLong(2) == 1L)
+    assert(SnapshotStore.branches(spark, dir).isEmpty)
   }
 }
