@@ -413,7 +413,7 @@ private[storage] object SnapshotFormat {
     dt match {
       case ByteType | ShortType | IntegerType | LongType |
            FloatType | DoubleType | DateType | TimestampType |
-           StringType => true
+           TimestampNTZType | StringType => true
       case _ => false
     }
   }
@@ -426,6 +426,7 @@ private[storage] object SnapshotFormat {
       case FloatType | DoubleType => 'd'
       case DateType => 'a'
       case TimestampType => 't'
+      case TimestampNTZType => 'n' // naive micros — 't' is UTC-instant
       case StringType => 's'
       case other => throw new IllegalArgumentException(
         s"unsupported stats type $other")
@@ -455,6 +456,9 @@ private[storage] object SnapshotFormat {
       (t.getTime * 1000L + (t.getNanos / 1000L) % 1000L).toString
     case i: java.time.Instant =>
       (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    case ldt: java.time.LocalDateTime => // TimestampNTZ: naive micros
+      (ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L).toString
     case f: java.lang.Float => f.doubleValue.toString
     case other => other.toString
   }

@@ -421,6 +421,8 @@ object SnapshotStore {
           if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
         case (DateType, 'a') => Some(BigDecimal(l.value.toString)) // days
         case (TimestampType, 't') => Some(BigDecimal(l.value.toString)) // µs
+        case (TimestampNTZType, 'n') => // naive µs; never mixed with 't'
+          Some(BigDecimal(l.value.toString))
         case _ => None
       }
     def strCmp(a: String, b: String): Int =
@@ -509,6 +511,19 @@ object SnapshotStore {
           if (l.value == null) MightMatch // nulls are untracked
           else cmp(a, l, (cLo, cHi) => cLo > 0 || cHi < 0)
       }.getOrElse(MightMatch)
+      // IN-list: NoMatch only when EVERY non-null element lies outside
+      // the bounds (a NULL element can never make the predicate TRUE for
+      // a non-matching row — `k IN (1, NULL)` is NULL, filtered — so it
+      // is ignorable; an all-NULL/empty list can never match)
+      case in: In =>
+        attrName(in.value).map { a =>
+          val lits = in.list.map(asLit)
+          if (lits.exists(_.isEmpty)) MightMatch // non-literal element
+          else if (lits.flatten.filter(_.value != null).exists(l =>
+            cmp(a, l, (cLo, cHi) => cLo > 0 || cHi < 0) == MightMatch))
+            MightMatch
+          else NoMatch
+        }.getOrElse(MightMatch)
       case sw: StartsWith =>
         (attrName(sw.left), asLit(sw.right)) match {
           case (Some(a), Some(l))
@@ -1402,7 +1417,8 @@ object SnapshotStore {
       if (schema.fieldNames.contains(c))
         require(supportedStatsType(schema(c).dataType),
           s"stats column $c has unsupported type ${schema(c).dataType} " +
-            "(integral, floating, date, timestamp, string only)")
+            "(integral, floating, date, timestamp, timestamp_ntz, " +
+            "string only)")
     }
 
   /** Published AFTER the initial commit: a crash between the two leaves a

@@ -248,6 +248,51 @@ class SnapshotStatsSpec extends SparkSpec {
       SnapshotStore.read(spark, dir).columns.toSeq)
   }
 
+  test("IN-list predicates prune: NoMatch only when every non-null " +
+    "element lies outside the bounds; numeric and string domains") {
+    val dir = newDir("inlist"); rangedStore(dir)
+    def check(pred: org.apache.spark.sql.Column, nGens: Int): Unit = {
+      val pruned = SnapshotStore.readWhere(spark, dir, pred)
+      val full = SnapshotStore.read(spark, dir).filter(pred)
+      assert(pruned.select("k").as[Long].collect().toSet ==
+        full.select("k").as[Long].collect().toSet, s"content for $pred")
+      assert(gens(pruned.inputFiles).size == nGens, s"gens for $pred")
+    }
+    check(col("k").isin(105L, 107L), 1)
+    check(col("k").isin(5L, 205L), 2) // spans gens 1 and 3, gen 2 prunes
+    check(col("k").isin(5000L, 6000L), 0) // everything pruned
+    check(col("k").isin(5L, lit(null)), 1,
+    ) // the NULL element is ignorable
+    val dirS = newDir("instr")
+    SnapshotStore.write(
+      Seq(("aa1", "p0", 1L), ("aa2", "p0", 2L)).toDF("sk", "p", "k"),
+      dirS, "p", statsCols = Seq("sk"))
+    SnapshotStore.append(
+      Seq(("zz1", "p0", 3L)).toDF("sk", "p", "k"), dirS, "p")
+    val g = SnapshotStore.readWhere(spark, dirS,
+      col("sk").isin("zz1", "zz9"))
+    assert(g.select("k").as[Long].collect().toSeq == Seq(3L))
+    assert(gens(g.inputFiles).size == 1, "string IN prunes the aa gen")
+  }
+
+  test("TIMESTAMP_NTZ stats bounds record and prune (the type a " +
+    "date->timestamp_ntz retype produces)") {
+    val dir = newDir("ntz")
+    def ts(s: String) = java.time.LocalDateTime.parse(s)
+    SnapshotStore.write(
+      Seq((ts("2024-01-01T00:00:00"), "p0", 1L),
+        (ts("2024-01-31T23:59:59"), "p0", 2L)).toDF("t", "p", "k"),
+      dir, "p", statsCols = Seq("t"))
+    SnapshotStore.append(
+      Seq((ts("2024-06-15T12:00:00"), "p0", 3L)).toDF("t", "p", "k"),
+      dir, "p")
+    val pred = col("t") >= "2024-06-01T00:00:00"
+    val got = SnapshotStore.readWhere(spark, dir, pred)
+    assert(got.select("k").as[Long].collect().toSeq == Seq(3L))
+    assert(gens(got.inputFiles).size == 1,
+      "the January gen's naive-micros bounds must prune")
+  }
+
   test("fail-fast set: unsupported stats type, reserved characters in a " +
     "stats column name") {
     val dir = newDir("ff")
