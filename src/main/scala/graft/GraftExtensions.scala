@@ -44,6 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(plans.MaintenanceSql.Tag.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.DropTag.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Branch.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.AppendBranch.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.MergeBranch.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.PublishBranch.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.DropBranch.descriptor)
     // Function registration needs a live session's registry; inject via

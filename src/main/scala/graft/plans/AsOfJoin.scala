@@ -237,6 +237,12 @@ object AsOf {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Branch.name, MaintenanceSql.Branch.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.AppendBranch.name, MaintenanceSql.AppendBranch.builder,
+      "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.MergeBranch.name, MaintenanceSql.MergeBranch.builder,
+      "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.PublishBranch.name, MaintenanceSql.PublishBranch.builder,
       "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(

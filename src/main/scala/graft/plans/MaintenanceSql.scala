@@ -359,9 +359,9 @@ object MaintenanceSql {
     * it (`detail` = the published version; refuses loudly when main
     * advanced past the fork); `graft_drop_branch(path, name)` discards
     * it (`detail` = 1 if it existed). Audit reads go through
-    * `graft_snapshot(path, 'branch:<name>')`; writes to a branch are a
-    * DataFrame-API verb (`appendBranch`) — SQL ingest of candidates
-    * composes as `graft_branch` + appendBranch + audit + publish.
+    * `graft_snapshot(path, 'branch:<name>')`; branch WRITES through
+    * `graft_append_branch` / `graft_merge_branch` below — the whole WAP
+    * loop is SQL-reachable.
     */
   object Branch {
     val name = "graft_branch"
@@ -383,6 +383,70 @@ object MaintenanceSql {
       graft.storage.SnapshotStore.branchCreate(
         spark, path, str(name, args, 1))
       statusRow(spark, "branch", path, fork.toLong)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  /** `graft_append_branch(path, name, sourceView, partCol)` /
+    * `graft_merge_branch(path, name, sourceView, partCol, keyCols
+    * [, deleteCol])` — the branch WRITE verbs from SQL, so a SQL-only
+    * surface can run the whole WAP loop: `graft_branch` → stage via
+    * these → audit via `graft_snapshot(path, 'branch:<name>')` →
+    * `graft_publish_branch` or `graft_drop_branch`. `detail` = the
+    * branch's staged version after the write.
+    */
+  object AppendBranch {
+    val name = "graft_append_branch"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_append_branch(path, name, sourceView, partCol) - stages the " +
+        "named view/table (new keys only) on a write-audit-publish " +
+        "branch; returns one status row (detail = the branch's staged " +
+        "version); string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 4,
+        s"$name takes (path, name, sourceView, partCol); got " +
+          s"${args.size} arguments")
+      val spark = SparkSession.active
+      val (path, branch) = (str(name, args, 0), str(name, args, 1))
+      graft.storage.SnapshotStore.appendBranch(
+        spark.table(str(name, args, 2)), path, branch, str(name, args, 3))
+      statusRow(spark, "append_branch", path,
+        graft.storage.SnapshotStore.branches(spark, path)
+          .getOrElse(branch, 0).toLong)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  object MergeBranch {
+    val name = "graft_merge_branch"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_merge_branch(path, name, sourceView, partCol, keyCols" +
+        "[, deleteCol]) - merges the named view/table (upsert + insert, " +
+        "plus deletes where deleteCol = true) onto a write-audit-publish " +
+        "branch; keyCols is a comma-separated list; returns one status " +
+        "row (detail = the branch's staged version); string-literal " +
+        "arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 5 || args.size == 6,
+        s"$name takes (path, name, sourceView, partCol, keyCols" +
+          s"[, deleteCol]); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val (path, branch) = (str(name, args, 0), str(name, args, 1))
+      val keys = str(name, args, 4).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val deleteCol = if (args.size == 6) Some(str(name, args, 5)) else None
+      graft.storage.SnapshotStore.mergeBranch(spark, path, branch,
+        spark.table(str(name, args, 2)), str(name, args, 3), keys,
+        deleteCol = deleteCol)
+      statusRow(spark, "merge_branch", path,
+        graft.storage.SnapshotStore.branches(spark, path)
+          .getOrElse(branch, 0).toLong)
     }
     def descriptor: (FunctionIdentifier, ExpressionInfo,
         Seq[Expression] => LogicalPlan) =

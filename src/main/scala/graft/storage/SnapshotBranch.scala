@@ -2,6 +2,8 @@ package graft.storage
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.operators.Joins
+
 /** The [[SnapshotStore]]'s BRANCH layer — write-audit-publish (WAP), the
   * shape every training-data team runs: stage candidate commits on a
   * named branch, validate them (profile / filter report / dedup audit),
@@ -220,6 +222,56 @@ private[storage] object SnapshotBranch {
     writeStaged(spark, path, name, Staged(st.base, st.k + 1,
       SnapshotStore.unionSchema(st.schema, phys.schema),
       st.renames, merged))
+  }
+
+  /** MERGE into the branch (upsert + insert + delete — the WAP candidate
+    * write for CDC-shaped batches): the same semantics contract as
+    * [[SnapshotStore.merge]], resolved against the BRANCH TIP's content.
+    * Touched partitions' staged dirs are replaced by freshly-written
+    * gens; untouched entries carry by reference. NOTE for the size-split
+    * changes source: a published merge-bearing branch version is one
+    * commit with replaced dirs, so it stays VERSION-ATOMIC downstream —
+    * exactly the delete+insert pairing contract.
+    */
+  private[storage] def merge(spark: SparkSession, path: String,
+                             name: String, batch: org.apache.spark.sql.DataFrame,
+                             partCol: String, keyCols: Seq[String],
+                             deleteCol: Option[String] = None,
+                             precedenceCol: Option[String] = None): Unit = {
+    SnapshotStore.requireAtomicRename(path)
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val st = readStaged(spark, path, name)
+    val (resolved, upserts) = MergeStore.resolveBatch(batch, keyCols,
+      deleteCol, precedenceCol)
+    val keys = resolved.select(keyCols.map(
+      org.apache.spark.sql.functions.col): _*).distinct()
+    val parts = resolved.select(org.apache.spark.sql.functions
+      .col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    if (parts.isEmpty) return
+    val touchedDirs = parts.flatMap(st.entries.get).flatten
+    val merged = if (touchedDirs.isEmpty) upserts else {
+      val dirs = touchedDirs.map(d => s"$path/${dirOf(d)}")
+      val base = SnapshotStore.applyRenames(
+        spark.read.schema(st.schema).parquet(dirs: _*).drop("_p"),
+        st.renames)
+      upserts.unionByName(
+        base.join(Joins.maybeBroadcast(keys, Joins.BroadcastRowLimit),
+          keyCols, "left_anti"),
+        allowMissingColumns = true)
+    }
+    val phys = SnapshotStore.toPhysical(merged, st.renames)
+    val newEntries = SnapshotStore.writeGen(phys, path,
+      SnapshotStore.physicalCol(partCol, st.renames),
+      statsCols = SnapshotStore.statsColsOf(spark, path))
+    // touched partitions whose rows were ALL deleted simply leave the
+    // staged map; their old gens stay for the main line / other refs
+    val entries2 = st.entries -- parts ++
+      newEntries.map { case (p, d) => p -> Seq(d) }
+    writeStaged(spark, path, name, Staged(st.base, st.k + 1,
+      SnapshotStore.unionSchema(st.schema,
+        SnapshotStore.toPhysical(upserts, st.renames).schema),
+      st.renames, entries2))
   }
 
   /** Reads the branch tip (the WAP audit surface). */

@@ -943,6 +943,17 @@ object SnapshotStore {
                    partCol: String): Unit =
     SnapshotBranch.append(df, path, name, partCol)
 
+  /** MERGE into branch `name` (upsert + insert + delete candidates — the
+    * CDC-shaped WAP write); same semantics contract as [[merge]],
+    * resolved against the branch tip.
+    */
+  def mergeBranch(spark: SparkSession, path: String, name: String,
+                  batch: DataFrame, partCol: String, keyCols: Seq[String],
+                  deleteCol: Option[String] = None,
+                  precedenceCol: Option[String] = None): Unit =
+    SnapshotBranch.merge(spark, path, name, batch, partCol, keyCols,
+      deleteCol, precedenceCol)
+
   /** Reads branch `name`'s tip (the WAP audit surface). */
   def readBranch(spark: SparkSession, path: String, name: String): DataFrame =
     SnapshotBranch.read(spark, path, name)

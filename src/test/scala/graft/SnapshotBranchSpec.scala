@@ -116,6 +116,62 @@ class SnapshotBranchSpec extends SparkSpec {
       .contains("k"))
   }
 
+  test("MERGE onto a branch (the CDC-shaped WAP write): update + insert " +
+    "+ delete candidates stage against the TIP, audit sees the merged " +
+    "state, the head stays untouched until publish") {
+    val dir = newDir("merge")
+    SnapshotStore.write(chunk(0L), dir, "p") // keys 0..3
+    SnapshotStore.branchCreate(spark, dir, "cdc")
+    SnapshotStore.appendBranch(chunk(100L), dir, "cdc", "p") // 100..103
+    // merge AGAINST THE TIP: update k=100 (a branch-staged row), insert
+    // k=500, delete k=1 (a fork-point row)
+    SnapshotStore.mergeBranch(spark, dir, "cdc",
+      Seq((100L, "p0", 999.0, false), (500L, "p0", 500.0, false),
+        (1L, "p1", 0.0, true)).toDF("k", "p", "v", "_del"),
+      "p", Seq("k"), deleteCol = Some("_del"))
+    val audit = SnapshotStore.readBranch(spark, dir, "cdc")
+    assert(audit.filter(col("k") === 100L).select("v").as[Double]
+      .collect().toSeq == Seq(999.0), "tip row updated")
+    assert(audit.filter(col("k") === 1L).count() == 0, "fork row deleted")
+    assert(audit.count() == 8, "4 base - 1 delete + 4 appended + 1 insert")
+    assert(SnapshotStore.read(spark, dir).count() == 4 &&
+      SnapshotStore.read(spark, dir).filter(col("k") === 1L).count() == 1,
+      "the main head is untouched by the staged merge")
+    SnapshotStore.publishBranch(spark, dir, "cdc")
+    val head = SnapshotStore.read(spark, dir)
+    assert(head.count() == 8 && head.filter(col("k") === 1L).count() == 0)
+    assert(head.filter(col("k") === 100L).select("v").as[Double]
+      .collect().toSeq == Seq(999.0))
+  }
+
+  test("SQL WAP loop end-to-end: graft_branch -> graft_append_branch + " +
+    "graft_merge_branch -> audit -> graft_publish_branch") {
+    plans.AsOf.register(spark)
+    val dir = newDir("sqlwap")
+    SnapshotStore.write(chunk(0L), dir, "p")
+    chunk(100L).createOrReplaceTempView("wap_cand")
+    Seq((0L, "p0", 77.0, false), (101L, "p1", 0.0, true))
+      .toDF("k", "p", "v", "_del").createOrReplaceTempView("wap_cdc")
+    spark.sql(s"SELECT * FROM graft_branch('$dir', 'sq')")
+    val a = spark.sql(
+      s"SELECT * FROM graft_append_branch('$dir', 'sq', 'wap_cand', 'p')")
+      .collect()
+    assert(a(0).getString(0) == "append_branch" && a(0).getLong(2) == 1L)
+    val m = spark.sql(
+      s"SELECT * FROM graft_merge_branch('$dir', 'sq', 'wap_cdc', 'p', " +
+        "'k', '_del')").collect()
+    assert(m(0).getString(0) == "merge_branch" && m(0).getLong(2) == 2L)
+    val audit = spark.sql(
+      s"SELECT * FROM graft_snapshot('$dir', 'branch:sq')")
+    assert(audit.count() == 7, "4 + 4 appended - 1 deleted; update in place")
+    assert(SnapshotStore.headVersion(spark, dir).contains(1))
+    spark.sql(s"SELECT * FROM graft_publish_branch('$dir', 'sq')")
+    val head = SnapshotStore.read(spark, dir)
+    assert(head.count() == 7 &&
+      head.filter(col("k") === 0L).select("v").as[Double]
+        .collect().toSeq == Seq(77.0))
+  }
+
   test("SQL rungs: graft_snapshot(path, 'branch:<name>') audits from " +
     "pure SQL, 'branches' lists the catalog; contract violations loud") {
     plans.AsOf.register(spark)
