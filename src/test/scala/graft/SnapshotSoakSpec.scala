@@ -272,6 +272,87 @@ class SnapshotSoakSpec extends SparkSpec {
       statsCols = true, renameMix = true)
   }
 
+  test("seeded BRANCH soak: a WAP branch stages while main writers append " +
+    "and retention churns — staged rows stay exact under a zero-floor " +
+    "sweep (the staged-refs-in-the-live-set net), publish refuses loudly " +
+    "when main moved, and a quiet-window branch publishes cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_soak_br")
+      .toString + "/st"
+    SnapshotStore.write(base.toDF("k", "p", "v"), dir, "p")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val appended =
+      new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val published = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stagedKeys = (0 until 5).map(i => 90000L + i)
+    val mains = (0 until 2).map { w =>
+      new Thread(() => {
+        val r = new scala.util.Random(20260818 + w)
+        try (0 until 8).foreach { i =>
+          val k = (w + 1) * 1000L + i
+          SnapshotStore.append(
+            Seq((k, s"p${r.nextInt(4)}", i * 1.0)).toDF("k", "p", "v"),
+            dir, "p", idempotencyKey = Some(s"br-w$w-b$i"), maxRetries = 50)
+          appended.add(k)
+          if (i % 3 == 2) SnapshotStore.expire(spark, dir, keep = 8)
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    val brancher = new Thread(() => {
+      try {
+        SnapshotStore.branchCreate(spark, dir, "soak")
+        stagedKeys.foreach { k =>
+          SnapshotStore.appendBranch(
+            Seq((k, "p0", k * 1.0)).toDF("k", "p", "v"), dir, "soak", "p")
+          // audit mid-race: every staged key so far visible exactly once
+          val seen = SnapshotStore.readBranch(spark, dir, "soak")
+            .filter(col("k") >= 90000L).select("k").as[Long]
+            .collect().toSeq
+          assert(seen.sorted == stagedKeys.takeWhile(_ <= k),
+            s"mid-race audit drifted: $seen")
+        }
+        try {
+          SnapshotStore.publishBranch(spark, dir, "soak")
+          published.set(true)
+        } catch {
+          case e: IllegalStateException =>
+            assert(e.getMessage.contains("main advanced"), e.getMessage)
+        }
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    (mains :+ brancher).foreach(_.start())
+    (mains :+ brancher).foreach(_.join())
+    assert(errors.isEmpty, s"soak errors: ${errors.toArray.toSeq}")
+    // main-line content: every appended key exactly once
+    import scala.jdk.CollectionConverters._
+    val mainKeys = appended.iterator().asScala.toSet
+    def headKeys() = SnapshotStore.read(spark, dir)
+      .select("k").as[Long].collect().toSeq
+    val hk = headKeys()
+    assert(hk.size == hk.distinct.size, "duplicate rows on main")
+    assert(mainKeys.subsetOf(hk.toSet), "main lost an appended key")
+    if (published.get()) {
+      assert(stagedKeys.toSet.subsetOf(hk.toSet),
+        "published branch rows must be on the head")
+    } else {
+      // THE regression net for the staged-live-set fix: a zero-floor
+      // keep=1 sweep with the branch still live must not touch its gens
+      SnapshotStore.expire(spark, dir, keep = 1, minAgeMs = 0L)
+      val audit = SnapshotStore.readBranch(spark, dir, "soak")
+        .filter(col("k") >= 90000L).select("k").as[Long].collect().toSeq
+      assert(audit.sorted == stagedKeys,
+        "staged rows must survive a zero-floor sweep while the branch lives")
+      assert(SnapshotStore.dropBranch(spark, dir, "soak"))
+    }
+    // quiet-window WAP: re-branch from the settled head and publish
+    val before = headKeys().toSet
+    SnapshotStore.branchCreate(spark, dir, "quiet")
+    SnapshotStore.appendBranch(
+      Seq((99999L, "p0", 1.0)).toDF("k", "p", "v"), dir, "quiet", "p")
+    SnapshotStore.publishBranch(spark, dir, "quiet")
+    assert(headKeys().toSet == before + 99999L)
+    quiescentSweep(dir)
+  }
+
   test("seeded rollback-mix soak: structural invariants hold under " +
     "concurrent rollbacks, and a final rollback to v1 restores the base") {
     val dir = java.nio.file.Files.createTempDirectory("graft_soak_rb")
