@@ -318,7 +318,8 @@ object StreamGate extends QueryModule {
     ("s_ivm_cdc" -> (ivmCdcGate(_, _))) :+
     ("s_append_compact" -> (appendCompactGate(_, _))) :+
     ("s_changes_source" -> (changesSourceGate(_, _))) :+
-    ("s_snapshot_sink" -> (snapshotSinkGate(_, _)))
+    ("s_snapshot_sink" -> (snapshotSinkGate(_, _))) :+
+    ("s_wap_sink" -> (wapSinkGate(_, _)))
 
   /** The concurrent-fleet roster (s_merge_cdc runs standalone — its replay
     * input is the orders table, not the events chunks); FleetParitySpec
@@ -587,6 +588,52 @@ object StreamGate extends QueryModule {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** STREAMING WAP (r14): the declarative corpus gate — the stream STAGES
+    * every micro-batch on a branch (`option("branch", …)`), the main head
+    * stays at the auto-inited empty v1 throughout (require-pinned, with
+    * the staged row count), and ONE publish decision lands the whole
+    * streamed corpus atomically as v2. Same replayed %4 chunks as
+    * `s_snapshot_sink`, so the oracle is the same whole-table aggregate —
+    * what this gate certifies is the STAGING discipline around it.
+    */
+  private def wapSinkGate(s: org.apache.spark.sql.SparkSession,
+                          d: String): DataFrame = {
+    import graft.storage.SnapshotStore
+    val store = Files.createTempDirectory("graft_wsink").toString + "/st"
+    val orders = t(s, d, "orders")
+    val chDir = replayCache(d, "sinkcdc", "orders") { dir =>
+      (0 until 4).foreach { i =>
+        orders.filter(col("o_orderkey") % 4 === i).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/chunk-$i")
+      }
+    }
+    val ck = Files.createTempDirectory("graft_wsink_ck").toString
+    val sch = s.read.parquet(s"$chDir/chunk-0").schema
+    val q = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+      .parquet(s"$chDir/chunk-*")
+      .writeStream.format("graft-snapshot")
+      .option("path", store).option("partCol", "o_orderpriority")
+      .option("branch", "cand")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val total = orders.count()
+    require(SnapshotStore.headVersion(s, store).contains(1) &&
+      SnapshotStore.read(s, store).count() == 0,
+      "s_wap_sink: staging must leave the main head at the empty v1")
+    require(SnapshotStore.readBranch(s, store, "cand").count() == total,
+      "s_wap_sink: the branch tip must hold the whole streamed corpus")
+    val v = SnapshotStore.publishBranch(s, store, "cand")
+    require(v == 2, "s_wap_sink: publish must fast-forward to v2")
+    SnapshotStore.read(s, store)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   private val runners: Seq[(String, QFn)] = Seq(
     "s_tumbling_counts" -> ((s, d) =>
       windowedGate("s_tumbling_counts", s, d,
@@ -810,6 +857,16 @@ object StreamGate extends QueryModule {
     // closing compaction is pure layout — same shape as s_append_compact,
     // here certifying the DECLARATIVE sink (auto-init + keyed appends)
     "s_snapshot_sink" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // streaming WAP reassembles the same corpus — the gate's require-pins
+    // (head empty until publish, publish = v2) certify the staging
+    "s_wap_sink" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents,

@@ -206,22 +206,52 @@ private[storage] object SnapshotBranch {
     * land in the store's own `data/` with the store's declared stats;
     * only the staged metadata distinguishes them from a main-line
     * append. Schema evolution follows the store's union rules.
+    *
+    * `idempotencyKey` makes redelivery structural-exactly-once on the
+    * BRANCH (the streaming-WAP contract, mirroring [[SnapshotStore
+    * .append]]): the gen dir name derives from the key, the pinned dir
+    * publishes via the same stage-and-rename CAS (duplicate deliveries
+    * adopt the winner's dir), and an append whose gen is already
+    * referenced by the branch TIP is a no-op. A staged-CAS loss
+    * (concurrent branch writer, or a crash replay racing a live stream)
+    * retries against the new tip, re-running the dedup check — the
+    * keyed gen is deterministic, so the retry re-adopts rather than
+    * re-writes.
     */
   private[storage] def append(df: DataFrame, path: String, name: String,
-                              partCol: String): Unit = {
+                              partCol: String,
+                              idempotencyKey: Option[String] = None): Unit = {
     val spark = df.sparkSession
     SnapshotStore.requireAtomicRename(path)
-    val st = readStaged(spark, path, name)
-    val phys = SnapshotStore.toPhysical(df, st.renames)
-    val newEntries = SnapshotStore.writeGen(phys, path,
-      SnapshotStore.physicalCol(partCol, st.renames),
-      statsCols = SnapshotStore.statsColsOf(spark, path))
-    val merged = st.entries ++ newEntries.map { case (p, d) =>
-      p -> (st.entries.getOrElse(p, Nil) :+ d)
+    val genName = idempotencyKey.map { k =>
+      "gen-b" + java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     }
-    writeStaged(spark, path, name, Staged(st.base, st.k + 1,
-      SnapshotStore.unionSchema(st.schema, phys.schema),
-      st.renames, merged))
+    var attempt = 0
+    while (true) {
+      val st = readStaged(spark, path, name)
+      if (genName.exists(g => st.entries.values.flatten
+        .exists(d => dirOf(d).startsWith(s"data/$g/"))))
+        return // keyed replay: the pinned gen is already on the tip
+      val phys = SnapshotStore.toPhysical(df, st.renames)
+      val newEntries = SnapshotStore.writeGen(phys, path,
+        SnapshotStore.physicalCol(partCol, st.renames),
+        genName = genName,
+        statsCols = SnapshotStore.statsColsOf(spark, path))
+      val merged = st.entries ++ newEntries.map { case (p, d) =>
+        p -> (st.entries.getOrElse(p, Nil) :+ d)
+      }
+      try {
+        writeStaged(spark, path, name, Staged(st.base, st.k + 1,
+          SnapshotStore.unionSchema(st.schema, phys.schema),
+          st.renames, merged))
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 5) throw e
+      }
+    }
   }
 
   /** MERGE into the branch (upsert + insert + delete — the WAP candidate

@@ -938,10 +938,14 @@ object SnapshotStore {
   def branchCreate(spark: SparkSession, path: String, name: String): Unit =
     SnapshotBranch.create(spark, path, name)
 
-  /** Insert-only append to branch `name` (the WAP candidate write). */
+  /** Insert-only append to branch `name` (the WAP candidate write);
+    * with an `idempotencyKey`, redelivery is structural-exactly-once on
+    * the branch — the streaming-WAP contract.
+    */
   def appendBranch(df: DataFrame, path: String, name: String,
-                   partCol: String): Unit =
-    SnapshotBranch.append(df, path, name, partCol)
+                   partCol: String,
+                   idempotencyKey: Option[String] = None): Unit =
+    SnapshotBranch.append(df, path, name, partCol, idempotencyKey)
 
   /** MERGE into branch `name` (upsert + insert + delete candidates — the
     * CDC-shaped WAP write); same semantics contract as [[merge]],

@@ -67,6 +67,20 @@ class SnapshotSink(sqlContext: SQLContext,
   private val statsCols: Seq[String] = parameters.get("statsCols")
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
+  /** STREAMING WAP: with `branch` set, every micro-batch stages on that
+    * branch instead of committing to the main line — the stream fills a
+    * candidate corpus that a human (or a validation job) audits via
+    * `readBranch` / `graft_snapshot(path, 'branch:<name>')` and then
+    * publishes or drops in one decision. Idempotency rides the same
+    * key (`<ingest scope> + batchId`) through the branch's pinned-gen
+    * dedup, so engine redelivery stays structural-exactly-once on the
+    * branch. A missing store auto-inits (empty v1) exactly as main-line
+    * mode and the branch forks from it — streaming a candidate corpus
+    * into a brand-new store and publishing it as v2 just works; the
+    * branch itself is auto-created on the first batch.
+    */
+  private val branch: Option[String] = parameters.get("branch")
+
   /** Idempotency-key namespace: one logical INGEST. Two distinct streams
     * appending to one store must not collide on `batchId`, so the key is
     * scoped by the checkpoint (each stream has its own) or an explicit
@@ -106,8 +120,25 @@ class SnapshotSink(sqlContext: SQLContext,
     // second stream configured differently, must not interleave a second
     // partition-key domain into the store)
     SnapshotStore.requirePartCol(spark, path, partCol)
-    SnapshotStore.append(batch, path, partCol,
-      idempotencyKey = Some(s"sink-$ingestId-$batchId"))
+    branch match {
+      case Some(br) =>
+        // a missing store was auto-inited (empty v1) above, so the
+        // branch always has a fork point — streaming a candidate corpus
+        // into a brand-new store and publishing it as v2 just works
+        if (SnapshotStore.branches(spark, path).get(br).isEmpty) {
+          try SnapshotStore.branchCreate(spark, path, br)
+          catch { // lost the create race to a concurrent batch/stream
+            case e: IllegalArgumentException
+              if e.getMessage.contains("already exists") => ()
+            case _: java.util.ConcurrentModificationException => ()
+          }
+        }
+        SnapshotStore.appendBranch(batch, path, br, partCol,
+          idempotencyKey = Some(s"sink-$ingestId-$batchId"))
+      case None =>
+        SnapshotStore.append(batch, path, partCol,
+          idempotencyKey = Some(s"sink-$ingestId-$batchId"))
+    }
   }
 
   override def toString: String = s"SnapshotSink[$path]"

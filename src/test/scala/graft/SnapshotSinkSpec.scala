@@ -116,6 +116,42 @@ class SnapshotSinkSpec extends SparkSpec {
     }
   }
 
+  test("STREAMING WAP: the branch option stages every micro-batch on a " +
+    "branch (head untouched), restart/replay no-ops on the branch's " +
+    "pinned gens, publish lands the whole streamed corpus atomically") {
+    val (in, store) = (chunkDir("wap"), newDir("wap"))
+    val checkpoint = ck("wap")
+    runSink(in, store, checkpoint, Map("branch" -> "cand"))
+    assert(SnapshotStore.headVersion(spark, store).contains(1),
+      "branch mode: the auto-inited empty v1 is the ONLY main commit")
+    assert(SnapshotStore.read(spark, store).count() == 0)
+    val audit = SnapshotStore.readBranch(spark, store, "cand")
+    assert(audit.count() == 12, "3 chunks x 4 rows staged")
+    assert(SnapshotStore.branches(spark, store) == Map("cand" -> 3))
+    // restart on the same checkpoint: nothing new, nothing duplicated
+    runSink(in, store, checkpoint, Map("branch" -> "cand"))
+    assert(SnapshotStore.readBranch(spark, store, "cand").count() == 12)
+    assert(SnapshotStore.branches(spark, store) == Map("cand" -> 3),
+      "a replayed run must not advance the branch")
+    // direct addBatch replay (the engine's crash-redelivery shape)
+    val provider = new graft.streaming.SnapshotSinkProvider()
+    val sink = provider.createSink(spark.sqlContext,
+      Map("path" -> store, "partCol" -> "p", "branch" -> "cand",
+        "checkpointLocation" -> checkpoint),
+      Nil, org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.asInstanceOf[graft.streaming.SnapshotSink].addBatch(1,
+      spark.read.parquet(s"$in/chunk-1"))
+    assert(SnapshotStore.readBranch(spark, store, "cand").count() == 12,
+      "a redelivered batch no-ops on the branch's pinned gen")
+    // the WAP decision: publish — the streamed corpus lands as ONE commit
+    val v = SnapshotStore.publishBranch(spark, store, "cand")
+    assert(v == 2)
+    val head = SnapshotStore.read(spark, store)
+    assert(head.count() == 12)
+    assert(head.select("k").as[Long].collect().sorted.toSeq ==
+      (0 until 3).flatMap(c => (0 until 4).map(i => c * 100L + i)).sorted)
+  }
+
   test("concurrent-streams soak (seeded): two graft-snapshot sinks with " +
     "distinct ingest scopes, a LIVE graft-changes reader, and background " +
     "compact/expire churn — no duplicate rows, no loss, exact reader " +
