@@ -318,6 +318,29 @@ private[storage] object SnapshotBranch {
     SnapshotStore.applyRenames(base, st.renames)
   }
 
+  /** [[read]] with the store's manifest-level DATA SKIPPING applied to
+    * the STAGED entries — staged dir fields carry the same stats blobs
+    * main-line gens do (the branch append passes `statsCols` through
+    * [[SnapshotStore.writeGen]]), so auditing a huge candidate corpus
+    * (a filter report, a contamination probe over one slice) opens only
+    * the gens the predicate can touch.
+    */
+  private[storage] def readWhere(spark: SparkSession, path: String,
+      name: String, pred: org.apache.spark.sql.Column): DataFrame = {
+    val st = readStaged(spark, path, name)
+    val kept = SnapshotStore.survivingDirs(spark,
+      st.entries.values.flatten.toSeq, st.schema, st.renames, pred)
+      .map(d => s"$path/$d")
+    val base =
+      if (kept.isEmpty) SnapshotStore.applyRenames(spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        st.schema), st.renames)
+      else SnapshotStore.applyRenames(
+        spark.read.schema(st.schema).parquet(kept: _*).drop("_p"),
+        st.renames)
+    base.filter(pred)
+  }
+
   /** FAST-FORWARD publish: commits the branch tip as version base+1 on
     * the main line and deletes the staged chain. A main head that moved
     * past the fork point makes the manifest CAS lose — surfaced as the

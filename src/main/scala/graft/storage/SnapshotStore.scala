@@ -561,20 +561,22 @@ object SnapshotStore {
     * predicate is correct here; only its stats-expressible conjuncts
     * prune. SnapshotStatsSpec pins `inputFiles` ⊆ surviving dirs.
     */
-  def readWhere(spark: SparkSession, path: String,
-                pred: org.apache.spark.sql.Column,
-                version: Option[Int] = None): DataFrame = {
-    val v = version.orElse(headVersion(spark, path))
-      .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
-    val renames = readRenames(spark, path, v)
+  /** The store-relative dirs of `fields` surviving `pred` — the shared
+    * pruning core of [[readWhere]] and the branch audit's pruned read
+    * ([[readBranchWhere]]). The predicate is resolved against the
+    * LOGICAL schema (a zero-row analysis, no I/O): literals arrive typed
+    * in Catalyst's internal forms (epoch days/micros — the blob domain),
+    * implicit casts land explicitly, unknown columns fail as loudly as
+    * `read().filter` would.
+    */
+  private[storage] def survivingDirs(spark: SparkSession,
+      fields: Seq[String],
+      physSchema: org.apache.spark.sql.types.StructType,
+      renames: Map[String, String],
+      pred: org.apache.spark.sql.Column): Seq[String] = {
     val logicalToPhysical = renames.map(_.swap)
-    // resolve the predicate against the version's LOGICAL schema (a
-    // zero-row analysis, no I/O): literals arrive typed in Catalyst's
-    // internal forms (epoch days/micros — the blob domain), implicit
-    // casts land explicitly, unknown columns fail here as loudly as
-    // read().filter would
     val logicalSchema = org.apache.spark.sql.types.StructType(
-      versionSchema(spark, path, v).fields.map(f =>
+      physSchema.fields.map(f =>
         f.copy(name = renames.getOrElse(f.name, f.name))))
     val expr = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -583,18 +585,29 @@ object SnapshotStore {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       case _ => org.apache.spark.sql.catalyst.expressions.Literal(true)
     }
-    // dirs-only resolution (readManifestDirs), NOT the value-keyed map:
-    // pruning needs each dir field's stats blob, never the partition
-    // value, and at 1M manifest entries the map's unescape+build
-    // constants dominate the whole resolve (the same argument behind
-    // read()'s dirs-only path)
-    val kept = readManifestDirs(spark, path, v).filter { field =>
+    fields.filter { field =>
       statsOf(field) match {
         case None => true
         case Some(blob) =>
           evalPrune(expr, parseStats(blob), logicalToPhysical) != NoMatch
       }
-    }.map(dirOf).sorted.map(d => s"$path/$d")
+    }.map(dirOf).sorted
+  }
+
+  def readWhere(spark: SparkSession, path: String,
+                pred: org.apache.spark.sql.Column,
+                version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(headVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
+    val renames = readRenames(spark, path, v)
+    // dirs-only resolution (readManifestDirs), NOT the value-keyed map:
+    // pruning needs each dir field's stats blob, never the partition
+    // value, and at 1M manifest entries the map's unescape+build
+    // constants dominate the whole resolve (the same argument behind
+    // read()'s dirs-only path)
+    val kept = survivingDirs(spark, readManifestDirs(spark, path, v),
+      versionSchema(spark, path, v), renames, pred)
+      .map(d => s"$path/$d")
     // everything-pruned: the empty frame under the version's logical
     // schema DIRECTLY (read().limit(0) would plan a parquet scan over
     // every gen dir — the exact listing cost pruning exists to avoid,
@@ -961,6 +974,14 @@ object SnapshotStore {
   /** Reads branch `name`'s tip (the WAP audit surface). */
   def readBranch(spark: SparkSession, path: String, name: String): DataFrame =
     SnapshotBranch.read(spark, path, name)
+
+  /** [[readBranch]] with manifest-level data skipping over the staged
+    * entries — the pruned audit read ([[readWhere]]'s contract, on a
+    * branch tip).
+    */
+  def readBranchWhere(spark: SparkSession, path: String, name: String,
+                      pred: org.apache.spark.sql.Column): DataFrame =
+    SnapshotBranch.readWhere(spark, path, name, pred)
 
   /** FAST-FORWARD publishes branch `name` as the new main head and drops
     * the branch; refuses (loudly) if main advanced past the fork point.

@@ -116,6 +116,33 @@ class SnapshotBranchSpec extends SparkSpec {
       .contains("k"))
   }
 
+  test("PRUNED audit (readBranchWhere): staged gens carry stats blobs, " +
+    "so a predicate audit opens only the gens it can touch — parity " +
+    "with the full-filter audit, gens pinned") {
+    val dir = newDir("prune")
+    def rchunk(lo: Long) = (0 until 5)
+      .map(i => (lo + i, "p0", (lo + i) * 1.0)).toDF("k", "p", "v")
+    SnapshotStore.write(rchunk(0L), dir, "p", statsCols = Seq("k"))
+    SnapshotStore.branchCreate(spark, dir, "audit")
+    SnapshotStore.appendBranch(rchunk(100L), dir, "audit", "p")
+    SnapshotStore.appendBranch(rchunk(200L), dir, "audit", "p")
+    val pred = col("k") >= 100L && col("k") < 105L
+    val pruned = SnapshotStore.readBranchWhere(spark, dir, "audit", pred)
+    val full = SnapshotStore.readBranch(spark, dir, "audit").filter(pred)
+    assert(pruned.select("k").as[Long].collect().toSet ==
+      full.select("k").as[Long].collect().toSet)
+    def gens(files: Array[String]) =
+      files.flatMap(_.split("/data/").lift(1)).map(_.split("/").head).toSet
+    assert(gens(pruned.inputFiles).size == 1 &&
+      gens(SnapshotStore.readBranch(spark, dir, "audit")
+        .inputFiles).size == 3,
+      "the audit must open only the middle staged gen of three")
+    // everything-pruned: empty frame, no dir listed
+    val none = SnapshotStore.readBranchWhere(spark, dir, "audit",
+      col("k") >= 99999L)
+    assert(none.count() == 0 && none.inputFiles.isEmpty)
+  }
+
   test("MERGE onto a branch (the CDC-shaped WAP write): update + insert " +
     "+ delete candidates stage against the TIP, audit sees the merged " +
     "state, the head stays untouched until publish") {
