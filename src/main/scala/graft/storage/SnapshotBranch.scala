@@ -115,6 +115,38 @@ private[storage] object SnapshotBranch {
       .groupBy(_._1).map { case (n, ks) => n -> ks.map(_._2).max }
   }
 
+  /** Every dir referenced by ANY staged file at the store — the retention
+    * sweep's branch-protection input. EVERY staged version contributes,
+    * not just tips: [[merge]] REPLACES touched partitions' staged dirs,
+    * so a gen referenced only by a pre-merge staged version would fall
+    * out of a tips-only live set while the chain (and time travel over
+    * it via lower-k reads) still exists. A staged file that VANISHES
+    * between the listing and its read was dropped or published by a
+    * concurrent actor — it protects nothing, by that actor's own
+    * contract. Anything else (a malformed staged file, a transient IO
+    * error) stays LOUD: mapping it to "no branch" would sweep a live
+    * branch's unpublished gens on a read hiccup.
+    */
+  private[storage] def allStagedDirs(spark: SparkSession,
+                                     path: String): Seq[String] = {
+    val fs = hfs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("_staged-") && !n.endsWith(".tmp") &&
+          n.lastIndexOf('-') > "_staged-".length - 1 &&
+          n.substring(n.lastIndexOf('-') + 1).forall(_.isDigit)
+      }
+      .toSeq.flatMap { p =>
+        try parse(readFileUtf8(fs, p), p.toString).entries.values.flatten
+        catch {
+          case _: java.io.FileNotFoundException => Nil
+        }
+      }
+  }
+
   private def serialize(st: Staged): String = {
     val sb = new StringBuilder
     sb.append(s"$Marker\t${st.base}\t${st.k}\n")
@@ -352,14 +384,29 @@ private[storage] object SnapshotBranch {
     SnapshotStore.requireAtomicRename(path)
     val st = readStaged(spark, path, name)
     val target = st.base + 1
+    // the fast-forward guard must NOT rest on the manifest CAS alone: if
+    // main advanced more than `keep` versions past the fork and expire()
+    // already deleted _manifest-<base+1>, the CAS would WIN into an
+    // expired mid-history slot — a "published" branch whose data never
+    // reaches the head and whose manifest the next sweep deletes. Pin the
+    // head to the fork version first; the CAS still covers the residual
+    // head-advance race while the successor manifest exists inside the
+    // keep window.
+    val head = SnapshotStore.headVersion(spark, path)
+    if (!head.contains(st.base))
+      throw new IllegalStateException(
+        s"cannot fast-forward branch '$name' at $path: main advanced " +
+          s"past the fork point (version ${st.base}, head now " +
+          s"${head.getOrElse(-1)}); rebase the branch onto the new head " +
+          "or re-create it")
     try SnapshotStore.commit(spark, path, target, st.entries, Nil,
       Some(st.schema), st.renames)
     catch {
       case e: java.util.ConcurrentModificationException =>
         throw new IllegalStateException(
           s"cannot fast-forward branch '$name' at $path: main advanced " +
-            s"past the fork point (version ${st.base}); audit the new " +
-            "head and re-create the branch", e)
+            s"past the fork point (version ${st.base}); rebase the " +
+            "branch onto the new head or re-create it", e)
     }
     drop(spark, path, name)
     target

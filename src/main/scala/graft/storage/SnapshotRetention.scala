@@ -76,14 +76,15 @@ private[storage] object SnapshotRetention {
       }
       // BRANCH-staged gens are live: a gen whose only reference is a
       // staged file (an unpublished WAP candidate) must survive until
-      // the branch publishes or drops. Tips suffice — branch appends
-      // only ADD dirs, so every older staged version's entries are a
-      // subset of the tip's. A branch dropped mid-sweep contributes
-      // nothing (its gens age out from the NEXT sweep on).
-      val stagedDirs = SnapshotBranch.allTips(spark, path).keys.flatMap { n =>
-        try SnapshotBranch.readStaged(spark, path, n).entries.values.flatten
-        catch { case scala.util.control.NonFatal(_) => Nil }
-      }
+      // the branch publishes or drops. EVERY staged file contributes —
+      // not just tips: a branch MERGE replaces touched partitions'
+      // staged dirs, so gens referenced only by pre-merge staged
+      // versions would fall out of a tips-only live set while the chain
+      // still exists. A staged file dropped/published mid-sweep
+      // contributes nothing (its gens age out from the NEXT sweep on);
+      // a malformed file or an IO error fails the sweep LOUDLY instead
+      // of sweeping a live branch's gens (see allStagedDirs).
+      val stagedDirs = SnapshotBranch.allStagedDirs(spark, path)
       (head, liveSegs,
         (flatDirs ++ segDirs ++ stagedDirs)
           .map(_.split("/").take(2).mkString("/")).toSet)

@@ -99,11 +99,34 @@ class SnapshotSink(sqlContext: SQLContext,
         "scope would not survive a restart and replayed batches would " +
         "stop deduplicating"))
 
+  /** The head version the partCol validation last PASSED against — the
+    * per-batch metadata round-trips (`_partcol`, `_renames`, branch
+    * listing) are O(1) small driver reads, but at a high trigger rate
+    * they were the bulk of the sink's per-batch latency on an object
+    * store. The validation inputs only change when the MAIN HEAD moves
+    * (a rename/drop commits a version; `_partcol` is written once at
+    * init), so the check is keyed on the observed head: steady-state
+    * batches pay ONE head probe, a mid-stream rename re-validates on the
+    * next batch, and a RESTART with a changed `partCol` option constructs
+    * a fresh sink whose first batch always validates — the fail-fast
+    * contract survives the cache (SnapshotSinkSpec pins it).
+    */
+  @volatile private var validatedAtHead: Option[Int] = None
+
+  /** Branch existence, validated once per sink instance: an externally
+    * dropped/published branch surfaces as appendBranch's loud "no
+    * branch" failure, on which the cache resets and the branch is
+    * re-created from the current head (the exact per-batch behavior the
+    * uncached sink had, paid only on failure).
+    */
+  @volatile private var branchValidated = false
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // rebind off the micro-batch's incremental plan before append
     // re-plans it through a normal write action
     val batch = org.apache.spark.sql.graftshim.StreamingBatchShim.asBatch(data)
-    if (SnapshotStore.headVersion(spark, path).isEmpty) {
+    val head0 = SnapshotStore.headVersion(spark, path)
+    val head = head0.orElse {
       try SnapshotStore.init(spark, path, batch.schema, statsCols,
         partCol = Some(partCol))
       catch {
@@ -114,30 +137,56 @@ class SnapshotSink(sqlContext: SQLContext,
         case e: IllegalArgumentException
           if e.getMessage.contains("already holds") => ()
       }
+      SnapshotStore.headVersion(spark, path)
     }
     // fail fast on a partCol that doesn't resolve to the store's recorded
     // partition column (a restart with a different option value, or a
     // second stream configured differently, must not interleave a second
-    // partition-key domain into the store)
-    SnapshotStore.requirePartCol(spark, path, partCol)
+    // partition-key domain into the store) — keyed on the observed head,
+    // so a steady stream validates once, not per trigger
+    if (validatedAtHead != head) {
+      SnapshotStore.requirePartCol(spark, path, partCol)
+      validatedAtHead = head
+    }
     branch match {
       case Some(br) =>
         // a missing store was auto-inited (empty v1) above, so the
         // branch always has a fork point — streaming a candidate corpus
         // into a brand-new store and publishing it as v2 just works
-        if (SnapshotStore.branches(spark, path).get(br).isEmpty) {
-          try SnapshotStore.branchCreate(spark, path, br)
-          catch { // lost the create race to a concurrent batch/stream
-            case e: IllegalArgumentException
-              if e.getMessage.contains("already exists") => ()
-            case _: java.util.ConcurrentModificationException => ()
+        def ensureBranch(): Unit = if (!branchValidated) {
+          if (SnapshotStore.branches(spark, path).get(br).isEmpty) {
+            try SnapshotStore.branchCreate(spark, path, br)
+            catch { // lost the create race to a concurrent batch/stream
+              case e: IllegalArgumentException
+                if e.getMessage.contains("already exists") => ()
+              case _: java.util.ConcurrentModificationException => ()
+            }
           }
+          branchValidated = true
         }
-        SnapshotStore.appendBranch(batch, path, br, partCol,
+        ensureBranch()
+        try SnapshotStore.appendBranch(batch, path, br, partCol,
           idempotencyKey = Some(s"sink-$ingestId-$batchId"))
+        catch {
+          case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("no branch") =>
+            // the branch vanished under the cache (published or dropped
+            // externally): re-create from the current head and retry once
+            branchValidated = false
+            ensureBranch()
+            SnapshotStore.appendBranch(batch, path, br, partCol,
+              idempotencyKey = Some(s"sink-$ingestId-$batchId"))
+        }
       case None =>
         SnapshotStore.append(batch, path, partCol,
           idempotencyKey = Some(s"sink-$ingestId-$batchId"))
+        // our own append moved the head — advance the validation key so a
+        // steady single-writer stream validates once, not per trigger. A
+        // FOREIGN commit interleaving before this probe is adopted
+        // unvalidated for one batch; the next head movement re-validates,
+        // and append itself re-resolves renames per attempt — the same
+        // two-unsynchronized-actors residual the store prices elsewhere.
+        validatedAtHead = SnapshotStore.headVersion(spark, path)
     }
   }
 

@@ -68,6 +68,60 @@ class SnapshotBranchSpec extends SparkSpec {
     assert(!SnapshotStore.dropBranch(spark, dir, "cand"))
   }
 
+  test("publish refuses into an EXPIRED mid-history slot: when main " +
+    "advanced past the fork AND expire deleted _manifest-<base+1>, the " +
+    "CAS alone would WIN into a dead version — the head pin refuses " +
+    "instead of silently dropping the staged corpus") {
+    val dir = newDir("expslot")
+    SnapshotStore.write(chunk(0L), dir, "p") // v1
+    SnapshotStore.branchCreate(spark, dir, "stale") // fork = 1
+    SnapshotStore.appendBranch(chunk(100L), dir, "stale", "p")
+    SnapshotStore.append(chunk(500L), dir, "p") // v2
+    SnapshotStore.append(chunk(600L), dir, "p") // v3
+    SnapshotStore.append(chunk(700L), dir, "p") // v4
+    SnapshotStore.expire(spark, dir, keep = 1, minAgeMs = 0L)
+    assert(!new java.io.File(s"$dir/_manifest-2").exists(),
+      "precondition: the successor manifest slot is expired")
+    val e = intercept[IllegalStateException](
+      SnapshotStore.publishBranch(spark, dir, "stale"))
+    assert(e.getMessage.contains("main advanced"))
+    assert(SnapshotStore.headVersion(spark, dir).contains(4) &&
+      SnapshotStore.read(spark, dir).count() == 16,
+      "the head is untouched by the refused publish")
+    assert(SnapshotStore.readBranch(spark, dir, "stale").count() == 8,
+      "the refused branch is still auditable")
+  }
+
+  test("retention protects EVERY staged version's gens, not just the " +
+    "tip's: a branch MERGE replaces touched partitions' staged dirs, so " +
+    "a gen referenced only by the pre-merge staged version must still " +
+    "survive the sweep while the chain exists") {
+    val dir = newDir("premerge")
+    // single partition so the merge replaces the appended gen's only dir
+    def ones(lo: Long) = (0 until 3)
+      .map(i => (lo + i, "p0", (lo + i) * 1.0)).toDF("k", "p", "v")
+    SnapshotStore.write(ones(0L), dir, "p")
+    SnapshotStore.branchCreate(spark, dir, "chain")
+    SnapshotStore.appendBranch(ones(100L), dir, "chain", "p") // staged k=1
+    val dataDir = new java.io.File(s"$dir/data")
+    val before = dataDir.listFiles().map(_.getName).toSet
+    // staged k=2 REPLACES p0's dirs — the k=1 appended gen now lives only
+    // in the non-tip staged file
+    SnapshotStore.mergeBranch(spark, dir, "chain",
+      Seq((100L, "p0", 999.0)).toDF("k", "p", "v"), "p", Seq("k"))
+    SnapshotStore.expire(spark, dir, keep = 1, minAgeMs = 0L)
+    val after = dataDir.listFiles().map(_.getName).toSet
+    assert(before.subsetOf(after),
+      s"pre-merge staged gens must survive the sweep: lost ${before -- after}")
+    // dropping the branch releases the whole chain to the next sweep
+    SnapshotStore.dropBranch(spark, dir, "chain")
+    SnapshotStore.expire(spark, dir, keep = 1, minAgeMs = 0L)
+    assert(dataDir.listFiles().map(_.getName).toSet.size < after.size,
+      "dropped-chain gens are garbage to the next sweep")
+    assert(SnapshotStore.read(spark, dir).count() == 3,
+      "main is untouched throughout")
+  }
+
   test("expire interplay: gens referenced only by a staged branch " +
     "survive the sweep; dropping the branch releases them to the next " +
     "orphan sweep") {
