@@ -771,6 +771,59 @@ object ScaleProbe100 {
             "(string-predicate filter-over-full-read vs pruned readWhere)")
         }
       }
+      // NULL-count rung (r15): the "find the corrupt rows" shape — a
+      // probe column the parse-failure path leaves unset everywhere
+      // except one ingest slice. IS NOT NULL through readWhere must open
+      // only that slice's gen; the full read lists and scans all ten.
+      // 100x size only.
+      {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_scale100_skipnull").toString + "/st"
+        def replicas(g: Int): DataFrame = {
+          val base = (g * 10 until (g + 1) * 10).map { k =>
+            orders.withColumn("o_orderkey",
+              col("o_orderkey") + k * 100000000L)
+          }.reduce(_ union _)
+          base.withColumn("bad",
+            if (g == 5) concat(lit("err"), col("o_orderkey"))
+            else lit(null).cast("string"))
+        }
+        graft.storage.SnapshotStore.write(replicas(0), dir,
+          "o_orderpriority", statsCols = Seq("bad"))
+        (1 until 10).foreach { g =>
+          graft.storage.SnapshotStore.append(replicas(g), dir,
+            "o_orderpriority")
+        }
+        val pred = col("bad").isNotNull
+        def agg(df: DataFrame): Unit =
+          df.groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)), count(col("bad")))
+            .write.mode("overwrite").format("noop").save()
+        agg(graft.storage.SnapshotStore.read(spark, dir).filter(pred))
+        timeMin2("skip_null_full_100x") {
+          agg(graft.storage.SnapshotStore.read(spark, dir).filter(pred))
+        }
+        agg(graft.storage.SnapshotStore.readWhere(spark, dir, pred))
+        timeMin2("skip_null_pruned_100x") {
+          agg(graft.storage.SnapshotStore.readWhere(spark, dir, pred))
+        }
+        val fullFiles = graft.storage.SnapshotStore.read(spark, dir)
+          .inputFiles.length
+        val prunedFiles = graft.storage.SnapshotStore
+          .readWhere(spark, dir, pred).inputFiles.length
+        ratios("snapshot_skip_null_files_frac_100x") =
+          prunedFiles.toDouble / fullFiles
+        println(f"PROBE snapshot_skip_null_files_frac_100x " +
+          f"${prunedFiles.toDouble / fullFiles}%.3f " +
+          s"($prunedFiles of $fullFiles files; 1 of 10 gens = ~0.1)")
+        for (a <- walls.get("skip_null_full_100x");
+             b <- walls.get("skip_null_pruned_100x")) {
+          ratios("snapshot_skip_null_advantage_100x") = a / b
+          println(f"PROBE snapshot_skip_null_advantage_100x ${a / b}%.2fx " +
+            "(IS NOT NULL filter-over-full-read vs null-count-pruned " +
+            "readWhere)")
+        }
+      }
     }
 
     // 10. table profile at 100× docs: the exact profile's count(DISTINCT
@@ -985,6 +1038,33 @@ object ScaleProbe100 {
         println(f"PROBE branch_publish_vs_merge_100k ${a / m}%.2f " +
           "(flat-staged WAP publish vs the main line's O(touched) merge " +
           "at the same 100k partitions — the documented staging cost)")
+      }
+      // REBASE rung (r15): main moves under a staged branch; rebase must
+      // be a metadata-only rewrite (two manifest resolutions + diffs +
+      // one staged serialize over the 100k-entry map) — the alternative
+      // it replaces is re-creating the branch and RE-STAGING the corpus,
+      // so the honest comparison is one appendBranch (the re-staging
+      // unit, which also writes real data).
+      {
+        SnapshotStore.branchCreate(spark, dir, "reb")
+        SnapshotStore.appendBranch(
+          batch.withColumn("p", concat(lit("cand"), col("k") % 3)),
+          dir, "reb", "p")
+        SnapshotStore.append( // main moves, disjoint partition
+          seed.limit(50).withColumn("p", lit("mainp")), dir, "p")
+        time(s"branch_rebase_$n") {
+          SnapshotStore.rebaseBranch(spark, dir, "reb")
+        }
+        time(s"branch_publish_rebased_$n") {
+          SnapshotStore.publishBranch(spark, dir, "reb")
+        }
+        for (a <- walls.get(s"branch_rebase_$n");
+             b <- walls.get(s"branch_append_$n")) {
+          ratios("branch_rebase_vs_restage_100k") = a / b
+          println(f"PROBE branch_rebase_vs_restage_100k ${a / b}%.2f " +
+            "(metadata-only rebase vs one re-staging appendBranch at " +
+            "100k partitions — the recovery rebase replaces)")
+        }
       }
     }
 

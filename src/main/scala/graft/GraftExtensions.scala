@@ -48,6 +48,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(plans.MaintenanceSql.MergeBranch.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.PublishBranch.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.DropBranch.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.RebaseBranch.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.ExpireBranches.descriptor)
     // Function registration needs a live session's registry; inject via
     // a check rule that runs once at analysis start (idempotent registry ops).
     ext.injectCheckRule { session =>

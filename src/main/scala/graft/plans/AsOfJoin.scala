@@ -248,6 +248,12 @@ object AsOf {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.DropBranch.name, MaintenanceSql.DropBranch.builder,
       "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.RebaseBranch.name, MaintenanceSql.RebaseBranch.builder,
+      "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.ExpireBranches.name,
+      MaintenanceSql.ExpireBranches.builder, "scala_udf")
   }
 
   /** Parses a tolerance interval string (e.g. "30 minutes") to microseconds,

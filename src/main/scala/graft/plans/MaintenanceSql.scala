@@ -475,6 +475,61 @@ object MaintenanceSql {
       (FunctionIdentifier(name), info, builder)
   }
 
+  /** `graft_rebase_branch(path, name)` — re-points a staging branch's
+    * fork base to the current head (metadata-only; refuses loudly when
+    * the branch and main both changed a partition since the fork), so a
+    * refused `graft_publish_branch` under a live main line is recovered
+    * without re-staging; `detail` = the new fork base.
+    */
+  object RebaseBranch {
+    val name = "graft_rebase_branch"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_rebase_branch(path, name) - re-points a write-audit-publish " +
+        "staging branch onto the current SnapshotStore head so publish " +
+        "can land under a moving main line; metadata-only, refuses on " +
+        "partitions changed by both sides; returns one status row " +
+        "(detail = the new fork base); string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 2,
+        s"$name takes (path, name); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val base = graft.storage.SnapshotStore.rebaseBranch(
+        spark, str(name, args, 0), str(name, args, 1))
+      statusRow(spark, "rebase_branch", str(name, args, 0), base.toLong)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  /** `graft_expire_branches(path, olderThanMs)` — drops staging branches
+    * whose last write is older than the threshold (the abandoned-branch
+    * lifecycle sweep; never runs unless invoked); `detail` = number of
+    * branches dropped. Their gens age out under the next orphan sweep.
+    */
+  object ExpireBranches {
+    val name = "graft_expire_branches"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_expire_branches(path, olderThanMs) - drops staging branches " +
+        "whose last write is older than olderThanMs (their gens age out " +
+        "under the next orphan sweep); returns one status row (detail = " +
+        "branches dropped); string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 2,
+        s"$name takes (path, olderThanMs); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val dropped = graft.storage.SnapshotStore.expireBranches(
+        spark, str(name, args, 0), num(name, args, 1, "olderThanMs"))
+      statusRow(spark, "expire_branches", str(name, args, 0),
+        dropped.size.toLong)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
   object DropBranch {
     val name = "graft_drop_branch"
     val info: ExpressionInfo = new ExpressionInfo(

@@ -57,11 +57,15 @@ object SnapshotSql {
         graft.storage.SnapshotStore.tags(spark, path).toSeq.sorted
           .toDF("tag", "version").queryExecution.analyzed
       case "branches" =>
-        // the branch catalog: name -> the branch's staged version counter
+        // the branch catalog with lifecycle data: staged tip counter,
+        // fork base, created/last-written wall clocks (0 on pre-r15
+        // staged files) — an abandoned staging branch pinning gens out
+        // of the orphan sweep is VISIBLE here before graft_expire_branches
         val spark = SparkSession.active
         import spark.implicits._
-        graft.storage.SnapshotStore.branches(spark, path).toSeq.sorted
-          .toDF("branch", "tip").queryExecution.analyzed
+        graft.storage.SnapshotStore.branchInfos(spark, path)
+          .toDF("branch", "tip", "base", "created_ms", "modified_ms")
+          .queryExecution.analyzed
       case b if b.startsWith("branch:") =>
         // the WAP audit surface: read the branch tip from pure SQL
         graft.storage.SnapshotStore.readBranch(SparkSession.active, path,

@@ -1169,6 +1169,104 @@ object Extended extends QueryModule {
           .withColumn("slice", lit(slice))
       agg(ranged, 1).unionByName(agg(prefixed, 2))
         .orderBy(col("slice"), col("o_orderpriority"))
+    }),
+
+    // Branch REBASE (r15): the reference's own pipeline never stops
+    // ingesting (`/root/reference/README.md:29` — access.log -> rsyslog
+    // -> clickhouse), so on a live store every WAP audit window longer
+    // than main's commit interval ends in a refused publish. Rebase
+    // re-points the staged chain's fork base to the new head — a pure
+    // METADATA rewrite (staged files record exactly which gens the
+    // branch added; nothing is re-staged) sound under the
+    // disjoint-partitions contract. Slices: 1 = the head after main
+    // moved (the branch's publish is refused here — require-pinned),
+    // 2 = the rebased audit tip (main's commits + the candidate corpus),
+    // 3 = the published head. Rebase-to-v2 and publish-to-v3 pinned.
+    "q_snapshot_rebase" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_rebaseq")
+        .toString + "/orders_rebase"
+      val k = col("o_orderkey")
+      graft.storage.SnapshotStore.write(orders, dir, "o_orderpriority")
+      graft.storage.SnapshotStore.branchCreate(s, dir, "staging")
+      graft.storage.SnapshotStore.appendBranch(
+        orders.filter(k % 101 === 0)
+          .withColumn("o_orderkey", k + lit(10000000L))
+          .withColumn("o_orderpriority", lit("9-CANDIDATE")),
+        dir, "staging", "o_orderpriority")
+      // main keeps ingesting while the audit runs — the WAP reality
+      graft.storage.SnapshotStore.append(
+        orders.filter(k % 97 === 0)
+          .withColumn("o_orderkey", k + lit(20000000L)),
+        dir, "o_orderpriority")
+      val refused =
+        try { graft.storage.SnapshotStore.publishBranch(s, dir, "staging")
+              false }
+        catch { case _: IllegalStateException => true }
+      require(refused,
+        "q_snapshot_rebase: publish must refuse under a moved head")
+      val during = graft.storage.SnapshotStore.read(s, dir)
+      require(graft.storage.SnapshotStore.rebaseBranch(s, dir,
+        "staging") == 2, "q_snapshot_rebase: rebase must land on v2")
+      val audit = graft.storage.SnapshotStore.readBranch(s, dir, "staging")
+      require(graft.storage.SnapshotStore.publishBranch(s, dir,
+        "staging") == 3, "q_snapshot_rebase: publish must commit v3")
+      val after = graft.storage.SnapshotStore.read(s, dir)
+      Seq((during, 1), (audit, 2), (after, 3))
+        .map { case (df, slice) =>
+          mergeAgg(df).withColumn("slice", lit(slice)) }
+        .reduce(_ unionByName _)
+        .orderBy(col("slice"), col("o_orderpriority"))
+    }),
+
+    // NULL-count stats (r15): the reference's parse-failure path (R4)
+    // MANUFACTURES nulls — corrupt lines leave fields unset — so "find
+    // the corrupt rows" (`IS NOT NULL` / `IS NULL` on a sometimes-set
+    // field) is a first-week predicate on any log table. Every stats
+    // blob now carries per-column null/row counts (Iceberg's
+    // null_value_counts, re-derived): IS NULL prunes null-free gens,
+    // IS NOT NULL prunes all-NULL gens. The fixture stages a null-free
+    // gen, an all-NULL gen and a mixed gen; both rungs require-pin
+    // 2-of-3 gens opened.
+    "q_snapshot_skip_null" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_skipnull")
+        .toString + "/orders_skip_null"
+      val k = col("o_orderkey")
+      val base = orders.select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("o_orderstatus"))
+      graft.storage.SnapshotStore.write(
+        base.filter(k % 3 === 0).withColumn("probe", col("o_orderstatus")),
+        dir, "o_orderpriority", statsCols = Seq("probe"))
+      graft.storage.SnapshotStore.append(
+        base.filter(k % 3 === 1)
+          .withColumn("probe", lit(null).cast("string")),
+        dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(
+        base.filter(k % 3 === 2)
+          .withColumn("probe",
+            when(k % 5 === 0, lit(null)).otherwise(col("o_orderstatus"))),
+        dir, "o_orderpriority")
+      val set = graft.storage.SnapshotStore.readWhere(s, dir,
+        col("probe").isNotNull)
+      val unset = graft.storage.SnapshotStore.readWhere(s, dir,
+        col("probe").isNull)
+      def gens(files: Array[String]) =
+        files.flatMap(_.split("/data/").lift(1)).map(_.split("/").head).toSet
+      require(gens(set.inputFiles).size == 2 &&
+        gens(unset.inputFiles).size == 2 &&
+        gens(graft.storage.SnapshotStore.read(s, dir).inputFiles).size == 3,
+        "q_snapshot_skip_null: null counts must prune the all-NULL gen " +
+          "under IS NOT NULL and the null-free gen under IS NULL")
+      def agg(x: org.apache.spark.sql.DataFrame, slice: Int) =
+        x.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("sum_cents"),
+            count(col("probe")).as("n_probe"))
+          .withColumn("slice", lit(slice))
+      agg(set, 1).unionByName(agg(unset, 2))
+        .orderBy(col("slice"), col("o_orderpriority"))
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -1207,6 +1305,51 @@ object Extended extends QueryModule {
         |FROM orders, mx
         |WHERE o_orderkey > m // 4 AND o_orderkey <= (3 * m) // 4
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_snapshot_rebase" -> {
+      def rAgg(slice: Int, src: String) =
+        s"""SELECT o_orderpriority, count(*) AS n_orders,
+           |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |      AS sum_cents,
+           |    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           |    $slice AS slice
+           |  FROM $src GROUP BY o_orderpriority""".stripMargin
+      """WITH mainx AS (
+        |  SELECT o_orderpriority, o_totalprice, o_orderkey FROM orders
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice, o_orderkey + 20000000
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |tipx AS (
+        |  SELECT * FROM mainx
+        |  UNION ALL
+        |  SELECT '9-CANDIDATE', o_totalprice, o_orderkey + 10000000
+        |  FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT * FROM (
+        |""".stripMargin +
+        Seq(rAgg(1, "mainx"), rAgg(2, "tipx"), rAgg(3, "tipx"))
+          .mkString("\nUNION ALL\n") +
+        "\n) ORDER BY slice, o_orderpriority"
+    },
+
+    "q_snapshot_skip_null" -> {
+      def nAgg(slice: Int, pred: String) =
+        s"""SELECT o_orderpriority, count(*) AS n_orders,
+           |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |      AS sum_cents,
+           |    count(probe) AS n_probe, $slice AS slice
+           |  FROM probed WHERE $pred GROUP BY o_orderpriority""".stripMargin
+      """WITH probed AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    CASE WHEN o_orderkey % 3 = 1 THEN NULL
+        |         WHEN o_orderkey % 3 = 2 AND o_orderkey % 5 = 0 THEN NULL
+        |         ELSE o_orderstatus END AS probe
+        |  FROM orders)
+        |SELECT * FROM (
+        |""".stripMargin +
+        Seq(nAgg(1, "probe IS NOT NULL"), nAgg(2, "probe IS NULL"))
+          .mkString("\nUNION ALL\n") +
+        "\n) ORDER BY slice, o_orderpriority"
+    },
 
     "q_snapshot_branch" -> {
       def bAgg(slice: Int, src: String) =

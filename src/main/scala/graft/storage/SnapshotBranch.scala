@@ -31,7 +31,10 @@ import graft.operators.Joins
   * the CAS loses — surfacing the exact Iceberg fast-forward contract
   * ("publish only if main has not moved") with no extra coordination
   * machinery. The staged chain is deleted after a successful publish;
-  * re-branch from the new head to retry after a refusal.
+  * after a refusal, [[rebase]] re-points the chain onto the new head
+  * (metadata-only, disjoint-partitions contract) and publish retries —
+  * the loop that makes WAP usable under a continuously-ingesting main
+  * line.
   *
   * ==Retention interplay==
   * Gens referenced ONLY by staged files must survive [[SnapshotStore
@@ -39,8 +42,11 @@ import graft.operators.Joins
   * (see [[SnapshotRetention]]). The fork-point VERSION may expire
   * freely — staged files are self-contained (schema, renames, entries),
   * so a branch outliving its base still reads and publishes. An
-  * abandoned branch holds its gens live until [[drop]] releases them to
-  * the orphan sweep.
+  * abandoned branch holds its gens live until [[drop]] (or the
+  * operator-invoked, off-by-default [[expireBranches]] age sweep)
+  * releases them to the orphan sweep; the `'branches'` catalog surfaces
+  * each branch's created/last-written clocks so the abandonment is
+  * VISIBLE first.
   *
   * ==Scale posture==
   * Staged manifests are FLAT by design: branch staging is the human-
@@ -64,6 +70,7 @@ private[storage] object SnapshotBranch {
   private val Marker = "graft-staged"
   private val RenMarker = "renames"
   private val ManMarker = "manifest"
+  private val BaseMarker = "base"
 
   private def escName(name: String): String = {
     require(name.nonEmpty && !name.exists(c => c <= ' ' || c == '/' ||
@@ -76,10 +83,22 @@ private[storage] object SnapshotBranch {
   private def stagedPath(path: String, name: String, k: Int) =
     new org.apache.hadoop.fs.Path(path, s"_staged-${escName(name)}-$k")
 
+  /** One staged branch version. `baseEntries` is the FORK VERSION's full
+    * entry map, written only by [[rebase]] (whose new fork may expire
+    * before the next rebase needs to diff against it — the snapshot keeps
+    * the chain self-contained); [[create]]'s version 0 needs none (its
+    * `entries` ARE the fork snapshot). `createdMs`/`modifiedMs` are the
+    * branch's birth and last-write wall clocks (grammar v2, r15) — the
+    * lifecycle data [[expireBranches]] and the `'branches'` catalog
+    * surface; pre-r15 staged files parse as 0 (no timestamp = age
+    * unprovable = never age-expired from the header alone).
+    */
   private[storage] case class Staged(base: Int, k: Int,
       schema: org.apache.spark.sql.types.StructType,
       renames: Map[String, String],
-      entries: Map[String, Seq[String]])
+      entries: Map[String, Seq[String]],
+      baseEntries: Option[Map[String, Seq[String]]] = None,
+      createdMs: Long = 0L, modifiedMs: Long = 0L)
 
   /** The branch's newest staged version, if the branch exists. */
   private[storage] def tipOf(spark: SparkSession, path: String,
@@ -149,7 +168,8 @@ private[storage] object SnapshotBranch {
 
   private def serialize(st: Staged): String = {
     val sb = new StringBuilder
-    sb.append(s"$Marker\t${st.base}\t${st.k}\n")
+    sb.append(s"$Marker\t${st.base}\t${st.k}\t${st.createdMs}\t" +
+      s"${st.modifiedMs}\n")
     sb.append(st.schema.json).append('\n')
     sb.append(RenMarker).append('\n')
     st.renames.toSeq.sortBy(_._1).foreach { case (p, l) =>
@@ -158,6 +178,13 @@ private[storage] object SnapshotBranch {
     }
     sb.append(ManMarker).append('\n')
     sb.append(serializeEntries(st.entries))
+    // the fork snapshot section (rebase-written): marker line is
+    // control-char-prefixed like every section marker, and manifest
+    // entry lines always carry a TAB, so the marker cannot be forged
+    st.baseEntries.foreach { b =>
+      sb.append('\n').append(BaseMarker).append('\n')
+      sb.append(serializeEntries(b))
+    }
     sb.toString
   }
 
@@ -168,8 +195,11 @@ private[storage] object SnapshotBranch {
       s"malformed staged branch file $src")
     val headLines = txt.substring(0, renIdx).split("\n")
     val h = headLines(0).split("\t")
-    require(h.length == 3 && headLines.length == 2,
+    // grammar v1 (pre-r15): base TAB k; v2 adds createdMs TAB modifiedMs
+    require((h.length == 3 || h.length == 5) && headLines.length == 2,
       s"malformed staged branch header in $src")
+    val (created, modified) =
+      if (h.length == 5) (h(3).toLong, h(4).toLong) else (0L, 0L)
     val schema = org.apache.spark.sql.types.DataType.fromJson(headLines(1))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     // an empty renames section ends on the SAME '\n' the manifest marker
@@ -182,9 +212,16 @@ private[storage] object SnapshotBranch {
         require(f.length == 2, s"malformed staged rename line in $src")
         Esc.unescapePathName(f(0)) -> Esc.unescapePathName(f(1))
       }.toMap
+    val baseIdx = txt.indexOf(s"\n$BaseMarker\n", manIdx + 1)
+    val manEnd = if (baseIdx < 0) txt.length else baseIdx
     val entries = parseLines(
-      txt.substring(manIdx + ManMarker.length + 2), src)
-    Staged(h(1).toInt, h(2).toInt, schema, renames, entries)
+      txt.substring(manIdx + ManMarker.length + 2, manEnd), src)
+    val baseEntries =
+      if (baseIdx < 0) None
+      else Some(parseLines(
+        txt.substring(baseIdx + BaseMarker.length + 2), src))
+    Staged(h(1).toInt, h(2).toInt, schema, renames, entries,
+      baseEntries, created, modified)
   }
 
   private[storage] def readStaged(spark: SparkSession, path: String,
@@ -228,10 +265,12 @@ private[storage] object SnapshotBranch {
       s"branch '$name' already exists at $path")
     val head = SnapshotStore.headVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
+    val now = System.currentTimeMillis()
     writeStaged(spark, path, name, Staged(head, 0,
       SnapshotStore.versionSchema(spark, path, head),
       SnapshotStore.readRenames(spark, path, head),
-      readManifest(spark, path, head)))
+      readManifest(spark, path, head),
+      createdMs = now, modifiedMs = now))
   }
 
   /** Insert-only APPEND to the branch (the WAP candidate write): gens
@@ -276,7 +315,12 @@ private[storage] object SnapshotBranch {
       try {
         writeStaged(spark, path, name, Staged(st.base, st.k + 1,
           SnapshotStore.unionSchema(st.schema, phys.schema),
-          st.renames, merged))
+          st.renames, merged,
+          // the fork snapshot does NOT ride on appends (it would double
+          // the deliberately-flat staged serialize); [[forkSnapshot]]
+          // chain-walks to the segment start instead
+          createdMs = st.createdMs,
+          modifiedMs = System.currentTimeMillis()))
         return
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -333,7 +377,9 @@ private[storage] object SnapshotBranch {
     writeStaged(spark, path, name, Staged(st.base, st.k + 1,
       SnapshotStore.unionSchema(st.schema,
         SnapshotStore.toPhysical(upserts, st.renames).schema),
-      st.renames, entries2))
+      st.renames, entries2,
+      createdMs = st.createdMs,
+      modifiedMs = System.currentTimeMillis()))
   }
 
   /** Reads the branch tip (the WAP audit surface). */
@@ -371,6 +417,121 @@ private[storage] object SnapshotBranch {
         spark.read.schema(st.schema).parquet(kept: _*).drop("_p"),
         st.renames)
     base.filter(pred)
+  }
+
+  /** The FORK VERSION's full entry map for the chain segment `st` sits
+    * on — the diff base [[rebase]] needs. Resolution walks the chain
+    * UPWARD to the segment start (the smallest k whose base equals the
+    * tip's): [[create]]'s version 0 IS the fork snapshot (its entries
+    * are the head's full map, untouched by later appends), and a
+    * [[rebase]]-written segment start carries the snapshot explicitly
+    * in its `base` section. Vanished files skip; a chain with no segment
+    * start degrades to reading `_manifest-<base>` directly — loud if
+    * retention already swept it ("re-create the branch" is then the
+    * honest answer).
+    */
+  private def forkSnapshot(spark: SparkSession, path: String,
+                           st: Staged, name: String)
+      : Map[String, Seq[String]] = {
+    val fs = hfs(spark, path)
+    val prefix = s"_staged-${escName(name)}-"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val ks = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith(prefix) &&
+        n.stripPrefix(prefix).forall(_.isDigit) =>
+        n.stripPrefix(prefix).toInt }.sorted
+    ks.foreach { k =>
+      val p = stagedPath(path, name, k)
+      val cand =
+        try Some(parse(readFileUtf8(fs, p), p.toString))
+        catch { case _: java.io.FileNotFoundException => None } // dropped
+      cand.filter(_.base == st.base).foreach { c =>
+        if (c.k == 0) return c.entries // create: entries ARE the snapshot
+        c.baseEntries.foreach(return _) // rebase-written segment start
+        // rebase is the only base-mover and always writes a snapshot, so
+        // reaching here means a mid-chain file whose segment start
+        // vanished; fall through to the manifest as a last resort
+      }
+    }
+    try readManifest(spark, path, st.base)
+    catch {
+      case e: IllegalArgumentException if versionVanished(e) =>
+        throw new IllegalStateException(
+          s"cannot rebase branch '$name' at $path: fork version " +
+            s"${st.base} expired and no staged fork snapshot exists — " +
+            "re-create the branch from the current head", e)
+    }
+  }
+
+  /** REBASE: re-points the staged chain's fork base to the CURRENT head,
+    * so a publish can land under a continuously-ingesting main line —
+    * without it, every audit window longer than main's commit interval
+    * ends in a refused publish whose only recovery is re-staging the
+    * whole candidate corpus. A pure METADATA rewrite (staged files
+    * record exactly which gens the branch added; no gen is rewritten):
+    * the new tip is the head's entry map with the branch's touched
+    * partitions re-applied, the head's schema/renames unioned in (main's
+    * widenings and renames win — physical names are stable, so branch
+    * gens read correctly under them).
+    *
+    * Sound ONLY when the branch's touched partitions are DISJOINT from
+    * every partition main changed since the fork (both diffed against
+    * the fork snapshot, textually — dir lists and stats blobs are
+    * deterministic): an overlap means the branch staged against content
+    * main has since replaced, and is REFUSED loudly naming the
+    * conflicting partitions (resolve by re-staging those partitions or
+    * re-creating the branch). Returns the new fork base. A main commit
+    * landing AFTER the head read surfaces as the next publish/rebase
+    * refusal — the same two-unsynchronized-actors posture as every
+    * store verb.
+    */
+  private[storage] def rebase(spark: SparkSession, path: String,
+                              name: String): Int = {
+    SnapshotStore.requireAtomicRename(path)
+    var attempt = 0
+    while (true) {
+      val st = readStaged(spark, path, name)
+      val head = SnapshotStore.headVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"no snapshots at $path"))
+      if (head == st.base) return head // nothing to rebase onto
+      require(head > st.base,
+        s"head $head behind fork ${st.base} at $path — versions are " +
+          "monotonic; this store is corrupt")
+      val fork = forkSnapshot(spark, path, st, name)
+      val headEntries = readManifest(spark, path, head)
+      def touched(a: Map[String, Seq[String]],
+                  b: Map[String, Seq[String]]): Set[String] =
+        (a.keySet ++ b.keySet).filter(p => a.get(p) != b.get(p))
+      val branchTouched = touched(st.entries, fork)
+      val mainTouched = touched(headEntries, fork)
+      val overlap = branchTouched & mainTouched
+      if (overlap.nonEmpty)
+        throw new IllegalStateException(
+          s"cannot rebase branch '$name' at $path: partitions changed by " +
+            s"BOTH the branch and main since fork version ${st.base}: " +
+            overlap.toSeq.sorted.take(10).mkString("'", "', '", "'") +
+            (if (overlap.size > 10) s" (+${overlap.size - 10} more)"
+             else "") +
+            " — re-stage those partitions against the new head or " +
+            "re-create the branch")
+      val rebased = (headEntries -- branchTouched) ++
+        st.entries.filter { case (p, _) => branchTouched(p) }
+      try {
+        writeStaged(spark, path, name, Staged(head, st.k + 1,
+          SnapshotStore.unionSchema(
+            SnapshotStore.versionSchema(spark, path, head), st.schema),
+          SnapshotStore.readRenames(spark, path, head),
+          rebased, baseEntries = Some(headEntries),
+          createdMs = st.createdMs,
+          modifiedMs = System.currentTimeMillis()))
+        return head
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 5) throw e
+      }
+    }
+    -1 // unreachable
   }
 
   /** FAST-FORWARD publish: commits the branch tip as version base+1 on
@@ -430,5 +591,62 @@ private[storage] object SnapshotBranch {
     files.sortBy(-_.getName.stripPrefix(prefix).toInt)
       .foreach(fs.delete(_, false))
     files.nonEmpty
+  }
+
+  /** One `'branches'` catalog row: tip counter, fork base, and the
+    * lifecycle wall clocks (0 on pre-r15 staged files).
+    */
+  private[storage] case class BranchInfo(name: String, tip: Int, base: Int,
+                                         createdMs: Long, modifiedMs: Long)
+
+  /** The branch catalog with lifecycle data — what an operator needs to
+    * SEE an abandoned staging branch before it pins a candidate corpus
+    * out of the orphan sweep forever. A branch vanishing mid-listing
+    * (concurrent drop/publish) is simply absent.
+    */
+  private[storage] def infos(spark: SparkSession,
+                             path: String): Seq[BranchInfo] =
+    allTips(spark, path).keys.toSeq.sorted.flatMap { n =>
+      try {
+        val st = readStaged(spark, path, n)
+        Some(BranchInfo(n, st.k, st.base, st.createdMs, st.modifiedMs))
+      } catch {
+        case _: java.io.FileNotFoundException => None
+        case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("no branch") =>
+          None
+      }
+    }
+
+  /** Drops every branch whose last write is older than `olderThanMs` —
+    * the age-based lifecycle sweep (OFF by default: nothing calls this
+    * unless an operator does). The age basis is the tip's recorded
+    * `modifiedMs`; a pre-r15 staged file without one falls back to the
+    * tip FILE's mtime (a plain file — trustworthy even on object
+    * stores). Returns the dropped names; their gens age out under the
+    * next orphan sweep exactly as a manual [[drop]].
+    */
+  private[storage] def expireBranches(spark: SparkSession, path: String,
+                                      olderThanMs: Long): Seq[String] = {
+    require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
+    val fs = hfs(spark, path)
+    val now = System.currentTimeMillis()
+    allTips(spark, path).toSeq.sortBy(_._1).filter { case (n, k) =>
+      val aged =
+        try {
+          val st = readStaged(spark, path, n)
+          val basis =
+            if (st.modifiedMs > 0) st.modifiedMs
+            else fs.getFileStatus(stagedPath(path, n, k))
+              .getModificationTime
+          now - basis >= olderThanMs
+        } catch { // vanished under a concurrent drop/publish: nothing to do
+          case _: java.io.FileNotFoundException => false
+          case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("no branch") =>
+            false
+        }
+      aged && drop(spark, path, n)
+    }.map(_._1)
   }
 }

@@ -321,13 +321,16 @@ private[storage] object SnapshotFormat {
 
   // ---- gen-level column-statistics blob codec -----------------------------
   //
-  // Each manifest dir field may carry a min/max blob for the store's
+  // Each manifest dir field may carry a stats blob for the store's
   // declared stats columns, separated from the dir path by U+0002 — a
   // control character escapePathName always %-escapes, so no partition
-  // value or column name can forge it. Grammar per field:
-  // `<escaped col>=<code>:<lo>:<hi>`, fields ';'-joined. Codes:
-  // 'l' integral, 'd' floating, 'a' date (epoch days), 't' timestamp
-  // (epoch micros), 's' string (truncate+increment bounds).
+  // value or column name can forge it. Grammar per field (v2, r15):
+  // `<escaped col>=<code>:<lo>:<hi>:<nulls>:<rows>`, fields ';'-joined;
+  // v1 blobs (`<code>:<lo>:<hi>`, pre-r15) parse forever with no counts.
+  // Codes: 'l' integral, 'd' floating, 'a' date (epoch days), 't'
+  // timestamp (epoch micros), 'n' ntz, 's' string (truncate+increment
+  // bounds), 'z' counts-only (no usable bounds: all-NULL slice, NaN
+  // min/max, increment overflow, column absent from the gen's files).
 
   private[storage] val StatsSep = ""
 
@@ -463,22 +466,56 @@ private[storage] object SnapshotFormat {
     case other => other.toString
   }
 
-  /** Blob → col → (code, lo, hi). Malformed blobs are LOUD (a manifest
+  /** One column's parsed stats field. `code` is the bound domain ('l'
+    * integral, 'd' floating, 'a' date, 't' timestamp, 'n' ntz, 's'
+    * string) or [[NoBoundsCode]] when the gen recorded counts but no
+    * usable bounds (an all-NULL slice, a NaN-poisoned float min/max, an
+    * increment-overflowed string prefix, a declared column ABSENT from
+    * the gen's files, an unsupported-bounds type). `nulls`/`rows` are the
+    * per-(partition, gen) NULL and total row counts — grammar v2 (r15);
+    * v1 blobs parse with None (conservative: NULL predicates don't
+    * prune there).
+    */
+  private[storage] case class ColStat(code: Char, lo: String, hi: String,
+                                      nulls: Option[Long], rows: Option[Long]) {
+    /** Every row's value is NULL ⟹ any comparison/prefix predicate on
+      * the column is NULL for every row (filtered), `IS NOT NULL` never
+      * holds. Partition dirs exist only with rows, so rows ≥ 1.
+      */
+    def allNull: Boolean = nulls.isDefined && nulls == rows
+  }
+
+  /** `code` for a counts-only field (no bounds recorded). */
+  private[storage] val NoBoundsCode = 'z'
+
+  /** Blob → col → [[ColStat]]. Malformed blobs are LOUD (a manifest
     * carrying a half-written blob is corruption, not a missing feature).
     * Values unescape here (numeric bounds are escape-invariant; string
     * bounds round-trip their one escape), and the `-1` split limit keeps
-    * EMPTY string bounds — "" is a legal min — as real fields.
+    * EMPTY string bounds — "" is a legal min — as real fields. Grammar
+    * versioning by field count: v1 `<code>:<lo>:<hi>` (pre-r15, no
+    * counts), v2 `<code>:<lo>:<hi>:<nulls>:<rows>` — old blobs parse
+    * forever (they ride inside content-addressed segments that copy
+    * forward verbatim).
     */
-  private[storage] def parseStats(
-      blob: String): Map[String, (Char, String, String)] =
+  private[storage] def parseStats(blob: String): Map[String, ColStat] =
     blob.split(";").filter(_.nonEmpty).map { part =>
       val eq = part.indexOf('=')
       require(eq > 0, s"malformed stats blob field: '$part'")
       val f = part.substring(eq + 1).split(":", -1)
-      require(f.length == 3 && f(0).length == 1,
+      require((f.length == 3 || f.length == 5) && f(0).length == 1,
         s"malformed stats blob field: '$part'")
+      val counts =
+        if (f.length == 3) (None, None)
+        else {
+          require(f(3).forall(_.isDigit) && f(4).forall(_.isDigit) &&
+            f(3).nonEmpty && f(4).nonEmpty,
+            s"malformed stats blob counts: '$part'")
+          (Some(f(3).toLong), Some(f(4).toLong))
+        }
       Esc.unescapePathName(part.substring(0, eq)) ->
-        (f(0).head, Esc.unescapePathName(f(1)), Esc.unescapePathName(f(2)))
+        ColStat(f(0).head, Esc.unescapePathName(f(1)),
+          Esc.unescapePathName(f(2)), counts._1, counts._2)
     }.toMap
 
   // ---- logical-name layer (`_renames-<v>`) parsing ------------------------

@@ -279,11 +279,19 @@ object SnapshotStore {
   // manifest entry text, so they copy forward verbatim with untouched
   // entries, share segments content-addressed, and cost commits one
   // |batch|-sized aggregate over the just-written gen (read back from the
-  // page-hot files, not a lineage recompute). Dirs without a blob (pre-
-  // stats commits, columns absent from an old gen, all-NULL slices) are
-  // conservatively read. Supported stat types: integral, floating, date,
-  // timestamp, and (r14) string — string bounds follow Iceberg's public
-  // truncate(N) discipline, see [[stringBounds]].
+  // page-hot files, not a lineage recompute). Dirs without a blob
+  // (pre-stats commits) are conservatively read. Supported stat types:
+  // integral, floating, date, timestamp, and (r14) string — string
+  // bounds follow Iceberg's public truncate(N) discipline, see
+  // [[stringBounds]]. Since r15 every field also carries per-column
+  // NULL/row counts (Iceberg's null_value_counts, re-derived): IS NULL
+  // prunes null-free gens, IS NOT NULL prunes all-NULL gens — the
+  // reference's own parse-failure path (R4) MANUFACTURES nulls, so
+  // "find the corrupt rows" is a first-week predicate on a log table —
+  // and a column ABSENT from a gen's files records an all-NULL field
+  // (it reads NULL under the union schema), so schema-evolution
+  // backfills prune too. Pre-r15 blobs parse with no counts and stay
+  // conservative under NULL predicates.
 
 
 
@@ -328,32 +336,56 @@ object SnapshotStore {
       else f))
     val df = spark.read.schema(pinned).parquet(genPath)
       .withColumn("_pdir", col("_p"))
-    val present = statsCols.filter(df.columns.contains)
-      .filter(c => supportedStatsType(df.schema(c).dataType))
-    if (present.isEmpty) return Map.empty
+    // grammar v2 (r15): every declared column gets a field — bounds where
+    // the type supports them AND the slice has usable min/max, plus
+    // per-column NULL/row counts always (Iceberg's null_value_counts,
+    // re-derived). A declared column ABSENT from the gen's files reads
+    // all-NULL under the union schema, so it records a counts-only
+    // all-NULL field — "find the corrupt rows" (`IS NOT NULL` on a field
+    // the parse-failure path left unset) then skips clean gens entirely.
+    val presentAll = statsCols.filter(df.columns.contains)
+    val boundable = presentAll
+      .filter(c => supportedStatsType(df.schema(c).dataType)).toSet
+    val absent = statsCols.filterNot(df.columns.contains)
     def finite(v: Any): Boolean = v match {
       case d: java.lang.Double => !d.isNaN && !d.isInfinite
       case f: java.lang.Float => !f.isNaN && !f.isInfinite
       case _ => true
     }
-    val aggs = present.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val aggs = presentAll.flatMap { c =>
+      val cnt = count(col(c)).as(s"cnt_$c")
+      if (boundable(c))
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"), cnt)
+      else Seq(cnt)
+    } :+ count(lit(1)).as("_rows")
     val rows = df.groupBy(col("_pdir"))
       .agg(aggs.head, aggs.tail: _*).collect()
     rows.flatMap { r =>
-      val blob = present.flatMap { c =>
-        val mn = r.get(r.fieldIndex(s"min_$c"))
-        val mx = r.get(r.fieldIndex(s"max_$c"))
-        if (mn == null || mx == null || !finite(mn) || !finite(mx)) None
-        else df.schema(c).dataType match {
-          case org.apache.spark.sql.types.StringType =>
-            stringBounds(mn.toString, mx.toString).map { case (lo, hi) =>
-              s"${Esc.escapePathName(c)}=s:" +
-                s"${escapeStatValue(lo)}:${escapeStatValue(hi)}"
+      val total = r.getLong(r.fieldIndex("_rows"))
+      val blob = statsCols.flatMap { c =>
+        val key = Esc.escapePathName(c)
+        if (absent.contains(c)) Some(s"$key=$NoBoundsCode:::$total:$total")
+        else {
+          val nulls = total - r.getLong(r.fieldIndex(s"cnt_$c"))
+          val counts = s":$nulls:$total"
+          def noBounds = Some(s"$key=$NoBoundsCode::$counts")
+          if (!boundable(c)) noBounds
+          else {
+            val mn = r.get(r.fieldIndex(s"min_$c"))
+            val mx = r.get(r.fieldIndex(s"max_$c"))
+            if (mn == null || mx == null || !finite(mn) || !finite(mx))
+              noBounds
+            else df.schema(c).dataType match {
+              case org.apache.spark.sql.types.StringType =>
+                stringBounds(mn.toString, mx.toString).map { case (lo, hi) =>
+                  s"$key=s:${escapeStatValue(lo)}:${escapeStatValue(hi)}" +
+                    counts
+                }.orElse(noBounds) // increment overflow: counts still pay
+              case dt =>
+                Some(s"$key=${statCode(dt)}:${statValue(mn)}:" +
+                  s"${statValue(mx)}$counts")
             }
-          case dt =>
-            Some(s"${Esc.escapePathName(c)}=" +
-              s"${statCode(dt)}:${statValue(mn)}:${statValue(mx)}")
+          }
         }
       }.mkString(";")
       if (blob.isEmpty) None
@@ -379,12 +411,16 @@ object SnapshotStore {
     * against a foldable expression (either side); the column side may be
     * wrapped in an EXACT widening cast (integral→integral,
     * float→double — a long→double cast is NOT unwrapped: its rounding
-    * could mis-prune a boundary row). Every other shape, every mixed or
-    * unbounded column: MightMatch. Comparisons run in BigDecimal so long
-    * bounds past 2^53 cannot be mis-pruned by double rounding.
+    * could mis-prune a boundary row). NULL predicates (`IsNull`,
+    * `IsNotNull`, their `Not(...)` forms, `<=> NULL`) prune via the
+    * blob's null/row counts (r15), and an ALL-NULL slice prunes under
+    * any comparison/prefix shape outright. Every other shape, every
+    * mixed or unbounded column: MightMatch. Comparisons run in
+    * BigDecimal so long bounds past 2^53 cannot be mis-pruned by double
+    * rounding.
     */
   private def evalPrune(e: org.apache.spark.sql.catalyst.expressions.Expression,
-                        stats: Map[String, (Char, String, String)],
+                        stats: Map[String, ColStat],
                         logicalToPhysical: Map[String, String]): Prune = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types._
@@ -445,32 +481,47 @@ object SnapshotStore {
           litVal(l, code).map(v =>
             (BigDecimal(loS).compare(v), BigDecimal(hiS).compare(v)))
       }
+    def statOf(name: String): Option[ColStat] =
+      stats.get(logicalToPhysical.getOrElse(name, name))
+    // an ALL-NULL slice fails every comparison/prefix predicate (the
+    // expression is NULL for every row — filtered), so any such shape
+    // prunes outright; a counts-only field (NoBoundsCode) that is NOT
+    // all-NULL carries no bound to compare against
     def cmp(name: String, lit: Literal,
-            noMatchIf: (Int, Int) => Boolean): Prune = {
-      val phys = logicalToPhysical.getOrElse(name, name)
-      stats.get(phys) match {
-        case Some((code, loS, hiS)) =>
-          compares(lit, code, loS, hiS) match {
+            noMatchIf: (Int, Int) => Boolean): Prune =
+      statOf(name) match {
+        case Some(st) if st.allNull => NoMatch
+        case Some(st) if st.code != NoBoundsCode =>
+          compares(lit, st.code, st.lo, st.hi) match {
             case Some((cLo, cHi)) =>
               if (noMatchIf(cLo, cHi)) NoMatch else MightMatch
             case None => MightMatch
           }
-        case None => MightMatch
+        case _ => MightMatch
       }
-    }
     // `col` has prefix `p` ⟹ p ≤ col < incrementLast(p): NoMatch when
     // hi < p, or lo ≥ the increment (when one exists)
-    def prefixPrune(name: String, p: String): Prune = {
-      val phys = logicalToPhysical.getOrElse(name, name)
-      stats.get(phys) match {
-        case Some(('s', loS, hiS)) =>
-          val hiBelow = strCmp(hiS, p) < 0
+    def prefixPrune(name: String, p: String): Prune =
+      statOf(name) match {
+        case Some(st) if st.allNull => NoMatch
+        case Some(st) if st.code == 's' =>
+          val hiBelow = strCmp(st.hi, p) < 0
           val loAbove = incrementLastCodePoint(p)
-            .exists(u => strCmp(loS, u) >= 0)
+            .exists(u => strCmp(st.lo, u) >= 0)
           if (hiBelow || loAbove) NoMatch else MightMatch
         case _ => MightMatch
       }
-    }
+    // NULL-predicate pruning (r15): a gen whose recorded null count is 0
+    // cannot satisfy IS NULL; an all-NULL gen cannot satisfy IS NOT NULL.
+    // v1 blobs (no counts) stay MightMatch.
+    def nullPruneName(name: String, wantNull: Boolean): Prune =
+      statOf(name) match {
+        case Some(st) if wantNull && st.nulls.contains(0L) => NoMatch
+        case Some(st) if !wantNull && st.allNull => NoMatch
+        case _ => MightMatch
+      }
+    def nullPrune(x: Expression, wantNull: Boolean): Prune =
+      attrName(x).map(nullPruneName(_, wantNull)).getOrElse(MightMatch)
     // (column, literal, flipped) with flipped = the literal was on the left
     def sides(c: BinaryComparison): Option[(String, Literal, Boolean)] =
       (attrName(c.left), asLit(c.right), attrName(c.right), asLit(c.left)) match {
@@ -508,7 +559,9 @@ object SnapshotStore {
       }.getOrElse(MightMatch)
       case c: EqualNullSafe => sides(c).map {
         case (a, l, _) =>
-          if (l.value == null) MightMatch // nulls are untracked
+          // `col <=> NULL` holds exactly for NULL rows: prune via the
+          // null counts (a null-free gen cannot match)
+          if (l.value == null) nullPruneName(a, wantNull = true)
           else cmp(a, l, (cLo, cHi) => cLo > 0 || cHi < 0)
       }.getOrElse(MightMatch)
       // IN-list: NoMatch only when EVERY non-null element lies outside
@@ -524,6 +577,10 @@ object SnapshotStore {
             MightMatch
           else NoMatch
         }.getOrElse(MightMatch)
+      case IsNull(x) => nullPrune(x, wantNull = true)
+      case IsNotNull(x) => nullPrune(x, wantNull = false)
+      case Not(IsNull(x)) => nullPrune(x, wantNull = false)
+      case Not(IsNotNull(x)) => nullPrune(x, wantNull = true)
       case sw: StartsWith =>
         (attrName(sw.left), asLit(sw.right)) match {
           case (Some(a), Some(l))
@@ -930,6 +987,21 @@ object SnapshotStore {
     if (prev.subsetOf(cur)) Some((cur -- prev).toSeq.sorted) else None
   }
 
+  /** The dirs DIFFERING between version `v` and its predecessor (both
+    * sides of the symmetric difference — a merge's feed reads removed
+    * dirs for preimages/deletes and added dirs for postimages/inserts) —
+    * the size basis for the changes source's version-atomic batch
+    * announcement. O(two manifest resolutions), no file listed.
+    */
+  private[graft] def versionDiffDirs(spark: SparkSession, path: String,
+                                     v: Int): Seq[String] = {
+    val cur = readManifestDirs(spark, path, v).map(dirOf).toSet
+    val prev =
+      if (v <= 1) Set.empty[String]
+      else readManifestDirs(spark, path, v - 1).map(dirOf).toSet
+    ((cur -- prev) ++ (prev -- cur)).toSeq.sorted
+  }
+
   /** Reads specific gen dirs under version `v`'s schema and logical
     * names — the feed read behind the size-split `graft-changes` batch.
     */
@@ -996,9 +1068,34 @@ object SnapshotStore {
   def dropBranch(spark: SparkSession, path: String, name: String): Boolean =
     SnapshotBranch.drop(spark, path, name)
 
+  /** REBASES branch `name` onto the current main head — the metadata-only
+    * re-point that makes a refused fast-forward publish recoverable
+    * without re-staging the candidate corpus. Refuses loudly (naming the
+    * partitions) when the branch and main both changed a partition since
+    * the fork. Returns the new fork base.
+    */
+  def rebaseBranch(spark: SparkSession, path: String, name: String): Int =
+    SnapshotBranch.rebase(spark, path, name)
+
+  /** Drops branches whose last write is older than `olderThanMs` — the
+    * age-based lifecycle sweep for abandoned staging branches (OFF by
+    * default; never runs unless invoked). Returns the dropped names.
+    */
+  def expireBranches(spark: SparkSession, path: String,
+                     olderThanMs: Long): Seq[String] =
+    SnapshotBranch.expireBranches(spark, path, olderThanMs)
+
   /** Branch catalog: name → the branch's own staged version counter. */
   def branches(spark: SparkSession, path: String): Map[String, Int] =
     SnapshotBranch.allTips(spark, path)
+
+  /** Branch catalog with lifecycle data: (name, tip, fork base,
+    * createdMs, modifiedMs) — the `'branches'` SQL selector's rows.
+    */
+  def branchInfos(spark: SparkSession, path: String)
+      : Seq[(String, Int, Int, Long, Long)] =
+    SnapshotBranch.infos(spark, path).map(i =>
+      (i.name, i.tip, i.base, i.createdMs, i.modifiedMs))
 
   /** The retype matrix: EXACT value-preserving widenings the parquet
     * reader natively upcasts at scan time (probed on Spark 4.1:

@@ -136,7 +136,8 @@ object ChangesSplitOffset {
 
 class ChangesSource(sqlContext: SQLContext, metadataPath: String,
                     parameters: Map[String, String])
-    extends Source with SupportsTriggerAvailableNow {
+    extends Source with SupportsTriggerAvailableNow
+    with org.apache.spark.internal.Logging {
 
   private val spark = sqlContext.sparkSession
   private val path = ChangesSource.pathOf(parameters)
@@ -164,6 +165,12 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
     * contract) under the version's schema and names, tagged with their
     * `_commit_version` — attribution survives the split. With the
     * budget set, each micro-batch advances at most one version.
+    *
+    * CONTRACT for atomic commits: merges do NOT split — size your
+    * retention and executors for your largest merge. With the budget
+    * set, an upcoming multi-dir atomic batch is ANNOUNCED before it
+    * lands (dir count + byte estimate in the progress description, a
+    * warning log when it exceeds the budget) — see [[announcedAtomic]].
     */
   private val maxBytesPerTrigger: Option[Long] =
     parameters.get("maxBytesPerTrigger").map { v =>
@@ -270,7 +277,9 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
         if (fv >= head && fs == 0) return offsetFor(fv, fs)
         val u = fv + 1
         SnapshotStore.insertOnlyDirs(spark, path, u) match {
-          case None => offsetFor(u, 0) // merge/compact: version-atomic
+          case None => // merge/compact: version-atomic — announce it
+            announceAtomic(u, budget)
+            offsetFor(u, 0)
           case Some(dirs) =>
             val remaining = dirs.drop(fs)
             if (remaining.isEmpty) offsetFor(u, 0)
@@ -297,6 +306,43 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
         }
     }
   }
+
+  /** The last version-atomic batch ANNOUNCED under a byte budget:
+    * (version, differing dirs, byte estimate). Merges/compacts/rollbacks
+    * do not split — their feeds carry delete+insert and update pre/post
+    * pairs a delta-folding consumer must see in one batch, or it
+    * observes a state that never existed — so the operational contract
+    * is "size retention and executors for your largest merge". This
+    * surfaces the size BEFORE the batch lands: rendered into the
+    * source's progress `description` (toString) and logged as a warning
+    * when it exceeds `maxBytesPerTrigger` (ChangesSourceSpec pins it).
+    */
+  @volatile private[graft] var announcedAtomic: Option[(Int, Int, Long)] =
+    None
+
+  private def announceAtomic(u: Int, budget: Long): Unit =
+    try {
+      val dirs = SnapshotStore.versionDiffDirs(spark, path, u)
+      if (dirs.size > 1) {
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        var bytes = 0L
+        dirs.foreach { d =>
+          try bytes += fsys.getContentSummary(
+            new org.apache.hadoop.fs.Path(path, d)).getLength
+          catch { case _: java.io.FileNotFoundException => () } // swept dir
+        }
+        announcedAtomic = Some((u, dirs.size, bytes))
+        if (bytes > budget)
+          logWarning(s"graft-changes at $path: version $u is " +
+            s"version-atomic (merge/compact/rollback) and will arrive as " +
+            s"ONE micro-batch over ${dirs.size} dirs (~$bytes bytes), " +
+            s"exceeding maxBytesPerTrigger=$budget — atomic commits do " +
+            "not split; size retention and executors for the largest merge")
+      } else announcedAtomic = None
+    } catch { // the announcement is best-effort; admission never fails on it
+      case scala.util.control.NonFatal(_) => announcedAtomic = None
+    }
 
   override def initialOffset(): OffsetV2 = LongOffset(baseline.toLong)
 
@@ -415,5 +461,7 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
 
   override def stop(): Unit = ()
 
-  override def toString: String = s"ChangesSource[$path, baseline=$baseline]"
+  override def toString: String = s"ChangesSource[$path, baseline=$baseline" +
+    announcedAtomic.map { case (v, n, b) =>
+      s", atomicBatch=v$v:${n}dirs:${b}B" }.getOrElse("") + "]"
 }

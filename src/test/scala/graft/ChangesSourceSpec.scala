@@ -286,6 +286,41 @@ class ChangesSourceSpec extends SparkSpec {
     batches.toMap
   }
 
+  test("a version-atomic multi-dir MERGE under a byte budget is ANNOUNCED " +
+    "before it lands: the source reports (version, dir count, bytes) in " +
+    "its progress description — merges do not split, so the operator " +
+    "sees the batch coming") {
+    val dir = newDir("announce")
+    // v1: 4 partitions; v2: a merge touching ALL of them (a backfill
+    // shape) — 8 differing dirs, version-atomic under any budget
+    SnapshotStore.write(
+      (0L to 7L).map(k => (k, s"p${k % 4}", k * 1.0)).toDF("k", "p", "v"),
+      dir, "p")
+    SnapshotStore.merge(spark, dir,
+      (0L to 7L).map(k => (k, s"p${k % 4}", k + 100.0)).toDF("k", "p", "v"),
+      "p", Seq("k"))
+    val src = new graft.streaming.ChangesSource(spark.sqlContext,
+      ck("announce") + "/meta",
+      Map("path" -> dir, "keys" -> "k", "startingVersion" -> "1",
+        "maxBytesPerTrigger" -> "1"))
+    val end = src.latestOffset(null,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(end.json.trim == "2", "the atomic merge admits whole (v2)")
+    val ann = src.announcedAtomic
+    assert(ann.isDefined, "a multi-dir atomic batch must be announced")
+    val (v, nDirs, bytes) = ann.get
+    assert(v == 2 && nDirs == 8 && bytes > 0L,
+      s"announcement must carry the real size: got v$v/$nDirs dirs/$bytes B")
+    assert(src.toString.contains(s"atomicBatch=v2:8dirs:"),
+      "the announcement rides the progress description")
+    // an insert-only next version announces nothing
+    SnapshotStore.append(Seq((100L, "p0", 1.0)).toDF("k", "p", "v"), dir, "p")
+    src.latestOffset(end,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(src.announcedAtomic.isEmpty || src.announcedAtomic.get._1 == 2,
+      "insert-only admission must not forge an atomic announcement")
+  }
+
   test("maxBytesPerTrigger splits a multi-dir append across micro-batches " +
     "(one dir per trigger under a tiny budget) with _commit_version " +
     "attribution intact; the union equals the unsplit feed") {

@@ -225,6 +225,162 @@ class SnapshotBranchSpec extends SparkSpec {
       .collect().toSeq == Seq(999.0))
   }
 
+  private def pchunk(lo: Long, part: String, n: Int = 3) =
+    (0 until n).map(i => (lo + i, part, (lo + i) * 1.0))
+      .toDF("k", "p", "v")
+
+  test("REBASE: a refused publish under a moving main line recovers by " +
+    "re-pointing the fork base — metadata only, no gen rewritten; the " +
+    "rebased tip carries BOTH main's commits and the staged corpus") {
+    val dir = newDir("rebase")
+    SnapshotStore.write(pchunk(0L, "m"), dir, "p") // v1
+    SnapshotStore.branchCreate(spark, dir, "cand")
+    SnapshotStore.appendBranch(pchunk(100L, "b"), dir, "cand", "p")
+    val gensBefore = new java.io.File(s"$dir/data")
+      .listFiles().map(_.getName).toSet
+    SnapshotStore.append(pchunk(500L, "m"), dir, "p") // v2: main moves
+    intercept[IllegalStateException](
+      SnapshotStore.publishBranch(spark, dir, "cand"))
+    val base = SnapshotStore.rebaseBranch(spark, dir, "cand")
+    assert(base == 2, "rebase re-points the fork to the current head")
+    // metadata-only: no new gen dir appeared beyond main's own append
+    val gensAfter = new java.io.File(s"$dir/data")
+      .listFiles().map(_.getName).toSet
+    assert((gensAfter -- gensBefore).size == 1,
+      "rebase must write no gen (only main's v2 append added one)")
+    val audit = SnapshotStore.readBranch(spark, dir, "cand")
+    assert(audit.select("k").as[Long].collect().sorted.toSeq ==
+      ((0L to 2L) ++ (100L to 102L) ++ (500L to 502L)),
+      "the rebased tip = main head + the staged corpus")
+    val v = SnapshotStore.publishBranch(spark, dir, "cand")
+    assert(v == 3 && SnapshotStore.read(spark, dir).count() == 9)
+    assert(SnapshotStore.read(spark, dir, Some(2))
+      .select("k").as[Long].collect().sorted.toSeq ==
+      ((0L to 2L) ++ (500L to 502L)),
+      "main's own history is untouched by the rebase")
+    // a no-op rebase (already on the head) succeeds quietly
+    SnapshotStore.branchCreate(spark, dir, "noop")
+    assert(SnapshotStore.rebaseBranch(spark, dir, "noop") == 3)
+  }
+
+  test("REBASE refusal: a partition changed by BOTH the branch and main " +
+    "since the fork refuses loudly, naming the partition; the branch " +
+    "stays auditable") {
+    val dir = newDir("rebconf")
+    SnapshotStore.write(pchunk(0L, "m"), dir, "p")
+    SnapshotStore.branchCreate(spark, dir, "cand")
+    SnapshotStore.appendBranch(pchunk(100L, "m"), dir, "cand", "p")
+    SnapshotStore.append(pchunk(500L, "m"), dir, "p")
+    val e = intercept[IllegalStateException](
+      SnapshotStore.rebaseBranch(spark, dir, "cand"))
+    assert(e.getMessage.contains("'m'") &&
+      e.getMessage.contains("BOTH the branch and main"))
+    assert(SnapshotStore.readBranch(spark, dir, "cand").count() == 6,
+      "a refused rebase leaves the branch intact")
+  }
+
+  test("REBASE chains: a second rebase diffs against the FIRST rebase's " +
+    "stored fork snapshot (not the possibly-expired manifest), and a " +
+    "branch MERGE between rebases keeps the diff honest") {
+    val dir = newDir("rebchain")
+    SnapshotStore.write(pchunk(0L, "m"), dir, "p") // v1
+    SnapshotStore.branchCreate(spark, dir, "cand")
+    SnapshotStore.appendBranch(pchunk(100L, "b"), dir, "cand", "p")
+    SnapshotStore.append(pchunk(500L, "m"), dir, "p") // v2
+    assert(SnapshotStore.rebaseBranch(spark, dir, "cand") == 2)
+    // merge ON the branch between rebases (replaces partition b's dirs)
+    SnapshotStore.mergeBranch(spark, dir, "cand",
+      Seq((100L, "b", 999.0)).toDF("k", "p", "v"), "p", Seq("k"))
+    SnapshotStore.append(pchunk(600L, "m2"), dir, "p") // v3
+    // expire the first fork version so only the stored snapshot can
+    // serve the second rebase's diff
+    SnapshotStore.append(pchunk(700L, "m2"), dir, "p") // v4
+    SnapshotStore.expire(spark, dir, keep = 2, minAgeMs = 0L)
+    assert(!new java.io.File(s"$dir/_manifest-2").exists(),
+      "precondition: the first rebase's fork manifest is expired")
+    assert(SnapshotStore.rebaseBranch(spark, dir, "cand") == 4)
+    val v = SnapshotStore.publishBranch(spark, dir, "cand")
+    assert(v == 5)
+    val head = SnapshotStore.read(spark, dir)
+    assert(head.count() == 3 + 3 + 6 + 3, "m(3) + m(3) + m2(6) + b(3)")
+    assert(head.filter(col("k") === 100L).select("v").as[Double]
+      .collect().toSeq == Seq(999.0), "the branch merge survived rebases")
+  }
+
+  test("REBASE composes with the logical-name layer: main renames a " +
+    "column after the fork; the rebased branch adopts the head's " +
+    "renames (physical names are stable, so staged gens read correctly)") {
+    val dir = newDir("rebren")
+    SnapshotStore.write(pchunk(0L, "m"), dir, "p")
+    SnapshotStore.branchCreate(spark, dir, "cand")
+    SnapshotStore.appendBranch(pchunk(100L, "b"), dir, "cand", "p")
+    SnapshotStore.renameColumn(spark, dir, "k", "key") // main moves (v2)
+    assert(SnapshotStore.rebaseBranch(spark, dir, "cand") == 2)
+    val audit = SnapshotStore.readBranch(spark, dir, "cand")
+    assert(audit.columns.contains("key") && !audit.columns.contains("k"),
+      "the rebased audit reads under the head's logical names")
+    SnapshotStore.publishBranch(spark, dir, "cand")
+    assert(SnapshotStore.read(spark, dir)
+      .select("key").as[Long].collect().sorted.toSeq ==
+      ((0L to 2L) ++ (100L to 102L)))
+  }
+
+  test("branch lifecycle: the catalog carries fork base and wall clocks; " +
+    "expireBranches drops only branches older than the threshold and " +
+    "releases their gens to the orphan sweep") {
+    val dir = newDir("life")
+    SnapshotStore.write(pchunk(0L, "m"), dir, "p")
+    SnapshotStore.branchCreate(spark, dir, "old")
+    SnapshotStore.appendBranch(pchunk(100L, "b"), dir, "old", "p")
+    val infos = SnapshotStore.branchInfos(spark, dir)
+    assert(infos.map(i => (i._1, i._2, i._3)) == Seq(("old", 1, 1)))
+    assert(infos.head._4 > 0 && infos.head._5 >= infos.head._4,
+      "created/modified clocks recorded")
+    Thread.sleep(400)
+    SnapshotStore.branchCreate(spark, dir, "fresh")
+    assert(SnapshotStore.expireBranches(spark, dir, olderThanMs = 300L) ==
+      Seq("old"), "only the aged branch drops")
+    assert(SnapshotStore.branches(spark, dir).keySet == Set("fresh"))
+    val dataDir = new java.io.File(s"$dir/data")
+    val before = dataDir.listFiles().length
+    SnapshotStore.expire(spark, dir, keep = 1, minAgeMs = 0L)
+    assert(dataDir.listFiles().length < before,
+      "the expired branch's staged gens are garbage to the sweep")
+    assert(SnapshotStore.expireBranches(spark, dir, olderThanMs = 0L) ==
+      Seq("fresh"), "threshold 0 drops everything")
+  }
+
+  test("SQL rebase + lifecycle verbs: graft_rebase_branch recovers the " +
+    "SQL WAP loop under a moving head; 'branches' lists lifecycle " +
+    "columns; graft_expire_branches sweeps by age") {
+    plans.AsOf.register(spark)
+    val dir = newDir("sqlreb")
+    SnapshotStore.write(pchunk(0L, "m"), dir, "p")
+    pchunk(100L, "b").createOrReplaceTempView("reb_cand")
+    spark.sql(s"SELECT * FROM graft_branch('$dir', 'rb')")
+    spark.sql(s"SELECT * FROM graft_append_branch('$dir', 'rb', " +
+      "'reb_cand', 'p')")
+    SnapshotStore.append(pchunk(500L, "m"), dir, "p") // head moves
+    val cat = spark.sql(
+      s"SELECT * FROM graft_snapshot('$dir', 'branches')").collect()
+    assert(cat.length == 1 && cat(0).getString(0) == "rb" &&
+      cat(0).getInt(1) == 1 && cat(0).getInt(2) == 1 &&
+      cat(0).getLong(3) > 0L && cat(0).getLong(4) >= cat(0).getLong(3),
+      "the catalog carries tip, base and both clocks")
+    val rb = spark.sql(
+      s"SELECT * FROM graft_rebase_branch('$dir', 'rb')").collect()
+    assert(rb(0).getString(0) == "rebase_branch" && rb(0).getLong(2) == 2L)
+    val pub = spark.sql(
+      s"SELECT * FROM graft_publish_branch('$dir', 'rb')").collect()
+    assert(pub(0).getLong(2) == 3L)
+    assert(SnapshotStore.read(spark, dir).count() == 9)
+    spark.sql(s"SELECT * FROM graft_branch('$dir', 'stale')")
+    val ex = spark.sql(
+      s"SELECT * FROM graft_expire_branches('$dir', '0')").collect()
+    assert(ex(0).getString(0) == "expire_branches" && ex(0).getLong(2) == 1L)
+    assert(SnapshotStore.branches(spark, dir).isEmpty)
+  }
+
   test("SQL WAP loop end-to-end: graft_branch -> graft_append_branch + " +
     "graft_merge_branch -> audit -> graft_publish_branch") {
     plans.AsOf.register(spark)

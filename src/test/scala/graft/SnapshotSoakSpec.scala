@@ -353,6 +353,74 @@ class SnapshotSoakSpec extends SparkSpec {
     quiescentSweep(dir)
   }
 
+  test("seeded REBASE soak: the WAP loop survives a continuously-" +
+    "ingesting main line with retention churn — the brancher stages a " +
+    "disjoint-partition corpus, then loops publish-refused -> rebase -> " +
+    "retry until it lands; fork manifests expire under it (the stored " +
+    "fork snapshots carry the diffs); end state exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_soak_reb")
+      .toString + "/st"
+    SnapshotStore.write(base.toDF("k", "p", "v"), dir, "p")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val appended = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val stagedKeys = (0 until 6).map(i => 95000L + i)
+    val rebases = new java.util.concurrent.atomic.AtomicInteger(0)
+    val mains = (0 until 2).map { w =>
+      new Thread(() => {
+        val r = new scala.util.Random(20260819 + w)
+        try (0 until 8).foreach { i =>
+          val k = (w + 1) * 1000L + i
+          SnapshotStore.append(
+            Seq((k, s"p${r.nextInt(4)}", i * 1.0)).toDF("k", "p", "v"),
+            dir, "p", idempotencyKey = Some(s"reb-w$w-b$i"), maxRetries = 50)
+          appended.add(k)
+          // aggressive retention: fork manifests expire under the branch
+          if (i % 2 == 1) SnapshotStore.expire(spark, dir, keep = 2)
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    val brancher = new Thread(() => {
+      try {
+        SnapshotStore.branchCreate(spark, dir, "loop")
+        stagedKeys.foreach { k =>
+          // a partition DISJOINT from every main writer: rebase always
+          // applies, publish races only on head movement
+          SnapshotStore.appendBranch(
+            Seq((k, "cand", k * 1.0)).toDF("k", "p", "v"),
+            dir, "loop", "p")
+        }
+        // the WAP loop: publish; on "main advanced", rebase and retry
+        var done = false
+        var tries = 0
+        while (!done && tries < 200) {
+          tries += 1
+          try { SnapshotStore.publishBranch(spark, dir, "loop"); done = true }
+          catch {
+            case e: IllegalStateException
+              if e.getMessage.contains("main advanced") =>
+              SnapshotStore.rebaseBranch(spark, dir, "loop")
+              rebases.incrementAndGet()
+          }
+        }
+        assert(done, s"publish never landed after $tries attempts")
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    (mains :+ brancher).foreach(_.start())
+    (mains :+ brancher).foreach(_.join())
+    assert(errors.isEmpty, s"soak errors: ${errors.toArray.toSeq}")
+    import scala.jdk.CollectionConverters._
+    val hk = SnapshotStore.read(spark, dir)
+      .select("k").as[Long].collect().toSeq
+    assert(hk.size == hk.distinct.size, "duplicate rows after the loop")
+    assert(appended.iterator().asScala.toSet.subsetOf(hk.toSet),
+      "main lost an appended key")
+    assert(stagedKeys.toSet.subsetOf(hk.toSet),
+      "the published corpus must be on the head, exactly once")
+    assert(SnapshotStore.branches(spark, dir).isEmpty,
+      "publish retires the branch")
+    quiescentSweep(dir)
+  }
+
   test("seeded rollback-mix soak: structural invariants hold under " +
     "concurrent rollbacks, and a final rollback to v1 restores the base") {
     val dir = java.nio.file.Files.createTempDirectory("graft_soak_rb")

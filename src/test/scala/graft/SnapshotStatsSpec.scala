@@ -68,7 +68,9 @@ class SnapshotStatsSpec extends SparkSpec {
         "conjunct still prunes")
   }
 
-  test("an all-NULL slice records no bound and is conservatively read") {
+  test("NULL-count stats (r15): IS NULL prunes null-free gens, " +
+    "IS NOT NULL prunes all-NULL gens, comparisons prune all-NULL gens " +
+    "outright, and <=> NULL rides the same counts") {
     val dir = newDir("nulls")
     SnapshotStore.write(
       Seq((1L, "p0", Some(1.0)), (2L, "p0", Some(2.0)))
@@ -77,13 +79,55 @@ class SnapshotStatsSpec extends SparkSpec {
       Seq((10L, "p0", Option.empty[Double])).toDF("k", "p", "v"), dir, "p")
     val got = SnapshotStore.readWhere(spark, dir, col("v").isNull)
     assert(got.select("k").as[Long].collect().toSeq == Seq(10L))
-    assert(gens(got.inputFiles).size == 2,
-      "isNull is not stats-expressible; the NULL gen has no v-bound — " +
-        "both gens read")
-    // a range predicate still cannot drop the NULL slice's gen (no bound)
+    assert(gens(got.inputFiles).size == 1,
+      "the null-free gen records nulls=0 and is pruned under IS NULL")
+    val notNull = SnapshotStore.readWhere(spark, dir, col("v").isNotNull)
+    assert(notNull.select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    assert(gens(notNull.inputFiles).size == 1,
+      "the all-NULL gen records nulls=rows and is pruned under IS NOT NULL")
+    // a comparison cannot hold on an all-NULL slice: its gen prunes even
+    // though it records no v-bound (NULL comparisons are filtered)
     assert(gens(SnapshotStore.readWhere(spark, dir,
-      col("v") >= 100.0).inputFiles).size == 1,
-      "bounded gen pruned, unbounded gen kept")
+      col("v") >= 100.0).inputFiles).isEmpty,
+      "range above both gens: bounded gen pruned by bounds, all-NULL " +
+        "gen pruned by counts")
+    assert(gens(SnapshotStore.readWhere(spark, dir,
+      col("v") >= 1.5).inputFiles).size == 1,
+      "in-range predicate keeps the bounded gen only")
+    // null-safe equality: <=> NULL holds only for NULL rows
+    val nsafe = SnapshotStore.readWhere(spark, dir, col("v") <=> lit(null))
+    assert(nsafe.select("k").as[Long].collect().toSeq == Seq(10L) &&
+      gens(nsafe.inputFiles).size == 1,
+      "<=> NULL prunes the null-free gen")
+    // negated forms resolve to the same counts
+    assert(gens(SnapshotStore.readWhere(spark, dir,
+      !col("v").isNull).inputFiles).size == 1)
+    // a query mixing both: parity with the unpruned filter
+    val mixed = col("v").isNull || col("v") < 1.5
+    assert(SnapshotStore.readWhere(spark, dir, mixed)
+      .select("k").as[Long].collect().sorted.toSeq ==
+      SnapshotStore.read(spark, dir).filter(mixed)
+        .select("k").as[Long].collect().sorted.toSeq)
+  }
+
+  test("NULL counts compose with schema evolution: a declared stats " +
+    "column ABSENT from a gen's files records an all-NULL field, so " +
+    "IS NOT NULL skips pre-evolution gens entirely") {
+    val dir = newDir("absent")
+    SnapshotStore.write(
+      Seq((1L, "p0"), (2L, "p0")).toDF("k", "p"), dir, "p",
+      statsCols = Seq("k", "note"))
+    SnapshotStore.append(
+      Seq((10L, "p0", "x"), (11L, "p0", null)).toDF("k", "p", "note"),
+      dir, "p")
+    val tagged = SnapshotStore.readWhere(spark, dir, col("note").isNotNull)
+    assert(tagged.select("k").as[Long].collect().toSeq == Seq(10L))
+    assert(gens(tagged.inputFiles).size == 1,
+      "the pre-evolution gen (note absent => all-NULL on read) is pruned")
+    // IS NULL must still read BOTH (the evolved gen has one null too)
+    assert(gens(SnapshotStore.readWhere(spark, dir,
+      col("note").isNull).inputFiles).size == 2)
   }
 
   test("stats copy forward verbatim with untouched entries; a merge's " +

@@ -100,8 +100,14 @@ class SnapshotFormatPropertySpec extends AnyFunSuite {
       assert(payload.count(_ == ':') == 1,
         s"round $round: ':' leaked in '$payload'")
       val parsed = SnapshotFormat.parseStats(blob)
-      assert(parsed == Map("c" -> (('s', lo, hi))),
+      assert(parsed ==
+        Map("c" -> SnapshotFormat.ColStat('s', lo, hi, None, None)),
         s"round $round: '$lo'/'$hi' did not round-trip")
+      // the v2 grammar (counts appended) round-trips the same values
+      val parsed2 = SnapshotFormat.parseStats(blob + ":3:10")
+      assert(parsed2 ==
+        Map("c" -> SnapshotFormat.ColStat('s', lo, hi, Some(3L), Some(10L))),
+        s"round $round: v2 counts did not round-trip")
       // the single-unescape contract, value-wise
       assert(Esc.unescapePathName(SnapshotFormat.escapeStatValue(lo)) == lo,
         s"round $round: one unescape did not invert the escape for '$lo'")
