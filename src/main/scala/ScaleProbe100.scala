@@ -720,6 +720,33 @@ object ScaleProbe100 {
           println(f"PROBE snapshot_skip_advantage_${n}x ${a / b}%.2fx " +
             "(filter-over-full-read vs manifest-pruned readWhere)")
         }
+        // metadata-only COUNT (r15) on the same store: count(*) answered
+        // from the manifest's per-gen row counts vs the scan count
+        // (which itself rides parquet's footer shortcut — the listing is
+        // what the manifest saves)
+        if (n == 100) {
+          var scanCnt = 0L
+          timeMin2("count_scan_100x") {
+            scanCnt = graft.storage.SnapshotStore.read(spark, dir).count()
+          }
+          var metaCnt = 0L
+          var scannedDirs = -1
+          timeMin2("count_meta_100x") {
+            val r = graft.storage.SnapshotStore.countWhereDetailed(
+              spark, dir, lit(true))
+            metaCnt = r._1; scannedDirs = r._2
+          }
+          require(metaCnt == scanCnt && scannedDirs == 0,
+            s"metadata count diverged: $metaCnt vs $scanCnt " +
+              s"($scannedDirs dirs scanned)")
+          for (a <- walls.get("count_scan_100x");
+               b <- walls.get("count_meta_100x")) {
+            ratios("snapshot_count_advantage_100x") = a / b
+            println(f"PROBE snapshot_count_advantage_100x ${a / b}%.2fx " +
+              "(footer-shortcut scan count vs manifest-only countWhere, " +
+              "0 dirs scanned)")
+          }
+        }
       }
       // STRING bounds rung (r14): same 10-gen replica shape, the skip
       // column a zero-padded string key — the reference's own table is

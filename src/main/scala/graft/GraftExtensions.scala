@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(plans.ProfileSql.descriptor)
     ext.injectTableFunction(plans.SnapshotSql.descriptor)
     ext.injectTableFunction(plans.SnapshotWhereSql.descriptor)
+    ext.injectTableFunction(plans.CountSql.descriptor)
     ext.injectTableFunction(plans.ChangesSql.descriptor)
     // CALL-style maintenance verbs (one-row status receipts): the
     // operations half of the SQL surface — compact/rollback/expire run

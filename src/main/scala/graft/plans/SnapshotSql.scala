@@ -188,6 +188,70 @@ object SnapshotWhereSql {
     (FunctionIdentifier(name), info, builder)
 }
 
+/** `graft_count(path [, predicate [, version]])` — COUNT answered from
+  * the manifest wherever provable ([[graft.storage.SnapshotStore
+  * .countWhere]]): ALL-MATCH gens contribute their recorded per-gen row
+  * counts with no file listed, NO-MATCH gens contribute zero, ambiguous
+  * gens are scanned with the predicate applied in full. One row:
+  * (path, cnt, scanned_dirs) — `scanned_dirs` makes the metadata-only
+  * claim OBSERVABLE from SQL (0 = the count never touched data).
+  */
+object CountSql {
+
+  val name = "graft_count"
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    CountSql.getClass.getCanonicalName, name,
+    "graft_count(path[, predicate[, version]]) - counts a SnapshotStore's " +
+      "rows from manifest stats where provable (recorded per-gen row " +
+      "counts; only ambiguous gens are scanned); predicate is a SQL " +
+      "boolean expression (default TRUE), version a positive integer or " +
+      "'head'; returns one row (path, cnt, scanned_dirs); string-literal " +
+      "arguments", "", "")
+
+  def builder(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.size <= 3,
+      s"$name takes (path[, predicate[, version]]); got ${args.size}")
+    def str(i: Int): String = {
+      val e = args(i)
+      require(e.foldable && e.dataType == StringType,
+        s"$name argument ${i + 1} must be a string literal, got ${e.sql}")
+      val v = e.eval()
+      require(v != null, s"$name argument ${i + 1} must not be NULL")
+      v.toString
+    }
+    val path = str(0)
+    val pred =
+      if (args.size >= 2) org.apache.spark.sql.functions.expr(str(1))
+      else org.apache.spark.sql.functions.lit(true)
+    val version =
+      if (args.size < 3) None
+      else str(2).trim.toLowerCase match {
+        case "head" => None
+        case s =>
+          val v = try s.toInt catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"$name version must be a positive integer or 'head', " +
+                  s"got '$s'")
+          }
+          require(v >= 1,
+            s"$name version must be a positive integer or 'head', got $v")
+          Some(v)
+      }
+    val spark = SparkSession.active
+    val (cnt, scanned) = graft.storage.SnapshotStore
+      .countWhereDetailed(spark, path, pred, version)
+    import spark.implicits._
+    Seq((path, cnt, scanned.toLong)).toDF("path", "cnt", "scanned_dirs")
+      .queryExecution.analyzed
+  }
+
+  def descriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(name), info, builder)
+}
+
 /** SQL reach for the incremental CHANGES feed — the seventh TVF rung:
   *
   * {{{

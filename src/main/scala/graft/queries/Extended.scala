@@ -1171,6 +1171,44 @@ object Extended extends QueryModule {
         .orderBy(col("slice"), col("o_orderpriority"))
     }),
 
+    // Metadata-only COUNT (r15): every v2 stats blob carries per-gen row
+    // counts, so a count whose predicate the tri-state evaluator proves
+    // ALL-MATCH or NO-MATCH per gen is answered from the MANIFEST — no
+    // file listed, no footer probed (the Iceberg/Delta metadata-
+    // aggregate argument; at a 1M-partition store even parquet's own
+    // footer-count shortcut still pays the full listing). The full count
+    // and the quartile-aligned range count require-pin ZERO scanned
+    // dirs; the off-boundary count exercises the mixed path (boundary
+    // gens scanned, the rest metadata) and must still be exact.
+    "q_snapshot_count" -> ((s, d) => {
+      import s.implicits._
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_countq")
+        .toString + "/orders_count"
+      val k = col("o_orderkey")
+      val mx = orders.agg(max(k)).head().getLong(0)
+      val (q1, q3) = (mx / 4, 3 * mx / 4)
+      graft.storage.SnapshotStore.write(orders.filter(k <= q1),
+        dir, "o_orderpriority", statsCols = Seq("o_orderkey"))
+      graft.storage.SnapshotStore.append(
+        orders.filter(k > q1 && k <= mx / 2), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(
+        orders.filter(k > mx / 2 && k <= q3), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(orders.filter(k > q3),
+        dir, "o_orderpriority")
+      val (full, fullScan) = graft.storage.SnapshotStore
+        .countWhereDetailed(s, dir, lit(true))
+      val (mid, midScan) = graft.storage.SnapshotStore
+        .countWhereDetailed(s, dir, k > q1 && k <= q3)
+      val (off, _) = graft.storage.SnapshotStore
+        .countWhereDetailed(s, dir, k > q1 + 10 && k <= q3)
+      require(fullScan == 0 && midScan == 0,
+        "q_snapshot_count: the full and quartile-aligned counts must be " +
+          s"pure metadata (scanned $fullScan/$midScan dirs)")
+      Seq(("full", full), ("offset", off), ("quartiles", mid))
+        .toDF("label", "cnt").orderBy(col("label"))
+    }),
+
     // Branch REBASE (r15): the reference's own pipeline never stops
     // ingesting (`/root/reference/README.md:29` — access.log -> rsyslog
     // -> clickhouse), so on a live store every WAP audit window longer
@@ -1305,6 +1343,18 @@ object Extended extends QueryModule {
         |FROM orders, mx
         |WHERE o_orderkey > m // 4 AND o_orderkey <= (3 * m) // 4
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_snapshot_count" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'full' AS label, count(*) AS cnt FROM orders
+        |  UNION ALL
+        |  SELECT 'offset', count(*) FROM orders, mx
+        |  WHERE o_orderkey > m // 4 + 10 AND o_orderkey <= (3 * m) // 4
+        |  UNION ALL
+        |  SELECT 'quartiles', count(*) FROM orders, mx
+        |  WHERE o_orderkey > m // 4 AND o_orderkey <= (3 * m) // 4
+        |) ORDER BY label""".stripMargin,
 
     "q_snapshot_rebase" -> {
       def rAgg(slice: Int, src: String) =

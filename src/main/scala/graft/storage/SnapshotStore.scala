@@ -397,10 +397,15 @@ object SnapshotStore {
   }
 
   // tri-state pruning verdict: NoMatch means PROVABLY no row in the dir
-  // can satisfy the predicate; anything unprovable stays MightMatch
+  // can satisfy the predicate; AllMatch (r15) means PROVABLY every row
+  // does (three-valued logic priced in: a comparison's AllMatch requires
+  // a recorded null count of ZERO — a NULL row satisfies nothing);
+  // anything unprovable stays MightMatch. NoMatch feeds readWhere's
+  // pruning; AllMatch feeds countWhere's metadata-only aggregation.
   private sealed trait Prune
   private case object MightMatch extends Prune
   private case object NoMatch extends Prune
+  private case object AllMatch extends Prune
 
   /** Conservative predicate-vs-stats evaluator over the ANALYZED tree
     * ([[readWhere]] resolves the predicate against the version's logical
@@ -487,20 +492,30 @@ object SnapshotStore {
     // expression is NULL for every row — filtered), so any such shape
     // prunes outright; a counts-only field (NoBoundsCode) that is NOT
     // all-NULL carries no bound to compare against
+    // AllMatch additionally requires nulls == 0 (a NULL row satisfies no
+    // comparison) — which also guarantees the rows count countWhere needs
+    // is recorded (both ride the v2 grammar)
     def cmp(name: String, lit: Literal,
-            noMatchIf: (Int, Int) => Boolean): Prune =
+            noMatchIf: (Int, Int) => Boolean,
+            allMatchIf: (Int, Int) => Boolean = (_, _) => false): Prune =
       statOf(name) match {
         case Some(st) if st.allNull => NoMatch
         case Some(st) if st.code != NoBoundsCode =>
           compares(lit, st.code, st.lo, st.hi) match {
             case Some((cLo, cHi)) =>
-              if (noMatchIf(cLo, cHi)) NoMatch else MightMatch
+              if (noMatchIf(cLo, cHi)) NoMatch
+              else if (st.nulls.contains(0L) && allMatchIf(cLo, cHi))
+                AllMatch
+              else MightMatch
             case None => MightMatch
           }
         case _ => MightMatch
       }
     // `col` has prefix `p` ⟹ p ≤ col < incrementLast(p): NoMatch when
-    // hi < p, or lo ≥ the increment (when one exists)
+    // hi < p, or lo ≥ the increment (when one exists); AllMatch when the
+    // whole [lo, hi] range sits inside [p, incrementLast(p)) and no row
+    // is NULL (lo ≤ min and hi ≥ max hold under truncation, so the
+    // containment transfers to the real values)
     def prefixPrune(name: String, p: String): Prune =
       statOf(name) match {
         case Some(st) if st.allNull => NoMatch
@@ -508,16 +523,27 @@ object SnapshotStore {
           val hiBelow = strCmp(st.hi, p) < 0
           val loAbove = incrementLastCodePoint(p)
             .exists(u => strCmp(st.lo, u) >= 0)
-          if (hiBelow || loAbove) NoMatch else MightMatch
+          if (hiBelow || loAbove) NoMatch
+          else if (st.nulls.contains(0L) && strCmp(st.lo, p) >= 0 &&
+            incrementLastCodePoint(p).exists(u => strCmp(st.hi, u) < 0))
+            AllMatch
+          else MightMatch
         case _ => MightMatch
       }
     // NULL-predicate pruning (r15): a gen whose recorded null count is 0
-    // cannot satisfy IS NULL; an all-NULL gen cannot satisfy IS NOT NULL.
-    // v1 blobs (no counts) stay MightMatch.
+    // cannot satisfy IS NULL (and satisfies IS NOT NULL whole); an
+    // all-NULL gen cannot satisfy IS NOT NULL (and satisfies IS NULL
+    // whole). v1 blobs (no counts) stay MightMatch.
     def nullPruneName(name: String, wantNull: Boolean): Prune =
       statOf(name) match {
-        case Some(st) if wantNull && st.nulls.contains(0L) => NoMatch
-        case Some(st) if !wantNull && st.allNull => NoMatch
+        case Some(st) if wantNull =>
+          if (st.nulls.contains(0L)) NoMatch
+          else if (st.allNull) AllMatch
+          else MightMatch
+        case Some(st) =>
+          if (st.allNull) NoMatch
+          else if (st.nulls.contains(0L)) AllMatch
+          else MightMatch
         case _ => MightMatch
       }
     def nullPrune(x: Expression, wantNull: Boolean): Prune =
@@ -531,51 +557,80 @@ object SnapshotStore {
       }
     e match {
       case And(l, r) =>
-        if (evalPrune(l, stats, logicalToPhysical) == NoMatch ||
-          evalPrune(r, stats, logicalToPhysical) == NoMatch) NoMatch
-        else MightMatch
+        (evalPrune(l, stats, logicalToPhysical),
+          evalPrune(r, stats, logicalToPhysical)) match {
+          case (NoMatch, _) | (_, NoMatch) => NoMatch
+          case (AllMatch, AllMatch) => AllMatch
+          case _ => MightMatch
+        }
       case Or(l, r) =>
-        if (evalPrune(l, stats, logicalToPhysical) == NoMatch &&
-          evalPrune(r, stats, logicalToPhysical) == NoMatch) NoMatch
-        else MightMatch
+        (evalPrune(l, stats, logicalToPhysical),
+          evalPrune(r, stats, logicalToPhysical)) match {
+          case (AllMatch, _) | (_, AllMatch) => AllMatch
+          case (NoMatch, NoMatch) => NoMatch
+          case _ => MightMatch
+        }
+      // a foldable TRUE filter (countWhere's "count everything" shape)
+      // holds for every row; FALSE or NULL for none
+      case Literal(true, BooleanType) => AllMatch
+      case Literal(false, BooleanType) => NoMatch
+      case Literal(null, BooleanType) => NoMatch
       case c: GreaterThan => sides(c).map {
-        case (a, l, false) => cmp(a, l, (_, cHi) => cHi <= 0) // col > v
-        case (a, l, true) => cmp(a, l, (cLo, _) => cLo >= 0) // v > col
+        case (a, l, false) => cmp(a, l, // col > v
+          (_, cHi) => cHi <= 0, (cLo, _) => cLo > 0)
+        case (a, l, true) => cmp(a, l, // v > col
+          (cLo, _) => cLo >= 0, (_, cHi) => cHi < 0)
       }.getOrElse(MightMatch)
       case c: GreaterThanOrEqual => sides(c).map {
-        case (a, l, false) => cmp(a, l, (_, cHi) => cHi < 0)
-        case (a, l, true) => cmp(a, l, (cLo, _) => cLo > 0)
+        case (a, l, false) => cmp(a, l,
+          (_, cHi) => cHi < 0, (cLo, _) => cLo >= 0)
+        case (a, l, true) => cmp(a, l,
+          (cLo, _) => cLo > 0, (_, cHi) => cHi <= 0)
       }.getOrElse(MightMatch)
       case c: LessThan => sides(c).map {
-        case (a, l, false) => cmp(a, l, (cLo, _) => cLo >= 0)
-        case (a, l, true) => cmp(a, l, (_, cHi) => cHi <= 0)
+        case (a, l, false) => cmp(a, l,
+          (cLo, _) => cLo >= 0, (_, cHi) => cHi < 0)
+        case (a, l, true) => cmp(a, l,
+          (_, cHi) => cHi <= 0, (cLo, _) => cLo > 0)
       }.getOrElse(MightMatch)
       case c: LessThanOrEqual => sides(c).map {
-        case (a, l, false) => cmp(a, l, (cLo, _) => cLo > 0)
-        case (a, l, true) => cmp(a, l, (_, cHi) => cHi < 0)
+        case (a, l, false) => cmp(a, l,
+          (cLo, _) => cLo > 0, (_, cHi) => cHi <= 0)
+        case (a, l, true) => cmp(a, l,
+          (_, cHi) => cHi < 0, (cLo, _) => cLo >= 0)
       }.getOrElse(MightMatch)
       case c: EqualTo => sides(c).map {
-        case (a, l, _) => cmp(a, l, (cLo, cHi) => cLo > 0 || cHi < 0)
+        case (a, l, _) => cmp(a, l,
+          (cLo, cHi) => cLo > 0 || cHi < 0,
+          (cLo, cHi) => cLo == 0 && cHi == 0) // lo == v == hi: all equal
       }.getOrElse(MightMatch)
       case c: EqualNullSafe => sides(c).map {
         case (a, l, _) =>
           // `col <=> NULL` holds exactly for NULL rows: prune via the
-          // null counts (a null-free gen cannot match)
+          // null counts (a null-free gen cannot match); non-null `<=>`
+          // behaves as `=` on a null-free gen
           if (l.value == null) nullPruneName(a, wantNull = true)
-          else cmp(a, l, (cLo, cHi) => cLo > 0 || cHi < 0)
+          else cmp(a, l,
+            (cLo, cHi) => cLo > 0 || cHi < 0,
+            (cLo, cHi) => cLo == 0 && cHi == 0)
       }.getOrElse(MightMatch)
       // IN-list: NoMatch only when EVERY non-null element lies outside
       // the bounds (a NULL element can never make the predicate TRUE for
       // a non-matching row — `k IN (1, NULL)` is NULL, filtered — so it
-      // is ignorable; an all-NULL/empty list can never match)
+      // is ignorable; an all-NULL/empty list can never match); AllMatch
+      // when ANY single element is provably every row's value
       case in: In =>
         attrName(in.value).map { a =>
           val lits = in.list.map(asLit)
           if (lits.exists(_.isEmpty)) MightMatch // non-literal element
-          else if (lits.flatten.filter(_.value != null).exists(l =>
-            cmp(a, l, (cLo, cHi) => cLo > 0 || cHi < 0) == MightMatch))
-            MightMatch
-          else NoMatch
+          else {
+            val verdicts = lits.flatten.filter(_.value != null).map(l =>
+              cmp(a, l, (cLo, cHi) => cLo > 0 || cHi < 0,
+                (cLo, cHi) => cLo == 0 && cHi == 0))
+            if (verdicts.contains(AllMatch)) AllMatch
+            else if (verdicts.forall(_ == NoMatch)) NoMatch
+            else MightMatch
+          }
         }.getOrElse(MightMatch)
       case IsNull(x) => nullPrune(x, wantNull = true)
       case IsNotNull(x) => nullPrune(x, wantNull = false)
@@ -675,6 +730,73 @@ object SnapshotStore {
         versionSchema(spark, path, v)), renames)
       else applyRenames(readWithSchema(spark, path, v, kept), renames)
     base.filter(pred)
+  }
+
+  /** COUNT under `pred`, answered from the MANIFEST wherever provable —
+    * the Iceberg/Delta metadata-aggregate argument (a public concept,
+    * re-derived on the store's own stats): every v2 stats blob carries
+    * per-(partition, gen) row counts, so a gen the tri-state evaluator
+    * proves ALL-MATCH contributes its recorded rows with no file listed,
+    * a NO-MATCH gen contributes zero, and only genuinely ambiguous gens
+    * are scanned (with `pred` applied in full — correctness never rests
+    * on the stats). `countWhere(lit(true))` over a fully-blobbed store is
+    * a pure metadata operation: at a 1M-partition 100 TB store that is
+    * the difference between "one manifest resolve" and "list + footer-
+    * probe every file the table owns" — even parquet's own footer-count
+    * shortcut still pays the full listing. Dirs without v2 counts
+    * (pre-r15 blobs, stats-less stores) fall back to the scan path.
+    */
+  def countWhere(spark: SparkSession, path: String,
+                 pred: org.apache.spark.sql.Column,
+                 version: Option[Int] = None): Long =
+    countWhereDetailed(spark, path, pred, version)._1
+
+  /** [[countWhere]] plus the number of dirs the scan fallback opened —
+    * the seam specs and the declared query pin metadata-only-ness on.
+    */
+  private[graft] def countWhereDetailed(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column,
+      version: Option[Int] = None): (Long, Int) = {
+    val v = version.orElse(headVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
+    val renames = readRenames(spark, path, v)
+    val physSchema = versionSchema(spark, path, v)
+    val logicalToPhysical = renames.map(_.swap)
+    val logicalSchema = org.apache.spark.sql.types.StructType(
+      physSchema.fields.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name))))
+    val expr = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      logicalSchema).filter(pred)
+      .queryExecution.analyzed match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+      case _ => org.apache.spark.sql.catalyst.expressions.Literal(true)
+    }
+    var meta = 0L
+    val residual = Seq.newBuilder[String]
+    readManifestDirs(spark, path, v).foreach { field =>
+      val stats = statsOf(field).map(parseStats)
+        .getOrElse(Map.empty[String, ColStat])
+      evalPrune(expr, stats, logicalToPhysical) match {
+        case NoMatch => ()
+        case AllMatch =>
+          // every column's rows value is the same per-(partition, gen)
+          // aggregate; a blob without counts (v1) cannot serve — scan
+          stats.values.flatMap(_.rows).headOption match {
+            case Some(rows) => meta += rows
+            case None => residual += dirOf(field)
+          }
+        case MightMatch => residual += dirOf(field)
+      }
+    }
+    val dirs = residual.result().sorted
+    val scanned =
+      if (dirs.isEmpty) 0L
+      else applyRenames(
+        readWithSchema(spark, path, v, dirs.map(d => s"$path/$d")), renames)
+        .filter(pred).count()
+    (meta + scanned, dirs.size)
   }
 
   /** The version's recorded union schema (`_schema-<v>`), if present.

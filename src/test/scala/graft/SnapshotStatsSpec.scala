@@ -111,6 +111,58 @@ class SnapshotStatsSpec extends SparkSpec {
         .select("k").as[Long].collect().sorted.toSeq)
   }
 
+  test("metadata-only COUNT (countWhere): ALL-MATCH gens contribute " +
+    "recorded rows with no file listed, NO-MATCH gens zero, ambiguous " +
+    "gens scanned — full and gen-aligned counts are pure metadata, " +
+    "every shape agrees with the scan") {
+    val dir = newDir("count"); rangedStore(dir) // 3 gens x 2 partitions
+    val (full, fullScan) = SnapshotStore.countWhereDetailed(
+      spark, dir, lit(true))
+    assert((full, fullScan) == ((30L, 0)),
+      "count(*) over a fully-blobbed store must touch no data")
+    val (g2, g2Scan) = SnapshotStore.countWhereDetailed(
+      spark, dir, col("k") >= 100L && col("k") < 110L)
+    assert((g2, g2Scan) == ((10L, 0)),
+      "a gen-aligned range count must be pure metadata")
+    val (amb, ambScan) = SnapshotStore.countWhereDetailed(
+      spark, dir, col("k") >= 105L)
+    assert(amb == 15L && ambScan == 2,
+      s"only gen 2's two dirs are ambiguous (got $amb from $ambScan scans)")
+    // parity sweep: the stats are an optimization, never the semantics
+    Seq(col("k") % 7 === 1L, col("v") > 150.0, col("k").isNotNull,
+      col("k") < 0L, lit(false)).foreach { p =>
+      assert(SnapshotStore.countWhere(spark, dir, p) ==
+        SnapshotStore.read(spark, dir).filter(p).count(),
+        s"countWhere diverged from the scan under $p")
+    }
+    // composes with rename: the logical name resolves through the layer
+    SnapshotStore.renameColumn(spark, dir, "k", "key")
+    assert(SnapshotStore.countWhere(spark, dir,
+      col("key") >= 100L && col("key") < 110L) == 10L)
+    // NULL predicates count from the same blobs: null-free + all-NULL
+    val d2 = newDir("countnull")
+    SnapshotStore.write(
+      Seq((1L, "p0", Some(1.0)), (2L, "p0", Some(2.0)))
+        .toDF("k", "p", "v"), d2, "p", statsCols = Seq("k", "v"))
+    SnapshotStore.append(
+      Seq((10L, "p0", Option.empty[Double])).toDF("k", "p", "v"), d2, "p")
+    assert(SnapshotStore.countWhereDetailed(spark, d2,
+      col("v").isNotNull) == ((2L, 0)))
+    assert(SnapshotStore.countWhereDetailed(spark, d2,
+      col("v").isNull) == ((1L, 0)))
+    // IN on a single-valued slice is ALL-MATCH provable (lo == hi == 10)
+    assert(SnapshotStore.countWhereDetailed(spark, d2,
+      col("k").isin(10L, 99L)) == ((1L, 0)))
+    // the SQL rung: scanned_dirs makes metadata-only-ness observable
+    plans.AsOf.register(spark)
+    val row = spark.sql(
+      s"SELECT * FROM graft_count('$d2', 'v IS NULL')").collect()(0)
+    assert(row.getLong(1) == 1L && row.getLong(2) == 0L,
+      "graft_count must report the count and zero scanned dirs")
+    assert(spark.sql(s"SELECT * FROM graft_count('$d2')")
+      .collect()(0).getLong(1) == 3L)
+  }
+
   test("NULL counts compose with schema evolution: a declared stats " +
     "column ABSENT from a gen's files records an all-NULL field, so " +
     "IS NOT NULL skips pre-evolution gens entirely") {
