@@ -457,17 +457,28 @@ object MaintenanceSql {
     val name = "graft_publish_branch"
     val info: ExpressionInfo = new ExpressionInfo(
       MaintenanceSql.getClass.getCanonicalName, name,
-      "graft_publish_branch(path, name) - fast-forward publishes a " +
-        "staging branch as the new SnapshotStore head (refuses when main " +
-        "advanced past the fork point) and retires the branch; returns " +
+      "graft_publish_branch(path, name[, 'rebase']) - fast-forward " +
+        "publishes a staging branch as the new SnapshotStore head " +
+        "(refuses when main advanced past the fork point; with the " +
+        "'rebase' flag, rebases onto the new head and retries — the WAP " +
+        "loop under a live main line) and retires the branch; returns " +
         "one status row (detail = published version); string-literal " +
         "arguments", "", "")
     def builder(args: Seq[Expression]): LogicalPlan = {
-      require(args.size == 2,
-        s"$name takes (path, name); got ${args.size} arguments")
+      require(args.size == 2 || args.size == 3,
+        s"$name takes (path, name[, 'rebase']); got ${args.size} arguments")
       val spark = SparkSession.active
-      val v = graft.storage.SnapshotStore.publishBranch(
-        spark, str(name, args, 0), str(name, args, 1))
+      val rebase = args.size == 3 && {
+        val mode = str(name, args, 2).trim.toLowerCase
+        require(mode == "rebase",
+          s"$name third argument must be 'rebase', got '$mode'")
+        true
+      }
+      val v =
+        if (rebase) graft.storage.SnapshotStore.publishBranchRebased(
+          spark, str(name, args, 0), str(name, args, 1))
+        else graft.storage.SnapshotStore.publishBranch(
+          spark, str(name, args, 0), str(name, args, 1))
       statusRow(spark, "publish_branch", str(name, args, 0), v.toLong)
     }
     def descriptor: (FunctionIdentifier, ExpressionInfo,

@@ -573,6 +573,36 @@ private[storage] object SnapshotBranch {
     target
   }
 
+  /** The WAP publish LOOP as one verb: publish; on the fast-forward
+    * refusal, [[rebase]] onto the new head and retry — bounded by
+    * `maxRebases` so a main line outrunning the loop surfaces instead of
+    * spinning forever. A rebase OVERLAP refusal propagates immediately
+    * (no retry can fix a genuine conflict). This is exactly the recovery
+    * the seeded REBASE soak drives by hand; exposing it as a verb means
+    * an operator's publish under a live main line is one call, not a
+    * retry loop they each rewrite.
+    */
+  private[storage] def publishRebased(spark: SparkSession, path: String,
+                                      name: String,
+                                      maxRebases: Int = 20): Int = {
+    require(maxRebases >= 0, s"maxRebases must be >= 0, got $maxRebases")
+    var attempt = 0
+    while (true) {
+      try return publish(spark, path, name)
+      catch {
+        case e: IllegalStateException
+          if e.getMessage != null && e.getMessage.contains("main advanced") =>
+          attempt += 1
+          if (attempt > maxRebases) throw new IllegalStateException(
+            s"branch '$name' at $path could not fast-forward after " +
+              s"$maxRebases rebases — main is outrunning the publish " +
+              "loop; quiesce the writers or raise maxRebases", e)
+          rebase(spark, path, name)
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Deletes the branch's staged chain. Its gens lose their last
     * reference and age out under the orphan sweep's floor (never
     * immediately — a racing reader of the tip stays safe).

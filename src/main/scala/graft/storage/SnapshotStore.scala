@@ -706,19 +706,98 @@ object SnapshotStore {
     }.map(dirOf).sorted
   }
 
+  /** The partition VALUES `pred` provably restricts the recorded
+    * partition column to — read from the predicate's top-level
+    * CONJUNCTS (equality / IN / non-null `<=>` of the partition
+    * column's logical name against string literals). Restricted to
+    * StringType partition columns: the string literal's text IS the
+    * manifest key (writeGen keys dirs by `cast("string")` of the
+    * value), so no rendering mismatch is possible; any other type, any
+    * other predicate shape: None (no restriction — correctness never
+    * depends on this, [[readWhere]] still applies the full predicate).
+    */
+  private def partitionValuesOf(spark: SparkSession, path: String,
+      renames: Map[String, String],
+      logicalSchema: org.apache.spark.sql.types.StructType,
+      expr: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Set[String]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val partPhys = partColOf(spark, path).getOrElse(return None)
+    val partLogical = renames.getOrElse(partPhys, partPhys)
+    if (!logicalSchema.fieldNames.contains(partLogical) ||
+      logicalSchema(partLogical).dataType !=
+        org.apache.spark.sql.types.StringType) return None
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def strLit(x: Expression): Option[String] = x match {
+      case l: Literal if l.dataType ==
+        org.apache.spark.sql.types.StringType && l.value != null =>
+        Some(l.value.toString)
+      case _ => None
+    }
+    def isPart(x: Expression): Boolean = x match {
+      case a: AttributeReference => a.name == partLogical
+      case _ => false
+    }
+    val sets: Seq[Set[String]] = conjuncts(expr).flatMap {
+      case EqualTo(a, l) if isPart(a) => strLit(l).map(Set(_))
+      case EqualTo(l, a) if isPart(a) => strLit(l).map(Set(_))
+      case EqualNullSafe(a, l) if isPart(a) => strLit(l).map(Set(_))
+      case EqualNullSafe(l, a) if isPart(a) => strLit(l).map(Set(_))
+      case In(a, list) if isPart(a) &&
+        // every element a literal, each a string or an (ignorable —
+        // it can never make the IN true) NULL
+        list.forall {
+          case l: Literal =>
+            l.value == null ||
+              l.dataType == org.apache.spark.sql.types.StringType
+          case _ => false
+        } =>
+        Some(list.flatMap(strLit).toSet)
+      case _ => None
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
   def readWhere(spark: SparkSession, path: String,
                 pred: org.apache.spark.sql.Column,
                 version: Option[Int] = None): DataFrame = {
     val v = version.orElse(headVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
     val renames = readRenames(spark, path, v)
-    // dirs-only resolution (readManifestDirs), NOT the value-keyed map:
-    // pruning needs each dir field's stats blob, never the partition
-    // value, and at 1M manifest entries the map's unescape+build
-    // constants dominate the whole resolve (the same argument behind
-    // read()'s dirs-only path)
-    val kept = survivingDirs(spark, readManifestDirs(spark, path, v),
-      versionSchema(spark, path, v), renames, pred)
+    val physSchema = versionSchema(spark, path, v)
+    // PARTITION-KEY restriction (r15): an equality/IN conjunct on the
+    // partition column restricts the resolution to those values' manifest
+    // entries — O(touched buckets) on a segmented head, no stats needed
+    // (the manifest KEY is the partition value). At a 1M-partition store,
+    // `readWhere(p === 'x' && ts > t)` parses one bucket instead of the
+    // store-wide dir list, then stats-prunes inside the survivors.
+    val logicalSchema = org.apache.spark.sql.types.StructType(
+      physSchema.fields.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name))))
+    val expr = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      logicalSchema).filter(pred)
+      .queryExecution.analyzed match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+      case _ => org.apache.spark.sql.catalyst.expressions.Literal(true)
+    }
+    // dirs-only resolution (readManifestDirs) when unrestricted, NOT the
+    // value-keyed map: pruning needs each dir field's stats blob, never
+    // the partition value, and at 1M manifest entries the map's
+    // unescape+build constants dominate the whole resolve (the same
+    // argument behind read()'s dirs-only path)
+    val fields = partitionValuesOf(spark, path, renames, logicalSchema,
+      expr) match {
+      case Some(values) =>
+        readManifestValues(spark, path, v, values.toSeq)
+          .values.flatten.toSeq
+      case None => readManifestDirs(spark, path, v)
+    }
+    val kept = survivingDirs(spark, fields, physSchema, renames, pred)
       .map(d => s"$path/$d")
     // everything-pruned: the empty frame under the version's logical
     // schema DIRECTLY (read().limit(0) would plan a parquet scan over
@@ -773,9 +852,20 @@ object SnapshotStore {
         f.condition
       case _ => org.apache.spark.sql.catalyst.expressions.Literal(true)
     }
+    // the same partition-KEY restriction readWhere rides (an equality/IN
+    // conjunct on the partition column): restricted values resolve
+    // O(touched buckets); every excluded entry counts zero by the same
+    // argument that lets readWhere skip it
+    val fields = partitionValuesOf(spark, path, renames, logicalSchema,
+      expr) match {
+      case Some(values) =>
+        readManifestValues(spark, path, v, values.toSeq)
+          .values.flatten.toSeq
+      case None => readManifestDirs(spark, path, v)
+    }
     var meta = 0L
     val residual = Seq.newBuilder[String]
-    readManifestDirs(spark, path, v).foreach { field =>
+    fields.foreach { field =>
       val stats = statsOf(field).map(parseStats)
         .getOrElse(Map.empty[String, ColStat])
       evalPrune(expr, stats, logicalToPhysical) match {
@@ -1198,6 +1288,16 @@ object SnapshotStore {
     */
   def rebaseBranch(spark: SparkSession, path: String, name: String): Int =
     SnapshotBranch.rebase(spark, path, name)
+
+  /** [[publishBranch]] with the rebase-retry loop built in: on the
+    * fast-forward refusal the branch rebases onto the new head and the
+    * publish retries (bounded by `maxRebases`); a genuine partition
+    * conflict still refuses immediately. The one-call WAP publish for a
+    * store whose main line never stops ingesting.
+    */
+  def publishBranchRebased(spark: SparkSession, path: String, name: String,
+                           maxRebases: Int = 20): Int =
+    SnapshotBranch.publishRebased(spark, path, name, maxRebases)
 
   /** Drops branches whose last write is older than `olderThanMs` — the
     * age-based lifecycle sweep for abandoned staging branches (OFF by

@@ -263,6 +263,40 @@ class SnapshotBranchSpec extends SparkSpec {
     assert(SnapshotStore.rebaseBranch(spark, dir, "noop") == 3)
   }
 
+  test("publishBranchRebased: the WAP publish LOOP as one verb — " +
+    "rebases on the fast-forward refusal and retries; a genuine " +
+    "partition conflict still refuses immediately; SQL gets it as " +
+    "graft_publish_branch(path, name, 'rebase')") {
+    plans.AsOf.register(spark)
+    val dir = newDir("pubreb")
+    SnapshotStore.write(pchunk(0L, "m"), dir, "p") // v1
+    SnapshotStore.branchCreate(spark, dir, "loop")
+    SnapshotStore.appendBranch(pchunk(100L, "b"), dir, "loop", "p")
+    SnapshotStore.append(pchunk(500L, "m"), dir, "p") // v2: head moves
+    assert(SnapshotStore.publishBranchRebased(spark, dir, "loop") == 3,
+      "one call: rebase onto v2, publish as v3")
+    assert(SnapshotStore.read(spark, dir).count() == 9)
+    // the SQL flag drives the same loop
+    SnapshotStore.branchCreate(spark, dir, "sq")
+    SnapshotStore.appendBranch(pchunk(200L, "b2"), dir, "sq", "p")
+    SnapshotStore.append(pchunk(600L, "m"), dir, "p") // v4
+    val r = spark.sql(
+      s"SELECT * FROM graft_publish_branch('$dir', 'sq', 'rebase')")
+      .collect()
+    assert(r(0).getString(0) == "publish_branch" && r(0).getLong(2) == 5L)
+    assert(SnapshotStore.read(spark, dir).count() == 15)
+    // a REAL conflict refuses through the loop (rebase cannot fix it)
+    SnapshotStore.branchCreate(spark, dir, "conf")
+    SnapshotStore.appendBranch(pchunk(300L, "m"), dir, "conf", "p")
+    SnapshotStore.append(pchunk(700L, "m"), dir, "p")
+    val e = intercept[IllegalStateException](
+      SnapshotStore.publishBranchRebased(spark, dir, "conf"))
+    assert(e.getMessage.contains("BOTH the branch and main"))
+    intercept[IllegalArgumentException](spark.sql(
+      s"SELECT * FROM graft_publish_branch('$dir', 'conf', 'bogus')")
+      .collect())
+  }
+
   test("REBASE refusal: a partition changed by BOTH the branch and main " +
     "since the fork refuses loudly, naming the partition; the branch " +
     "stays auditable") {

@@ -111,6 +111,61 @@ class SnapshotStatsSpec extends SparkSpec {
         .select("k").as[Long].collect().sorted.toSeq)
   }
 
+  test("partition-KEY pruning (r15): an equality/IN conjunct on the " +
+    "partition column restricts the resolution to those manifest keys — " +
+    "no stats needed — and composes with stats pruning; unprovable " +
+    "shapes stay unrestricted but correct") {
+    // deliberately NO statsCols: the restriction rides the manifest KEY
+    val dir = newDir("pkey")
+    def chunk(lo: Long) = (0 until 12)
+      .map(i => (lo + i, s"p${i % 4}", (lo + i) * 1.0)).toDF("k", "p", "v")
+    SnapshotStore.write(chunk(0L), dir, "p")
+    SnapshotStore.append(chunk(100L), dir, "p")
+    def parts(files: Array[String]) =
+      files.flatMap(_.split("/_p=").lift(1)).map(_.split("/").head).toSet
+    val eq = SnapshotStore.readWhere(spark, dir, col("p") === "p1")
+    assert(parts(eq.inputFiles) == Set("p1"),
+      s"equality must open only p1's dirs, got ${parts(eq.inputFiles)}")
+    assert(eq.count() ==
+      SnapshotStore.read(spark, dir).filter(col("p") === "p1").count())
+    val in = SnapshotStore.readWhere(spark, dir,
+      col("p").isin("p0", "p2") && col("k") >= 100L)
+    assert(parts(in.inputFiles) == Set("p0", "p2"))
+    assert(in.count() == 6, "IN restriction + the residual filter")
+    // literal-on-left and <=> forms restrict too
+    assert(parts(SnapshotStore.readWhere(spark, dir,
+      lit("p3") === col("p")).inputFiles) == Set("p3"))
+    assert(parts(SnapshotStore.readWhere(spark, dir,
+      col("p") <=> "p3").inputFiles) == Set("p3"))
+    // contradictory conjuncts: empty restriction, empty frame, no scan
+    val none = SnapshotStore.readWhere(spark, dir,
+      col("p") === "p0" && col("p") === "p1")
+    assert(none.count() == 0 && none.inputFiles.isEmpty)
+    // an OR at the top is NOT a restriction — everything read, correct
+    val or = SnapshotStore.readWhere(spark, dir,
+      col("p") === "p0" || col("k") === 101L)
+    assert(parts(or.inputFiles).size == 4)
+    assert(or.count() ==
+      SnapshotStore.read(spark, dir)
+        .filter(col("p") === "p0" || col("k") === 101L).count())
+    // a NULL element in the IN-list is ignorable; a missing value is
+    // simply an empty slice, not an error
+    assert(SnapshotStore.readWhere(spark, dir,
+      col("p").isin("p1", null)).count() ==
+      SnapshotStore.read(spark, dir).filter(col("p") === "p1").count())
+    assert(SnapshotStore.readWhere(spark, dir,
+      col("p") === "nope").count() == 0)
+    // countWhere rides the same restriction (no stats: residual scans
+    // only the restricted dirs)
+    assert(SnapshotStore.countWhereDetailed(spark, dir,
+      col("p") === "p1") == ((6L, 2)),
+      "count must scan only p1's two gen dirs")
+    // composes with rename of the partition column
+    SnapshotStore.renameColumn(spark, dir, "p", "part")
+    val ren = SnapshotStore.readWhere(spark, dir, col("part") === "p2")
+    assert(parts(ren.inputFiles) == Set("p2") && ren.count() == 6)
+  }
+
   test("metadata-only COUNT (countWhere): ALL-MATCH gens contribute " +
     "recorded rows with no file listed, NO-MATCH gens zero, ambiguous " +
     "gens scanned — full and gen-aligned counts are pure metadata, " +
