@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(plans.SnapshotSql.descriptor)
     ext.injectTableFunction(plans.SnapshotWhereSql.descriptor)
     ext.injectTableFunction(plans.CountSql.descriptor)
+    ext.injectTableFunction(plans.MinMaxSql.descriptor)
     ext.injectTableFunction(plans.ChangesSql.descriptor)
     // CALL-style maintenance verbs (one-row status receipts): the
     // operations half of the SQL surface — compact/rollback/expire run

@@ -214,6 +214,8 @@ object AsOf {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       CountSql.name, CountSql.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MinMaxSql.name, MinMaxSql.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       ChangesSql.name, ChangesSql.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Compact.name, MaintenanceSql.Compact.builder, "scala_udf")

@@ -252,6 +252,70 @@ object CountSql {
     (FunctionIdentifier(name), info, builder)
 }
 
+/** `graft_minmax(path, cols [, predicate [, version]])` — MIN/MAX from
+  * manifest stats where provable ([[graft.storage.SnapshotStore
+  * .minMaxWhere]]): exact-domain bounds of ALL-MATCH gens serve without
+  * opening a file; ambiguous gens and string columns scan. One row:
+  * `<col>_min`/`<col>_max` per requested column (typed), plus
+  * `scanned_dirs` (0 = the aggregate never touched data).
+  */
+object MinMaxSql {
+
+  val name = "graft_minmax"
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    MinMaxSql.getClass.getCanonicalName, name,
+    "graft_minmax(path, cols[, predicate[, version]]) - min/max of the " +
+      "comma-separated columns over a SnapshotStore, answered from " +
+      "manifest stats where provable (only ambiguous gens are scanned); " +
+      "predicate is a SQL boolean expression (default TRUE), version a " +
+      "positive integer or 'head'; returns one typed row plus " +
+      "scanned_dirs; string-literal arguments", "", "")
+
+  def builder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 2 && args.size <= 4,
+      s"$name takes (path, cols[, predicate[, version]]); got ${args.size}")
+    def str(i: Int): String = {
+      val e = args(i)
+      require(e.foldable && e.dataType == StringType,
+        s"$name argument ${i + 1} must be a string literal, got ${e.sql}")
+      val v = e.eval()
+      require(v != null, s"$name argument ${i + 1} must not be NULL")
+      v.toString
+    }
+    val path = str(0)
+    val cols = str(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val pred =
+      if (args.size >= 3) org.apache.spark.sql.functions.expr(str(2))
+      else org.apache.spark.sql.functions.lit(true)
+    val version =
+      if (args.size < 4) None
+      else str(3).trim.toLowerCase match {
+        case "head" => None
+        case s =>
+          val v = try s.toInt catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"$name version must be a positive integer or 'head', " +
+                  s"got '$s'")
+          }
+          require(v >= 1,
+            s"$name version must be a positive integer or 'head', got $v")
+          Some(v)
+      }
+    val spark = SparkSession.active
+    val (df, scanned) = graft.storage.SnapshotStore
+      .minMaxWhereDetailed(spark, path, cols, pred, version)
+    df.withColumn("scanned_dirs",
+      org.apache.spark.sql.functions.lit(scanned.toLong))
+      .queryExecution.analyzed
+  }
+
+  def descriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(name), info, builder)
+}
+
 /** SQL reach for the incremental CHANGES feed — the seventh TVF rung:
   *
   * {{{

@@ -1209,6 +1209,47 @@ object Extended extends QueryModule {
         .toDF("label", "cnt").orderBy(col("label"))
     }),
 
+    // Metadata-only MIN/MAX (r15): countWhere's sibling — an ALL-MATCH
+    // gen's exact-domain bounds (integral/floating/date/timestamp) ARE
+    // its min/max over non-null values, so the classic dashboard probe
+    // ("key range? price range? time span?") is answered from the
+    // manifest. Both slices require-pin ZERO scanned dirs: slice 1 is
+    // the whole-store aggregate, slice 2 a gen-aligned range.
+    "q_snapshot_minmax" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_minmaxq")
+        .toString + "/orders_minmax"
+      val k = col("o_orderkey")
+      val mx = orders.agg(max(k)).head().getLong(0)
+      val (q1, q3) = (mx / 4, 3 * mx / 4)
+      graft.storage.SnapshotStore.write(orders.filter(k <= q1),
+        dir, "o_orderpriority",
+        statsCols = Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+      graft.storage.SnapshotStore.append(
+        orders.filter(k > q1 && k <= mx / 2), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(
+        orders.filter(k > mx / 2 && k <= q3), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(orders.filter(k > q3),
+        dir, "o_orderpriority")
+      val cols = Seq("o_orderkey", "o_totalprice", "o_orderdate")
+      val (full, fullScan) = graft.storage.SnapshotStore
+        .minMaxWhereDetailed(s, dir, cols, lit(true))
+      val (mid, midScan) = graft.storage.SnapshotStore
+        .minMaxWhereDetailed(s, dir, cols, k > q1 && k <= q3)
+      require(fullScan == 0 && midScan == 0,
+        "q_snapshot_minmax: both aggregates must be pure metadata " +
+          s"(scanned $fullScan/$midScan dirs)")
+      def shape(df: org.apache.spark.sql.DataFrame, slice: Int) =
+        df.select(col("o_orderkey_min").as("min_key"),
+          col("o_orderkey_max").as("max_key"),
+          col("o_totalprice_min").as("min_price"),
+          col("o_totalprice_max").as("max_price"),
+          col("o_orderdate_min").cast("date").as("min_date"),
+          col("o_orderdate_max").cast("date").as("max_date"))
+          .withColumn("slice", lit(slice))
+      shape(full, 1).unionByName(shape(mid, 2)).orderBy(col("slice"))
+    }),
+
     // Branch REBASE (r15): the reference's own pipeline never stops
     // ingesting (`/root/reference/README.md:29` — access.log -> rsyslog
     // -> clickhouse), so on a live store every WAP audit window longer
@@ -1343,6 +1384,22 @@ object Extended extends QueryModule {
         |FROM orders, mx
         |WHERE o_orderkey > m // 4 AND o_orderkey <= (3 * m) // 4
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_snapshot_minmax" -> {
+      def mAgg(slice: Int, pred: String) =
+        s"""SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           |    min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+           |    CAST(min(o_orderdate) AS DATE) AS min_date,
+           |    CAST(max(o_orderdate) AS DATE) AS max_date, $slice AS slice
+           |  FROM orders, mx WHERE $pred""".stripMargin
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+        |SELECT * FROM (
+        |""".stripMargin +
+        Seq(mAgg(1, "TRUE"),
+          mAgg(2, "o_orderkey > m // 4 AND o_orderkey <= (3 * m) // 4"))
+          .mkString("\nUNION ALL\n") +
+        "\n) ORDER BY slice"
+    },
 
     "q_snapshot_count" ->
       """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)

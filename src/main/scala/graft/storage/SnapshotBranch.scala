@@ -406,8 +406,29 @@ private[storage] object SnapshotBranch {
   private[storage] def readWhere(spark: SparkSession, path: String,
       name: String, pred: org.apache.spark.sql.Column): DataFrame = {
     val st = readStaged(spark, path, name)
+    // the branch audit rides the same partition-KEY restriction as main's
+    // readWhere (r15): the staged map is value-keyed, so an equality/IN
+    // conjunct on the partition column filters KEYS before any stats
+    // blob is parsed — auditing one slice of a 100k-partition candidate
+    // corpus never walks the other partitions' entries
+    val logicalSchema = org.apache.spark.sql.types.StructType(
+      st.schema.fields.map(f =>
+        f.copy(name = st.renames.getOrElse(f.name, f.name))))
+    val expr = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      logicalSchema).filter(pred)
+      .queryExecution.analyzed match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+      case _ => org.apache.spark.sql.catalyst.expressions.Literal(true)
+    }
+    val entries = SnapshotStore.partitionValuesOf(spark, path, st.renames,
+      logicalSchema, expr) match {
+      case Some(values) => st.entries.filter { case (k, _) => values(k) }
+      case None => st.entries
+    }
     val kept = SnapshotStore.survivingDirs(spark,
-      st.entries.values.flatten.toSeq, st.schema, st.renames, pred)
+      entries.values.flatten.toSeq, st.schema, st.renames, pred)
       .map(d => s"$path/$d")
     val base =
       if (kept.isEmpty) SnapshotStore.applyRenames(spark.createDataFrame(
@@ -654,7 +675,12 @@ private[storage] object SnapshotBranch {
     * `modifiedMs`; a pre-r15 staged file without one falls back to the
     * tip FILE's mtime (a plain file — trustworthy even on object
     * stores). Returns the dropped names; their gens age out under the
-    * next orphan sweep exactly as a manual [[drop]].
+    * next orphan sweep exactly as a manual [[drop]]. An append RACING
+    * the sweep may land its staged k+1 after the chain was deleted —
+    * the branch RESURRECTS whole (staged files are self-contained and
+    * the append refreshed `modifiedMs`, so the next sweep leaves it
+    * alone until it idles again): the race degrades to "not expired
+    * this pass", never to a torn branch.
     */
   private[storage] def expireBranches(spark: SparkSession, path: String,
                                       olderThanMs: Long): Seq[String] = {

@@ -716,7 +716,7 @@ object SnapshotStore {
     * other predicate shape: None (no restriction — correctness never
     * depends on this, [[readWhere]] still applies the full predicate).
     */
-  private def partitionValuesOf(spark: SparkSession, path: String,
+  private[storage] def partitionValuesOf(spark: SparkSession, path: String,
       renames: Map[String, String],
       logicalSchema: org.apache.spark.sql.types.StructType,
       expr: org.apache.spark.sql.catalyst.expressions.Expression)
@@ -887,6 +887,142 @@ object SnapshotStore {
         readWithSchema(spark, path, v, dirs.map(d => s"$path/$d")), renames)
         .filter(pred).count()
     (meta + scanned, dirs.size)
+  }
+
+  /** MIN/MAX of `cols` under `pred`, answered from the manifest wherever
+    * provable — [[countWhere]]'s sibling, completing the metadata-
+    * aggregate trio: an ALL-MATCH gen's recorded bounds for an
+    * EXACT-domain column (integral, floating, date, timestamp, ntz —
+    * every code except truncated strings) ARE its min/max over non-null
+    * values (min/max ignore nulls, exactly the population the bounds
+    * describe; an all-NULL slice contributes nothing — correct, it has
+    * no value to contribute), so those gens never open a file. Gens the
+    * predicate might only partially match, gens without usable bounds
+    * for SOME requested column, and string columns (truncate(16) bounds
+    * are containing, not exact) go through the scan path with `pred`
+    * applied in full. Returns one row `<col>_min`, `<col>_max` per
+    * column, typed in the version's logical schema.
+    */
+  def minMaxWhere(spark: SparkSession, path: String, cols: Seq[String],
+                  pred: org.apache.spark.sql.Column,
+                  version: Option[Int] = None): DataFrame =
+    minMaxWhereDetailed(spark, path, cols, pred, version)._1
+
+  /** [[minMaxWhere]] plus the scan-fallback dir count (the metadata-only
+    * pin). */
+  private[graft] def minMaxWhereDetailed(spark: SparkSession, path: String,
+      cols: Seq[String], pred: org.apache.spark.sql.Column,
+      version: Option[Int] = None): (DataFrame, Int) = {
+    import org.apache.spark.sql.types._
+    require(cols.nonEmpty, "minMaxWhere needs at least one column")
+    val v = version.orElse(headVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
+    val renames = readRenames(spark, path, v)
+    val physSchema = versionSchema(spark, path, v)
+    val logicalToPhysical = renames.map(_.swap)
+    val logicalSchema = StructType(physSchema.fields.map(f =>
+      f.copy(name = renames.getOrElse(f.name, f.name))))
+    cols.foreach(c => require(logicalSchema.fieldNames.contains(c),
+      s"minMaxWhere column '$c' is not in the version's schema " +
+        s"(${logicalSchema.fieldNames.mkString(", ")})"))
+    // strings are excluded from the metadata path outright: their bounds
+    // truncate (containing, not exact)
+    val metadataEligible = cols.filter(c =>
+      logicalSchema(c).dataType != StringType)
+    val expr = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      logicalSchema).filter(pred)
+      .queryExecution.analyzed match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+      case _ => org.apache.spark.sql.catalyst.expressions.Literal(true)
+    }
+    val fields = partitionValuesOf(spark, path, renames, logicalSchema,
+      expr) match {
+      case Some(values) =>
+        readManifestValues(spark, path, v, values.toSeq)
+          .values.flatten.toSeq
+      case None => readManifestDirs(spark, path, v)
+    }
+    // blob internal string -> the external JVM value createDataFrame
+    // expects for the column's type (the exact inverse of statValue)
+    def external(s: String, dt: DataType): Any = dt match {
+      case ByteType => java.lang.Byte.valueOf(s.toByte)
+      case ShortType => java.lang.Short.valueOf(s.toShort)
+      case IntegerType => java.lang.Integer.valueOf(s.toInt)
+      case LongType => java.lang.Long.valueOf(s.toLong)
+      case FloatType => // serialized as the exact widened double
+        java.lang.Float.valueOf(s.toDouble.toFloat)
+      case DoubleType => java.lang.Double.valueOf(s.toDouble)
+      case DateType => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(s.toLong))
+      case TimestampType =>
+        val us = s.toLong
+        val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        t
+      case TimestampNTZType =>
+        val us = s.toLong
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case other => throw new IllegalStateException(
+        s"minMaxWhere metadata path reached unsupported type $other")
+    }
+    val outSchema = StructType(cols.flatMap { c =>
+      val dt = logicalSchema(c).dataType
+      Seq(StructField(s"${c}_min", dt), StructField(s"${c}_max", dt))
+    })
+    val candidates = Seq.newBuilder[org.apache.spark.sql.Row]
+    val residual = Seq.newBuilder[String]
+    fields.foreach { field =>
+      val stats = statsOf(field).map(parseStats)
+        .getOrElse(Map.empty[String, ColStat])
+      evalPrune(expr, stats, logicalToPhysical) match {
+        case NoMatch => ()
+        case AllMatch =>
+          // one candidate row per gen, every requested column served by
+          // its bounds (or provably valueless: all-NULL contributes a
+          // typed NULL, which min/max ignore); ANY unserved column sends
+          // the whole dir to the scan
+          val cells = metadataEligible.size == cols.size &&
+            cols.forall { c =>
+              val phys = logicalToPhysical.getOrElse(c, c)
+              stats.get(phys).exists(st =>
+                st.allNull || st.code != NoBoundsCode)
+            }
+          if (!cells) residual += dirOf(field)
+          else candidates += org.apache.spark.sql.Row.fromSeq(
+            cols.flatMap { c =>
+              val phys = logicalToPhysical.getOrElse(c, c)
+              val st = stats(phys)
+              val dt = logicalSchema(c).dataType
+              if (st.allNull) Seq(null, null)
+              else Seq(external(st.lo, dt), external(st.hi, dt))
+            })
+        case MightMatch => residual += dirOf(field)
+      }
+    }
+    val dirs = residual.result().sorted
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    val scannedDf =
+      if (dirs.isEmpty) spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        outSchema)
+      else applyRenames(
+        readWithSchema(spark, path, v, dirs.map(d => s"$path/$d")), renames)
+        .filter(pred).agg(aggs.head, aggs.tail: _*)
+    val metaDf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        candidates.result()).asJava, outSchema)
+    val finalAggs = outSchema.fields.toSeq.map(f =>
+      (if (f.name.endsWith("_min")) min(col(f.name))
+       else max(col(f.name))).as(f.name))
+    val combined = metaDf.unionByName(scannedDf)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+    (combined, dirs.size)
   }
 
   /** The version's recorded union schema (`_schema-<v>`), if present.

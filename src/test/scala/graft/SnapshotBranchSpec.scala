@@ -195,6 +195,18 @@ class SnapshotBranchSpec extends SparkSpec {
     val none = SnapshotStore.readBranchWhere(spark, dir, "audit",
       col("k") >= 99999L)
     assert(none.count() == 0 && none.inputFiles.isEmpty)
+    // partition-KEY restriction (r15) on the audit: equality on the
+    // partition column filters staged KEYS before stats parse — a
+    // different-partition audit sees nothing, the matching one sees all
+    SnapshotStore.appendBranch(
+      Seq((500L, "p9", 500.0)).toDF("k", "p", "v"), dir, "audit", "p")
+    val slice = SnapshotStore.readBranchWhere(spark, dir, "audit",
+      col("p") === "p9")
+    assert(slice.select("k").as[Long].collect().toSeq == Seq(500L))
+    def parts(files: Array[String]) =
+      files.flatMap(_.split("/_p=").lift(1)).map(_.split("/").head).toSet
+    assert(parts(slice.inputFiles) == Set("p9"),
+      "the audit must open only the requested partition's staged gens")
   }
 
   test("MERGE onto a branch (the CDC-shaped WAP write): update + insert " +

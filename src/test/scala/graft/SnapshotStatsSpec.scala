@@ -218,6 +218,83 @@ class SnapshotStatsSpec extends SparkSpec {
       .collect()(0).getLong(1) == 3L)
   }
 
+  test("metadata-only MIN/MAX (minMaxWhere): exact-domain bounds of " +
+    "ALL-MATCH gens serve without a scan; ambiguous gens and string " +
+    "columns scan; all-NULL slices contribute typed NULLs; every shape " +
+    "agrees with the scan aggregate") {
+    val dir = newDir("minmax"); rangedStore(dir) // k 0..209, v = k * 1.0
+    val (full, fullScan) = SnapshotStore.minMaxWhereDetailed(
+      spark, dir, Seq("k", "v"), lit(true))
+    val fr = full.collect()(0)
+    assert(fullScan == 0 &&
+      fr.getLong(0) == 0L && fr.getLong(1) == 209L &&
+      fr.getDouble(2) == 0.0 && fr.getDouble(3) == 209.0,
+      s"whole-store min/max must be pure metadata, got $fr/$fullScan")
+    val (mid, midScan) = SnapshotStore.minMaxWhereDetailed(
+      spark, dir, Seq("k"), col("k") >= 100L && col("k") < 110L)
+    val mr = mid.collect()(0)
+    assert(midScan == 0 && mr.getLong(0) == 100L && mr.getLong(1) == 109L)
+    val (amb, ambScan) = SnapshotStore.minMaxWhereDetailed(
+      spark, dir, Seq("k"), col("k") >= 105L)
+    val ar = amb.collect()(0)
+    assert(ambScan == 2 && ar.getLong(0) == 105L && ar.getLong(1) == 209L,
+      "the boundary gen scans, the provable gens stay metadata")
+    // a string column never rides the metadata path (truncated bounds
+    // are containing, not exact) but stays correct through the scan
+    val (ps, pScan) = SnapshotStore.minMaxWhereDetailed(
+      spark, dir, Seq("p"), lit(true))
+    val pr = ps.collect()(0)
+    assert(pScan > 0 && pr.getString(0) == "p0" && pr.getString(1) == "p1")
+    // all-NULL slice: contributes typed NULLs (min/max ignore them)
+    val d2 = newDir("mmnull")
+    SnapshotStore.write(
+      Seq((1L, "p0", Some(1.0)), (2L, "p0", Some(2.0)))
+        .toDF("k", "p", "v"), d2, "p", statsCols = Seq("k", "v"))
+    SnapshotStore.append(
+      Seq((10L, "p0", Option.empty[Double])).toDF("k", "p", "v"), d2, "p")
+    val (nm, nmScan) = SnapshotStore.minMaxWhereDetailed(
+      spark, d2, Seq("v", "k"), lit(true))
+    val nr = nm.collect()(0)
+    assert(nmScan == 0 && nr.getDouble(0) == 1.0 && nr.getDouble(1) == 2.0 &&
+      nr.getLong(2) == 1L && nr.getLong(3) == 10L)
+    // DATE and TIMESTAMP bounds render back exactly (epoch-days / micros)
+    val d3 = newDir("mmdate")
+    val rows = Seq(
+      (1L, "p0", java.sql.Date.valueOf("2024-01-05"),
+        java.sql.Timestamp.valueOf("2024-01-05 01:02:03.004005")),
+      (2L, "p0", java.sql.Date.valueOf("2024-03-09"),
+        java.sql.Timestamp.valueOf("2024-03-09 23:59:59.999999")))
+      .toDF("k", "p", "dt", "ts")
+    SnapshotStore.write(rows, d3, "p", statsCols = Seq("dt", "ts"))
+    val (dm, dmScan) = SnapshotStore.minMaxWhereDetailed(
+      spark, d3, Seq("dt", "ts"), lit(true))
+    val dr = dm.collect()(0)
+    assert(dmScan == 0 &&
+      dr.getDate(0) == java.sql.Date.valueOf("2024-01-05") &&
+      dr.getDate(1) == java.sql.Date.valueOf("2024-03-09") &&
+      dr.getTimestamp(2) ==
+        java.sql.Timestamp.valueOf("2024-01-05 01:02:03.004005") &&
+      dr.getTimestamp(3) ==
+        java.sql.Timestamp.valueOf("2024-03-09 23:59:59.999999"),
+      s"date/timestamp bounds must render back exactly, got $dr")
+    // parity sweep against the scan aggregate
+    Seq(lit(true), col("k") >= 105L, col("v") < 5.0).foreach { p =>
+      val got = SnapshotStore.minMaxWhere(spark, dir, Seq("k", "v"), p)
+        .collect()(0)
+      val want = SnapshotStore.read(spark, dir).filter(p)
+        .agg(min(col("k")), max(col("k")), min(col("v")), max(col("v")))
+        .collect()(0)
+      assert(got == want, s"minMaxWhere diverged under $p: $got vs $want")
+    }
+    // the SQL rung, metadata-only-ness observable
+    plans.AsOf.register(spark)
+    val sql = spark.sql(s"SELECT * FROM graft_minmax('$d2', 'k,v')")
+      .collect()(0)
+    assert(sql.getLong(0) == 1L && sql.getLong(1) == 10L &&
+      sql.getDouble(2) == 1.0 && sql.getDouble(3) == 2.0 &&
+      sql.getLong(4) == 0L)
+  }
+
   test("NULL counts compose with schema evolution: a declared stats " +
     "column ABSENT from a gen's files records an all-NULL field, so " +
     "IS NOT NULL skips pre-evolution gens entirely") {
