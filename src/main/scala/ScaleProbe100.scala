@@ -746,6 +746,31 @@ object ScaleProbe100 {
               "(footer-shortcut scan count vs manifest-only countWhere, " +
               "0 dirs scanned)")
           }
+          // metadata MIN/MAX on the same store: the span probe vs the
+          // scan aggregate (which must actually read the key column)
+          var scanRow: org.apache.spark.sql.Row = null
+          timeMin2("minmax_scan_100x") {
+            scanRow = graft.storage.SnapshotStore.read(spark, dir)
+              .agg(min(col("o_orderkey")), max(col("o_orderkey")))
+              .collect()(0)
+          }
+          var metaRow: org.apache.spark.sql.Row = null
+          var mmScanned = -1
+          timeMin2("minmax_meta_100x") {
+            val r = graft.storage.SnapshotStore.minMaxWhereDetailed(
+              spark, dir, Seq("o_orderkey"), lit(true))
+            metaRow = r._1.collect()(0); mmScanned = r._2
+          }
+          require(metaRow == scanRow && mmScanned == 0,
+            s"metadata min/max diverged: $metaRow vs $scanRow " +
+              s"($mmScanned dirs scanned)")
+          for (a <- walls.get("minmax_scan_100x");
+               b <- walls.get("minmax_meta_100x")) {
+            ratios("snapshot_minmax_advantage_100x") = a / b
+            println(f"PROBE snapshot_minmax_advantage_100x ${a / b}%.2fx " +
+              "(scan aggregate vs manifest-only minMaxWhere, 0 dirs " +
+              "scanned)")
+          }
         }
       }
       // STRING bounds rung (r14): same 10-gen replica shape, the skip
