@@ -236,6 +236,21 @@ class SnapshotSoakSpec extends SparkSpec {
       val headV = SnapshotStore.headVersion(spark, dir).get
       assert(SnapshotStore.readManifest(spark, dir, headV).values.flatten
         .exists(_.contains("\u0002")), "no stats blob survived the soak")
+      // the metadata aggregates must agree with the scan over the soak's
+      // contention-built blobs (merge rewrites, adopted duplicate gens,
+      // compaction) - under the same pred and unpredicated
+      Seq(pred, lit(true)).foreach { p =>
+        assert(SnapshotStore.countWhere(spark, dir, p) ==
+          SnapshotStore.read(spark, dir).filter(p).count(),
+          s"countWhere diverged after the soak under $p")
+        val got = SnapshotStore.minMaxWhere(spark, dir, Seq("k", "v"), p)
+          .collect()(0)
+        val want = SnapshotStore.read(spark, dir).filter(p)
+          .agg(min(col("k")), max(col("k")), min(col("v")), max(col("v")))
+          .collect()(0)
+        assert(got == want,
+          s"minMaxWhere diverged after the soak under $p: $got vs $want")
+      }
     }
 
     // tag invariant: every surviving tag points at a RETAINED manifest

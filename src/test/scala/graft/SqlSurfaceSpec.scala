@@ -342,6 +342,39 @@ class SqlSurfaceSpec extends SparkSpec {
       s"""SELECT * FROM graft_snapshot_where('$dirS', 'head', 'sk LIKE "aa%"')""")
     assert(sLike.count() == 5)
     assert(gens(sLike.inputFiles).size == 1, "prefix LIKE prunes via SQL")
+    // NULL-count pruning through the SQL rung (r15): a null-free gen
+    // prunes under IS NULL, an all-NULL gen under IS NOT NULL, and the
+    // partition-KEY restriction composes with a residual conjunct
+    val dirN = java.nio.file.Files
+      .createTempDirectory("graft_snapwsqln").toString + "/st"
+    graft.storage.SnapshotStore.write(
+      Seq((1L, "p0", Some("x")), (2L, "p0", Some("y")))
+        .toDF("k", "p", "note"), dirN, "p", statsCols = Seq("note", "k"))
+    graft.storage.SnapshotStore.append(
+      Seq((10L, "p0", Option.empty[String]), (11L, "p1", Option.empty[String]))
+        .toDF("k", "p", "note"), dirN, "p")
+    val nl = spark.sql(
+      s"SELECT * FROM graft_snapshot_where('$dirN', 'head', 'note IS NULL')")
+    assert(nl.select("k").as[Long].collect().sorted.toSeq == Seq(10L, 11L))
+    assert(gens(nl.inputFiles).size == 1, "IS NULL prunes the null-free gen")
+    val nn = spark.sql(
+      s"SELECT * FROM graft_snapshot_where('$dirN', 'head', 'note IS NOT NULL')")
+    assert(nn.count() == 2 && gens(nn.inputFiles).size == 1,
+      "IS NOT NULL prunes the all-NULL gen")
+    val keyed = spark.sql(
+      s"""SELECT * FROM graft_snapshot_where('$dirN', 'head', 'p = "p1" AND note IS NULL')""")
+    assert(keyed.select("k").as[Long].collect().toSeq == Seq(11L))
+    assert(keyed.inputFiles.forall(_.contains("_p=p1")),
+      "the partition-key restriction composes through SQL")
+    // the metadata aggregates from pure SQL
+    val cnt = spark.sql(
+      s"SELECT * FROM graft_count('$dirN', 'note IS NULL')").collect()(0)
+    assert(cnt.getLong(1) == 2L && cnt.getLong(2) == 0L,
+      "graft_count answers the null count from metadata alone")
+    val mm = spark.sql(
+      s"SELECT * FROM graft_minmax('$dirN', 'k', 'note IS NOT NULL')")
+      .collect()(0)
+    assert(mm.getLong(0) == 1L && mm.getLong(1) == 2L && mm.getLong(2) == 0L)
     val e1 = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_snapshot_where('$dir', 'vv', 'k > 0')").collect())
     assert(e1.getMessage.contains("positive integer or 'head'"))
