@@ -160,6 +160,15 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(SnapshotStore.countWhereDetailed(spark, dir,
       col("p") === "p1") == ((6L, 2)),
       "count must scan only p1's two gen dirs")
+    // type-coerced shapes must fall back UNRESTRICTED, never misprune:
+    // non-string literals against the string partition column make the
+    // analyzer cast the COLUMN side, which the extractor does not match
+    val coerced = SnapshotStore.readWhere(spark, dir, col("p").isin(1, 2))
+    assert(coerced.count() ==
+      SnapshotStore.read(spark, dir).filter(col("p").isin(1, 2)).count(),
+      "coerced IN must stay correct (unrestricted fallback)")
+    assert(SnapshotStore.readWhere(spark, dir, col("p") === lit(7)).count()
+      == 0)
     // composes with rename of the partition column
     SnapshotStore.renameColumn(spark, dir, "p", "part")
     val ren = SnapshotStore.readWhere(spark, dir, col("part") === "p2")
