@@ -202,11 +202,12 @@ object CountSql {
 
   val info: ExpressionInfo = new ExpressionInfo(
     CountSql.getClass.getCanonicalName, name,
-    "graft_count(path[, predicate[, version]]) - counts a SnapshotStore's " +
+    "graft_count(path[, predicate[, selector]]) - counts a SnapshotStore's " +
       "rows from manifest stats where provable (recorded per-gen row " +
       "counts; only ambiguous gens are scanned); predicate is a SQL " +
-      "boolean expression (default TRUE), version a positive integer or " +
-      "'head'; returns one row (path, cnt, scanned_dirs); string-literal " +
+      "boolean expression (default TRUE), selector a positive integer, " +
+      "'head', or 'branch:<name>' (the WAP audit count over a staged " +
+      "tip); returns one row (path, cnt, scanned_dirs); string-literal " +
       "arguments", "", "")
 
   def builder(args: Seq[Expression]): LogicalPlan = {
@@ -224,24 +225,32 @@ object CountSql {
     val pred =
       if (args.size >= 2) org.apache.spark.sql.functions.expr(str(1))
       else org.apache.spark.sql.functions.lit(true)
-    val version =
-      if (args.size < 3) None
-      else str(2).trim.toLowerCase match {
-        case "head" => None
+    val spark = SparkSession.active
+    // the third argument is a SELECTOR like graft_snapshot's: a version
+    // number, 'head', or 'branch:<name>' (the WAP audit count over a
+    // staged tip)
+    val (cnt, scanned) =
+      if (args.size < 3)
+        graft.storage.SnapshotStore.countWhereDetailed(spark, path, pred)
+      else str(2).trim match {
+        case s if s.toLowerCase == "head" =>
+          graft.storage.SnapshotStore.countWhereDetailed(spark, path, pred)
+        case s if s.toLowerCase.startsWith("branch:") =>
+          graft.storage.SnapshotStore.countBranchWhereDetailed(
+            spark, path, s.substring(7), pred)
         case s =>
           val v = try s.toInt catch {
             case _: NumberFormatException =>
               throw new IllegalArgumentException(
-                s"$name version must be a positive integer or 'head', " +
-                  s"got '$s'")
+                s"$name selector must be a positive integer, 'head' or " +
+                  s"'branch:<name>', got '$s'")
           }
           require(v >= 1,
-            s"$name version must be a positive integer or 'head', got $v")
-          Some(v)
+            s"$name selector must be a positive integer, 'head' or " +
+              s"'branch:<name>', got $v")
+          graft.storage.SnapshotStore.countWhereDetailed(
+            spark, path, pred, Some(v))
       }
-    val spark = SparkSession.active
-    val (cnt, scanned) = graft.storage.SnapshotStore
-      .countWhereDetailed(spark, path, pred, version)
     import spark.implicits._
     Seq((path, cnt, scanned.toLong)).toDF("path", "cnt", "scanned_dirs")
       .queryExecution.analyzed

@@ -555,6 +555,44 @@ private[storage] object SnapshotBranch {
     -1 // unreachable
   }
 
+  /** Candidate-corpus COUNT over the branch tip — THE audit question
+    * ("how many rows am I about to publish?"), answered from the staged
+    * entries' stats blobs exactly as [[SnapshotStore.countWhere]]
+    * answers it for main: NO-MATCH entries contribute zero, ALL-MATCH
+    * entries their recorded per-gen rows, only ambiguous gens scan; the
+    * partition-KEY restriction filters staged keys first. Returns
+    * (count, scanned dirs).
+    */
+  private[storage] def countWhere(spark: SparkSession, path: String,
+      name: String, pred: org.apache.spark.sql.Column): (Long, Int) = {
+    val st = readStaged(spark, path, name)
+    val logicalSchema = org.apache.spark.sql.types.StructType(
+      st.schema.fields.map(f =>
+        f.copy(name = st.renames.getOrElse(f.name, f.name))))
+    val expr = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      logicalSchema).filter(pred)
+      .queryExecution.analyzed match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+      case _ => org.apache.spark.sql.catalyst.expressions.Literal(true)
+    }
+    val entries = SnapshotStore.partitionValuesOf(spark, path, st.renames,
+      logicalSchema, expr) match {
+      case Some(values) => st.entries.filter { case (k, _) => values(k) }
+      case None => st.entries
+    }
+    val (meta, dirs) = SnapshotStore.countOverFields(
+      entries.values.flatten.toSeq, expr, st.renames.map(_.swap))
+    val scanned =
+      if (dirs.isEmpty) 0L
+      else SnapshotStore.applyRenames(
+        spark.read.schema(st.schema)
+          .parquet(dirs.map(d => s"$path/$d"): _*).drop("_p"),
+        st.renames).filter(pred).count()
+    (meta + scanned, dirs.size)
+  }
+
   /** FAST-FORWARD publish: commits the branch tip as version base+1 on
     * the main line and deletes the staged chain. A main head that moved
     * past the fork point makes the manifest CAS lose — surfaced as the

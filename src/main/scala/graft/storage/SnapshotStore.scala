@@ -863,6 +863,24 @@ object SnapshotStore {
           .values.flatten.toSeq
       case None => readManifestDirs(spark, path, v)
     }
+    val (meta, dirs) = countOverFields(fields, expr, logicalToPhysical)
+    val scanned =
+      if (dirs.isEmpty) 0L
+      else applyRenames(
+        readWithSchema(spark, path, v, dirs.map(d => s"$path/$d")), renames)
+        .filter(pred).count()
+    (meta + scanned, dirs.size)
+  }
+
+  /** The count verdict loop shared by [[countWhere]] and the branch
+    * audit's [[SnapshotBranch]] count: per manifest field, NO-MATCH
+    * contributes zero, ALL-MATCH its recorded rows (a blob without
+    * counts cannot serve — it joins the residual), anything else joins
+    * the residual. Returns (metadata count, residual dirs to scan).
+    */
+  private[storage] def countOverFields(fields: Seq[String],
+      expr: org.apache.spark.sql.catalyst.expressions.Expression,
+      logicalToPhysical: Map[String, String]): (Long, Seq[String]) = {
     var meta = 0L
     val residual = Seq.newBuilder[String]
     fields.foreach { field =>
@@ -880,13 +898,7 @@ object SnapshotStore {
         case MightMatch => residual += dirOf(field)
       }
     }
-    val dirs = residual.result().sorted
-    val scanned =
-      if (dirs.isEmpty) 0L
-      else applyRenames(
-        readWithSchema(spark, path, v, dirs.map(d => s"$path/$d")), renames)
-        .filter(pred).count()
-    (meta + scanned, dirs.size)
+    (meta, residual.result().sorted)
   }
 
   /** MIN/MAX of `cols` under `pred`, answered from the manifest wherever
@@ -1442,6 +1454,20 @@ object SnapshotStore {
   def expireBranches(spark: SparkSession, path: String,
                      olderThanMs: Long): Seq[String] =
     SnapshotBranch.expireBranches(spark, path, olderThanMs)
+
+  /** [[countWhere]] over a branch TIP — the candidate-corpus audit count
+    * ("how many rows am I about to publish?"), metadata-served exactly
+    * like main's.
+    */
+  def countBranchWhere(spark: SparkSession, path: String, name: String,
+                       pred: org.apache.spark.sql.Column): Long =
+    SnapshotBranch.countWhere(spark, path, name, pred)._1
+
+  /** [[countBranchWhere]] plus the scan-fallback dir count. */
+  private[graft] def countBranchWhereDetailed(spark: SparkSession,
+      path: String, name: String,
+      pred: org.apache.spark.sql.Column): (Long, Int) =
+    SnapshotBranch.countWhere(spark, path, name, pred)
 
   /** Branch catalog: name → the branch's own staged version counter. */
   def branches(spark: SparkSession, path: String): Map[String, Int] =

@@ -207,6 +207,24 @@ class SnapshotBranchSpec extends SparkSpec {
       files.flatMap(_.split("/_p=").lift(1)).map(_.split("/").head).toSet
     assert(parts(slice.inputFiles) == Set("p9"),
       "the audit must open only the requested partition's staged gens")
+    // the AUDIT COUNT ("how many rows am I about to publish?") is
+    // metadata-served over the staged blobs: gen-aligned predicates and
+    // the unpredicated count touch no file; the SQL selector matches
+    assert(SnapshotStore.countBranchWhereDetailed(spark, dir, "audit",
+      org.apache.spark.sql.functions.lit(true)) == ((16L, 0)),
+      "5 + 5 + 5 staged/base rows + the p9 row, zero dirs scanned")
+    assert(SnapshotStore.countBranchWhereDetailed(spark, dir, "audit",
+      col("k") >= 100L && col("k") < 105L) == ((5L, 0)))
+    assert(SnapshotStore.countBranchWhere(spark, dir, "audit",
+      col("k") >= 102L) == SnapshotStore.readBranch(spark, dir, "audit")
+      .filter(col("k") >= 102L).count(),
+      "ambiguous shapes agree with the scan")
+    plans.AsOf.register(spark)
+    val sqlCnt = spark.sql(
+      s"SELECT * FROM graft_count('$dir', 'k >= 100 AND k < 105', " +
+        "'branch:audit')").collect()(0)
+    assert(sqlCnt.getLong(1) == 5L && sqlCnt.getLong(2) == 0L,
+      "the SQL branch selector serves the audit count from metadata")
   }
 
   test("MERGE onto a branch (the CDC-shaped WAP write): update + insert " +
