@@ -152,6 +152,27 @@ class SnapshotSinkSpec extends SparkSpec {
       (0 until 3).flatMap(c => (0 until 4).map(i => c * 100L + i)).sorted)
   }
 
+  test("STREAMING WAP under a LIVE main line: main ingests while the " +
+    "stream stages, the plain publish refuses, publishBranchRebased " +
+    "lands the streamed corpus in one rebase+publish — the full loop " +
+    "the reference's never-stopping pipeline needs") {
+    val (in, store) = (chunkDir("wapreb"), newDir("wapreb"))
+    runSink(in, store, ck("wapreb"), Map("branch" -> "cand"))
+    // main-line ingest lands AFTER the fork (a disjoint partition, the
+    // usual time/tenant-sliced shape) — the WAP reality
+    SnapshotStore.append(
+      Seq((9000L, "m0", 1.0), (9001L, "m0", 2.0)).toDF("k", "p", "v"),
+      store, "p")
+    intercept[IllegalStateException](
+      SnapshotStore.publishBranch(spark, store, "cand"))
+    val v = SnapshotStore.publishBranchRebased(spark, store, "cand")
+    assert(v == 3, "rebase onto v2, publish as v3")
+    val head = SnapshotStore.read(spark, store)
+    assert(head.count() == 14, "12 streamed + 2 main-line rows")
+    assert(head.filter(col("p") === "m0").count() == 2 &&
+      SnapshotStore.branches(spark, store).isEmpty)
+  }
+
   test("concurrent-streams soak (seeded): two graft-snapshot sinks with " +
     "distinct ingest scopes, a LIVE graft-changes reader, and background " +
     "compact/expire churn — no duplicate rows, no loss, exact reader " +
