@@ -16,7 +16,7 @@ package graft
   *
   * Args select sections
   * (`segments lm vidx bucketed spool spoolmulti incr boiler zorder ndstore
-  * merge profile snapshot changes manifest skip branch`); no args
+  * merge profile snapshot changes manifest skip dml branch`); no args
   * runs everything. Corpus dirs build lazily, so a single-section run
   * only pays for the corpora that section reads.
   */
@@ -876,6 +876,101 @@ object ScaleProbe100 {
             "readWhere)")
         }
       }
+    }
+
+    // 12c. predicate DML (r15, q_snapshot_delete/_update's scale story):
+    // the same 10-gen replica store built twice — once WITH o_orderkey
+    // stats, once WITHOUT. A gen-aligned DELETE on the stats store drops
+    // its slices as pure metadata (receipt-pinned: zero copy-on-write);
+    // the stats-less twin is the naive path — every slice MightMatch, the
+    // WHOLE store reads and rewrites. The banked ratio is what the stats
+    // discipline is worth to DML at 100×; the follow-up UPDATE rung
+    // measures copy-on-write confinement (1 of 9 surviving gens rewritten
+    // vs all of them). Counts cross-checked between the twins after each
+    // verb — the two paths must agree exactly.
+    if (on("dml")) {
+      walls("sentinel_dml") = cleanSentinel("dml")
+      val orders = Tables.table(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      val group = 10 // 100x shape: 10 replicas per gen, 10 gens
+      def replicas(g: Int): DataFrame =
+        (g * group until (g + 1) * group).map { k =>
+          orders.withColumn("o_orderkey",
+            col("o_orderkey") + k * 100000000L)
+        }.reduce(_ union _)
+      def build(withStats: Boolean): String = {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_scale100_dml$withStats")
+          .toString + "/st"
+        graft.storage.SnapshotStore.write(replicas(0), dir,
+          "o_orderpriority",
+          statsCols = if (withStats) Seq("o_orderkey") else Nil)
+        (1 until 10).foreach { g =>
+          graft.storage.SnapshotStore.append(replicas(g), dir,
+            "o_orderpriority")
+        }
+        dir
+      }
+      val statsDir = build(withStats = true)
+      val plainDir = build(withStats = false)
+      def block(g: Int) =
+        col("o_orderkey") >= g * group * 100000000L &&
+          col("o_orderkey") < (g + 1) * group * 100000000L
+      var metaR: graft.storage.SnapshotDml.DmlReceipt = null
+      time("dml_delete_meta_100x") {
+        metaR = graft.storage.SnapshotStore.deleteWhereDetailed(
+          spark, statsDir, block(5))
+      }
+      require(metaR.rewrittenDirs == 0 && metaR.droppedDirs > 0,
+        s"gen-aligned delete must be pure metadata, got $metaR")
+      var cowR: graft.storage.SnapshotDml.DmlReceipt = null
+      time("dml_delete_cow_100x") {
+        cowR = graft.storage.SnapshotStore.deleteWhereDetailed(
+          spark, plainDir, block(5))
+      }
+      require(cowR.droppedDirs == 0 && cowR.rewrittenDirs > 0,
+        s"the stats-less twin must pay copy-on-write, got $cowR")
+      val (nStats, nPlain) = (
+        graft.storage.SnapshotStore.read(spark, statsDir).count(),
+        graft.storage.SnapshotStore.read(spark, plainDir).count())
+      require(nStats == nPlain, s"delete paths diverged: $nStats/$nPlain")
+      for (a <- walls.get("dml_delete_cow_100x");
+           b <- walls.get("dml_delete_meta_100x")) {
+        ratios("snapshot_delete_advantage_100x") = a / b
+        println(f"PROBE snapshot_delete_advantage_100x ${a / b}%.2fx " +
+          "(stats-less full copy-on-write vs metadata-only delete of " +
+          "the same gen-aligned block)")
+      }
+      // UPDATE rung on the post-delete twins: stats confine the rewrite
+      // to gen 7's slices; the stats-less twin rewrites every survivor
+      val set = Seq("o_totalprice" -> (col("o_totalprice") * 2))
+      var updStats: graft.storage.SnapshotDml.DmlReceipt = null
+      time("dml_update_pruned_100x") {
+        updStats = graft.storage.SnapshotStore.updateWhereDetailed(
+          spark, statsDir, set, block(7))
+      }
+      var updPlain: graft.storage.SnapshotDml.DmlReceipt = null
+      time("dml_update_full_100x") {
+        updPlain = graft.storage.SnapshotStore.updateWhereDetailed(
+          spark, plainDir, set, block(7))
+      }
+      require(updStats.rewrittenDirs < updPlain.rewrittenDirs,
+        s"stats must confine the update: $updStats vs $updPlain")
+      val (sStats, sPlain) = (
+        graft.storage.SnapshotStore.read(spark, statsDir)
+          .agg(sum(round(col("o_totalprice") * 100))).collect()(0),
+        graft.storage.SnapshotStore.read(spark, plainDir)
+          .agg(sum(round(col("o_totalprice") * 100))).collect()(0))
+      require(sStats == sPlain, s"update paths diverged: $sStats/$sPlain")
+      for (a <- walls.get("dml_update_full_100x");
+           b <- walls.get("dml_update_pruned_100x")) {
+        ratios("snapshot_update_advantage_100x") = a / b
+        println(f"PROBE snapshot_update_advantage_100x ${a / b}%.2fx " +
+          "(stats-less full rewrite vs stats-confined copy-on-write of " +
+          "the same gen-aligned update)")
+      }
+      walls("sentinel_dml_end") = sentinel()
     }
 
     // 10. table profile at 100× docs: the exact profile's count(DISTINCT

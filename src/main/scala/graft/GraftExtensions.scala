@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(plans.MaintenanceSql.Retype.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Merge.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Append.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.Delete.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.Update.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.AddConstraint.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.DropConstraint.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Tag.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.DropTag.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Branch.descriptor)

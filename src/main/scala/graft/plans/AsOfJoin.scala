@@ -235,6 +235,16 @@ object AsOf {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Append.name, MaintenanceSql.Append.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.Delete.name, MaintenanceSql.Delete.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.Update.name, MaintenanceSql.Update.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.AddConstraint.name, MaintenanceSql.AddConstraint.builder,
+      "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.DropConstraint.name,
+      MaintenanceSql.DropConstraint.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Tag.name, MaintenanceSql.Tag.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.DropTag.name, MaintenanceSql.DropTag.builder, "scala_udf")

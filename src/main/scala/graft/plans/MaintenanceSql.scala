@@ -277,6 +277,139 @@ object MaintenanceSql {
       (FunctionIdentifier(name), info, builder)
   }
 
+  /** `graft_delete(path, predicate)` — predicate DELETE over a
+    * SnapshotStore (SQL's `DELETE FROM t WHERE p`, carried by a TVF
+    * because Spark routes DML statements to catalog tables): commits
+    * one new version with the matching rows removed, stats-pruned at
+    * (partition, gen) granularity — provably-all-match slices leave the
+    * manifest as PURE METADATA (no file read or written), provably-
+    * no-match slices are untouched, only ambiguous slices pay
+    * copy-on-write. The receipt makes the scan cost observable from
+    * SQL: `dropped_dirs` (metadata deletes) and `rewritten_dirs`
+    * (copy-on-write slices); a provable no-op commits no version.
+    */
+  object Delete {
+    val name = "graft_delete"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_delete(path, predicate) - deletes a SnapshotStore's rows " +
+        "matching the predicate as one new version (copy-on-write, " +
+        "stats-pruned; provably-all-match slices delete as pure " +
+        "metadata); returns one receipt row (dropped_dirs, " +
+        "rewritten_dirs, head_version); string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 2,
+        s"$name takes (path, predicate); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      val r = graft.storage.SnapshotStore.deleteWhereDetailed(spark, path,
+        org.apache.spark.sql.functions.expr(str(name, args, 1)))
+      import spark.implicits._
+      Seq(("delete", path, r.droppedDirs.toLong, r.rewrittenDirs.toLong,
+        r.version.toLong))
+        .toDF("verb", "path", "dropped_dirs", "rewritten_dirs",
+          "head_version")
+        .queryExecution.analyzed
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  /** `graft_update(path, predicate, col, expr [, col2, expr2 ...])` —
+    * predicate UPDATE over a SnapshotStore (`UPDATE t SET c = e WHERE
+    * p`): rows matching the predicate get each assignment applied (every
+    * RHS sees the PRE-update row and casts to the column's existing
+    * type), provably-no-match slices are untouched. Receipt mirrors
+    * [[Delete]]'s (`dropped_dirs` is always 0 — an update writes the
+    * rows it changes).
+    */
+  object Update {
+    val name = "graft_update"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_update(path, predicate, col, expr[, col2, expr2 ...]) - " +
+        "updates a SnapshotStore's rows matching the predicate as one " +
+        "new version (copy-on-write, stats-pruned; each expr sees the " +
+        "pre-update row); returns one receipt row (dropped_dirs, " +
+        "rewritten_dirs, head_version); string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size >= 4 && args.size % 2 == 0,
+        s"$name takes (path, predicate, col, expr[, col2, expr2 ...]); " +
+          s"got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      val assignments = (2 until args.size by 2).map(i =>
+        str(name, args, i) ->
+          org.apache.spark.sql.functions.expr(str(name, args, i + 1)))
+      val r = graft.storage.SnapshotStore.updateWhereDetailed(spark, path,
+        assignments,
+        org.apache.spark.sql.functions.expr(str(name, args, 1)))
+      import spark.implicits._
+      Seq(("update", path, r.droppedDirs.toLong, r.rewrittenDirs.toLong,
+        r.version.toLong))
+        .toDF("verb", "path", "dropped_dirs", "rewritten_dirs",
+          "head_version")
+        .queryExecution.analyzed
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  /** `graft_add_constraint(path, name, predicate)` — adds a CHECK
+    * constraint (write-boundary quality gate: later appends / merges /
+    * branch writes / updates refuse batches violating it; NULL passes,
+    * SQL CHECK semantics). The current head must already satisfy the
+    * predicate — validated with a stats-pruned scan, refused loudly
+    * otherwise. `graft_drop_constraint` retires one (`detail` = 1 if it
+    * existed); the `'constraints'` selector of `graft_snapshot` lists
+    * them.
+    */
+  object AddConstraint {
+    val name = "graft_add_constraint"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_add_constraint(path, name, predicate) - adds a CHECK " +
+        "constraint to a SnapshotStore after validating the current " +
+        "head satisfies it; later writes refuse violating batches; " +
+        "returns one status row; string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 3,
+        s"$name takes (path, name, predicate); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      graft.storage.SnapshotStore.addConstraint(spark, path,
+        str(name, args, 1), str(name, args, 2))
+      statusRow(spark, "add_constraint", path,
+        graft.storage.SnapshotStore.constraints(spark, path).size.toLong)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  object DropConstraint {
+    val name = "graft_drop_constraint"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_drop_constraint(path, name) - drops a CHECK constraint; " +
+        "returns one status row (detail = 1 if it existed); " +
+        "string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 2,
+        s"$name takes (path, name); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      val existed = graft.storage.SnapshotStore.dropConstraint(spark, path,
+        str(name, args, 1))
+      statusRow(spark, "drop_constraint", path, if (existed) 1L else 0L)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
   /** `graft_tag(path, name [, version])` — tags a version (default: head)
     * as an IMMUTABLE named ref that [[graft.storage.SnapshotStore.expire]]
     * then retains regardless of the keep window; `detail` = the tagged

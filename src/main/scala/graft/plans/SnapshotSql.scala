@@ -66,6 +66,12 @@ object SnapshotSql {
         graft.storage.SnapshotStore.branchInfos(spark, path)
           .toDF("branch", "tip", "base", "created_ms", "modified_ms")
           .queryExecution.analyzed
+      case "constraints" =>
+        // the CHECK-constraint catalog: name -> predicate SQL
+        val spark = SparkSession.active
+        import spark.implicits._
+        graft.storage.SnapshotStore.constraints(spark, path).toSeq.sorted
+          .toDF("constraint", "predicate").queryExecution.analyzed
       case b if b.startsWith("branch:") =>
         // the WAP audit surface: read the branch tip from pure SQL
         graft.storage.SnapshotStore.readBranch(SparkSession.active, path,

@@ -1346,9 +1346,211 @@ object Extended extends QueryModule {
           .withColumn("slice", lit(slice))
       agg(set, 1).unionByName(agg(unset, 2))
         .orderBy(col("slice"), col("o_orderpriority"))
+    }),
+
+    // Predicate DELETE (r15): the Delta/Iceberg copy-on-write DML shape
+    // re-derived on the store's stats — "purge the bad crawl date" /
+    // the right-to-be-forgotten delete, where enumerating keys first
+    // (merge's contract) would mean a full scan just to build the
+    // batch. The tri-state evaluator decides per (partition, gen)
+    // slice: the gen-aligned delete drops its slices as PURE METADATA
+    // (require-pinned: zero copy-on-write), the off-boundary delete
+    // touches only the one gen that straddles it (require-pinned: ≤5
+    // of 20 slices). History is never rewritten: slice 2 time-travels
+    // to the pre-delete version and sees everything.
+    "q_snapshot_delete" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_deleteq")
+        .toString + "/orders_delete"
+      val k = col("o_orderkey")
+      val mx = orders.agg(max(k)).head().getLong(0)
+      val (q1, q3) = (mx / 4, 3 * mx / 4)
+      graft.storage.SnapshotStore.write(orders.filter(k <= q1),
+        dir, "o_orderpriority", statsCols = Seq("o_orderkey"))
+      graft.storage.SnapshotStore.append(
+        orders.filter(k > q1 && k <= mx / 2), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(
+        orders.filter(k > mx / 2 && k <= q3), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(orders.filter(k > q3),
+        dir, "o_orderpriority")
+      val aligned = graft.storage.SnapshotStore.deleteWhereDetailed(
+        s, dir, k > q1 && k <= mx / 2)
+      require(aligned.rewrittenDirs == 0 && aligned.droppedDirs > 0,
+        "q_snapshot_delete: the gen-aligned delete must be pure " +
+          s"metadata, got $aligned")
+      val straddle = graft.storage.SnapshotStore.deleteWhereDetailed(
+        s, dir, k > q3 + 10)
+      require(straddle.droppedDirs + straddle.rewrittenDirs <= 5,
+        "q_snapshot_delete: the off-boundary delete must touch only " +
+          s"the straddled gen's slices, got $straddle")
+      def agg(x: org.apache.spark.sql.DataFrame, slice: Int) =
+        x.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("sum_cents"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .withColumn("slice", lit(slice))
+      agg(graft.storage.SnapshotStore.read(s, dir), 1)
+        .unionByName(
+          agg(graft.storage.SnapshotStore.read(s, dir, Some(4)), 2))
+        .orderBy(col("slice"), col("o_orderpriority"))
+    }),
+
+    // Predicate UPDATE (r15): `UPDATE store SET price = price * 2,
+    // status = 'U' WHERE <gen-2-aligned range>` — copy-on-write
+    // confined by the stats to the one gen the predicate can touch
+    // (require-pinned: ≤5 of 20 slices rewritten, zero metadata
+    // drops), every RHS evaluated against the PRE-update row, the
+    // pre-update version intact under time travel (slice 2).
+    "q_snapshot_update" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_updateq")
+        .toString + "/orders_update"
+      val k = col("o_orderkey")
+      val mx = orders.agg(max(k)).head().getLong(0)
+      val (q1, q3) = (mx / 4, 3 * mx / 4)
+      graft.storage.SnapshotStore.write(orders.filter(k <= q1),
+        dir, "o_orderpriority", statsCols = Seq("o_orderkey"))
+      graft.storage.SnapshotStore.append(
+        orders.filter(k > q1 && k <= mx / 2), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(
+        orders.filter(k > mx / 2 && k <= q3), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(orders.filter(k > q3),
+        dir, "o_orderpriority")
+      val r = graft.storage.SnapshotStore.updateWhereDetailed(s, dir,
+        Seq("o_totalprice" -> (col("o_totalprice") * 2),
+          "o_orderstatus" -> lit("U")),
+        k > q1 && k <= mx / 2)
+      require(r.rewrittenDirs <= 5 && r.droppedDirs == 0,
+        "q_snapshot_update: copy-on-write must stay confined to the " +
+          s"aligned gen's slices, got $r")
+      def agg(x: org.apache.spark.sql.DataFrame, slice: Int) =
+        x.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("sum_cents"),
+            sum(when(col("o_orderstatus") === "U", 1L).otherwise(0L))
+              .as("n_updated"))
+          .withColumn("slice", lit(slice))
+      agg(graft.storage.SnapshotStore.read(s, dir), 1)
+        .unionByName(
+          agg(graft.storage.SnapshotStore.read(s, dir, Some(4)), 2))
+        .orderBy(col("slice"), col("o_orderpriority"))
+    }),
+
+    // CHECK constraints (r15): the write-boundary quality gate — the
+    // reference's parse-failure path (R4) manufactures corrupt rows, and
+    // a store carrying `price_pos CHECK (o_totalprice > 0)` turns silent
+    // corpus rot into a refused batch. The fixture adds two constraints
+    // (head validated with a stats-pruned scan), lands a conforming
+    // append, and require-pins that a negative-price batch and a
+    // NULL-key batch are REFUSED with nothing committed (SQL CHECK
+    // semantics priced in: the NULL-key refusal needs the explicit
+    // IS NOT NULL constraint — NULL passes a bare comparison).
+    "q_snapshot_constraint" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_checkq")
+        .toString + "/orders_check"
+      val k = col("o_orderkey")
+      val cols = Seq(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      graft.storage.SnapshotStore.write(orders.select(cols: _*),
+        dir, "o_orderpriority", statsCols = Seq("o_orderkey"))
+      graft.storage.SnapshotStore.addConstraint(s, dir,
+        "price_pos", "o_totalprice > 0")
+      graft.storage.SnapshotStore.addConstraint(s, dir,
+        "key_set", "o_orderkey IS NOT NULL")
+      graft.storage.SnapshotStore.append(
+        orders.filter(k % 97 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey") +:
+            cols.tail: _*),
+        dir, "o_orderpriority")
+      val headV = graft.storage.SnapshotStore.headVersion(s, dir)
+      def refused(batch: org.apache.spark.sql.DataFrame,
+                  constraint: String): Boolean =
+        try { graft.storage.SnapshotStore.append(batch, dir,
+          "o_orderpriority"); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains(constraint) }
+      require(refused(orders.limit(5).select(
+        col("o_orderkey"), (col("o_totalprice") * -1).as("o_totalprice"),
+        col("o_orderpriority")), "price_pos"),
+        "q_snapshot_constraint: the negative-price batch must be refused")
+      require(refused(orders.limit(5).select(
+        lit(null).cast("long").as("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority")), "key_set"),
+        "q_snapshot_constraint: the NULL-key batch must be refused")
+      require(graft.storage.SnapshotStore.headVersion(s, dir) == headV,
+        "q_snapshot_constraint: refused batches must commit nothing")
+      val nC = graft.storage.SnapshotStore.constraints(s, dir).size
+      graft.storage.SnapshotStore.read(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("n_constraints", lit(nC))
+        .orderBy(col("o_orderpriority"))
     }))
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_snapshot_delete" -> {
+      def dAgg(slice: Int, pred: String) =
+        s"""SELECT o_orderpriority, count(*) AS n_orders,
+           |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |      AS sum_cents,
+           |    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           |    $slice AS slice
+           |  FROM orders, mx WHERE $pred GROUP BY o_orderpriority""".stripMargin
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+        |SELECT * FROM (
+        |""".stripMargin +
+        Seq(dAgg(1, "NOT (o_orderkey > m // 4 AND o_orderkey <= m // 2) " +
+          "AND NOT (o_orderkey > (3 * m) // 4 + 10)"),
+          dAgg(2, "TRUE")).mkString("\nUNION ALL\n") +
+        "\n) ORDER BY slice, o_orderpriority"
+    },
+
+    "q_snapshot_update" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |upd AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey > m // 4 AND o_orderkey <= m // 2
+        |      THEN o_totalprice * 2 ELSE o_totalprice END AS price,
+        |    CASE WHEN o_orderkey > m // 4 AND o_orderkey <= m // 2
+        |      THEN 'U' ELSE o_orderstatus END AS status
+        |  FROM orders, mx)
+        |SELECT * FROM (
+        |  SELECT o_orderpriority, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents,
+        |    CAST(sum(CASE WHEN status = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_updated, 1 AS slice
+        |  FROM upd GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT o_orderpriority, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents,
+        |    CAST(0 AS BIGINT) AS n_updated, 2 AS slice
+        |  FROM orders GROUP BY o_orderpriority
+        |) ORDER BY slice, o_orderpriority""".stripMargin,
+
+    "q_snapshot_constraint" ->
+      """WITH allx AS (
+        |  SELECT o_orderpriority, o_totalprice, o_orderkey FROM orders
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice, o_orderkey + 10000000
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  2 AS n_constraints
+        |FROM allx GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q_snapshot_drop" -> {
       def dAgg(v: Int, pred: String, clerk: String) =
         s"""SELECT o_orderpriority, count(*) AS n_orders,

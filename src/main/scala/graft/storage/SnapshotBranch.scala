@@ -294,6 +294,10 @@ private[storage] object SnapshotBranch {
                               idempotencyKey: Option[String] = None): Unit = {
     val spark = df.sparkSession
     SnapshotStore.requireAtomicRename(path)
+    // the store's CHECK constraints gate branch writes too: anything
+    // stageable is publishable (a violating candidate is refused at the
+    // cheap boundary, not discovered at publish)
+    SnapshotConstraints.enforce(spark, path, df, "branch append")
     val genName = idempotencyKey.map { k =>
       "gen-b" + java.security.MessageDigest.getInstance("MD5")
         .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
@@ -349,6 +353,7 @@ private[storage] object SnapshotBranch {
     val st = readStaged(spark, path, name)
     val (resolved, upserts) = MergeStore.resolveBatch(batch, keyCols,
       deleteCol, precedenceCol)
+    SnapshotConstraints.enforce(spark, path, upserts, "branch merge")
     val keys = resolved.select(keyCols.map(
       org.apache.spark.sql.functions.col): _*).distinct()
     val parts = resolved.select(org.apache.spark.sql.functions

@@ -178,7 +178,7 @@ object SnapshotStore {
 
   /** Wraps any manifest resolution for a WRITE path (vanished version →
     * `ConcurrentModificationException`, see [[readManifestForWrite]]). */
-  private def forWrite[T](path: String, v: Int)(body: => T): T =
+  private[storage] def forWrite[T](path: String, v: Int)(body: => T): T =
     try body
     catch {
       case e: IllegalArgumentException if versionVanished(e) =>
@@ -210,9 +210,15 @@ object SnapshotStore {
                        sortBy: Seq[String] = Nil): Map[String, String] = {
     val fs = hfs(df.sparkSession, path)
     def list(gen: String): Map[String, String] = {
-      val stats = genStats(df.sparkSession, path, gen, statsCols)
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/$gen"))
+      // an empty batch writes no partition dirs (just _SUCCESS): no
+      // entries, and nothing for genStats to footer-probe — a DML
+      // rewrite whose slice lost every row lands here
+      val dirs = fs
+        .listStatus(new org.apache.hadoop.fs.Path(s"$path/data/$gen"))
         .map(_.getPath.getName).filter(_.startsWith("_p="))
+      if (dirs.isEmpty) return Map.empty
+      val stats = genStats(df.sparkSession, path, gen, statsCols)
+      dirs
         .map { d =>
           val value = Esc.unescapePathName(d.stripPrefix("_p="))
           value -> (stats.get(value) match {
@@ -241,7 +247,10 @@ object SnapshotStore {
         val gen = "gen-" +
           java.util.UUID.randomUUID().toString.replace("-", "").take(12)
         writeTo(gen)
-        list(gen)
+        val entries = list(gen)
+        if (entries.isEmpty) // empty batch: nothing references the dir
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/data/$gen"), true)
+        entries
       case Some(gen) =>
         val stage =
           s".$gen.${java.util.UUID.randomUUID().toString.take(8)}.stage"
@@ -402,10 +411,10 @@ object SnapshotStore {
   // a recorded null count of ZERO — a NULL row satisfies nothing);
   // anything unprovable stays MightMatch. NoMatch feeds readWhere's
   // pruning; AllMatch feeds countWhere's metadata-only aggregation.
-  private sealed trait Prune
-  private case object MightMatch extends Prune
-  private case object NoMatch extends Prune
-  private case object AllMatch extends Prune
+  private[storage] sealed trait Prune
+  private[storage] case object MightMatch extends Prune
+  private[storage] case object NoMatch extends Prune
+  private[storage] case object AllMatch extends Prune
 
   /** Conservative predicate-vs-stats evaluator over the ANALYZED tree
     * ([[readWhere]] resolves the predicate against the version's logical
@@ -424,7 +433,7 @@ object SnapshotStore {
     * BigDecimal so long bounds past 2^53 cannot be mis-pruned by double
     * rounding.
     */
-  private def evalPrune(e: org.apache.spark.sql.catalyst.expressions.Expression,
+  private[storage] def evalPrune(e: org.apache.spark.sql.catalyst.expressions.Expression,
                         stats: Map[String, ColStat],
                         logicalToPhysical: Map[String, String]): Prune = {
     import org.apache.spark.sql.catalyst.expressions._
@@ -1276,6 +1285,10 @@ object SnapshotStore {
     require(!phys.contains(newName) || newName == physOfOld,
       s"column name $newName is reserved by the store's physical layout " +
         "(a column stored under that name was renamed away); pick another")
+    // a CHECK constraint references logical names: renaming one out from
+    // under it would break every later write's enforcement — refuse
+    // (drop-constraint, rename, re-add is the recipe)
+    SnapshotConstraints.requireUnreferenced(spark, path, oldName, "rename")
     require(!renames.get(newName).contains(Dropped),
       s"column name $newName was dropped; its physical name is retired " +
         "(old generations still store values under it) — pick another")
@@ -1322,6 +1335,7 @@ object SnapshotStore {
     partColOf(spark, path).foreach(pc => require(pc != phys,
       s"cannot drop $name: it is the store's partition column (every " +
         "merge/append keys its layout on it)"))
+    SnapshotConstraints.requireUnreferenced(spark, path, name, "drop")
     val pruned = org.apache.spark.sql.types.StructType(
       schemaP.fields.filterNot(_.name == phys))
     val fs = hfs(spark, path)
@@ -1481,6 +1495,71 @@ object SnapshotStore {
     SnapshotBranch.infos(spark, path).map(i =>
       (i.name, i.tip, i.base, i.createdMs, i.modifiedMs))
 
+  /** Predicate DELETE (`DELETE FROM store WHERE pred` — the Delta/
+    * Iceberg copy-on-write DML shape, re-derived): commits one new
+    * version with the matching rows removed. The tri-state stats
+    * evaluator decides per (partition, gen) slice — provably-no-match
+    * slices copy forward untouched, provably-ALL-match slices leave the
+    * manifest as pure metadata (no file read or written — the "metadata
+    * delete"), only ambiguous slices pay copy-on-write. Rows where
+    * `pred` is NULL survive (SQL three-valued DELETE). A predicate that
+    * provably matches nothing commits no version. History is never
+    * rewritten: time travel sees pre-delete data until [[expire]] ages
+    * the old gens out. See [[SnapshotDml.deleteWhere]].
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+                  pred: org.apache.spark.sql.Column): Unit =
+    SnapshotDml.deleteWhere(spark, path, pred)
+
+  /** [[deleteWhere]] returning the receipt the specs and the declared
+    * query pin scan-cost claims on (dropped / rewritten / kept slices).
+    */
+  private[graft] def deleteWhereDetailed(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column,
+      beforeCommit: () => Unit = () => ()): SnapshotDml.DmlReceipt =
+    SnapshotDml.deleteWhere(spark, path, pred, beforeCommit)
+
+  /** Predicate UPDATE (`UPDATE store SET c = e, ... WHERE pred`): rows
+    * matching `pred` get the assignments applied (each RHS sees the
+    * PRE-update row and casts to the column's existing type — UPDATE
+    * never evolves the schema), everything else copies through.
+    * No-match slices are untouched (stats-pruned copy-on-write);
+    * assigning the partition column is refused. See
+    * [[SnapshotDml.updateWhere]].
+    */
+  def updateWhere(spark: SparkSession, path: String,
+                  assignments: Seq[(String, org.apache.spark.sql.Column)],
+                  pred: org.apache.spark.sql.Column): Unit =
+    SnapshotDml.updateWhere(spark, path, assignments, pred)
+
+  /** [[updateWhere]] returning the scan-cost receipt. */
+  private[graft] def updateWhereDetailed(spark: SparkSession, path: String,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      pred: org.apache.spark.sql.Column,
+      beforeCommit: () => Unit = () => ()): SnapshotDml.DmlReceipt =
+    SnapshotDml.updateWhere(spark, path, assignments, pred, beforeCommit)
+
+  /** Adds CHECK constraint `name` (SQL predicate over logical names) —
+    * the write-boundary quality gate: every later append / merge /
+    * branch write / predicate UPDATE refuses batches carrying a row the
+    * predicate is FALSE for (NULL passes — SQL CHECK semantics). The
+    * CURRENT head must already satisfy it (stats-pruned violation scan,
+    * loud refusal with a sample row otherwise — the Delta ADD CONSTRAINT
+    * contract). See [[SnapshotConstraints]].
+    */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+                    predicateSql: String): Unit =
+    SnapshotConstraints.add(spark, path, name, predicateSql)
+
+  /** Drops CHECK constraint `name`; false when it never existed. */
+  def dropConstraint(spark: SparkSession, path: String,
+                     name: String): Boolean =
+    SnapshotConstraints.drop(spark, path, name)
+
+  /** The store's CHECK constraints: name → predicate SQL. */
+  def constraints(spark: SparkSession, path: String): Map[String, String] =
+    SnapshotConstraints.all(spark, path)
+
   /** The retype matrix: EXACT value-preserving widenings the parquet
     * reader natively upcasts at scan time (probed on Spark 4.1:
     * INT32→int64/double updaters, float→double, date→timestamp_ntz).
@@ -1610,7 +1689,7 @@ object SnapshotStore {
     * which is exactly the additive-evolution read semantics); falls back
     * to mergeSchema when the version has no recorded schema.
     */
-  private def readWithSchema(spark: SparkSession, path: String, v: Int,
+  private[storage] def readWithSchema(spark: SparkSession, path: String, v: Int,
                              dirs: Seq[String]): DataFrame =
     readSchema(spark, path, v) match {
       case Some(sch) => spark.read.schema(sch).parquet(dirs: _*).drop("_p")
@@ -2019,6 +2098,9 @@ object SnapshotStore {
     // contract" is shared code, not a manually-synced copy
     val (resolved, upserts) = MergeStore.resolveBatch(batch, keyCols,
       deleteCol, precedenceCol)
+    // CHECK constraints gate the batch's surviving upserts (deletes and
+    // the carried-forward base are existing, already-conforming rows)
+    SnapshotConstraints.enforce(spark, path, upserts, "merge")
     val keys = resolved.select(keyCols.map(col): _*).distinct()
     val parts = resolved.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toIndexedSeq
@@ -2194,6 +2276,10 @@ object SnapshotStore {
         if (applied) return
       }
     }
+    // CHECK constraints gate the batch (after the keyed-replay fast path:
+    // a replayed no-op must stay a no-op even under a constraint added
+    // since the original delivery)
+    SnapshotConstraints.enforce(spark, path, df, "append")
     val renames = readRenames(spark, path, head)
     val newEntries = writeGen(toPhysical(df, renames), path,
       physicalCol(partCol, renames), genName,

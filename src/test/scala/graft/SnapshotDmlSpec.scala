@@ -1,0 +1,212 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.storage.SnapshotStore
+
+/** Predicate DML over the snapshot store ([[SnapshotStore.deleteWhere]] /
+  * [[SnapshotStore.updateWhere]]): stats-pruned copy-on-write at
+  * (partition, gen) granularity with a metadata-only fast path for
+  * provably-all-match delete slices. Pins exactness against the
+  * read-filter reference, the scan-cost receipts, SQL three-valued
+  * semantics (pred-NULL rows survive a delete), preimage UPDATE
+  * semantics (`SET a = b, b = a` swaps), time travel across DML commits,
+  * the CDF of a DML commit, rename composition, the partition-column
+  * refusal, the CAS race, and the SQL verbs.
+  */
+class SnapshotDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newDir(tag: String): String =
+    Files.createTempDirectory(s"graft_dml_$tag").toString + "/st"
+
+  /** 3 gens with disjoint k-ranges, each spanning partitions p0/p1. */
+  private def quartStore(dir: String): Unit = {
+    def chunk(lo: Long, n: Int) =
+      (0 until n).map(i => (lo + i, s"p${i % 2}", (lo + i) * 1.0))
+        .toDF("k", "p", "v")
+    SnapshotStore.write(chunk(0L, 10), dir, "p", statsCols = Seq("k", "v"))
+    SnapshotStore.append(chunk(100L, 10), dir, "p")
+    SnapshotStore.append(chunk(200L, 10), dir, "p")
+  }
+
+  test("gen-aligned delete is a pure metadata operation: all-match " +
+    "slices leave the manifest unread, no-match slices untouched") {
+    val dir = newDir("meta"); quartStore(dir)
+    val r = SnapshotStore.deleteWhereDetailed(spark, dir,
+      col("k") >= 100L && col("k") < 110L)
+    assert(r.version == 4)
+    assert(r.droppedDirs == 2 && r.rewrittenDirs == 0,
+      s"the middle gen's two partition slices must drop as metadata, " +
+        s"got $r")
+    assert(SnapshotStore.read(spark, dir).select("k").as[Long]
+      .collect().sorted.toSeq ==
+      ((0L until 10L) ++ (200L until 210L)).sorted)
+    // history intact: the pre-delete version still reads the middle gen
+    assert(SnapshotStore.read(spark, dir, Some(3)).count() == 30)
+  }
+
+  test("ambiguous delete pays copy-on-write only for the slices the " +
+    "stats cannot decide; survivors exact; pred-NULL rows survive") {
+    val dir = newDir("cow"); quartStore(dir)
+    // 205 splits the last gen: its slices are ambiguous, gens 1-2 no-match
+    val r = SnapshotStore.deleteWhereDetailed(spark, dir, col("k") > 205L)
+    assert(r.droppedDirs == 0 && r.rewrittenDirs == 2 && r.keptDirs == 4,
+      "only the last gen's two slices rewrite (the touched partitions' " +
+        s"four earlier slices copy forward verbatim), got $r")
+    assert(SnapshotStore.read(spark, dir).select("k").as[Long]
+      .collect().sorted.toSeq ==
+      ((0L until 10L) ++ (100L until 110L) ++ (200L to 205L)).sorted)
+    // three-valued DELETE: rows where the predicate is NULL survive
+    val d2 = newDir("null3")
+    SnapshotStore.write(
+      Seq((1L, "p0", Some(1.0)), (2L, "p0", None), (3L, "p0", Some(9.0)))
+        .toDF("k", "p", "n"), d2, "p")
+    SnapshotStore.deleteWhere(spark, d2, col("n") > 5.0)
+    assert(SnapshotStore.read(spark, d2).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L),
+      "k=2 (n NULL) must survive DELETE WHERE n > 5")
+  }
+
+  test("deleting every row of a partition drops it from the manifest; " +
+    "a provable no-op commits no version") {
+    val dir = newDir("dropall"); quartStore(dir)
+    val head = SnapshotStore.headVersion(spark, dir).get
+    val noop = SnapshotStore.deleteWhereDetailed(spark, dir,
+      col("k") > 10000L)
+    assert(noop.version == head &&
+      SnapshotStore.headVersion(spark, dir).contains(head),
+      "a predicate no gen can match commits nothing")
+    SnapshotStore.deleteWhere(spark, dir, col("p") === "p1")
+    val left = SnapshotStore.read(spark, dir)
+    assert(left.filter(col("p") === "p1").count() == 0)
+    assert(left.count() == 15)
+    assert(SnapshotStore.readPartitions(spark, dir, Seq("p1")).count() == 0,
+      "the emptied partition's manifest entry is gone")
+  }
+
+  test("update: conditional assignment exact, no-match slices untouched, " +
+    "every RHS sees the PRE-update row (SET v = k, k = v swaps)") {
+    val dir = newDir("upd"); quartStore(dir)
+    val before = SnapshotStore.read(spark, dir)
+      .filter(col("k") < 100L).select("k", "v")
+      .as[(Long, Double)].collect().toMap
+    val r = SnapshotStore.updateWhereDetailed(spark, dir,
+      Seq("v" -> col("v") * 2), col("k") >= 100L && col("k") < 110L)
+    assert(r.rewrittenDirs == 2 && r.droppedDirs == 0,
+      s"only the middle gen's two slices rewrite, got $r")
+    val after = SnapshotStore.read(spark, dir)
+    assert(after.filter(col("k") >= 100L && col("k") < 110L)
+      .filter(col("v") =!= col("k") * 2.0).count() == 0,
+      "matched rows updated")
+    assert(after.filter(col("k") < 100L).select("k", "v")
+      .as[(Long, Double)].collect().toMap == before,
+      "unmatched rows byte-identical")
+    // swap pin: both RHS evaluate against the preimage in one select
+    val d2 = newDir("swap")
+    SnapshotStore.write(Seq((1L, "p0", 10.0)).toDF("k", "p", "v"),
+      d2, "p")
+    SnapshotStore.updateWhere(spark, d2,
+      Seq("k" -> col("v").cast("long"), "v" -> col("k").cast("double")),
+      lit(true))
+    assert(SnapshotStore.read(spark, d2).select("k", "v")
+      .as[(Long, Double)].collect().toSeq == Seq((10L, 1.0)),
+      "SET k = v, v = k must swap, not chain")
+  }
+
+  test("update refusals are loud: partition column, unknown column, " +
+    "duplicate assignment; update never evolves the schema (RHS casts " +
+    "to the column's existing type)") {
+    val dir = newDir("refuse"); quartStore(dir)
+    val e1 = intercept[IllegalArgumentException](
+      SnapshotStore.updateWhere(spark, dir, Seq("p" -> lit("px")),
+        lit(true)))
+    assert(e1.getMessage.contains("partition column"))
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotStore.updateWhere(spark, dir, Seq("nope" -> lit(1)),
+        lit(true)))
+    assert(e2.getMessage.contains("not in the store's schema"))
+    val e3 = intercept[IllegalArgumentException](
+      SnapshotStore.updateWhere(spark, dir,
+        Seq("v" -> lit(1.0), "v" -> lit(2.0)), lit(true)))
+    assert(e3.getMessage.contains("twice"))
+    // an int literal assigned to the double column lands as double
+    SnapshotStore.updateWhere(spark, dir, Seq("v" -> lit(7)),
+      col("k") === 0L)
+    val sch = SnapshotStore.read(spark, dir).schema
+    assert(sch("v").dataType == org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("the CDF of a DML commit is the row-level delta: deletes from " +
+    "deleteWhere (metadata AND copy-on-write paths), update pairs from " +
+    "updateWhere") {
+    val dir = newDir("cdf"); quartStore(dir)
+    SnapshotStore.deleteWhere(spark, dir,
+      (col("k") >= 100L && col("k") < 110L) || col("k") > 205L)
+    val del = SnapshotStore.changes(spark, dir, 3, 4, Seq("k"))
+    assert(del.filter(col("_change_type") =!= "delete").count() == 0)
+    assert(del.select("k").as[Long].collect().sorted.toSeq ==
+      ((100L until 110L) ++ (206L until 210L)).sorted)
+    SnapshotStore.updateWhere(spark, dir, Seq("v" -> (col("v") + 1000.0)),
+      col("k") <= 1L)
+    val upd = SnapshotStore.changes(spark, dir, 4, 5, Seq("k"))
+    assert(upd.filter(col("_change_type").startsWith("update")).count() == 4,
+      "two updated keys contribute pre+post images")
+    assert(upd.filter(col("_change_type") === "update_postimage")
+      .select("v").as[Double].collect().sorted.toSeq ==
+      Seq(1000.0, 1001.0))
+  }
+
+  test("DML composes with rename: predicate and assignment resolve " +
+    "logical names over the stable physical layout") {
+    val dir = newDir("ren"); quartStore(dir)
+    SnapshotStore.renameColumn(spark, dir, "v", "score")
+    val r = SnapshotStore.updateWhereDetailed(spark, dir,
+      Seq("score" -> col("score") * 10), col("k") === 200L)
+    assert(r.rewrittenDirs == 1, s"stats prune under the rename, got $r")
+    assert(SnapshotStore.read(spark, dir).filter(col("k") === 200L)
+      .select("score").as[Double].head() == 2000.0)
+    SnapshotStore.deleteWhere(spark, dir, col("score") >= 2000.0)
+    assert(SnapshotStore.read(spark, dir).filter(col("k") === 200L)
+      .count() == 0)
+  }
+
+  test("a concurrent commit makes DML lose the CAS loudly and leak " +
+    "nothing") {
+    val dir = newDir("race"); quartStore(dir)
+    val e = intercept[java.util.ConcurrentModificationException](
+      SnapshotStore.deleteWhereDetailed(spark, dir, col("k") > 205L,
+        beforeCommit = () => SnapshotStore.append(
+          Seq((900L, "p0", 9.0)).toDF("k", "p", "v"), dir, "p")))
+    assert(e.getMessage.contains("lost the race"))
+    // the loser's staged gen is cleaned; the interloper's append stands
+    assert(SnapshotStore.read(spark, dir).count() == 31)
+    val r = SnapshotStore.deleteWhereDetailed(spark, dir, col("k") > 205L)
+    assert(r.version == 5 &&
+      SnapshotStore.read(spark, dir).count() == 26,
+      "retry against the new head lands (900 > 205 deletes too)")
+  }
+
+  test("SQL verbs: graft_delete / graft_update run the same code path " +
+    "and surface the scan-cost receipt") {
+    plans.AsOf.register(spark)
+    val dir = newDir("sql"); quartStore(dir)
+    val d = spark.sql(
+      s"SELECT * FROM graft_delete('$dir', 'k >= 100 and k < 110')")
+      .collect()(0)
+    assert(d.getString(0) == "delete" && d.getLong(2) == 2L &&
+      d.getLong(3) == 0L && d.getLong(4) == 4L,
+      s"receipt must show the metadata-only delete, got $d")
+    val u = spark.sql(
+      s"SELECT * FROM graft_update('$dir', 'k < 5', 'v', 'v + 0.5')")
+      .collect()(0)
+    assert(u.getString(0) == "update" && u.getLong(3) == 2L &&
+      u.getLong(4) == 5L, s"both first-gen slices straddle k<5, got $u")
+    val rows = SnapshotStore.read(spark, dir)
+    assert(rows.count() == 20)
+    assert(rows.filter(col("k") < 5L)
+      .filter(col("v") =!= col("k") + 0.5).count() == 0)
+  }
+}
