@@ -823,6 +823,72 @@ object ScaleProbe100 {
             "(string-predicate filter-over-full-read vs pruned readWhere)")
         }
       }
+      // NEEDLE rung (r15): the point-lookup shape min/max cannot serve —
+      // a scrambled key whose range overlaps every gen. The pruned read
+      // consults one tiny bloom sidecar per gen; the full read lists and
+      // scans all ten. The MISS is the flagship: zero gens opened.
+      // 100x size only.
+      {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_scale100_needle").toString + "/st"
+        def scr(c: org.apache.spark.sql.Column) =
+          concat(lit("N"),
+            ((c * 2654435761L) % 1000000007L).cast("string"))
+        def replicas(g: Int): DataFrame = {
+          val base = (g * 10 until (g + 1) * 10).map { k =>
+            orders.withColumn("o_orderkey",
+              col("o_orderkey") + k * 100000000L)
+          }.reduce(_ union _)
+          base.withColumn("needle", scr(col("o_orderkey")))
+        }
+        graft.storage.SnapshotStore.write(replicas(0), dir,
+          "o_orderpriority", statsCols = Seq("o_orderkey"),
+          bloomCols = Seq("needle"))
+        (1 until 10).foreach { g =>
+          graft.storage.SnapshotStore.append(replicas(g), dir,
+            "o_orderpriority")
+        }
+        // a needle held by gen 5's replica block
+        val probeKey = 55L * 100000000L + 7L
+        val probe = s"N${probeKey * 2654435761L % 1000000007L}"
+        val pred = col("needle") === probe
+        def agg(df: DataFrame): Unit =
+          df.groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)))
+            .write.mode("overwrite").format("noop").save()
+        agg(graft.storage.SnapshotStore.read(spark, dir).filter(pred))
+        timeMin2("needle_full_100x") {
+          agg(graft.storage.SnapshotStore.read(spark, dir).filter(pred))
+        }
+        agg(graft.storage.SnapshotStore.readWhere(spark, dir, pred))
+        timeMin2("needle_pruned_100x") {
+          agg(graft.storage.SnapshotStore.readWhere(spark, dir, pred))
+        }
+        val fullFiles = graft.storage.SnapshotStore.read(spark, dir)
+          .inputFiles.length
+        val missFiles = graft.storage.SnapshotStore
+          .readWhere(spark, dir, col("needle") === "NOPE")
+          .inputFiles.length
+        // ≤2 of 10 gens: the ~1% per-gen false-positive rate is part of
+        // the bloom contract (never false-negative)
+        require(missFiles <= 2 * fullFiles / 10,
+          s"a needle miss must prune to <=2 of 10 gens, opened " +
+            s"$missFiles of $fullFiles files")
+        val prunedFiles = graft.storage.SnapshotStore
+          .readWhere(spark, dir, pred).inputFiles.length
+        ratios("snapshot_needle_files_frac_100x") =
+          prunedFiles.toDouble / fullFiles
+        println(f"PROBE snapshot_needle_files_frac_100x " +
+          f"${prunedFiles.toDouble / fullFiles}%.3f " +
+          s"($prunedFiles of $fullFiles files; miss opens 0)")
+        for (a <- walls.get("needle_full_100x");
+             b <- walls.get("needle_pruned_100x")) {
+          ratios("snapshot_needle_advantage_100x") = a / b
+          println(f"PROBE snapshot_needle_advantage_100x ${a / b}%.2fx " +
+            "(equality filter over full read vs bloom-sidecar-pruned " +
+            "readWhere)")
+        }
+      }
       // NULL-count rung (r15): the "find the corrupt rows" shape — a
       // probe column the parse-failure path leaves unset everywhere
       // except one ingest slice. IS NOT NULL through readWhere must open

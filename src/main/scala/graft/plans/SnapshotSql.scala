@@ -152,10 +152,11 @@ object SnapshotWhereSql {
 
   val info: ExpressionInfo = new ExpressionInfo(
     SnapshotWhereSql.getClass.getCanonicalName, name,
-    "graft_snapshot_where(path, version, predicate) - reads a " +
+    "graft_snapshot_where(path, selector, predicate) - reads a " +
       "SnapshotStore at `path` with manifest-level data skipping: gens " +
-      "whose recorded column stats rule the predicate out are never " +
-      "opened; version is a positive integer literal or 'head'; the " +
+      "whose recorded column stats (or needle files) rule the predicate " +
+      "out are never opened; selector is a positive integer literal, " +
+      "'head', or 'branch:<name>' (the WAP audit's pruned read); the " +
       "predicate is a SQL boolean expression; string-literal arguments",
     "", "")
 
@@ -172,21 +173,33 @@ object SnapshotWhereSql {
       v.toString
     }
     val path = str(0)
-    val version = str(1).trim.toLowerCase match {
-      case "head" => None
-      case s =>
-        val v = try s.toInt catch {
-          case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"$name version must be a positive integer or 'head', got '$s'")
+    str(1).trim.toLowerCase match {
+      // the WAP audit's pruned read from pure SQL: same stats + needle
+      // pruning as main, over the branch tip's staged entries
+      case b if b.startsWith("branch:") =>
+        graft.storage.SnapshotStore.readBranchWhere(SparkSession.active,
+          path, str(1).trim.substring(7),
+          org.apache.spark.sql.functions.expr(str(2)))
+          .queryExecution.analyzed
+      case sel =>
+        val version = sel match {
+          case "head" => None
+          case s =>
+            val v = try s.toInt catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"$name version must be a positive integer, 'head' or " +
+                    s"'branch:<name>', got '$s'")
+            }
+            require(v >= 1,
+              s"$name version must be a positive integer, 'head' or " +
+                s"'branch:<name>', got $v")
+            Some(v)
         }
-        require(v >= 1,
-          s"$name version must be a positive integer or 'head', got $v")
-        Some(v)
+        graft.storage.SnapshotStore.readWhere(SparkSession.active, path,
+          org.apache.spark.sql.functions.expr(str(2)), version)
+          .queryExecution.analyzed
     }
-    graft.storage.SnapshotStore.readWhere(SparkSession.active, path,
-      org.apache.spark.sql.functions.expr(str(2)), version)
-      .queryExecution.analyzed
   }
 
   def descriptor: (FunctionIdentifier, ExpressionInfo,

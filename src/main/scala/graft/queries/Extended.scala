@@ -53,7 +53,10 @@ object Extended extends QueryModule {
     */
   private def snapFixture(s: org.apache.spark.sql.SparkSession,
                           d: String): String =
-    StreamGate.replayCache(d, "snapfix", "orders") { dir =>
+    // tag v2: operation provenance (r15) is part of the fixture's
+    // observable shape — q_snapshot_history reads the `operation` column,
+    // so a cache built by pre-provenance code must not serve
+    StreamGate.replayCache(d, "snapfix2", "orders") { dir =>
       val orders = t(s, d, "orders")
       graft.storage.SnapshotStore.write(orders, s"$dir/st",
         "o_orderpriority")
@@ -1493,6 +1496,58 @@ object Extended extends QueryModule {
           max(col("o_orderkey")).as("max_key"))
         .withColumn("n_constraints", lit(nC))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Needle files (r15): per-gen bloom filters over a declared
+    // high-cardinality column, consulted by readWhere AFTER min/max
+    // pruning — the lookup bounds cannot serve, because a scrambled key
+    // overlaps every gen's range ("find THIS document id across a year
+    // of ingest"). The fixture scrambles o_orderkey so gens interleave;
+    // the hit is require-pinned to ≤2 of 4 gens opened, the MISS to
+    // ZERO gens opened (answered from the sidecars alone), and the full
+    // read to all 4.
+    "q_snapshot_skip_needle" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_needleq")
+        .toString + "/orders_needle"
+      val k = col("o_orderkey")
+      val mx = orders.agg(max(k)).head().getLong(0)
+      val (q1, q3) = (mx / 4, 3 * mx / 4)
+      def scr(c: org.apache.spark.sql.Column) =
+        concat(lit("N"), ((c * 2654435761L) % 1000000007L).cast("string"))
+      val base = orders.select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("needle", scr(k))
+      graft.storage.SnapshotStore.write(base.filter(k <= q1),
+        dir, "o_orderpriority", statsCols = Seq("o_orderkey"),
+        bloomCols = Seq("needle"))
+      graft.storage.SnapshotStore.append(
+        base.filter(k > q1 && k <= mx / 2), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(
+        base.filter(k > mx / 2 && k <= q3), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(base.filter(k > q3),
+        dir, "o_orderpriority")
+      val k1 = orders.filter(k <= q1).agg(max(k)).head().getLong(0)
+      def scrV(key: Long) = s"N${key * 2654435761L % 1000000007L}"
+      val (n1, n2) = (scrV(k1), scrV(mx))
+      def gens(files: Array[String]) =
+        files.flatMap(_.split("/data/").lift(1)).map(_.split("/").head).toSet
+      val hit = graft.storage.SnapshotStore.readWhere(s, dir,
+        col("needle") === n1)
+      val miss = graft.storage.SnapshotStore.readWhere(s, dir,
+        col("needle") === "N-1")
+      // the miss pin tolerates ONE gen: a bloom filter's ~1% false-
+      // positive rate is part of the contract (never false-NEGATIVE),
+      // and a probe value may collide on a given dataset
+      require(gens(hit.inputFiles).size <= 2 &&
+        gens(miss.inputFiles).size <= 1 &&
+        gens(graft.storage.SnapshotStore.read(s, dir).inputFiles).size == 4,
+        "q_snapshot_skip_needle: the hit must open <=2 of 4 gens and " +
+          s"the miss <=1 (hit ${gens(hit.inputFiles).size}, " +
+          s"miss ${gens(miss.inputFiles).size})")
+      graft.storage.SnapshotStore.readWhere(s, dir,
+        col("needle").isin(n1, n2))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("needle"))
+        .orderBy(col("o_orderkey"))
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -1550,6 +1605,24 @@ object Extended extends QueryModule {
         |  2 AS n_constraints
         |FROM allx GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_snapshot_skip_needle" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |keys AS (SELECT
+        |  (SELECT max(o_orderkey) FROM orders, mx
+        |   WHERE o_orderkey <= m // 4) AS k1,
+        |  (SELECT m FROM mx) AS k2),
+        |probes AS (SELECT
+        |  concat('N', CAST((k1 * 2654435761) % 1000000007 AS VARCHAR)) AS n1,
+        |  concat('N', CAST((k2 * 2654435761) % 1000000007 AS VARCHAR)) AS n2
+        |  FROM keys)
+        |SELECT o_orderkey, o_orderpriority,
+        |  concat('N', CAST((o_orderkey * 2654435761) % 1000000007
+        |    AS VARCHAR)) AS needle
+        |FROM orders, probes
+        |WHERE concat('N', CAST((o_orderkey * 2654435761) % 1000000007
+        |    AS VARCHAR)) IN (n1, n2)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_snapshot_drop" -> {
       def dAgg(v: Int, pred: String, clerk: String) =
@@ -2133,12 +2206,12 @@ object Extended extends QueryModule {
     "q_snapshot_history" ->
       s"""$mergeOracleCte
         |SELECT * FROM (
-        |  SELECT 1 AS version,
+        |  SELECT 1 AS version, 'write' AS operation,
         |    CAST((SELECT count(DISTINCT o_orderpriority) FROM orders)
         |      AS INTEGER) AS n_partitions,
         |    (SELECT count(*) FROM orders) AS n_rows
         |  UNION ALL
-        |  SELECT 2 AS version,
+        |  SELECT 2 AS version, 'merge' AS operation,
         |    CAST((SELECT count(DISTINCT o_orderpriority) FROM merged)
         |      AS INTEGER) AS n_partitions,
         |    (SELECT count(*) FROM merged) AS n_rows)

@@ -432,8 +432,13 @@ private[storage] object SnapshotBranch {
       case Some(values) => st.entries.filter { case (k, _) => values(k) }
       case None => st.entries
     }
-    val kept = SnapshotStore.survivingDirs(spark,
-      entries.values.flatten.toSeq, st.schema, st.renames, pred)
+    // the needle pass serves the audit too: staged gens carry the same
+    // `_bloom-<col>` sidecars main-line gens do (one writeGen)
+    val kept = SnapshotBloom.prune(spark, path,
+      SnapshotStore.survivingDirs(spark,
+        entries.values.flatten.toSeq, st.schema, st.renames, pred),
+      SnapshotBloom.probesOf(expr, st.renames.map(_.swap),
+        SnapshotBloom.bloomColsOf(spark, path).toSet))
       .map(d => s"$path/$d")
     val base =
       if (kept.isEmpty) SnapshotStore.applyRenames(spark.createDataFrame(
@@ -587,8 +592,13 @@ private[storage] object SnapshotBranch {
       case Some(values) => st.entries.filter { case (k, _) => values(k) }
       case None => st.entries
     }
-    val (meta, dirs) = SnapshotStore.countOverFields(
+    val (meta, dirs0) = SnapshotStore.countOverFields(
       entries.values.flatten.toSeq, expr, st.renames.map(_.swap))
+    // needle pass on the residual (same as main's countWhere): a
+    // bloom-rejected gen holds zero matching rows
+    val dirs = SnapshotBloom.prune(spark, path, dirs0,
+      SnapshotBloom.probesOf(expr, st.renames.map(_.swap),
+        SnapshotBloom.bloomColsOf(spark, path).toSet))
     val scanned =
       if (dirs.isEmpty) 0L
       else SnapshotStore.applyRenames(
@@ -625,7 +635,7 @@ private[storage] object SnapshotBranch {
           s"${head.getOrElse(-1)}); rebase the branch onto the new head " +
           "or re-create it")
     try SnapshotStore.commit(spark, path, target, st.entries, Nil,
-      Some(st.schema), st.renames)
+      Some(st.schema), st.renames, op = "publish_branch")
     catch {
       case e: java.util.ConcurrentModificationException =>
         throw new IllegalStateException(

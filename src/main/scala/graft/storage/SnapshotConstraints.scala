@@ -68,10 +68,14 @@ private[graft] object SnapshotConstraints {
     val root = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(root)) return Map.empty
     fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.startsWith(Prefix)).map { f =>
-        Esc.unescapePathName(f.stripPrefix(Prefix)) ->
+      .filter(_.startsWith(Prefix)).flatMap { f =>
+        // a file that vanished between the listing and this read was
+        // DROPPED by a concurrent actor — by that actor's own contract
+        // the constraint no longer gates anything; other errors stay loud
+        try Some(Esc.unescapePathName(f.stripPrefix(Prefix)) ->
           Esc.unescapePathName(readFileUtf8(fs,
-            new org.apache.hadoop.fs.Path(root, f)).trim)
+            new org.apache.hadoop.fs.Path(root, f)).trim))
+        catch { case _: java.io.FileNotFoundException => None }
       }.toMap
   }
 

@@ -157,7 +157,7 @@ private[graft] object SnapshotDml {
       removed = removed.result(), added = added,
       newEntries.values.map(_.split("/").take(2).mkString("/"))
         .toSeq.distinct,
-      Some(physSchema), renames)
+      Some(physSchema), renames, op = "delete")
     DmlReceipt(head + 1, dropped, residualDirs.size, kept)
   }
 
@@ -251,7 +251,7 @@ private[graft] object SnapshotDml {
       removed = removed.result(), added = added,
       newEntries.values.map(_.split("/").take(2).mkString("/"))
         .toSeq.distinct,
-      Some(physSchema), renames)
+      Some(physSchema), renames, op = "update")
     DmlReceipt(head + 1, 0, rewriteDirs.size, kept)
   }
 }

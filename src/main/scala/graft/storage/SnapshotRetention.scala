@@ -117,6 +117,7 @@ private[storage] object SnapshotRetention {
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_manifest-$v"), false)
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_schema-$v"), false)
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_renames-$v"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_op-$v"), false)
     }
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     val now = System.currentTimeMillis()
@@ -137,6 +138,16 @@ private[storage] object SnapshotRetention {
           catch {
             case _: java.io.FileNotFoundException =>
               Array.empty[org.apache.hadoop.fs.FileStatus]
+            // RawLocalFileSystem surfaces a dir vanished mid-recursion as
+            // a BARE IOException ("Invalid directory or I/O error"), not
+            // FileNotFound — File.list() returns null for both a gone
+            // path and a genuine I/O error. Re-probe to tell them apart:
+            // gone = the racing deleter's success (a CAS-loser cleanup or
+            // concurrent sweep), anything still present stays loud.
+            case e: java.io.IOException =>
+              if (!fs.exists(st.getPath))
+                Array.empty[org.apache.hadoop.fs.FileStatus]
+              else throw e
           }
         (st.getModificationTime +: children.map(newest).toSeq).max
       }
@@ -167,7 +178,8 @@ private[storage] object SnapshotRetention {
       val n = st.getPath.getName
       val isStaging =
         ((n.startsWith("._manifest-") || n.startsWith("._schema-") ||
-          n.startsWith("._renames-")) && n.endsWith(".tmp")) ||
+          n.startsWith("._renames-") || n.startsWith("._op-")) &&
+          n.endsWith(".tmp")) ||
         n.startsWith("._tag.tmp-") || n.startsWith("._statscols.tmp-") ||
         n.startsWith("._partcol.tmp-") || n.startsWith("._staged.tmp-")
       if (isStaging && now - st.getModificationTime >= minAgeMs)

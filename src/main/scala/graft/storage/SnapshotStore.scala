@@ -207,7 +207,9 @@ object SnapshotStore {
   private[storage] def writeGen(df: DataFrame, path: String, partCol: String,
                        genName: Option[String] = None,
                        statsCols: Seq[String] = Nil,
-                       sortBy: Seq[String] = Nil): Map[String, String] = {
+                       sortBy: Seq[String] = Nil,
+                       bloomCols: Option[Seq[String]] = None)
+      : Map[String, String] = {
     val fs = hfs(df.sparkSession, path)
     def list(gen: String): Map[String, String] = {
       // an empty batch writes no partition dirs (just _SUCCESS): no
@@ -217,6 +219,13 @@ object SnapshotStore {
         .listStatus(new org.apache.hadoop.fs.Path(s"$path/data/$gen"))
         .map(_.getPath.getName).filter(_.startsWith("_p="))
       if (dirs.isEmpty) return Map.empty
+      // needle files for declared bloom columns (every writer path —
+      // append, merge, DML rewrite, branch write, compaction — rebuilds
+      // them for the gens it writes); `bloomCols` overrides only for the
+      // initial write, where `_bloomcols` is not yet published
+      SnapshotBloom.buildFor(df.sparkSession, path, gen,
+        bloomCols.getOrElse(
+          SnapshotBloom.bloomColsOf(df.sparkSession, path)))
       val stats = genStats(df.sparkSession, path, gen, statsCols)
       dirs
         .map { d =>
@@ -806,7 +815,15 @@ object SnapshotStore {
           .values.flatten.toSeq
       case None => readManifestDirs(spark, path, v)
     }
-    val kept = survivingDirs(spark, fields, physSchema, renames, pred)
+    // NEEDLE pass (r15): after min/max pruning, equality/IN conjuncts on
+    // declared bloom columns drop whole gens whose needle file proves the
+    // value absent — the lookup min/max cannot serve (a uniform key
+    // overlaps every gen's range). One tiny sidecar read per surviving
+    // gen, zero when nothing is declared or the predicate has no probe.
+    val probes = SnapshotBloom.probesOf(expr, renames.map(_.swap),
+      SnapshotBloom.bloomColsOf(spark, path).toSet)
+    val kept = SnapshotBloom.prune(spark, path,
+      survivingDirs(spark, fields, physSchema, renames, pred), probes)
       .map(d => s"$path/$d")
     // everything-pruned: the empty frame under the version's logical
     // schema DIRECTLY (read().limit(0) would plan a parquet scan over
@@ -872,7 +889,13 @@ object SnapshotStore {
           .values.flatten.toSeq
       case None => readManifestDirs(spark, path, v)
     }
-    val (meta, dirs) = countOverFields(fields, expr, logicalToPhysical)
+    val (meta, dirs0) = countOverFields(fields, expr, logicalToPhysical)
+    // needle pass on the residual: a gen whose bloom filter proves an
+    // equality probe absent holds zero matching rows — it counts as
+    // NoMatch, never scanned
+    val dirs = SnapshotBloom.prune(spark, path, dirs0,
+      SnapshotBloom.probesOf(expr, logicalToPhysical,
+        SnapshotBloom.bloomColsOf(spark, path).toSet))
     val scanned =
       if (dirs.isEmpty) 0L
       else applyRenames(
@@ -1299,7 +1322,7 @@ object SnapshotStore {
     val mf = new org.apache.hadoop.fs.Path(path, s"_manifest-$head")
     require(fs.exists(mf), s"no snapshot version $head at $path")
     publishHead(spark, path, head + 1, readFileUtf8(fs, mf), Nil,
-      readSchema(spark, path, head), updated)
+      readSchema(spark, path, head), updated, op = "rename_column")
   }
 
   /** DROPS logical column `name` as a new, METADATA-ONLY version: the
@@ -1342,7 +1365,8 @@ object SnapshotStore {
     val mf = new org.apache.hadoop.fs.Path(path, s"_manifest-$head")
     require(fs.exists(mf), s"no snapshot version $head at $path")
     publishHead(spark, path, head + 1, readFileUtf8(fs, mf), Nil,
-      Some(pruned), (renames - phys) + (phys -> Dropped))
+      Some(pruned), (renames - phys) + (phys -> Dropped),
+      op = "drop_column")
   }
 
   /** Version `v`'s new gen dirs relative to `v-1` when the commit only
@@ -1539,6 +1563,42 @@ object SnapshotStore {
       beforeCommit: () => Unit = () => ()): SnapshotDml.DmlReceipt =
     SnapshotDml.updateWhere(spark, path, assignments, pred, beforeCommit)
 
+  /** [[deleteWhere]] with [[mergeWithRetry]]'s bounded CAS-loser retry
+    * loop: each attempt re-resolves against the NEW head (the delete's
+    * semantics are predicate-relative, so retrying against a moved head
+    * is exactly re-running the statement). Retries exhaust to the
+    * original exception.
+    */
+  def deleteWhereWithRetry(spark: SparkSession, path: String,
+                           pred: org.apache.spark.sql.Column,
+                           maxRetries: Int = 5): Unit = {
+    var attempt = 0
+    while (true) {
+      try { SnapshotDml.deleteWhere(spark, path, pred); return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
+
+  /** [[updateWhere]] with the bounded CAS-loser retry loop. */
+  def updateWhereWithRetry(spark: SparkSession, path: String,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      pred: org.apache.spark.sql.Column,
+      maxRetries: Int = 5): Unit = {
+    var attempt = 0
+    while (true) {
+      try { SnapshotDml.updateWhere(spark, path, assignments, pred); return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
+
   /** Adds CHECK constraint `name` (SQL predicate over logical names) —
     * the write-boundary quality gate: every later append / merge /
     * branch write / predicate UPDATE refuses batches carrying a row the
@@ -1632,7 +1692,7 @@ object SnapshotStore {
     val mf = new org.apache.hadoop.fs.Path(path, s"_manifest-$head")
     require(fs.exists(mf), s"no snapshot version $head at $path")
     publishHead(spark, path, head + 1, readFileUtf8(fs, mf), Nil,
-      Some(widened), renames)
+      Some(widened), renames, op = "retype_column")
   }
 
   /** Additive union of two generation schemas: existing fields keep their
@@ -1757,7 +1817,8 @@ object SnapshotStore {
   private def publishHead(spark: SparkSession, path: String, v: Int,
                           headContent: String, genDirs: Seq[String],
                           schema: Option[org.apache.spark.sql.types.StructType],
-                          renames: Map[String, String] = Map.empty)
+                          renames: Map[String, String] = Map.empty,
+                          op: String = "commit")
       : Unit = {
     val fs = hfs(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
@@ -1803,6 +1864,11 @@ object SnapshotStore {
       }
     }
     schema.foreach(sch => publishMeta("_schema", sch.json.getBytes("UTF-8")))
+    // operation provenance (`_op-<v>`, the Delta DESCRIBE HISTORY idea):
+    // which verb produced this version — [[history]] surfaces it, expire
+    // sweeps it with the version's other metadata; absent = legacy
+    // "commit"
+    publishMeta("_op", Esc.escapePathName(op).getBytes("UTF-8"))
     if (renames.nonEmpty)
       publishMeta("_renames", renames.toSeq.sortBy(_._1)
         .map { case (p, l) =>
@@ -1866,10 +1932,11 @@ object SnapshotStore {
                             entries: Map[String, Seq[String]],
                             genDirs: Seq[String],
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
-                            renames: Map[String, String] = Map.empty)
+                            renames: Map[String, String] = Map.empty,
+                            op: String = "commit")
       : Unit =
     publishHead(spark, path, v, headContentFor(spark, path, entries),
-      genDirs, schema, renames)
+      genDirs, schema, renames, op)
 
   /** Commits version `v` = version `prev` with `removed` partitions
     * dropped and `added` partitions upserted — the O(touched) commit path:
@@ -1884,10 +1951,11 @@ object SnapshotStore {
       prev: Int, removed: Set[String], added: Map[String, Seq[String]],
       genDirs: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      renames: Map[String, String] = Map.empty): Unit = {
+      renames: Map[String, String] = Map.empty,
+      op: String = "commit"): Unit = {
     def fullFallback(): Unit = {
       val full = readManifestForWrite(spark, path, prev) -- removed ++ added
-      commit(spark, path, v, full, genDirs, schema, renames)
+      commit(spark, path, v, full, genDirs, schema, renames, op)
     }
     forWrite(path, prev)(readHead(spark, path, prev)) match {
       case FlatHead(_) => fullFallback()
@@ -1917,7 +1985,8 @@ object SnapshotStore {
             .mkString("\t") +:
             newRefs.toSeq.sortBy(_._1).map { case (b, (n, seg)) =>
               s"$b\t$n\t$seg" }).mkString("\n")
-          publishHead(spark, path, v, content, genDirs, schema, renames)
+          publishHead(spark, path, v, content, genDirs, schema, renames,
+            op)
         }
     }
   }
@@ -1930,19 +1999,23 @@ object SnapshotStore {
     * the truncate+increment discipline, [[stringBounds]]).
     */
   def write(df: DataFrame, path: String, partCol: String,
-            statsCols: Seq[String] = Nil): Unit = {
+            statsCols: Seq[String] = Nil,
+            bloomCols: Seq[String] = Nil): Unit = {
     requireAtomicRename(path)
     require(headVersion(df.sparkSession, path).isEmpty,
       s"$path already holds a snapshot store; use merge")
     validateStatsCols(statsCols, df.schema)
-    val entries = writeGen(df, path, partCol, statsCols = statsCols)
+    SnapshotBloom.validateBloomCols(bloomCols, df.schema)
+    val entries = writeGen(df, path, partCol, statsCols = statsCols,
+      bloomCols = Some(bloomCols))
     commit(df.sparkSession, path, 1,
       entries.map { case (p, d) => p -> Seq(d) },
       entries.values.map(d => d.split("/").take(2).mkString("/"))
         .toSeq.distinct,
       Some(unionSchema(new org.apache.spark.sql.types.StructType(),
-        df.schema)))
+        df.schema)), op = "write")
     publishStatsCols(df.sparkSession, path, statsCols)
+    SnapshotBloom.publishBloomCols(df.sparkSession, path, bloomCols)
     publishPartCol(df.sparkSession, path, partCol)
   }
 
@@ -2047,14 +2120,18 @@ object SnapshotStore {
   def init(spark: SparkSession, path: String,
            schema: org.apache.spark.sql.types.StructType,
            statsCols: Seq[String] = Nil,
-           partCol: Option[String] = None): Unit = {
+           partCol: Option[String] = None,
+           bloomCols: Seq[String] = Nil): Unit = {
     requireAtomicRename(path)
     require(headVersion(spark, path).isEmpty,
       s"$path already holds a snapshot store")
     validateStatsCols(statsCols, schema)
+    SnapshotBloom.validateBloomCols(bloomCols, schema)
     commit(spark, path, 1, Map.empty, Nil,
-      Some(unionSchema(new org.apache.spark.sql.types.StructType(), schema)))
+      Some(unionSchema(new org.apache.spark.sql.types.StructType(), schema)),
+      op = "init")
     publishStatsCols(spark, path, statsCols)
+    SnapshotBloom.publishBloomCols(spark, path, bloomCols)
     partCol.foreach(publishPartCol(spark, path, _))
   }
 
@@ -2133,7 +2210,7 @@ object SnapshotStore {
         .toSeq.distinct,
       Some(unionSchema(versionSchema(spark, path, head),
         toPhysical(upserts, renames).schema)),
-      renames)
+      renames, op = "merge")
   }
 
   /** [[merge]] with a bounded CAS-loser retry loop: each attempt re-reads
@@ -2311,7 +2388,7 @@ object SnapshotStore {
         .toSeq.distinct,
       Some(unionSchema(versionSchema(spark, path, head),
         toPhysical(df, renames).schema)),
-      renames)
+      renames, op = "append")
   }
 
   /** Per-partition small-file compaction, snapshot-committed — the Iceberg
@@ -2373,7 +2450,7 @@ object SnapshotStore {
       newEntries.values.map(_.split("/").take(2).mkString("/"))
         .toSeq.distinct,
       Some(sch),
-      renames)
+      renames, op = "compact")
     chosen.size
   }
 
@@ -2430,11 +2507,24 @@ object SnapshotStore {
       try {
         val nParts = readHead(spark, path, v).totalEntries
         val nRows = if (nParts == 0) 0L else read(spark, path, Some(v)).count()
-        Some((v, nParts, nRows))
+        Some((v, operationOf(spark, path, v), nParts, nRows))
       } catch {
         case e: IllegalArgumentException if versionVanished(e) => None
       }
-    }.toDF("version", "n_partitions", "n_rows")
+    }.toDF("version", "operation", "n_partitions", "n_rows")
+  }
+
+  /** The verb that produced version `v` (`_op-<v>`, Delta's DESCRIBE
+    * HISTORY operation column re-derived): write / init / append / merge
+    * / delete / update / compact / rollback / rename_column / drop_column
+    * / retype_column / publish_branch — "commit" for versions recorded
+    * before provenance existed.
+    */
+  def operationOf(spark: SparkSession, path: String, v: Int): String = {
+    val fs = hfs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path, s"_op-$v")
+    if (!fs.exists(p)) "commit"
+    else Esc.unescapePathName(readFileUtf8(fs, p).trim)
   }
 
   /** Row-level CHANGES between two snapshot versions — the incremental-read
@@ -2576,7 +2666,7 @@ object SnapshotStore {
     require(fs.exists(mf), s"no snapshot version $toVersion at $path")
     publishHead(spark, path, head + 1, readFileUtf8(fs, mf), Nil,
       readSchema(spark, path, toVersion),
-      readRenames(spark, path, toVersion))
+      readRenames(spark, path, toVersion), op = "rollback")
   }
 
   /** Drops manifests older than the newest `keep` and deletes gen dirs no

@@ -66,6 +66,10 @@ class SnapshotSink(sqlContext: SQLContext,
     throw new IllegalArgumentException("graft-snapshot requires 'partCol'"))
   private val statsCols: Seq[String] = parameters.get("statsCols")
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  // needle-file declaration, mirroring statsCols: the auto-init records
+  // it, every appended micro-batch's gens then build bloom sidecars
+  private val bloomCols: Seq[String] = parameters.get("bloomCols")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
   /** STREAMING WAP: with `branch` set, every micro-batch stages on that
     * branch instead of committing to the main line — the stream fills a
@@ -128,7 +132,7 @@ class SnapshotSink(sqlContext: SQLContext,
     val head0 = SnapshotStore.headVersion(spark, path)
     val head = head0.orElse {
       try SnapshotStore.init(spark, path, batch.schema, statsCols,
-        partCol = Some(partCol))
+        partCol = Some(partCol), bloomCols = bloomCols)
       catch {
         // lost the init race (a concurrent stream/writer created the
         // store between the probe and our commit): the store exists,

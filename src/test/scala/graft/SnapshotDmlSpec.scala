@@ -189,6 +189,32 @@ class SnapshotDmlSpec extends SparkSpec {
       "retry against the new head lands (900 > 205 deletes too)")
   }
 
+  test("history records operation provenance: every verb stamps its " +
+    "version; legacy versions read 'commit'; expire sweeps the stamps") {
+    val dir = newDir("ops"); quartStore(dir)
+    SnapshotStore.deleteWhere(spark, dir, col("k") > 205L)
+    SnapshotStore.updateWhere(spark, dir, Seq("v" -> (col("v") * 2)),
+      col("k") === 0L)
+    SnapshotStore.merge(spark, dir,
+      Seq((500L, "p0", 5.0)).toDF("k", "p", "v"), "p", Seq("k"))
+    SnapshotStore.compactPartitions(spark, dir, "p", minDirs = 2)
+    SnapshotStore.rollback(spark, dir, 6)
+    SnapshotStore.renameColumn(spark, dir, "v", "score")
+    val ops = SnapshotStore.history(spark, dir).orderBy("version")
+      .collect().map(r => r.getAs[String]("operation")).toSeq
+    assert(ops == Seq("write", "append", "append", "delete", "update",
+      "merge", "compact", "rollback", "rename_column"),
+      s"got $ops")
+    // a stamp-less version (legacy) reads "commit"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_op-1"), false)
+    assert(SnapshotStore.operationOf(spark, dir, 1) == "commit")
+    SnapshotStore.expire(spark, dir, keep = 2, minAgeMs = 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_op-4")),
+      "expire sweeps the provenance stamp with the version")
+  }
+
   test("SQL verbs: graft_delete / graft_update run the same code path " +
     "and surface the scan-cost receipt") {
     plans.AsOf.register(spark)

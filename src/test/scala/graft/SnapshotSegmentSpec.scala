@@ -87,7 +87,8 @@ class SnapshotSegmentSpec extends SparkSpec {
         SnapshotStore.headVersion(spark, dir).get)("p3").size == 1)
       // history: every version's n_partitions straight from the head file
       val hist = SnapshotStore.history(spark, dir)
-        .orderBy("version").collect().map(r => (r.getInt(0), r.getInt(1)))
+        .orderBy("version").collect()
+        .map(r => (r.getInt(0), r.getAs[Int]("n_partitions")))
       assert(hist.map(_._1).toSeq == (1 to 5),
         s"expected versions 1..5, got ${hist.toSeq}")
       assert(hist.forall(_._2 == 6), s"all versions hold 6 partitions: ${hist.toSeq}")

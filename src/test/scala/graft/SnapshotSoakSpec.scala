@@ -107,7 +107,8 @@ class SnapshotSoakSpec extends SparkSpec {
 
   private def soak(nWriters: Int, opsPer: Int, seed: Int,
                    statsCols: Boolean = false,
-                   renameMix: Boolean = false): Unit = {
+                   renameMix: Boolean = false,
+                   dmlMix: Boolean = false): Unit = {
     val dir = java.nio.file.Files.createTempDirectory("graft_soak")
       .toString + "/st"
     // the rename mix toggles a column NO writer ever writes (`tag`), so
@@ -125,7 +126,7 @@ class SnapshotSoakSpec extends SparkSpec {
     val lastMerged = new Array[Option[Double]](nWriters)
     (0 until nWriters).foreach(lastMerged(_) = None)
 
-    val nOps = if (renameMix) 6 else 4
+    val nOps = if (dmlMix) 9 else if (renameMix) 6 else 4
     val threads = (0 until nWriters).map { w =>
       new Thread(() => {
         val r = new scala.util.Random(seed + w)
@@ -175,6 +176,38 @@ class SnapshotSoakSpec extends SparkSpec {
                 try SnapshotStore.tag(spark, dir, s"t$w-$i")
                 catch { case _: IllegalArgumentException => }
                 if (i > 0) SnapshotStore.deleteTag(spark, dir, s"t$w-${i - 1}")
+              case 6 => // predicate DELETE under contention: append a
+                // writer-private victim key, then delete it back out —
+                // net zero against the expected head regardless of
+                // schedule (no other writer touches the key space)
+                val victim = (w + 1) * 1000000L + i
+                SnapshotStore.append(
+                  Seq((victim, s"p${r.nextInt(4)}", -1.0))
+                    .toDF("k", "p", "v"),
+                  dir, "p", idempotencyKey = Some(s"w$w-victim$i"),
+                  maxRetries = 50)
+                SnapshotStore.deleteWhereWithRetry(spark, dir,
+                  col("k") === victim, maxRetries = 50)
+              case 7 => // predicate UPDATE of the writer's OWN merged key
+                // (per-writer sequential, so the final value is the
+                // writer's last merge-or-update — schedule-independent)
+                if (lastMerged(w).isDefined) {
+                  val v = i * 100.0 + w
+                  SnapshotStore.updateWhereWithRetry(spark, dir,
+                    Seq("v" -> org.apache.spark.sql.functions.lit(v)),
+                    col("k") === w.toLong, maxRetries = 50)
+                  lastMerged(w) = Some(v)
+                }
+              case 8 => // CHECK-constraint lifecycle under contention: a
+                // tautology for every writer's rows (k is always set), so
+                // enforcement runs on every concurrent write without ever
+                // refusing one; duplicate adds are the documented
+                // single-winner refusal
+                try SnapshotStore.addConstraint(spark, dir, "k_set",
+                  "k IS NOT NULL")
+                catch { case _: IllegalArgumentException => }
+                if (r.nextBoolean())
+                  SnapshotStore.dropConstraint(spark, dir, "k_set")
             }
           }
         } catch { case t: Throwable => errors.add(t) }
@@ -285,6 +318,14 @@ class SnapshotSoakSpec extends SparkSpec {
     "toggle mid-mix without disturbing any other writer") {
     soak(nWriters = 4, opsPer = 10, seed = 20260817,
       statsCols = true, renameMix = true)
+  }
+
+  test("seeded DML soak: predicate delete/update and a CHECK-constraint " +
+    "lifecycle join the full mix — victims delete back out exactly, the " +
+    "writer's own key carries its last merge-or-update, enforcement " +
+    "never refuses a conforming writer, and every prior invariant holds") {
+    soak(nWriters = 4, opsPer = 10, seed = 20260816,
+      statsCols = true, renameMix = true, dmlMix = true)
   }
 
   test("seeded BRANCH soak: a WAP branch stages while main writers append " +

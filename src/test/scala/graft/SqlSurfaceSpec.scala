@@ -291,8 +291,11 @@ class SqlSurfaceSpec extends SparkSpec {
       rows(s"SELECT * FROM graft_snapshot('$dir', '2')"))
     // the version catalog from SQL: one row per retained version
     val hist = spark.sql(s"SELECT * FROM graft_snapshot('$dir', 'history')")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
-    assert(hist == Seq((1, 2, 2L), (2, 2, 2L)), s"history: $hist")
+      .collect().map(r => (r.getInt(0), r.getAs[String]("operation"),
+        r.getAs[Int]("n_partitions"), r.getAs[Long]("n_rows"))).toSeq
+    assert(hist.map(h => (h._1, h._3, h._4)) ==
+      Seq((1, 2, 2L), (2, 2, 2L)), s"history: $hist")
+    assert(hist.map(_._2).forall(_.nonEmpty), s"operations: $hist")
     val e1 = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_snapshot('$dir', 'vv')").collect())
     assert(e1.getMessage.contains("version must be a positive integer"))
@@ -377,7 +380,7 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(mm.getLong(0) == 1L && mm.getLong(1) == 2L && mm.getLong(2) == 0L)
     val e1 = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_snapshot_where('$dir', 'vv', 'k > 0')").collect())
-    assert(e1.getMessage.contains("positive integer or 'head'"))
+    assert(e1.getMessage.contains("positive integer, 'head' or 'branch:<name>'"))
     val e2 = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_snapshot_where('$dir', 'head')").collect())
     assert(e2.getMessage.contains("3 string-literal arguments"))
