@@ -831,9 +831,11 @@ object ScaleProbe100 {
       {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_scale100_needle").toString + "/st"
+        // the needle is INJECTIVE (key-as-string) so exactly one gen
+        // holds any probe — and it is NOT a stats column, so min/max
+        // bounds don't exist for it: only the bloom sidecars can prune
         def scr(c: org.apache.spark.sql.Column) =
-          concat(lit("N"),
-            ((c * 2654435761L) % 1000000007L).cast("string"))
+          concat(lit("N"), c.cast("string"))
         def replicas(g: Int): DataFrame = {
           val base = (g * 10 until (g + 1) * 10).map { k =>
             orders.withColumn("o_orderkey",
@@ -850,7 +852,7 @@ object ScaleProbe100 {
         }
         // a needle held by gen 5's replica block
         val probeKey = 55L * 100000000L + 7L
-        val probe = s"N${probeKey * 2654435761L % 1000000007L}"
+        val probe = s"N$probeKey"
         val pred = col("needle") === probe
         def agg(df: DataFrame): Unit =
           df.groupBy(col("o_orderpriority"))
@@ -1021,7 +1023,12 @@ object ScaleProbe100 {
         updPlain = graft.storage.SnapshotStore.updateWhereDetailed(
           spark, plainDir, set, block(7))
       }
-      require(updStats.rewrittenDirs < updPlain.rewrittenDirs,
+      // confinement pin: the stats store keeps its untouched slices
+      // verbatim (keptDirs > 0); the stats-less twin rewrites EVERY dir
+      // it has (keptDirs == 0 — its earlier full-rewrite delete also
+      // consolidated it, so raw dir counts are not comparable; the
+      // advantage shows in rows rewritten, i.e. the walls)
+      require(updStats.keptDirs > 0 && updPlain.keptDirs == 0,
         s"stats must confine the update: $updStats vs $updPlain")
       val (sStats, sPlain) = (
         graft.storage.SnapshotStore.read(spark, statsDir)
