@@ -44,10 +44,13 @@ private[storage] object SnapshotBloom {
 
   private val Esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 
-  /** FPR-sizing cap: ~2.4 MB per filter at 1% — past this a filter is
-    * built overfilled (sound, less selective) rather than unbounded.
+  /** FPR-sizing cap: ~9.6 MB per filter at 1% — trivial beside the
+    * multi-GB gen it indexes, and enough that a 15M-row ingest batch
+    * only overfills ~2× (FPR a few percent, still pruning most gens).
+    * Past the cap a filter is built overfilled (sound — FPR rises, never
+    * false-negative) rather than unbounded.
     */
-  val MaxItems: Long = 2000000L
+  val MaxItems: Long = 8000000L
 
   private def hfs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)

@@ -2330,6 +2330,11 @@ object SnapshotStore {
           catch { // swept between the exists probe and the read: boundary
             case e: IllegalArgumentException if versionVanished(e) =>
               exhausted = true
+            // the sweep can also land between readHead's OWN exists
+            // probe and its open (or between a seg-ref parse and the
+            // segment read) — the raw not-found is the same boundary
+            case _: java.io.FileNotFoundException =>
+              exhausted = true
           }
           v -= 1
         }
