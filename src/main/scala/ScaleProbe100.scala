@@ -1043,6 +1043,45 @@ object ScaleProbe100 {
           "(stats-less full rewrite vs stats-confined copy-on-write of " +
           "the same gen-aligned update)")
       }
+      // declare-later BACKFILL rung (r15): the plain store gains k-stats
+      // + a derived-needle backfill vs the old remedy — rewriting the
+      // whole corpus into a declared store. The backfill pays gen-sized
+      // aggregates + one manifest commit; the rewrite pays a full data
+      // write on top of the same aggregates.
+      {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_scale100_bf").toString + "/st"
+        graft.storage.SnapshotStore.write(replicas(0), dir,
+          "o_orderpriority") // nothing declared
+        (1 until 10).foreach { g =>
+          graft.storage.SnapshotStore.append(replicas(g), dir,
+            "o_orderpriority")
+        }
+        time("backfill_stats_100x") {
+          graft.storage.SnapshotStore.backfillStats(spark, dir,
+            statsCols = Seq("o_orderkey"))
+        }
+        val pr = graft.storage.SnapshotStore.readWhere(spark, dir,
+          block(5)).inputFiles.length
+        val full = graft.storage.SnapshotStore.read(spark, dir)
+          .inputFiles.length
+        require(pr * 10 <= full * 2,
+          s"backfilled stats must prune the gen-aligned read: $pr/$full")
+        val rw = java.nio.file.Files
+          .createTempDirectory("graft_scale100_bfrw").toString + "/st"
+        time("backfill_rewrite_100x") {
+          graft.storage.SnapshotStore.write(
+            graft.storage.SnapshotStore.read(spark, dir), rw,
+            "o_orderpriority", statsCols = Seq("o_orderkey"))
+        }
+        for (a <- walls.get("backfill_rewrite_100x");
+             b <- walls.get("backfill_stats_100x")) {
+          ratios("snapshot_backfill_advantage_100x") = a / b
+          println(f"PROBE snapshot_backfill_advantage_100x ${a / b}%.2fx " +
+            "(rewrite-the-corpus-with-stats vs metadata-only backfill " +
+            "of the same declarations)")
+        }
+      }
       walls("sentinel_dml_end") = sentinel()
     }
 

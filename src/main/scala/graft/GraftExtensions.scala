@@ -47,6 +47,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(plans.MaintenanceSql.Update.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.AddConstraint.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.DropConstraint.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.BackfillStats.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Tag.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.DropTag.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Branch.descriptor)

@@ -245,6 +245,9 @@ object AsOf {
       MaintenanceSql.DropConstraint.name,
       MaintenanceSql.DropConstraint.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.BackfillStats.name,
+      MaintenanceSql.BackfillStats.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Tag.name, MaintenanceSql.Tag.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.DropTag.name, MaintenanceSql.DropTag.builder, "scala_udf")

@@ -410,6 +410,42 @@ object MaintenanceSql {
       (FunctionIdentifier(name), info, builder)
   }
 
+  /** `graft_backfill_stats(path, statsCols [, bloomCols])` — declare-later
+    * data skipping: adds the comma-separated columns to the store's
+    * stats / needle declarations and backfills every retained head gen
+    * (blobs into the manifest, bloom sidecars into the gen dirs) with
+    * zero data rewritten; an empty string for either list declares none
+    * of that kind. `detail` = the committed version.
+    */
+  object BackfillStats {
+    val name = "graft_backfill_stats"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_backfill_stats(path, statsCols[, bloomCols]) - declares " +
+        "skipping columns on an existing SnapshotStore and backfills " +
+        "every retained head gen's stats/needle metadata, no data " +
+        "rewritten; comma-separated lists ('' = none); returns one " +
+        "status row (detail = committed version); string-literal " +
+        "arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 2 || args.size == 3,
+        s"$name takes (path, statsCols[, bloomCols]); got ${args.size} " +
+          "arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      def cols(i: Int): Seq[String] =
+        if (args.size <= i) Nil
+        else str(name, args, i).split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+      val v = graft.storage.SnapshotStore.backfillStats(spark, path,
+        statsCols = cols(1), bloomCols = cols(2))
+      statusRow(spark, "backfill_stats", path, v.toLong)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
   /** `graft_tag(path, name [, version])` — tags a version (default: head)
     * as an IMMUTABLE named ref that [[graft.storage.SnapshotStore.expire]]
     * then retains regardless of the keep window; `detail` = the tagged

@@ -1548,6 +1548,65 @@ object Extended extends QueryModule {
         col("needle").isin(n1, n2))
         .select(col("o_orderkey"), col("o_orderpriority"), col("needle"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Declare-later data skipping (r15): the store was written with NO
+    // skipping metadata at all — the operational "we forgot" / "the
+    // query pattern changed" case, where the alternative is rewriting
+    // the corpus. backfillStats declares o_orderkey stats + a needle
+    // column and backfills every gen with ZERO data rewritten
+    // (require-pinned: the gen set on disk is unchanged); afterwards
+    // the range read opens 2-of-4 gens and a needle miss opens ZERO.
+    // Slice 2 re-aggregates the full read — the backfill moved only
+    // metadata.
+    "q_snapshot_backfill" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_bfq")
+        .toString + "/orders_backfill"
+      val k = col("o_orderkey")
+      val mx = orders.agg(max(k)).head().getLong(0)
+      val (q1, q3) = (mx / 4, 3 * mx / 4)
+      val base = orders.select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+        .withColumn("needle", concat(lit("N"), k.cast("string")))
+      graft.storage.SnapshotStore.write(base.filter(k <= q1),
+        dir, "o_orderpriority") // nothing declared
+      graft.storage.SnapshotStore.append(
+        base.filter(k > q1 && k <= mx / 2), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(
+        base.filter(k > mx / 2 && k <= q3), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(base.filter(k > q3),
+        dir, "o_orderpriority")
+      def gens(files: Array[String]) =
+        files.flatMap(_.split("/data/").lift(1)).map(_.split("/").head).toSet
+      val pred = k > q1 && k <= q3
+      require(gens(graft.storage.SnapshotStore.readWhere(s, dir, pred)
+        .inputFiles).size == 4,
+        "q_snapshot_backfill: nothing prunes before the backfill")
+      val dataDirs = new java.io.File(s"$dir/data").listFiles()
+        .map(_.getName).toSet
+      graft.storage.SnapshotStore.backfillStats(s, dir,
+        statsCols = Seq("o_orderkey"), bloomCols = Seq("needle"))
+      require(new java.io.File(s"$dir/data").listFiles()
+        .map(_.getName).toSet == dataDirs,
+        "q_snapshot_backfill: zero data rewritten")
+      val ranged = graft.storage.SnapshotStore.readWhere(s, dir, pred)
+      val missFiles = graft.storage.SnapshotStore.readWhere(s, dir,
+        col("needle") === "N-1").inputFiles
+      require(gens(ranged.inputFiles).size == 2 && missFiles.isEmpty,
+        "q_snapshot_backfill: the range must open 2-of-4 gens and a " +
+          "needle miss ZERO after the backfill")
+      def agg(x: org.apache.spark.sql.DataFrame, slice: Int) =
+        x.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("sum_cents"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .withColumn("slice", lit(slice))
+      agg(ranged, 1)
+        .unionByName(agg(graft.storage.SnapshotStore.read(s, dir), 2))
+        .orderBy(col("slice"), col("o_orderpriority"))
     }))
 
   def oracle: Seq[(String, String)] = Seq(
@@ -1623,6 +1682,22 @@ object Extended extends QueryModule {
         |WHERE concat('N', CAST((o_orderkey * 2654435761) % 1000000007
         |    AS VARCHAR)) IN (n1, n2)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_snapshot_backfill" -> {
+      def bAgg(slice: Int, pred: String) =
+        s"""SELECT o_orderpriority, count(*) AS n_orders,
+           |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |      AS sum_cents,
+           |    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           |    $slice AS slice
+           |  FROM orders, mx WHERE $pred GROUP BY o_orderpriority""".stripMargin
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+        |SELECT * FROM (
+        |""".stripMargin +
+        Seq(bAgg(1, "o_orderkey > m // 4 AND o_orderkey <= (3 * m) // 4"),
+          bAgg(2, "TRUE")).mkString("\nUNION ALL\n") +
+        "\n) ORDER BY slice, o_orderpriority"
+    },
 
     "q_snapshot_drop" -> {
       def dAgg(v: Int, pred: String, clerk: String) =

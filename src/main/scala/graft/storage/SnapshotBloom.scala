@@ -137,6 +137,12 @@ private[storage] object SnapshotBloom {
       fc.rename(tmp, new org.apache.hadoop.fs.Path(genPath,
         s"_bloom-${Esc.escapePathName(c)}"),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // the raw rename leaves the staging checksum sidecar behind; the
+      // published file never carries one (reads are unverified, like
+      // every fc-renamed artifact) — tidy the orphan now instead of
+      // waiting for the gen's expiry
+      fs.delete(new org.apache.hadoop.fs.Path(genPath,
+        s".${tmp.getName}.crc"), false)
     }
   }
 

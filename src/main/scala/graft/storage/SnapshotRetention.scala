@@ -181,6 +181,7 @@ private[storage] object SnapshotRetention {
           n.startsWith("._renames-") || n.startsWith("._op-")) &&
           n.endsWith(".tmp")) ||
         n.startsWith("._tag.tmp-") || n.startsWith("._statscols.tmp-") ||
+        n.startsWith("._bloomcols.tmp-") ||
         n.startsWith("._partcol.tmp-") || n.startsWith("._staged.tmp-")
       if (isStaging && now - st.getModificationTime >= minAgeMs)
         fs.delete(st.getPath, false)

@@ -343,7 +343,7 @@ object SnapshotStore {
     * NO bound — a blob carrying "NaN" would permanently break every
     * later [[readWhere]] on the store.
     */
-  private def genStats(spark: SparkSession, path: String, gen: String,
+  private[storage] def genStats(spark: SparkSession, path: String, gen: String,
                        statsCols: Seq[String]): Map[String, String] = {
     if (statsCols.isEmpty) return Map.empty
     val genPath = s"$path/data/$gen"
@@ -1599,6 +1599,19 @@ object SnapshotStore {
     }
   }
 
+  /** Declare-later data skipping: adds `statsCols`/`bloomCols` (logical
+    * names) to the store's declarations and BACKFILLS every retained
+    * head gen — blobs recomputed into the manifest, needle sidecars
+    * built, zero data rewritten. One gen-sized aggregate per gen + one
+    * full-manifest commit; the CDC feed across the backfill version is
+    * empty without reading a file (changes() diffs dir lists). Returns
+    * the committed version. See [[SnapshotBackfill]].
+    */
+  def backfillStats(spark: SparkSession, path: String,
+                    statsCols: Seq[String] = Nil,
+                    bloomCols: Seq[String] = Nil): Int =
+    SnapshotBackfill.backfillStats(spark, path, statsCols, bloomCols)
+
   /** Adds CHECK constraint `name` (SQL predicate over logical names) —
     * the write-boundary quality gate: every later append / merge /
     * branch write / predicate UPDATE refuses batches carrying a row the
@@ -2077,7 +2090,7 @@ object SnapshotStore {
       case _ => ()
     }
 
-  private def validateStatsCols(statsCols: Seq[String],
+  private[storage] def validateStatsCols(statsCols: Seq[String],
       schema: org.apache.spark.sql.types.StructType): Unit =
     statsCols.foreach { c =>
       require(!c.exists(ch => ch == ';' || ch == '=' || ch == ':' ||
@@ -2576,8 +2589,13 @@ object SnapshotStore {
         case _ => (readManifest(spark, path, fromVersion),
           readManifest(spark, path, toVersion))
       }
+    // partitions diff by their DIR lists, never the stats-blob text:
+    // dirs are immutable, so equal dir lists PROVE identical rows — a
+    // metadata-only commit (stats backfill) yields an empty feed without
+    // reading a single file
     val changed = (fromM.keySet ++ toM.keySet)
-      .filter(p => fromM.get(p) != toM.get(p))
+      .filter(p => fromM.get(p).map(_.map(dirOf).sorted) !=
+        toM.get(p).map(_.map(dirOf).sorted))
     def rd(m: Map[String, Seq[String]], v: Int): Option[DataFrame] = {
       val dirs = changed.toSeq.flatMap(m.get).flatten.sorted
         .map(d => s"$path/${dirOf(d)}")
