@@ -110,6 +110,20 @@ private[graft] object SnapshotDml {
     val expr = analyzed(spark, logicalSchema, pred)
     val entries = touchedEntries(spark, path, head, renames, logicalSchema,
       expr)
+    // the needle pass serves DML's pruning too: a gen whose bloom filter
+    // proves an equality probe absent holds no matching row — NoMatch,
+    // copied forward verbatim ("delete THIS document id" rewrites the one
+    // gen that holds it, not every gen whose k-range happens to overlap)
+    val probes = SnapshotBloom.probesOf(expr, logicalToPhysical,
+      SnapshotBloom.bloomColsOf(spark, path).toSet)
+    // gen-level memo: sidecars are per-gen, so rejection is gen-uniform
+    // and each gen's filters are read at most once
+    val bloomMemo = scala.collection.mutable.Map.empty[String, Boolean]
+    def bloomNoMatch(f: String): Boolean = probes.nonEmpty && {
+      val dir = dirOf(f)
+      bloomMemo.getOrElseUpdate(dir.split("/").lift(1).getOrElse(""),
+        SnapshotBloom.prune(spark, path, Seq(dir), probes).isEmpty)
+    }
     var dropped = 0
     var kept = 0
     val removed = Set.newBuilder[String]
@@ -118,9 +132,10 @@ private[graft] object SnapshotDml {
     var touchedAny = false
     entries.foreach { case (p, fields) =>
       val vs = fields.map { f =>
-        f -> statsOf(f).map(b =>
+        val v = statsOf(f).map(b =>
           evalPrune(expr, parseStats(b), logicalToPhysical))
           .getOrElse(MightMatch)
+        f -> (if (v != NoMatch && bloomNoMatch(f)) NoMatch else v)
       }
       if (vs.exists(_._2 != NoMatch)) {
         touchedAny = true
@@ -204,6 +219,18 @@ private[graft] object SnapshotDml {
     val expr = analyzed(spark, logicalSchema, pred)
     val entries = touchedEntries(spark, path, head, renames, logicalSchema,
       expr)
+    // same needle demotion as deleteWhere: a bloom-rejected gen holds no
+    // row the assignments could touch
+    val probes = SnapshotBloom.probesOf(expr, logicalToPhysical,
+      SnapshotBloom.bloomColsOf(spark, path).toSet)
+    // gen-level memo: sidecars are per-gen, so rejection is gen-uniform
+    // and each gen's filters are read at most once
+    val bloomMemo = scala.collection.mutable.Map.empty[String, Boolean]
+    def bloomNoMatch(f: String): Boolean = probes.nonEmpty && {
+      val dir = dirOf(f)
+      bloomMemo.getOrElseUpdate(dir.split("/").lift(1).getOrElse(""),
+        SnapshotBloom.prune(spark, path, Seq(dir), probes).isEmpty)
+    }
     var kept = 0
     val removed = Set.newBuilder[String]
     val keptByPart = Map.newBuilder[String, Seq[String]]
@@ -211,9 +238,10 @@ private[graft] object SnapshotDml {
     var touchedAny = false
     entries.foreach { case (p, fields) =>
       val vs = fields.map { f =>
-        f -> statsOf(f).map(b =>
+        val v = statsOf(f).map(b =>
           evalPrune(expr, parseStats(b), logicalToPhysical))
           .getOrElse(MightMatch)
+        f -> (if (v != NoMatch && bloomNoMatch(f)) NoMatch else v)
       }
       if (vs.exists(_._2 != NoMatch)) {
         touchedAny = true

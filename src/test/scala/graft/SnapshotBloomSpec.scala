@@ -132,6 +132,29 @@ class SnapshotBloomSpec extends SparkSpec {
       .collect().toSeq == Seq(1042L))
   }
 
+  test("DML rides the needle pass: 'delete THIS id' rewrites only the " +
+    "gen that holds it; a needle-miss delete is a provable no-op") {
+    val dir = newDir("dml"); needleStore(dir)
+    val noop = SnapshotStore.deleteWhereDetailed(spark, dir,
+      col("needle") === "NOPE")
+    assert(noop.version == 3 && noop.rewrittenDirs == 0,
+      s"a needle-miss delete commits nothing, got $noop")
+    val r = SnapshotStore.deleteWhereDetailed(spark, dir,
+      col("needle") === scramble(1042L))
+    assert(r.rewrittenDirs <= 2 && r.rewrittenDirs >= 1,
+      s"only the holding gen's slice(s) pay copy-on-write, got $r")
+    assert(SnapshotStore.read(spark, dir)
+      .filter(col("k") === 1042L).count() == 0)
+    assert(SnapshotStore.read(spark, dir).count() == 599)
+    val u = SnapshotStore.updateWhereDetailed(spark, dir,
+      Seq("needle" -> lit("REDACTED")), col("needle") === scramble(7L))
+    assert(u.rewrittenDirs <= 2,
+      s"the needle-confined update stays in the holding gen, got $u")
+    assert(SnapshotStore.read(spark, dir)
+      .filter(col("k") === 7L).select("needle").as[String]
+      .head() == "REDACTED")
+  }
+
   test("countWhere rides the needle pass: a miss counts zero with zero " +
     "dirs scanned; graft_snapshot_where reaches the branch audit") {
     plans.AsOf.register(spark)
