@@ -74,6 +74,17 @@ private[graft] object SnapshotBackfill {
     // maintains the new columns for its own gens
     replaceColsFile(spark, path, "_statscols", newStats)
     replaceColsFile(spark, path, "_bloomcols", newBlooms)
+    // STAGED branch gens get needle sidecars too — they are per-gen
+    // files, so no staged manifest is rewritten and no branch owner is
+    // raced; the WAP audit then prunes on the new columns immediately.
+    // (Staged STATS blobs stay as written — conservative — until the
+    // branch's own appends/merges or its publish-era compactions re-blob
+    // them; publishing re-points gens, and a post-publish backfill
+    // covers them like any main-line gen.)
+    SnapshotBranch.allStagedDirs(spark, path)
+      .map(f => dirOf(f).split("/").lift(1).getOrElse(""))
+      .filter(_.nonEmpty).toSet
+      .foreach(g => SnapshotBloom.buildFor(spark, path, g, newBlooms))
     val entries = forWrite(path, head)(readManifest(spark, path, head))
     if (entries.isEmpty) return head
     val gens = entries.values.flatten

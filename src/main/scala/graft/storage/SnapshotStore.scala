@@ -1048,7 +1048,11 @@ object SnapshotStore {
         case MightMatch => residual += dirOf(field)
       }
     }
-    val dirs = residual.result().sorted
+    // needle pass on the residual, countWhere's symmetry: a gen whose
+    // bloom filter proves an equality probe absent contributes nothing
+    val dirs = SnapshotBloom.prune(spark, path, residual.result().sorted,
+      SnapshotBloom.probesOf(expr, logicalToPhysical,
+        SnapshotBloom.bloomColsOf(spark, path).toSet))
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
     val scannedDf =

@@ -110,6 +110,23 @@ class SnapshotBackfillSpec extends SparkSpec {
       "re-declaring recomputes and commits (idempotent content)")
   }
 
+  test("staged branch gens get needle sidecars too: the WAP audit " +
+    "prunes on the backfilled column without any staged rewrite") {
+    val dir = newDir("br"); bareStore(dir)
+    SnapshotStore.branchCreate(spark, dir, "cand")
+    SnapshotStore.appendBranch(
+      Seq((5000L, "p0", 5.0, "N5000")).toDF("k", "p", "v", "needle"),
+      dir, "cand", "p")
+    SnapshotStore.backfillStats(spark, dir, bloomCols = Seq("needle"))
+    val miss = SnapshotStore.readBranchWhere(spark, dir, "cand",
+      col("needle") === "NOPE")
+    assert(miss.count() == 0 && miss.inputFiles.isEmpty,
+      "the audit's needle miss opens zero gens — staged ones included")
+    assert(SnapshotStore.readBranchWhere(spark, dir, "cand",
+      col("needle") === "N5000").select("k").as[Long]
+      .collect().toSeq == Seq(5000L))
+  }
+
   test("SQL verb: graft_backfill_stats declares and backfills from pure " +
     "SQL") {
     plans.AsOf.register(spark)

@@ -167,6 +167,11 @@ class SnapshotBloomSpec extends SparkSpec {
       spark, dir, col("needle") === scramble(1042L))
     assert(hitCnt == 1L && hitScanned <= 2,
       s"the hit scans only the holding gen(s), got ($hitCnt, $hitScanned)")
+    // minMaxWhere symmetry: the miss aggregates nothing, scans nothing
+    val (mm, mmScanned) = SnapshotStore.minMaxWhereDetailed(spark, dir,
+      Seq("k"), col("needle") === "NOPE")
+    assert(mmScanned == 0 && mm.collect()(0).isNullAt(0),
+      "a needle-miss min/max is empty without a scan")
     // SQL: the pruned read reaches a branch tip via the selector
     SnapshotStore.branchCreate(spark, dir, "aud")
     SnapshotStore.appendBranch(
