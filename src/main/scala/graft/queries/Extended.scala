@@ -53,10 +53,12 @@ object Extended extends QueryModule {
     */
   private def snapFixture(s: org.apache.spark.sql.SparkSession,
                           d: String): String =
-    // tag v2: operation provenance (r15) is part of the fixture's
-    // observable shape — q_snapshot_history reads the `operation` column,
-    // so a cache built by pre-provenance code must not serve
-    StreamGate.replayCache(d, "snapfix2", "orders") { dir =>
+    // tag v3: commit timestamps (r16) are part of the fixture's
+    // observable shape — q_snapshot_history pins the `committed_at`
+    // monotonicity and q_snapshot_asof resolves it, so a cache built by
+    // pre-timestamp code must not serve (tag v2 was r15's operation
+    // provenance, same rationale)
+    StreamGate.replayCache(d, "snapfix3", "orders") { dir =>
       val orders = t(s, d, "orders")
       graft.storage.SnapshotStore.write(orders, s"$dir/st",
         "o_orderpriority")
@@ -719,10 +721,46 @@ object Extended extends QueryModule {
     // per retained version with manifest partition count + footer-only
     // row count — the "what exactly is in this store and since when"
     // observability query; also SQL-reachable as
-    // graft_snapshot(path, 'history').
-    "q_snapshot_history" -> ((s, d) =>
+    // graft_snapshot(path, 'history'). `committed_at` is wall-clock (not
+    // oracle-expressible raw), so the gate pins its CONTRACT instead:
+    // present on every row and strictly increasing with version (the
+    // monotonic-stamp guarantee AS OF resolution rests on).
+    "q_snapshot_history" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("version"))
       graft.storage.SnapshotStore.history(s, snapFixture(s, d))
-        .orderBy(col("version"))),
+        .withColumn("ts_monotonic",
+          col("committed_at").isNotNull && (col("committed_at") >
+            coalesce(lag(col("committed_at"), 1).over(w),
+              lit(Long.MinValue))))
+        .drop("committed_at")
+        .orderBy(col("version"))
+    }),
+
+    // TIMESTAMP AS OF time travel (Delta/Iceberg public semantics,
+    // re-derived on the `_op-<v>` stamps): resolve "newest version
+    // committed at or before ts" at three probes straddling the merge
+    // commit — AT v1's stamp and one millisecond BEFORE v2's both see the
+    // pre-merge relation (strictly-increasing stamps make the boundary
+    // exact), AT v2's stamp sees the post-merge one. A timestamp older
+    // than retention fails loud (SnapshotSpec pins that contract); also
+    // SQL-reachable as graft_snapshot(path, 'ts:<epoch-millis|iso>').
+    "q_snapshot_asof" -> ((s, d) => {
+      val dir = snapFixture(s, d)
+      val t1 = graft.storage.SnapshotStore.committedAtOf(s, dir, 1).get
+      val t2 = graft.storage.SnapshotStore.committedAtOf(s, dir, 2).get
+      def slice(ts: Long, probe: String) =
+        graft.storage.SnapshotStore.readAsOf(s, dir, ts)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("sum_cents"))
+          .select(lit(probe).as("probe"), col("o_orderpriority"),
+            col("n_orders"), col("sum_cents"))
+      slice(t1, "at_v1")
+        .unionAll(slice(t2 - 1, "before_v2"))
+        .unionAll(slice(t2, "at_v2"))
+        .orderBy(col("probe"), col("o_orderpriority"))
+    }),
 
     // Incremental view maintenance: a materialized per-priority SUM/COUNT
     // rollup is refreshed by folding the CHANGES feed into the prior
@@ -2284,13 +2322,34 @@ object Extended extends QueryModule {
         |  SELECT 1 AS version, 'write' AS operation,
         |    CAST((SELECT count(DISTINCT o_orderpriority) FROM orders)
         |      AS INTEGER) AS n_partitions,
-        |    (SELECT count(*) FROM orders) AS n_rows
+        |    (SELECT count(*) FROM orders) AS n_rows,
+        |    TRUE AS ts_monotonic
         |  UNION ALL
         |  SELECT 2 AS version, 'merge' AS operation,
         |    CAST((SELECT count(DISTINCT o_orderpriority) FROM merged)
         |      AS INTEGER) AS n_partitions,
-        |    (SELECT count(*) FROM merged) AS n_rows)
+        |    (SELECT count(*) FROM merged) AS n_rows,
+        |    TRUE AS ts_monotonic)
         |ORDER BY version""".stripMargin,
+
+    // AS OF TIMESTAMP: the three probes replay relationally — the two
+    // timestamps at/just-before the merge commit see the PRE-merge
+    // relation, the merge's own stamp sees the post-merge one
+    "q_snapshot_asof" ->
+      s"""$mergeOracleCte,
+        |  pre AS (SELECT o_orderpriority, count(*) AS n_orders,
+        |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |        AS sum_cents
+        |    FROM orders GROUP BY o_orderpriority),
+        |  post AS (SELECT o_orderpriority, count(*) AS n_orders,
+        |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |        AS sum_cents
+        |    FROM merged GROUP BY o_orderpriority)
+        |SELECT * FROM (
+        |  SELECT 'at_v1' AS probe, * FROM pre
+        |  UNION ALL SELECT 'before_v2' AS probe, * FROM pre
+        |  UNION ALL SELECT 'at_v2' AS probe, * FROM post)
+        |ORDER BY probe, o_orderpriority""".stripMargin,
 
     // delta fold ≡ recompute: the oracle aggregates the merged relation
     // from scratch; the operator never touches it

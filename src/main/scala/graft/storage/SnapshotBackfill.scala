@@ -28,11 +28,14 @@ import org.apache.spark.sql.SparkSession
   * anything (the streaming source's diff was always dir-based). Time
   * travel is untouched: older versions keep their original fields.
   *
-  * Cost model, stated plainly: one gen-sized aggregate per retained head
-  * gen (the same pass a commit pays for its own gen, replayed once), one
-  * full-manifest commit (every partition's entry text changes — the
-  * one-time O(partitions) cost the per-commit delta path exists to
-  * avoid), and one bloom build per gen per declared needle column.
+  * Cost model, stated plainly: ONE corpus-sized aggregate over all
+  * retained head gens in a single Spark job (r16 —
+  * [[SnapshotStore.genStatsBatch]]; jobs no longer scale with gen
+  * count), one full-manifest commit (every partition's entry text
+  * changes — the one-time O(partitions) cost the per-commit delta path
+  * exists to avoid), and one bloom build per gen per declared needle
+  * column (sidecars are per-gen files, so those stay per-gen by
+  * construction; each build is one gen-sized job).
   */
 private[graft] object SnapshotBackfill {
   import SnapshotStore._
@@ -89,11 +92,13 @@ private[graft] object SnapshotBackfill {
     if (entries.isEmpty) return head
     val gens = entries.values.flatten
       .map(f => dirOf(f).split("/").lift(1).getOrElse("")).toSet - ""
-    // one gen-sized aggregate per gen, through the commit path's own
-    // stats codec — per-partition blobs keyed by partition value
-    val blobs: Map[String, Map[String, String]] = gens.iterator.map { g =>
-      g -> genStats(spark, path, g, newStats)
-    }.toMap
+    // ONE corpus-sized aggregate for ALL gens (r16 — was one driver-looped
+    // job per gen, hours at a 10k-gen store), through the commit path's
+    // own stats codec — per-partition blobs keyed by (gen, value)
+    val blobs: Map[String, Map[String, String]] =
+      genStatsBatch(spark, path,
+        entries.values.flatten.map(dirOf).toSeq.distinct.sorted,
+        newStats, physSchema)
     gens.foreach(g => SnapshotBloom.buildFor(spark, path, g, newBlooms))
     val rebuilt = entries.map { case (p, fields) =>
       p -> fields.map { f =>

@@ -634,6 +634,14 @@ private[storage] object SnapshotBranch {
           s"past the fork point (version ${st.base}, head now " +
           s"${head.getOrElse(-1)}); rebase the branch onto the new head " +
           "or re-create it")
+    // CHECK constraints added AFTER the rows were staged still gate the
+    // publish: "anything stageable is publishable" only holds for the
+    // constraint set in force at stage time, and a WAP branch can sit
+    // staged for days. The probe is the same stats-pruned verdict pass
+    // the audit count rides — conforming data usually REFUTES the
+    // violation predicate from the staged blobs alone (bounds prove
+    // compliance), so the common publish scans nothing.
+    requireTipSatisfiesConstraints(spark, path, name, st)
     try SnapshotStore.commit(spark, path, target, st.entries, Nil,
       Some(st.schema), st.renames, op = "publish_branch")
     catch {
@@ -645,6 +653,51 @@ private[storage] object SnapshotBranch {
     }
     drop(spark, path, name)
     target
+  }
+
+  /** Publish-time constraint gate (see [[publish]]): every current
+    * constraint must hold on the branch TIP. The primary path is the
+    * stats-pruned [[countWhere]] over the violation predicate (zero
+    * files opened when staged bounds refute it); a predicate that cannot
+    * resolve against the tip's schema (it references a column the branch
+    * never carried — NULL under the union schema, where CHECK passes by
+    * SQL semantics) falls back to the padded batch gate
+    * [[SnapshotConstraints.enforce]] over the tip read.
+    */
+  private def requireTipSatisfiesConstraints(spark: SparkSession,
+      path: String, name: String, st: Staged): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val cs = SnapshotConstraints.all(spark, path)
+    if (cs.isEmpty) return
+    lazy val tipRead: DataFrame = {
+      val dirs = st.entries.values.flatten.map(dirOf).toSeq.distinct.sorted
+      if (dirs.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          st.schema).drop("_p")
+      else SnapshotStore.applyRenames(
+        spark.read.schema(st.schema)
+          .parquet(dirs.map(d => s"$path/$d"): _*).drop("_p"),
+        st.renames)
+    }
+    cs.toSeq.sortBy(_._1).foreach { case (n, p) =>
+      val probe =
+        try Left(countWhere(spark, path, name,
+          not(coalesce(expr(p), lit(true)))))
+        catch { case _: org.apache.spark.sql.AnalysisException => Right(()) }
+      probe match {
+        case Left((viol, _)) =>
+          if (viol > 0L)
+            throw new IllegalArgumentException(
+              s"publish of branch '$name' to $path refused: constraint " +
+                s"'$n' CHECK ($p) was added after the rows were staged " +
+                s"and the branch tip violates it ($viol rows) — fix the " +
+                "candidate (branch DML / re-stage) or drop the constraint")
+        case Right(_) =>
+          SnapshotConstraints.enforce(spark, path, tipRead,
+            s"publish of branch '$name'")
+      }
+    }
   }
 
   /** The WAP publish LOOP as one verb: publish; on the fast-forward

@@ -257,17 +257,27 @@ private[graft] object SnapshotDml {
       rewriteDirs.map(d => s"$path/$d")), renames)
     val hit = coalesce(pred, lit(false))
     val assigned = assignments.toMap
-    val updated = base.select(base.columns.map { c =>
-      assigned.get(c) match {
-        case Some(e) =>
-          when(hit, e.cast(logicalSchema(c).dataType)).otherwise(col(c)).as(c)
-        case None => col(c)
-      }
-    }.toSeq: _*)
+    // the hit flag is MATERIALIZED from the PRE-update row before any
+    // assignment lands: re-filtering the post-assignment frame with the
+    // user's predicate would re-resolve it against the assigned values,
+    // and a self-referencing update (SET status='x' WHERE status='y')
+    // would drop its own rows out of the constraint-enforcement set
+    val hitCol = Iterator.from(0).map(i => s"_graft_hit$i")
+      .find(n => !base.columns.contains(n)).get
+    val updated = base.withColumn(hitCol, hit).select(
+      (base.columns.map { c =>
+        assigned.get(c) match {
+          case Some(e) =>
+            when(col(hitCol), e.cast(logicalSchema(c).dataType))
+              .otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      } :+ col(hitCol)).toSeq: _*)
     // CHECK constraints gate the rows the assignments actually modify
     // (the copied-through remainder is existing, already-conforming data)
-    SnapshotConstraints.enforce(spark, path, updated.filter(hit), "update")
-    val newEntries = writeGen(toPhysical(updated, renames), path,
+    SnapshotConstraints.enforce(spark, path,
+      updated.filter(col(hitCol)).drop(hitCol), "update")
+    val newEntries = writeGen(toPhysical(updated.drop(hitCol), renames), path,
       physPartCol, statsCols = statsColsOf(spark, path))
     val keptMap = keptByPart.result()
     val added = removed.result().flatMap { p =>

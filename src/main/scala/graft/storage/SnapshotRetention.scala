@@ -178,7 +178,8 @@ private[storage] object SnapshotRetention {
       val n = st.getPath.getName
       val isStaging =
         ((n.startsWith("._manifest-") || n.startsWith("._schema-") ||
-          n.startsWith("._renames-") || n.startsWith("._op-")) &&
+          n.startsWith("._renames-") || n.startsWith("._op-") ||
+          n.startsWith("._constraint-") || n.startsWith("._sortcols")) &&
           n.endsWith(".tmp")) ||
         n.startsWith("._tag.tmp-") || n.startsWith("._statscols.tmp-") ||
         n.startsWith("._bloomcols.tmp-") ||

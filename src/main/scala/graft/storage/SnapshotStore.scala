@@ -343,7 +343,7 @@ object SnapshotStore {
     * NO bound — a blob carrying "NaN" would permanently break every
     * later [[readWhere]] on the store.
     */
-  private[storage] def genStats(spark: SparkSession, path: String, gen: String,
+  private[graft] def genStats(spark: SparkSession, path: String, gen: String,
                        statsCols: Seq[String]): Map[String, String] = {
     if (statsCols.isEmpty) return Map.empty
     val genPath = s"$path/data/$gen"
@@ -379,39 +379,115 @@ object SnapshotStore {
     val rows = df.groupBy(col("_pdir"))
       .agg(aggs.head, aggs.tail: _*).collect()
     rows.flatMap { r =>
-      val total = r.getLong(r.fieldIndex("_rows"))
-      val blob = statsCols.flatMap { c =>
-        val key = Esc.escapePathName(c)
-        if (absent.contains(c)) Some(s"$key=$NoBoundsCode:::$total:$total")
-        else {
-          val nulls = total - r.getLong(r.fieldIndex(s"cnt_$c"))
-          val counts = s":$nulls:$total"
-          def noBounds = Some(s"$key=$NoBoundsCode::$counts")
-          if (!boundable(c)) noBounds
-          else {
-            val mn = r.get(r.fieldIndex(s"min_$c"))
-            val mx = r.get(r.fieldIndex(s"max_$c"))
-            if (mn == null || mx == null || !finite(mn) || !finite(mx))
-              noBounds
-            else df.schema(c).dataType match {
-              case org.apache.spark.sql.types.StringType =>
-                stringBounds(mn.toString, mx.toString).map { case (lo, hi) =>
-                  s"$key=s:${escapeStatValue(lo)}:${escapeStatValue(hi)}" +
-                    counts
-                }.orElse(noBounds) // increment overflow: counts still pay
-              case dt =>
-                Some(s"$key=${statCode(dt)}:${statValue(mn)}:" +
-                  s"${statValue(mx)}$counts")
-            }
-          }
-        }
-      }.mkString(";")
-      if (blob.isEmpty) None
+      val blob = blobOfRow(r, statsCols, absent.toSet, boundable,
+        c => df.schema(c).dataType)
       // _pdir is the partition VALUE (already exactly-once unescaped by
       // Spark's partition parsing) — a second unescape would mis-key any
       // value containing a literal '%XX'
-      else Some(r.getString(0) -> blob)
+      if (blob.isEmpty) None else Some(r.getString(0) -> blob)
     }.toMap
+  }
+
+  /** Renders one aggregate row (the `cnt_/min_/max_/_rows` layout both
+    * [[genStats]] and [[genStatsBatch]] produce) into a stats blob —
+    * shared so the per-commit and batched-backfill paths cannot drift.
+    */
+  private def blobOfRow(r: org.apache.spark.sql.Row, statsCols: Seq[String],
+                        absent: Set[String], boundable: String => Boolean,
+                        dtOf: String => org.apache.spark.sql.types.DataType)
+      : String = {
+    def finite(v: Any): Boolean = v match {
+      case d: java.lang.Double => !d.isNaN && !d.isInfinite
+      case f: java.lang.Float => !f.isNaN && !f.isInfinite
+      case _ => true
+    }
+    val total = r.getLong(r.fieldIndex("_rows"))
+    statsCols.flatMap { c =>
+      val key = Esc.escapePathName(c)
+      if (absent.contains(c)) Some(s"$key=$NoBoundsCode:::$total:$total")
+      else {
+        val nulls = total - r.getLong(r.fieldIndex(s"cnt_$c"))
+        val counts = s":$nulls:$total"
+        def noBounds = Some(s"$key=$NoBoundsCode::$counts")
+        if (!boundable(c)) noBounds
+        else {
+          val mn = r.get(r.fieldIndex(s"min_$c"))
+          val mx = r.get(r.fieldIndex(s"max_$c"))
+          if (mn == null || mx == null || !finite(mn) || !finite(mx))
+            noBounds
+          else dtOf(c) match {
+            case org.apache.spark.sql.types.StringType =>
+              stringBounds(mn.toString, mx.toString).map { case (lo, hi) =>
+                s"$key=s:${escapeStatValue(lo)}:${escapeStatValue(hi)}" +
+                  counts
+              }.orElse(noBounds) // increment overflow: counts still pay
+            case dt =>
+              Some(s"$key=${statCode(dt)}:${statValue(mn)}:" +
+                s"${statValue(mx)}$counts")
+          }
+        }
+      }
+    }.mkString(";")
+  }
+
+  /** [[genStats]] for MANY gens in ONE Spark job — the backfill scale
+    * path (O(gens) driver-looped aggregates would take hours at a
+    * 10k-gen store): the head's LEAF partition dirs are read as one
+    * union under the head's PHYSICAL schema (leaf dirs hold only files,
+    * so no partition-discovery conflict across gen roots — the same
+    * read shape countWhere's residual scan uses) and aggregated grouped
+    * by (gen, partition value). The gen key rides `input_file_name()` —
+    * gen names are `gen-` + lowercase hex by construction (random or
+    * md5-derived), so the URL-encoding hazard that rules that function
+    * out for partition VALUES (see [[genStats]]) cannot touch them —
+    * and the partition key is the recorded partition COLUMN cast to
+    * string, the exact expression writeGen derived the dir names from.
+    * A declared column absent from a gen's files reads NULL under the
+    * pinned union schema, which renders the exact all-NULL counts-only
+    * field [[genStats]] records for an absent column — the two paths
+    * produce identical blob text by construction ([[blobOfRow]] is
+    * shared; SnapshotBackfillSpec pins the equality). Falls back to the
+    * per-gen codec when the store predates the `_partcol` record.
+    */
+  private[graft] def genStatsBatch(spark: SparkSession, path: String,
+      leafDirs: Seq[String], statsCols: Seq[String],
+      physSchema: org.apache.spark.sql.types.StructType)
+      : Map[String, Map[String, String]] = {
+    if (statsCols.isEmpty || leafDirs.isEmpty) return Map.empty
+    val gens = leafDirs.map(_.split("/").lift(1).getOrElse(""))
+      .filter(_.nonEmpty).distinct.sorted
+    def perGen = gens.map(g =>
+      g -> genStats(spark, path, g, statsCols)).toMap
+    if (gens.size == 1) return perGen
+    val pc = partColOf(spark, path).getOrElse(return perGen)
+    import org.apache.spark.sql.types.StructType
+    val pinned = StructType(physSchema.fields.filterNot(_.name == "_p"))
+    if (!pinned.fieldNames.contains(pc)) return perGen
+    val df = spark.read.schema(pinned)
+      .parquet(leafDirs.map(d => s"$path/$d"): _*)
+      .withColumn("_gen", regexp_extract(input_file_name(),
+        "/data/(gen-[0-9a-f]+)/", 1))
+      .withColumn("_pdir", col(pc).cast("string"))
+    val present = statsCols.filter(c => pinned.fieldNames.contains(c))
+    val absent = statsCols.filterNot(c => pinned.fieldNames.contains(c))
+    val boundable = present
+      .filter(c => supportedStatsType(pinned(c).dataType)).toSet
+    val aggs = present.flatMap { c =>
+      val cnt = count(col(c)).as(s"cnt_$c")
+      if (boundable(c))
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"), cnt)
+      else Seq(cnt)
+    } :+ count(lit(1)).as("_rows")
+    val rows = df.groupBy(col("_gen"), col("_pdir"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.filter(r => !r.isNullAt(1)).groupBy(_.getString(0))
+      .map { case (gen, rs) =>
+        gen -> rs.flatMap { r =>
+          val blob = blobOfRow(r, statsCols, absent.toSet, boundable,
+            c => pinned(c).dataType)
+          if (blob.isEmpty) None else Some(r.getString(1) -> blob)
+        }.toMap
+      }
   }
 
   // tri-state pruning verdict: NoMatch means PROVABLY no row in the dir
@@ -1258,15 +1334,20 @@ object SnapshotStore {
     hfs(spark, path).delete(tagPath(path, name), false)
 
   /** The newest RETAINED version committed at or before `tsMillis` —
-    * timestamp time travel ("the corpus as of last Tuesday"), carried by
-    * manifest-file modification times exactly as Delta carries it by
-    * commit-file timestamps (public semantics and public caveat alike: a
-    * file copied without mtime preservation shifts its apparent commit
-    * time; version-number travel is the precise form, this is the
-    * convenient one). Versions are scanned in DESCENDING order and the
-    * first qualifying one wins, so a clock-skewed mtime inversion can
-    * only widen the answer toward the newer version, never resurrect an
-    * older one above it.
+    * timestamp time travel ("the corpus as of last Tuesday"). Since r16
+    * the carrier is the commit's OWN stamp ([[committedAtOf]], line 2 of
+    * `_op-<v>`, strictly increasing by construction — Delta's
+    * monotonicity-adjusted commit timestamps, a public concept); versions
+    * recorded before stamps existed fall back to manifest-file mtime
+    * (Delta's own original carrier, public caveat included: a file copied
+    * without mtime preservation shifts its apparent commit time).
+    * Versions are scanned in DESCENDING order and the first qualifying
+    * one wins, so a legacy mtime inversion can only widen the answer
+    * toward the newer version, never resurrect an older one above it.
+    * A timestamp older than the OLDEST retained stamp fails loud: the
+    * version live then is expired, and resolving to the oldest survivor
+    * would silently answer with data that did not exist at `tsMillis`
+    * (the same lag contract as the changes source).
     */
   def versionAsOf(spark: SparkSession, path: String, tsMillis: Long): Int = {
     val fs = hfs(spark, path)
@@ -1274,16 +1355,23 @@ object SnapshotStore {
     require(fs.exists(root), s"no snapshots at $path")
     val stamped = fs.listStatus(root)
       .filter(_.getPath.getName.startsWith("_manifest-"))
-      .map(st => st.getPath.getName.stripPrefix("_manifest-").toInt ->
-        st.getModificationTime)
+      .map { st =>
+        val v = st.getPath.getName.stripPrefix("_manifest-").toInt
+        v -> committedAtOf(spark, path, v).getOrElse(st.getModificationTime)
+      }
     require(stamped.nonEmpty, s"no snapshots at $path")
     stamped.sortBy(-_._1).collectFirst {
       case (v, mt) if mt <= tsMillis => v
     }.getOrElse(throw new IllegalArgumentException(
       s"no snapshot at $path committed at or before $tsMillis (earliest " +
         s"retained: version ${stamped.minBy(_._1)._1} at " +
-        s"${stamped.minBy(_._1)._2})"))
+        s"${stamped.minBy(_._1)._2}) — the version live then is expired; " +
+        "raise the expire keep window if you need a deeper time axis"))
   }
+
+  /** TIMESTAMP-AS-OF read: [[read]] at [[versionAsOf]]'s resolution. */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    read(spark, path, Some(versionAsOf(spark, path, tsMillis)))
 
   /** Renames logical column `oldName` to `newName` as a new, metadata-only
     * version: the head's manifest text and physical schema are carried
@@ -1884,8 +1972,17 @@ object SnapshotStore {
     // operation provenance (`_op-<v>`, the Delta DESCRIBE HISTORY idea):
     // which verb produced this version — [[history]] surfaces it, expire
     // sweeps it with the version's other metadata; absent = legacy
-    // "commit"
-    publishMeta("_op", Esc.escapePathName(op).getBytes("UTF-8"))
+    // "commit". Line 2 (r16) is the commit's epoch millis, adjusted to be
+    // strictly greater than the predecessor's stamp so the time axis is
+    // totally ordered (Delta's monotonicity adjustment — two commits in
+    // one wall-clock millisecond must not make `AS OF` ambiguous); the
+    // predecessor probe is one small-file read, and a missing/legacy
+    // predecessor stamp costs nothing.
+    val ts = math.max(System.currentTimeMillis(),
+      (if (v > 1) committedAtOf(spark, path, v - 1) else None)
+        .map(_ + 1L).getOrElse(Long.MinValue))
+    publishMeta("_op",
+      (Esc.escapePathName(op) + "\n" + ts).getBytes("UTF-8"))
     if (renames.nonEmpty)
       publishMeta("_renames", renames.toSeq.sortBy(_._1)
         .map { case (p, l) =>
@@ -2529,11 +2626,16 @@ object SnapshotStore {
       try {
         val nParts = readHead(spark, path, v).totalEntries
         val nRows = if (nParts == 0) 0L else read(spark, path, Some(v)).count()
-        Some((v, operationOf(spark, path, v), nParts, nRows))
+        Some((v, operationOf(spark, path, v),
+          committedAtOf(spark, path, v), nParts, nRows))
       } catch {
         case e: IllegalArgumentException if versionVanished(e) => None
+        // a gen/metadata file swept mid-count is the same vanished-version
+        // race in a different exception suit — the catalog reflects what
+        // is still retained
+        case _: java.io.FileNotFoundException => None
       }
-    }.toDF("version", "operation", "n_partitions", "n_rows")
+    }.toDF("version", "operation", "committed_at", "n_partitions", "n_rows")
   }
 
   /** The verb that produced version `v` (`_op-<v>`, Delta's DESCRIBE
@@ -2546,8 +2648,37 @@ object SnapshotStore {
     val fs = hfs(spark, path)
     val p = new org.apache.hadoop.fs.Path(path, s"_op-$v")
     if (!fs.exists(p)) "commit"
-    else Esc.unescapePathName(readFileUtf8(fs, p).trim)
+    else
+      // expire deletes `_op-$v` with the version's other metadata; the
+      // sweep landing between the probe above and this read is the same
+      // vanished-file race class as a swept manifest — fall back to the
+      // pre-provenance answer (the caller's version row is on its way
+      // out anyway)
+      try Esc.unescapePathName(readFileUtf8(fs, p).trim
+        .split("\n")(0))
+      catch { case _: java.io.FileNotFoundException => "commit" }
   }
+
+  /** When version `v` committed, epoch millis (Delta DESCRIBE HISTORY's
+    * timestamp column / the Iceberg snapshot-log committed_at — public
+    * concepts, re-derived): line 2 of `_op-<v>`, stamped by the CAS
+    * winner and adjusted to be strictly GREATER than the predecessor's
+    * stamp (Delta's commit-timestamp monotonicity adjustment), so
+    * "newest version at or before ts" is well-defined even when two
+    * commits land in one wall-clock millisecond. None for versions
+    * recorded before timestamps existed (and for the vanished-file race
+    * — same fallback as [[operationOf]]).
+    */
+  def committedAtOf(spark: SparkSession, path: String, v: Int): Option[Long] = {
+    val fs = hfs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path, s"_op-$v")
+    if (!fs.exists(p)) None
+    else
+      try readFileUtf8(fs, p).trim.split("\n").lift(1)
+        .filter(l => l.nonEmpty && l.forall(_.isDigit)).map(_.toLong)
+      catch { case _: java.io.FileNotFoundException => None }
+  }
+
 
   /** Row-level CHANGES between two snapshot versions — the incremental-read
     * feed (Delta CDF / Iceberg incremental-scan shape) that lets a 100 TB

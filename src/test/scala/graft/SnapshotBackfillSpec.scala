@@ -59,6 +59,45 @@ class SnapshotBackfillSpec extends SparkSpec {
       "the pre-backfill version still reads")
   }
 
+  test("the batched one-job blob pass is byte-identical to the per-gen " +
+    "codec — absent-column all-NULL fields and string bounds included") {
+    val dir = newDir("batch")
+    // gen 1 has no `s2` column (it reads NULL under the union schema and
+    // must record the same counts-only field the per-gen path records
+    // for an absent column); strings exercise the truncate discipline
+    SnapshotStore.write((0 until 40).map(i =>
+      (i.toLong, s"p${i % 2}", f"u$i%03d")).toDF("k", "p", "s"), dir, "p")
+    SnapshotStore.append((1000 until 1040).map(i =>
+      (i.toLong, s"p${i % 2}", f"u$i%04d", i * 1.5))
+      .toDF("k", "p", "s", "s2"), dir, "p")
+    SnapshotStore.backfillStats(spark, dir,
+      statsCols = Seq("k", "s", "s2"))
+    val head = SnapshotStore.headVersion(spark, dir).get
+    val entries = SnapshotStore.readManifest(spark, dir, head)
+    val genSet = gens(entries.values.flatten.map(f =>
+      s"x/data/${f.split("/")(1)}/y").toArray)
+    assert(genSet.size == 2)
+    val schema = org.apache.spark.sql.types.StructType(
+      SnapshotStore.read(spark, dir).schema.fields)
+    val perGen = genSet.map(g => g ->
+      SnapshotStore.genStats(spark, dir, g, Seq("k", "s", "s2"))).toMap
+    val leafDirs = entries.values.flatten
+      .map(f => f.split("")(0)).toSeq.distinct.sorted
+    val batch = SnapshotStore.genStatsBatch(spark, dir,
+      leafDirs, Seq("k", "s", "s2"), schema)
+    assert(batch == perGen,
+      s"batched blobs must equal the per-gen codec's:\n$batch\nvs\n$perGen")
+    // and the backfilled manifest carries exactly those blobs
+    entries.foreach { case (p, fields) =>
+      fields.foreach { f =>
+        val gen = f.split("/")(1)
+        val blob = f.split("\u0002").lift(1)
+        assert(blob == perGen(gen).get(p),
+          s"manifest field for ($p, $gen) must carry the codec blob")
+      }
+    }
+  }
+
   test("the CDC feed across a backfill commit is EMPTY without reading " +
     "a file (partitions diff by dir lists, never blob text)") {
     val dir = newDir("cdc"); bareStore(dir)

@@ -126,6 +126,70 @@ class SnapshotConstraintsSpec extends SparkSpec {
       Seq("v" -> (col("v") + 100.0)), col("k") === 1L)
   }
 
+  test("UPDATE whose predicate references the ASSIGNED column still runs " +
+    "the constraint gate over the modified rows (the hit flag is " +
+    "computed on the pre-update row, never re-resolved post-assignment)") {
+    val dir = newDir("selfref"); base(dir)
+    SnapshotStore.addConstraint(spark, dir, "v_pos", "v > 0")
+    // SET v = -v WHERE v > 15: the modified row (v=20 → -20) no longer
+    // satisfies the predicate AFTER assignment, so a post-assignment
+    // re-filter would silently skip enforcement and commit the violation
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.updateWhere(spark, dir,
+        Seq("v" -> -col("v")), col("v") > 15.0))
+    assert(e.getMessage.contains("v_pos"),
+      "a self-referencing update driving rows out of its own predicate " +
+        "must still be gated")
+    assert(SnapshotStore.read(spark, dir)
+      .filter(col("v") <= 0.0).count() == 0,
+      "the refused update committed nothing")
+    // the conforming self-referencing shape lands, and only hit rows move
+    SnapshotStore.updateWhere(spark, dir,
+      Seq("v" -> (col("v") * 2.0)), col("v") > 15.0)
+    assert(SnapshotStore.read(spark, dir).orderBy("k")
+      .select("v").as[Double].collect().toSeq == Seq(10.0, 40.0))
+  }
+
+  test("a constraint added AFTER rows were staged still gates the " +
+    "publish; a conforming tip publishes through it") {
+    val dir = newDir("latecheck"); base(dir)
+    SnapshotStore.branchCreate(spark, dir, "cand")
+    // no constraint yet: the violating candidate stages fine
+    SnapshotStore.appendBranch(
+      Seq((9L, "p0", -9.0)).toDF("k", "p", "v"), dir, "cand", "p")
+    SnapshotStore.addConstraint(spark, dir, "v_pos", "v > 0") // head: fine
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.publishBranch(spark, dir, "cand"))
+    assert(e.getMessage.contains("v_pos") &&
+      e.getMessage.contains("added after"),
+      s"late-added constraint must gate the publish: ${e.getMessage}")
+    assert(SnapshotStore.headVersion(spark, dir).contains(1),
+      "the refused publish committed nothing")
+    SnapshotStore.dropBranch(spark, dir, "cand")
+    // conforming branch: the late-added constraint is satisfied and the
+    // stats-pruned probe proves it without blocking the publish
+    SnapshotStore.branchCreate(spark, dir, "ok")
+    SnapshotStore.appendBranch(
+      Seq((9L, "p0", 9.0)).toDF("k", "p", "v"), dir, "ok", "p")
+    SnapshotStore.addConstraint(spark, dir, "k_pos", "k > 0")
+    val v = SnapshotStore.publishBranch(spark, dir, "ok")
+    assert(v == 2 && SnapshotStore.read(spark, dir).count() == 3)
+  }
+
+  test("a crashed addConstraint's staging tmp ages out under the " +
+    "retention sweep's orphan floor") {
+    val dir = newDir("tmp"); base(dir)
+    val orphan = new java.io.File(dir,
+      "._constraint-ghost.deadbeef.tmp")
+    java.nio.file.Files.write(orphan.toPath, "v > 0".getBytes("UTF-8"))
+    orphan.setLastModified(System.currentTimeMillis() - 3600000L)
+    SnapshotStore.expire(spark, dir, keep = 10, minAgeMs = 60000L)
+    assert(!orphan.exists(),
+      "orphaned constraint staging file must be swept")
+    assert(SnapshotStore.constraints(spark, dir).isEmpty,
+      "the tmp was never a published constraint")
+  }
+
   test("rename/drop of a referenced column are refused until the " +
     "constraint drops; unreferenced columns alter freely") {
     val dir = newDir("ref"); base(dir)

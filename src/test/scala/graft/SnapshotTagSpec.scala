@@ -114,8 +114,8 @@ class SnapshotTagSpec extends SparkSpec {
       .count() == 1, "redelivery across the tagged island duplicated a row")
   }
 
-  test("timestamp time travel: versionAsOf resolves by manifest mtime, " +
-    "the SQL 'asof:' rung reads it, out-of-range is loud") {
+  test("timestamp time travel: legacy versions (no _op stamp) resolve by " +
+    "manifest mtime, the SQL 'asof:' rung reads it, out-of-range is loud") {
     plans.AsOf.register(spark)
     val dir = newDir("asof")
     SnapshotStore.write(Seq((1L, "p0", 1.0)).toDF("k", "p", "v"), dir, "p")
@@ -123,6 +123,11 @@ class SnapshotTagSpec extends SparkSpec {
     SnapshotStore.merge(spark, dir,
       Seq((2L, "p0", 2.0)).toDF("k", "p", "v"), "p", Seq("k")) // v2
     val f2 = new java.io.File(dir, "_manifest-2")
+    // simulate a pre-stamp store: the r16 carrier is the _op stamp, and
+    // the mtime path must keep serving versions recorded before it
+    new java.io.File(dir, "_op-1").delete()
+    new java.io.File(dir, "_op-2").delete()
+    assert(SnapshotStore.committedAtOf(spark, dir, 1).isEmpty)
     // pin deterministic, distinct commit times (same mechanism Delta
     // trusts: the commit file's mtime)
     f1.setLastModified(1000000000000L)
@@ -143,6 +148,40 @@ class SnapshotTagSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_snapshot('$dir', 'asof:not-a-time')").collect())
     assert(e.getMessage.contains("epoch millis or an ISO-8601"))
+  }
+
+  test("commit stamps: strictly increasing committed_at, versionAsOf " +
+    "prefers the stamp over mtime, readAsOf straddles a commit") {
+    val dir = newDir("stamp")
+    SnapshotStore.write(Seq((1L, "p0", 1.0)).toDF("k", "p", "v"), dir, "p")
+    SnapshotStore.append(Seq((2L, "p0", 2.0)).toDF("k", "p", "v"), dir, "p")
+    SnapshotStore.merge(spark, dir,
+      Seq((3L, "p0", 3.0)).toDF("k", "p", "v"), "p", Seq("k")) // v3
+    val ts = (1 to 3).map(v => SnapshotStore.committedAtOf(spark, dir, v))
+    assert(ts.forall(_.isDefined), s"every commit must stamp: $ts")
+    assert(ts(0).get < ts(1).get && ts(1).get < ts(2).get,
+      s"stamps must be STRICTLY increasing (AS OF must never be " +
+        s"ambiguous): $ts")
+    // stamp beats mtime: shove every manifest mtime into the far future —
+    // resolution must not move
+    (1 to 3).foreach(v =>
+      new java.io.File(dir, s"_manifest-$v").setLastModified(9999999999999L))
+    assert(SnapshotStore.versionAsOf(spark, dir, ts(0).get) == 1)
+    assert(SnapshotStore.versionAsOf(spark, dir, ts(1).get - 1) == 1,
+      "one millisecond before v2's stamp must still see v1")
+    assert(SnapshotStore.versionAsOf(spark, dir, ts(1).get) == 2)
+    assert(SnapshotStore.versionAsOf(spark, dir, Long.MaxValue) == 3)
+    assert(SnapshotStore.readAsOf(spark, dir, ts(1).get).count() == 2)
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.versionAsOf(spark, dir, ts(0).get - 1))
+    assert(e.getMessage.contains("expire keep window"),
+      "a timestamp older than retention must fail LOUD, not resolve " +
+        "to the oldest survivor")
+    // the catalog carries the stamps
+    val h = SnapshotStore.history(spark, dir).orderBy("version")
+      .select("committed_at").collect().map(_.getLong(0))
+    assert(h.toSeq == ts.map(_.get),
+      "history's committed_at must be the _op stamps verbatim")
   }
 
   test("SQL surface: graft_tag / graft_drop_tag receipts, " +
