@@ -239,6 +239,15 @@ object AsOf {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Update.name, MaintenanceSql.Update.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.DeleteBranch.name, MaintenanceSql.DeleteBranch.builder,
+      "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.UpdateBranch.name, MaintenanceSql.UpdateBranch.builder,
+      "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.DeclareSort.name, MaintenanceSql.DeclareSort.builder,
+      "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.AddConstraint.name, MaintenanceSql.AddConstraint.builder,
       "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(

@@ -357,6 +357,110 @@ object MaintenanceSql {
       (FunctionIdentifier(name), info, builder)
   }
 
+  /** `graft_delete_branch(path, branch, predicate)` — predicate DELETE
+    * over a WAP branch TIP, staged as the branch's next version (the
+    * audit-fix loop: purge the flagged rows from the candidate and
+    * re-audit, never touching main). Receipt mirrors [[Delete]]'s with
+    * `tip_version` = the branch's staged counter.
+    */
+  object DeleteBranch {
+    val name = "graft_delete_branch"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_delete_branch(path, branch, predicate) - deletes the " +
+        "branch tip's rows matching the predicate, staged as the " +
+        "branch's next version (main untouched); returns one receipt " +
+        "row (dropped_dirs, rewritten_dirs, tip_version); " +
+        "string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 3,
+        s"$name takes (path, branch, predicate); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      val r = graft.storage.SnapshotStore.deleteBranchWhereDetailed(spark,
+        path, str(name, args, 1),
+        org.apache.spark.sql.functions.expr(str(name, args, 2)))
+      import spark.implicits._
+      Seq(("delete_branch", path, r.droppedDirs.toLong,
+        r.rewrittenDirs.toLong, r.version.toLong))
+        .toDF("verb", "path", "dropped_dirs", "rewritten_dirs",
+          "tip_version")
+        .queryExecution.analyzed
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  /** `graft_update_branch(path, branch, predicate, col, expr [, ...])` —
+    * predicate UPDATE over a WAP branch TIP (the in-place candidate
+    * redaction), staged as the branch's next version. Assignment
+    * semantics and the CHECK gate match [[Update]].
+    */
+  object UpdateBranch {
+    val name = "graft_update_branch"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_update_branch(path, branch, predicate, col, expr[, col2, " +
+        "expr2 ...]) - updates the branch tip's rows matching the " +
+        "predicate, staged as the branch's next version (each expr sees " +
+        "the pre-update row; main untouched); returns one receipt row " +
+        "(dropped_dirs, rewritten_dirs, tip_version); string-literal " +
+        "arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size >= 5 && args.size % 2 == 1,
+        s"$name takes (path, branch, predicate, col, expr[, col2, " +
+          s"expr2 ...]); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      val assignments = (3 until args.size by 2).map(i =>
+        str(name, args, i) ->
+          org.apache.spark.sql.functions.expr(str(name, args, i + 1)))
+      val r = graft.storage.SnapshotStore.updateBranchWhereDetailed(spark,
+        path, str(name, args, 1), assignments,
+        org.apache.spark.sql.functions.expr(str(name, args, 2)))
+      import spark.implicits._
+      Seq(("update_branch", path, r.droppedDirs.toLong,
+        r.rewrittenDirs.toLong, r.version.toLong))
+        .toDF("verb", "path", "dropped_dirs", "rewritten_dirs",
+          "tip_version")
+        .queryExecution.analyzed
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  /** `graft_declare_sort(path, col[, col2 ...])` — declares (or
+    * replaces) the store's clustering columns: every subsequent writer
+    * path sorts rows within each partition slice by them
+    * ([[graft.storage.SnapshotStore.declareSortCols]] — the reference's
+    * own `ORDER BY (logdate, logdatetime)` discipline, nginx.click:1,
+    * as a store property). Existing gens re-cluster at the next
+    * graft_compact.
+    */
+  object DeclareSort {
+    val name = "graft_declare_sort"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_declare_sort(path, col[, col2 ...]) - declares the store's " +
+        "clustering columns (every writer sorts partition slices by " +
+        "them; graft_compact re-clusters existing gens); returns one " +
+        "status row; string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size >= 2,
+        s"$name takes (path, col[, col2 ...]); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      val cols = (1 until args.size).map(i => str(name, args, i))
+      graft.storage.SnapshotStore.declareSortCols(spark, path, cols)
+      statusRow(spark, "declare_sort", path, cols.size.toLong)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
   /** `graft_add_constraint(path, name, predicate)` — adds a CHECK
     * constraint (write-boundary quality gate: later appends / merges /
     * branch writes / updates refuse batches violating it; NULL passes,

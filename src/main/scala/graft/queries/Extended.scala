@@ -1263,32 +1263,98 @@ object Extended extends QueryModule {
       val k = col("o_orderkey")
       val mx = orders.agg(max(k)).head().getLong(0)
       val (q1, q3) = (mx / 4, 3 * mx / 4)
-      graft.storage.SnapshotStore.write(orders.filter(k <= q1),
+      // o_longtag is a DERIVED >16-code-point string (priority + status
+      // + zero-padded key): its bounds TRUNCATE, so it pins the
+      // scan-only path; o_orderstatus (1 cp) pins the exact-bound
+      // metadata path (grammar v3)
+      val tagged = orders.withColumn("o_longtag",
+        concat(col("o_orderpriority"), lit("-"), col("o_orderstatus"),
+          lit("-"), lpad(k.cast("string"), 12, "0")))
+      graft.storage.SnapshotStore.write(tagged.filter(k <= q1),
         dir, "o_orderpriority",
-        statsCols = Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+        statsCols = Seq("o_orderkey", "o_totalprice", "o_orderdate",
+          "o_orderstatus", "o_longtag"))
       graft.storage.SnapshotStore.append(
-        orders.filter(k > q1 && k <= mx / 2), dir, "o_orderpriority")
+        tagged.filter(k > q1 && k <= mx / 2), dir, "o_orderpriority")
       graft.storage.SnapshotStore.append(
-        orders.filter(k > mx / 2 && k <= q3), dir, "o_orderpriority")
-      graft.storage.SnapshotStore.append(orders.filter(k > q3),
+        tagged.filter(k > mx / 2 && k <= q3), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(tagged.filter(k > q3),
         dir, "o_orderpriority")
-      val cols = Seq("o_orderkey", "o_totalprice", "o_orderdate")
+      val cols = Seq("o_orderkey", "o_totalprice", "o_orderdate",
+        "o_orderstatus")
       val (full, fullScan) = graft.storage.SnapshotStore
         .minMaxWhereDetailed(s, dir, cols, lit(true))
       val (mid, midScan) = graft.storage.SnapshotStore
         .minMaxWhereDetailed(s, dir, cols, k > q1 && k <= q3)
       require(fullScan == 0 && midScan == 0,
-        "q_snapshot_minmax: both aggregates must be pure metadata " +
-          s"(scanned $fullScan/$midScan dirs)")
+        "q_snapshot_minmax: both aggregates (incl. the exact string " +
+          s"bounds) must be pure metadata (scanned $fullScan/$midScan)")
+      val (tag, tagScan) = graft.storage.SnapshotStore
+        .minMaxWhereDetailed(s, dir, Seq("o_longtag"), lit(true))
+      val totalDirs = graft.storage.SnapshotStore.readManifest(s, dir,
+        graft.storage.SnapshotStore.headVersion(s, dir).get)
+        .values.map(_.size).sum
+      require(tagScan == totalDirs,
+        s"q_snapshot_minmax: truncated string bounds must stay " +
+          s"scan-only (scanned $tagScan of $totalDirs dirs)")
+      // one scanned row, carried as literals (a 1-row cross join would
+      // plan a nested-loop join for nothing)
+      val tagRow = tag.collect()(0)
       def shape(df: org.apache.spark.sql.DataFrame, slice: Int) =
         df.select(col("o_orderkey_min").as("min_key"),
           col("o_orderkey_max").as("max_key"),
           col("o_totalprice_min").as("min_price"),
           col("o_totalprice_max").as("max_price"),
           col("o_orderdate_min").cast("date").as("min_date"),
-          col("o_orderdate_max").cast("date").as("max_date"))
+          col("o_orderdate_max").cast("date").as("max_date"),
+          col("o_orderstatus_min").as("min_status"),
+          col("o_orderstatus_max").as("max_status"))
           .withColumn("slice", lit(slice))
+          .withColumn("min_tag", lit(tagRow.getString(0)))
+          .withColumn("max_tag", lit(tagRow.getString(1)))
       shape(full, 1).unionByName(shape(mid, 2)).orderBy(col("slice"))
+    }),
+
+    // Branch DML (r16) — the audit-FIX loop: a WAP audit that flags rows
+    // no longer forces drop-and-restage; deleteBranchWhere purges the
+    // flagged candidate rows and updateBranchWhere redacts in place,
+    // each staged as the branch's next version with the same stats-
+    // pruned planner as main-line DML (require-pinned: the fork gens
+    // prove NoMatch from their blobs and are never opened; main's head
+    // never moves until publish). Slices: 1 = the fixed audit tip,
+    // 2 = main after publish (identical content — publish re-points).
+    "q_snapshot_branch_dml" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_branchdmlq")
+        .toString + "/orders_branch_dml"
+      val k = col("o_orderkey")
+      graft.storage.SnapshotStore.write(orders, dir, "o_orderpriority",
+        statsCols = Seq("o_orderkey"))
+      graft.storage.SnapshotStore.branchCreate(s, dir, "fixup")
+      graft.storage.SnapshotStore.appendBranch(
+        orders.filter(k % 101 === 0)
+          .withColumn("o_orderkey", k + lit(10000000L)),
+        dir, "fixup", "o_orderpriority")
+      val del = graft.storage.SnapshotStore.deleteBranchWhereDetailed(
+        s, dir, "fixup",
+        k >= 10000000L && col("o_totalprice") < lit(50000.0))
+      require(del.droppedDirs == 0 && del.keptDirs > 0,
+        s"q_snapshot_branch_dml: fork slices must prove NoMatch from " +
+          s"their blobs and carry forward unread, got $del")
+      val upd = graft.storage.SnapshotStore.updateBranchWhereDetailed(
+        s, dir, "fixup",
+        Seq("o_totalprice" -> (col("o_totalprice") + lit(5.0))),
+        k >= 10000000L && k % 2 === 0)
+      require(upd.version == del.version + 1,
+        s"q_snapshot_branch_dml: each fix stages one version, got $upd")
+      require(graft.storage.SnapshotStore.headVersion(s, dir).contains(1),
+        "q_snapshot_branch_dml: branch DML must never advance main")
+      val audit = graft.storage.SnapshotStore.readBranch(s, dir, "fixup")
+      val a1 = mergeAgg(audit).withColumn("slice", lit(1))
+      graft.storage.SnapshotStore.publishBranch(s, dir, "fixup")
+      val a2 = mergeAgg(graft.storage.SnapshotStore.read(s, dir))
+        .withColumn("slice", lit(2))
+      a1.unionByName(a2).orderBy(col("slice"), col("o_orderpriority"))
     }),
 
     // Branch REBASE (r15): the reference's own pipeline never stops
@@ -1778,7 +1844,15 @@ object Extended extends QueryModule {
         s"""SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
            |    min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
            |    CAST(min(o_orderdate) AS DATE) AS min_date,
-           |    CAST(max(o_orderdate) AS DATE) AS max_date, $slice AS slice
+           |    CAST(max(o_orderdate) AS DATE) AS max_date,
+           |    min(o_orderstatus) AS min_status,
+           |    max(o_orderstatus) AS max_status,
+           |    (SELECT min(o_orderpriority || '-' || o_orderstatus || '-' ||
+           |       lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) FROM orders)
+           |      AS min_tag,
+           |    (SELECT max(o_orderpriority || '-' || o_orderstatus || '-' ||
+           |       lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) FROM orders)
+           |      AS max_tag, $slice AS slice
            |  FROM orders, mx WHERE $pred""".stripMargin
       """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
         |SELECT * FROM (
@@ -1861,6 +1935,30 @@ object Extended extends QueryModule {
         |""".stripMargin +
         Seq(bAgg(1, "orders"), bAgg(2, "h"), bAgg(3, "h"))
           .mkString("\nUNION ALL\n") +
+        "\n) ORDER BY slice, o_orderpriority"
+    },
+
+    // the audit-fix replay: candidate = shifted %101 orders, minus the
+    // cheap ones (branch DELETE), even keys +5.00 (branch UPDATE); the
+    // published head equals the fixed tip by construction
+    "q_snapshot_branch_dml" -> {
+      def aAgg(slice: Int) =
+        s"""SELECT o_orderpriority, count(*) AS n_orders,
+           |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |      AS sum_cents,
+           |    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           |    $slice AS slice
+           |  FROM h GROUP BY o_orderpriority""".stripMargin
+      """WITH big AS (SELECT * REPLACE (o_orderkey + 10000000 AS o_orderkey)
+        |             FROM orders WHERE o_orderkey % 101 = 0),
+        |  kept AS (SELECT * FROM big WHERE NOT (o_totalprice < 50000.0)),
+        |  fixed AS (SELECT * REPLACE (CASE WHEN o_orderkey % 2 = 0
+        |      THEN o_totalprice + 5.0 ELSE o_totalprice END
+        |      AS o_totalprice) FROM kept),
+        |  h AS (SELECT * FROM orders UNION ALL SELECT * FROM fixed)
+        |SELECT * FROM (
+        |""".stripMargin +
+        Seq(aAgg(1), aAgg(2)).mkString("\nUNION ALL\n") +
         "\n) ORDER BY slice, o_orderpriority"
     },
 

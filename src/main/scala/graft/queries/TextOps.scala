@@ -694,6 +694,36 @@ object TextOps extends QueryModule {
         .orderBy(col("lang"))
     }),
 
+    // The `graft-snapshot` BATCH relation (r16): a plain
+    // spark.read.format(...).filter(...) gets the store's manifest
+    // pruning through Spark's own filter pushdown — require-pinned: the
+    // inner scan opens only the gens the predicate can touch. Slices:
+    // 1 = pushed-filter read of one language, 2 = version-1 time travel
+    // through the same format (option("version", "1")).
+    "q_source_snapshot" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_srcq")
+        .toString + "/docs_src"
+      graft.storage.SnapshotStore.write(
+        docs.filter(col("doc_id") % 2 === 0), dir, "lang",
+        statsCols = Seq("doc_id", "n_chars"))
+      graft.storage.SnapshotStore.append(
+        docs.filter(col("doc_id") % 2 === 1), dir, "lang")
+      def agg(df: org.apache.spark.sql.DataFrame, slice: Int) =
+        df.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("first_id"))
+          .withColumn("slice", lit(slice))
+      val f = s.read.format("graft-snapshot").load(dir)
+        .filter(col("doc_id") % 7 === 0)
+      val slice1 = agg(f, 1)
+      val v1 = s.read.format("graft-snapshot").option("version", "1")
+        .load(dir)
+      slice1.unionByName(agg(v1, 2))
+        .orderBy(col("slice"), col("lang"))
+    }),
+
     // Schema evolution: a corpus written across two schema generations
     // (b1: three columns, b2: five) read back through parquet mergeSchema —
     // the 100 TB reality of years-old shards coexisting with new ones.
@@ -761,6 +791,19 @@ object TextOps extends QueryModule {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
         |  min(doc_id) AS first_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_source_snapshot" ->
+      """SELECT * FROM (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    min(doc_id) AS first_id, 1 AS slice
+        |  FROM documents WHERE doc_id % 7 = 0 GROUP BY lang
+        |  UNION ALL
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    min(doc_id) AS first_id, 2 AS slice
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang)
+        |ORDER BY slice, lang""".stripMargin,
 
     // The oracle rebuilds the two-generation view from the one parquet
     // table: even doc_ids lose their n_chars (legacy schema), odd keep it.

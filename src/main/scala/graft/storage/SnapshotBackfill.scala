@@ -95,9 +95,15 @@ private[graft] object SnapshotBackfill {
     // ONE corpus-sized aggregate for ALL gens (r16 — was one driver-looped
     // job per gen, hours at a 10k-gen store), through the commit path's
     // own stats codec — per-partition blobs keyed by (gen, value)
+    // FILE-level fields (a DML file split's kept files) are excluded:
+    // their blobs are footer-fresh from the split that made them, and
+    // re-aggregating their parent DIR would resurrect unreferenced
+    // files' rows into the blob. They re-blob (gaining any newly
+    // declared column) at the next compaction, which collapses them.
     val blobs: Map[String, Map[String, String]] =
       genStatsBatch(spark, path,
-        entries.values.flatten.map(dirOf).toSeq.distinct.sorted,
+        entries.values.flatten.map(dirOf)
+          .filterNot(_.endsWith(".parquet")).toSeq.distinct.sorted,
         newStats, physSchema)
     gens.foreach(g => SnapshotBloom.buildFor(spark, path, g, newBlooms))
     val rebuilt = entries.map { case (p, fields) =>
@@ -121,7 +127,7 @@ private[graft] object SnapshotBackfill {
     * sound (the brief missing window is the documented hint semantics;
     * concurrent replacers retry into last-wins).
     */
-  private def replaceColsFile(spark: SparkSession, path: String,
+  private[storage] def replaceColsFile(spark: SparkSession, path: String,
                               name: String, cols: Seq[String]): Unit = {
     if (cols.isEmpty) return
     val fs = new org.apache.hadoop.fs.Path(path)

@@ -253,6 +253,21 @@ private[storage] object SnapshotBranch {
     }
   }
 
+  /** Stages `entries` as the branch's NEXT version (k+1 over the tip the
+    * caller read) — the branch-DML commit step ([[SnapshotDml
+    * .deleteBranchWhere]]/[[SnapshotDml.updateBranchWhere]]): schema and
+    * renames carry, the birth clock carries, the write clock advances.
+    * Loses the staged CAS exactly like a branch append (the caller
+    * retries against the new tip).
+    */
+  private[storage] def stageNext(spark: SparkSession, path: String,
+      name: String, tip: Staged,
+      entries: Map[String, Seq[String]]): Unit =
+    writeStaged(spark, path, name, Staged(tip.base, tip.k + 1,
+      tip.schema, tip.renames, entries,
+      createdMs = tip.createdMs,
+      modifiedMs = System.currentTimeMillis()))
+
   /** Creates branch `name` forked from the CURRENT head: staged version 0
     * is the head's full entry map (segment-aware resolve, flat staged
     * serialization) plus its schema and renames — self-contained from

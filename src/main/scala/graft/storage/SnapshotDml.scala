@@ -28,10 +28,21 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
   *    DELETED as pure metadata: the field leaves the manifest, no file
   *    is read or written (Iceberg's "metadata delete"). A gen-aligned
   *    purge commits in manifest-rewrite time regardless of data size.
-  *  - Only genuinely ambiguous slices pay copy-on-write: they are read,
-  *    filtered/updated, and rewritten as ONE fresh gen per partition
-  *    (stats re-derived), so repeated DML doubles as compaction of the
-  *    touched slices.
+  *  - Ambiguous MULTI-FILE slices split at FILE grain (r16): the same
+  *    tri-state verdict re-runs per file from parquet footers
+  *    ([[SnapshotFileStats]]) — NoMatch files re-enter the manifest as
+  *    first-class FILE fields with footer-derived blobs (never opened),
+  *    AllMatch files drop as metadata (delete), and only genuinely
+  *    ambiguous FILES pay the rewrite. One needle row in a 20-file
+  *    slice rewrites one file, not the slice — Iceberg's per-file-stats
+  *    rewrite scope, recovered lazily so the manifest stays gen-grained.
+  *    A dropped file's bytes linger inside its (still-referenced) gen
+  *    dir until compaction collapses the file fields — space, not
+  *    correctness.
+  *  - What remains pays copy-on-write: read, filtered/updated, rewritten
+  *    as ONE fresh gen per partition (stats re-derived, declared sort
+  *    applied), so repeated DML doubles as compaction of the touched
+  *    slices.
   *
   * History is never rewritten: old versions keep referencing the old
   * gens (time travel sees pre-DML data until [[SnapshotStore.expire]]
@@ -41,21 +52,34 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
   * [[SnapshotStore.changes]] reconstructs the row-level delta of a DML
   * commit exactly like a merge's (replaced partition entries diff into
   * delete / update_pre+postimage rows).
+  *
+  * BRANCH DML ([[deleteBranchWhere]]/[[updateBranchWhere]], r16): the
+  * same planner runs against a WAP branch TIP, staging the result as the
+  * branch's next version — a failed audit fixes the candidate corpus in
+  * place ("redact the flagged docs", "drop the bad crawl") instead of
+  * drop-and-restage. Staged entries carry the same blobs, so the same
+  * pruning applies; the staged-CAS loser retries like a branch append.
   */
 private[graft] object SnapshotDml {
   import SnapshotStore._
-  import SnapshotFormat.{dirOf, statsOf, parseStats}
+  import SnapshotFormat.{dirOf, statsOf, parseStats, StatsSep}
 
-  /** One DML commit's receipt. `version` is the committed head (the
-    * prior head when the predicate provably touched nothing — a no-op
-    * commits no version). `droppedDirs` = (partition, gen) slices
-    * deleted as pure metadata (AllMatch); `rewrittenDirs` = ambiguous
-    * slices that paid copy-on-write; `keptDirs` = NoMatch slices inside
-    * touched partitions whose fields copied forward verbatim (slices of
-    * untouched partitions are not counted — they were never resolved).
+  /** One DML commit's receipt. `version` is the committed head — or, for
+    * the branch verbs, the branch's staged tip counter — (the prior one
+    * when the predicate provably touched nothing: a no-op commits no
+    * version). `droppedDirs` = (partition, gen) slices deleted as pure
+    * metadata (AllMatch); `rewrittenDirs` = ambiguous slices — or, after
+    * the r16 file split, individual FILES — that paid copy-on-write;
+    * `keptDirs` = NoMatch slices inside touched partitions whose fields
+    * copied forward verbatim (slices of untouched partitions are not
+    * counted — they were never resolved). `keptFiles`/`droppedFiles` =
+    * files of ambiguous multi-file slices the footer verdict kept as
+    * manifest FILE fields (never opened) / dropped as pure metadata
+    * (delete only).
     */
   case class DmlReceipt(version: Int, droppedDirs: Int,
-                        rewrittenDirs: Int, keptDirs: Int)
+                        rewrittenDirs: Int, keptDirs: Int,
+                        keptFiles: Int = 0, droppedFiles: Int = 0)
 
   /** Analyzes `pred` against the version's logical schema — a zero-row
     * analysis (no I/O): literals arrive typed in Catalyst's internal
@@ -91,6 +115,107 @@ private[graft] object SnapshotDml {
       case None => forWrite(path, head)(readManifest(spark, path, head))
     }
 
+  /** The shared DML planning pass over `entries`: the field-level
+    * tri-state verdict with needle (bloom) demotion, then the r16
+    * per-FILE split of ambiguous multi-file slices. `metadataDrop` is
+    * delete's AllMatch-drops-as-metadata rule (update rewrites those
+    * rows instead — their content changes).
+    */
+  private case class DmlPlan(removed: Set[String],
+      keptByPart: Map[String, Seq[String]],
+      fileKept: Map[String, Vector[String]],
+      rewrite: Seq[String],
+      dropped: Int, kept: Int, keptFiles: Int, droppedFiles: Int) {
+    def touched: Boolean = removed.nonEmpty
+    /** Rebuilds the touched partitions' field lists around the freshly
+      * written per-partition entries.
+      */
+    def rebuild(newEntries: Map[String, String]): Map[String, Seq[String]] =
+      removed.flatMap { p =>
+        val fields = keptByPart.getOrElse(p, Nil) ++
+          fileKept.getOrElse(p, Vector.empty) ++ newEntries.get(p).toSeq
+        if (fields.isEmpty) None else Some(p -> fields)
+      }.toMap
+  }
+
+  private def planDml(spark: SparkSession, path: String,
+      entries: Map[String, Seq[String]],
+      expr: org.apache.spark.sql.catalyst.expressions.Expression,
+      logicalToPhysical: Map[String, String],
+      statsCols: Seq[String],
+      physSchema: org.apache.spark.sql.types.StructType,
+      metadataDrop: Boolean): DmlPlan = {
+    // the needle pass serves DML's pruning too: a gen whose bloom filter
+    // proves an equality probe absent holds no matching row — NoMatch,
+    // copied forward verbatim ("delete THIS document id" rewrites the one
+    // gen that holds it, not every gen whose k-range happens to overlap)
+    val probes = SnapshotBloom.probesOf(expr, logicalToPhysical,
+      SnapshotBloom.bloomColsOf(spark, path).toSet)
+    // gen-level memo: sidecars are per-gen, so rejection is gen-uniform
+    // and each gen's filters are read at most once
+    val bloomMemo = scala.collection.mutable.Map.empty[String, Boolean]
+    def bloomNoMatch(f: String): Boolean = probes.nonEmpty && {
+      val dir = dirOf(f)
+      bloomMemo.getOrElseUpdate(dir.split("/").lift(1).getOrElse(""),
+        SnapshotBloom.prune(spark, path, Seq(dir), probes).isEmpty)
+    }
+    var dropped = 0
+    var kept = 0
+    val removed = Set.newBuilder[String]
+    val keptByPart = Map.newBuilder[String, Seq[String]]
+    val ambiguous = Seq.newBuilder[(String, String)]
+    entries.foreach { case (p, fields) =>
+      val vs = fields.map { f =>
+        val v0 = statsOf(f).map(b =>
+          evalPrune(expr, parseStats(b), logicalToPhysical))
+          .getOrElse(MightMatch)
+        // needle demotion. (An AllMatch verdict cannot coexist with a
+        // needle rejection on sound metadata — a rows>0 slice can't both
+        // all-match an equality and lack its key — so the demotion is
+        // unreachable for AllMatch; it stays on the conservative side,
+        // keeping data, if metadata were ever wrong.)
+        val v1 = if (v0 != NoMatch && bloomNoMatch(f)) NoMatch else v0
+        // update has no metadata path: all-match rows still change
+        f -> (if (v1 == AllMatch && !metadataDrop) MightMatch else v1)
+      }
+      if (vs.exists(_._2 != NoMatch)) {
+        removed += p
+        keptByPart += p -> vs.collect { case (f, NoMatch) => f }
+        ambiguous ++= vs.collect { case (f, MightMatch) => (p, f) }
+        dropped += vs.count(_._2 == AllMatch)
+        kept += vs.count(_._2 == NoMatch)
+      }
+    }
+    // FILE-granular split of the ambiguous multi-file slices (object doc)
+    val fileKept = scala.collection.mutable.Map.empty[String, Vector[String]]
+    var keptFiles = 0
+    var droppedFiles = 0
+    val rewritePaths = Seq.newBuilder[String]
+    ambiguous.result().foreach { case (p, f) =>
+      val dir = dirOf(f)
+      if (dir.endsWith(".parquet")) rewritePaths += dir
+      else {
+        val blobs = SnapshotFileStats.fileBlobs(spark, path, dir,
+          statsCols, physSchema)
+        if (blobs.size <= 1) rewritePaths += dir
+        else blobs.foreach { case (fp, blob) =>
+          blob.map(b => evalPrune(expr, parseStats(b), logicalToPhysical))
+            .getOrElse(MightMatch) match {
+            case NoMatch =>
+              keptFiles += 1
+              fileKept(p) = fileKept.getOrElse(p, Vector.empty) :+
+                blob.map(b => s"$fp$StatsSep$b").getOrElse(fp)
+            case AllMatch if metadataDrop => droppedFiles += 1
+            case _ => rewritePaths += fp
+          }
+        }
+      }
+    }
+    DmlPlan(removed.result(), keptByPart.result(), fileKept.toMap,
+      rewritePaths.result().distinct.sorted,
+      dropped, kept, keptFiles, droppedFiles)
+  }
+
   /** DELETE the rows satisfying `pred` (rows where it is FALSE or NULL
     * survive — SQL DELETE semantics) as one new version. See the object
     * doc for the three-way slice treatment; a predicate that provably
@@ -110,70 +235,32 @@ private[graft] object SnapshotDml {
     val expr = analyzed(spark, logicalSchema, pred)
     val entries = touchedEntries(spark, path, head, renames, logicalSchema,
       expr)
-    // the needle pass serves DML's pruning too: a gen whose bloom filter
-    // proves an equality probe absent holds no matching row — NoMatch,
-    // copied forward verbatim ("delete THIS document id" rewrites the one
-    // gen that holds it, not every gen whose k-range happens to overlap)
-    val probes = SnapshotBloom.probesOf(expr, logicalToPhysical,
-      SnapshotBloom.bloomColsOf(spark, path).toSet)
-    // gen-level memo: sidecars are per-gen, so rejection is gen-uniform
-    // and each gen's filters are read at most once
-    val bloomMemo = scala.collection.mutable.Map.empty[String, Boolean]
-    def bloomNoMatch(f: String): Boolean = probes.nonEmpty && {
-      val dir = dirOf(f)
-      bloomMemo.getOrElseUpdate(dir.split("/").lift(1).getOrElse(""),
-        SnapshotBloom.prune(spark, path, Seq(dir), probes).isEmpty)
-    }
-    var dropped = 0
-    var kept = 0
-    val removed = Set.newBuilder[String]
-    val keptByPart = Map.newBuilder[String, Seq[String]]
-    val residual = Seq.newBuilder[String]
-    var touchedAny = false
-    entries.foreach { case (p, fields) =>
-      val vs = fields.map { f =>
-        val v = statsOf(f).map(b =>
-          evalPrune(expr, parseStats(b), logicalToPhysical))
-          .getOrElse(MightMatch)
-        f -> (if (v != NoMatch && bloomNoMatch(f)) NoMatch else v)
-      }
-      if (vs.exists(_._2 != NoMatch)) {
-        touchedAny = true
-        removed += p
-        keptByPart += p -> vs.collect { case (f, NoMatch) => f }
-        residual ++= vs.collect { case (f, MightMatch) => f }
-        dropped += vs.count(_._2 == AllMatch)
-        kept += vs.count(_._2 == NoMatch)
-      }
-    }
-    if (!touchedAny) return DmlReceipt(head, 0, 0, 0)
-    val residualDirs = residual.result().map(dirOf).distinct.sorted
+    val statsCols = statsColsOf(spark, path)
+    val plan = planDml(spark, path, entries, expr, logicalToPhysical,
+      statsCols, physSchema, metadataDrop = true)
+    if (!plan.touched) return DmlReceipt(head, 0, 0, 0)
     // copy-on-write for the ambiguous slices: survivors are the rows the
     // predicate does NOT hold for (NULL survives — three-valued DELETE)
     val newEntries: Map[String, String] =
-      if (residualDirs.isEmpty) Map.empty
+      if (plan.rewrite.isEmpty) Map.empty
       else {
         val base = applyRenames(readWithSchema(spark, path, head,
-          residualDirs.map(d => s"$path/$d")), renames)
+          plan.rewrite.map(d => s"$path/$d")), renames)
         val survivors = base.filter(not(coalesce(pred, lit(false))))
         val physPartCol = partColOf(spark, path).getOrElse(
           throw new IllegalStateException(
             s"store at $path records no partition column"))
         writeGen(toPhysical(survivors, renames), path, physPartCol,
-          statsCols = statsColsOf(spark, path))
+          statsCols = statsCols)
       }
-    val keptMap = keptByPart.result()
-    val added = removed.result().flatMap { p =>
-      val fields = keptMap.getOrElse(p, Nil) ++ newEntries.get(p).toSeq
-      if (fields.isEmpty) None else Some(p -> fields)
-    }.toMap
     beforeCommit() // test seam: a concurrent committer lands here
     commitDelta(spark, path, head + 1, head,
-      removed = removed.result(), added = added,
+      removed = plan.removed, added = plan.rebuild(newEntries),
       newEntries.values.map(_.split("/").take(2).mkString("/"))
         .toSeq.distinct,
       Some(physSchema), renames, op = "delete")
-    DmlReceipt(head + 1, dropped, residualDirs.size, kept)
+    DmlReceipt(head + 1, plan.dropped, plan.rewrite.size, plan.kept,
+      keptFiles = plan.keptFiles, droppedFiles = plan.droppedFiles)
   }
 
   /** UPDATE: rows satisfying `pred` get `assignments` applied (each RHS
@@ -191,77 +278,76 @@ private[graft] object SnapshotDml {
                   assignments: Seq[(String, Column)], pred: Column,
                   beforeCommit: () => Unit = () => ()): DmlReceipt = {
     requireAtomicRename(path)
-    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
     val head = headVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
     val renames = readRenames(spark, path, head)
     val physSchema = versionSchema(spark, path, head)
-    val logicalToPhysical = renames.map(_.swap)
-    val logicalSchema = org.apache.spark.sql.types.StructType(
-      physSchema.fields.map(f =>
-        f.copy(name = renames.getOrElse(f.name, f.name))))
     val physPartCol = partColOf(spark, path).getOrElse(
       throw new IllegalStateException(
         s"store at $path records no partition column"))
-    val logicalPartCol = renames.getOrElse(physPartCol, physPartCol)
+    val logicalSchema = org.apache.spark.sql.types.StructType(
+      physSchema.fields.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name))))
+    validateAssignments(assignments, logicalSchema,
+      renames.getOrElse(physPartCol, physPartCol), "updateWhere")
+    val logicalToPhysical = renames.map(_.swap)
+    val expr = analyzed(spark, logicalSchema, pred)
+    val entries = touchedEntries(spark, path, head, renames, logicalSchema,
+      expr)
+    val statsCols = statsColsOf(spark, path)
+    val plan = planDml(spark, path, entries, expr, logicalToPhysical,
+      statsCols, physSchema, metadataDrop = false)
+    if (!plan.touched) return DmlReceipt(head, 0, 0, 0)
+    val base = applyRenames(readWithSchema(spark, path, head,
+      plan.rewrite.map(d => s"$path/$d")), renames)
+    val updated = applyAssignments(base, assignments, pred, logicalSchema,
+      spark, path, "update")
+    val newEntries = writeGen(toPhysical(updated, renames), path,
+      physPartCol, statsCols = statsCols)
+    beforeCommit() // test seam: a concurrent committer lands here
+    commitDelta(spark, path, head + 1, head,
+      removed = plan.removed, added = plan.rebuild(newEntries),
+      newEntries.values.map(_.split("/").take(2).mkString("/"))
+        .toSeq.distinct,
+      Some(physSchema), renames, op = "update")
+    DmlReceipt(head + 1, 0, plan.rewrite.size, plan.kept,
+      keptFiles = plan.keptFiles)
+  }
+
+  private def validateAssignments(assignments: Seq[(String, Column)],
+      logicalSchema: org.apache.spark.sql.types.StructType,
+      logicalPartCol: String, verb: String): Unit = {
+    require(assignments.nonEmpty, s"$verb needs at least one assignment")
     assignments.foreach { case (c, _) =>
       require(logicalSchema.fieldNames.contains(c),
-        s"updateWhere column '$c' is not in the store's schema " +
+        s"$verb column '$c' is not in the store's schema " +
           s"(${logicalSchema.fieldNames.mkString(", ")})")
       require(c != logicalPartCol,
-        s"updateWhere cannot assign the partition column '$c' — moving " +
+        s"$verb cannot assign the partition column '$c' — moving " +
           "rows across partitions is a merge (delete + re-insert names " +
           "the moves row by row)")
     }
     require(assignments.map(_._1).distinct.size == assignments.size,
-      "updateWhere assigns a column twice: " +
+      s"$verb assigns a column twice: " +
         assignments.map(_._1).mkString(", "))
-    val expr = analyzed(spark, logicalSchema, pred)
-    val entries = touchedEntries(spark, path, head, renames, logicalSchema,
-      expr)
-    // same needle demotion as deleteWhere: a bloom-rejected gen holds no
-    // row the assignments could touch
-    val probes = SnapshotBloom.probesOf(expr, logicalToPhysical,
-      SnapshotBloom.bloomColsOf(spark, path).toSet)
-    // gen-level memo: sidecars are per-gen, so rejection is gen-uniform
-    // and each gen's filters are read at most once
-    val bloomMemo = scala.collection.mutable.Map.empty[String, Boolean]
-    def bloomNoMatch(f: String): Boolean = probes.nonEmpty && {
-      val dir = dirOf(f)
-      bloomMemo.getOrElseUpdate(dir.split("/").lift(1).getOrElse(""),
-        SnapshotBloom.prune(spark, path, Seq(dir), probes).isEmpty)
-    }
-    var kept = 0
-    val removed = Set.newBuilder[String]
-    val keptByPart = Map.newBuilder[String, Seq[String]]
-    val rewrite = Seq.newBuilder[String]
-    var touchedAny = false
-    entries.foreach { case (p, fields) =>
-      val vs = fields.map { f =>
-        val v = statsOf(f).map(b =>
-          evalPrune(expr, parseStats(b), logicalToPhysical))
-          .getOrElse(MightMatch)
-        f -> (if (v != NoMatch && bloomNoMatch(f)) NoMatch else v)
-      }
-      if (vs.exists(_._2 != NoMatch)) {
-        touchedAny = true
-        removed += p
-        keptByPart += p -> vs.collect { case (f, NoMatch) => f }
-        rewrite ++= vs.collect { case (f, v) if v != NoMatch => f }
-        kept += vs.count(_._2 == NoMatch)
-      }
-    }
-    if (!touchedAny) return DmlReceipt(head, 0, 0, 0)
-    val rewriteDirs = rewrite.result().map(dirOf).distinct.sorted
-    val base = applyRenames(readWithSchema(spark, path, head,
-      rewriteDirs.map(d => s"$path/$d")), renames)
+  }
+
+  /** One `select` applying all assignments against the PRE-update row
+    * (`SET a = b, b = a` swaps). The hit flag is MATERIALIZED from the
+    * pre-update row before any assignment lands: re-filtering the
+    * post-assignment frame with the user's predicate would re-resolve
+    * it against the assigned values, and a self-referencing update
+    * (SET status='x' WHERE status='y') would drop its own rows out of
+    * the constraint-enforcement set. CHECK constraints gate the rows
+    * the assignments actually modify (the copied-through remainder is
+    * existing, already-conforming data).
+    */
+  private def applyAssignments(base: DataFrame,
+      assignments: Seq[(String, Column)], pred: Column,
+      logicalSchema: org.apache.spark.sql.types.StructType,
+      spark: SparkSession, path: String, verb: String): DataFrame = {
     val hit = coalesce(pred, lit(false))
     val assigned = assignments.toMap
-    // the hit flag is MATERIALIZED from the PRE-update row before any
-    // assignment lands: re-filtering the post-assignment frame with the
-    // user's predicate would re-resolve it against the assigned values,
-    // and a self-referencing update (SET status='x' WHERE status='y')
-    // would drop its own rows out of the constraint-enforcement set
     val hitCol = Iterator.from(0).map(i => s"_graft_hit$i")
       .find(n => !base.columns.contains(n)).get
     val updated = base.withColumn(hitCol, hit).select(
@@ -273,23 +359,106 @@ private[graft] object SnapshotDml {
           case None => col(c)
         }
       } :+ col(hitCol)).toSeq: _*)
-    // CHECK constraints gate the rows the assignments actually modify
-    // (the copied-through remainder is existing, already-conforming data)
     SnapshotConstraints.enforce(spark, path,
-      updated.filter(col(hitCol)).drop(hitCol), "update")
-    val newEntries = writeGen(toPhysical(updated.drop(hitCol), renames), path,
-      physPartCol, statsCols = statsColsOf(spark, path))
-    val keptMap = keptByPart.result()
-    val added = removed.result().flatMap { p =>
-      val fields = keptMap.getOrElse(p, Nil) ++ newEntries.get(p).toSeq
-      if (fields.isEmpty) None else Some(p -> fields)
-    }.toMap
-    beforeCommit() // test seam: a concurrent committer lands here
-    commitDelta(spark, path, head + 1, head,
-      removed = removed.result(), added = added,
-      newEntries.values.map(_.split("/").take(2).mkString("/"))
-        .toSeq.distinct,
-      Some(physSchema), renames, op = "update")
-    DmlReceipt(head + 1, 0, rewriteDirs.size, kept)
+      updated.filter(col(hitCol)).drop(hitCol), verb)
+    updated.drop(hitCol)
+  }
+
+  /** DELETE over a WAP branch TIP, staged as the branch's next version —
+    * the audit-fix loop's workhorse ("the profile flagged these rows;
+    * purge them from the candidate and re-audit"). Same planner, same
+    * pruning, same three-way treatment as [[deleteWhere]]; main is never
+    * touched, and a dropped branch releases the rewrite gens to the
+    * orphan sweep like any staged gen. The staged-CAS loser retries
+    * against the new tip (branch-append discipline).
+    */
+  def deleteBranchWhere(spark: SparkSession, path: String, name: String,
+                        pred: Column): DmlReceipt = {
+    requireAtomicRename(path)
+    var attempt = 0
+    while (true) {
+      val st = SnapshotBranch.readStaged(spark, path, name)
+      val logicalSchema = org.apache.spark.sql.types.StructType(
+        st.schema.fields.map(f =>
+          f.copy(name = st.renames.getOrElse(f.name, f.name))))
+      val expr = analyzed(spark, logicalSchema, pred)
+      val statsCols = statsColsOf(spark, path)
+      val plan = planDml(spark, path, st.entries, expr,
+        st.renames.map(_.swap), statsCols, st.schema, metadataDrop = true)
+      if (!plan.touched) return DmlReceipt(st.k, 0, 0, 0)
+      val newEntries: Map[String, String] =
+        if (plan.rewrite.isEmpty) Map.empty
+        else {
+          val base = applyRenames(
+            spark.read.schema(st.schema)
+              .parquet(plan.rewrite.map(d => s"$path/$d"): _*).drop("_p"),
+            st.renames)
+          val survivors = base.filter(not(coalesce(pred, lit(false))))
+          val physPartCol = partColOf(spark, path).getOrElse(
+            throw new IllegalStateException(
+              s"store at $path records no partition column"))
+          writeGen(toPhysical(survivors, st.renames), path, physPartCol,
+            statsCols = statsCols)
+        }
+      try {
+        SnapshotBranch.stageNext(spark, path, name, st,
+          st.entries -- plan.removed ++ plan.rebuild(newEntries))
+        return DmlReceipt(st.k + 1, plan.dropped, plan.rewrite.size,
+          plan.kept, keptFiles = plan.keptFiles,
+          droppedFiles = plan.droppedFiles)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** UPDATE over a WAP branch TIP (see [[deleteBranchWhere]]) — the
+    * in-place candidate fix ("redact the flagged field and re-audit").
+    * Pre-update-row assignment semantics and the CHECK-constraint gate
+    * over modified rows match [[updateWhere]] exactly.
+    */
+  def updateBranchWhere(spark: SparkSession, path: String, name: String,
+                        assignments: Seq[(String, Column)],
+                        pred: Column): DmlReceipt = {
+    requireAtomicRename(path)
+    var attempt = 0
+    while (true) {
+      val st = SnapshotBranch.readStaged(spark, path, name)
+      val physPartCol = partColOf(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"store at $path records no partition column"))
+      val logicalSchema = org.apache.spark.sql.types.StructType(
+        st.schema.fields.map(f =>
+          f.copy(name = st.renames.getOrElse(f.name, f.name))))
+      validateAssignments(assignments, logicalSchema,
+        st.renames.getOrElse(physPartCol, physPartCol), "updateBranchWhere")
+      val expr = analyzed(spark, logicalSchema, pred)
+      val statsCols = statsColsOf(spark, path)
+      val plan = planDml(spark, path, st.entries, expr,
+        st.renames.map(_.swap), statsCols, st.schema, metadataDrop = false)
+      if (!plan.touched) return DmlReceipt(st.k, 0, 0, 0)
+      val base = applyRenames(
+        spark.read.schema(st.schema)
+          .parquet(plan.rewrite.map(d => s"$path/$d"): _*).drop("_p"),
+        st.renames)
+      val updated = applyAssignments(base, assignments, pred,
+        logicalSchema, spark, path, "branch update")
+      val newEntries = writeGen(toPhysical(updated, st.renames), path,
+        physPartCol, statsCols = statsCols)
+      try {
+        SnapshotBranch.stageNext(spark, path, name, st,
+          st.entries -- plan.removed ++ plan.rebuild(newEntries))
+        return DmlReceipt(st.k + 1, 0, plan.rewrite.size, plan.kept,
+          keptFiles = plan.keptFiles)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

@@ -477,7 +477,9 @@ private[storage] object SnapshotFormat {
     * prune there).
     */
   private[storage] case class ColStat(code: Char, lo: String, hi: String,
-                                      nulls: Option[Long], rows: Option[Long]) {
+                                      nulls: Option[Long], rows: Option[Long],
+                                      loExact: Boolean = true,
+                                      hiExact: Boolean = true) {
     /** Every row's value is NULL ⟹ any comparison/prefix predicate on
       * the column is NULL for every row (filtered), `IS NOT NULL` never
       * holds. Partition dirs exist only with rows, so rows ≥ 1.
@@ -494,16 +496,24 @@ private[storage] object SnapshotFormat {
     * bounds round-trip their one escape), and the `-1` split limit keeps
     * EMPTY string bounds — "" is a legal min — as real fields. Grammar
     * versioning by field count: v1 `<code>:<lo>:<hi>` (pre-r15, no
-    * counts), v2 `<code>:<lo>:<hi>:<nulls>:<rows>` — old blobs parse
-    * forever (they ride inside content-addressed segments that copy
-    * forward verbatim).
+    * counts), v2 `<code>:<lo>:<hi>:<nulls>:<rows>`, v3 (r16, STRING
+    * fields only) `s:<lo>:<hi>:<nulls>:<rows>:<flags>` where `flags` is
+    * a bitmask — bit 0 = lo is the EXACT min (untruncated), bit 1 = hi
+    * is the EXACT max. Exact string bounds let [[SnapshotStore
+    * .minMaxWhere]] serve `min(verb)`/`max(url)` from metadata; a
+    * truncated (containing) bound stays sound for pruning but never for
+    * serving. Old blobs parse forever (they ride inside
+    * content-addressed segments that copy forward verbatim); a v2
+    * string field parses as inexact on both sides — conservative.
+    * Numeric/temporal bounds are exact by construction.
     */
   private[storage] def parseStats(blob: String): Map[String, ColStat] =
     blob.split(";").filter(_.nonEmpty).map { part =>
       val eq = part.indexOf('=')
       require(eq > 0, s"malformed stats blob field: '$part'")
       val f = part.substring(eq + 1).split(":", -1)
-      require((f.length == 3 || f.length == 5) && f(0).length == 1,
+      require((f.length == 3 || f.length == 5 || f.length == 6) &&
+        f(0).length == 1,
         s"malformed stats blob field: '$part'")
       val counts =
         if (f.length == 3) (None, None)
@@ -513,9 +523,20 @@ private[storage] object SnapshotFormat {
             s"malformed stats blob counts: '$part'")
           (Some(f(3).toLong), Some(f(4).toLong))
         }
+      val code = f(0).head
+      val flags =
+        if (f.length == 6) {
+          require(f(5).nonEmpty && f(5).forall(_.isDigit),
+            s"malformed stats blob flags: '$part'")
+          f(5).toInt
+        }
+        // v1/v2 string bounds carry no exactness proof; non-strings are
+        // exact by construction
+        else if (code == 's') 0 else 3
       Esc.unescapePathName(part.substring(0, eq)) ->
-        ColStat(f(0).head, Esc.unescapePathName(f(1)),
-          Esc.unescapePathName(f(2)), counts._1, counts._2)
+        ColStat(code, Esc.unescapePathName(f(1)),
+          Esc.unescapePathName(f(2)), counts._1, counts._2,
+          loExact = (flags & 1) != 0, hiExact = (flags & 2) != 0)
     }.toMap
 
   // ---- logical-name layer (`_renames-<v>`) parsing ------------------------

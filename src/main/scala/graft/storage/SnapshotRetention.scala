@@ -179,10 +179,10 @@ private[storage] object SnapshotRetention {
       val isStaging =
         ((n.startsWith("._manifest-") || n.startsWith("._schema-") ||
           n.startsWith("._renames-") || n.startsWith("._op-") ||
-          n.startsWith("._constraint-") || n.startsWith("._sortcols")) &&
+          n.startsWith("._constraint-")) &&
           n.endsWith(".tmp")) ||
         n.startsWith("._tag.tmp-") || n.startsWith("._statscols.tmp-") ||
-        n.startsWith("._bloomcols.tmp-") ||
+        n.startsWith("._bloomcols.tmp-") || n.startsWith("._sortcols.tmp-") ||
         n.startsWith("._partcol.tmp-") || n.startsWith("._staged.tmp-")
       if (isStaging && now - st.getModificationTime >= minAgeMs)
         fs.delete(st.getPath, false)

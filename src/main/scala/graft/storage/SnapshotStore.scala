@@ -240,13 +240,21 @@ object SnapshotStore {
       val parted = df.withColumn("_p", col(partCol).cast("string"))
         .repartition(col("_p"))
       // sorted layout (compaction's OPTIMIZE shape): rows within each
-      // partition's files are ordered by `sortBy`, so parquet row-group
-      // stats stay tight and range scans skip pages the way
-      // LogTableWriter's sorted generations do
+      // partition's files are ordered by the effective sort — an explicit
+      // `sortBy` (compaction's re-cluster override), else the store's
+      // DECLARED clustering (`_sortcols`, r16 — the reference's own
+      // `ORDER BY (logdate, logdatetime)` discipline, nginx.click:1,
+      // maintained by EVERY writer path automatically). Tight row-group
+      // stats serve parquet page skipping on read and per-FILE footer
+      // pruning in the DML copy-on-write path; columns a batch lacks are
+      // skipped (they read NULL under the union schema — no order to keep).
+      val effSort = (if (sortBy.nonEmpty) sortBy
+        else sortColsOf(df.sparkSession, path))
+        .filter(df.columns.contains)
       val laid =
-        if (sortBy.isEmpty) parted
+        if (effSort.isEmpty) parted
         else parted.sortWithinPartitions(
-          (col("_p") +: sortBy.map(col)): _*)
+          (col("_p") +: effSort.map(col)): _*)
       laid.write.mode("overwrite")
         .option("compression", "zstd").partitionBy("_p")
         .parquet(s"$path/data/$gen")
@@ -324,6 +332,49 @@ object SnapshotStore {
     if (!fs.exists(p)) Nil
     else readFileUtf8(fs, p).split("\n").filter(_.nonEmpty)
       .map(Esc.unescapePathName).toSeq
+  }
+
+  /** Declared clustering columns (physical names, `_sortcols`), empty
+    * when never declared. A writer-side LAYOUT hint with the same trust
+    * model as `_statscols`: every [[writeGen]] sorts its partition
+    * slices by these before writing, readers never consult the file —
+    * a lost declaration degrades to unsorted (correct, just less
+    * page-skippable) gens.
+    */
+  private[graft] def sortColsOf(spark: SparkSession, path: String): Seq[String] = {
+    val fs = hfs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path, "_sortcols")
+    if (!fs.exists(p)) Nil
+    else readFileUtf8(fs, p).split("\n").filter(_.nonEmpty)
+      .map(Esc.unescapePathName).toSeq
+  }
+
+  /** Declares (or replaces — declare-later, like [[backfillStats]]) the
+    * store's clustering columns, LOGICAL names: every subsequent write
+    * path — append, merge, DML rewrite, branch write, sink batch,
+    * compaction without an explicit override — sorts rows within each
+    * partition slice by these columns before writing, so parquet
+    * row-group bounds stay tight (the reference's own
+    * `ORDER BY (logdate, logdatetime)` table discipline,
+    * /root/reference/nginx.click:1, as a store property). Existing gens
+    * are NOT rewritten — [[compactPartitions]] re-clusters them (its
+    * default sort is this declaration too).
+    */
+  def declareSortCols(spark: SparkSession, path: String,
+                      sortCols: Seq[String]): Unit = {
+    require(sortCols.nonEmpty, "declareSortCols needs at least one column")
+    val head = headVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val renames = readRenames(spark, path, head)
+    val physSchema = versionSchema(spark, path, head)
+    val logical = physSchema.fieldNames.map(n => renames.getOrElse(n, n))
+    val phys = sortCols.map { c =>
+      require(logical.contains(c),
+        s"declareSortCols column '$c' is not in the store's schema " +
+          s"(${logical.mkString(", ")})")
+      physicalCol(c, renames)
+    }
+    SnapshotBackfill.replaceColsFile(spark, path, "_sortcols", phys)
   }
 
   /** Per-partition-value stats blobs for the just-written gen, read back
@@ -418,8 +469,13 @@ object SnapshotStore {
           else dtOf(c) match {
             case org.apache.spark.sql.types.StringType =>
               stringBounds(mn.toString, mx.toString).map { case (lo, hi) =>
+                // grammar v3: record which sides are EXACT (untruncated)
+                // — short strings (verbs, levels, prefixes) then serve
+                // min/max from metadata, truncated ones stay prune-only
+                val flags = (if (lo == mn.toString) 1 else 0) |
+                  (if (hi == mx.toString) 2 else 0)
                 s"$key=s:${escapeStatValue(lo)}:${escapeStatValue(hi)}" +
-                  counts
+                  s"$counts:$flags"
               }.orElse(noBounds) // increment overflow: counts still pay
             case dt =>
               Some(s"$key=${statCode(dt)}:${statValue(mn)}:" +
@@ -1045,10 +1101,10 @@ object SnapshotStore {
     cols.foreach(c => require(logicalSchema.fieldNames.contains(c),
       s"minMaxWhere column '$c' is not in the version's schema " +
         s"(${logicalSchema.fieldNames.mkString(", ")})"))
-    // strings are excluded from the metadata path outright: their bounds
-    // truncate (containing, not exact)
-    val metadataEligible = cols.filter(c =>
-      logicalSchema(c).dataType != StringType)
+    // strings serve from metadata ONLY per-gen where the blob proves the
+    // bound EXACT (grammar v3 flags — an untruncated bound IS the min or
+    // max); truncated/legacy string bounds are containing, so their gens
+    // go to the scan
     val expr = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       logicalSchema).filter(pred)
@@ -1087,6 +1143,7 @@ object SnapshotStore {
           Math.floorDiv(us, 1000000L),
           (Math.floorMod(us, 1000000L) * 1000L).toInt,
           java.time.ZoneOffset.UTC)
+      case StringType => s // v3 exact bounds only reach here
       case other => throw new IllegalStateException(
         s"minMaxWhere metadata path reached unsupported type $other")
     }
@@ -1106,12 +1163,13 @@ object SnapshotStore {
           // its bounds (or provably valueless: all-NULL contributes a
           // typed NULL, which min/max ignore); ANY unserved column sends
           // the whole dir to the scan
-          val cells = metadataEligible.size == cols.size &&
-            cols.forall { c =>
-              val phys = logicalToPhysical.getOrElse(c, c)
-              stats.get(phys).exists(st =>
-                st.allNull || st.code != NoBoundsCode)
-            }
+          val cells = cols.forall { c =>
+            val phys = logicalToPhysical.getOrElse(c, c)
+            stats.get(phys).exists(st =>
+              st.allNull || (st.code != NoBoundsCode &&
+                (logicalSchema(c).dataType != StringType ||
+                  (st.loExact && st.hiExact))))
+          }
           if (!cells) residual += dirOf(field)
           else candidates += org.apache.spark.sql.Row.fromSeq(
             cols.flatMap { c =>
@@ -1655,6 +1713,41 @@ object SnapshotStore {
       beforeCommit: () => Unit = () => ()): SnapshotDml.DmlReceipt =
     SnapshotDml.updateWhere(spark, path, assignments, pred, beforeCommit)
 
+  /** Predicate DELETE over a WAP BRANCH tip, staged as the branch's next
+    * version — the audit-fix loop ("the profile flagged these rows;
+    * purge them from the candidate and re-audit") without drop-and-
+    * restage. Same pruning and three-valued semantics as [[deleteWhere]];
+    * main is never touched. See [[SnapshotDml.deleteBranchWhere]].
+    */
+  def deleteBranchWhere(spark: SparkSession, path: String, name: String,
+                        pred: org.apache.spark.sql.Column): Unit =
+    SnapshotDml.deleteBranchWhere(spark, path, name, pred)
+
+  /** [[deleteBranchWhere]] returning the scan-cost receipt (`version` is
+    * the branch's staged tip counter).
+    */
+  private[graft] def deleteBranchWhereDetailed(spark: SparkSession,
+      path: String, name: String,
+      pred: org.apache.spark.sql.Column): SnapshotDml.DmlReceipt =
+    SnapshotDml.deleteBranchWhere(spark, path, name, pred)
+
+  /** Predicate UPDATE over a WAP BRANCH tip ("redact the flagged field
+    * and re-audit"), staged as the branch's next version. Pre-update-row
+    * assignment semantics and the CHECK-constraint gate match
+    * [[updateWhere]]. See [[SnapshotDml.updateBranchWhere]].
+    */
+  def updateBranchWhere(spark: SparkSession, path: String, name: String,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      pred: org.apache.spark.sql.Column): Unit =
+    SnapshotDml.updateBranchWhere(spark, path, name, assignments, pred)
+
+  /** [[updateBranchWhere]] returning the scan-cost receipt. */
+  private[graft] def updateBranchWhereDetailed(spark: SparkSession,
+      path: String, name: String,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      pred: org.apache.spark.sql.Column): SnapshotDml.DmlReceipt =
+    SnapshotDml.updateBranchWhere(spark, path, name, assignments, pred)
+
   /** [[deleteWhere]] with [[mergeWithRetry]]'s bounded CAS-loser retry
     * loop: each attempt re-resolves against the NEW head (the delete's
     * semantics are predicate-relative, so retrying against a moved head
@@ -2114,14 +2207,18 @@ object SnapshotStore {
     */
   def write(df: DataFrame, path: String, partCol: String,
             statsCols: Seq[String] = Nil,
-            bloomCols: Seq[String] = Nil): Unit = {
+            bloomCols: Seq[String] = Nil,
+            sortCols: Seq[String] = Nil): Unit = {
     requireAtomicRename(path)
     require(headVersion(df.sparkSession, path).isEmpty,
       s"$path already holds a snapshot store; use merge")
     validateStatsCols(statsCols, df.schema)
     SnapshotBloom.validateBloomCols(bloomCols, df.schema)
+    sortCols.foreach(c => require(df.columns.contains(c),
+      s"sortCols column '$c' is not in the batch schema " +
+        s"(${df.columns.mkString(", ")})"))
     val entries = writeGen(df, path, partCol, statsCols = statsCols,
-      bloomCols = Some(bloomCols))
+      sortBy = sortCols, bloomCols = Some(bloomCols))
     commit(df.sparkSession, path, 1,
       entries.map { case (p, d) => p -> Seq(d) },
       entries.values.map(d => d.split("/").take(2).mkString("/"))
@@ -2130,6 +2227,9 @@ object SnapshotStore {
         df.schema)), op = "write")
     publishStatsCols(df.sparkSession, path, statsCols)
     SnapshotBloom.publishBloomCols(df.sparkSession, path, bloomCols)
+    if (sortCols.nonEmpty)
+      SnapshotBackfill.replaceColsFile(df.sparkSession, path, "_sortcols",
+        sortCols)
     publishPartCol(df.sparkSession, path, partCol)
   }
 
@@ -2235,17 +2335,23 @@ object SnapshotStore {
            schema: org.apache.spark.sql.types.StructType,
            statsCols: Seq[String] = Nil,
            partCol: Option[String] = None,
-           bloomCols: Seq[String] = Nil): Unit = {
+           bloomCols: Seq[String] = Nil,
+           sortCols: Seq[String] = Nil): Unit = {
     requireAtomicRename(path)
     require(headVersion(spark, path).isEmpty,
       s"$path already holds a snapshot store")
     validateStatsCols(statsCols, schema)
     SnapshotBloom.validateBloomCols(bloomCols, schema)
+    sortCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"sortCols column '$c' is not in the schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
     commit(spark, path, 1, Map.empty, Nil,
       Some(unionSchema(new org.apache.spark.sql.types.StructType(), schema)),
       op = "init")
     publishStatsCols(spark, path, statsCols)
     SnapshotBloom.publishBloomCols(spark, path, bloomCols)
+    if (sortCols.nonEmpty)
+      SnapshotBackfill.replaceColsFile(spark, path, "_sortcols", sortCols)
     partCol.foreach(publishPartCol(spark, path, _))
   }
 

@@ -41,7 +41,8 @@ import graft.storage.SnapshotStore
   * `graft-changes` SOURCE on the same store completes a store-to-store
   * streaming pipeline.
   */
-class SnapshotSinkProvider extends StreamSinkProvider with DataSourceRegister {
+class SnapshotSinkProvider extends StreamSinkProvider
+    with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
 
@@ -54,6 +55,18 @@ class SnapshotSinkProvider extends StreamSinkProvider with DataSourceRegister {
         "update/delete streams go through foreachBatch + SnapshotStore.merge")
     new SnapshotSink(sqlContext, parameters)
   }
+
+  /** BATCH read under the same format name (the one-provider-two-
+    * directions shape every lakehouse source uses): `spark.read
+    * .format("graft-snapshot").load(path)` resolves here and delegates
+    * to [[graft.sources.GraftSnapshotSource]] — pushed-filter gen
+    * pruning, version/tag/branch/asOfTimestamp options.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation =
+    new graft.sources.GraftSnapshotSource().createRelation(sqlContext,
+      parameters)
 }
 
 class SnapshotSink(sqlContext: SQLContext,

@@ -235,4 +235,117 @@ class SnapshotDmlSpec extends SparkSpec {
     assert(rows.filter(col("k") < 5L)
       .filter(col("v") =!= col("k") + 0.5).count() == 0)
   }
+
+  test("FILE-granular copy-on-write (r16): a needle delete in a " +
+    "multi-file slice rewrites ONE file, keeps the rest as first-class " +
+    "file fields (served by their footer blobs), and drops file-aligned " +
+    "ranges as pure metadata") {
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "20")
+    try {
+      val dir = newDir("filecow")
+      // one partition, one gen, 100 rows sorted by k → 5 files with
+      // disjoint k-ranges [0,19][20,39]...[80,99]
+      SnapshotStore.write(
+        (0 until 100).map(i => (i.toLong, "p0", i * 1.0)).toDF("k", "p", "v"),
+        dir, "p", statsCols = Seq("k"), sortCols = Seq("k"))
+      // needle delete: only the [40,59] file can match
+      val r = SnapshotStore.deleteWhereDetailed(spark, dir,
+        col("k") === 50L)
+      assert(r.rewrittenDirs == 1 && r.keptFiles == 4 &&
+        r.droppedFiles == 0 && r.droppedDirs == 0,
+        s"one file rewrites, four re-reference, got $r")
+      assert(SnapshotStore.read(spark, dir).count() == 99)
+      assert(SnapshotStore.read(spark, dir)
+        .filter(col("k") === 50L).count() == 0)
+      // the kept FILE fields are first-class: their blobs serve a
+      // metadata-only count and prune a point read to one file
+      val (cnt, scanned) = SnapshotStore.countWhereDetailed(spark, dir,
+        col("k") >= 80L)
+      assert(cnt == 20L && scanned == 0,
+        s"kept file fields must serve the audit count, got ($cnt, $scanned)")
+      val probe = SnapshotStore.readWhere(spark, dir, col("k") === 5L)
+      assert(probe.inputFiles.length == 1,
+        s"a point read must open ONE kept file, got " +
+          s"${probe.inputFiles.length}")
+      assert(probe.count() == 1)
+      // file-aligned range delete on a fresh store: the aligned file
+      // drops as metadata, one boundary file rewrites, three keep
+      val dir2 = newDir("filedrop")
+      SnapshotStore.write(
+        (0 until 100).map(i => (i.toLong, "p0", i * 1.0)).toDF("k", "p", "v"),
+        dir2, "p", statsCols = Seq("k"), sortCols = Seq("k"))
+      val r2 = SnapshotStore.deleteWhereDetailed(spark, dir2,
+        col("k") < 25L)
+      assert(r2.droppedFiles == 1 && r2.rewrittenDirs == 1 &&
+        r2.keptFiles == 3, s"[0,19] drops unread, [20,39] rewrites, got $r2")
+      assert(SnapshotStore.read(spark, dir2).select("k").as[Long]
+        .collect().sorted.toSeq == (25L until 100L))
+      // UPDATE against the already-split head: the kept FILE fields are
+      // ordinary fields now — the field-level verdict keeps two of them
+      // unread and rewrites only the one whose range holds the key
+      val r3 = SnapshotStore.updateWhereDetailed(spark, dir2,
+        Seq("v" -> lit(-1.0)), col("k") === 70L)
+      assert(r3.keptDirs == 3 && r3.rewrittenDirs == 1,
+        s"update must touch one file field only, got $r3")
+      val after = SnapshotStore.read(spark, dir2)
+      assert(after.filter(col("v") === -1.0).select("k").as[Long]
+        .collect().toSeq == Seq(70L))
+      assert(after.count() == 75)
+      // the changes feed across a file-split commit is the exact delta
+      val feed = SnapshotStore.changes(spark, dir2, 2, 3, Seq("k"))
+      assert(feed.filter(col("_change_type") === "update_postimage")
+        .select("k").as[Long].collect().toSeq == Seq(70L),
+        "identical kept-file rows must cancel in the CDF diff")
+      // time travel: the pre-split version still reads whole
+      assert(SnapshotStore.read(spark, dir2, Some(1)).count() == 100)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
+  test("BRANCH DML (r16): delete/updateBranchWhere fix the candidate " +
+    "corpus in place — staged as the next tip with the same pruning, " +
+    "main untouched, constraints gating, publish landing the fix") {
+    val dir = newDir("branch"); quartStore(dir) // main: 30 rows, stats(k,v)
+    SnapshotStore.branchCreate(spark, dir, "cand")
+    SnapshotStore.appendBranch(
+      (0 until 10).map(i => (500L + i, s"p${i % 2}", (500 + i) * 1.0))
+        .toDF("k", "p", "v"), dir, "cand", "p")
+    // audit flagged k in [500,505): purge from the CANDIDATE only.
+    // Fork gens carry blobs (quartStore declares stats), so the main-line
+    // slices inside the branch tip prove NoMatch and stay unread.
+    val r = SnapshotStore.deleteBranchWhereDetailed(spark, dir, "cand",
+      col("k") >= 500L && col("k") < 505L)
+    assert(r.version == 2, s"create=0, append=1, delete stages 2, got $r")
+    assert(r.rewrittenDirs == 2 && r.droppedDirs == 0 && r.keptDirs == 6,
+      s"only the candidate gen's two slices rewrite, got $r")
+    assert(SnapshotStore.readBranch(spark, dir, "cand").count() == 35)
+    assert(SnapshotStore.read(spark, dir).count() == 30,
+      "main must be untouched by branch DML")
+    // no-op predicate stages NO version
+    val noop = SnapshotStore.deleteBranchWhereDetailed(spark, dir, "cand",
+      col("k") === 99999L)
+    assert(noop.version == 2 && noop.rewrittenDirs == 0)
+    // in-place redaction, pre-update-row semantics
+    SnapshotStore.updateBranchWhere(spark, dir, "cand",
+      Seq("v" -> lit(0.0)), col("k") >= 507L)
+    assert(SnapshotStore.readBranch(spark, dir, "cand")
+      .filter(col("v") === 0.0 && col("k") >= 500L)
+      .select("k").as[Long].collect().sorted
+      .toSeq == Seq(507L, 508L, 509L))
+    // the CHECK gate covers branch UPDATE's modified rows too
+    SnapshotStore.addConstraint(spark, dir, "v_nonneg", "v >= 0")
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.updateBranchWhere(spark, dir, "cand",
+        Seq("v" -> lit(-5.0)), col("k") === 506L))
+    assert(e.getMessage.contains("v_nonneg"))
+    // assigning the partition column is refused on branches too
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotStore.updateBranchWhere(spark, dir, "cand",
+        Seq("p" -> lit("p9")), col("k") === 506L))
+    assert(e2.getMessage.contains("partition column"))
+    // publish lands the FIXED corpus
+    val v = SnapshotStore.publishBranch(spark, dir, "cand")
+    val main = SnapshotStore.read(spark, dir)
+    assert(v == 4 && main.count() == 35)
+    assert(main.filter(col("v") === 0.0 && col("k") >= 500L).count() == 3)
+  }
 }

@@ -248,8 +248,8 @@ class SnapshotStatsSpec extends SparkSpec {
     val ar = amb.collect()(0)
     assert(ambScan == 2 && ar.getLong(0) == 105L && ar.getLong(1) == 209L,
       "the boundary gen scans, the provable gens stay metadata")
-    // a string column never rides the metadata path (truncated bounds
-    // are containing, not exact) but stays correct through the scan
+    // a string column with NO declared stats goes to the scan (and with
+    // stats, only v3-exact bounds serve — see the grammar-v3 test)
     val (ps, pScan) = SnapshotStore.minMaxWhereDetailed(
       spark, dir, Seq("p"), lit(true))
     val pr = ps.collect()(0)
@@ -302,6 +302,64 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(sql.getLong(0) == 1L && sql.getLong(1) == 10L &&
       sql.getDouble(2) == 1.0 && sql.getDouble(3) == 2.0 &&
       sql.getLong(4) == 0L)
+  }
+
+  test("EXACT string bounds (grammar v3): untruncated bounds serve " +
+    "min/max from metadata, truncated bounds stay scan-only, mixed " +
+    "gens split per-gen, and pruning semantics are unchanged") {
+    val dir = newDir("strmm")
+    val longUrl = (i: Int) => s"https://example.com/path/segment/$i"
+    SnapshotStore.write(
+      Seq((1L, "p0", "GET", longUrl(1)), (2L, "p0", "POST", longUrl(2)))
+        .toDF("k", "p", "verb", "url"),
+      dir, "p", statsCols = Seq("verb", "url"))
+    SnapshotStore.append(
+      Seq((3L, "p0", "DELETE", longUrl(3)), (4L, "p0", "HEAD", longUrl(4)))
+        .toDF("k", "p", "verb", "url"), dir, "p")
+    // short strings (≤16 code points): both gens' bounds are EXACT —
+    // min/max answered with ZERO files opened
+    val (vr, vScan) = SnapshotStore.minMaxWhereDetailed(
+      spark, dir, Seq("verb"), lit(true))
+    val v = vr.collect()(0)
+    assert(vScan == 0 && v.getString(0) == "DELETE" &&
+      v.getString(1) == "POST",
+      s"exact string bounds must serve from metadata, got $v/$vScan")
+    // long strings truncate → containing bounds → the scan answers
+    val (ur, uScan) = SnapshotStore.minMaxWhereDetailed(
+      spark, dir, Seq("url"), lit(true))
+    val u = ur.collect()(0)
+    assert(uScan == 2 && u.getString(0) == longUrl(1) &&
+      u.getString(1) == longUrl(4),
+      s"truncated bounds must scan, got $u/$uScan")
+    // a request mixing served and unserved columns sends the gen to the
+    // scan once and still agrees with the scan aggregate
+    val both = SnapshotStore.minMaxWhere(
+      spark, dir, Seq("verb", "url"), lit(true)).collect()(0)
+    assert(both.getString(0) == "DELETE" && both.getString(1) == "POST" &&
+      both.getString(2) == longUrl(1) && both.getString(3) == longUrl(4))
+    // MIXED exactness across gens: a gen whose max truncates scans, the
+    // exact gen stays metadata — and the combined answer is right even
+    // though the truncated gen's real max sorts ABOVE the exact gen's
+    val dir2 = newDir("strmix")
+    SnapshotStore.write(
+      Seq((1L, "p0", "alpha"), (2L, "p0", "mike")).toDF("k", "p", "s"),
+      dir2, "p", statsCols = Seq("s"))
+    SnapshotStore.append(
+      Seq((3L, "p0", "zulu-" + ("z" * 20))).toDF("k", "p", "s"), dir2, "p")
+    val (mr2, mScan2) = SnapshotStore.minMaxWhereDetailed(
+      spark, dir2, Seq("s"), lit(true))
+    val m2 = mr2.collect()(0)
+    assert(mScan2 == 1 && m2.getString(0) == "alpha" &&
+      m2.getString(1) == "zulu-" + ("z" * 20),
+      s"mixed exactness must split per-gen, got $m2/$mScan2")
+    // predicate + string metadata compose (parity with the scan)
+    Seq(lit(true), col("k") >= 2L).foreach { p =>
+      val got = SnapshotStore.minMaxWhere(spark, dir, Seq("verb"), p)
+        .collect()(0)
+      val want = SnapshotStore.read(spark, dir).filter(p)
+        .agg(min(col("verb")), max(col("verb"))).collect()(0)
+      assert(got == want, s"string minMaxWhere diverged under $p")
+    }
   }
 
   test("NULL counts compose with schema evolution: a declared stats " +
@@ -428,6 +486,68 @@ class SnapshotStatsSpec extends SparkSpec {
       .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq }
     assert(p0.forall { case (_, ks) => ks == ks.sorted },
       s"post-rename sorted compaction not ordered: $p0")
+  }
+
+  test("DECLARED clustering (_sortcols, r16): write/append sort " +
+    "automatically, multi-file slices carry DISJOINT per-file key " +
+    "ranges, and declare-later + compaction re-clusters an unsorted " +
+    "store") {
+    def scramble(lo: Long, n: Int) = (0 until n)
+      .map(i => (lo + (i * 37) % n, "p0", (lo + i) * 1.0))
+      .toDF("k", "p", "v")
+    def perFileRanges(dir: String): Seq[(Long, Long)] =
+      SnapshotStore.read(spark, dir)
+        .select(input_file_name().as("f"), col("k"))
+        .collect().groupBy(_.getString(0)).toSeq
+        .map { case (_, rows) =>
+          val ks = rows.map(_.getLong(1))
+          (ks.min, ks.max)
+        }.sortBy(_._1)
+    val dir = newDir("declared")
+    SnapshotStore.write(scramble(0L, 50), dir, "p",
+      statsCols = Seq("k"), sortCols = Seq("k"))
+    // the APPEND sorts too — the declaration, not the call site, owns
+    // the layout
+    SnapshotStore.append(scramble(1000L, 50), dir, "p")
+    val byFile = SnapshotStore.read(spark, dir)
+      .select(input_file_name().as("f"), col("k"))
+      .collect().groupBy(_.getString(0))
+      .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq }
+    assert(byFile.size >= 2 && byFile.forall { case (_, ks) =>
+      ks == ks.sorted }, s"writer paths must sort by declaration: $byFile")
+    // multi-file slice: with a file-size cap the sorted stream splits
+    // into files with DISJOINT ranges — the property parquet row-group
+    // skipping and the per-file DML verdict both stand on
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "20")
+    try {
+      val dir2 = newDir("multifile")
+      SnapshotStore.write(scramble(0L, 100), dir2, "p",
+        statsCols = Seq("k"), sortCols = Seq("k"))
+      val ranges = perFileRanges(dir2)
+      assert(ranges.size >= 5, s"expected >=5 files, got $ranges")
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) =>
+          assert(hi < lo2, s"per-file ranges must be disjoint: $ranges")
+        case _ =>
+      }
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    // declare-later: an unsorted store re-clusters through compaction
+    // (writeGen's default sort IS the declaration)
+    val dir3 = newDir("later")
+    SnapshotStore.write(scramble(0L, 30), dir3, "p", statsCols = Seq("k"))
+    SnapshotStore.append(scramble(500L, 30), dir3, "p")
+    SnapshotStore.declareSortCols(spark, dir3, Seq("k"))
+    assert(SnapshotStore.compactPartitions(spark, dir3, "p") == 1)
+    val byFile3 = SnapshotStore.read(spark, dir3)
+      .select(input_file_name().as("f"), col("k"))
+      .collect().groupBy(_.getString(0))
+      .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq }
+    assert(byFile3.forall { case (_, ks) => ks == ks.sorted },
+      s"compaction must re-cluster by the declaration: $byFile3")
+    // loud on unknown columns
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.declareSortCols(spark, dir3, Seq("nope")))
+    assert(e.getMessage.contains("nope"))
   }
 
   test("FLOAT bounds live in the widened-double domain: a fractional " +

@@ -99,15 +99,26 @@ class SnapshotFormatPropertySpec extends AnyFunSuite {
         s"round $round: reserved char leaked in '$payload'")
       assert(payload.count(_ == ':') == 1,
         s"round $round: ':' leaked in '$payload'")
+      // v1/v2 string fields parse as INEXACT on both sides (grammar v3
+      // added the exactness flags; legacy bounds carry no proof)
       val parsed = SnapshotFormat.parseStats(blob)
       assert(parsed ==
-        Map("c" -> SnapshotFormat.ColStat('s', lo, hi, None, None)),
+        Map("c" -> SnapshotFormat.ColStat('s', lo, hi, None, None,
+          loExact = false, hiExact = false)),
         s"round $round: '$lo'/'$hi' did not round-trip")
       // the v2 grammar (counts appended) round-trips the same values
       val parsed2 = SnapshotFormat.parseStats(blob + ":3:10")
       assert(parsed2 ==
-        Map("c" -> SnapshotFormat.ColStat('s', lo, hi, Some(3L), Some(10L))),
+        Map("c" -> SnapshotFormat.ColStat('s', lo, hi, Some(3L), Some(10L),
+          loExact = false, hiExact = false)),
         s"round $round: v2 counts did not round-trip")
+      // the v3 grammar: every flag combination round-trips verbatim
+      val flags = round % 4
+      val parsed3 = SnapshotFormat.parseStats(blob + s":3:10:$flags")
+      assert(parsed3 ==
+        Map("c" -> SnapshotFormat.ColStat('s', lo, hi, Some(3L), Some(10L),
+          loExact = (flags & 1) != 0, hiExact = (flags & 2) != 0)),
+        s"round $round: v3 flags $flags did not round-trip")
       // the single-unescape contract, value-wise
       assert(Esc.unescapePathName(SnapshotFormat.escapeStatValue(lo)) == lo,
         s"round $round: one unescape did not invert the escape for '$lo'")
