@@ -1082,6 +1082,109 @@ object ScaleProbe100 {
             "of the same declarations)")
         }
       }
+      // backfill GEN-SCALING rung (r16): the blob pass is ONE
+      // corpus-sized Spark job (genStatsBatch), so the wall must be
+      // FLAT in gen count at constant data — the pre-r16 per-gen loop
+      // scaled linearly (8x the gens ≈ 8x the jobs). Two stores, same
+      // 20 replicas of orders: 5 fat gens vs 40 thin ones.
+      {
+        def buildSplit(nGens: Int, perGen: Int): String = {
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"graft_scale100_bfg$nGens")
+            .toString + "/st"
+          def slab(g: Int): DataFrame =
+            (g * perGen until (g + 1) * perGen).map { k =>
+              orders.withColumn("o_orderkey",
+                col("o_orderkey") + k * 100000000L)
+            }.reduce(_ union _)
+          graft.storage.SnapshotStore.write(slab(0), dir,
+            "o_orderpriority")
+          (1 until nGens).foreach(g =>
+            graft.storage.SnapshotStore.append(slab(g), dir,
+              "o_orderpriority"))
+          dir
+        }
+        val few = buildSplit(5, 8)
+        val many = buildSplit(40, 1)
+        time("backfill_gens5_100x") {
+          graft.storage.SnapshotStore.backfillStats(spark, few,
+            statsCols = Seq("o_orderkey"))
+        }
+        time("backfill_gens40_100x") {
+          graft.storage.SnapshotStore.backfillStats(spark, many,
+            statsCols = Seq("o_orderkey"))
+        }
+        for (a <- walls.get("backfill_gens40_100x");
+             b <- walls.get("backfill_gens5_100x")) {
+          ratios("backfill_gen_scaling_100x") = a / b
+          println(f"PROBE backfill_gen_scaling_100x ${a / b}%.2fx " +
+            "(8x the gens at constant data — flat means one corpus-" +
+            "sized job, not one driver-looped job per gen)")
+        }
+      }
+      // FILE-grain DML rung (r16): a needle delete against sorted
+      // ~20-file-per-slice gens rewrites only the files whose footer
+      // range holds the key; the single-file twin rewrites each touched
+      // slice whole. Two banked numbers: the REWRITE FRACTION (files
+      // rewritten / files referenced — the size-independent claim: at a
+      // real 10 GB slice the untouched 95% is I/O never paid; footer
+      // probes cost milliseconds regardless of file size) and the wall
+      // ratio at this in-memory scale (where the probe overhead is
+      // priced in — the fraction is the 100 TB argument, the wall shows
+      // it already pays for itself at 6M rows).
+      {
+        val slab: DataFrame = (0 until 40).map { k =>
+          orders.withColumn("o_orderkey",
+            col("o_orderkey") + k * 100000000L)
+        }.reduce(_ union _)
+        def buildFiles(split: Boolean): String = {
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"graft_scale100_fg$split")
+            .toString + "/st"
+          if (split)
+            spark.conf.set("spark.sql.files.maxRecordsPerFile", "60000")
+          try graft.storage.SnapshotStore.write(slab, dir,
+            "o_orderpriority", statsCols = Seq("o_orderkey"),
+            sortCols = Seq("o_orderkey"))
+          finally if (split)
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+          dir
+        }
+        val multi = buildFiles(split = true)
+        val mono = buildFiles(split = false)
+        val needle = col("o_orderkey") === 500000007L
+        var fileR: graft.storage.SnapshotDml.DmlReceipt = null
+        time("dml_delete_filegrain_100x") {
+          fileR = graft.storage.SnapshotStore.deleteWhereDetailed(
+            spark, multi, needle)
+        }
+        require(fileR.keptFiles > 0,
+          s"the needle delete must split at file grain, got $fileR")
+        var sliceR: graft.storage.SnapshotDml.DmlReceipt = null
+        time("dml_delete_slicegrain_100x") {
+          sliceR = graft.storage.SnapshotStore.deleteWhereDetailed(
+            spark, mono, needle)
+        }
+        val (nF, nM) = (
+          graft.storage.SnapshotStore.read(spark, multi).count(),
+          graft.storage.SnapshotStore.read(spark, mono).count())
+        require(nF == nM, s"file/slice delete paths diverged: $nF/$nM")
+        val totalFiles = fileR.keptFiles + fileR.rewrittenDirs
+        ratios("dml_filegrain_rewrite_frac_100x") =
+          fileR.rewrittenDirs.toDouble / totalFiles
+        println(f"PROBE dml_filegrain_rewrite_frac_100x " +
+          f"${fileR.rewrittenDirs.toDouble / totalFiles}%.3f " +
+          f"(${fileR.rewrittenDirs} of $totalFiles referenced files " +
+          "rewritten — the untouched rest re-references unread; the " +
+          "slice-grain twin rewrote every touched slice whole)")
+        for (a <- walls.get("dml_delete_slicegrain_100x");
+             b <- walls.get("dml_delete_filegrain_100x")) {
+          ratios("dml_filegrain_advantage_100x") = a / b
+          println(f"PROBE dml_filegrain_advantage_100x ${a / b}%.2fx " +
+            "(slice-whole rewrite vs footer-split file rewrite of the " +
+            "same needle delete, 6M rows)")
+        }
+      }
       walls("sentinel_dml_end") = sentinel()
     }
 

@@ -512,23 +512,32 @@ object StreamGate extends QueryModule {
   private def changesSourceGate(s: org.apache.spark.sql.SparkSession,
                                 d: String): DataFrame = {
     import graft.storage.SnapshotStore
-    val store = Files.createTempDirectory("graft_schsrc").toString + "/st"
-    val orders = t(s, d, "orders")
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-    SnapshotStore.write(orders.filter(col("o_orderkey") % 4 === 0),
-      store, "o_orderpriority") // v1
-    val upd = orders
-      .filter(col("o_orderkey") % 4 === 0 && col("o_orderkey") % 5 === 0)
-      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
-    SnapshotStore.merge(s, store,
-      upd.unionByName(orders.filter(col("o_orderkey") % 4 === 1)),
-      "o_orderpriority", Seq("o_orderkey")) // v2: updates + inserts
-    SnapshotStore.append(orders.filter(col("o_orderkey") % 4 === 2),
-      store, "o_orderpriority") // v3: insert-only fast path
-    SnapshotStore.merge(s, store,
-      orders.filter(col("o_orderkey") % 4 === 0 && col("o_orderkey") % 7 === 0)
-        .withColumn("_del", lit(true)),
-      "o_orderpriority", Seq("o_orderkey"), deleteCol = Some("_del")) // v4
+    // the 4-version CDC fixture is replay-cached (r16): the gate measures
+    // the SOURCE's drain, and rebuilding write+2 merges+append every run
+    // was the r15 wall regression's prime suspect — profiled: the
+    // announce listing never runs here (no maxBytesPerTrigger), the
+    // fixture build was the only non-stream cost
+    val store = replayCache(d, "chsrc", "orders") { dir =>
+      val st = s"$dir/st"
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      SnapshotStore.write(orders.filter(col("o_orderkey") % 4 === 0),
+        st, "o_orderpriority") // v1
+      val upd = orders
+        .filter(col("o_orderkey") % 4 === 0 && col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      SnapshotStore.merge(s, st,
+        upd.unionByName(orders.filter(col("o_orderkey") % 4 === 1)),
+        "o_orderpriority", Seq("o_orderkey")) // v2: updates + inserts
+      SnapshotStore.append(orders.filter(col("o_orderkey") % 4 === 2),
+        st, "o_orderpriority") // v3: insert-only fast path
+      SnapshotStore.merge(s, st,
+        orders.filter(col("o_orderkey") % 4 === 0 &&
+          col("o_orderkey") % 7 === 0).withColumn("_del", lit(true)),
+        "o_orderpriority", Seq("o_orderkey"),
+        deleteCol = Some("_del")) // v4
+    } + "/st"
     val ck = Files.createTempDirectory("graft_schsrc_ck").toString
     val cents = round(col("o_totalprice") * 100).cast("long")
     val q = s.readStream.format("graft-changes")
