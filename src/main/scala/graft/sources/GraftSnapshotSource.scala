@@ -35,7 +35,8 @@ import graft.storage.SnapshotStore
   * 2 gens instead of 10k), which is exactly when a plain-WHERE user
   * reaches for this.
   */
-class GraftSnapshotSource extends RelationProvider {
+class GraftSnapshotSource extends RelationProvider
+    with CreatableRelationProvider {
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
@@ -51,6 +52,68 @@ class GraftSnapshotSource extends RelationProvider {
       parameters.get("version").map(_.trim.toInt),
       parameters.get("tag"), parameters.get("branch"),
       parameters.get("asOfTimestamp").map(GraftSnapshotSource.parseTs))
+  }
+
+  /** BATCH write under the same format — `df.write.format
+    * ("graft-snapshot").option("partCol", ...).save(path)`:
+    * `ErrorIfExists`/`Overwrite` CREATE the store (overwrite refuses an
+    * EXISTING store rather than silently dropping history — versioned
+    * history is the product; use the library's rollback/DML for
+    * mutation), `Append` runs the store's append (CHECK constraints,
+    * declared stats/needles/sort, idempotency via an
+    * `idempotencyKey` option). Options on create: `partCol` (required),
+    * `statsCols`/`bloomCols`/`sortCols` (comma-separated).
+    */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-snapshot needs a path: .save(\"/store\") or " +
+          ".option(\"path\", ...)"))
+    def csv(k: String): Seq[String] = parameters.get(k)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val exists = SnapshotStore.headVersion(spark, path).isDefined
+    mode match {
+      case Append =>
+        require(exists,
+          s"graft-snapshot append: no store at $path — create it first " +
+            "(mode=ErrorIfExists with partCol)")
+        val partCol = parameters.getOrElse("partCol",
+          SnapshotStore.partColOf(spark, path).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-snapshot append to $path needs partCol (the store " +
+                "predates the _partcol record)")))
+        SnapshotStore.append(data, path, partCol,
+          idempotencyKey = parameters.get("idempotencyKey"))
+      case ErrorIfExists | Overwrite =>
+        // Overwrite does NOT drop an existing store: its versioned
+        // history is the product, and a silent drop would be the one
+        // irreversible verb in the API. Loud either way.
+        require(!exists,
+          s"graft-snapshot: $path already holds a snapshot store — " +
+            "append to it (mode=append), mutate it (graft_delete/" +
+            "graft_update/merge), or expire+remove it explicitly; " +
+            "overwrite will not drop versioned history")
+        val partCol = parameters.getOrElse("partCol",
+          throw new IllegalArgumentException(
+            "graft-snapshot create needs .option(\"partCol\", ...)"))
+        SnapshotStore.write(data, path, partCol,
+          statsCols = csv("statsCols"), bloomCols = csv("bloomCols"),
+          sortCols = csv("sortCols"))
+      case Ignore =>
+        if (!exists) {
+          val partCol = parameters.getOrElse("partCol",
+            throw new IllegalArgumentException(
+              "graft-snapshot create needs .option(\"partCol\", ...)"))
+          SnapshotStore.write(data, path, partCol,
+            statsCols = csv("statsCols"), bloomCols = csv("bloomCols"),
+            sortCols = csv("sortCols"))
+        }
+    }
+    createRelation(sqlContext, Map("path" -> path))
   }
 }
 

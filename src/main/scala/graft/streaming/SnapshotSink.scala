@@ -42,7 +42,9 @@ import graft.storage.SnapshotStore
   * streaming pipeline.
   */
 class SnapshotSinkProvider extends StreamSinkProvider
-    with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
 
@@ -67,6 +69,19 @@ class SnapshotSinkProvider extends StreamSinkProvider
       : org.apache.spark.sql.sources.BaseRelation =
     new graft.sources.GraftSnapshotSource().createRelation(sqlContext,
       parameters)
+
+  /** BATCH write under the same format name — create (`partCol` +
+    * optional `statsCols`/`bloomCols`/`sortCols`) or append (constraint-
+    * gated, optionally idempotency-keyed); `overwrite` refuses to drop a
+    * store's versioned history. Delegates to
+    * [[graft.sources.GraftSnapshotSource]].
+    */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation =
+    new graft.sources.GraftSnapshotSource().createRelation(sqlContext,
+      mode, parameters, data)
 }
 
 class SnapshotSink(sqlContext: SQLContext,

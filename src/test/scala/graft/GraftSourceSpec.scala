@@ -103,4 +103,45 @@ class GraftSourceSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](fmt.load())
     assert(e3.getMessage.contains("path"))
   }
+
+  test("batch WRITE through the format: create with declarations, " +
+    "append through the constraint gate, overwrite refuses to drop " +
+    "versioned history") {
+    val dir = newDir("write")
+    def chunk(lo: Long, n: Int) =
+      (0 until n).map(i => (lo + i, s"p${i % 2}", (lo + i) * 1.0))
+        .toDF("k", "p", "v")
+    chunk(0L, 10).write.format("graft-snapshot")
+      .option("partCol", "p").option("statsCols", "k,v")
+      .option("sortCols", "k").save(dir)
+    assert(SnapshotStore.headVersion(spark, dir).contains(1))
+    assert(SnapshotStore.statsColsOf(spark, dir) == Seq("k", "v"),
+      "create must publish the declarations")
+    // append inherits the recorded partCol and the skipping discipline
+    chunk(100L, 10).write.format("graft-snapshot").mode("append").save(dir)
+    assert(SnapshotStore.read(spark, dir).count() == 20)
+    assert(gens(SnapshotStore.readWhere(spark, dir,
+      col("k") >= 100L).inputFiles).size == 1,
+      "the appended gen must carry blobs like any append")
+    // the CHECK gate runs on format appends too
+    SnapshotStore.addConstraint(spark, dir, "v_pos", "v >= 0")
+    val e = intercept[Exception](
+      Seq((999L, "p0", -1.0)).toDF("k", "p", "v")
+        .write.format("graft-snapshot").mode("append").save(dir))
+    assert(e.getMessage.contains("v_pos"))
+    // overwrite NEVER drops a store: loud, history intact
+    val e2 = intercept[Exception](
+      chunk(0L, 5).write.format("graft-snapshot").mode("overwrite")
+        .option("partCol", "p").save(dir))
+    assert(e2.getMessage.contains("versioned history"))
+    assert(SnapshotStore.read(spark, dir).count() == 20)
+    // idempotency-keyed append through the format no-ops on redelivery
+    chunk(500L, 4).write.format("graft-snapshot").mode("append")
+      .option("idempotencyKey", "batch-7").save(dir)
+    chunk(500L, 4).write.format("graft-snapshot").mode("append")
+      .option("idempotencyKey", "batch-7").save(dir)
+    assert(SnapshotStore.read(spark, dir)
+      .filter(col("k") >= 500L).count() == 4,
+      "redelivered keyed append must not duplicate")
+  }
 }
