@@ -1184,6 +1184,48 @@ object ScaleProbe100 {
             "(slice-whole rewrite vs footer-split file rewrite of the " +
             "same needle delete, 6M rows)")
         }
+        // MERGE-ON-READ rung (r16): the same needle delete against the
+        // single-file-per-slice twin shape, paid in POSITIONS instead of
+        // rewrite — the deletion-vector claim is that the write cost is
+        // proportional to the matched rows (one row here) regardless of
+        // slice size, where even the file-grain split still rewrites the
+        // one ~150k-row file that holds the needle. The read tax (the
+        // anti-join every later read of the DV'd slice pays) is banked
+        // alongside — the debt compaction exists to collect.
+        {
+          val dvDir = buildFiles(split = false)
+          var morR: graft.storage.SnapshotDml.DmlReceipt = null
+          time("dml_delete_mor_100x") {
+            morR = graft.storage.SnapshotStore.deleteWhereMorDetailed(
+              spark, dvDir, needle)
+          }
+          require(morR.rewrittenDirs == 0 && morR.dvRows == 1L,
+            s"the MoR needle delete must write one position, got $morR")
+          val nDv = graft.storage.SnapshotStore.read(spark, dvDir).count()
+          require(nDv == nM, s"MoR/CoW delete paths diverged: $nDv/$nM")
+          for (a <- walls.get("dml_delete_slicegrain_100x");
+               b <- walls.get("dml_delete_mor_100x")) {
+            ratios("dml_mor_advantage_100x") = a / b
+            println(f"PROBE dml_mor_advantage_100x ${a / b}%.2fx " +
+              "(slice-whole copy-on-write vs positions-only merge-on-" +
+              "read of the same needle delete, 6M rows)")
+          }
+          time("dml_mor_read_dvd_100x") {
+            graft.storage.SnapshotStore.read(spark, dvDir)
+              .agg(sum(col("o_orderkey"))).collect()
+          }
+          time("dml_mor_read_clean_100x") {
+            graft.storage.SnapshotStore.read(spark, mono)
+              .agg(sum(col("o_orderkey"))).collect()
+          }
+          for (a <- walls.get("dml_mor_read_dvd_100x");
+               b <- walls.get("dml_mor_read_clean_100x")) {
+            ratios("dml_mor_read_tax_100x") = a / b
+            println(f"PROBE dml_mor_read_tax_100x ${a / b}%.2fx " +
+              "(full read through one deletion vector vs the clean " +
+              "twin — the anti-join tax compaction collects)")
+          }
+        }
       }
       walls("sentinel_dml_end") = sentinel()
     }

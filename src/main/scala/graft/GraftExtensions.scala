@@ -45,6 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(plans.MaintenanceSql.Append.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Delete.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.Update.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.DeleteMor.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.UpdateMor.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.AddConstraint.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.DropConstraint.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.BackfillStats.descriptor)

@@ -239,6 +239,12 @@ object AsOf {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Update.name, MaintenanceSql.Update.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.DeleteMor.name, MaintenanceSql.DeleteMor.builder,
+      "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.UpdateMor.name, MaintenanceSql.UpdateMor.builder,
+      "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.DeleteBranch.name, MaintenanceSql.DeleteBranch.builder,
       "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(

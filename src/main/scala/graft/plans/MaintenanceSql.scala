@@ -357,6 +357,84 @@ object MaintenanceSql {
       (FunctionIdentifier(name), info, builder)
   }
 
+  /** `graft_delete_mor(path, predicate)` — MERGE-ON-READ predicate
+    * DELETE (deletion vectors): matching rows' positions land in one
+    * parquet sidecar and the touched manifest fields gain a DV ref — NO
+    * data file rewritten, write cost proportional to the matched rows.
+    * Readers apply DVs transparently; `graft_compact` materializes the
+    * debt. Receipt: `dropped_dirs` (all-match metadata drops), `dv_dirs`
+    * (fields annotated), `dv_rows` (positions written).
+    */
+  object DeleteMor {
+    val name = "graft_delete_mor"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_delete_mor(path, predicate) - merge-on-read DELETE: " +
+        "records matching rows' positions in a deletion-vector sidecar " +
+        "instead of rewriting files (all-match slices still drop as " +
+        "pure metadata); returns one receipt row (dropped_dirs, " +
+        "dv_dirs, dv_rows, head_version); string-literal arguments",
+      "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 2,
+        s"$name takes (path, predicate); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      val r = graft.storage.SnapshotStore.deleteWhereMorDetailed(spark,
+        path, org.apache.spark.sql.functions.expr(str(name, args, 1)))
+      import spark.implicits._
+      Seq(("delete_mor", path, r.droppedDirs.toLong, r.dvDirs.toLong,
+        r.dvRows, r.version.toLong))
+        .toDF("verb", "path", "dropped_dirs", "dv_dirs", "dv_rows",
+          "head_version")
+        .queryExecution.analyzed
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  /** `graft_update_mor(path, predicate, col, expr [, col2, expr2 ...])`
+    * — MERGE-ON-READ predicate UPDATE: matched rows are deletion-
+    * vector'd out of their slices and their updated images appended as
+    * one fresh gen per touched partition — write cost proportional to
+    * the MATCHED rows (the copy-on-write `graft_update` copies the
+    * untouched remainder of every ambiguous slice through). Assignment
+    * semantics and the CHECK gate match `graft_update`.
+    */
+  object UpdateMor {
+    val name = "graft_update_mor"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_update_mor(path, predicate, col, expr[, col2, expr2 ...]) " +
+        "- merge-on-read UPDATE: deletion-vectors the matched rows and " +
+        "appends their updated images (each expr sees the pre-update " +
+        "row); returns one receipt row (appended_dirs, dv_dirs, " +
+        "dv_rows, head_version); string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size >= 4 && args.size % 2 == 0,
+        s"$name takes (path, predicate, col, expr[, col2, expr2 ...]); " +
+          s"got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      val assignments = (2 until args.size by 2).map(i =>
+        str(name, args, i) ->
+          org.apache.spark.sql.functions.expr(str(name, args, i + 1)))
+      val r = graft.storage.SnapshotStore.updateWhereMorDetailed(spark,
+        path, assignments,
+        org.apache.spark.sql.functions.expr(str(name, args, 1)))
+      import spark.implicits._
+      Seq(("update_mor", path, r.rewrittenDirs.toLong, r.dvDirs.toLong,
+        r.dvRows, r.version.toLong))
+        .toDF("verb", "path", "appended_dirs", "dv_dirs", "dv_rows",
+          "head_version")
+        .queryExecution.analyzed
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
   /** `graft_delete_branch(path, branch, predicate)` — predicate DELETE
     * over a WAP branch TIP, staged as the branch's next version (the
     * audit-fix loop: purge the flagged rows from the candidate and

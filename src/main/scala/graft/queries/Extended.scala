@@ -1546,6 +1546,67 @@ object Extended extends QueryModule {
         .orderBy(col("slice"), col("o_orderpriority"))
     }),
 
+    // Merge-on-read DML — deletion vectors (r16): the needle delete and
+    // the surgical redaction priced at the MATCHED rows, not the touched
+    // slices. The off-boundary MoR delete records positions in one
+    // parquet sidecar (require-pinned: ZERO slices rewritten or dropped
+    // AND the gen set on disk unchanged — no data file written); the MoR
+    // update deletion-vectors its hits and appends only their updated
+    // images. The metadata COUNT stays exact through both (live =
+    // physical − DV'd; require-pinned: zero dirs scanned), and slice 2
+    // time-travels to the pre-DML version.
+    "q_snapshot_dv" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_dvq")
+        .toString + "/orders_dv"
+      val k = col("o_orderkey")
+      val mx = orders.agg(max(k)).head().getLong(0)
+      val (q1, q3) = (mx / 4, 3 * mx / 4)
+      graft.storage.SnapshotStore.write(orders.filter(k <= q1),
+        dir, "o_orderpriority", statsCols = Seq("o_orderkey"))
+      graft.storage.SnapshotStore.append(
+        orders.filter(k > q1 && k <= mx / 2), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(
+        orders.filter(k > mx / 2 && k <= q3), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(orders.filter(k > q3),
+        dir, "o_orderpriority")
+      def gensOnDisk = new java.io.File(s"$dir/data").listFiles()
+        .map(_.getName).filter(_.startsWith("gen-")).toSet
+      val before = gensOnDisk
+      val del = graft.storage.SnapshotStore.deleteWhereMorDetailed(
+        s, dir, k > q3 + 10)
+      require(del.rewrittenDirs == 0 && del.droppedDirs == 0 &&
+        del.dvRows > 0 && gensOnDisk == before,
+        "q_snapshot_dv: the MoR delete must write NO data file — " +
+          s"positions only, got $del")
+      val upd = graft.storage.SnapshotStore.updateWhereMorDetailed(
+        s, dir, Seq("o_totalprice" -> (col("o_totalprice") * 2),
+          "o_orderstatus" -> lit("U")), k <= mx / 8)
+      val expectHits = orders.filter(k <= mx / 8).count()
+      require(upd.dvRows == expectHits && upd.rewrittenDirs <= 5,
+        "q_snapshot_dv: the MoR update must DV exactly the matched " +
+          s"rows and append only their images, got $upd vs $expectHits")
+      val (live, scanned) = graft.storage.SnapshotStore
+        .countWhereDetailed(s, dir, lit(true))
+      require(scanned == 0,
+        "q_snapshot_dv: the metadata count must stay exact through " +
+          s"deletion vectors (live = physical − DV'd), scanned $scanned")
+      require(live == graft.storage.SnapshotStore.read(s, dir).count(),
+        "q_snapshot_dv: metadata count and scan count must agree")
+      def agg(x: org.apache.spark.sql.DataFrame, slice: Int) =
+        x.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("sum_cents"),
+            sum(when(col("o_orderstatus") === "U", 1L).otherwise(0L))
+              .as("n_updated"))
+          .withColumn("slice", lit(slice))
+      agg(graft.storage.SnapshotStore.read(s, dir), 1)
+        .unionByName(
+          agg(graft.storage.SnapshotStore.read(s, dir, Some(4)), 2))
+        .orderBy(col("slice"), col("o_orderpriority"))
+    }),
+
     // CHECK constraints (r15): the write-boundary quality gate — the
     // reference's parse-failure path (R4) manufactures corrupt rows, and
     // a store carrying `price_pos CHECK (o_totalprice > 0)` turns silent
@@ -1747,6 +1808,30 @@ object Extended extends QueryModule {
         |    CAST(sum(CASE WHEN status = 'U' THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_updated, 1 AS slice
         |  FROM upd GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT o_orderpriority, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents,
+        |    CAST(0 AS BIGINT) AS n_updated, 2 AS slice
+        |  FROM orders GROUP BY o_orderpriority
+        |) ORDER BY slice, o_orderpriority""".stripMargin,
+
+    "q_snapshot_dv" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |fin AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey <= m // 8
+        |      THEN o_totalprice * 2 ELSE o_totalprice END AS price,
+        |    CASE WHEN o_orderkey <= m // 8
+        |      THEN 'U' ELSE o_orderstatus END AS status
+        |  FROM orders, mx WHERE NOT (o_orderkey > (3 * m) // 4 + 10))
+        |SELECT * FROM (
+        |  SELECT o_orderpriority, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents,
+        |    CAST(sum(CASE WHEN status = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_updated, 1 AS slice
+        |  FROM fin GROUP BY o_orderpriority
         |  UNION ALL
         |  SELECT o_orderpriority, count(*) AS n_orders,
         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -26,14 +26,16 @@ import graft.storage.SnapshotStore
   * `tag` (named ref), `branch` (WAP tip), `asOfTimestamp` (epoch millis
   * or ISO-8601 instant — [[SnapshotStore.versionAsOf]] semantics).
   *
-  * Scale note, stated plainly: this is the DSv1 row-scan shape (the JDBC
-  * relation's) — rows surface through an `RDD[Row]` conversion, outside
-  * whole-stage codegen's columnar parquet path. It is the COMPATIBILITY
-  * surface; the TVFs (`graft_snapshot_where`) and the library readers
-  * return the native parquet scan and remain the fast path for bulk
-  * reads. The pruning win usually dominates at high selectivity (opening
-  * 2 gens instead of 10k), which is exactly when a plain-WHERE user
-  * reaches for this.
+  * Scale note: DSv1's naive shape pays a per-row `Row ⇄ InternalRow`
+  * conversion on every surfaced row. This relation opts out via
+  * `needConversion = false` — the public connector idiom (the same move
+  * spark-redshift/snowflake ship): `buildScan` executes the inner
+  * DataFrame's OWN physical plan (`queryExecution.toRdd` — vectorized
+  * parquet scan, whole-stage codegen, the DV anti-join when slices carry
+  * deletion vectors) and hands Spark the resulting `InternalRow`s
+  * directly, so the only DSv1 residue is the scan-node boundary itself.
+  * The TVFs (`graft_snapshot_where`) and the library readers remain the
+  * zero-boundary path for bulk reads.
   */
 class GraftSnapshotSource extends RelationProvider
     with CreatableRelationProvider {
@@ -184,6 +186,12 @@ private[sources] class GraftSnapshotRelation(
     case None => SnapshotStore.read(spark, path, resolvedVersion).schema
   }
 
+  /** InternalRow hand-off (see the provider doc): with this false,
+    * Spark treats [[buildScan]]'s rows as `InternalRow`s verbatim — no
+    * per-row conversion on either side of the relation boundary.
+    */
+  override def needConversion: Boolean = false
+
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val pred = filters.flatMap(GraftSnapshotSource.translate(_))
@@ -196,9 +204,12 @@ private[sources] class GraftSnapshotRelation(
       case (None, None) => SnapshotStore.read(spark, path, resolvedVersion)
     }
     GraftSnapshotSource.lastScan = Some(base)
-    if (requiredColumns.isEmpty)
-      // count-star shape: zero-column rows, one per surviving row
-      base.select(lit(1)).rdd.map(_ => Row.empty)
-    else base.select(requiredColumns.map(col).toSeq: _*).rdd
+    // the inner plan executes NATIVELY (vectorized parquet + codegen up
+    // to this boundary); a zero-column projection serves the count-star
+    // shape with empty InternalRows, one per surviving row
+    val projected =
+      if (requiredColumns.isEmpty) base.select()
+      else base.select(requiredColumns.map(col).toSeq: _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }

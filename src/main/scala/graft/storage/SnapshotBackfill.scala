@@ -39,7 +39,7 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object SnapshotBackfill {
   import SnapshotStore._
-  import SnapshotFormat.{StatsSep, dirOf}
+  import SnapshotFormat.{StatsSep, dirOf, dvOf, withDv}
 
   /** Adds `statsCols`/`bloomCols` (LOGICAL names) to the store's
     * declarations and backfills the head. Returns the committed version
@@ -111,7 +111,10 @@ private[graft] object SnapshotBackfill {
         val dir = dirOf(f)
         val gen = dir.split("/").lift(1).getOrElse("")
         blobs.get(gen).flatMap(_.get(p)) match {
-          case Some(blob) => s"$dir$StatsSep$blob"
+          // the re-derived blob describes the dir's PHYSICAL rows — the
+          // same population any deletion-vector suffix overlays, so the
+          // suffix carries forward verbatim (live = physical - DV'd)
+          case Some(blob) => withDv(s"$dir$StatsSep$blob", dvOf(f))
           case None => f // vanished/odd slice: keep the original field
         }
       }

@@ -377,9 +377,9 @@ private[storage] object SnapshotBranch {
     if (parts.isEmpty) return
     val touchedDirs = parts.flatMap(st.entries.get).flatten
     val merged = if (touchedDirs.isEmpty) upserts else {
-      val dirs = touchedDirs.map(d => s"$path/${dirOf(d)}")
       val base = SnapshotStore.applyRenames(
-        spark.read.schema(st.schema).parquet(dirs: _*).drop("_p"),
+        SnapshotStore.readFieldsPhys(spark, path, touchedDirs.toSeq,
+          Some(st.schema)),
         st.renames)
       upserts.unionByName(
         base.join(Joins.maybeBroadcast(keys, Joins.BroadcastRowLimit),
@@ -406,13 +406,12 @@ private[storage] object SnapshotBranch {
   private[storage] def read(spark: SparkSession, path: String,
                             name: String): DataFrame = {
     val st = readStaged(spark, path, name)
-    val dirs = st.entries.values.flatten.map(dirOf).toSeq.sorted.distinct
-      .map(d => s"$path/$d")
+    val fields = st.entries.values.flatten.toSeq.sorted.distinct
     val base =
-      if (dirs.isEmpty) spark.createDataFrame(
+      if (fields.isEmpty) spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         st.schema)
-      else spark.read.schema(st.schema).parquet(dirs: _*).drop("_p")
+      else SnapshotStore.readFieldsPhys(spark, path, fields, Some(st.schema))
     SnapshotStore.applyRenames(base, st.renames)
   }
 
@@ -449,18 +448,19 @@ private[storage] object SnapshotBranch {
     }
     // the needle pass serves the audit too: staged gens carry the same
     // `_bloom-<col>` sidecars main-line gens do (one writeGen)
+    val byDir = entries.values.flatten.map(f => dirOf(f) -> f).toMap
     val kept = SnapshotBloom.prune(spark, path,
       SnapshotStore.survivingDirs(spark,
         entries.values.flatten.toSeq, st.schema, st.renames, pred),
       SnapshotBloom.probesOf(expr, st.renames.map(_.swap),
         SnapshotBloom.bloomColsOf(spark, path).toSet))
-      .map(d => s"$path/$d")
+      .map(byDir)
     val base =
       if (kept.isEmpty) SnapshotStore.applyRenames(spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         st.schema), st.renames)
       else SnapshotStore.applyRenames(
-        spark.read.schema(st.schema).parquet(kept: _*).drop("_p"),
+        SnapshotStore.readFieldsPhys(spark, path, kept, Some(st.schema)),
         st.renames)
     base.filter(pred)
   }
@@ -607,20 +607,21 @@ private[storage] object SnapshotBranch {
       case Some(values) => st.entries.filter { case (k, _) => values(k) }
       case None => st.entries
     }
-    val (meta, dirs0) = SnapshotStore.countOverFields(
+    val (meta, res0) = SnapshotStore.countOverFields(
       entries.values.flatten.toSeq, expr, st.renames.map(_.swap))
     // needle pass on the residual (same as main's countWhere): a
     // bloom-rejected gen holds zero matching rows
-    val dirs = SnapshotBloom.prune(spark, path, dirs0,
+    val byDir = res0.map(f => dirOf(f) -> f).toMap
+    val kept = SnapshotBloom.prune(spark, path, res0.map(dirOf),
       SnapshotBloom.probesOf(expr, st.renames.map(_.swap),
         SnapshotBloom.bloomColsOf(spark, path).toSet))
+      .map(byDir)
     val scanned =
-      if (dirs.isEmpty) 0L
+      if (kept.isEmpty) 0L
       else SnapshotStore.applyRenames(
-        spark.read.schema(st.schema)
-          .parquet(dirs.map(d => s"$path/$d"): _*).drop("_p"),
+        SnapshotStore.readFieldsPhys(spark, path, kept, Some(st.schema)),
         st.renames).filter(pred).count()
-    (meta + scanned, dirs.size)
+    (meta + scanned, kept.size)
   }
 
   /** FAST-FORWARD publish: commits the branch tip as version base+1 on
@@ -685,14 +686,13 @@ private[storage] object SnapshotBranch {
     val cs = SnapshotConstraints.all(spark, path)
     if (cs.isEmpty) return
     lazy val tipRead: DataFrame = {
-      val dirs = st.entries.values.flatten.map(dirOf).toSeq.distinct.sorted
-      if (dirs.isEmpty)
+      val fields = st.entries.values.flatten.toSeq.distinct.sorted
+      if (fields.isEmpty)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           st.schema).drop("_p")
       else SnapshotStore.applyRenames(
-        spark.read.schema(st.schema)
-          .parquet(dirs.map(d => s"$path/$d"): _*).drop("_p"),
+        SnapshotStore.readFieldsPhys(spark, path, fields, Some(st.schema)),
         st.renames)
     }
     cs.toSeq.sortBy(_._1).foreach { case (n, p) =>

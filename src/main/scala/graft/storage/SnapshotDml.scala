@@ -62,7 +62,8 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
   */
 private[graft] object SnapshotDml {
   import SnapshotStore._
-  import SnapshotFormat.{dirOf, statsOf, parseStats, StatsSep}
+  import SnapshotFormat.{dirOf, statsOf, parseStats, StatsSep,
+    dvOf, baseOf, withDv, DvRef}
 
   /** One DML commit's receipt. `version` is the committed head — or, for
     * the branch verbs, the branch's staged tip counter — (the prior one
@@ -79,7 +80,8 @@ private[graft] object SnapshotDml {
     */
   case class DmlReceipt(version: Int, droppedDirs: Int,
                         rewrittenDirs: Int, keptDirs: Int,
-                        keptFiles: Int = 0, droppedFiles: Int = 0)
+                        keptFiles: Int = 0, droppedFiles: Int = 0,
+                        dvDirs: Int = 0, dvRows: Long = 0L)
 
   /** Analyzes `pred` against the version's logical schema — a zero-row
     * analysis (no I/O): literals arrive typed in Catalyst's internal
@@ -125,6 +127,8 @@ private[graft] object SnapshotDml {
       keptByPart: Map[String, Seq[String]],
       fileKept: Map[String, Vector[String]],
       rewrite: Seq[String],
+      ambByPart: Map[String, Seq[String]],
+      origCount: Map[String, Int],
       dropped: Int, kept: Int, keptFiles: Int, droppedFiles: Int) {
     def touched: Boolean = removed.nonEmpty
     /** Rebuilds the touched partitions' field lists around the freshly
@@ -144,7 +148,8 @@ private[graft] object SnapshotDml {
       logicalToPhysical: Map[String, String],
       statsCols: Seq[String],
       physSchema: org.apache.spark.sql.types.StructType,
-      metadataDrop: Boolean): DmlPlan = {
+      metadataDrop: Boolean,
+      fileGrain: Boolean = true): DmlPlan = {
     // the needle pass serves DML's pruning too: a gen whose bloom filter
     // proves an equality probe absent holds no matching row — NoMatch,
     // copied forward verbatim ("delete THIS document id" rewrites the one
@@ -163,6 +168,7 @@ private[graft] object SnapshotDml {
     var kept = 0
     val removed = Set.newBuilder[String]
     val keptByPart = Map.newBuilder[String, Seq[String]]
+    val origCount = Map.newBuilder[String, Int]
     val ambiguous = Seq.newBuilder[(String, String)]
     entries.foreach { case (p, fields) =>
       val vs = fields.map { f =>
@@ -181,23 +187,36 @@ private[graft] object SnapshotDml {
       if (vs.exists(_._2 != NoMatch)) {
         removed += p
         keptByPart += p -> vs.collect { case (f, NoMatch) => f }
+        origCount += p -> fields.size
         ambiguous ++= vs.collect { case (f, MightMatch) => (p, f) }
         dropped += vs.count(_._2 == AllMatch)
         kept += vs.count(_._2 == NoMatch)
       }
     }
-    // FILE-granular split of the ambiguous multi-file slices (object doc)
+    // FILE-granular split of the ambiguous multi-file slices (object doc).
+    // A deletion-vector'd field skips the split and rewrites WHOLE (read
+    // through its DVs by the central reader): footer blobs describe the
+    // files' physical rows, and re-entering a file as its own manifest
+    // field would sever it from the DV suffix — resurrecting deleted
+    // rows. The rewrite collapses the DV debt instead (the fresh gen is
+    // clean, the old refs drop with the replaced field).
     val fileKept = scala.collection.mutable.Map.empty[String, Vector[String]]
     var keptFiles = 0
     var droppedFiles = 0
     val rewritePaths = Seq.newBuilder[String]
+    val ambByPart = scala.collection.mutable.Map.empty[String, Vector[String]]
+    def rewriteWhole(p: String, f: String): Unit = {
+      rewritePaths += f
+      ambByPart(p) = ambByPart.getOrElse(p, Vector.empty) :+ f
+    }
     ambiguous.result().foreach { case (p, f) =>
       val dir = dirOf(f)
-      if (dir.endsWith(".parquet")) rewritePaths += dir
+      if (!fileGrain || dir.endsWith(".parquet") || dvOf(f).nonEmpty)
+        rewriteWhole(p, f)
       else {
         val blobs = SnapshotFileStats.fileBlobs(spark, path, dir,
           statsCols, physSchema)
-        if (blobs.size <= 1) rewritePaths += dir
+        if (blobs.size <= 1) rewriteWhole(p, f)
         else blobs.foreach { case (fp, blob) =>
           blob.map(b => evalPrune(expr, parseStats(b), logicalToPhysical))
             .getOrElse(MightMatch) match {
@@ -213,6 +232,7 @@ private[graft] object SnapshotDml {
     }
     DmlPlan(removed.result(), keptByPart.result(), fileKept.toMap,
       rewritePaths.result().distinct.sorted,
+      ambByPart.view.mapValues(_.toSeq).toMap, origCount.result(),
       dropped, kept, keptFiles, droppedFiles)
   }
 
@@ -244,8 +264,8 @@ private[graft] object SnapshotDml {
     val newEntries: Map[String, String] =
       if (plan.rewrite.isEmpty) Map.empty
       else {
-        val base = applyRenames(readWithSchema(spark, path, head,
-          plan.rewrite.map(d => s"$path/$d")), renames)
+        val base = applyRenames(
+          readFields(spark, path, head, plan.rewrite), renames)
         val survivors = base.filter(not(coalesce(pred, lit(false))))
         val physPartCol = partColOf(spark, path).getOrElse(
           throw new IllegalStateException(
@@ -298,8 +318,8 @@ private[graft] object SnapshotDml {
     val plan = planDml(spark, path, entries, expr, logicalToPhysical,
       statsCols, physSchema, metadataDrop = false)
     if (!plan.touched) return DmlReceipt(head, 0, 0, 0)
-    val base = applyRenames(readWithSchema(spark, path, head,
-      plan.rewrite.map(d => s"$path/$d")), renames)
+    val base = applyRenames(
+      readFields(spark, path, head, plan.rewrite), renames)
     val updated = applyAssignments(base, assignments, pred, logicalSchema,
       spark, path, "update")
     val newEntries = writeGen(toPhysical(updated, renames), path,
@@ -313,6 +333,224 @@ private[graft] object SnapshotDml {
     DmlReceipt(head + 1, 0, plan.rewrite.size, plan.kept,
       keptFiles = plan.keptFiles)
   }
+
+  /** MERGE-ON-READ DELETE (deletion vectors — the Delta/Iceberg DV
+    * concept re-derived on the store's own manifest): rows satisfying
+    * `pred` are deleted by RECORDING THEIR POSITIONS, never rewriting a
+    * data file. The same tri-state plan as [[deleteWhere]] decides per
+    * slice — NoMatch copies forward, AllMatch drops as pure metadata —
+    * but the ambiguous slices, instead of paying copy-on-write, are read
+    * ONCE (through any existing DVs), the matching rows' (file-key,
+    * row-index) pairs land in one parquet sidecar (`data/dv-<hex>`), and
+    * each touched field gains a DV ref carrying its exact deleted count
+    * (so the metadata COUNT stays exact: live = physical − DV'd). The
+    * write cost is proportional to the MATCHED rows, not the touched
+    * slices — the needle delete in a 10 GB slice writes kilobytes.
+    *
+    * The debt: every later read of a DV'd slice pays one anti-join
+    * against the (tiny) sidecar, and `minMaxWhere` stops serving the
+    * slice from metadata (its physical bounds may be attained only by
+    * deleted rows). [[SnapshotStore.compactPartitions]] is the debt
+    * collector — a DV'd partition qualifies regardless of dir count and
+    * rewrites clean. History is never rewritten (time travel sees
+    * pre-delete rows until expire; the sidecar is swept when no retained
+    * field references it). A provable no-op — or an ambiguous plan whose
+    * scan finds zero matching rows and whose metadata pass dropped
+    * nothing — commits NO version.
+    */
+  def deleteWhereMor(spark: SparkSession, path: String, pred: Column,
+                     beforeCommit: () => Unit = () => ()): DmlReceipt = {
+    requireAtomicRename(path)
+    val head = headVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val renames = readRenames(spark, path, head)
+    val physSchema = versionSchema(spark, path, head)
+    val logicalToPhysical = renames.map(_.swap)
+    val logicalSchema = org.apache.spark.sql.types.StructType(
+      physSchema.fields.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name))))
+    val expr = analyzed(spark, logicalSchema, pred)
+    val entries = touchedEntries(spark, path, head, renames, logicalSchema,
+      expr)
+    val statsCols = statsColsOf(spark, path)
+    // no file-grain split: positions are finer than files, so probing
+    // footers to shrink the slice buys nothing the sidecar doesn't
+    val plan = planDml(spark, path, entries, expr, logicalToPhysical,
+      statsCols, physSchema, metadataDrop = true, fileGrain = false)
+    if (!plan.touched) return DmlReceipt(head, 0, 0, 0)
+    val (dvRel, counts) =
+      if (plan.rewrite.isEmpty) (None, Map.empty[String, Long])
+      else {
+        val physPartCol = partColOf(spark, path).getOrElse(
+          throw new IllegalStateException(
+            s"store at $path records no partition column"))
+        val tagged = applyRenames(
+          readFieldsTagged(spark, path, plan.rewrite, Some(physSchema)),
+          renames)
+        writeDv(spark, path, tagged.filter(coalesce(pred, lit(false))),
+          col(renames.getOrElse(physPartCol, physPartCol)))
+      }
+    val dvRows = counts.values.sum
+    if (plan.dropped == 0 && counts.isEmpty)
+      return DmlReceipt(head, 0, 0, plan.kept) // scan refuted the stats
+    // rebuild ONLY the partitions something actually happened to: an
+    // AllMatch drop, or an ambiguous field that took positions. A
+    // partition whose ambiguous fields all scanned clean keeps its entry
+    // (identical re-add would be harmless, but the identity diff should
+    // not even have to cancel it). A partition whose EVERY field left
+    // (all-AllMatch delete) maps to Nil — removed, never re-added.
+    val annotated = annotate(plan, dvRel, counts)
+    beforeCommit() // test seam: a concurrent committer lands here
+    commitDelta(spark, path, head + 1, head,
+      removed = annotated.keySet,
+      added = annotated.filter(_._2.nonEmpty),
+      dvRel.toSeq, Some(physSchema), renames, op = "delete")
+    DmlReceipt(head + 1, plan.dropped, 0, plan.kept,
+      dvDirs = counts.size, dvRows = dvRows)
+  }
+
+  /** MERGE-ON-READ UPDATE: rows satisfying `pred` are deletion-vector'd
+    * out of their slices (like [[deleteWhereMor]]) and their UPDATED
+    * images — each RHS evaluated against the pre-update row, cast to the
+    * column's logical type, CHECK-constraint-gated — are APPENDED as one
+    * fresh gen per touched partition. The write cost is proportional to
+    * the MATCHED rows (Delta's DV-based UPDATE shape): the untouched
+    * 99% of an ambiguous slice is never rewritten, where the
+    * copy-on-write [[updateWhere]] copies it through. Same debt and
+    * same compaction story as the MoR delete.
+    */
+  def updateWhereMor(spark: SparkSession, path: String,
+                     assignments: Seq[(String, Column)], pred: Column,
+                     beforeCommit: () => Unit = () => ()): DmlReceipt = {
+    requireAtomicRename(path)
+    val head = headVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val renames = readRenames(spark, path, head)
+    val physSchema = versionSchema(spark, path, head)
+    val physPartCol = partColOf(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"store at $path records no partition column"))
+    val logicalSchema = org.apache.spark.sql.types.StructType(
+      physSchema.fields.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name))))
+    validateAssignments(assignments, logicalSchema,
+      renames.getOrElse(physPartCol, physPartCol), "updateWhereMor")
+    val logicalToPhysical = renames.map(_.swap)
+    val expr = analyzed(spark, logicalSchema, pred)
+    val entries = touchedEntries(spark, path, head, renames, logicalSchema,
+      expr)
+    val statsCols = statsColsOf(spark, path)
+    val plan = planDml(spark, path, entries, expr, logicalToPhysical,
+      statsCols, physSchema, metadataDrop = false, fileGrain = false)
+    if (!plan.touched) return DmlReceipt(head, 0, 0, 0)
+    val tagged = applyRenames(
+      readFieldsTagged(spark, path, plan.rewrite, Some(physSchema)),
+      renames)
+    val hits = tagged.filter(coalesce(pred, lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val assigned = assignments.toMap
+      val updated = hits.select(logicalSchema.fieldNames.toSeq.map { c =>
+        assigned.get(c) match {
+          case Some(e) => e.cast(logicalSchema(c).dataType).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      SnapshotConstraints.enforce(spark, path, updated, "update")
+      val (dvRel, counts) = writeDv(spark, path, hits,
+        col(renames.getOrElse(physPartCol, physPartCol)))
+      if (counts.isEmpty)
+        return DmlReceipt(head, 0, 0, plan.kept) // scan refuted the stats
+      val newEntries = writeGen(toPhysical(updated, renames), path,
+        physPartCol, statsCols = statsCols)
+      val annotated = annotate(plan, dvRel, counts).map { case (p, fs) =>
+        p -> (fs ++ newEntries.get(p).toSeq)
+      }
+      beforeCommit() // test seam: a concurrent committer lands here
+      commitDelta(spark, path, head + 1, head,
+        removed = annotated.keySet,
+        added = annotated.filter(_._2.nonEmpty),
+        dvRel.toSeq ++ newEntries.values
+          .map(_.split("/").take(2).mkString("/")).toSeq.distinct,
+        Some(physSchema), renames, op = "update")
+      DmlReceipt(head + 1, 0, newEntries.size, plan.kept,
+        dvDirs = counts.size, dvRows = counts.values.sum)
+    } finally hits.unpersist()
+  }
+
+  /** Writes `hits`' (file-key, row-index) pairs as ONE deletion-vector
+    * sidecar dir and returns (its store-relative path, per-DIR deleted
+    * counts keyed like `dirOf`). Zero hits: the empty dir is removed and
+    * nothing is referenced. The counts read back from the just-written
+    * (page-hot) sidecar, not a recompute.
+    *
+    * `partValue` is the partition column (logical name): the dir KEY for
+    * the counts is rebuilt from the VALUE through the same
+    * `getPartitionPathString` discipline the writer's `partitionBy("_p")`
+    * uses — NEVER parsed out of `_gk`, whose `_metadata.file_path`
+    * segments are URI-encoded (a partition value with a space reads
+    * `%20` there but sits escaped-but-unencoded in the manifest; the
+    * anti-join is immune — both of its sides come from `_metadata` — but
+    * a string-matched dir key would silently miss the field, leaving its
+    * positions recorded and unreferenced). The value rides the sidecar
+    * as a third column readers never select (their explicit two-column
+    * schema prunes it at the parquet footer).
+    */
+  private def writeDv(spark: SparkSession, path: String,
+      hits: DataFrame,
+      partValue: Column): (Option[String], Map[String, Long]) = {
+    val rel = "data/dv-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    hits.select(col("_gk"), col("_gi"), partValue.cast("string").as("_gv"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/$rel")
+    val counts = spark.read.parquet(s"$path/$rel")
+      .groupBy(org.apache.spark.sql.functions
+        .substring_index(col("_gk"), "/", 1).as("g"), col("_gv"))
+      .count()
+      .collect().map { r =>
+        val frag = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.getPartitionPathString("_p",
+            Option(r.getString(1)).getOrElse(""))
+        s"data/${r.getString(0)}/$frag" -> r.getLong(2)
+      }.toMap
+    if (counts.isEmpty) {
+      org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), true)
+      (None, counts)
+    } else (Some(rel), counts)
+  }
+
+  /** The MoR rebuild: partitions whose entry actually CHANGED — an
+    * AllMatch field dropped as metadata, or an ambiguous field that took
+    * positions — mapped to their new field lists: NoMatch fields
+    * verbatim, hit fields with the new DV ref appended (count exact per
+    * field), clean-scanned ambiguous fields verbatim. A partition whose
+    * every field leaves (all AllMatch, delete) maps to Nil — the caller
+    * removes its entry without re-adding. Partitions where nothing
+    * happened (every ambiguous field scanned clean, nothing dropped) are
+    * absent: their entries stay byte-identical, so the identity diff
+    * never has to cancel a rewrite.
+    */
+  private def annotate(plan: DmlPlan, dvRel: Option[String],
+      counts: Map[String, Long]): Map[String, Seq[String]] =
+    plan.removed.flatMap { p =>
+      val kept = plan.keptByPart.getOrElse(p, Nil)
+      val amb = plan.ambByPart.getOrElse(p, Nil)
+      val hitHere = amb.exists(f => counts.contains(dirOf(f)))
+      // an AllMatch metadata drop shows as "the surviving fields don't
+      // add back up to the original entry"
+      val droppedHere =
+        plan.origCount.getOrElse(p, 0) > kept.size + amb.size
+      if (!hitHere && !droppedHere) None
+      else Some(p -> (kept ++ amb.map { f =>
+        counts.get(dirOf(f)) match {
+          case Some(n) => withDv(baseOf(f), dvOf(f) :+ DvRef(dvRel.get, n))
+          case None => f
+        }
+      }))
+    }.toMap
 
   private def validateAssignments(assignments: Seq[(String, Column)],
       logicalSchema: org.apache.spark.sql.types.StructType,
@@ -390,8 +628,7 @@ private[graft] object SnapshotDml {
         if (plan.rewrite.isEmpty) Map.empty
         else {
           val base = applyRenames(
-            spark.read.schema(st.schema)
-              .parquet(plan.rewrite.map(d => s"$path/$d"): _*).drop("_p"),
+            readFieldsPhys(spark, path, plan.rewrite, Some(st.schema)),
             st.renames)
           val survivors = base.filter(not(coalesce(pred, lit(false))))
           val physPartCol = partColOf(spark, path).getOrElse(
@@ -441,8 +678,7 @@ private[graft] object SnapshotDml {
         st.renames.map(_.swap), statsCols, st.schema, metadataDrop = false)
       if (!plan.touched) return DmlReceipt(st.k, 0, 0, 0)
       val base = applyRenames(
-        spark.read.schema(st.schema)
-          .parquet(plan.rewrite.map(d => s"$path/$d"): _*).drop("_p"),
+        readFieldsPhys(spark, path, plan.rewrite, Some(st.schema)),
         st.renames)
       val updated = applyAssignments(base, assignments, pred,
         logicalSchema, spark, path, "branch update")

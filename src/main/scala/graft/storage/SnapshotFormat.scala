@@ -334,15 +334,92 @@ private[storage] object SnapshotFormat {
 
   private[storage] val StatsSep = ""
 
-  /** The dir-path part of a manifest dir field (strips the stats blob). */
+  /** The dir-path part of a manifest dir field (strips the stats blob and
+    * any deletion-vector suffix).
+    */
   private[storage] def dirOf(field: String): String = {
     val i = field.indexOf(StatsSep)
-    if (i < 0) field else field.substring(0, i)
+    val j = field.indexOf(DvSep)
+    val cut = (i, j) match {
+      case (-1, -1) => return field
+      case (-1, b) => b
+      case (a, -1) => a
+      case (a, b) => math.min(a, b)
+    }
+    field.substring(0, cut)
   }
 
   private[storage] def statsOf(field: String): Option[String] = {
     val i = field.indexOf(StatsSep)
-    if (i < 0) None else Some(field.substring(i + 1))
+    if (i < 0) None
+    else {
+      val j = field.indexOf(DvSep, i + 1)
+      Some(field.substring(i + 1, if (j < 0) field.length else j))
+    }
+  }
+
+  // ---- deletion-vector suffix (merge-on-read DML, r16) ---------------------
+  //
+  // A manifest field may carry, after a second control separator U+0003,
+  // references to DELETION-VECTOR sidecars: parquet files of (file-key,
+  // row-index) pairs naming the field's rows a merge-on-read DELETE/UPDATE
+  // logically removed (the Delta/Iceberg deletion-vector concept,
+  // re-derived on the store's own manifest). The stats blob stays a
+  // description of the dir's PHYSICAL rows -- bounds/null counts are
+  // computed over what the files hold -- and the DV overlays it: live rows
+  // = physical rows minus DV'd positions. That split keeps every pruning
+  // verdict sound unchanged (survivors are a subset of the physical rows
+  // the bounds describe) and makes the metadata COUNT exact again with
+  // one subtraction (each ref records how many of the FIELD's positions
+  // it holds). Grammar: `<dir>[\u0002<blob>][\u0003<rel>,<n>[;<rel>,<n>...]]`
+  // where `rel` is the sidecar dir (store-relative, `data/dv-<hex>`) and
+  // `n` the field's deleted-position count in it. U+0003 is a control
+  // character escapePathName always %-escapes, so no partition value,
+  // column name, or stat value can forge the separator.
+
+  private[storage] val DvSep = ""
+
+  /** One deletion-vector reference: the sidecar dir (store-relative) and
+    * how many of the carrying FIELD's positions it holds.
+    */
+  private[storage] case class DvRef(rel: String, deleted: Long)
+
+  /** The field's deletion-vector refs, oldest first; empty when none. */
+  private[storage] def dvOf(field: String): Seq[DvRef] = {
+    val i = field.indexOf(DvSep)
+    if (i < 0) return Nil
+    field.substring(i + 1).split(";").toSeq.map { part =>
+      val c = part.lastIndexOf(',')
+      require(c > 0 && c < part.length - 1 &&
+        part.substring(c + 1).forall(_.isDigit),
+        s"malformed deletion-vector ref: '$part'")
+      DvRef(part.substring(0, c), part.substring(c + 1).toLong)
+    }
+  }
+
+  /** The field WITHOUT its deletion-vector suffix (dir + stats blob). */
+  private[storage] def baseOf(field: String): String = {
+    val i = field.indexOf(DvSep)
+    if (i < 0) field else field.substring(0, i)
+  }
+
+  /** `base` (a dir+blob field) re-annotated with `refs`; no suffix when
+    * refs are empty.
+    */
+  private[storage] def withDv(base: String, refs: Seq[DvRef]): String =
+    if (refs.isEmpty) base
+    else base + DvSep + refs.map(r => s"${r.rel},${r.deleted}").mkString(";")
+
+  /** The field's identity for version DIFFING: the dir plus the DV
+    * suffix, never the stats blob. Dirs are immutable, so equal (dir, DV)
+    * identities PROVE identical LIVE rows -- a stats backfill (blob-only
+    * change) still yields an empty feed, while a merge-on-read DML commit
+    * (DV-only change) correctly reads as "this slice's rows changed".
+    */
+  private[storage] def identityOf(field: String): String = {
+    val i = field.indexOf(DvSep)
+    if (i < 0) dirOf(field)
+    else dirOf(field) + DvSep + field.substring(i + 1)
   }
 
   /** String bounds truncate to this many Unicode CODE POINTS — long

@@ -85,8 +85,13 @@ private[storage] object SnapshotRetention {
       // a malformed file or an IO error fails the sweep LOUDLY instead
       // of sweeping a live branch's gens (see allStagedDirs).
       val stagedDirs = SnapshotBranch.allStagedDirs(spark, path)
+      // each field contributes its gen dir AND any deletion-vector
+      // sidecar dirs it references (`data/dv-<hex>` — a sidecar whose
+      // only reference is a retained field must survive with it; one
+      // no surviving field references ages out like any gen)
       (head, liveSegs,
         (flatDirs ++ segDirs ++ stagedDirs)
+          .flatMap(f => dirOf(f) +: dvOf(f).map(_.rel))
           .map(_.split("/").take(2).mkString("/")).toSet)
     }
     // tag fixpoint: a tag published DURING the resolution must be honored

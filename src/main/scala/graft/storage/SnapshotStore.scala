@@ -954,9 +954,12 @@ object SnapshotStore {
     // gen, zero when nothing is declared or the predicate has no probe.
     val probes = SnapshotBloom.probesOf(expr, renames.map(_.swap),
       SnapshotBloom.bloomColsOf(spark, path).toSet)
+    // dirs prune (stats + needle), then map the survivors back to their
+    // FIELD texts so the central reader can apply any deletion vectors
+    val byDir = fields.map(f => dirOf(f) -> f).toMap
     val kept = SnapshotBloom.prune(spark, path,
       survivingDirs(spark, fields, physSchema, renames, pred), probes)
-      .map(d => s"$path/$d")
+      .map(byDir)
     // everything-pruned: the empty frame under the version's logical
     // schema DIRECTLY (read().limit(0) would plan a parquet scan over
     // every gen dir — the exact listing cost pruning exists to avoid,
@@ -965,7 +968,7 @@ object SnapshotStore {
       if (kept.isEmpty) applyRenames(spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         versionSchema(spark, path, v)), renames)
-      else applyRenames(readWithSchema(spark, path, v, kept), renames)
+      else applyRenames(readFields(spark, path, v, kept), renames)
     base.filter(pred)
   }
 
@@ -1021,26 +1024,30 @@ object SnapshotStore {
           .values.flatten.toSeq
       case None => readManifestDirs(spark, path, v)
     }
-    val (meta, dirs0) = countOverFields(fields, expr, logicalToPhysical)
+    val (meta, res0) = countOverFields(fields, expr, logicalToPhysical)
     // needle pass on the residual: a gen whose bloom filter proves an
     // equality probe absent holds zero matching rows — it counts as
     // NoMatch, never scanned
-    val dirs = SnapshotBloom.prune(spark, path, dirs0,
+    val byDir = res0.map(f => dirOf(f) -> f).toMap
+    val kept = SnapshotBloom.prune(spark, path, res0.map(dirOf),
       SnapshotBloom.probesOf(expr, logicalToPhysical,
         SnapshotBloom.bloomColsOf(spark, path).toSet))
+      .map(byDir)
     val scanned =
-      if (dirs.isEmpty) 0L
-      else applyRenames(
-        readWithSchema(spark, path, v, dirs.map(d => s"$path/$d")), renames)
+      if (kept.isEmpty) 0L
+      else applyRenames(readFields(spark, path, v, kept), renames)
         .filter(pred).count()
-    (meta + scanned, dirs.size)
+    (meta + scanned, kept.size)
   }
 
   /** The count verdict loop shared by [[countWhere]] and the branch
     * audit's [[SnapshotBranch]] count: per manifest field, NO-MATCH
-    * contributes zero, ALL-MATCH its recorded rows (a blob without
-    * counts cannot serve — it joins the residual), anything else joins
-    * the residual. Returns (metadata count, residual dirs to scan).
+    * contributes zero, ALL-MATCH its recorded rows MINUS its deletion-
+    * vector'd positions (blobs describe the dir's PHYSICAL rows, the DV
+    * refs record exactly how many of them are logically deleted — the
+    * difference is the exact live count; a blob without counts (v1)
+    * cannot serve — it joins the residual), anything else joins the
+    * residual. Returns (metadata count, residual FIELDS to scan).
     */
   private[storage] def countOverFields(fields: Seq[String],
       expr: org.apache.spark.sql.catalyst.expressions.Expression,
@@ -1056,10 +1063,10 @@ object SnapshotStore {
           // every column's rows value is the same per-(partition, gen)
           // aggregate; a blob without counts (v1) cannot serve — scan
           stats.values.flatMap(_.rows).headOption match {
-            case Some(rows) => meta += rows
-            case None => residual += dirOf(field)
+            case Some(rows) => meta += rows - dvOf(field).map(_.deleted).sum
+            case None => residual += field
           }
-        case MightMatch => residual += dirOf(field)
+        case MightMatch => residual += field
       }
     }
     (meta, residual.result().sorted)
@@ -1162,15 +1169,18 @@ object SnapshotStore {
           // one candidate row per gen, every requested column served by
           // its bounds (or provably valueless: all-NULL contributes a
           // typed NULL, which min/max ignore); ANY unserved column sends
-          // the whole dir to the scan
-          val cells = cols.forall { c =>
+          // the whole dir to the scan. A deletion-vector'd field never
+          // serves: its bounds describe the dir's PHYSICAL rows, and the
+          // extreme value may be exactly a deleted one — sound for
+          // pruning, not for serving.
+          val cells = dvOf(field).isEmpty && cols.forall { c =>
             val phys = logicalToPhysical.getOrElse(c, c)
             stats.get(phys).exists(st =>
               st.allNull || (st.code != NoBoundsCode &&
                 (logicalSchema(c).dataType != StringType ||
                   (st.loExact && st.hiExact))))
           }
-          if (!cells) residual += dirOf(field)
+          if (!cells) residual += field
           else candidates += org.apache.spark.sql.Row.fromSeq(
             cols.flatMap { c =>
               val phys = logicalToPhysical.getOrElse(c, c)
@@ -1179,22 +1189,24 @@ object SnapshotStore {
               if (st.allNull) Seq(null, null)
               else Seq(external(st.lo, dt), external(st.hi, dt))
             })
-        case MightMatch => residual += dirOf(field)
+        case MightMatch => residual += field
       }
     }
     // needle pass on the residual, countWhere's symmetry: a gen whose
     // bloom filter proves an equality probe absent contributes nothing
-    val dirs = SnapshotBloom.prune(spark, path, residual.result().sorted,
+    val res0 = residual.result().sorted
+    val byDir = res0.map(f => dirOf(f) -> f).toMap
+    val dirs = SnapshotBloom.prune(spark, path, res0.map(dirOf),
       SnapshotBloom.probesOf(expr, logicalToPhysical,
         SnapshotBloom.bloomColsOf(spark, path).toSet))
+      .map(byDir)
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
     val scannedDf =
       if (dirs.isEmpty) spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         outSchema)
-      else applyRenames(
-        readWithSchema(spark, path, v, dirs.map(d => s"$path/$d")), renames)
+      else applyRenames(readFields(spark, path, v, dirs), renames)
         .filter(pred).agg(aggs.head, aggs.tail: _*)
     val metaDf = spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(
@@ -1527,12 +1539,25 @@ object SnapshotStore {
     * delta-folding consumer. v=1 is the initial snapshot (all dirs).
     * The size-aware `graft-changes` admission rides on this.
     */
+  /** Version `v`'s INSERT-ONLY delta as manifest FIELD texts (Some(new
+    * fields)) — or None when the commit removed, rewrote, or deletion-
+    * vector'd anything. Fields diff by [[SnapshotFormat.identityOf]]
+    * (dir + DV suffix, never the stats blob): dirs are immutable, so an
+    * identity surviving into `v` PROVES its live rows unchanged, while a
+    * merge-on-read DML commit — same dirs, new DV suffix — correctly
+    * reads as "not insert-only" and goes through the version-atomic
+    * [[changes]] feed.
+    */
   private[graft] def insertOnlyDirs(spark: SparkSession, path: String,
                                     v: Int): Option[Seq[String]] = {
-    val cur = readManifestDirs(spark, path, v).map(dirOf).toSet
-    if (v == 1) return Some(cur.toSeq.sorted)
-    val prev = readManifestDirs(spark, path, v - 1).map(dirOf).toSet
-    if (prev.subsetOf(cur)) Some((cur -- prev).toSeq.sorted) else None
+    val curFields = readManifestDirs(spark, path, v)
+    val cur = curFields.map(identityOf).toSet
+    if (v == 1)
+      return Some(curFields.sortBy(identityOf))
+    val prev = readManifestDirs(spark, path, v - 1).map(identityOf).toSet
+    if (prev.subsetOf(cur))
+      Some(curFields.filterNot(f => prev(identityOf(f))).sortBy(identityOf))
+    else None
   }
 
   /** The dirs DIFFERING between version `v` and its predecessor (both
@@ -1543,24 +1568,25 @@ object SnapshotStore {
     */
   private[graft] def versionDiffDirs(spark: SparkSession, path: String,
                                      v: Int): Seq[String] = {
-    val cur = readManifestDirs(spark, path, v).map(dirOf).toSet
+    val cur = readManifestDirs(spark, path, v).map(identityOf).toSet
     val prev =
       if (v <= 1) Set.empty[String]
-      else readManifestDirs(spark, path, v - 1).map(dirOf).toSet
-    ((cur -- prev) ++ (prev -- cur)).toSeq.sorted
+      else readManifestDirs(spark, path, v - 1).map(identityOf).toSet
+    ((cur -- prev) ++ (prev -- cur)).toSeq.map(dirOf).distinct.sorted
   }
 
-  /** Reads specific gen dirs under version `v`'s schema and logical
-    * names — the feed read behind the size-split `graft-changes` batch.
+  /** Reads specific manifest fields under version `v`'s schema and
+    * logical names — the feed read behind the size-split `graft-changes`
+    * batch.
     */
   private[graft] def readDirs(spark: SparkSession, path: String, v: Int,
-                              relDirs: Seq[String]): DataFrame =
-    if (relDirs.isEmpty)
+                              relFields: Seq[String]): DataFrame =
+    if (relFields.isEmpty)
       applyRenames(spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         versionSchema(spark, path, v)), readRenames(spark, path, v))
-    else applyRenames(readWithSchema(spark, path, v,
-      relDirs.map(d => s"$path/$d")), readRenames(spark, path, v))
+    else applyRenames(readFields(spark, path, v, relFields),
+      readRenames(spark, path, v))
 
   // ---- branches (write-audit-publish) — see SnapshotBranch ---------------
 
@@ -1747,6 +1773,44 @@ object SnapshotStore {
       assignments: Seq[(String, org.apache.spark.sql.Column)],
       pred: org.apache.spark.sql.Column): SnapshotDml.DmlReceipt =
     SnapshotDml.updateBranchWhere(spark, path, name, assignments, pred)
+
+  /** MERGE-ON-READ predicate DELETE (deletion vectors): matching rows'
+    * positions land in one parquet sidecar and the touched manifest
+    * fields gain a DV ref — NO data file rewritten; write cost is
+    * proportional to the matched rows. Readers apply DVs transparently;
+    * [[compactPartitions]] materializes the debt. See
+    * [[SnapshotDml.deleteWhereMor]].
+    */
+  def deleteWhereMor(spark: SparkSession, path: String,
+                     pred: org.apache.spark.sql.Column): Unit =
+    SnapshotDml.deleteWhereMor(spark, path, pred)
+
+  /** [[deleteWhereMor]] returning the receipt (dropped/kept slices, DV'd
+    * fields, positions written).
+    */
+  private[graft] def deleteWhereMorDetailed(spark: SparkSession,
+      path: String, pred: org.apache.spark.sql.Column,
+      beforeCommit: () => Unit = () => ()): SnapshotDml.DmlReceipt =
+    SnapshotDml.deleteWhereMor(spark, path, pred, beforeCommit)
+
+  /** MERGE-ON-READ predicate UPDATE: matched rows are deletion-vector'd
+    * out of their slices and their updated images appended as one fresh
+    * gen per touched partition — write cost proportional to the matched
+    * rows (the Delta DV-based UPDATE shape). Same assignment semantics
+    * and CHECK gate as [[updateWhere]]. See [[SnapshotDml.updateWhereMor]].
+    */
+  def updateWhereMor(spark: SparkSession, path: String,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      pred: org.apache.spark.sql.Column): Unit =
+    SnapshotDml.updateWhereMor(spark, path, assignments, pred)
+
+  /** [[updateWhereMor]] returning the receipt. */
+  private[graft] def updateWhereMorDetailed(spark: SparkSession,
+      path: String,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      pred: org.apache.spark.sql.Column,
+      beforeCommit: () => Unit = () => ()): SnapshotDml.DmlReceipt =
+    SnapshotDml.updateWhereMor(spark, path, assignments, pred, beforeCommit)
 
   /** [[deleteWhere]] with [[mergeWithRetry]]'s bounded CAS-loser retry
     * loop: each attempt re-resolves against the NEW head (the delete's
@@ -1954,6 +2018,109 @@ object SnapshotStore {
       case None => spark.read.option("mergeSchema", "true")
         .parquet(dirs: _*).drop("_p")
     }
+
+  // ---- the deletion-vector-aware field reader -----------------------------
+  //
+  // THE read choke point for manifest FIELDS (dir fields, the r16 DML
+  // file fields, and fields carrying a merge-on-read deletion-vector
+  // suffix — see [[SnapshotFormat.dvOf]]): every consumer of a version's
+  // or a branch tip's entries reads through here, so a DV'd slice is
+  // NEVER observable with its logically-deleted rows. Plain fields take
+  // the exact pre-DV path (one parquet scan, zero overhead); DV'd fields
+  // read with the parquet `_metadata` columns, key each row by its file's
+  // last three path segments (`<gen>/_p=<value>/<file>` — globally unique:
+  // gen names are fresh hex per write and `_p=` segments separate
+  // partitions inside a gen) plus `_metadata.row_index`, and drop the
+  // DV'd positions with one LEFT ANTI join against the referenced sidecar
+  // parquet (tiny next to the data — AQE broadcasts it). Filters on data
+  // columns still push down to the scan below the join.
+
+  /** The sidecar's key for each data row: `gen/_p=value/file`. */
+  private def dvKeyCol: org.apache.spark.sql.Column =
+    concat_ws("/", slice(split(col("_metadata.file_path"), "/"), -3, 3))
+
+  private[storage] val DvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("_gk",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("_gi",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Reads manifest `fields` (store-relative field texts) PHYSICALLY
+    * (no renames applied), dropping each DV'd field's deleted positions.
+    * `schema` None degrades to parquet mergeSchema like [[readWithSchema]].
+    */
+  private[storage] def readFieldsPhys(spark: SparkSession, path: String,
+      fields: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    def rd(dirs: Seq[String]): DataFrame = schema match {
+      case Some(sch) => spark.read.schema(sch).parquet(dirs: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    }
+    val (dvd, plain) = fields.partition(f => dvOf(f).nonEmpty)
+    val plainDf =
+      if (plain.isEmpty) None
+      else Some(rd(plain.map(f => s"$path/${dirOf(f)}").sorted).drop("_p"))
+    val dvdDf =
+      if (dvd.isEmpty) None
+      else {
+        val refs = dvd.flatMap(f => dvOf(f).map(_.rel)).distinct.sorted
+        val dv = spark.read.schema(DvSchema)
+          .parquet(refs.map(r => s"$path/$r"): _*)
+        val keyed = rd(dvd.map(f => s"$path/${dirOf(f)}").sorted)
+          .withColumn("_gk", dvKeyCol)
+          .withColumn("_gi", col("_metadata.row_index"))
+        Some(keyed.join(dv, Seq("_gk", "_gi"), "left_anti")
+          .drop("_gk", "_gi", "_p"))
+      }
+    (plainDf, dvdDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => throw new IllegalArgumentException(
+        "readFieldsPhys over zero fields — callers handle the empty case")
+    }
+  }
+
+  /** [[readFieldsPhys]] under version `v`'s recorded schema. */
+  private[storage] def readFields(spark: SparkSession, path: String, v: Int,
+                                  fields: Seq[String]): DataFrame =
+    readFieldsPhys(spark, path, fields, readSchema(spark, path, v))
+
+  /** The merge-on-read WRITE-side read: `fields` with each row TAGGED by
+    * its sidecar key (`_gk`) and physical row index (`_gi`), existing DVs
+    * already applied — the frame a MoR DELETE/UPDATE computes its new
+    * deleted positions from. Physical column names.
+    */
+  private[storage] def readFieldsTagged(spark: SparkSession, path: String,
+      fields: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    def rd(dirs: Seq[String]): DataFrame = (schema match {
+      case Some(sch) => spark.read.schema(sch).parquet(dirs: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    }).withColumn("_gk", dvKeyCol)
+      .withColumn("_gi", col("_metadata.row_index"))
+      .drop("_p")
+    val (dvd, plain) = fields.partition(f => dvOf(f).nonEmpty)
+    val plainDf =
+      if (plain.isEmpty) None
+      else Some(rd(plain.map(f => s"$path/${dirOf(f)}").sorted))
+    val dvdDf =
+      if (dvd.isEmpty) None
+      else {
+        val refs = dvd.flatMap(f => dvOf(f).map(_.rel)).distinct.sorted
+        val dv = spark.read.schema(DvSchema)
+          .parquet(refs.map(r => s"$path/$r"): _*)
+        Some(rd(dvd.map(f => s"$path/${dirOf(f)}").sorted)
+          .join(dv, Seq("_gk", "_gi"), "left_anti"))
+      }
+    (plainDf, dvdDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => throw new IllegalArgumentException(
+        "readFieldsTagged over zero fields — callers handle the empty case")
+    }
+  }
 
   /** Publishes staged FILE `src` at `dst` with genuine single-winner
     * no-overwrite semantics, throwing `FileAlreadyExistsException` on
@@ -2364,13 +2531,12 @@ object SnapshotStore {
            version: Option[Int] = None): DataFrame = {
     val v = version.orElse(headVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
-    val dirs = readManifestDirs(spark, path, v).sorted
-      .map(d => s"$path/${dirOf(d)}")
-    if (dirs.isEmpty)
+    val fields = readManifestDirs(spark, path, v).sorted
+    if (fields.isEmpty)
       return applyRenames(spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         versionSchema(spark, path, v)), readRenames(spark, path, v))
-    applyRenames(readWithSchema(spark, path, v, dirs),
+    applyRenames(readFields(spark, path, v, fields),
       readRenames(spark, path, v))
   }
 
@@ -2409,9 +2575,11 @@ object SnapshotStore {
       readManifestValues(spark, path, head, parts))
     val touchedDirs = parts.flatMap(entries.get).flatten
     val merged = if (touchedDirs.isEmpty) upserts else {
-      // the base reads PHYSICAL and joins in LOGICAL space (batch names)
-      val base = applyRenames(readWithSchema(spark, path, head,
-        touchedDirs.map(d => s"$path/${dirOf(d)}")), renames)
+      // the base reads PHYSICAL and joins in LOGICAL space (batch names);
+      // DV'd fields read through the central reader, so a merge over a
+      // merge-on-read-deleted slice never resurrects the deleted rows
+      val base = applyRenames(readFields(spark, path, head,
+        touchedDirs.toSeq), renames)
       upserts.unionByName(
         base.join(Joins.maybeBroadcast(keys, broadcastRowLimit),
           keyCols, "left_anti"),
@@ -2655,17 +2823,24 @@ object SnapshotStore {
           case SegHead(_, _, refs) =>
             forWrite(path, head)(loadSegs(spark, path, head,
               refs.values.map(_._2).toSeq,
-              keep = (_, dirs) => dirs.size >= minDirs))
+              keep = (_, dirs) => dirs.size >= minDirs ||
+                dirs.exists(f => dvOf(f).nonEmpty)))
         }
     }).filter { case (p, dirs) =>
-      dirs.size >= minDirs && values.forall(_.contains(p)) }
+      // a partition holding ANY deletion-vector'd field qualifies
+      // regardless of dir count: compaction is how MoR debt is repaid
+      (dirs.size >= minDirs || dirs.exists(f => dvOf(f).nonEmpty)) &&
+        values.forall(_.contains(p)) }
     if (chosen.isEmpty) return 0
     val sch = versionSchema(spark, path, head)
     val renames = readRenames(spark, path, head)
     // pure physical round-trip: compaction never leaves physical space
-    // (sortBy arrives in LOGICAL names and maps back like every column)
-    val df = readWithSchema(spark, path, head,
-      chosen.values.flatten.toSeq.sorted.map(d => s"$path/${dirOf(d)}"))
+    // (sortBy arrives in LOGICAL names and maps back like every column).
+    // Reading through the central field reader MATERIALIZES deletion
+    // vectors: a DV'd slice rewrites as clean files, its sidecar refs
+    // drop with the replaced field — compaction is the MoR debt collector
+    val df = readFields(spark, path, head,
+      chosen.values.flatten.toSeq.sorted)
     val newEntries = writeGen(df, path, physicalCol(partCol, renames),
       statsCols = statsColsOf(spark, path),
       sortBy = sortBy.map(physicalCol(_, renames)))
@@ -2695,7 +2870,6 @@ object SnapshotStore {
     // the data read)
     val entries = readManifestValues(spark, path, v, values)
     val dirs = values.distinct.flatMap(entries.get).flatten.sorted
-      .map(d => s"$path/${dirOf(d)}")
     if (dirs.isEmpty)
       // zero rows, but the VERSION's full union schema — a single
       // "representative" dir (the pre-r11 shape) would nondeterministically
@@ -2703,7 +2877,7 @@ object SnapshotStore {
       // random hex and sorting picks an arbitrary one. An EMPTY store
       // (fresh init) takes the same path: read() handles zero dirs.
       read(spark, path, Some(v)).limit(0)
-    else applyRenames(readWithSchema(spark, path, v, dirs),
+    else applyRenames(readFields(spark, path, v, dirs),
       readRenames(spark, path, v))
   }
 
@@ -2830,18 +3004,20 @@ object SnapshotStore {
         case _ => (readManifest(spark, path, fromVersion),
           readManifest(spark, path, toVersion))
       }
-    // partitions diff by their DIR lists, never the stats-blob text:
-    // dirs are immutable, so equal dir lists PROVE identical rows — a
-    // metadata-only commit (stats backfill) yields an empty feed without
-    // reading a single file
+    // partitions diff by their field IDENTITIES — dir + deletion-vector
+    // suffix, never the stats-blob text ([[SnapshotFormat.identityOf]]):
+    // dirs are immutable, so equal identity lists PROVE identical LIVE
+    // rows — a metadata-only commit (stats backfill) yields an empty feed
+    // without reading a single file, while a merge-on-read DML commit
+    // (same dirs, new DV suffix) correctly reads both sides and lets the
+    // row diff reconstruct its deletes/updates
     val changed = (fromM.keySet ++ toM.keySet)
-      .filter(p => fromM.get(p).map(_.map(dirOf).sorted) !=
-        toM.get(p).map(_.map(dirOf).sorted))
+      .filter(p => fromM.get(p).map(_.map(identityOf).sorted) !=
+        toM.get(p).map(_.map(identityOf).sorted))
     def rd(m: Map[String, Seq[String]], v: Int): Option[DataFrame] = {
-      val dirs = changed.toSeq.flatMap(m.get).flatten.sorted
-        .map(d => s"$path/${dirOf(d)}")
-      if (dirs.isEmpty) None
-      else Some(readWithSchema(spark, path, v, dirs))
+      val fields = changed.toSeq.flatMap(m.get).flatten.sorted
+      if (fields.isEmpty) None
+      else Some(readFields(spark, path, v, fields))
     }
     val (oldPhys, newPhys) = (rd(fromM, fromVersion), rd(toM, toVersion)) match {
       case (Some(o), Some(n)) => (o, n)

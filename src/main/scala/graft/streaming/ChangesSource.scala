@@ -294,7 +294,7 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
                 (taken == 0 || bytes < budget)) {
                 bytes += fsys.getContentSummary(
                   new org.apache.hadoop.fs.Path(path,
-                    remaining(taken))).getLength
+                    SnapshotStore.dirOf(remaining(taken)))).getLength
                 taken += 1
               }
               // overshoot rollback: the dir that crossed the budget waits
