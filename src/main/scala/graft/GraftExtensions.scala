@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(plans.MaintenanceSql.Update.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.DeleteMor.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.UpdateMor.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.MaterializeDvs.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.DeleteBranchMor.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.UpdateBranchMor.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.AddConstraint.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.DropConstraint.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.BackfillStats.descriptor)

@@ -245,6 +245,15 @@ object AsOf {
       MaintenanceSql.UpdateMor.name, MaintenanceSql.UpdateMor.builder,
       "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.MaterializeDvs.name,
+      MaintenanceSql.MaterializeDvs.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.DeleteBranchMor.name,
+      MaintenanceSql.DeleteBranchMor.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.UpdateBranchMor.name,
+      MaintenanceSql.UpdateBranchMor.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.DeleteBranch.name, MaintenanceSql.DeleteBranch.builder,
       "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(

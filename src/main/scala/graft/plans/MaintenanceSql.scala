@@ -435,6 +435,113 @@ object MaintenanceSql {
       (FunctionIdentifier(name), info, builder)
   }
 
+  /** `graft_materialize_dvs(path[, value ...])` — surgical deletion-
+    * vector materialization: each partition's DV'd fields rewrite as one
+    * clean gen, every other field copies forward verbatim (graft_compact
+    * also collects DVs but collapses the whole partition). Optional
+    * partition values narrow the sweep.
+    */
+  object MaterializeDvs {
+    val name = "graft_materialize_dvs"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_materialize_dvs(path[, value ...]) - rewrites ONLY the " +
+        "deletion-vector'd fields of each (optionally named) partition " +
+        "as clean gens; untouched fields copy forward verbatim; returns " +
+        "one receipt row (partitions, head_version); string-literal " +
+        "arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.nonEmpty,
+        s"$name takes (path[, value ...]); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      val values =
+        if (args.size == 1) None
+        else Some((1 until args.size).map(i => str(name, args, i)))
+      val n = graft.storage.SnapshotStore.materializeDvs(spark, path,
+        values)
+      import spark.implicits._
+      Seq(("materialize_dvs", path, n.toLong,
+        graft.storage.SnapshotStore.headVersion(spark, path)
+          .getOrElse(0).toLong))
+        .toDF("verb", "path", "partitions", "head_version")
+        .queryExecution.analyzed
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  /** `graft_delete_branch_mor(path, branch, predicate)` — merge-on-read
+    * DELETE over a WAP branch tip: positions sidecar'd, staged as the
+    * branch's next version (the audit-fix purge at matched-rows cost).
+    */
+  object DeleteBranchMor {
+    val name = "graft_delete_branch_mor"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_delete_branch_mor(path, branch, predicate) - merge-on-read " +
+        "DELETE over the branch tip (positions recorded, no file " +
+        "rewritten; main untouched); returns one receipt row " +
+        "(dropped_dirs, dv_dirs, dv_rows, tip_version); string-literal " +
+        "arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 3,
+        s"$name takes (path, branch, predicate); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      val r = graft.storage.SnapshotStore.deleteBranchWhereMorDetailed(
+        spark, path, str(name, args, 1),
+        org.apache.spark.sql.functions.expr(str(name, args, 2)))
+      import spark.implicits._
+      Seq(("delete_branch_mor", path, r.droppedDirs.toLong, r.dvDirs.toLong,
+        r.dvRows, r.version.toLong))
+        .toDF("verb", "path", "dropped_dirs", "dv_dirs", "dv_rows",
+          "tip_version")
+        .queryExecution.analyzed
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  /** `graft_update_branch_mor(path, branch, predicate, col, expr [,
+    * ...])` — merge-on-read UPDATE over a WAP branch tip: hits DV'd, the
+    * updated images staged as a fresh gen.
+    */
+  object UpdateBranchMor {
+    val name = "graft_update_branch_mor"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_update_branch_mor(path, branch, predicate, col, expr[, " +
+        "col2, expr2 ...]) - merge-on-read UPDATE over the branch tip " +
+        "(hits deletion-vector'd, updated images appended; main " +
+        "untouched); returns one receipt row (appended_dirs, dv_dirs, " +
+        "dv_rows, tip_version); string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size >= 5 && args.size % 2 == 1,
+        s"$name takes (path, branch, predicate, col, expr[, col2, " +
+          s"expr2 ...]); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      val assignments = (3 until args.size by 2).map(i =>
+        str(name, args, i) ->
+          org.apache.spark.sql.functions.expr(str(name, args, i + 1)))
+      val r = graft.storage.SnapshotStore.updateBranchWhereMorDetailed(
+        spark, path, str(name, args, 1), assignments,
+        org.apache.spark.sql.functions.expr(str(name, args, 2)))
+      import spark.implicits._
+      Seq(("update_branch_mor", path, r.rewrittenDirs.toLong,
+        r.dvDirs.toLong, r.dvRows, r.version.toLong))
+        .toDF("verb", "path", "appended_dirs", "dv_dirs", "dv_rows",
+          "tip_version")
+        .queryExecution.analyzed
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
   /** `graft_delete_branch(path, branch, predicate)` — predicate DELETE
     * over a WAP branch TIP, staged as the branch's next version (the
     * audit-fix loop: purge the flagged rows from the candidate and

@@ -697,4 +697,127 @@ private[graft] object SnapshotDml {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** MERGE-ON-READ DELETE over a WAP branch TIP — [[deleteWhereMor]]'s
+    * semantics staged as the branch's next version: the audit-fix purge
+    * priced at the matched rows ("drop the 400 flagged docs from the
+    * 10 TB candidate") where even the branch CoW delete rewrites the
+    * flagged slices. Fork-snapshot slices prove NoMatch from their blobs
+    * and are never opened; main's head never moves until publish, and
+    * the published fields carry their DV refs into main verbatim (every
+    * reader goes through the central DV-aware reader). A retry-lost
+    * attempt's sidecar is an unreferenced orphan for the age-floored
+    * sweep, like a lost attempt's gens.
+    */
+  def deleteBranchWhereMor(spark: SparkSession, path: String, name: String,
+                           pred: Column): DmlReceipt = {
+    requireAtomicRename(path)
+    var attempt = 0
+    while (true) {
+      val st = SnapshotBranch.readStaged(spark, path, name)
+      val logicalSchema = org.apache.spark.sql.types.StructType(
+        st.schema.fields.map(f =>
+          f.copy(name = st.renames.getOrElse(f.name, f.name))))
+      val expr = analyzed(spark, logicalSchema, pred)
+      val statsCols = statsColsOf(spark, path)
+      val plan = planDml(spark, path, st.entries, expr,
+        st.renames.map(_.swap), statsCols, st.schema,
+        metadataDrop = true, fileGrain = false)
+      if (!plan.touched) return DmlReceipt(st.k, 0, 0, 0)
+      val (dvRel, counts) =
+        if (plan.rewrite.isEmpty) (None, Map.empty[String, Long])
+        else {
+          val physPartCol = partColOf(spark, path).getOrElse(
+            throw new IllegalStateException(
+              s"store at $path records no partition column"))
+          val tagged = applyRenames(
+            readFieldsTagged(spark, path, plan.rewrite, Some(st.schema)),
+            st.renames)
+          writeDv(spark, path, tagged.filter(coalesce(pred, lit(false))),
+            col(st.renames.getOrElse(physPartCol, physPartCol)))
+        }
+      if (plan.dropped == 0 && counts.isEmpty)
+        return DmlReceipt(st.k, 0, 0, plan.kept)
+      val annotated = annotate(plan, dvRel, counts)
+      try {
+        SnapshotBranch.stageNext(spark, path, name, st,
+          st.entries -- annotated.keySet ++ annotated.filter(_._2.nonEmpty))
+        return DmlReceipt(st.k + 1, plan.dropped, 0, plan.kept,
+          dvDirs = counts.size, dvRows = counts.values.sum)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** MERGE-ON-READ UPDATE over a WAP branch TIP — [[updateWhereMor]]'s
+    * semantics staged as the branch's next version: hit rows are
+    * deletion-vector'd out of the staged slices and their updated images
+    * (pre-update-row RHS, CHECK-gated) append as one fresh staged gen
+    * per touched partition. The in-place candidate redaction at matched-
+    * rows cost.
+    */
+  def updateBranchWhereMor(spark: SparkSession, path: String, name: String,
+                           assignments: Seq[(String, Column)],
+                           pred: Column): DmlReceipt = {
+    requireAtomicRename(path)
+    var attempt = 0
+    while (true) {
+      val st = SnapshotBranch.readStaged(spark, path, name)
+      val physPartCol = partColOf(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"store at $path records no partition column"))
+      val logicalSchema = org.apache.spark.sql.types.StructType(
+        st.schema.fields.map(f =>
+          f.copy(name = st.renames.getOrElse(f.name, f.name))))
+      validateAssignments(assignments, logicalSchema,
+        st.renames.getOrElse(physPartCol, physPartCol),
+        "updateBranchWhereMor")
+      val expr = analyzed(spark, logicalSchema, pred)
+      val statsCols = statsColsOf(spark, path)
+      val plan = planDml(spark, path, st.entries, expr,
+        st.renames.map(_.swap), statsCols, st.schema,
+        metadataDrop = false, fileGrain = false)
+      if (!plan.touched) return DmlReceipt(st.k, 0, 0, 0)
+      val tagged = applyRenames(
+        readFieldsTagged(spark, path, plan.rewrite, Some(st.schema)),
+        st.renames)
+      val hits = tagged.filter(coalesce(pred, lit(false)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val assigned = assignments.toMap
+        val updated = hits.select(logicalSchema.fieldNames.toSeq.map { c =>
+          assigned.get(c) match {
+            case Some(e) => e.cast(logicalSchema(c).dataType).as(c)
+            case None => col(c)
+          }
+        }: _*)
+        SnapshotConstraints.enforce(spark, path, updated, "branch update")
+        val (dvRel, counts) = writeDv(spark, path, hits,
+          col(st.renames.getOrElse(physPartCol, physPartCol)))
+        if (counts.isEmpty)
+          return DmlReceipt(st.k, 0, 0, plan.kept)
+        val newEntries = writeGen(toPhysical(updated, st.renames), path,
+          physPartCol, statsCols = statsCols)
+        val annotated = annotate(plan, dvRel, counts).map { case (p, fs) =>
+          p -> (fs ++ newEntries.get(p).toSeq)
+        }
+        try {
+          SnapshotBranch.stageNext(spark, path, name, st,
+            st.entries -- annotated.keySet ++
+              annotated.filter(_._2.nonEmpty))
+          return DmlReceipt(st.k + 1, 0, newEntries.size, plan.kept,
+            dvDirs = counts.size, dvRows = counts.values.sum)
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempt += 1
+            if (attempt > 5) throw e
+        }
+      } finally hits.unpersist()
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

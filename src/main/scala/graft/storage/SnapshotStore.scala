@@ -1812,6 +1812,36 @@ object SnapshotStore {
       beforeCommit: () => Unit = () => ()): SnapshotDml.DmlReceipt =
     SnapshotDml.updateWhereMor(spark, path, assignments, pred, beforeCommit)
 
+  /** Merge-on-read DELETE over a WAP branch tip — the audit-fix purge at
+    * matched-rows cost, staged as the branch's next version. See
+    * [[SnapshotDml.deleteBranchWhereMor]].
+    */
+  def deleteBranchWhereMor(spark: SparkSession, path: String, name: String,
+                           pred: org.apache.spark.sql.Column): Unit =
+    SnapshotDml.deleteBranchWhereMor(spark, path, name, pred)
+
+  /** [[deleteBranchWhereMor]] returning the receipt. */
+  private[graft] def deleteBranchWhereMorDetailed(spark: SparkSession,
+      path: String, name: String,
+      pred: org.apache.spark.sql.Column): SnapshotDml.DmlReceipt =
+    SnapshotDml.deleteBranchWhereMor(spark, path, name, pred)
+
+  /** Merge-on-read UPDATE over a WAP branch tip — the in-place candidate
+    * redaction at matched-rows cost. See
+    * [[SnapshotDml.updateBranchWhereMor]].
+    */
+  def updateBranchWhereMor(spark: SparkSession, path: String, name: String,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      pred: org.apache.spark.sql.Column): Unit =
+    SnapshotDml.updateBranchWhereMor(spark, path, name, assignments, pred)
+
+  /** [[updateBranchWhereMor]] returning the receipt. */
+  private[graft] def updateBranchWhereMorDetailed(spark: SparkSession,
+      path: String, name: String,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      pred: org.apache.spark.sql.Column): SnapshotDml.DmlReceipt =
+    SnapshotDml.updateBranchWhereMor(spark, path, name, assignments, pred)
+
   /** [[deleteWhere]] with [[mergeWithRetry]]'s bounded CAS-loser retry
     * loop: each attempt re-resolves against the NEW head (the delete's
     * semantics are predicate-relative, so retrying against a moved head
@@ -2865,6 +2895,64 @@ object SnapshotStore {
       Some(sch),
       renames, op = "compact")
     chosen.size
+  }
+
+  /** SURGICAL deletion-vector materialization — pay ONLY the MoR debt:
+    * each partition's DV'd fields (and nothing else) are read through
+    * their vectors and rewritten as one clean gen; every other field of
+    * the partition — and every partition without DVs — copies forward
+    * verbatim, manifest text and all. [[compactPartitions]] also
+    * collects DVs but collapses the WHOLE partition (its contract is
+    * layout); at 100 TB a nightly "materialize yesterday's redactions"
+    * must not rewrite the partition's untouched 10-gen history to do it.
+    * `values` narrows the sweep (pruned-bucket lookup, like
+    * compaction's). Returns the number of partitions rewritten; rows are
+    * identical before and after (pure layout, spec-pinned). Sidecars no
+    * surviving field references age out at the next [[expire]].
+    */
+  def materializeDvs(spark: SparkSession, path: String,
+                     values: Option[Seq[String]] = None): Int = {
+    requireAtomicRename(path)
+    val head = headVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val partCol = partColOf(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"store at $path records no partition column"))
+    val entries: Map[String, Seq[String]] = (values match {
+      case Some(vs) =>
+        forWrite(path, head)(readManifestValues(spark, path, head, vs))
+      case None =>
+        forWrite(path, head)(readHead(spark, path, head)) match {
+          case FlatHead(e) => e
+          case SegHead(_, _, refs) =>
+            forWrite(path, head)(loadSegs(spark, path, head,
+              refs.values.map(_._2).toSeq,
+              keep = (_, fs) => fs.exists(f => dvOf(f).nonEmpty)))
+        }
+    }).filter { case (_, fs) => fs.exists(f => dvOf(f).nonEmpty) }
+    if (entries.isEmpty) return 0
+    val sch = versionSchema(spark, path, head)
+    val renames = readRenames(spark, path, head)
+    val dvFields = entries.view.mapValues(
+      _.filter(f => dvOf(f).nonEmpty)).toMap
+    val df = readFields(spark, path, head,
+      dvFields.values.flatten.toSeq.sorted)
+    val newEntries = writeGen(df, path, partCol,
+      statsCols = statsColsOf(spark, path))
+    // a partition whose DV'd fields held no live rows (everything
+    // deleted) gets no fresh gen; its clean fields alone remain — or the
+    // entry leaves the manifest entirely
+    val added = entries.map { case (p, fs) =>
+      p -> (fs.filter(f => dvOf(f).isEmpty) ++ newEntries.get(p).toSeq)
+    }
+    commitDelta(spark, path, head + 1, head,
+      removed = entries.keySet,
+      added = added.filter(_._2.nonEmpty),
+      newEntries.values.map(_.split("/").take(2).mkString("/"))
+        .toSeq.distinct,
+      Some(sch),
+      renames, op = "materialize_dvs")
+    entries.size
   }
 
   /** Reads only the named partitions of snapshot `version` — the merge

@@ -296,6 +296,85 @@ class SnapshotDvSpec extends SparkSpec {
     assert(c == 10L && scanned == 0, s"got ($c, $scanned)")
   }
 
+  test("materializeDvs pays ONLY the debt: DV'd fields rewrite clean, " +
+    "every other field copies forward verbatim") {
+    val dir = newDir("mat"); quartStore(dir)
+    SnapshotStore.deleteWhereMor(spark, dir, col("k") > 205L)
+    val preFields = SnapshotStore.readManifestDirs(spark, dir,
+      SnapshotStore.headVersion(spark, dir).get)
+    val untouched = preFields.filter(f => !f.contains("\u0003")).toSet
+    val n = SnapshotStore.materializeDvs(spark, dir)
+    assert(n == 2, s"both partitions held DV'd fields, got $n")
+    val postFields = SnapshotStore.readManifestDirs(spark, dir,
+      SnapshotStore.headVersion(spark, dir).get)
+    assert(postFields.forall(f => !f.contains("\u0003")),
+      "no DV suffix may survive materialization")
+    assert(untouched.subsetOf(postFields.toSet),
+      "non-DV'd fields must copy forward VERBATIM — materialization " +
+        "is not compaction (untouched gens keep their text, stats and all)")
+    assert(SnapshotStore.read(spark, dir).select("k").as[Long]
+      .collect().sorted.toSeq ==
+      ((0L until 10L) ++ (100L until 110L) ++ (200L to 205L)).sorted)
+    // a second sweep finds nothing; the sidecar ages out at expire
+    assert(SnapshotStore.materializeDvs(spark, dir) == 0)
+    SnapshotStore.expire(spark, dir, keep = 1, minAgeMs = 0L)
+    assert(dvDirsOnDisk(dir).isEmpty)
+  }
+
+  test("branch MoR DML: the audit-fix loop at matched-rows cost — fork " +
+    "slices kept unread, main pinned until publish, refs publish into " +
+    "main verbatim") {
+    val dir = newDir("branch"); quartStore(dir)
+    val mainHead = SnapshotStore.headVersion(spark, dir).get
+    SnapshotStore.branchCreate(spark, dir, "aud")
+    // stage a candidate slab (k in 300..309)
+    SnapshotStore.appendBranch(
+      (0 until 10).map(i => (300L + i, s"p${i % 2}", (300 + i) * 1.0))
+        .toDF("k", "p", "v"), dir, "aud", "p")
+    // MoR-purge two flagged candidate rows: the fork's 6 slices prove
+    // NoMatch from their blobs (kept unread), only the staged gen's
+    // slices take positions
+    val del = SnapshotStore.deleteBranchWhereMorDetailed(spark, dir, "aud",
+      col("k") === 304L || col("k") === 305L)
+    assert(del.dvRows == 2L && del.rewrittenDirs == 0 && del.keptDirs >= 6,
+      s"fork slices must prove NoMatch and stay unread, got $del")
+    // MoR-redact one candidate field in place
+    val upd = SnapshotStore.updateBranchWhereMorDetailed(spark, dir, "aud",
+      Seq("v" -> lit(-1.0)), col("k") === 306L)
+    assert(upd.dvRows == 1L, s"got $upd")
+    assert(SnapshotStore.headVersion(spark, dir).contains(mainHead),
+      "main must not move while the branch is audited")
+    val tip = SnapshotStore.readBranch(spark, dir, "aud")
+    assert(tip.count() == 38 &&
+      tip.filter(col("k") === 306L).select("v").as[Double].head() == -1.0)
+    SnapshotStore.publishBranch(spark, dir, "aud")
+    val main = SnapshotStore.read(spark, dir)
+    assert(main.count() == 38 &&
+      main.filter(col("k") === 304L).count() == 0 &&
+      main.filter(col("k") === 306L).select("v").as[Double].head() == -1.0,
+      "published fields carry their DV refs into main verbatim")
+  }
+
+  test("SQL verbs: graft_delete_mor / graft_update_mor / " +
+    "graft_materialize_dvs run the library code paths with receipts") {
+    val dir = newDir("sql"); quartStore(dir)
+    graft.plans.AsOf.register(spark)
+    val d = spark.sql(
+      s"SELECT * FROM graft_delete_mor('$dir', 'k > 205')").head()
+    assert(d.getAs[Long]("dv_rows") == 4L &&
+      d.getAs[Long]("dropped_dirs") == 0L)
+    val u = spark.sql(
+      s"SELECT * FROM graft_update_mor('$dir', 'k = 200', 'v', 'v + 1')")
+      .head()
+    assert(u.getAs[Long]("dv_rows") == 1L)
+    val m = spark.sql(
+      s"SELECT * FROM graft_materialize_dvs('$dir')").head()
+    assert(m.getAs[Long]("partitions") == 2L)
+    assert(SnapshotStore.read(spark, dir)
+      .filter(col("k") === 200L).select("v").as[Double].head() == 201.0)
+    assert(SnapshotStore.read(spark, dir).count() == 26)
+  }
+
   test("readWhere prunes DV'd stores normally and never returns a " +
     "deleted row, even when the predicate targets deleted keys") {
     val dir = newDir("probe"); quartStore(dir)
