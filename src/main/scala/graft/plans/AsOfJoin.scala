@@ -248,6 +248,9 @@ object AsOf {
       MaintenanceSql.MaterializeDvs.name,
       MaintenanceSql.MaterializeDvs.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.DeclareZorder.name,
+      MaintenanceSql.DeclareZorder.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.DeleteBranchMor.name,
       MaintenanceSql.DeleteBranchMor.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(

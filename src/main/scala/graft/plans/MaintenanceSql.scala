@@ -646,6 +646,34 @@ object MaintenanceSql {
       (FunctionIdentifier(name), info, builder)
   }
 
+  /** `graft_declare_zorder(path, colA, colB)` — declares 2-D Z-ORDER
+    * clustering: every writer sorts partition slices by the Morton
+    * interleave of the two dims, so per-file footer bounds stay tight on
+    * BOTH columns (box probes touch ~sqrt of the files a lexicographic
+    * sort leaves them); `graft_compact` re-clusters existing gens.
+    */
+  object DeclareZorder {
+    val name = "graft_declare_zorder"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_declare_zorder(path, colA, colB) - declares 2-D z-order " +
+        "clustering (writers sort partition slices by the Morton " +
+        "interleave of both dims; graft_compact re-clusters existing " +
+        "gens); returns one status row; string-literal arguments", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 3,
+        s"$name takes (path, colA, colB); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      graft.storage.SnapshotStore.declareSortCols(spark, path,
+        Seq(str(name, args, 1), str(name, args, 2)), zorder = true)
+      statusRow(spark, "declare_zorder", path, 2L)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
   /** `graft_add_constraint(path, name, predicate)` — adds a CHECK
     * constraint (write-boundary quality gate: later appends / merges /
     * branch writes / updates refuse batches violating it; NULL passes,

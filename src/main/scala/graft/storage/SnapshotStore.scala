@@ -248,11 +248,36 @@ object SnapshotStore {
       // stats serve parquet page skipping on read and per-FILE footer
       // pruning in the DML copy-on-write path; columns a batch lacks are
       // skipped (they read NULL under the union schema — no order to keep).
-      val effSort = (if (sortBy.nonEmpty) sortBy
-        else sortColsOf(df.sparkSession, path))
-        .filter(df.columns.contains)
+      val (declCols, declZ) =
+        if (sortBy.nonEmpty) (sortBy, false)
+        else sortSpecOf(df.sparkSession, path)
+      val effSort = declCols.filter(df.columns.contains)
       val laid =
         if (effSort.isEmpty) parted
+        else if (declZ && effSort.size == 2) {
+          // Z-ORDER clustering (declared via declareSortCols(zorder)):
+          // rows sort by the Morton interleave of the two dims' 16-bit
+          // cells, so per-FILE footer bounds stay tight on BOTH columns
+          // — a 2-D box probe (the dashboard's "this key range in this
+          // time window") touches ~sqrt of the files a lexicographic
+          // sort leaves it, and the file-grain DML verdict inherits the
+          // same tightness. Cell bounds come from one batch-sized agg
+          // (the same pass shape genStats already pays); an all-NULL
+          // dim degrades to the lexicographic sort — never a crash.
+          val (a, b) = (effSort.head, effSort(1))
+          val r = df.agg(
+            min(col(a).cast("double")), max(col(a).cast("double")),
+            min(col(b).cast("double")), max(col(b).cast("double"))).head()
+          if (r.isNullAt(0) || r.isNullAt(2))
+            parted.sortWithinPartitions(
+              (col("_p") +: effSort.map(col)): _*)
+          else parted.sortWithinPartitions(col("_p"),
+            ZOrderLayout.zValue(
+              ZOrderLayout.cellOf(col(a), r.getDouble(0), r.getDouble(1),
+                65536),
+              ZOrderLayout.cellOf(col(b), r.getDouble(2), r.getDouble(3),
+                65536)))
+        }
         else parted.sortWithinPartitions(
           (col("_p") +: effSort.map(col)): _*)
       laid.write.mode("overwrite")
@@ -341,12 +366,28 @@ object SnapshotStore {
     * a lost declaration degrades to unsorted (correct, just less
     * page-skippable) gens.
     */
-  private[graft] def sortColsOf(spark: SparkSession, path: String): Seq[String] = {
+  private[graft] def sortColsOf(spark: SparkSession, path: String): Seq[String] =
+    sortSpecOf(spark, path)._1
+
+  /** The `_sortcols` MODE marker for z-order clustering. A control
+    * character leads it, so no escaped column name can collide (the file
+    * stores escapePathName'd lines; escapePathName always %-escapes
+    * control characters, and column names are validated against them).
+    */
+  private[storage] val ZOrderMarker = "\u0001zorder"
+
+  /** The declared clustering: (physical columns, zOrdered). Lexicographic
+    * when the marker is absent — every pre-marker `_sortcols` file parses
+    * forever.
+    */
+  private[graft] def sortSpecOf(spark: SparkSession,
+                                path: String): (Seq[String], Boolean) = {
     val fs = hfs(spark, path)
     val p = new org.apache.hadoop.fs.Path(path, "_sortcols")
-    if (!fs.exists(p)) Nil
-    else readFileUtf8(fs, p).split("\n").filter(_.nonEmpty)
+    if (!fs.exists(p)) return (Nil, false)
+    val lines = readFileUtf8(fs, p).split("\n").filter(_.nonEmpty)
       .map(Esc.unescapePathName).toSeq
+    (lines.filterNot(_ == ZOrderMarker), lines.contains(ZOrderMarker))
   }
 
   /** Declares (or replaces — declare-later, like [[backfillStats]]) the
@@ -361,8 +402,13 @@ object SnapshotStore {
     * default sort is this declaration too).
     */
   def declareSortCols(spark: SparkSession, path: String,
-                      sortCols: Seq[String]): Unit = {
+                      sortCols: Seq[String],
+                      zorder: Boolean = false): Unit = {
     require(sortCols.nonEmpty, "declareSortCols needs at least one column")
+    require(!zorder || sortCols.size == 2,
+      "z-order clustering takes exactly TWO columns (the Morton " +
+        "interleave is 2-D; a third dim dilutes both others — declare " +
+        "the two the box probes actually filter on)")
     val head = headVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
     val renames = readRenames(spark, path, head)
@@ -374,7 +420,23 @@ object SnapshotStore {
           s"(${logical.mkString(", ")})")
       physicalCol(c, renames)
     }
-    SnapshotBackfill.replaceColsFile(spark, path, "_sortcols", phys)
+    if (zorder) {
+      import org.apache.spark.sql.types._
+      phys.foreach { pc =>
+        val dt = physSchema(pc).dataType
+        val ok = dt match {
+          case ByteType | ShortType | IntegerType | LongType |
+               FloatType | DoubleType | TimestampType => true
+          case _ => false
+        }
+        require(ok,
+          s"z-order dim '$pc' has type $dt — the cell bucketing needs a " +
+            "numeric or timestamp domain (for dates, declare an " +
+            "epoch-day column)")
+      }
+    }
+    SnapshotBackfill.replaceColsFile(spark, path, "_sortcols",
+      if (zorder) ZOrderMarker +: phys else phys)
   }
 
   /** Per-partition-value stats blobs for the just-written gen, read back

@@ -550,6 +550,64 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("z-order declared clustering: per-file bounds stay tight on BOTH " +
+    "dims — a second-dim probe touches a fraction of the files a " +
+    "lexicographic sort leaves it") {
+    // 64x64 grid, one partition; 16 files of 256 rows each. A
+    // lexicographic sort by x makes each file an x-stripe spanning the
+    // FULL y range: a y-box probe can prune nothing at file grain. The
+    // Morton interleave keeps each file a ~square cell: the same probe
+    // touches a fraction.
+    def grid = (0 until 4096).map { i =>
+      (i % 64L, i / 64L, "p0", i.toLong) }.toDF("x", "y", "p", "id")
+    def filesTouchedByY(dir: String, loY: Long, hiY: Long): (Int, Int) = {
+      val byFile = SnapshotStore.read(spark, dir)
+        .select(input_file_name().as("f"), col("y"))
+        .collect().groupBy(_.getString(0)).toSeq
+        .map { case (_, rows) =>
+          val ys = rows.map(_.getLong(1)); (ys.min, ys.max) }
+      (byFile.count { case (lo, hi) => hi >= loY && lo <= hiY },
+        byFile.size)
+    }
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "256")
+    try {
+      val lex = newDir("zlex")
+      SnapshotStore.write(grid, lex, "p", statsCols = Seq("x", "y"),
+        sortCols = Seq("x"))
+      // declare-later shape: the store exists, z-order is declared, and
+      // the next APPEND lays its gen out by the declaration (the same
+      // writer-owns-the-layout contract as lexicographic clustering)
+      val zed2 = newDir("zdecl")
+      SnapshotStore.write(grid.limit(1), zed2, "p",
+        statsCols = Seq("x", "y"))
+      SnapshotStore.declareSortCols(spark, zed2, Seq("x", "y"),
+        zorder = true)
+      SnapshotStore.deleteWhere(spark, zed2, lit(true)) // empty the seed
+      SnapshotStore.append(grid, zed2, "p")
+      val (lexTouched, lexTotal) = filesTouchedByY(lex, 0L, 7L)
+      val (zTouched, zTotal) = filesTouchedByY(zed2, 0L, 7L)
+      assert(lexTotal >= 8 && zTotal >= 8,
+        s"file split must engage: $lexTotal/$zTotal")
+      assert(lexTouched == lexTotal,
+        "the lexicographic twin cannot prune a second-dim probe at " +
+          s"file grain ($lexTouched of $lexTotal)")
+      assert(zTouched * 2 <= zTotal,
+        s"z-order must confine the y-box to a fraction of the files: " +
+          s"$zTouched of $zTotal")
+      // rows identical either way (layout, not semantics)
+      assert(SnapshotStore.read(spark, zed2).count() == 4096)
+      // refusals: wrong arity, non-numeric dim
+      val e1 = intercept[IllegalArgumentException](
+        SnapshotStore.declareSortCols(spark, zed2, Seq("x"),
+          zorder = true))
+      assert(e1.getMessage.contains("TWO"))
+      val e2 = intercept[IllegalArgumentException](
+        SnapshotStore.declareSortCols(spark, zed2, Seq("x", "p"),
+          zorder = true))
+      assert(e2.getMessage.contains("numeric"))
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
+
   test("FLOAT bounds live in the widened-double domain: a fractional " +
     "double-literal boundary predicate must not prune rows the full " +
     "filter returns (0.1f prints \"0.1\" but widens ABOVE 0.1)") {
