@@ -49,6 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(plans.MaintenanceSql.UpdateMor.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.MaterializeDvs.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.DeclareZorder.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.MergeInto.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.DeleteBranchMor.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.UpdateBranchMor.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.AddConstraint.descriptor)

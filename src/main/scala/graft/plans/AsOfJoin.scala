@@ -251,6 +251,9 @@ object AsOf {
       MaintenanceSql.DeclareZorder.name,
       MaintenanceSql.DeclareZorder.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.MergeInto.name,
+      MaintenanceSql.MergeInto.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.DeleteBranchMor.name,
       MaintenanceSql.DeleteBranchMor.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(

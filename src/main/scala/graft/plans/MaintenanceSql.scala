@@ -646,6 +646,107 @@ object MaintenanceSql {
       (FunctionIdentifier(name), info, builder)
   }
 
+  /** `graft_merge_into(path, sourceView, keyCsv, clause [, clause ...])`
+    * — the general conditional MERGE as a TVF (Spark routes `MERGE INTO`
+    * statements to catalog tables, so the path-addressed store carries
+    * it as a function). Each clause is one string:
+    *
+    * {{{
+    *   matched [if <cond>] then update_all
+    *   matched [if <cond>] then delete
+    *   matched [if <cond>] then set a = <expr>; b = <expr>
+    *   not_matched [if <cond>] then insert_all
+    *   not_matched_by_source [if <cond>] then delete
+    *   not_matched_by_source [if <cond>] then set a = <expr>
+    * }}}
+    *
+    * Conditions and RHS expressions are Spark SQL over `t.` (target) and
+    * `s.` (source) qualified columns; clause order is first-match-wins.
+    * Receipt: rows per outcome + `kept_dirs` (slices the
+    * not-matched-by-source conditions provably cannot touch).
+    */
+  object MergeInto {
+    val name = "graft_merge_into"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_merge_into(path, sourceView, keyCsv, clause[, clause ...]) " +
+        "- conditional MERGE: clauses like 'matched if s.v > t.v then " +
+        "set v = s.v', 'matched then delete', 'not_matched then " +
+        "insert_all', 'not_matched_by_source if <cond> then delete'; " +
+        "first-match-wins; returns one receipt row (updated, deleted, " +
+        "inserted, copied, kept_dirs, head_version); string-literal " +
+        "arguments", "", "")
+
+    private[plans] def parseClause(raw: String):
+        (String, Option[org.apache.spark.sql.Column],
+          graft.storage.SnapshotMergeInto.MergeAction) = {
+      import graft.storage.SnapshotMergeInto._
+      import org.apache.spark.sql.functions.{expr => sqlExpr}
+      val thenIdx = raw.toLowerCase.indexOf(" then ")
+      require(thenIdx > 0, s"merge clause needs ' then ': '$raw'")
+      val headPart = raw.substring(0, thenIdx).trim
+      val actPart = raw.substring(thenIdx + 6).trim
+      val ifIdx = headPart.toLowerCase.indexOf(" if ")
+      val (kind, cond) =
+        if (ifIdx < 0) (headPart.toLowerCase, None)
+        else (headPart.substring(0, ifIdx).trim.toLowerCase,
+          Some(sqlExpr(headPart.substring(ifIdx + 4).trim)))
+      require(Set("matched", "not_matched",
+        "not_matched_by_source")(kind),
+        s"merge clause kind must be matched / not_matched / " +
+          s"not_matched_by_source, got '$kind'")
+      val action: MergeAction = actPart.toLowerCase match {
+        case "update_all" => UpdateAll
+        case "delete" => DeleteRow
+        case "insert_all" =>
+          require(kind == "not_matched",
+            "insert_all belongs to not_matched clauses")
+          UpdateAll // placeholder; not_matched carries no action object
+        case s if s.startsWith("set ") =>
+          UpdateSet(actPart.substring(4).split(";").toSeq.map { a =>
+            val eq = a.indexOf('=')
+            require(eq > 0, s"malformed assignment '$a'")
+            a.substring(0, eq).trim -> sqlExpr(a.substring(eq + 1).trim)
+          })
+        case other =>
+          throw new IllegalArgumentException(
+            s"merge clause action must be update_all / delete / " +
+              s"insert_all / set ..., got '$other'")
+      }
+      (kind, cond, action)
+    }
+
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      import graft.storage.SnapshotMergeInto._
+      require(args.size >= 4,
+        s"$name takes (path, sourceView, keyCsv, clause[, clause ...]); " +
+          s"got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      val source = spark.table(str(name, args, 1))
+      val keys = str(name, args, 2).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val parsed = (3 until args.size).map(i =>
+        parseClause(str(name, args, i)))
+      val m = parsed.collect { case ("matched", c, a) => WhenMatched(c, a) }
+      val nm = parsed.collectFirst { case ("not_matched", c, _) =>
+        WhenNotMatched(c) }
+      val nmbs = parsed.collect { case ("not_matched_by_source", c, a) =>
+        WhenNotMatchedBySource(c, a) }
+      val r = graft.storage.SnapshotStore.mergeIntoDetailed(spark, path,
+        source, keys, m, nm, nmbs)
+      import spark.implicits._
+      Seq(("merge_into", path, r.updated, r.deleted, r.inserted, r.copied,
+        r.keptDirs.toLong, r.version.toLong))
+        .toDF("verb", "path", "updated", "deleted", "inserted", "copied",
+          "kept_dirs", "head_version")
+        .queryExecution.analyzed
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
   /** `graft_declare_zorder(path, colA, colB)` — declares 2-D Z-ORDER
     * clustering: every writer sorts partition slices by the Morton
     * interleave of the two dims, so per-file footer bounds stay tight on

@@ -1,0 +1,364 @@
+package graft.storage
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The [[SnapshotStore]]'s general MERGE — the full conditional-clause
+  * surface (the Delta Lake / SQL:2003 `MERGE INTO` shape, a public
+  * concept re-derived on the store's primitives): for each target row
+  * matched by a source row (key equality), the FIRST `WHEN MATCHED`
+  * clause whose condition holds applies (update-all / update-set /
+  * delete); source rows matching nothing insert under the `WHEN NOT
+  * MATCHED` clause; target rows no source row matched can be updated or
+  * deleted by `WHEN NOT MATCHED BY SOURCE` clauses. [[SnapshotStore
+  * .merge]] stays the CDC-batch fast path (a batch that NAMES its rows,
+  * latest-wins); this verb is the declarative one — "reconcile the store
+  * against this snapshot of truth".
+  *
+  * Scale story:
+  *   - Without NOT-MATCHED-BY-SOURCE clauses, the merge touches ONLY the
+  *     source's partitions (pruned-bucket manifest lookup, exactly like
+  *     [[SnapshotStore.merge]]): a 3-partition source against a
+  *     1M-partition store resolves 3 buckets and rewrites 3 partitions.
+  *   - NOT-MATCHED-BY-SOURCE is table-wide BY DEFINITION (Delta's
+  *     documented cost) — but its conditions prune at (partition, gen)
+  *     grain through the same tri-state stats verdict every DML verb
+  *     uses: a slice provably NoMatch for EVERY such condition copies
+  *     its manifest field forward verbatim, unread. "Expire everything
+  *     not in today's feed AND older than 90 days" reads the old gens,
+  *     not the store.
+  *   - One full-outer join on the keys (AQE-planned; the source is
+  *     usually the small side), ONE pass computing a per-row action tag,
+  *     one write of the surviving rows — never an action-per-clause
+  *     multi-pass.
+  *
+  * Semantics pinned by spec: first-match-wins across clauses; a matched
+  * row no clause accepts copies through unchanged; every update RHS sees
+  * the PRE-merge row (target columns) plus the matching source row
+  * (`t.`/`s.` qualifiers); SQL three-valued conditions (NULL = clause
+  * does not apply); MULTIPLE source rows matching one target row refuse
+  * loudly (the Delta ambiguity error — applying "the" update would pick
+  * an arbitrary winner); CHECK constraints gate the updated + inserted
+  * rows; CDC reconstructs update pairs / deletes / inserts; history
+  * never rewritten.
+  */
+object SnapshotMergeInto {
+  import SnapshotStore._
+  import SnapshotFormat.{statsOf, parseStats}
+
+  sealed trait MergeAction
+  /** Replace every target column with the source's same-named column. */
+  case object UpdateAll extends MergeAction
+  /** Assign the named target columns; each RHS may reference `t.` and
+    * `s.` qualified columns and casts to the column's existing type.
+    */
+  case class UpdateSet(assignments: Seq[(String, Column)]) extends MergeAction
+  case object DeleteRow extends MergeAction
+
+  /** `WHEN MATCHED [AND cond] THEN action`. `cond` may reference `t.`
+    * and `s.` columns; None = always applies.
+    */
+  case class WhenMatched(cond: Option[Column], action: MergeAction)
+  /** `WHEN NOT MATCHED [AND cond] THEN INSERT *` — the store is
+    * schema-fixed, so insert is always insert-all (source columns the
+    * target lacks are refused; target columns the source lacks insert
+    * NULL, the store's additive-read semantics).
+    */
+  case class WhenNotMatched(cond: Option[Column])
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN action` (update-set or
+    * delete). `cond` should reference target columns (a `s.` column is
+    * NULL here — SQL three-valued logic makes such a clause never
+    * apply); unqualified and `t.`-qualified names both resolve.
+    */
+  case class WhenNotMatchedBySource(cond: Option[Column],
+                                    action: MergeAction)
+
+  /** One merge's receipt: rows per outcome, plus the slice economics —
+    * `keptDirs` = slices the NOT-MATCHED-BY-SOURCE conditions provably
+    * cannot touch (copied forward unread, only meaningful when such
+    * clauses exist).
+    */
+  case class MergeIntoReceipt(version: Int, updated: Long, deleted: Long,
+                              inserted: Long, copied: Long, keptDirs: Int)
+
+  // the action-tag vocabulary: mi = matched clause i (update), mdi =
+  // matched clause i (delete) … tags index the clause list so counts and
+  // first-match-wins stay aligned
+  private val Copy = "copy"
+  private val Drop = "drop"
+
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+                keyCols: Seq[String],
+                matched: Seq[WhenMatched] = Nil,
+                notMatched: Option[WhenNotMatched] = None,
+                notMatchedBySource: Seq[WhenNotMatchedBySource] = Nil,
+                beforeCommit: () => Unit = () => ()): MergeIntoReceipt = {
+    requireAtomicRename(path)
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "mergeInto needs at least one clause")
+    matched.foreach(c => require(c.action != null, "null action"))
+    notMatchedBySource.foreach { c =>
+      require(c.action != UpdateAll,
+        "NOT MATCHED BY SOURCE has no source row to update-all from — " +
+          "use an explicit SET or DELETE")
+    }
+    val head = headVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val renames = readRenames(spark, path, head)
+    val physSchema = versionSchema(spark, path, head)
+    val physPartCol = partColOf(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"store at $path records no partition column"))
+    val partCol = renames.getOrElse(physPartCol, physPartCol)
+    val logicalSchema = org.apache.spark.sql.types.StructType(
+      physSchema.fields.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name))))
+    val targetCols = logicalSchema.fieldNames.toSeq
+    keyCols.foreach(k => require(targetCols.contains(k) &&
+      source.columns.contains(k),
+      s"merge key '$k' must exist on both sides (target: " +
+        s"${targetCols.mkString(", ")}; source: " +
+        s"${source.columns.mkString(", ")})"))
+    source.columns.foreach(c => require(targetCols.contains(c),
+      s"source column '$c' is not in the store's schema — the store is " +
+        "schema-fixed under MERGE; evolve additively with merge()/append"))
+    matched.foreach(_.action match {
+      case UpdateSet(as) =>
+        validateSet(as, targetCols, partCol, "WHEN MATCHED")
+      case _ => ()
+    })
+    notMatchedBySource.foreach(_.action match {
+      case UpdateSet(as) =>
+        validateSet(as, targetCols, partCol, "WHEN NOT MATCHED BY SOURCE")
+      case _ => ()
+    })
+    // the ambiguity refusal (Delta's MERGE error, re-derived): two source
+    // rows with one key would make "the" matched action nondeterministic
+    val dup = source.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"mergeInto source carries duplicate keys (e.g. " +
+        s"${keyCols.zip(dup.head.toSeq).map { case (k, v) => s"$k=$v" }
+          .mkString(", ")}) — aggregate to one row per key first")
+    require(source.columns.contains(partCol) || notMatched.isEmpty,
+      s"WHEN NOT MATCHED inserts need the source to carry the partition " +
+        s"column '$partCol'")
+
+    // ---- which slices participate --------------------------------------
+    val srcParts: Seq[String] =
+      if (!source.columns.contains(partCol)) Nil
+      else source.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toIndexedSeq
+    val logicalToPhysical = renames.map(_.swap)
+    // NOT-MATCHED-BY-SOURCE conditions analyzed for the tri-state pruner
+    // (unqualified/t-qualified target refs; an s. ref fails analysis →
+    // no pruning, the clause still applies its NULL-condition semantics
+    // row-wise)
+    val nmbsExprs = notMatchedBySource.map(_.cond.flatMap { c =>
+      try {
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          logicalSchema).alias("t").filter(c)
+          .queryExecution.analyzed match {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            Some(f.condition)
+          case _ => None
+        }
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    })
+    val entries: Map[String, Seq[String]] =
+      if (notMatchedBySource.nonEmpty)
+        forWrite(path, head)(readManifest(spark, path, head))
+      else forWrite(path, head)(
+        readManifestValues(spark, path, head, srcParts))
+    val srcPartSet = srcParts.toSet
+    var keptDirs = 0
+    // slice verdicts: a source partition's slices always participate
+    // (key matching needs the rows); elsewhere a slice every nmbs
+    // condition provably cannot touch copies forward verbatim. A clause
+    // with no condition (or an unanalyzable one) touches everything.
+    val alwaysTouches = notMatchedBySource.nonEmpty &&
+      nmbsExprs.exists(_.isEmpty)
+    val (touchedEntries, keptByPart) = {
+      val touched = Map.newBuilder[String, Seq[String]]
+      val kept = Map.newBuilder[String, Seq[String]]
+      entries.foreach { case (p, fields) =>
+        if (srcPartSet(p)) touched += p -> fields
+        else {
+          val (rewrite, keep) = fields.partition { f =>
+            alwaysTouches || {
+              val stats = statsOf(f).map(parseStats)
+                .getOrElse(Map.empty[String, SnapshotFormat.ColStat])
+              nmbsExprs.flatten.exists(e =>
+                evalPrune(e, stats, logicalToPhysical) != NoMatch)
+            }
+          }
+          keptDirs += keep.size
+          if (rewrite.nonEmpty) {
+            touched += p -> rewrite
+            kept += p -> keep
+          }
+        }
+      }
+      (touched.result(), kept.result())
+    }
+    val insertOnlyParts = srcPartSet -- entries.keySet
+
+    // ---- the one-pass action plan --------------------------------------
+    val base0 = applyRenames(
+      if (touchedEntries.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          physSchema)
+      else readFields(spark, path, head,
+        touchedEntries.values.flatten.toSeq.sorted), renames)
+      .withColumn("_t_present", lit(true)).alias("t")
+    // NOT-MATCHED-BY-SOURCE expressions are target-only by definition,
+    // so they evaluate on the TARGET frame BEFORE the join — bare column
+    // names resolve unambiguously there (post-join every shared name is
+    // ambiguous), and "every RHS sees the pre-merge row" holds by
+    // construction. Conditions become `_nmc<i>` markers, SET values
+    // `_nmv<i>_<col>` — dropped before the write.
+    val base = notMatchedBySource.zipWithIndex.foldLeft(base0) {
+      case (df, (cl, i)) =>
+        val withCond =
+          df.withColumn(s"_nmc$i", cl.cond.getOrElse(lit(true)))
+        cl.action match {
+          case UpdateSet(as) => as.foldLeft(withCond) {
+            case (d, (c, e)) => d.withColumn(s"_nmv${i}_$c",
+              e.cast(logicalSchema(c).dataType))
+          }
+          case _ => withCond
+        }
+    }
+    val srcAligned = source
+      .withColumn("_s_present", lit(true)).alias("s")
+    val joinCond = keyCols.map(k => col(s"t.$k") === col(s"s.$k"))
+      .reduce(_ && _)
+    val joined = base.join(srcAligned, joinCond, "full_outer")
+    val isMatched = col("_t_present").isNotNull &&
+      col("_s_present").isNotNull
+    val tOnly = col("_t_present").isNotNull && col("_s_present").isNull
+    val sOnly = col("_t_present").isNull && col("_s_present").isNotNull
+    def holds(c: Option[Column]): Column =
+      c.map(cc => coalesce(cc, lit(false))).getOrElse(lit(true))
+    // the action tag: first-match-wins falls straight out of when()'s
+    // evaluation order
+    val cases = Seq.newBuilder[(String, Column)]
+    matched.zipWithIndex.foreach { case (cl, i) =>
+      cases += s"m$i" -> (isMatched && holds(cl.cond))
+    }
+    notMatched.foreach(cl => cases += "ins" -> (sOnly && holds(cl.cond)))
+    notMatchedBySource.zipWithIndex.foreach { case (cl, i) =>
+      cases += s"n$i" -> (tOnly && coalesce(col(s"_nmc$i"), lit(false)))
+    }
+    cases += Copy -> (isMatched || tOnly)
+    val act = cases.result().foldRight(lit(Drop)) {
+      case ((tag, cond), rest) => when(cond, lit(tag)).otherwise(rest)
+    }
+    val tagged = joined.withColumn("_act", act)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-column value under each action; every RHS sees the PRE-merge
+    // row (one select — the DML swap discipline)
+    def actionValue(tag: String, action: MergeAction, c: String): Option[Column] =
+      action match {
+        case UpdateAll =>
+          if (source.columns.contains(c))
+            Some(col(s"s.$c").cast(logicalSchema(c).dataType))
+          else Some(col(s"t.$c")) // source lacks it: keep (keys included)
+        case UpdateSet(as) => as.toMap.get(c)
+          .map(_.cast(logicalSchema(c).dataType))
+          .orElse(Some(col(s"t.$c")))
+        case DeleteRow => None // filtered by tag, value irrelevant
+      }
+    val outCols = targetCols.map { c =>
+      var chain: Column = null
+      def add(cond: Column, value: Column): Unit = {
+        chain = if (chain == null) when(cond, value)
+          else chain.when(cond, value)
+      }
+      matched.zipWithIndex.foreach { case (cl, i) =>
+        actionValue(s"m$i", cl.action, c)
+          .foreach(value => add(col("_act") === s"m$i", value))
+      }
+      if (notMatched.nonEmpty) {
+        val value =
+          if (source.columns.contains(c))
+            col(s"s.$c").cast(logicalSchema(c).dataType)
+          else lit(null).cast(logicalSchema(c).dataType)
+        add(col("_act") === "ins", value)
+      }
+      notMatchedBySource.zipWithIndex.foreach { case (cl, i) =>
+        cl.action match {
+          case UpdateSet(as) if as.exists(_._1 == c) =>
+            add(col("_act") === s"n$i", col(s"_nmv${i}_$c"))
+          case _ => () // delete: filtered by tag; unassigned: copies
+        }
+      }
+      (if (chain == null) col(s"t.$c")
+       else chain.otherwise(col(s"t.$c"))).as(c)
+    }
+    val deleteTags = matched.zipWithIndex.collect {
+      case (WhenMatched(_, DeleteRow), i) => s"m$i" } ++
+      notMatchedBySource.zipWithIndex.collect {
+        case (WhenNotMatchedBySource(_, DeleteRow), i) => s"n$i" } :+ Drop
+    val result = tagged
+      .filter(!col("_act").isin(deleteTags: _*))
+      .select((outCols :+ col("_act")): _*)
+    try {
+      val byTag: Map[String, Long] = tagged.groupBy("_act").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def sumTags(pred: String => Boolean): Long =
+        byTag.collect { case (t, n) if pred(t) => n }.sum
+      val updTags = (matched.zipWithIndex.collect {
+        case (WhenMatched(_, a), i) if a != DeleteRow => s"m$i" } ++
+        notMatchedBySource.zipWithIndex.collect {
+          case (WhenNotMatchedBySource(_, a), i) if a != DeleteRow =>
+            s"n$i" }).toSet
+      val updated = sumTags(updTags)
+      val deleted = sumTags(t => deleteTags.contains(t) && t != Drop)
+      val inserted = byTag.getOrElse("ins", 0L)
+      val copied = byTag.getOrElse(Copy, 0L)
+      if (updated + deleted + inserted == 0L)
+        return MergeIntoReceipt(head, 0, 0, 0, copied, keptDirs)
+      // CHECK constraints gate what the merge CHANGES (updated images +
+      // inserts); copied-through rows are existing, conforming data
+      SnapshotConstraints.enforce(spark, path,
+        result.filter(col("_act") =!= Copy).drop("_act"), "merge")
+      val newEntries = writeGen(
+        toPhysical(result.drop("_act"), renames), path, physPartCol,
+        statsCols = statsColsOf(spark, path))
+      val added = (touchedEntries.keySet ++ insertOnlyParts).flatMap { p =>
+        val fields = keptByPart.getOrElse(p, Nil) ++ newEntries.get(p).toSeq
+        if (fields.isEmpty) None else Some(p -> fields)
+      }.toMap
+      beforeCommit() // test seam
+      commitDelta(spark, path, head + 1, head,
+        removed = touchedEntries.keySet,
+        added = added,
+        newEntries.values.map(_.split("/").take(2).mkString("/"))
+          .toSeq.distinct,
+        Some(physSchema), renames, op = "merge")
+      MergeIntoReceipt(head + 1, updated, deleted, inserted, copied,
+        keptDirs)
+    } finally tagged.unpersist()
+  }
+
+  private def validateSet(assignments: Seq[(String, Column)],
+      targetCols: Seq[String], partCol: String, where: String): Unit = {
+    require(assignments.nonEmpty, s"$where SET needs at least one assignment")
+    assignments.foreach { case (c, _) =>
+      require(targetCols.contains(c),
+        s"$where SET column '$c' is not in the store's schema " +
+          s"(${targetCols.mkString(", ")})")
+      require(c != partCol,
+        s"$where SET cannot assign the partition column '$c' — moving " +
+          "rows across partitions is a delete+insert the source names " +
+          "explicitly")
+    }
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      s"$where SET assigns a column twice: " +
+        assignments.map(_._1).mkString(", "))
+  }
+}

@@ -1904,6 +1904,36 @@ object SnapshotStore {
       pred: org.apache.spark.sql.Column): SnapshotDml.DmlReceipt =
     SnapshotDml.updateBranchWhereMor(spark, path, name, assignments, pred)
 
+  /** General conditional MERGE (the Delta/SQL:2003 `MERGE INTO` shape):
+    * first-match-wins `WHEN MATCHED [AND cond]` update/delete clauses,
+    * `WHEN NOT MATCHED` insert, `WHEN NOT MATCHED BY SOURCE` update/
+    * delete — one full-outer key join, one action-tag pass, one write.
+    * Clause types live on [[SnapshotMergeInto]]. [[merge]] remains the
+    * CDC-batch fast path.
+    */
+  def mergeInto(spark: SparkSession, path: String,
+      source: DataFrame, keyCols: Seq[String],
+      matched: Seq[SnapshotMergeInto.WhenMatched] = Nil,
+      notMatched: Option[SnapshotMergeInto.WhenNotMatched] = None,
+      notMatchedBySource: Seq[SnapshotMergeInto.WhenNotMatchedBySource] =
+        Nil): Unit =
+    SnapshotMergeInto.mergeInto(spark, path, source, keyCols, matched,
+      notMatched, notMatchedBySource)
+
+  /** [[mergeInto]] returning the per-outcome row counts and the
+    * NOT-MATCHED-BY-SOURCE slice-pruning receipt.
+    */
+  private[graft] def mergeIntoDetailed(spark: SparkSession, path: String,
+      source: DataFrame, keyCols: Seq[String],
+      matched: Seq[SnapshotMergeInto.WhenMatched] = Nil,
+      notMatched: Option[SnapshotMergeInto.WhenNotMatched] = None,
+      notMatchedBySource: Seq[SnapshotMergeInto.WhenNotMatchedBySource] =
+        Nil,
+      beforeCommit: () => Unit = () => ())
+      : SnapshotMergeInto.MergeIntoReceipt =
+    SnapshotMergeInto.mergeInto(spark, path, source, keyCols, matched,
+      notMatched, notMatchedBySource, beforeCommit)
+
   /** [[deleteWhere]] with [[mergeWithRetry]]'s bounded CAS-loser retry
     * loop: each attempt re-resolves against the NEW head (the delete's
     * semantics are predicate-relative, so retrying against a moved head

@@ -53,4 +53,5 @@ object StreamingBatchShim {
   def expressionOf(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
 }
