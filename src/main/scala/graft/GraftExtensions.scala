@@ -50,6 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(plans.MaintenanceSql.MaterializeDvs.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.DeclareZorder.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.MergeInto.descriptor)
+    ext.injectTableFunction(plans.MaintenanceSql.Fsck.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.DeleteBranchMor.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.UpdateBranchMor.descriptor)
     ext.injectTableFunction(plans.MaintenanceSql.AddConstraint.descriptor)

@@ -254,6 +254,8 @@ object AsOf {
       MaintenanceSql.MergeInto.name,
       MaintenanceSql.MergeInto.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.Fsck.name, MaintenanceSql.Fsck.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.DeleteBranchMor.name,
       MaintenanceSql.DeleteBranchMor.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(

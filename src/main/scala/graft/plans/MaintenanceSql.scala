@@ -747,6 +747,33 @@ object MaintenanceSql {
       (FunctionIdentifier(name), info, builder)
   }
 
+  /** `graft_fsck(path)` — the read-only store integrity report: one row
+    * per finding (dangling gen/DV refs and malformed fields = `error`;
+    * orphan dirs and crash-leftover staging files = `info`, expire's to
+    * reclaim). Zero rows = healthy. Never mutates anything — the dry-run
+    * complement to `graft_expire`.
+    */
+  object Fsck {
+    val name = "graft_fsck"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_fsck(path) - read-only integrity report over a " +
+        "SnapshotStore: (severity, kind, subject, detail) rows; " +
+        "dangling refs and malformed fields are errors, orphans and " +
+        "staging leftovers are info; zero rows = healthy; " +
+        "string-literal argument", "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 1,
+        s"$name takes (path); got ${args.size} arguments")
+      val spark = SparkSession.active
+      graft.storage.SnapshotStore.fsck(spark, str(name, args, 0))
+        .queryExecution.analyzed
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
   /** `graft_declare_zorder(path, colA, colB)` — declares 2-D Z-ORDER
     * clustering: every writer sorts partition slices by the Morton
     * interleave of the two dims, so per-file footer bounds stay tight on

@@ -3277,6 +3277,14 @@ object SnapshotStore {
       }: _*)
   }
 
+  /** Read-only store INTEGRITY REPORT — dangling gen/DV refs (error),
+    * malformed fields (error), orphan dirs and crash-leftover staging
+    * files (info, expire's to reclaim). A healthy store reports zero
+    * rows. See [[SnapshotFsck]].
+    */
+  def fsck(spark: SparkSession, path: String): DataFrame =
+    SnapshotFsck.fsck(spark, path)
+
   /** Rolls the store back to `toVersion` by committing a NEW head whose
     * manifest is that version's — history is never rewritten (the bad
     * versions stay inspectable until expired), readers see the rollback
