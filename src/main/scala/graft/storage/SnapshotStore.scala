@@ -1954,6 +1954,70 @@ object SnapshotStore {
     }
   }
 
+  /** [[deleteWhereMor]] with the bounded CAS-loser retry loop (a lost
+    * attempt's sidecar was already cleaned by the commit's loser path).
+    */
+  def deleteWhereMorWithRetry(spark: SparkSession, path: String,
+                              pred: org.apache.spark.sql.Column,
+                              maxRetries: Int = 5): Unit = {
+    var attempt = 0
+    while (true) {
+      try { SnapshotDml.deleteWhereMor(spark, path, pred); return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
+
+  /** [[updateWhereMor]] with the bounded CAS-loser retry loop. */
+  def updateWhereMorWithRetry(spark: SparkSession, path: String,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      pred: org.apache.spark.sql.Column,
+      maxRetries: Int = 5): Unit = {
+    var attempt = 0
+    while (true) {
+      try { SnapshotDml.updateWhereMor(spark, path, assignments, pred)
+            return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
+
+  /** [[mergeInto]] with the bounded CAS-loser retry loop: each attempt
+    * re-resolves against the NEW head (clause semantics are
+    * source-relative, so retrying is exactly re-running the statement).
+    */
+  def mergeIntoWithRetry(spark: SparkSession, path: String,
+      source: DataFrame, keyCols: Seq[String],
+      matched: Seq[SnapshotMergeInto.WhenMatched] = Nil,
+      notMatched: Option[SnapshotMergeInto.WhenNotMatched] = None,
+      notMatchedBySource: Seq[SnapshotMergeInto.WhenNotMatchedBySource] =
+        Nil,
+      maxRetries: Int = 5): Unit = {
+    var attempt = 0
+    while (true) {
+      try { SnapshotMergeInto.mergeInto(spark, path, source, keyCols,
+              matched, notMatched, notMatchedBySource)
+            return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
+
+  /** The field's deletion-vector sidecar dirs (store-relative), for
+    * spec-side liveness accounting.
+    */
+  private[graft] def dvRefsOf(field: String): Seq[String] =
+    dvOf(field).map(_.rel)
+
   /** [[updateWhere]] with the bounded CAS-loser retry loop. */
   def updateWhereWithRetry(spark: SparkSession, path: String,
       assignments: Seq[(String, org.apache.spark.sql.Column)],

@@ -97,7 +97,10 @@ class SnapshotSoakSpec extends SparkSpec {
     SnapshotStore.expire(spark, dir, keep = 1, minAgeMs = 0L)
     val headGens = SnapshotStore
       .readManifest(spark, dir, SnapshotStore.headVersion(spark, dir).get)
-      .values.flatten.map(_.split("/").take(2).mkString("/")).toSet
+      .values.flatten
+      .flatMap(f => (SnapshotStore.dirOf(f) +:
+        SnapshotStore.dvRefsOf(f)).map(_.split("/").take(2).mkString("/")))
+      .toSet
     val onDisk = new java.io.File(s"$dir/data").listFiles()
       .map("data/" + _.getName).toSet
     assert(onDisk == headGens,
@@ -126,7 +129,7 @@ class SnapshotSoakSpec extends SparkSpec {
     val lastMerged = new Array[Option[Double]](nWriters)
     (0 until nWriters).foreach(lastMerged(_) = None)
 
-    val nOps = if (dmlMix) 9 else if (renameMix) 6 else 4
+    val nOps = if (dmlMix) 11 else if (renameMix) 6 else 4
     val threads = (0 until nWriters).map { w =>
       new Thread(() => {
         val r = new scala.util.Random(seed + w)
@@ -194,6 +197,26 @@ class SnapshotSoakSpec extends SparkSpec {
                 if (lastMerged(w).isDefined) {
                   val v = i * 100.0 + w
                   SnapshotStore.updateWhereWithRetry(spark, dir,
+                    Seq("v" -> org.apache.spark.sql.functions.lit(v)),
+                    col("k") === w.toLong, maxRetries = 50)
+                  lastMerged(w) = Some(v)
+                }
+              case 9 => // MERGE-ON-READ delete under contention: the
+                // same victim discipline as case 6 — append a
+                // writer-private key, DV it back out; the sidecar's
+                // liveness and sweep join the soak's invariants
+                val mv = (w + 1) * 2000000L + i
+                SnapshotStore.append(
+                  Seq((mv, s"p${r.nextInt(4)}", -2.0))
+                    .toDF("k", "p", "v"),
+                  dir, "p", idempotencyKey = Some(s"w$w-morv$i"),
+                  maxRetries = 50)
+                SnapshotStore.deleteWhereMorWithRetry(spark, dir,
+                  col("k") === mv, maxRetries = 50)
+              case 10 => // MERGE-ON-READ update of the writer's OWN key
+                if (lastMerged(w).isDefined) {
+                  val v = i * 100.0 + w
+                  SnapshotStore.updateWhereMorWithRetry(spark, dir,
                     Seq("v" -> org.apache.spark.sql.functions.lit(v)),
                     col("k") === w.toLong, maxRetries = 50)
                   lastMerged(w) = Some(v)
