@@ -141,9 +141,17 @@ object SnapshotMergeInto {
       s"mergeInto source carries duplicate keys (e.g. " +
         s"${keyCols.zip(dup.head.toSeq).map { case (k, v) => s"$k=$v" }
           .mkString(", ")}) — aggregate to one row per key first")
-    require(source.columns.contains(partCol) || notMatched.isEmpty,
-      s"WHEN NOT MATCHED inserts need the source to carry the partition " +
-        s"column '$partCol'")
+    // matching is partition-confined (the same residency contract as
+    // merge(): a key lives in its partition) — a source WITHOUT the
+    // partition column could not restrict the resolution and would
+    // silently match nothing, so it is refused wherever matching or
+    // inserting is asked for; a pure NOT-MATCHED-BY-SOURCE reconcile
+    // (no matched/insert clause) genuinely needs no source partitions
+    require(source.columns.contains(partCol) ||
+      (matched.isEmpty && notMatched.isEmpty),
+      s"mergeInto needs the source to carry the partition column " +
+        s"'$partCol' for WHEN MATCHED / WHEN NOT MATCHED clauses — " +
+        "matching is partition-confined, like merge()")
 
     // ---- which slices participate --------------------------------------
     val srcParts: Seq[String] =

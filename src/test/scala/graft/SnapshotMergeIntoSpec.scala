@@ -130,6 +130,13 @@ class SnapshotMergeIntoSpec extends SparkSpec {
       SnapshotStore.mergeInto(spark, dir, src.drop("p"), Seq("k"),
         notMatched = Some(WhenNotMatched(None))))
     assert(e4.getMessage.contains("partition column"))
+    // matching is partition-confined: a source WITHOUT the partition
+    // column cannot restrict the resolution and would silently match
+    // nothing — refused, not no-opped
+    val e5 = intercept[IllegalArgumentException](
+      SnapshotStore.mergeInto(spark, dir, src.drop("p"), Seq("k"),
+        matched = Seq(WhenMatched(None, DeleteRow))))
+    assert(e5.getMessage.contains("partition column"))
     // no clause fires: matched cond FALSE on the one matching row
     val head = SnapshotStore.headVersion(spark, dir).get
     val r = SnapshotStore.mergeIntoDetailed(spark, dir, src, Seq("k"),
