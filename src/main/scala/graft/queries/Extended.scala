@@ -1546,6 +1546,77 @@ object Extended extends QueryModule {
         .orderBy(col("slice"), col("o_orderpriority"))
     }),
 
+    // Z-ORDER declared clustering (r16): 2-D box probes are the
+    // dashboard staple ("this key range in this customer segment"), and
+    // a lexicographic sort serves only its LEADING column — every file
+    // spans the second dim's full range. The Morton-interleaved layout
+    // keeps per-file footer bounds tight on BOTH dims: the gate builds a
+    // z-ordered store and its lexicographic twin from the same rows,
+    // require-pins that a second-dim box touches at most HALF the files
+    // z-ordered where the twin's stripes intersect ALL of them, then
+    // hash-matches the box aggregate (layout, never semantics).
+    "q_snapshot_zorder" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val base = orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice")).withColumn("b", lit("all"))
+      val cmx = orders.agg(max(col("o_custkey"))).head().getLong(0)
+      def build(zorder: Boolean): String = {
+        val dir = java.nio.file.Files.createTempDirectory(
+          s"graft_zq$zorder").toString + "/st"
+        s.conf.set("spark.sql.files.maxRecordsPerFile",
+          math.max(64L, base.count() / 16).toString)
+        try {
+          if (!zorder)
+            graft.storage.SnapshotStore.write(base, dir, "b",
+              statsCols = Seq("o_orderkey", "o_custkey"),
+              sortCols = Seq("o_orderkey"))
+          else {
+            graft.storage.SnapshotStore.write(base.limit(1), dir, "b",
+              statsCols = Seq("o_orderkey", "o_custkey"))
+            graft.storage.SnapshotStore.declareSortCols(s, dir,
+              Seq("o_orderkey", "o_custkey"), zorder = true)
+            graft.storage.SnapshotStore.deleteWhere(s, dir, lit(true))
+            graft.storage.SnapshotStore.append(base, dir, "b")
+          }
+        } finally s.conf.unset("spark.sql.files.maxRecordsPerFile")
+        dir
+      }
+      val zed = build(zorder = true)
+      val lex = build(zorder = false)
+      // the box: full key range, bottom 1/8 of the SECOND dim — the
+      // probe a leading-column sort cannot serve at file grain
+      val boxC = cmx / 8
+      def touched(dir: String): (Int, Int) = {
+        val byFile = graft.storage.SnapshotStore.read(s, dir)
+          .select(input_file_name().as("f"), col("o_custkey"))
+          .collect().groupBy(_.getString(0)).toSeq
+          .map { case (_, rows) =>
+            val cs = rows.map(_.getLong(1)); (cs.min, cs.max) }
+        (byFile.count { case (lo, _) => lo <= boxC }, byFile.size)
+      }
+      val (zt, ztot) = touched(zed)
+      val (lt, ltot) = touched(lex)
+      require(ztot >= 8 && ltot >= 8,
+        s"q_snapshot_zorder: the file split must engage ($ztot/$ltot)")
+      require(lt == ltot,
+        "q_snapshot_zorder: the lexicographic twin's x-stripes must " +
+          s"span the second dim ($lt of $ltot)")
+      require(zt * 2 <= ztot,
+        "q_snapshot_zorder: the z-ordered layout must confine the " +
+          s"second-dim box to a fraction of the files ($zt of $ztot)")
+      def agg(dir: String, slice: Int) =
+        graft.storage.SnapshotStore.readWhere(s, dir,
+          col("o_custkey") <= boxC)
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("sum_cents"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .withColumn("slice", lit(slice))
+      agg(zed, 1).unionByName(agg(lex, 2))
+        .orderBy(col("slice"))
+    }),
+
     // General conditional MERGE (r16): the Delta/SQL:2003 MERGE INTO
     // shape as a store verb — first-match-wins WHEN MATCHED clauses
     // (conditional re-score, else delete), WHEN NOT MATCHED insert, and
@@ -1879,6 +1950,19 @@ object Extended extends QueryModule {
         |    CAST(0 AS BIGINT) AS n_updated, 2 AS slice
         |  FROM orders GROUP BY o_orderpriority
         |) ORDER BY slice, o_orderpriority""".stripMargin,
+
+    "q_snapshot_zorder" ->
+      """WITH cmx AS (SELECT max(o_custkey) AS c FROM orders),
+        |box AS (
+        |  SELECT count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents,
+        |    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |  FROM orders, cmx WHERE o_custkey <= c // 8)
+        |SELECT n_orders, sum_cents, min_key, max_key, 1 AS slice FROM box
+        |UNION ALL
+        |SELECT n_orders, sum_cents, min_key, max_key, 2 AS slice FROM box
+        |ORDER BY slice""".stripMargin,
 
     "q_snapshot_merge_into" ->
       """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
