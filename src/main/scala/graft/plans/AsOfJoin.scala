@@ -254,6 +254,9 @@ object AsOf {
       MaintenanceSql.MergeInto.name,
       MaintenanceSql.MergeInto.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.MergeIntoMor.name,
+      MaintenanceSql.MergeIntoMor.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Fsck.name, MaintenanceSql.Fsck.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.DeleteBranchMor.name,

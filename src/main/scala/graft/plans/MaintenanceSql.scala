@@ -713,35 +713,74 @@ object MaintenanceSql {
             s"merge clause action must be update_all / delete / " +
               s"insert_all / set ..., got '$other'")
       }
+      // a not_matched row has no target image to delete or set — the
+      // only action is insert_all. Refusing here (rather than letting
+      // the builder's collect drop the action) keeps a typo'd clause
+      // from silently executing as an INSERT.
+      require(kind != "not_matched" || actPart.toLowerCase == "insert_all",
+        s"not_matched supports only 'insert_all' (no target row exists " +
+          s"to delete or set), got '$actPart'")
       (kind, cond, action)
     }
 
-    def builder(args: Seq[Expression]): LogicalPlan = {
+    private[plans] def builderWith(mor: Boolean, verbName: String)(
+        args: Seq[Expression]): LogicalPlan = {
       import graft.storage.SnapshotMergeInto._
       require(args.size >= 4,
-        s"$name takes (path, sourceView, keyCsv, clause[, clause ...]); " +
-          s"got ${args.size} arguments")
+        s"$verbName takes (path, sourceView, keyCsv, clause[, clause " +
+          s"...]); got ${args.size} arguments")
       val spark = SparkSession.active
-      val path = str(name, args, 0)
-      val source = spark.table(str(name, args, 1))
-      val keys = str(name, args, 2).split(",").map(_.trim)
+      val path = str(verbName, args, 0)
+      val source = spark.table(str(verbName, args, 1))
+      val keys = str(verbName, args, 2).split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq
       val parsed = (3 until args.size).map(i =>
-        parseClause(str(name, args, i)))
+        parseClause(str(verbName, args, i)))
       val m = parsed.collect { case ("matched", c, a) => WhenMatched(c, a) }
-      val nm = parsed.collectFirst { case ("not_matched", c, _) =>
+      val nms = parsed.collect { case ("not_matched", c, _) =>
         WhenNotMatched(c) }
+      require(nms.size <= 1,
+        s"$verbName supports at most ONE not_matched clause (all are " +
+          s"insert_all; fold conditions with OR), got ${nms.size}")
+      val nm = nms.headOption
       val nmbs = parsed.collect { case ("not_matched_by_source", c, a) =>
         WhenNotMatchedBySource(c, a) }
-      val r = graft.storage.SnapshotStore.mergeIntoDetailed(spark, path,
-        source, keys, m, nm, nmbs)
+      val r =
+        if (mor) graft.storage.SnapshotStore.mergeIntoMorDetailed(spark,
+          path, source, keys, m, nm, nmbs)
+        else graft.storage.SnapshotStore.mergeIntoDetailed(spark, path,
+          source, keys, m, nm, nmbs)
       import spark.implicits._
-      Seq(("merge_into", path, r.updated, r.deleted, r.inserted, r.copied,
-        r.keptDirs.toLong, r.version.toLong))
+      Seq((verbName.stripPrefix("graft_"), path, r.updated, r.deleted,
+        r.inserted, r.copied, r.keptDirs.toLong, r.dvRows,
+        r.version.toLong))
         .toDF("verb", "path", "updated", "deleted", "inserted", "copied",
-          "kept_dirs", "head_version")
+          "kept_dirs", "dv_rows", "head_version")
         .queryExecution.analyzed
     }
+    def builder(args: Seq[Expression]): LogicalPlan =
+      builderWith(mor = false, name)(args)
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
+  /** `graft_merge_into_mor(path, sourceView, keyCsv, clause [, ...])` —
+    * [[MergeInto]] with MERGE-ON-READ economics: update/delete
+    * pre-images become deletion-vector positions, only changed images
+    * append (`dv_rows` in the receipt counts the DV'd pre-images).
+    */
+  object MergeIntoMor {
+    val name = "graft_merge_into_mor"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_merge_into_mor(path, sourceView, keyCsv, clause[, clause " +
+        "...]) - conditional MERGE with merge-on-read economics: same " +
+        "clause grammar as graft_merge_into; pre-images pay deletion " +
+        "vectors, only changed images append; string-literal arguments",
+      "", "")
+    def builder(args: Seq[Expression]): LogicalPlan =
+      MergeInto.builderWith(mor = true, name)(args)
     def descriptor: (FunctionIdentifier, ExpressionInfo,
         Seq[Expression] => LogicalPlan) =
       (FunctionIdentifier(name), info, builder)

@@ -1587,18 +1587,22 @@ object Extended extends QueryModule {
       // probe a leading-column sort cannot serve at file grain
       val boxC = cmx / 8
       def touched(dir: String): (Int, Int) = {
+        // per-file bounds as a distributed agg — the ~17-row result is
+        // what crosses to the driver, never the full rows
         val byFile = graft.storage.SnapshotStore.read(s, dir)
-          .select(input_file_name().as("f"), col("o_custkey"))
-          .collect().groupBy(_.getString(0)).toSeq
-          .map { case (_, rows) =>
-            val cs = rows.map(_.getLong(1)); (cs.min, cs.max) }
-        (byFile.count { case (lo, _) => lo <= boxC }, byFile.size)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col("o_custkey")).as("lo"))
+          .collect()
+        (byFile.count(_.getLong(1) <= boxC), byFile.length)
       }
       val (zt, ztot) = touched(zed)
       val (lt, ltot) = touched(lex)
       require(ztot >= 8 && ltot >= 8,
         s"q_snapshot_zorder: the file split must engage ($ztot/$ltot)")
-      require(lt == ltot,
+      // all x-stripes but possibly the writer's small REMAINDER file
+      // span the second dim (a tiny tail stripe can miss the bottom
+      // eighth by chance — the layout claim is about the full stripes)
+      require(lt >= ltot - 1,
         "q_snapshot_zorder: the lexicographic twin's x-stripes must " +
           s"span the second dim ($lt of $ltot)")
       require(zt * 2 <= ztot,
@@ -1615,6 +1619,71 @@ object Extended extends QueryModule {
           .withColumn("slice", lit(slice))
       agg(zed, 1).unionByName(agg(lex, 2))
         .orderBy(col("slice"))
+    }),
+
+    // Store integrity report (fsck, r16 — banked as a declared gate in
+    // r17): ONE read-only metadata pass (manifests + staged branch files
+    // + a dir listing, no data page read) that answers "is this store
+    // internally consistent, and what is waiting for the sweeper".
+    // Require-pins: a healthy store that has been through the full
+    // machinery (MoR delete → live DV sidecar, CoW update, branch,
+    // tag) reports ZERO rows; manual surgery on a twin surfaces as the
+    // NAMED findings (dangling_ref / dangling_dv errors, orphan_dir
+    // info); and fsck never mutates — the healthy store's content is
+    // what the oracle checks, identical after both reports.
+    "q_snapshot_fsck" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val k = col("o_orderkey")
+      val mx = orders.agg(max(k)).head().getLong(0)
+      def build(tag: String): String = {
+        val dir = java.nio.file.Files.createTempDirectory(
+          s"graft_fsckq$tag").toString + "/orders_fsck"
+        val base = orders.select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.storage.SnapshotStore.write(base.filter(k <= mx / 2),
+          dir, "o_orderpriority", statsCols = Seq("o_orderkey"))
+        graft.storage.SnapshotStore.append(base.filter(k > mx / 2),
+          dir, "o_orderpriority")
+        // a live DV sidecar + a CoW rewrite + a branch: the report must
+        // resolve ALL of it as referenced, not flag it
+        graft.storage.SnapshotStore.deleteWhereMor(s, dir, k === mx)
+        graft.storage.SnapshotStore.updateWhere(s, dir,
+          Seq("o_totalprice" -> (col("o_totalprice") + 0.0)), k === 1L)
+        graft.storage.SnapshotStore.branchCreate(s, dir, "aud")
+        dir
+      }
+      val healthy = build("h")
+      require(graft.storage.SnapshotStore.fsck(s, healthy).isEmpty,
+        "q_snapshot_fsck: a healthy store must report ZERO rows")
+      // the twin pays for manual surgery with named findings
+      val broken = build("b")
+      val data = new java.io.File(s"$broken/data")
+      def rmRf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmRf); f.delete()
+      }
+      rmRf(data.listFiles().filter(_.getName.startsWith("dv-")).head)
+      rmRf(data.listFiles().filter(_.getName.startsWith("gen-")).head)
+      new java.io.File(data, "gen-deadbeef0000").mkdirs()
+      val rep = graft.storage.SnapshotStore.fsck(s, broken)
+        .select(col("severity"), col("kind")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      require(rep(("error", "dangling_ref")) &&
+        rep(("error", "dangling_dv")) && rep(("info", "orphan_dir")),
+        s"q_snapshot_fsck: surgery must surface named findings, got $rep")
+      // read-only both ways: the healthy store still reports clean and
+      // the broken head still resolves (nothing was "repaired")
+      require(graft.storage.SnapshotStore.fsck(s, healthy).isEmpty,
+        "q_snapshot_fsck: the report must not mutate the healthy store")
+      require(graft.storage.SnapshotStore
+        .headVersion(s, broken).isDefined,
+        "q_snapshot_fsck: the report must not mutate the broken store")
+      graft.storage.SnapshotStore.read(s, healthy)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("sum_cents"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
     }),
 
     // General conditional MERGE (r16): the Delta/SQL:2003 MERGE INTO
@@ -1963,6 +2032,15 @@ object Extended extends QueryModule {
         |UNION ALL
         |SELECT n_orders, sum_cents, min_key, max_key, 2 AS slice FROM box
         |ORDER BY slice""".stripMargin,
+
+    "q_snapshot_fsck" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  max(o_orderkey) AS max_key
+        |FROM orders, mx WHERE o_orderkey <> m
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_snapshot_merge_into" ->
       """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),

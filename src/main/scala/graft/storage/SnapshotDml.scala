@@ -406,7 +406,7 @@ private[graft] object SnapshotDml {
       added = annotated.filter(_._2.nonEmpty),
       dvRel.toSeq, Some(physSchema), renames, op = "delete")
     DmlReceipt(head + 1, plan.dropped, 0, plan.kept,
-      dvDirs = counts.size, dvRows = dvRows)
+      dvDirs = dvDirCount(counts), dvRows = dvRows)
   }
 
   /** MERGE-ON-READ UPDATE: rows satisfying `pred` are deletion-vector'd
@@ -474,7 +474,7 @@ private[graft] object SnapshotDml {
           .map(_.split("/").take(2).mkString("/")).toSeq.distinct,
         Some(physSchema), renames, op = "update")
       DmlReceipt(head + 1, 0, newEntries.size, plan.kept,
-        dvDirs = counts.size, dvRows = counts.values.sum)
+        dvDirs = dvDirCount(counts), dvRows = counts.values.sum)
     } finally hits.unpersist()
   }
 
@@ -496,7 +496,7 @@ private[graft] object SnapshotDml {
     * as a third column readers never select (their explicit two-column
     * schema prunes it at the parquet footer).
     */
-  private def writeDv(spark: SparkSession, path: String,
+  private[storage] def writeDv(spark: SparkSession, path: String,
       hits: DataFrame,
       partValue: Column): (Option[String], Map[String, Long]) = {
     val rel = "data/dv-" +
@@ -504,15 +504,26 @@ private[graft] object SnapshotDml {
     hits.select(col("_gk"), col("_gi"), partValue.cast("string").as("_gv"))
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$path/$rel")
+    // counts are keyed per FILE (`data/<gen>/<frag>/<file>`), not per
+    // dir: manifests may hold FILE-grain fields (a prior copy-on-write's
+    // file split re-enters kept files as first-class fields), and a
+    // dir-keyed count would never match their `dirOf` — the positions
+    // would sit recorded in the sidecar while annotate() left the field
+    // un-annotated, silently resurrecting the "deleted" rows. The gen
+    // and file segments ride straight out of `_gk` (writer-generated
+    // names, no characters escapePathName or the URI encoder touch);
+    // only the partition fragment is rebuilt from the VALUE.
     val counts = spark.read.parquet(s"$path/$rel")
       .groupBy(org.apache.spark.sql.functions
-        .substring_index(col("_gk"), "/", 1).as("g"), col("_gv"))
+        .substring_index(col("_gk"), "/", 1).as("g"), col("_gv"),
+        org.apache.spark.sql.functions
+          .substring_index(col("_gk"), "/", -1).as("f"))
       .count()
       .collect().map { r =>
         val frag = org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.getPartitionPathString("_p",
             Option(r.getString(1)).getOrElse(""))
-        s"data/${r.getString(0)}/$frag" -> r.getLong(2)
+        s"data/${r.getString(0)}/$frag/${r.getString(2)}" -> r.getLong(3)
       }.toMap
     if (counts.isEmpty) {
       org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
@@ -533,24 +544,53 @@ private[graft] object SnapshotDml {
     * absent: their entries stay byte-identical, so the identity diff
     * never has to cancel a rewrite.
     */
+  /** Distinct slice DIRS among the per-FILE count keys — the receipt's
+    * `dvDirs` keeps meaning "slices touched", not "files touched".
+    */
+  private[storage] def dvDirCount(counts: Map[String, Long]): Int =
+    counts.keysIterator.map(k => k.substring(0, k.lastIndexOf('/')))
+      .toSet.size
+
+  /** A manifest field's share of [[writeDv]]'s per-FILE counts: by
+    * identity for file-grain fields, by prefix for dir-grain fields (a
+    * dir field owns every file under it).
+    */
+  private[storage] def dvCountFor(counts: Map[String, Long],
+      field: String): Long = {
+    val d = dirOf(field)
+    if (d.endsWith(".parquet")) counts.getOrElse(d, 0L)
+    else {
+      val pre = d + "/"
+      counts.iterator.collect { case (k, n) if k.startsWith(pre) => n }.sum
+    }
+  }
+
   private def annotate(plan: DmlPlan, dvRel: Option[String],
-      counts: Map[String, Long]): Map[String, Seq[String]] =
+      counts: Map[String, Long]): Map[String, Seq[String]] = {
+    // counts arrive per FILE; a manifest field collects its share by
+    // identity (file-grain field IS one file) or by prefix (a dir-grain
+    // field owns every file under it). Summing under the dir keeps the
+    // per-FIELD deleted count exact — the metadata COUNT subtraction
+    // depends on it.
+    def countFor(f: String): Long = dvCountFor(counts, f)
     plan.removed.flatMap { p =>
       val kept = plan.keptByPart.getOrElse(p, Nil)
       val amb = plan.ambByPart.getOrElse(p, Nil)
-      val hitHere = amb.exists(f => counts.contains(dirOf(f)))
+      val hitHere = amb.exists(f => countFor(f) > 0L)
       // an AllMatch metadata drop shows as "the surviving fields don't
       // add back up to the original entry"
       val droppedHere =
         plan.origCount.getOrElse(p, 0) > kept.size + amb.size
       if (!hitHere && !droppedHere) None
       else Some(p -> (kept ++ amb.map { f =>
-        counts.get(dirOf(f)) match {
-          case Some(n) => withDv(baseOf(f), dvOf(f) :+ DvRef(dvRel.get, n))
-          case None => f
+        countFor(f) match {
+          case n if n > 0L =>
+            withDv(baseOf(f), dvOf(f) :+ DvRef(dvRel.get, n))
+          case _ => f
         }
       }))
     }.toMap
+  }
 
   private def validateAssignments(assignments: Seq[(String, Column)],
       logicalSchema: org.apache.spark.sql.types.StructType,
@@ -743,7 +783,7 @@ private[graft] object SnapshotDml {
         SnapshotBranch.stageNext(spark, path, name, st,
           st.entries -- annotated.keySet ++ annotated.filter(_._2.nonEmpty))
         return DmlReceipt(st.k + 1, plan.dropped, 0, plan.kept,
-          dvDirs = counts.size, dvRows = counts.values.sum)
+          dvDirs = dvDirCount(counts), dvRows = counts.values.sum)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -810,7 +850,7 @@ private[graft] object SnapshotDml {
             st.entries -- annotated.keySet ++
               annotated.filter(_._2.nonEmpty))
           return DmlReceipt(st.k + 1, 0, newEntries.size, plan.kept,
-            dvDirs = counts.size, dvRows = counts.values.sum)
+            dvDirs = dvDirCount(counts), dvRows = counts.values.sum)
         } catch {
           case e: java.util.ConcurrentModificationException =>
             attempt += 1

@@ -79,7 +79,8 @@ object SnapshotMergeInto {
     * clauses exist).
     */
   case class MergeIntoReceipt(version: Int, updated: Long, deleted: Long,
-                              inserted: Long, copied: Long, keptDirs: Int)
+                              inserted: Long, copied: Long, keptDirs: Int,
+                              dvDirs: Int = 0, dvRows: Long = 0L)
 
   // the action-tag vocabulary: mi = matched clause i (update), mdi =
   // matched clause i (delete) … tags index the clause list so counts and
@@ -92,7 +93,38 @@ object SnapshotMergeInto {
                 matched: Seq[WhenMatched] = Nil,
                 notMatched: Option[WhenNotMatched] = None,
                 notMatchedBySource: Seq[WhenNotMatchedBySource] = Nil,
-                beforeCommit: () => Unit = () => ()): MergeIntoReceipt = {
+                beforeCommit: () => Unit = () => ()): MergeIntoReceipt =
+    mergeImpl(spark, path, source, keyCols, matched, notMatched,
+      notMatchedBySource, mor = false, beforeCommit)
+
+  /** MERGE-ON-READ MERGE INTO (Delta's DV-based MERGE, re-derived):
+    * identical clause semantics to [[mergeInto]], but the matched-update
+    * / delete arms and the NOT-MATCHED-BY-SOURCE arms pay DELETION
+    * VECTORS instead of copy-on-write — the pre-images' (file-key,
+    * row-index) positions land in one sidecar, ONLY the changed images
+    * (updates' post-images + inserts) append as fresh gens, and every
+    * untouched row of a touched slice is NEVER rewritten. The daily
+    * reconcile that updates 0.1% of rows per partition writes 0.1%, not
+    * the partitions. Same DV debt and same two collectors (compaction /
+    * [[SnapshotStore.materializeDvs]]) as the MoR DML verbs.
+    */
+  def mergeIntoMor(spark: SparkSession, path: String, source: DataFrame,
+                   keyCols: Seq[String],
+                   matched: Seq[WhenMatched] = Nil,
+                   notMatched: Option[WhenNotMatched] = None,
+                   notMatchedBySource: Seq[WhenNotMatchedBySource] = Nil,
+                   beforeCommit: () => Unit = () => ()): MergeIntoReceipt =
+    mergeImpl(spark, path, source, keyCols, matched, notMatched,
+      notMatchedBySource, mor = true, beforeCommit)
+
+  private def mergeImpl(spark: SparkSession, path: String,
+                source: DataFrame,
+                keyCols: Seq[String],
+                matched: Seq[WhenMatched],
+                notMatched: Option[WhenNotMatched],
+                notMatchedBySource: Seq[WhenNotMatchedBySource],
+                mor: Boolean,
+                beforeCommit: () => Unit): MergeIntoReceipt = {
     requireAtomicRename(path)
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty ||
@@ -133,9 +165,18 @@ object SnapshotMergeInto {
         validateSet(as, targetCols, partCol, "WHEN NOT MATCHED BY SOURCE")
       case _ => ()
     })
+    // the source is evaluated three times below (duplicate-key check,
+    // partition collect, full-outer join) — materialize it ONCE, as a
+    // projected copy so a caller's own cache marks are untouched. A
+    // non-deterministic source (rand/uuid, a re-read external table)
+    // must not pass the dup check with one set of rows and then join
+    // with another — the reason Delta materializes its MERGE source.
+    val src = source.select(source.columns.map(col).toIndexedSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // the ambiguity refusal (Delta's MERGE error, re-derived): two source
     // rows with one key would make "the" matched action nondeterministic
-    val dup = source.groupBy(keyCols.map(col): _*).count()
+    val dup = src.groupBy(keyCols.map(col): _*).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
       s"mergeInto source carries duplicate keys (e.g. " +
@@ -156,7 +197,7 @@ object SnapshotMergeInto {
     // ---- which slices participate --------------------------------------
     val srcParts: Seq[String] =
       if (!source.columns.contains(partCol)) Nil
-      else source.select(col(partCol).cast("string")).distinct()
+      else src.select(col(partCol).cast("string")).distinct()
         .collect().map(_.getString(0)).toIndexedSeq
     val logicalToPhysical = renames.map(_.swap)
     // NOT-MATCHED-BY-SOURCE conditions analyzed for the tri-state pruner
@@ -214,13 +255,23 @@ object SnapshotMergeInto {
     val insertOnlyParts = srcPartSet -- entries.keySet
 
     // ---- the one-pass action plan --------------------------------------
-    val base0 = applyRenames(
-      if (touchedEntries.isEmpty)
-        spark.createDataFrame(
+    // the MoR path reads TAGGED (each target row carries its sidecar
+    // key + row index, existing DVs already applied) so pre-images can
+    // be deletion-vector'd instead of paying copy-on-write
+    val touchedFields = touchedEntries.values.flatten.toSeq.sorted
+    val read0 =
+      if (touchedEntries.isEmpty) {
+        val empty = spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           physSchema)
-      else readFields(spark, path, head,
-        touchedEntries.values.flatten.toSeq.sorted), renames)
+        if (mor) empty.withColumn("_gk", lit(null).cast("string"))
+          .withColumn("_gi", lit(null).cast("long"))
+        else empty
+      }
+      else if (mor) readFieldsTagged(spark, path, touchedFields,
+        Some(physSchema))
+      else readFields(spark, path, head, touchedFields)
+    val base0 = applyRenames(read0, renames)
       .withColumn("_t_present", lit(true)).alias("t")
     // NOT-MATCHED-BY-SOURCE expressions are target-only by definition,
     // so they evaluate on the TARGET frame BEFORE the join — bare column
@@ -240,7 +291,7 @@ object SnapshotMergeInto {
           case _ => withCond
         }
     }
-    val srcAligned = source
+    val srcAligned = src
       .withColumn("_s_present", lit(true)).alias("s")
     val joinCond = keyCols.map(k => col(s"t.$k") === col(s"s.$k"))
       .reduce(_ && _)
@@ -332,25 +383,76 @@ object SnapshotMergeInto {
         return MergeIntoReceipt(head, 0, 0, 0, copied, keptDirs)
       // CHECK constraints gate what the merge CHANGES (updated images +
       // inserts); copied-through rows are existing, conforming data
+      val changedImages = result.filter(col("_act") =!= Copy)
       SnapshotConstraints.enforce(spark, path,
-        result.filter(col("_act") =!= Copy).drop("_act"), "merge")
-      val newEntries = writeGen(
-        toPhysical(result.drop("_act"), renames), path, physPartCol,
-        statsCols = statsColsOf(spark, path))
-      val added = (touchedEntries.keySet ++ insertOnlyParts).flatMap { p =>
-        val fields = keptByPart.getOrElse(p, Nil) ++ newEntries.get(p).toSeq
-        if (fields.isEmpty) None else Some(p -> fields)
-      }.toMap
-      beforeCommit() // test seam
-      commitDelta(spark, path, head + 1, head,
-        removed = touchedEntries.keySet,
-        added = added,
-        newEntries.values.map(_.split("/").take(2).mkString("/"))
-          .toSeq.distinct,
-        Some(physSchema), renames, op = "merge")
-      MergeIntoReceipt(head + 1, updated, deleted, inserted, copied,
-        keptDirs)
+        changedImages.drop("_act"), "merge")
+      if (!mor) {
+        val newEntries = writeGen(
+          toPhysical(result.drop("_act"), renames), path, physPartCol,
+          statsCols = statsColsOf(spark, path))
+        val added = (touchedEntries.keySet ++ insertOnlyParts)
+          .flatMap { p =>
+            val fields = keptByPart.getOrElse(p, Nil) ++
+              newEntries.get(p).toSeq
+            if (fields.isEmpty) None else Some(p -> fields)
+          }.toMap
+        beforeCommit() // test seam
+        commitDelta(spark, path, head + 1, head,
+          removed = touchedEntries.keySet,
+          added = added,
+          newEntries.values.map(_.split("/").take(2).mkString("/"))
+            .toSeq.distinct,
+          Some(physSchema), renames, op = "merge")
+        MergeIntoReceipt(head + 1, updated, deleted, inserted, copied,
+          keptDirs)
+      } else {
+        // merge-on-read: pre-images of the update/delete arms become
+        // sidecar positions; ONLY changed images (updates' post-images
+        // + inserts) append as fresh gens; untouched rows of touched
+        // slices are never rewritten — write cost ∝ changed rows
+        val removalTags = (updTags ++
+          deleteTags.filterNot(_ == Drop)).toSeq
+        val hits = tagged.filter(
+          if (removalTags.isEmpty) lit(false)
+          else col("_act").isin(removalTags: _*))
+        val (dvRel, counts) = SnapshotDml.writeDv(spark, path, hits,
+          col(s"t.$partCol"))
+        val newEntries = writeGen(
+          toPhysical(changedImages.drop("_act"), renames), path,
+          physPartCol, statsCols = statsColsOf(spark, path))
+        import SnapshotFormat.{dvOf, baseOf, withDv, DvRef}
+        // a touched partition CHANGES iff a field took positions or a
+        // fresh gen landed; everything else keeps its entry verbatim
+        // (the identity diff never has to cancel a re-add)
+        val changedParts = touchedEntries.keySet.filter { p =>
+          newEntries.contains(p) || touchedEntries(p).exists(f =>
+            SnapshotDml.dvCountFor(counts, f) > 0L)
+        }
+        val added = (changedParts ++
+          insertOnlyParts.filter(newEntries.contains)).map { p =>
+          val old = touchedEntries.getOrElse(p, Nil).map { f =>
+            SnapshotDml.dvCountFor(counts, f) match {
+              case n if n > 0L =>
+                withDv(baseOf(f), dvOf(f) :+ DvRef(dvRel.get, n))
+              case _ => f
+            }
+          }
+          p -> (keptByPart.getOrElse(p, Nil) ++ old ++
+            newEntries.get(p).toSeq)
+        }.toMap
+        beforeCommit() // test seam
+        commitDelta(spark, path, head + 1, head,
+          removed = changedParts,
+          added = added,
+          dvRel.toSeq ++ newEntries.values
+            .map(_.split("/").take(2).mkString("/")).toSeq.distinct,
+          Some(physSchema), renames, op = "merge")
+        MergeIntoReceipt(head + 1, updated, deleted, inserted, copied,
+          keptDirs, dvDirs = SnapshotDml.dvDirCount(counts),
+          dvRows = counts.values.sum)
+      }
     } finally tagged.unpersist()
+    } finally src.unpersist()
   }
 
   private def validateSet(assignments: Seq[(String, Column)],

@@ -252,37 +252,51 @@ object SnapshotStore {
         if (sortBy.nonEmpty) (sortBy, false)
         else sortSpecOf(df.sparkSession, path)
       val effSort = declCols.filter(df.columns.contains)
-      val laid =
-        if (effSort.isEmpty) parted
-        else if (declZ && effSort.size == 2) {
-          // Z-ORDER clustering (declared via declareSortCols(zorder)):
-          // rows sort by the Morton interleave of the two dims' 16-bit
-          // cells, so per-FILE footer bounds stay tight on BOTH columns
-          // — a 2-D box probe (the dashboard's "this key range in this
-          // time window") touches ~sqrt of the files a lexicographic
-          // sort leaves it, and the file-grain DML verdict inherits the
-          // same tightness. Cell bounds come from one batch-sized agg
-          // (the same pass shape genStats already pays); an all-NULL
-          // dim degrades to the lexicographic sort — never a crash.
-          val (a, b) = (effSort.head, effSort(1))
-          val r = df.agg(
-            min(col(a).cast("double")), max(col(a).cast("double")),
-            min(col(b).cast("double")), max(col(b).cast("double"))).head()
-          if (r.isNullAt(0) || r.isNullAt(2))
-            parted.sortWithinPartitions(
-              (col("_p") +: effSort.map(col)): _*)
-          else parted.sortWithinPartitions(col("_p"),
-            ZOrderLayout.zValue(
-              ZOrderLayout.cellOf(col(a), r.getDouble(0), r.getDouble(1),
-                65536),
-              ZOrderLayout.cellOf(col(b), r.getDouble(2), r.getDouble(3),
-                65536)))
-        }
-        else parted.sortWithinPartitions(
-          (col("_p") +: effSort.map(col)): _*)
-      laid.write.mode("overwrite")
-        .option("compression", "zstd").partitionBy("_p")
-        .parquet(s"$path/data/$gen")
+      // z-order needs a dim-bounds agg BEFORE the write — run it over a
+      // PERSISTED copy of the parted frame so an expensive input lineage
+      // is computed once (not agg + write = twice) and a
+      // non-deterministic input cannot hand the agg different rows than
+      // the write lays out (clamped by cellOf, so layout-only — but one
+      // scan is also simply cheaper). Non-z-order writes pay nothing.
+      val cached: Option[DataFrame] =
+        if (declZ && effSort.size == 2)
+          Some(parted.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        else None
+      try {
+        val base = cached.getOrElse(parted)
+        val laid =
+          if (effSort.isEmpty) base
+          else if (declZ && effSort.size == 2) {
+            // Z-ORDER clustering (declared via declareSortCols(zorder)):
+            // rows sort by the Morton interleave of the two dims' 16-bit
+            // cells, so per-FILE footer bounds stay tight on BOTH columns
+            // — a 2-D box probe (the dashboard's "this key range in this
+            // time window") touches ~sqrt of the files a lexicographic
+            // sort leaves it, and the file-grain DML verdict inherits the
+            // same tightness. Cell bounds come from one batch-sized agg
+            // (the same pass shape genStats already pays); an all-NULL
+            // dim degrades to the lexicographic sort — never a crash.
+            val (a, b) = (effSort.head, effSort(1))
+            val r = base.agg(
+              min(col(a).cast("double")), max(col(a).cast("double")),
+              min(col(b).cast("double")), max(col(b).cast("double"))).head()
+            if (r.isNullAt(0) || r.isNullAt(2))
+              base.sortWithinPartitions(
+                (col("_p") +: effSort.map(col)): _*)
+            else base.sortWithinPartitions(col("_p"),
+              ZOrderLayout.zValue(
+                ZOrderLayout.cellOf(col(a), r.getDouble(0), r.getDouble(1),
+                  65536),
+                ZOrderLayout.cellOf(col(b), r.getDouble(2), r.getDouble(3),
+                  65536)))
+          }
+          else base.sortWithinPartitions(
+            (col("_p") +: effSort.map(col)): _*)
+        laid.write.mode("overwrite")
+          .option("compression", "zstd").partitionBy("_p")
+          .parquet(s"$path/data/$gen")
+      } finally cached.foreach(_.unpersist())
     }
     genName match {
       case None =>
@@ -1933,6 +1947,55 @@ object SnapshotStore {
       : SnapshotMergeInto.MergeIntoReceipt =
     SnapshotMergeInto.mergeInto(spark, path, source, keyCols, matched,
       notMatched, notMatchedBySource, beforeCommit)
+
+  /** MERGE-ON-READ [[mergeInto]] (Delta's DV-based MERGE): identical
+    * clause semantics, but update/delete pre-images pay DELETION
+    * VECTORS and only the changed images (updates' post-images +
+    * inserts) append — write cost ∝ changed rows, never the touched
+    * slices. Same debt collectors as the MoR DML verbs.
+    */
+  def mergeIntoMor(spark: SparkSession, path: String,
+      source: DataFrame, keyCols: Seq[String],
+      matched: Seq[SnapshotMergeInto.WhenMatched] = Nil,
+      notMatched: Option[SnapshotMergeInto.WhenNotMatched] = None,
+      notMatchedBySource: Seq[SnapshotMergeInto.WhenNotMatchedBySource] =
+        Nil): Unit =
+    SnapshotMergeInto.mergeIntoMor(spark, path, source, keyCols, matched,
+      notMatched, notMatchedBySource)
+
+  /** [[mergeIntoMor]] returning the receipt (incl. `dvDirs`/`dvRows`). */
+  private[graft] def mergeIntoMorDetailed(spark: SparkSession,
+      path: String,
+      source: DataFrame, keyCols: Seq[String],
+      matched: Seq[SnapshotMergeInto.WhenMatched] = Nil,
+      notMatched: Option[SnapshotMergeInto.WhenNotMatched] = None,
+      notMatchedBySource: Seq[SnapshotMergeInto.WhenNotMatchedBySource] =
+        Nil,
+      beforeCommit: () => Unit = () => ())
+      : SnapshotMergeInto.MergeIntoReceipt =
+    SnapshotMergeInto.mergeIntoMor(spark, path, source, keyCols, matched,
+      notMatched, notMatchedBySource, beforeCommit)
+
+  /** [[mergeIntoMor]] with the bounded CAS-loser retry loop. */
+  def mergeIntoMorWithRetry(spark: SparkSession, path: String,
+      source: DataFrame, keyCols: Seq[String],
+      matched: Seq[SnapshotMergeInto.WhenMatched] = Nil,
+      notMatched: Option[SnapshotMergeInto.WhenNotMatched] = None,
+      notMatchedBySource: Seq[SnapshotMergeInto.WhenNotMatchedBySource] =
+        Nil,
+      maxRetries: Int = 5): Unit = {
+    var attempt = 0
+    while (true) {
+      try { SnapshotMergeInto.mergeIntoMor(spark, path, source, keyCols,
+              matched, notMatched, notMatchedBySource)
+            return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
 
   /** [[deleteWhere]] with [[mergeWithRetry]]'s bounded CAS-loser retry
     * loop: each attempt re-resolves against the NEW head (the delete's

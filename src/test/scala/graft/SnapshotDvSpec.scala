@@ -389,4 +389,50 @@ class SnapshotDvSpec extends SparkSpec {
       .filter(col("k") === 207L).count() == 0)
     assert(SnapshotStore.readBranch(spark, dir, "aud").count() == 29)
   }
+
+  test("MoR DML over FILE-grain manifest fields (r17): positions hitting " +
+    "a kept file field from a prior copy-on-write split annotate THAT " +
+    "field — the rows actually leave, nothing is stranded in the sidecar") {
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "20")
+    try {
+      val dir = newDir("filemor")
+      // one partition, one gen, 100 rows sorted by k → 5 files with
+      // disjoint k-ranges; the CoW needle delete splits the slice and
+      // re-enters the 4 untouched files as first-class FILE fields
+      SnapshotStore.write(
+        (0 until 100).map(i => (i.toLong, "p0", i * 1.0))
+          .toDF("k", "p", "v"),
+        dir, "p", statsCols = Seq("k"), sortCols = Seq("k"))
+      val cow = SnapshotStore.deleteWhereDetailed(spark, dir,
+        col("k") === 50L)
+      assert(cow.keptFiles == 4, s"fixture needs the file split, got $cow")
+      // MoR delete whose ONLY hits live inside one kept FILE field: the
+      // dir-keyed count bug left the field un-annotated (dvRows in the
+      // receipt, rows resurrected on read, orphan sidecar)
+      val r = SnapshotStore.deleteWhereMorDetailed(spark, dir,
+        col("k") === 7L || col("k") === 12L)
+      assert(r.dvRows == 2L && r.dvDirs == 1 && r.rewrittenDirs == 0,
+        s"two positions in one slice dir, zero rewrites, got $r")
+      val ks = SnapshotStore.read(spark, dir)
+      assert(ks.filter(col("k").isin(7L, 12L)).count() == 0,
+        "rows living in a FILE field must actually leave on MoR delete")
+      assert(ks.count() == 97)
+      // the per-FIELD deleted count is exact: metadata COUNT serves
+      val (cnt, scanned) = SnapshotStore.countWhereDetailed(spark, dir,
+        lit(true))
+      assert(cnt == 97L && scanned == 0, s"got ($cnt, $scanned)")
+      // MoR UPDATE against another kept file field: the pre-image is
+      // DV'd out (no duplicate) and the fresh image appends
+      val r2 = SnapshotStore.updateWhereMorDetailed(spark, dir,
+        Seq("v" -> lit(-5.0)), col("k") === 25L)
+      assert(r2.dvRows == 1L, s"got $r2")
+      val after = SnapshotStore.read(spark, dir)
+      assert(after.filter(col("k") === 25L).select("v").as[Double]
+        .collect().toSeq == Seq(-5.0),
+        "the old image must not survive beside the update")
+      assert(after.count() == 97)
+      // history untouched by either MoR commit
+      assert(SnapshotStore.read(spark, dir, Some(2)).count() == 99)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
 }

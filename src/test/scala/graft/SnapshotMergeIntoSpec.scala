@@ -208,4 +208,112 @@ class SnapshotMergeIntoSpec extends SparkSpec {
       .select("k", "v").as[(Long, Double)].collect().toMap
     assert(got(100L) == 1000.0 && !got.contains(101L) && got(500L) == 500.0)
   }
+
+  test("MERGE-ON-READ mergeInto (r17): pre-images pay deletion vectors, " +
+    "ONLY changed images append — zero copy-on-write, exact rows, exact " +
+    "receipt, metadata count intact, time travel intact") {
+    val dir = newDir("mor"); quartStore(dir)
+    def gens = new java.io.File(s"$dir/data").listFiles()
+      .map(_.getName).filter(_.startsWith("gen-")).toSet
+    val before = gens
+    val src = Seq((100L, "p0", 1000.0), (101L, "p1", -1.0),
+      (500L, "p0", 500.0)).toDF("k", "p", "v")
+    val r = SnapshotStore.mergeIntoMorDetailed(spark, dir, src, Seq("k"),
+      matched = Seq(
+        WhenMatched(Some(col("s.v") > col("t.v")),
+          UpdateSet(Seq("v" -> col("s.v")))),
+        WhenMatched(None, DeleteRow)),
+      notMatched = Some(WhenNotMatched(None)))
+    assert(r.updated == 1 && r.deleted == 1 && r.inserted == 1, s"got $r")
+    assert(r.dvRows == 2, s"update + delete pre-images DV'd, got $r")
+    // every pre-existing gen survives untouched; the new gens hold ONLY
+    // the changed images (the updated post-image + the insert)
+    val after = gens
+    assert(before.subsetOf(after),
+      "MoR merge must keep every pre-existing gen on disk")
+    val newRows = spark.read.schema("k LONG, v DOUBLE")
+      .parquet((after -- before).map(g => s"$dir/data/$g").toSeq: _*)
+      .count()
+    assert(newRows == 2, s"only the changed images append, got $newRows")
+    val got = SnapshotStore.read(spark, dir)
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(got(100L) == 1000.0 && !got.contains(101L) &&
+      got(500L) == 500.0 && got.size == 30, s"got ${got.size}")
+    // metadata count stays exact (live = physical − DV'd), zero scans
+    val (cnt, scanned) = SnapshotStore.countWhereDetailed(spark, dir,
+      lit(true))
+    assert(cnt == 30L && scanned == 0, s"got ($cnt, $scanned)")
+    // time travel: the pre-merge version reads whole
+    assert(SnapshotStore.read(spark, dir, Some(3))
+      .filter(col("k").isin(100L, 101L)).select("v").as[Double]
+      .collect().sorted.toSeq == Seq(100.0, 101.0))
+    // a reconcile that provably changes nothing commits NO version and
+    // strands no sidecar
+    val head = SnapshotStore.headVersion(spark, dir).get
+    val noop = SnapshotStore.mergeIntoMorDetailed(spark, dir,
+      Seq((100L, "p0", 1000.0)).toDF("k", "p", "v"), Seq("k"),
+      matched = Seq(WhenMatched(Some(col("s.v") > col("t.v")),
+        UpdateSet(Seq("v" -> col("s.v"))))))
+    assert(noop.version == head && noop.dvRows == 0L, s"got $noop")
+  }
+
+  test("MoR MERGE honors NOT MATCHED BY SOURCE with the same slice " +
+    "pruning; the SQL verb graft_merge_into_mor reports dv_rows") {
+    val dir = newDir("mornmbs")
+    def chunk(lo: Long, n: Int) =
+      (0 until n).map(i => (lo + i, (lo / 100).toString, (lo + i) * 1.0))
+        .toDF("k", "p", "v")
+    SnapshotStore.write(chunk(0L, 10), dir, "p", statsCols = Seq("k", "v"))
+    SnapshotStore.append(chunk(100L, 10), dir, "p")
+    SnapshotStore.append(chunk(200L, 10), dir, "p")
+    graft.plans.AsOf.register(spark)
+    (0 until 6).map(i => (200L + i, "2", 0.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("mi_mor_src")
+    val r = spark.sql(
+      s"""SELECT * FROM graft_merge_into_mor('$dir', 'mi_mor_src', 'k',
+         |  'matched then set v = -1.0',
+         |  'not_matched_by_source if k >= 200 then delete')"""
+        .stripMargin).head()
+    assert(r.getAs[Long]("updated") == 6 && r.getAs[Long]("deleted") == 4,
+      s"got $r")
+    assert(r.getAs[Long]("kept_dirs") >= 2,
+      s"out-of-range partitions must prune, got $r")
+    assert(r.getAs[Long]("dv_rows") == 10,
+      s"6 update + 4 delete pre-images DV'd, got $r")
+    val ks = SnapshotStore.read(spark, dir).select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(ks == ((0L until 10L) ++ (100L until 110L) ++
+      (200L to 205L)).sorted, s"got $ks")
+    assert(SnapshotStore.read(spark, dir)
+      .filter(col("k") === 203L).select("v").as[Double].head() == -1.0)
+    // compaction is the debt collector here exactly as for MoR DML
+    SnapshotStore.compactPartitions(spark, dir, "p")
+    assert(SnapshotStore.read(spark, dir).count() == 26)
+    assert(SnapshotStore.read(spark, dir)
+      .filter(col("k") === 203L).select("v").as[Double].head() == -1.0)
+  }
+
+  test("SQL verb graft_merge_into refuses what it cannot honor — a " +
+    "not_matched delete/set (would silently run as INSERT) and a second " +
+    "not_matched clause (only the first would apply)") {
+    val dir = newDir("sqlrefuse"); quartStore(dir)
+    graft.plans.AsOf.register(spark)
+    Seq((100L, "p0", 1000.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("mi_bad_src")
+    val e1 = intercept[IllegalArgumentException](spark.sql(
+      s"""SELECT * FROM graft_merge_into('$dir', 'mi_bad_src', 'k',
+         |  'not_matched then delete')""".stripMargin).collect())
+    assert(e1.getMessage.contains("insert_all"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](spark.sql(
+      s"""SELECT * FROM graft_merge_into('$dir', 'mi_bad_src', 'k',
+         |  'not_matched then set v = 1.0')""".stripMargin).collect())
+    assert(e2.getMessage.contains("insert_all"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](spark.sql(
+      s"""SELECT * FROM graft_merge_into('$dir', 'mi_bad_src', 'k',
+         |  'not_matched if s.v > 0 then insert_all',
+         |  'not_matched then insert_all')""".stripMargin).collect())
+    assert(e3.getMessage.contains("ONE not_matched"), e3.getMessage)
+    // nothing committed by any refusal
+    assert(SnapshotStore.headVersion(spark, dir).contains(3))
+  }
 }
