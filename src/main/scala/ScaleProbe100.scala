@@ -1293,6 +1293,60 @@ object ScaleProbe100 {
             f"${writtenPruned.toDouble / math.max(1L, writtenFull)}%.3f " +
             f"($writtenPruned of $writtenFull rows rewritten — the " +
             "condition-pruned days copy forward unread)")
+
+          // MoR MERGE rung (r17): a matched-UPDATE-only reconcile
+          // (re-score the feed's 10% of one day, keep the rest) — the
+          // shape where copy-on-write pays for the untouched 90% of the
+          // day and deletion vectors do not. CoW writes the whole day
+          // (updated + copied); MoR writes ONLY the updated images and
+          // records their pre-image positions. The banked claim is the
+          // WRITE fraction; at 100 TB that is re-writing a day vs
+          // writing 10% of it.
+          val cowU = buildDays(withStats = true)
+          val morU = buildDays(withStats = true)
+          def rescore(dir: String, mor: Boolean)
+              : graft.storage.SnapshotMergeInto.MergeIntoReceipt = {
+            val go =
+              if (mor) graft.storage.SnapshotStore
+                .mergeIntoMorDetailed _
+              else graft.storage.SnapshotStore.mergeIntoDetailed _
+            go(spark, dir, feed, Seq("o_orderkey"),
+              Seq(WhenMatched(None,
+                UpdateSet(Seq("o_totalprice" ->
+                  col("s.o_totalprice"))))),
+              None, Nil, () => ())
+          }
+          var cowUR: graft.storage.SnapshotMergeInto.MergeIntoReceipt =
+            null
+          var morUR: graft.storage.SnapshotMergeInto.MergeIntoReceipt =
+            null
+          time("merge_into_cow_rescore_100x") { cowUR = rescore(cowU,
+            mor = false) }
+          time("merge_into_mor_rescore_100x") { morUR = rescore(morU,
+            mor = true) }
+          require(morUR.updated == cowUR.updated &&
+            morUR.dvRows == morUR.updated,
+            s"MoR/CoW re-score paths diverged: $morUR vs $cowUR")
+          val (nCowU, nMorU) = (
+            graft.storage.SnapshotStore.read(spark, cowU).count(),
+            graft.storage.SnapshotStore.read(spark, morU).count())
+          require(nCowU == nMorU,
+            s"MoR re-score content diverged: $nMorU/$nCowU")
+          val writtenCow = cowUR.updated + cowUR.copied
+          ratios("merge_into_mor_write_frac_100x") =
+            morUR.updated.toDouble / math.max(1L, writtenCow)
+          println(f"PROBE merge_into_mor_write_frac_100x " +
+            f"${morUR.updated.toDouble / math.max(1L, writtenCow)}%.3f " +
+            f"(${morUR.updated} of $writtenCow rows written — the " +
+            "untouched 90% of the reconciled day is never rewritten)")
+          for (a <- walls.get("merge_into_cow_rescore_100x");
+               b <- walls.get("merge_into_mor_rescore_100x")) {
+            ratios("merge_into_mor_wall_ratio_100x") = a / b
+            println(f"PROBE merge_into_mor_wall_ratio_100x ${a / b}%.2fx " +
+              "(copy-on-write re-score wall / merge-on-read wall — FLAT " +
+              "at in-memory scale by design; the size-independent claim " +
+              "is the 0.1 write fraction above, like dml_filegrain's)")
+          }
         }
       }
       walls("sentinel_dml_end") = sentinel()

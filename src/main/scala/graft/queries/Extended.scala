@@ -1750,6 +1750,89 @@ object Extended extends QueryModule {
         .orderBy(col("slice"), col("o_orderpriority"))
     }),
 
+    // MERGE-ON-READ MERGE INTO (r17): the same conditional reconcile as
+    // q_snapshot_merge_into, priced at the CHANGED rows — update/delete
+    // pre-images become deletion-vector positions, ONLY the updated
+    // images + the insert append as fresh gens, and no pre-existing data
+    // file is rewritten (require-pinned: the gen set on disk before the
+    // merge survives intact, dvRows == updated + deleted, and the new
+    // gens hold exactly updated + inserted rows). Slice 1 hash-checks
+    // the MoR result against the same DuckDB replay the CoW gate uses —
+    // identical semantics is the contract; slice 2 time-travels to the
+    // pre-merge version.
+    "q_snapshot_merge_mor" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_mmq")
+        .toString + "/orders_mm"
+      val k = col("o_orderkey")
+      val base = orders.select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("o_orderstatus"))
+      val mx = orders.agg(max(k)).head().getLong(0)
+      val (q1, q3) = (mx / 4, 3 * mx / 4)
+      graft.storage.SnapshotStore.write(base.filter(k <= q1),
+        dir, "o_orderpriority", statsCols = Seq("o_orderkey"))
+      graft.storage.SnapshotStore.append(
+        base.filter(k > q1 && k <= mx / 2), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(
+        base.filter(k > mx / 2 && k <= q3), dir, "o_orderpriority")
+      graft.storage.SnapshotStore.append(base.filter(k > q3),
+        dir, "o_orderpriority")
+      val src = base.filter(k % 10 === 3)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          when(k % 20 === 3, lit(-1.0))
+            .otherwise(col("o_totalprice") * 2).as("o_totalprice"))
+        .unionByName(base.filter(k === mx)
+          .select((k + lit(10000000L)).as("o_orderkey"),
+            col("o_orderpriority"), lit(123.0).as("o_totalprice")))
+      import graft.storage.SnapshotMergeInto._
+      def gensOnDisk = new java.io.File(s"$dir/data").listFiles()
+        .map(_.getName).filter(_.startsWith("gen-")).toSet
+      val before = gensOnDisk
+      val r = graft.storage.SnapshotStore.mergeIntoMorDetailed(s, dir,
+        src, Seq("o_orderkey"),
+        matched = Seq(
+          WhenMatched(Some(col("s.o_totalprice") > col("t.o_totalprice")),
+            UpdateSet(Seq("o_totalprice" -> col("s.o_totalprice"),
+              "o_orderstatus" -> lit("U")))),
+          WhenMatched(None, DeleteRow)),
+        notMatched = Some(WhenNotMatched(None)),
+        notMatchedBySource = Seq(
+          WhenNotMatchedBySource(Some(k > q3 + 10), DeleteRow)))
+      val nSrcMatched = base.filter(k % 10 === 3).count()
+      val nFlagged = base.filter(k % 20 === 3).count()
+      require(r.inserted == 1 && r.deleted >= nFlagged &&
+        r.updated == nSrcMatched - nFlagged,
+        s"q_snapshot_merge_mor: receipt must reconcile with the " +
+          s"source's construction, got $r vs ($nSrcMatched, $nFlagged)")
+      require(r.dvRows == r.updated + r.deleted,
+        "q_snapshot_merge_mor: every update/delete pre-image and " +
+          s"nothing else pays a deletion-vector position, got $r")
+      val after = gensOnDisk
+      require(before.subsetOf(after),
+        "q_snapshot_merge_mor: a MoR merge must not rewrite or drop " +
+          "any pre-existing gen — positions + changed images only")
+      val newRows = s.read
+        .schema("o_orderkey LONG, o_orderpriority STRING, " +
+          "o_totalprice DOUBLE, o_orderstatus STRING")
+        .parquet((after -- before).map(g => s"$dir/data/$g").toSeq: _*)
+        .count()
+      require(newRows == r.updated + r.inserted,
+        s"q_snapshot_merge_mor: the fresh gens must hold EXACTLY the " +
+          s"changed images, got $newRows vs $r")
+      def agg(x: org.apache.spark.sql.DataFrame, slice: Int) =
+        x.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("sum_cents"),
+            sum(when(col("o_orderstatus") === "U", 1L).otherwise(0L))
+              .as("n_updated"))
+          .withColumn("slice", lit(slice))
+      agg(graft.storage.SnapshotStore.read(s, dir), 1)
+        .unionByName(
+          agg(graft.storage.SnapshotStore.read(s, dir, Some(4)), 2))
+        .orderBy(col("slice"), col("o_orderpriority"))
+    }),
+
     // Merge-on-read DML — deletion vectors (r16): the needle delete and
     // the surgical redaction priced at the MATCHED rows, not the touched
     // slices. The off-boundary MoR delete records positions in one
@@ -2043,6 +2126,49 @@ object Extended extends QueryModule {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_snapshot_merge_into" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p,
+        |    CASE WHEN o_orderkey % 20 = 3 THEN -1.0
+        |      ELSE o_totalprice * 2 END AS price
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderpriority, 123.0
+        |  FROM orders, mx WHERE o_orderkey = m),
+        |upd AS (
+        |  SELECT o.o_orderpriority AS p,
+        |    CASE WHEN s.k IS NOT NULL AND s.price > o.o_totalprice
+        |      THEN s.price ELSE o.o_totalprice END AS price,
+        |    CASE WHEN s.k IS NOT NULL AND s.price > o.o_totalprice
+        |      THEN 'U' ELSE o.o_orderstatus END AS status,
+        |    CASE WHEN s.k IS NOT NULL AND NOT (s.price > o.o_totalprice)
+        |        THEN 1
+        |      WHEN s.k IS NULL AND o.o_orderkey > (3 * m) // 4 + 10
+        |        THEN 1
+        |      ELSE 0 END AS del
+        |  FROM orders o LEFT JOIN src s ON o.o_orderkey = s.k, mx),
+        |ins AS (
+        |  SELECT p, price, CAST(NULL AS VARCHAR) AS status
+        |  FROM src, mx WHERE k > m),
+        |fin AS (
+        |  SELECT p, price, status FROM upd WHERE del = 0
+        |  UNION ALL SELECT p, price, status FROM ins)
+        |SELECT * FROM (
+        |  SELECT p AS o_orderpriority, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents,
+        |    CAST(sum(CASE WHEN status = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_updated, 1 AS slice
+        |  FROM fin GROUP BY p
+        |  UNION ALL
+        |  SELECT o_orderpriority, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents,
+        |    CAST(0 AS BIGINT) AS n_updated, 2 AS slice
+        |  FROM orders GROUP BY o_orderpriority
+        |) ORDER BY slice, o_orderpriority""".stripMargin,
+
+    "q_snapshot_merge_mor" ->
       """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
         |src AS (
         |  SELECT o_orderkey AS k, o_orderpriority AS p,
