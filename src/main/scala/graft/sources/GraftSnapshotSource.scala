@@ -127,7 +127,7 @@ object GraftSnapshotSource {
     */
   @volatile private[graft] var lastScan: Option[DataFrame] = None
 
-  private[sources] def parseTs(raw: String): Long =
+  private[graft] def parseTs(raw: String): Long =
     try raw.trim.toLong catch {
       case _: NumberFormatException =>
         try java.time.Instant.parse(raw.trim).toEpochMilli

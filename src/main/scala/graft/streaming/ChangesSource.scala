@@ -34,7 +34,13 @@ import graft.storage.SnapshotStore
   *   .option("keys", "o_orderkey")       // the store's merge keys
   *   .option("startingVersion", "0")     // 0 = initial snapshot as inserts;
   *                                       //   N>=1 = baseline (exclusive);
+  *                                       //   "tag:<name>" = tagged baseline;
   *                                       //   default = head at stream start
+  *   .option("startingTimestamp",        // OR the time axis: baseline =
+  *     "2026-08-15T10:00:00Z")           //   newest version committed at or
+  *                                       //   before the instant (epoch ms or
+  *                                       //   ISO-8601; versionAsOf's loud
+  *                                       //   expired-window contract)
   *   .option("maxVersionsPerTrigger", "1") // optional rate limit
   *   .load()
   * }}}
@@ -203,6 +209,10 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
       val head = SnapshotStore.headVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(
           s"graft-changes: no snapshot store at $path"))
+      require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+        "graft-changes takes startingVersion OR startingTimestamp, " +
+          "not both")
       val base = parameters.get("startingVersion").map(_.trim) match {
         case Some(t) if t.toLowerCase.startsWith("tag:") =>
           // start CDC from a TAGGED baseline ("everything since the
@@ -216,7 +226,16 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
           require(v >= 0 && v <= head,
             s"startingVersion $v out of range [0, $head] at $path")
           v
-        case None => head // only changes committed AFTER stream start
+        case None => parameters.get("startingTimestamp") match {
+          // the TIME-axis baseline (Delta's startingTimestamp, same
+          // resolution as batch AS OF): the newest retained version
+          // committed at or before the instant — loud when the window
+          // has expired past it (versionAsOf's lag contract; resolving
+          // to the oldest survivor would silently skip changes)
+          case Some(ts) => SnapshotStore.versionAsOf(spark, path,
+            graft.sources.GraftSnapshotSource.parseTs(ts))
+          case None => head // only changes committed AFTER stream start
+        }
       }
       fs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
       val tmp = new org.apache.hadoop.fs.Path(metadataPath,

@@ -425,4 +425,38 @@ class ChangesSourceSpec extends SparkSpec {
     q.awaitTermination()
     assert(spark.table("chsrc_ff2").count() > 0)
   }
+
+  test("startingTimestamp baselines on the TIME axis: newest version " +
+    "committed at or before the instant; expired instants fail loud; " +
+    "combining with startingVersion is refused") {
+    val dir = newDir("ts"); buildStore(dir)
+    // baseline = v2's own commit stamp -> feed carries ONLY v3's delete
+    val t2 = SnapshotStore.committedAtOf(spark, dir, 2).get
+    val got = readFeed(dir, ck("ts"), "chsrc_ts",
+      Map("startingTimestamp" -> t2.toString))
+      .select("_commit_version", "_change_type", "k")
+      .as[(Int, String, Long)].collect().toSet
+    assert(got == Set((3, "delete", 2L)), s"got $got")
+    // ISO form resolves through the same parser as batch AS OF
+    val iso = java.time.Instant.ofEpochMilli(t2).toString
+    val got2 = readFeed(dir, ck("ts2"), "chsrc_ts2",
+      Map("startingTimestamp" -> iso))
+      .select("_commit_version").as[Int].collect().toSet
+    assert(got2 == Set(3), s"got $got2")
+    // an instant older than the oldest retained stamp fails LOUD
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      readFeed(dir, ck("ts3"), "chsrc_ts3",
+        Map("startingTimestamp" -> "1")))
+    assert(e.getMessage.contains("committed at or before") ||
+      Option(e.getCause).exists(_.getMessage.contains(
+        "committed at or before")), e.getMessage)
+    // both axes at once is ambiguous -> refused
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      readFeed(dir, ck("ts4"), "chsrc_ts4",
+        Map("startingTimestamp" -> t2.toString,
+          "startingVersion" -> "0")))
+    assert(e2.getMessage.contains("not both") ||
+      Option(e2.getCause).exists(_.getMessage.contains("not both")),
+      e2.getMessage)
+  }
 }
