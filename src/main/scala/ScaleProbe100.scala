@@ -1462,13 +1462,20 @@ object ScaleProbe100 {
       for (n <- Seq(10000, 100000, 1000000)) {
         val dir = java.nio.file.Files
           .createTempDirectory(s"graft_scale100_manifest$n").toString + "/st"
+        // a TRUE 2-col (day x tenant) composite store (r17): the rung's
+        // day-x-tenant story is first-class now, not caller-concatenated
+        // -- real partitions are composite keys, synthetic entries are
+        // composite-shaped, and the rung gains the PARTIAL-constraint
+        // resolve ("one day, any tenant") over the 1M-key manifest
         val seed = spark.range(3000).select(col("id").as("k"),
-          concat(lit("rp"), col("id") % 3).as("p"),
+          concat(lit("rp"), col("id") % 3).as("d"),
+          concat(lit("t"), col("id") % 2).as("t"),
           (col("id") * lit(1.0)).as("v"))
-        SnapshotStore.write(seed, dir, "p")
+        SnapshotStore.write(seed, dir, "d,t")
         val real = SnapshotStore.readManifest(spark, dir, 1)
         val synth = (0 until n - real.size).map { i =>
-          f"zsyn$i%06d" -> Seq(f"data/gen-zsyn/_p=zsyn$i%06d") }.toMap
+          SnapshotStore.partitionKeyOf(Seq(f"zd$i%06d", f"zt$i%06d")) ->
+            Seq(f"data/gen-zsyn/_p=zsyn$i%06d") }.toMap
         // carry v1's recorded schema forward, as every real committer
         // (write/merge/append/compact) does — without it the r11
         // recorded-schema read path would fall back to mergeSchema
@@ -1486,12 +1493,25 @@ object ScaleProbe100 {
         }
         timeMin2(s"manifest_pruned_read_x10_$n") {
           (1 to 10).foreach(_ => SnapshotStore.readManifestValues(
-            spark, dir, 2, Seq("rp0", "rp1", "rp2")))
+            spark, dir, 2,
+            for (dd <- Seq("rp0", "rp1", "rp2"); tt <- Seq("t0", "t1"))
+              yield SnapshotStore.partitionKeyOf(Seq(dd, tt))))
+        }
+        // PARTIAL composite constraint ("day rp0, ANY tenant"): one
+        // linear key filter over the full map, no stats parse, no dir
+        // open -- the common dashboard probe a concatenated key cannot
+        // serve without enumerating tenants
+        timeMin2(s"manifest_partial_x10_$n") {
+          (1 to 10).foreach { _ =>
+            val got = SnapshotStore.readWhere(spark, dir,
+              col("d") === "rp0").count()
+            require(got == 1000, s"partial resolve wrong: $got")
+          }
         }
         val batch = seed.filter(col("k") % 10 === 0)
           .withColumn("v", col("v") + lit(1.0)).localCheckpoint()
         timeMin2(s"manifest_merge_$n") {
-          SnapshotStore.merge(spark, dir, batch, "p", Seq("k"))
+          SnapshotStore.merge(spark, dir, batch, "d,t", Seq("k"))
         }
         timeMin2(s"manifest_changes_$n") {
           SnapshotStore.changes(spark, dir, 2, 3, Seq("k"))
@@ -1525,6 +1545,12 @@ object ScaleProbe100 {
         "flat claim ~ 1")
       bankRatio("pruned_read_x10", 100000, 1000000, "100k_to_1M",
         "flat claim ~ 1")
+      bankRatio("partial_x10", 10000, 100000, "10k_to_100k",
+        "partial composite constraint: linear key filter, no stats, " +
+          "no dir open")
+      bankRatio("partial_x10", 100000, 1000000, "100k_to_1M",
+        "partial composite constraint: linear key filter, no stats, " +
+          "no dir open")
     }
 
     // 13b. BRANCH (WAP) cost at a 100k-partition manifest: staged files

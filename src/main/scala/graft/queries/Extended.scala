@@ -1621,6 +1621,70 @@ object Extended extends QueryModule {
         .orderBy(col("slice"))
     }),
 
+    // COMPOSITE partition keys (r17 — MergeTree's PARTITION BY (a, b) /
+    // Iceberg's multi-field spec): partCol = "o_orderpriority,
+    // o_orderstatus" partitions the store by the TUPLE; the key
+    // everywhere stays one string (U+0001-joined %-escaped components),
+    // so manifest grammar, buckets, merge residency and CDC are
+    // untouched. Require-pins: a FULL-tuple probe opens only its
+    // partition's files; a PARTIAL probe ("this status, any priority")
+    // opens only that component's partitions; "count rows of priority X"
+    // serves from METADATA (the key-restricted resolution consumes the
+    // partition conjunct — no stats on the column needed); and a
+    // partition-aligned composite delete drops as pure metadata. Slice 1
+    // hash-checks content after the delete; slice 2 time-travels.
+    "q_snapshot_composite" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_cpq")
+        .toString + "/orders_cp"
+      val base = orders.select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderstatus"), col("o_totalprice"))
+      graft.storage.SnapshotStore.write(base, dir,
+        "o_orderpriority,o_orderstatus", statsCols = Seq("o_orderkey"))
+      val all = graft.storage.SnapshotStore.read(s, dir)
+        .inputFiles.length
+      val full = graft.storage.SnapshotStore.readWhere(s, dir,
+        col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") === "F")
+      val fullWant = base.filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderstatus") === "F").count()
+      require(full.count() == fullWant && full.inputFiles.length * 5 <=
+        all + 4,
+        s"q_snapshot_composite: the full-tuple probe must confine to " +
+          s"one partition's files (${full.inputFiles.length} of $all)")
+      val part = graft.storage.SnapshotStore.readWhere(s, dir,
+        col("o_orderstatus") === "F")
+      require(part.inputFiles.length * 2 <= all + 1,
+        s"q_snapshot_composite: the partial probe must open only its " +
+          s"component's partitions (${part.inputFiles.length} of $all)")
+      // metadata count with NO stats on the partition components: the
+      // restricted resolution consumed the conjunct
+      val (cnt, scanned) = graft.storage.SnapshotStore.countWhereDetailed(
+        s, dir, col("o_orderpriority") === "2-HIGH")
+      val cntWant = base.filter(col("o_orderpriority") === "2-HIGH")
+        .count()
+      require(cnt == cntWant && scanned == 0,
+        s"q_snapshot_composite: a partition-conjunct count must serve " +
+          s"from metadata, got ($cnt, $scanned) want ($cntWant, 0)")
+      // partition-aligned delete: pure metadata, zero rewrites
+      val del = graft.storage.SnapshotStore.deleteWhereDetailed(s, dir,
+        col("o_orderpriority") === "5-LOW" && col("o_orderstatus") === "O")
+      require(del.rewrittenDirs == 0 && del.droppedDirs >= 1,
+        s"q_snapshot_composite: the aligned delete must drop as " +
+          s"metadata, got $del")
+      def agg(x: org.apache.spark.sql.DataFrame, slice: Int) =
+        x.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("sum_cents"))
+          .withColumn("slice", lit(slice))
+      agg(graft.storage.SnapshotStore.read(s, dir), 1)
+        .unionByName(
+          agg(graft.storage.SnapshotStore.read(s, dir, Some(1)), 2))
+        .orderBy(col("slice"), col("o_orderpriority"),
+          col("o_orderstatus"))
+    }),
+
     // Store integrity report (fsck, r16 — banked as a declared gate in
     // r17): ONE read-only metadata pass (manifests + staged branch files
     // + a dir listing, no data page read) that answers "is this store
@@ -2115,6 +2179,26 @@ object Extended extends QueryModule {
         |UNION ALL
         |SELECT n_orders, sum_cents, min_key, max_key, 2 AS slice FROM box
         |ORDER BY slice""".stripMargin,
+
+    "q_snapshot_composite" ->
+      """WITH live AS (
+        |  SELECT * FROM orders
+        |  WHERE NOT (o_orderpriority = '5-LOW' AND o_orderstatus = 'O')),
+        |agg AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents
+        |  FROM live GROUP BY 1, 2),
+        |agg0 AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT *, 1 AS slice FROM agg
+        |  UNION ALL
+        |  SELECT *, 2 AS slice FROM agg0
+        |) ORDER BY slice, o_orderpriority, o_orderstatus""".stripMargin,
 
     "q_snapshot_fsck" ->
       """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)

@@ -325,7 +325,7 @@ private[storage] object SnapshotBranch {
         return // keyed replay: the pinned gen is already on the tip
       val phys = SnapshotStore.toPhysical(df, st.renames)
       val newEntries = SnapshotStore.writeGen(phys, path,
-        SnapshotStore.physicalCol(partCol, st.renames),
+        SnapshotStore.physicalPartCol(partCol, st.renames),
         genName = genName,
         statsCols = SnapshotStore.statsColsOf(spark, path))
       val merged = st.entries ++ newEntries.map { case (p, d) =>
@@ -371,8 +371,8 @@ private[storage] object SnapshotBranch {
     SnapshotConstraints.enforce(spark, path, upserts, "branch merge")
     val keys = resolved.select(keyCols.map(
       org.apache.spark.sql.functions.col): _*).distinct()
-    val parts = resolved.select(org.apache.spark.sql.functions
-      .col(partCol).cast("string")).distinct()
+    val parts = resolved.select(SnapshotStore.partKeyExpr(
+        SnapshotStore.splitPartCols(partCol)).as("_k")).distinct()
       .collect().map(_.getString(0)).toIndexedSeq
     if (parts.isEmpty) return
     val touchedDirs = parts.flatMap(st.entries.get).flatten
@@ -388,7 +388,7 @@ private[storage] object SnapshotBranch {
     }
     val phys = SnapshotStore.toPhysical(merged, st.renames)
     val newEntries = SnapshotStore.writeGen(phys, path,
-      SnapshotStore.physicalCol(partCol, st.renames),
+      SnapshotStore.physicalPartCol(partCol, st.renames),
       statsCols = SnapshotStore.statsColsOf(spark, path))
     // touched partitions whose rows were ALL deleted simply leave the
     // staged map; their old gens stay for the main line / other refs

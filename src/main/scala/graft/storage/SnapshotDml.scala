@@ -114,7 +114,16 @@ private[graft] object SnapshotDml {
     partitionValuesOf(spark, path, renames, logicalSchema, expr) match {
       case Some(values) => forWrite(path, head)(
         readManifestValues(spark, path, head, values.toSeq))
-      case None => forWrite(path, head)(readManifest(spark, path, head))
+      case None =>
+        val all = forWrite(path, head)(readManifest(spark, path, head))
+        // partial composite constraint ("day = X" over day×tenant):
+        // untouched partitions are excluded before any field resolves —
+        // sound for DML exactly like the exact-key restriction
+        partitionKeyPredOf(spark, path, renames, logicalSchema,
+          expr) match {
+          case Some(f) => all.filter { case (p, _) => f(p) }
+          case None => all
+        }
     }
 
   /** The shared DML planning pass over `entries`: the field-level
@@ -255,8 +264,12 @@ private[graft] object SnapshotDml {
     val expr = analyzed(spark, logicalSchema, pred)
     val entries = touchedEntries(spark, path, head, renames, logicalSchema,
       expr)
+    // the restricted resolution consumed the partition conjuncts — the
+    // verdict treats them as TRUE ("delete day X" drops as metadata)
+    val vexpr = stripPartConjuncts(expr,
+      consumedPartComps(spark, path, renames, logicalSchema, expr))
     val statsCols = statsColsOf(spark, path)
-    val plan = planDml(spark, path, entries, expr, logicalToPhysical,
+    val plan = planDml(spark, path, entries, vexpr, logicalToPhysical,
       statsCols, physSchema, metadataDrop = true)
     if (!plan.touched) return DmlReceipt(head, 0, 0, 0)
     // copy-on-write for the ambiguous slices: survivors are the rows the
@@ -309,13 +322,17 @@ private[graft] object SnapshotDml {
       physSchema.fields.map(f =>
         f.copy(name = renames.getOrElse(f.name, f.name))))
     validateAssignments(assignments, logicalSchema,
-      renames.getOrElse(physPartCol, physPartCol), "updateWhere")
+      logicalPartCol(physPartCol, renames), "updateWhere")
     val logicalToPhysical = renames.map(_.swap)
     val expr = analyzed(spark, logicalSchema, pred)
     val entries = touchedEntries(spark, path, head, renames, logicalSchema,
       expr)
+    // the restricted resolution consumed the partition conjuncts — the
+    // verdict treats them as TRUE ("delete day X" drops as metadata)
+    val vexpr = stripPartConjuncts(expr,
+      consumedPartComps(spark, path, renames, logicalSchema, expr))
     val statsCols = statsColsOf(spark, path)
-    val plan = planDml(spark, path, entries, expr, logicalToPhysical,
+    val plan = planDml(spark, path, entries, vexpr, logicalToPhysical,
       statsCols, physSchema, metadataDrop = false)
     if (!plan.touched) return DmlReceipt(head, 0, 0, 0)
     val base = applyRenames(
@@ -372,10 +389,14 @@ private[graft] object SnapshotDml {
     val expr = analyzed(spark, logicalSchema, pred)
     val entries = touchedEntries(spark, path, head, renames, logicalSchema,
       expr)
+    // the restricted resolution consumed the partition conjuncts — the
+    // verdict treats them as TRUE ("delete day X" drops as metadata)
+    val vexpr = stripPartConjuncts(expr,
+      consumedPartComps(spark, path, renames, logicalSchema, expr))
     val statsCols = statsColsOf(spark, path)
     // no file-grain split: positions are finer than files, so probing
     // footers to shrink the slice buys nothing the sidecar doesn't
-    val plan = planDml(spark, path, entries, expr, logicalToPhysical,
+    val plan = planDml(spark, path, entries, vexpr, logicalToPhysical,
       statsCols, physSchema, metadataDrop = true, fileGrain = false)
     if (!plan.touched) return DmlReceipt(head, 0, 0, 0)
     val (dvRel, counts) =
@@ -388,7 +409,7 @@ private[graft] object SnapshotDml {
           readFieldsTagged(spark, path, plan.rewrite, Some(physSchema)),
           renames)
         writeDv(spark, path, tagged.filter(coalesce(pred, lit(false))),
-          col(renames.getOrElse(physPartCol, physPartCol)))
+          partKeyExpr(splitPartCols(logicalPartCol(physPartCol, renames))))
       }
     val dvRows = counts.values.sum
     if (plan.dropped == 0 && counts.isEmpty)
@@ -434,13 +455,17 @@ private[graft] object SnapshotDml {
       physSchema.fields.map(f =>
         f.copy(name = renames.getOrElse(f.name, f.name))))
     validateAssignments(assignments, logicalSchema,
-      renames.getOrElse(physPartCol, physPartCol), "updateWhereMor")
+      logicalPartCol(physPartCol, renames), "updateWhereMor")
     val logicalToPhysical = renames.map(_.swap)
     val expr = analyzed(spark, logicalSchema, pred)
     val entries = touchedEntries(spark, path, head, renames, logicalSchema,
       expr)
+    // the restricted resolution consumed the partition conjuncts — the
+    // verdict treats them as TRUE ("delete day X" drops as metadata)
+    val vexpr = stripPartConjuncts(expr,
+      consumedPartComps(spark, path, renames, logicalSchema, expr))
     val statsCols = statsColsOf(spark, path)
-    val plan = planDml(spark, path, entries, expr, logicalToPhysical,
+    val plan = planDml(spark, path, entries, vexpr, logicalToPhysical,
       statsCols, physSchema, metadataDrop = false, fileGrain = false)
     if (!plan.touched) return DmlReceipt(head, 0, 0, 0)
     val tagged = applyRenames(
@@ -458,7 +483,7 @@ private[graft] object SnapshotDml {
       }: _*)
       SnapshotConstraints.enforce(spark, path, updated, "update")
       val (dvRel, counts) = writeDv(spark, path, hits,
-        col(renames.getOrElse(physPartCol, physPartCol)))
+        partKeyExpr(splitPartCols(logicalPartCol(physPartCol, renames))))
       if (counts.isEmpty)
         return DmlReceipt(head, 0, 0, plan.kept) // scan refuted the stats
       val newEntries = writeGen(toPhysical(updated, renames), path,
@@ -594,13 +619,14 @@ private[graft] object SnapshotDml {
 
   private def validateAssignments(assignments: Seq[(String, Column)],
       logicalSchema: org.apache.spark.sql.types.StructType,
-      logicalPartCol: String, verb: String): Unit = {
+      partSpec: String, verb: String): Unit = {
     require(assignments.nonEmpty, s"$verb needs at least one assignment")
+    val partComps = splitPartCols(partSpec)
     assignments.foreach { case (c, _) =>
       require(logicalSchema.fieldNames.contains(c),
         s"$verb column '$c' is not in the store's schema " +
           s"(${logicalSchema.fieldNames.mkString(", ")})")
-      require(c != logicalPartCol,
+      require(!partComps.contains(c),
         s"$verb cannot assign the partition column '$c' — moving " +
           "rows across partitions is a merge (delete + re-insert names " +
           "the moves row by row)")
@@ -711,7 +737,7 @@ private[graft] object SnapshotDml {
         st.schema.fields.map(f =>
           f.copy(name = st.renames.getOrElse(f.name, f.name))))
       validateAssignments(assignments, logicalSchema,
-        st.renames.getOrElse(physPartCol, physPartCol), "updateBranchWhere")
+        logicalPartCol(physPartCol, st.renames), "updateBranchWhere")
       val expr = analyzed(spark, logicalSchema, pred)
       val statsCols = statsColsOf(spark, path)
       val plan = planDml(spark, path, st.entries, expr,
@@ -774,7 +800,7 @@ private[graft] object SnapshotDml {
             readFieldsTagged(spark, path, plan.rewrite, Some(st.schema)),
             st.renames)
           writeDv(spark, path, tagged.filter(coalesce(pred, lit(false))),
-            col(st.renames.getOrElse(physPartCol, physPartCol)))
+            partKeyExpr(splitPartCols(logicalPartCol(physPartCol, st.renames))))
         }
       if (plan.dropped == 0 && counts.isEmpty)
         return DmlReceipt(st.k, 0, 0, plan.kept)
@@ -814,7 +840,7 @@ private[graft] object SnapshotDml {
         st.schema.fields.map(f =>
           f.copy(name = st.renames.getOrElse(f.name, f.name))))
       validateAssignments(assignments, logicalSchema,
-        st.renames.getOrElse(physPartCol, physPartCol),
+        logicalPartCol(physPartCol, st.renames),
         "updateBranchWhereMor")
       val expr = analyzed(spark, logicalSchema, pred)
       val statsCols = statsColsOf(spark, path)
@@ -837,7 +863,7 @@ private[graft] object SnapshotDml {
         }: _*)
         SnapshotConstraints.enforce(spark, path, updated, "branch update")
         val (dvRel, counts) = writeDv(spark, path, hits,
-          col(st.renames.getOrElse(physPartCol, physPartCol)))
+          partKeyExpr(splitPartCols(logicalPartCol(physPartCol, st.renames))))
         if (counts.isEmpty)
           return DmlReceipt(st.k, 0, 0, plan.kept)
         val newEntries = writeGen(toPhysical(updated, st.renames), path,

@@ -142,7 +142,8 @@ object SnapshotMergeInto {
     val physPartCol = partColOf(spark, path).getOrElse(
       throw new IllegalStateException(
         s"store at $path records no partition column"))
-    val partCol = renames.getOrElse(physPartCol, physPartCol)
+    val partCol = logicalPartCol(physPartCol, renames)
+    val partComps = splitPartCols(partCol)
     val logicalSchema = org.apache.spark.sql.types.StructType(
       physSchema.fields.map(f =>
         f.copy(name = renames.getOrElse(f.name, f.name))))
@@ -188,16 +189,16 @@ object SnapshotMergeInto {
     // silently match nothing, so it is refused wherever matching or
     // inserting is asked for; a pure NOT-MATCHED-BY-SOURCE reconcile
     // (no matched/insert clause) genuinely needs no source partitions
-    require(source.columns.contains(partCol) ||
+    require(partComps.forall(source.columns.contains) ||
       (matched.isEmpty && notMatched.isEmpty),
-      s"mergeInto needs the source to carry the partition column " +
+      s"mergeInto needs the source to carry the partition column(s) " +
         s"'$partCol' for WHEN MATCHED / WHEN NOT MATCHED clauses — " +
         "matching is partition-confined, like merge()")
 
     // ---- which slices participate --------------------------------------
     val srcParts: Seq[String] =
-      if (!source.columns.contains(partCol)) Nil
-      else src.select(col(partCol).cast("string")).distinct()
+      if (!partComps.forall(source.columns.contains)) Nil
+      else src.select(partKeyExpr(partComps).as("_k")).distinct()
         .collect().map(_.getString(0)).toIndexedSeq
     val logicalToPhysical = renames.map(_.swap)
     // NOT-MATCHED-BY-SOURCE conditions analyzed for the tri-state pruner
@@ -416,7 +417,7 @@ object SnapshotMergeInto {
           if (removalTags.isEmpty) lit(false)
           else col("_act").isin(removalTags: _*))
         val (dvRel, counts) = SnapshotDml.writeDv(spark, path, hits,
-          col(s"t.$partCol"))
+          partKeyExprCols(partComps.map(c => col(s"t.$c"))))
         val newEntries = writeGen(
           toPhysical(changedImages.drop("_act"), renames), path,
           physPartCol, statsCols = statsColsOf(spark, path))
@@ -457,12 +458,13 @@ object SnapshotMergeInto {
 
   private def validateSet(assignments: Seq[(String, Column)],
       targetCols: Seq[String], partCol: String, where: String): Unit = {
+    val partComps = splitPartCols(partCol)
     require(assignments.nonEmpty, s"$where SET needs at least one assignment")
     assignments.foreach { case (c, _) =>
       require(targetCols.contains(c),
         s"$where SET column '$c' is not in the store's schema " +
           s"(${targetCols.mkString(", ")})")
-      require(c != partCol,
+      require(!partComps.contains(c),
         s"$where SET cannot assign the partition column '$c' — moving " +
           "rows across partitions is a delete+insert the source names " +
           "explicitly")

@@ -237,7 +237,8 @@ object SnapshotStore {
         }.toMap
     }
     def writeTo(gen: String): Unit = {
-      val parted = df.withColumn("_p", col(partCol).cast("string"))
+      val parted = df
+        .withColumn("_p", partKeyExpr(splitPartCols(partCol)))
         .repartition(col("_p"))
       // sorted layout (compaction's OPTIMIZE shape): rows within each
       // partition's files are ordered by the effective sort — an explicit
@@ -594,12 +595,13 @@ object SnapshotStore {
     val pc = partColOf(spark, path).getOrElse(return perGen)
     import org.apache.spark.sql.types.StructType
     val pinned = StructType(physSchema.fields.filterNot(_.name == "_p"))
-    if (!pinned.fieldNames.contains(pc)) return perGen
+    val pcs = splitPartCols(pc)
+    if (!pcs.forall(pinned.fieldNames.contains)) return perGen
     val df = spark.read.schema(pinned)
       .parquet(leafDirs.map(d => s"$path/$d"): _*)
       .withColumn("_gen", regexp_extract(input_file_name(),
         "/data/(gen-[0-9a-f]+)/", 1))
-      .withColumn("_pdir", col(pc).cast("string"))
+      .withColumn("_pdir", partKeyExpr(pcs))
     val present = statsCols.filter(c => pinned.fieldNames.contains(c))
     val absent = statsCols.filterNot(c => pinned.fieldNames.contains(c))
     val boundable = present
@@ -942,16 +944,16 @@ object SnapshotStore {
     * other predicate shape: None (no restriction — correctness never
     * depends on this, [[readWhere]] still applies the full predicate).
     */
-  private[storage] def partitionValuesOf(spark: SparkSession, path: String,
-      renames: Map[String, String],
+  /** The equality/IN-constrained value set of ONE string column, from
+    * the predicate's top-level conjuncts (None = unconstrained).
+    */
+  private def constrainedSet(
       logicalSchema: org.apache.spark.sql.types.StructType,
-      expr: org.apache.spark.sql.catalyst.expressions.Expression)
-      : Option[Set[String]] = {
+      expr: org.apache.spark.sql.catalyst.expressions.Expression,
+      colName: String): Option[Set[String]] = {
     import org.apache.spark.sql.catalyst.expressions._
-    val partPhys = partColOf(spark, path).getOrElse(return None)
-    val partLogical = renames.getOrElse(partPhys, partPhys)
-    if (!logicalSchema.fieldNames.contains(partLogical) ||
-      logicalSchema(partLogical).dataType !=
+    if (!logicalSchema.fieldNames.contains(colName) ||
+      logicalSchema(colName).dataType !=
         org.apache.spark.sql.types.StringType) return None
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -964,7 +966,7 @@ object SnapshotStore {
       case _ => None
     }
     def isPart(x: Expression): Boolean = x match {
-      case a: AttributeReference => a.name == partLogical
+      case a: AttributeReference => a.name == colName
       case _ => false
     }
     val sets: Seq[Set[String]] = conjuncts(expr).flatMap {
@@ -986,6 +988,136 @@ object SnapshotStore {
     }
     if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
+
+  /** The EXACT manifest-key set the predicate confines resolution to:
+    * every component of the (possibly composite) partition spec carries
+    * an equality/IN conjunct — keys are the cartesian product of the
+    * constrained sets (capped: a blown-up product falls back to
+    * [[partitionKeyPredOf]]'s filter, same result, no key explosion).
+    */
+  private[storage] def partitionValuesOf(spark: SparkSession, path: String,
+      renames: Map[String, String],
+      logicalSchema: org.apache.spark.sql.types.StructType,
+      expr: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Set[String]] = {
+    val partPhys = partColOf(spark, path).getOrElse(return None)
+    val comps = splitPartCols(partPhys).map(pc => renames.getOrElse(pc, pc))
+    val compSets = comps.map(constrainedSet(logicalSchema, expr, _))
+    if (compSets.exists(_.isEmpty)) return None
+    val sets = compSets.map(_.get)
+    if (sets.map(_.size.toLong).product > 1024L) return None
+    val product = sets.foldLeft(Seq(Seq.empty[String])) { (acc, s) =>
+      acc.flatMap(prefix => s.toSeq.map(prefix :+ _))
+    }
+    Some(product.map(compositeKeyOf).toSet)
+  }
+
+  /** A manifest-KEY filter from a PARTIAL constraint on a composite
+    * spec ("day = X" over a day×tenant store): constrained components
+    * must match (encoded-value comparison), unconstrained ones pass.
+    * None for single-column specs (the exact path covers them) and when
+    * nothing is constrained. Conservative on malformed keys (kept).
+    */
+  private[storage] def partitionKeyPredOf(spark: SparkSession,
+      path: String,
+      renames: Map[String, String],
+      logicalSchema: org.apache.spark.sql.types.StructType,
+      expr: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[String => Boolean] = {
+    val partPhys = partColOf(spark, path).getOrElse(return None)
+    val comps = splitPartCols(partPhys).map(pc => renames.getOrElse(pc, pc))
+    if (comps.size == 1) return None
+    val constrained = comps.map(constrainedSet(logicalSchema, expr, _))
+      .zipWithIndex.collect { case (Some(s), i) =>
+        i -> s.map(encPartValue) }
+    if (constrained.isEmpty) return None
+    val n = comps.size
+    Some { key =>
+      val parts = key.split(PartSep, -1)
+      parts.length != n ||
+        constrained.forall { case (i, set) => set.contains(parts(i)) }
+    }
+  }
+
+  /** The partition components whose equality/IN conjuncts the
+    * key-restricted resolution CONSUMED: every resolved partition's rows
+    * satisfy those conjuncts by construction (the key encodes each
+    * component's exact string value), so verdict-side evaluation may
+    * treat them as TRUE — which turns "count rows of day X" into a pure
+    * metadata read and "delete day X" into a metadata drop. Only sound
+    * over a resolution that WAS restricted (main-line
+    * [[fieldsForExpr]]/touchedEntries); never over a full entry map.
+    */
+  private[storage] def consumedPartComps(spark: SparkSession,
+      path: String, renames: Map[String, String],
+      logicalSchema: org.apache.spark.sql.types.StructType,
+      expr: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Set[String] =
+    partColOf(spark, path) match {
+      case None => Set.empty
+      case Some(pc) => splitPartCols(pc)
+        .map(c => renames.getOrElse(c, c))
+        .filter(c => constrainedSet(logicalSchema, expr, c).isDefined)
+        .toSet
+    }
+
+  /** `expr` with the consumed partition-component conjuncts replaced by
+    * TRUE (top-level And-conjuncts only — a disjunct branch is not a
+    * conjunct and stays).
+    */
+  private[storage] def stripPartConjuncts(
+      expr: org.apache.spark.sql.catalyst.expressions.Expression,
+      consumed: Set[String])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    if (consumed.isEmpty) return expr
+    def strLitOk(x: Expression): Boolean = x match {
+      case l: Literal => l.value != null &&
+        l.dataType == org.apache.spark.sql.types.StringType
+      case _ => false
+    }
+    def isComp(x: Expression): Boolean = x match {
+      case a: AttributeReference => consumed(a.name)
+      case _ => false
+    }
+    def rewrite(e: Expression): Expression = e match {
+      case And(l, r) => And(rewrite(l), rewrite(r))
+      case EqualTo(a, l) if isComp(a) && strLitOk(l) => Literal(true)
+      case EqualTo(l, a) if isComp(a) && strLitOk(l) => Literal(true)
+      case EqualNullSafe(a, l) if isComp(a) && strLitOk(l) => Literal(true)
+      case EqualNullSafe(l, a) if isComp(a) && strLitOk(l) => Literal(true)
+      case In(a, list) if isComp(a) && list.forall {
+          case l: Literal => l.value == null ||
+            l.dataType == org.apache.spark.sql.types.StringType
+          case _ => false
+        } => Literal(true)
+      case other => other
+    }
+    rewrite(expr)
+  }
+
+  /** Manifest FIELDS the predicate might touch (read-path resolution):
+    * full-tuple restriction → O(touched buckets); partial composite
+    * constraint → value-keyed resolve filtered component-wise; otherwise
+    * the dirs-only fast path (no value map built).
+    */
+  private[storage] def fieldsForExpr(spark: SparkSession, path: String,
+      v: Int, renames: Map[String, String],
+      logicalSchema: org.apache.spark.sql.types.StructType,
+      expr: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[String] =
+    partitionValuesOf(spark, path, renames, logicalSchema, expr) match {
+      case Some(values) =>
+        readManifestValues(spark, path, v, values.toSeq)
+          .values.flatten.toSeq
+      case None =>
+        partitionKeyPredOf(spark, path, renames, logicalSchema,
+          expr) match {
+          case Some(f) => readManifest(spark, path, v).collect {
+            case (p, ds) if f(p) => ds }.flatten.toSeq
+          case None => readManifestDirs(spark, path, v)
+        }
+    }
 
   def readWhere(spark: SparkSession, path: String,
                 pred: org.apache.spark.sql.Column,
@@ -1016,13 +1148,8 @@ object SnapshotStore {
     // the partition value, and at 1M manifest entries the map's
     // unescape+build constants dominate the whole resolve (the same
     // argument behind read()'s dirs-only path)
-    val fields = partitionValuesOf(spark, path, renames, logicalSchema,
-      expr) match {
-      case Some(values) =>
-        readManifestValues(spark, path, v, values.toSeq)
-          .values.flatten.toSeq
-      case None => readManifestDirs(spark, path, v)
-    }
+    val fields = fieldsForExpr(spark, path, v, renames, logicalSchema,
+      expr)
     // NEEDLE pass (r15): after min/max pruning, equality/IN conjuncts on
     // declared bloom columns drop whole gens whose needle file proves the
     // value absent — the lookup min/max cannot serve (a uniform key
@@ -1093,14 +1220,14 @@ object SnapshotStore {
     // conjunct on the partition column): restricted values resolve
     // O(touched buckets); every excluded entry counts zero by the same
     // argument that lets readWhere skip it
-    val fields = partitionValuesOf(spark, path, renames, logicalSchema,
-      expr) match {
-      case Some(values) =>
-        readManifestValues(spark, path, v, values.toSeq)
-          .values.flatten.toSeq
-      case None => readManifestDirs(spark, path, v)
-    }
-    val (meta, res0) = countOverFields(fields, expr, logicalToPhysical)
+    val fields = fieldsForExpr(spark, path, v, renames, logicalSchema,
+      expr)
+    // the restriction already enforced the partition conjuncts — the
+    // verdict treats them as TRUE, so "count rows of partition X" is a
+    // pure metadata read even with no stats on the partition column
+    val vexpr = stripPartConjuncts(expr,
+      consumedPartComps(spark, path, renames, logicalSchema, expr))
+    val (meta, res0) = countOverFields(fields, vexpr, logicalToPhysical)
     // needle pass on the residual: a gen whose bloom filter proves an
     // equality probe absent holds zero matching rows — it counts as
     // NoMatch, never scanned
@@ -1196,13 +1323,8 @@ object SnapshotStore {
         f.condition
       case _ => org.apache.spark.sql.catalyst.expressions.Literal(true)
     }
-    val fields = partitionValuesOf(spark, path, renames, logicalSchema,
-      expr) match {
-      case Some(values) =>
-        readManifestValues(spark, path, v, values.toSeq)
-          .values.flatten.toSeq
-      case None => readManifestDirs(spark, path, v)
-    }
+    val fields = fieldsForExpr(spark, path, v, renames, logicalSchema,
+      expr)
     // blob internal string -> the external JVM value createDataFrame
     // expects for the column's type (the exact inverse of statValue)
     def external(s: String, dt: DataType): Any = dt match {
@@ -1593,9 +1715,11 @@ object SnapshotStore {
       s"(columns: ${logical.mkString(", ")})")
     require(logical.length > 1, "cannot drop the store's last column")
     val phys = physicalCol(name, renames)
-    partColOf(spark, path).foreach(pc => require(pc != phys,
-      s"cannot drop $name: it is the store's partition column (every " +
-        "merge/append keys its layout on it)"))
+    partColOf(spark, path).foreach(pc =>
+      require(!splitPartCols(pc).contains(phys),
+        s"cannot drop $name: it is (a component of) the store's " +
+          "partition column spec (every merge/append keys its layout " +
+          "on it)"))
     SnapshotConstraints.requireUnreferenced(spark, path, name, "drop")
     val pruned = org.apache.spark.sql.types.StructType(
       schemaP.fields.filterNot(_.name == phys))
@@ -2641,6 +2765,7 @@ object SnapshotStore {
     requireAtomicRename(path)
     require(headVersion(df.sparkSession, path).isEmpty,
       s"$path already holds a snapshot store; use merge")
+    validatePartCols(partCol, df.schema)
     validateStatsCols(statsCols, df.schema)
     SnapshotBloom.validateBloomCols(bloomCols, df.schema)
     sortCols.foreach(c => require(df.columns.contains(c),
@@ -2697,6 +2822,101 @@ object SnapshotStore {
     else Some(Esc.unescapePathName(readFileUtf8(fs, p).trim))
   }
 
+  // ---- composite partition keys (r17) ---------------------------------
+  //
+  // A store may partition by a TUPLE of columns (MergeTree's
+  // `PARTITION BY (a, b)`, Iceberg's multi-field spec): the public
+  // `partCol` argument spells it comma-separated ("day,tenant"), the
+  // `_partcol` record stores the comma-joined PHYSICAL names, and the
+  // partition KEY everywhere else stays ONE string — the U+0001-joined
+  // encoding of the component values — so the manifest grammar, bucket
+  // hashing, dir layout (`_p=<key>`), merge residency, and the changes
+  // feed are untouched. Components are %-escaped ('%'→%25, U+0001→%01,
+  // NULL→%00) so no data value can forge the separator or collide with
+  // NULL. Single-column stores keep the RAW cast value as the key —
+  // byte-identical to every store written before this round.
+
+  private[storage] val PartSep = ""
+
+  /** "day,tenant" → Seq(day, tenant); a plain name → Seq(name). */
+  private[graft] def splitPartCols(partCol: String): Seq[String] = {
+    val cs = partCol.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(cs.nonEmpty, s"empty partition column spec '$partCol'")
+    cs
+  }
+
+  /** The composite key EXPRESSION over arbitrary component columns —
+    * the exact expression every writer derives `_p` (and every resolver
+    * derives residency keys) from.
+    */
+  private[storage] def partKeyExprCols(comps: Seq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.Column =
+    if (comps.size == 1) comps.head.cast("string")
+    else org.apache.spark.sql.functions.concat_ws(PartSep, comps.map { c =>
+      val s = c.cast("string")
+      when(s.isNull, lit("%00")).otherwise(
+        org.apache.spark.sql.functions.replace(
+          org.apache.spark.sql.functions.replace(s, lit("%"), lit("%25")),
+          lit(PartSep), lit("%01")))
+    }: _*)
+
+  /** [[partKeyExprCols]] over plain column NAMES. */
+  private[storage] def partKeyExpr(partCols: Seq[String])
+      : org.apache.spark.sql.Column =
+    partKeyExprCols(partCols.map(col))
+
+  /** Driver-side twin of the component encoding (literal values). */
+  private[storage] def encPartValue(v: String): String =
+    if (v == null) "%00"
+    else v.replace("%", "%25").replace(PartSep, "%01")
+
+  /** The key a row with these component VALUES lands under. */
+  private[storage] def compositeKeyOf(values: Seq[String]): String =
+    if (values.size == 1) values.head
+    else values.map(encPartValue).mkString(PartSep)
+
+  /** PUBLIC form of the key encoding — what callers of
+    * [[readPartitions]] (and anything else addressing partitions by raw
+    * key) pass for a COMPOSITE store: `partitionKeyOf(Seq(day, tenant))`.
+    * Single-column stores: the value itself.
+    */
+  def partitionKeyOf(values: Seq[String]): String = compositeKeyOf(values)
+
+  /** Partition-spec validation at the create boundary: every component
+    * exists in the batch schema, none repeats, and no component name
+    * carries a comma (the spec's own separator) or a control character
+    * (the key encoding's).
+    */
+  private[storage] def validatePartCols(partCol: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val cs = splitPartCols(partCol)
+    require(cs.distinct.size == cs.size,
+      s"partition spec '$partCol' repeats a column")
+    cs.foreach { c =>
+      require(!c.exists(ch => ch == ',' || ch < ' '),
+        s"partition column name '$c' contains a reserved character")
+      require(schema.fieldNames.contains(c),
+        s"partition column '$c' is not in the batch schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+    }
+  }
+
+  /** `partCol` (possibly composite, logical names) mapped component-wise
+    * to the stable physical names — what `_partcol` records and writers
+    * partition by.
+    */
+  private[storage] def physicalPartCol(partCol: String,
+      renames: Map[String, String]): String =
+    splitPartCols(partCol).map(physicalCol(_, renames)).mkString(",")
+
+  /** The recorded physical partition spec mapped component-wise to the
+    * head's logical names (comma-joined).
+    */
+  private[storage] def logicalPartCol(physPartCol: String,
+      renames: Map[String, String]): String =
+    splitPartCols(physPartCol).map(pc => renames.getOrElse(pc, pc))
+      .mkString(",")
+
   /** Fails fast when `partCol` (a head-version LOGICAL name) does not
     * resolve to the store's recorded physical partition column — the
     * guard a declarative writer (the `graft-snapshot` sink) runs before
@@ -2711,7 +2931,7 @@ object SnapshotStore {
                                     partCol: String): Unit =
     (partColOf(spark, path), headVersion(spark, path)) match {
       case (Some(recorded), Some(v)) =>
-        val phys = physicalCol(partCol, readRenames(spark, path, v))
+        val phys = physicalPartCol(partCol, readRenames(spark, path, v))
         require(phys == recorded,
           s"partCol '$partCol' (physical '$phys') does not match the " +
             s"store's recorded partition column '$recorded' at $path — " +
@@ -2769,6 +2989,7 @@ object SnapshotStore {
     requireAtomicRename(path)
     require(headVersion(spark, path).isEmpty,
       s"$path already holds a snapshot store")
+    partCol.foreach(validatePartCols(_, schema))
     validateStatsCols(statsCols, schema)
     SnapshotBloom.validateBloomCols(bloomCols, schema)
     sortCols.foreach(c => require(schema.fieldNames.contains(c),
@@ -2827,7 +3048,8 @@ object SnapshotStore {
     // the carried-forward base are existing, already-conforming rows)
     SnapshotConstraints.enforce(spark, path, upserts, "merge")
     val keys = resolved.select(keyCols.map(col): _*).distinct()
-    val parts = resolved.select(col(partCol).cast("string")).distinct()
+    val parts = resolved
+      .select(partKeyExpr(splitPartCols(partCol)).as("_k")).distinct()
       .collect().map(_.getString(0)).toIndexedSeq
     if (parts.isEmpty) return
     // touched-values manifest lookup: on a segmented head this parses
@@ -2849,7 +3071,8 @@ object SnapshotStore {
     }
     // write boundary: logical names map back to the stable physical ones
     val newEntries = writeGen(toPhysical(merged, renames), path,
-      physicalCol(partCol, renames), statsCols = statsColsOf(spark, path))
+      physicalPartCol(partCol, renames),
+      statsCols = statsColsOf(spark, path))
     beforeCommit() // test seam: a concurrent committer lands here
     // touched partitions whose rows were ALL deleted simply leave the
     // manifest — no directory surgery, the files stay for old versions
@@ -3014,7 +3237,7 @@ object SnapshotStore {
     SnapshotConstraints.enforce(spark, path, df, "append")
     val renames = readRenames(spark, path, head)
     val newEntries = writeGen(toPhysical(df, renames), path,
-      physicalCol(partCol, renames), genName,
+      physicalPartCol(partCol, renames), genName,
       statsCols = statsColsOf(spark, path))
     if (newEntries.isEmpty) return
     // touched-values lookup (O(batch buckets) on a segmented head): the
@@ -3103,7 +3326,7 @@ object SnapshotStore {
     // drop with the replaced field — compaction is the MoR debt collector
     val df = readFields(spark, path, head,
       chosen.values.flatten.toSeq.sorted)
-    val newEntries = writeGen(df, path, physicalCol(partCol, renames),
+    val newEntries = writeGen(df, path, physicalPartCol(partCol, renames),
       statsCols = statsColsOf(spark, path),
       sortBy = sortBy.map(physicalCol(_, renames)))
     commitDelta(spark, path, head + 1, head,
