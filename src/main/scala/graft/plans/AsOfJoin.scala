@@ -257,6 +257,9 @@ object AsOf {
       MaintenanceSql.MergeIntoMor.name,
       MaintenanceSql.MergeIntoMor.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      MaintenanceSql.EvolvePartition.name,
+      MaintenanceSql.EvolvePartition.builder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.Fsck.name, MaintenanceSql.Fsck.builder, "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       MaintenanceSql.DeleteBranchMor.name,

@@ -646,6 +646,36 @@ object MaintenanceSql {
       (FunctionIdentifier(name), info, builder)
   }
 
+  /** `graft_evolve_partition(path, spec)` — EVOLVES the store's
+    * partition spec (Iceberg partition evolution, re-derived): new
+    * writes partition by `spec` (comma-separated for a composite tuple),
+    * old gens keep their era's keys and stay readable/prunable;
+    * `graft_compact` is the explicit full migration.
+    */
+  object EvolvePartition {
+    val name = "graft_evolve_partition"
+    val info: ExpressionInfo = new ExpressionInfo(
+      MaintenanceSql.getClass.getCanonicalName, name,
+      "graft_evolve_partition(path, spec) - evolves the partition spec " +
+        "(comma-separated columns for a composite tuple); new writes " +
+        "use it, old gens keep their era's keys; graft_compact " +
+        "migrates; returns one status row; string-literal arguments",
+      "", "")
+    def builder(args: Seq[Expression]): LogicalPlan = {
+      require(args.size == 2,
+        s"$name takes (path, spec); got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = str(name, args, 0)
+      val spec = str(name, args, 1)
+      graft.storage.SnapshotStore.evolvePartitionSpec(spark, path, spec)
+      statusRow(spark, "evolve_partition", path,
+        graft.storage.SnapshotStore.allPartSpecs(spark, path).size.toLong)
+    }
+    def descriptor: (FunctionIdentifier, ExpressionInfo,
+        Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name), info, builder)
+  }
+
   /** `graft_merge_into(path, sourceView, keyCsv, clause [, clause ...])`
     * — the general conditional MERGE as a TVF (Spark routes `MERGE INTO`
     * statements to catalog tables, so the path-addressed store carries

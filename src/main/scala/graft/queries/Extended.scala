@@ -1685,6 +1685,66 @@ object Extended extends QueryModule {
           col("o_orderstatus"))
     }),
 
+    // PARTITION-SPEC EVOLUTION (r17 — Iceberg partition evolution,
+    // re-derived): the store starts daily-style (one column), evolves to
+    // a composite (priority, status) spec, and keeps working — old gens
+    // keep their era's keys, new writes use the new spec, reads union
+    // both eras, pruning resolves per era, and merge residency finds
+    // old-era images (require-pinned: the cross-era upsert does NOT
+    // duplicate). Slice 1 hash-checks the unioned content after the
+    // upsert; slice 2 time-travels to the pre-evolution version.
+    "q_snapshot_repartition" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_rpq")
+        .toString + "/orders_rp"
+      val k = col("o_orderkey")
+      val base = orders.select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val mx = orders.agg(max(k)).head().getLong(0)
+      graft.storage.SnapshotStore.write(base.filter(k <= mx / 2),
+        dir, "o_orderpriority", statsCols = Seq("o_orderkey"))
+      graft.storage.SnapshotStore.evolvePartitionSpec(s, dir,
+        "o_orderpriority,o_orderstatus")
+      graft.storage.SnapshotStore.append(base.filter(k > mx / 2),
+        dir, "o_orderpriority,o_orderstatus")
+      require(graft.storage.SnapshotStore.allPartSpecs(s, dir) ==
+        Seq("o_orderpriority", "o_orderpriority,o_orderstatus"),
+        "q_snapshot_repartition: the spec history must record both eras")
+      val whole = graft.storage.SnapshotStore.read(s, dir)
+      require(whole.count() == base.count(),
+        "q_snapshot_repartition: the read must union both eras")
+      // per-era pruning: a priority probe opens only that priority's
+      // files in EITHER era
+      val all = whole.inputFiles.length
+      val probe = graft.storage.SnapshotStore.readWhere(s, dir,
+        col("o_orderpriority") === "1-URGENT")
+      require(probe.count() == base
+        .filter(col("o_orderpriority") === "1-URGENT").count() &&
+        probe.inputFiles.length * 3 <= all + 2,
+        s"q_snapshot_repartition: the day-style probe must prune both " +
+          s"eras (${probe.inputFiles.length} of $all)")
+      // cross-era residency: upsert a key living in the OLD era — the
+      // merge must find and replace its era-1 image, never duplicate
+      val victim = base.filter(k === 1L).limit(1)
+      graft.storage.SnapshotStore.merge(s, dir,
+        victim.withColumn("o_totalprice", lit(123.0)),
+        "o_orderpriority,o_orderstatus", Seq("o_orderkey"))
+      val merged = graft.storage.SnapshotStore.read(s, dir)
+      require(merged.count() == base.count(),
+        "q_snapshot_repartition: the cross-era upsert must not duplicate")
+      def agg(x: org.apache.spark.sql.DataFrame, slice: Int) =
+        x.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("sum_cents"))
+          .withColumn("slice", lit(slice))
+      agg(merged, 1)
+        .unionByName(
+          agg(graft.storage.SnapshotStore.read(s, dir, Some(1)), 2))
+        .orderBy(col("slice"), col("o_orderpriority"),
+          col("o_orderstatus"))
+    }),
+
     // Store integrity report (fsck, r16 — banked as a declared gate in
     // r17): ONE read-only metadata pass (manifests + staged branch files
     // + a dir listing, no data page read) that answers "is this store
@@ -2179,6 +2239,29 @@ object Extended extends QueryModule {
         |UNION ALL
         |SELECT n_orders, sum_cents, min_key, max_key, 2 AS slice FROM box
         |ORDER BY slice""".stripMargin,
+
+    "q_snapshot_repartition" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |upd AS (
+        |  SELECT o_orderpriority, o_orderstatus,
+        |    CASE WHEN o_orderkey = 1 THEN 123.0
+        |      ELSE o_totalprice END AS price
+        |  FROM orders),
+        |agg AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents
+        |  FROM upd GROUP BY 1, 2),
+        |agg0 AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents
+        |  FROM orders, mx WHERE o_orderkey <= m // 2 GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT *, 1 AS slice FROM agg
+        |  UNION ALL
+        |  SELECT *, 2 AS slice FROM agg0
+        |) ORDER BY slice, o_orderpriority, o_orderstatus""".stripMargin,
 
     "q_snapshot_composite" ->
       """WITH live AS (

@@ -371,9 +371,9 @@ private[storage] object SnapshotBranch {
     SnapshotConstraints.enforce(spark, path, upserts, "branch merge")
     val keys = resolved.select(keyCols.map(
       org.apache.spark.sql.functions.col): _*).distinct()
-    val parts = resolved.select(SnapshotStore.partKeyExpr(
-        SnapshotStore.splitPartCols(partCol)).as("_k")).distinct()
-      .collect().map(_.getString(0)).toIndexedSeq
+    val parts = SnapshotStore.residencyKeys(spark, path, resolved,
+      SnapshotStore.splitPartCols(partCol), st.renames,
+      st.entries.keys).toIndexedSeq
     if (parts.isEmpty) return
     val touchedDirs = parts.flatMap(st.entries.get).flatten
     val merged = if (touchedDirs.isEmpty) upserts else {
@@ -391,9 +391,12 @@ private[storage] object SnapshotBranch {
       SnapshotStore.physicalPartCol(partCol, st.renames),
       statsCols = SnapshotStore.statsColsOf(spark, path))
     // touched partitions whose rows were ALL deleted simply leave the
-    // staged map; their old gens stay for the main line / other refs
-    val entries2 = st.entries -- parts ++
-      newEntries.map { case (p, d) => p -> Seq(d) }
+    // staged map; their old gens stay for the main line / other refs.
+    // foldNewEntries merges era-migrated gens into untouched entries.
+    val (removedF, addedF) = SnapshotStore.foldNewEntries(parts.toSet,
+      Map.empty, newEntries,
+      cross => st.entries.filter { case (k, _) => cross(k) })
+    val entries2 = st.entries -- removedF ++ addedF
     writeStaged(spark, path, name, Staged(st.base, st.k + 1,
       SnapshotStore.unionSchema(st.schema,
         SnapshotStore.toPhysical(upserts, st.renames).schema),

@@ -287,8 +287,15 @@ private[graft] object SnapshotDml {
           statsCols = statsCols)
       }
     beforeCommit() // test seam: a concurrent committer lands here
+    // foldNewEntries: a rewrite gen's key may have MIGRATED eras under
+    // an evolved partition spec — merge it into any untouched entry at
+    // that key; single-spec stores hit the identity path
+    val (removedF, addedF) = foldNewEntries(plan.removed,
+      plan.rebuild(Map.empty), newEntries,
+      cross => forWrite(path, head)(
+        readManifestValues(spark, path, head, cross.toSeq)))
     commitDelta(spark, path, head + 1, head,
-      removed = plan.removed, added = plan.rebuild(newEntries),
+      removed = removedF, added = addedF,
       newEntries.values.map(_.split("/").take(2).mkString("/"))
         .toSeq.distinct,
       Some(physSchema), renames, op = "delete")
@@ -342,8 +349,15 @@ private[graft] object SnapshotDml {
     val newEntries = writeGen(toPhysical(updated, renames), path,
       physPartCol, statsCols = statsCols)
     beforeCommit() // test seam: a concurrent committer lands here
+    // foldNewEntries: a rewrite gen's key may have MIGRATED eras under
+    // an evolved partition spec — merge it into any untouched entry at
+    // that key; single-spec stores hit the identity path
+    val (removedF, addedF) = foldNewEntries(plan.removed,
+      plan.rebuild(Map.empty), newEntries,
+      cross => forWrite(path, head)(
+        readManifestValues(spark, path, head, cross.toSeq)))
     commitDelta(spark, path, head + 1, head,
-      removed = plan.removed, added = plan.rebuild(newEntries),
+      removed = removedF, added = addedF,
       newEntries.values.map(_.split("/").take(2).mkString("/"))
         .toSeq.distinct,
       Some(physSchema), renames, op = "update")
@@ -408,8 +422,7 @@ private[graft] object SnapshotDml {
         val tagged = applyRenames(
           readFieldsTagged(spark, path, plan.rewrite, Some(physSchema)),
           renames)
-        writeDv(spark, path, tagged.filter(coalesce(pred, lit(false))),
-          partKeyExpr(splitPartCols(logicalPartCol(physPartCol, renames))))
+        writeDv(spark, path, tagged.filter(coalesce(pred, lit(false))))
       }
     val dvRows = counts.values.sum
     if (plan.dropped == 0 && counts.isEmpty)
@@ -482,19 +495,23 @@ private[graft] object SnapshotDml {
         }
       }: _*)
       SnapshotConstraints.enforce(spark, path, updated, "update")
-      val (dvRel, counts) = writeDv(spark, path, hits,
-        partKeyExpr(splitPartCols(logicalPartCol(physPartCol, renames))))
+      val (dvRel, counts) = writeDv(spark, path, hits)
       if (counts.isEmpty)
         return DmlReceipt(head, 0, 0, plan.kept) // scan refuted the stats
       val newEntries = writeGen(toPhysical(updated, renames), path,
         physPartCol, statsCols = statsCols)
-      val annotated = annotate(plan, dvRel, counts).map { case (p, fs) =>
-        p -> (fs ++ newEntries.get(p).toSeq)
-      }
+      val annotated = annotate(plan, dvRel, counts)
+      // image gens fold at their OWN keys — on an evolved store an
+      // updated row's current-spec key may differ from its pre-image's
+      // era key (the pre-image stays DV'd in place either way)
+      val (removedF, addedF) = foldNewEntries(annotated.keySet,
+        annotated.filter(_._2.nonEmpty), newEntries,
+        cross => forWrite(path, head)(
+          readManifestValues(spark, path, head, cross.toSeq)))
       beforeCommit() // test seam: a concurrent committer lands here
       commitDelta(spark, path, head + 1, head,
-        removed = annotated.keySet,
-        added = annotated.filter(_._2.nonEmpty),
+        removed = removedF,
+        added = addedF,
         dvRel.toSeq ++ newEntries.values
           .map(_.split("/").take(2).mkString("/")).toSeq.distinct,
         Some(physSchema), renames, op = "update")
@@ -522,11 +539,10 @@ private[graft] object SnapshotDml {
     * schema prunes it at the parquet footer).
     */
   private[storage] def writeDv(spark: SparkSession, path: String,
-      hits: DataFrame,
-      partValue: Column): (Option[String], Map[String, Long]) = {
+      hits: DataFrame): (Option[String], Map[String, Long]) = {
     val rel = "data/dv-" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    hits.select(col("_gk"), col("_gi"), partValue.cast("string").as("_gv"))
+    hits.select(col("_gk"), col("_gi"))
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$path/$rel")
     // counts are keyed per FILE (`data/<gen>/<frag>/<file>`), not per
@@ -534,21 +550,21 @@ private[graft] object SnapshotDml {
     // file split re-enters kept files as first-class fields), and a
     // dir-keyed count would never match their `dirOf` — the positions
     // would sit recorded in the sidecar while annotate() left the field
-    // un-annotated, silently resurrecting the "deleted" rows. The gen
-    // and file segments ride straight out of `_gk` (writer-generated
-    // names, no characters escapePathName or the URI encoder touch);
-    // only the partition fragment is rebuilt from the VALUE.
+    // un-annotated, silently resurrecting the "deleted" rows. Every
+    // segment rides straight out of `_gk`: `<gen>/_p=<frag>/<file>`,
+    // where gen and file are writer-generated names and the FRAGMENT is
+    // the on-disk dir name URI-encoded by `_metadata.file_path` —
+    // percent-decoding it (r17) recovers the exact manifest frag for ANY
+    // partition value and ANY spec era (the previous value-rebuild
+    // derived the frag from the CURRENT spec's columns, which would
+    // mis-key hits in pre-evolution slices).
     val counts = spark.read.parquet(s"$path/$rel")
-      .groupBy(org.apache.spark.sql.functions
-        .substring_index(col("_gk"), "/", 1).as("g"), col("_gv"),
-        org.apache.spark.sql.functions
-          .substring_index(col("_gk"), "/", -1).as("f"))
-      .count()
+      .groupBy(col("_gk")).count()
       .collect().map { r =>
-        val frag = org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.getPartitionPathString("_p",
-            Option(r.getString(1)).getOrElse(""))
-        s"data/${r.getString(0)}/$frag/${r.getString(2)}" -> r.getLong(3)
+        val segs = r.getString(0).split("/", 3)
+        require(segs.length == 3, s"malformed sidecar key '${r.getString(0)}'")
+        s"data/${segs(0)}/${SnapshotStore.pctDecode(segs(1))}/${segs(2)}" ->
+          r.getLong(1)
       }.toMap
     if (counts.isEmpty) {
       org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
@@ -705,7 +721,12 @@ private[graft] object SnapshotDml {
         }
       try {
         SnapshotBranch.stageNext(spark, path, name, st,
-          st.entries -- plan.removed ++ plan.rebuild(newEntries))
+          {
+            val (removedF, addedF) = foldNewEntries(plan.removed,
+              plan.rebuild(Map.empty), newEntries,
+              cross => st.entries.filter { case (k, _) => cross(k) })
+            st.entries -- removedF ++ addedF
+          })
         return DmlReceipt(st.k + 1, plan.dropped, plan.rewrite.size,
           plan.kept, keptFiles = plan.keptFiles,
           droppedFiles = plan.droppedFiles)
@@ -752,7 +773,12 @@ private[graft] object SnapshotDml {
         physPartCol, statsCols = statsCols)
       try {
         SnapshotBranch.stageNext(spark, path, name, st,
-          st.entries -- plan.removed ++ plan.rebuild(newEntries))
+          {
+            val (removedF, addedF) = foldNewEntries(plan.removed,
+              plan.rebuild(Map.empty), newEntries,
+              cross => st.entries.filter { case (k, _) => cross(k) })
+            st.entries -- removedF ++ addedF
+          })
         return DmlReceipt(st.k + 1, 0, plan.rewrite.size, plan.kept,
           keptFiles = plan.keptFiles)
       } catch {
@@ -799,8 +825,7 @@ private[graft] object SnapshotDml {
           val tagged = applyRenames(
             readFieldsTagged(spark, path, plan.rewrite, Some(st.schema)),
             st.renames)
-          writeDv(spark, path, tagged.filter(coalesce(pred, lit(false))),
-            partKeyExpr(splitPartCols(logicalPartCol(physPartCol, st.renames))))
+          writeDv(spark, path, tagged.filter(coalesce(pred, lit(false))))
         }
       if (plan.dropped == 0 && counts.isEmpty)
         return DmlReceipt(st.k, 0, 0, plan.kept)
@@ -862,19 +887,18 @@ private[graft] object SnapshotDml {
           }
         }: _*)
         SnapshotConstraints.enforce(spark, path, updated, "branch update")
-        val (dvRel, counts) = writeDv(spark, path, hits,
-          partKeyExpr(splitPartCols(logicalPartCol(physPartCol, st.renames))))
+        val (dvRel, counts) = writeDv(spark, path, hits)
         if (counts.isEmpty)
           return DmlReceipt(st.k, 0, 0, plan.kept)
         val newEntries = writeGen(toPhysical(updated, st.renames), path,
           physPartCol, statsCols = statsCols)
-        val annotated = annotate(plan, dvRel, counts).map { case (p, fs) =>
-          p -> (fs ++ newEntries.get(p).toSeq)
-        }
+        val annotated = annotate(plan, dvRel, counts)
+        val (removedF, addedF) = foldNewEntries(annotated.keySet,
+          annotated.filter(_._2.nonEmpty), newEntries,
+          cross => st.entries.filter { case (k, _) => cross(k) })
         try {
           SnapshotBranch.stageNext(spark, path, name, st,
-            st.entries -- annotated.keySet ++
-              annotated.filter(_._2.nonEmpty))
+            st.entries -- removedF ++ addedF)
           return DmlReceipt(st.k + 1, 0, newEntries.size, plan.kept,
             dvDirs = dvDirCount(counts), dvRows = counts.values.sum)
         } catch {

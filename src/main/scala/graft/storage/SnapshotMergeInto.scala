@@ -196,10 +196,12 @@ object SnapshotMergeInto {
         "matching is partition-confined, like merge()")
 
     // ---- which slices participate --------------------------------------
+    lazy val allEntriesForEras = forWrite(path, head)(
+      readManifest(spark, path, head))
     val srcParts: Seq[String] =
       if (!partComps.forall(source.columns.contains)) Nil
-      else src.select(partKeyExpr(partComps).as("_k")).distinct()
-        .collect().map(_.getString(0)).toIndexedSeq
+      else residencyKeys(spark, path, src, partComps, renames,
+        allEntriesForEras.keys).toIndexedSeq
     val logicalToPhysical = renames.map(_.swap)
     // NOT-MATCHED-BY-SOURCE conditions analyzed for the tri-state pruner
     // (unqualified/t-qualified target refs; an s. ref fails analysis →
@@ -391,16 +393,16 @@ object SnapshotMergeInto {
         val newEntries = writeGen(
           toPhysical(result.drop("_act"), renames), path, physPartCol,
           statsCols = statsColsOf(spark, path))
-        val added = (touchedEntries.keySet ++ insertOnlyParts)
-          .flatMap { p =>
-            val fields = keptByPart.getOrElse(p, Nil) ++
-              newEntries.get(p).toSeq
-            if (fields.isEmpty) None else Some(p -> fields)
-          }.toMap
+        val (removedF, addedF) = foldNewEntries(touchedEntries.keySet,
+          touchedEntries.keySet.map(p =>
+            p -> keptByPart.getOrElse(p, Nil)).toMap
+            .filter(_._2.nonEmpty),
+          newEntries, cross => forWrite(path, head)(
+            readManifestValues(spark, path, head, cross.toSeq)))
         beforeCommit() // test seam
         commitDelta(spark, path, head + 1, head,
-          removed = touchedEntries.keySet,
-          added = added,
+          removed = removedF,
+          added = addedF,
           newEntries.values.map(_.split("/").take(2).mkString("/"))
             .toSeq.distinct,
           Some(physSchema), renames, op = "merge")
@@ -416,35 +418,36 @@ object SnapshotMergeInto {
         val hits = tagged.filter(
           if (removalTags.isEmpty) lit(false)
           else col("_act").isin(removalTags: _*))
-        val (dvRel, counts) = SnapshotDml.writeDv(spark, path, hits,
-          partKeyExprCols(partComps.map(c => col(s"t.$c"))))
+        val (dvRel, counts) = SnapshotDml.writeDv(spark, path, hits)
         val newEntries = writeGen(
           toPhysical(changedImages.drop("_act"), renames), path,
           physPartCol, statsCols = statsColsOf(spark, path))
         import SnapshotFormat.{dvOf, baseOf, withDv, DvRef}
         // a touched partition CHANGES iff a field took positions or a
         // fresh gen landed; everything else keeps its entry verbatim
-        // (the identity diff never has to cancel a re-add)
-        val changedParts = touchedEntries.keySet.filter { p =>
-          newEntries.contains(p) || touchedEntries(p).exists(f =>
-            SnapshotDml.dvCountFor(counts, f) > 0L)
-        }
-        val added = (changedParts ++
-          insertOnlyParts.filter(newEntries.contains)).map { p =>
-          val old = touchedEntries.getOrElse(p, Nil).map { f =>
-            SnapshotDml.dvCountFor(counts, f) match {
-              case n if n > 0L =>
-                withDv(baseOf(f), dvOf(f) :+ DvRef(dvRel.get, n))
-              case _ => f
-            }
-          }
-          p -> (keptByPart.getOrElse(p, Nil) ++ old ++
-            newEntries.get(p).toSeq)
+        // (the identity diff never has to cancel a re-add). Gens fold at
+        // their OWN keys (an era-migrated image merges into any
+        // untouched entry there).
+        val dvTouched = touchedEntries.keySet.filter(p =>
+          touchedEntries(p).exists(f =>
+            SnapshotDml.dvCountFor(counts, f) > 0L))
+        val base = dvTouched.map { p =>
+          p -> (keptByPart.getOrElse(p, Nil) ++
+            touchedEntries(p).map { f =>
+              SnapshotDml.dvCountFor(counts, f) match {
+                case n if n > 0L =>
+                  withDv(baseOf(f), dvOf(f) :+ DvRef(dvRel.get, n))
+                case _ => f
+              }
+            })
         }.toMap
+        val (removedF, addedF) = foldNewEntries(dvTouched, base,
+          newEntries, cross => forWrite(path, head)(
+            readManifestValues(spark, path, head, cross.toSeq)))
         beforeCommit() // test seam
         commitDelta(spark, path, head + 1, head,
-          removed = changedParts,
-          added = added,
+          removed = removedF,
+          added = addedF,
           dvRel.toSeq ++ newEntries.values
             .map(_.split("/").take(2).mkString("/")).toSeq.distinct,
           Some(physSchema), renames, op = "merge")

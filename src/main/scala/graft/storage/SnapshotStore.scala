@@ -593,6 +593,10 @@ object SnapshotStore {
       g -> genStats(spark, path, g, statsCols)).toMap
     if (gens.size == 1) return perGen
     val pc = partColOf(spark, path).getOrElse(return perGen)
+    // an evolved store's gens span key ERAS — one key expression cannot
+    // attribute them; the per-gen codec derives each gen's keys from
+    // its own on-disk dirs, era-exact
+    if (allPartSpecs(spark, path).distinct.size > 1) return perGen
     import org.apache.spark.sql.types.StructType
     val pinned = StructType(physSchema.fields.filterNot(_.name == "_p"))
     val pcs = splitPartCols(pc)
@@ -1000,8 +1004,12 @@ object SnapshotStore {
       logicalSchema: org.apache.spark.sql.types.StructType,
       expr: org.apache.spark.sql.catalyst.expressions.Expression)
       : Option[Set[String]] = {
-    val partPhys = partColOf(spark, path).getOrElse(return None)
-    val comps = splitPartCols(partPhys).map(pc => renames.getOrElse(pc, pc))
+    val specs = allPartSpecs(spark, path)
+    if (specs.isEmpty) return None
+    // multi-spec store: keys span eras — the per-era filter
+    // ([[partitionKeyPredOf]]) covers restriction instead
+    if (specs.distinct.size > 1) return None
+    val comps = splitPartCols(specs.last).map(pc => renames.getOrElse(pc, pc))
     val compSets = comps.map(constrainedSet(logicalSchema, expr, _))
     if (compSets.exists(_.isEmpty)) return None
     val sets = compSets.map(_.get)
@@ -1024,18 +1032,32 @@ object SnapshotStore {
       logicalSchema: org.apache.spark.sql.types.StructType,
       expr: org.apache.spark.sql.catalyst.expressions.Expression)
       : Option[String => Boolean] = {
-    val partPhys = partColOf(spark, path).getOrElse(return None)
-    val comps = splitPartCols(partPhys).map(pc => renames.getOrElse(pc, pc))
-    if (comps.size == 1) return None
-    val constrained = comps.map(constrainedSet(logicalSchema, expr, _))
-      .zipWithIndex.collect { case (Some(s), i) =>
-        i -> s.map(encPartValue) }
-    if (constrained.isEmpty) return None
-    val n = comps.size
+    val specs0 = allPartSpecs(spark, path)
+    if (specs0.isEmpty) return None
+    val specs = specs0.distinct.map(sp =>
+      splitPartCols(sp).map(pc => renames.getOrElse(pc, pc)))
+    // single 1-col spec: the exact path covers equality; nothing partial
+    if (specs.size == 1 && specs.head.size == 1) return None
+    // per ERA: a key is attributed to every era whose SHAPE could have
+    // produced it (a 1-col era to ANY key — raw values may contain the
+    // separator; an n-col era only to n-component keys); keep the key
+    // iff any candidate era accepts it, or no era's shape matches
+    // (conservative on malformed keys)
+    case class Era(n: Int, constrained: Seq[(Int, Set[String])])
+    val eras = specs.map { comps =>
+      Era(comps.size,
+        comps.map(constrainedSet(logicalSchema, expr, _)).zipWithIndex
+          .collect { case (Some(cs), i) =>
+            i -> (if (comps.size == 1) cs else cs.map(encPartValue)) })
+    }
+    if (eras.forall(_.constrained.isEmpty)) return None
     Some { key =>
       val parts = key.split(PartSep, -1)
-      parts.length != n ||
-        constrained.forall { case (i, set) => set.contains(parts(i)) }
+      def candidate(e: Era) = e.n == 1 || parts.length == e.n
+      eras.exists(e => candidate(e) && e.constrained.forall {
+        case (i, set) =>
+          if (e.n == 1) set.contains(key) else set.contains(parts(i))
+      }) || !eras.exists(candidate)
     }
   }
 
@@ -1052,14 +1074,17 @@ object SnapshotStore {
       path: String, renames: Map[String, String],
       logicalSchema: org.apache.spark.sql.types.StructType,
       expr: org.apache.spark.sql.catalyst.expressions.Expression)
-      : Set[String] =
-    partColOf(spark, path) match {
-      case None => Set.empty
-      case Some(pc) => splitPartCols(pc)
-        .map(c => renames.getOrElse(c, c))
-        .filter(c => constrainedSet(logicalSchema, expr, c).isDefined)
-        .toSet
-    }
+      : Set[String] = {
+    val specs = allPartSpecs(spark, path)
+    // multi-spec: an old era may not ENFORCE a component the current
+    // spec constrains (its keys never carried it) — consuming the
+    // conjunct would mis-verdict old-era fields. Conservative: none.
+    if (specs.distinct.size != 1) return Set.empty
+    splitPartCols(specs.last)
+      .map(c => renames.getOrElse(c, c))
+      .filter(c => constrainedSet(logicalSchema, expr, c).isDefined)
+      .toSet
+  }
 
   /** `expr` with the consumed partition-component conjuncts replaced by
     * TRUE (top-level And-conjuncts only — a disjunct branch is not a
@@ -2814,12 +2839,145 @@ object SnapshotStore {
     }
   }
 
+  /** The CURRENT partition spec — the newest of [[allPartSpecs]]. */
   private[graft] def partColOf(spark: SparkSession,
-                               path: String): Option[String] = {
+                               path: String): Option[String] =
+    allPartSpecs(spark, path).lastOption
+
+  // ---- partition-spec EVOLUTION (r17) ---------------------------------
+  //
+  // The Iceberg partition-evolution concept re-derived: a store may
+  // EVOLVE its partition spec — `_partcol` stays spec 1 forever (legacy
+  // readers parse it unchanged), each evolution publishes the next
+  // `_partcol-<k>` through the single-winner file primitive, and
+  // [[partColOf]] returns the NEWEST. Old gens keep their era's keys;
+  // new writes partition under the current spec; READERS are untouched
+  // (fields are spec-agnostic); pruning and merge residency resolve
+  // PER ERA (conservatively — a key is attributed to every era whose
+  // shape could have produced it); and rewrites (DML copy-on-write,
+  // compaction, merge) migrate the rows they touch to the current spec
+  // — [[compactPartitions]] is the explicit full-migration verb. The
+  // exact-key fast path, verdict-side conjunct consumption, and the
+  // batched stats job are DISABLED on multi-spec stores (each needs a
+  // single key domain); they return the moment compaction collapses the
+  // store back to one era's keys — the spec list itself is permanent,
+  // which is the honest record.
+
+  /** Every partition spec ever declared, oldest first (comma-joined
+    * PHYSICAL names). Empty for stores predating the `_partcol` record.
+    */
+  private[graft] def allPartSpecs(spark: SparkSession,
+                                  path: String): Seq[String] = {
     val fs = hfs(spark, path)
-    val p = new org.apache.hadoop.fs.Path(path, "_partcol")
-    if (!fs.exists(p)) None
-    else Some(Esc.unescapePathName(readFileUtf8(fs, p).trim))
+    val base = new org.apache.hadoop.fs.Path(path, "_partcol")
+    if (!fs.exists(base)) return Nil
+    val first = Esc.unescapePathName(readFileUtf8(fs, base).trim)
+    val rest = Iterator.from(2).map { k =>
+      val p = new org.apache.hadoop.fs.Path(path, s"_partcol-$k")
+      if (fs.exists(p)) Some(Esc.unescapePathName(readFileUtf8(fs, p).trim))
+      else None
+    }.takeWhile(_.isDefined).flatten.toSeq
+    first +: rest
+  }
+
+  /** EVOLVES the partition spec: subsequent writes/appends/merges
+    * partition by `newPartCol` (logical names, possibly composite); old
+    * gens keep their era's keys and stay readable/prunable. Loud on a
+    * no-op respec and on losing the publish race.
+    */
+  def evolvePartitionSpec(spark: SparkSession, path: String,
+                          newPartCol: String): Unit = {
+    requireAtomicRename(path)
+    val head = headVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val renames = readRenames(spark, path, head)
+    val physSchema = versionSchema(spark, path, head)
+    val logicalSchema = org.apache.spark.sql.types.StructType(
+      physSchema.fields.map(f =>
+        f.copy(name = renames.getOrElse(f.name, f.name))))
+    validatePartCols(newPartCol, logicalSchema)
+    val specs = allPartSpecs(spark, path)
+    require(specs.nonEmpty,
+      s"store at $path records no partition column to evolve from")
+    val phys = physicalPartCol(newPartCol, renames)
+    require(phys != specs.last,
+      s"partition spec is already '$newPartCol' — evolution must change it")
+    val fs = hfs(spark, path)
+    val k = specs.size + 1
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s"._partcol-$k.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(Esc.escapePathName(phys).getBytes("UTF-8"))
+    finally out.close()
+    try publishFile(spark, path, tmp,
+      new org.apache.hadoop.fs.Path(path, s"_partcol-$k"))
+    catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.io.IOException) =>
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"lost the partition-spec evolution race at $path (spec $k " +
+            "was published concurrently) — re-inspect and retry", e)
+    }
+  }
+
+  /** Folds freshly-written per-partition gens into a commit delta,
+    * merging gens whose key falls OUTSIDE the touched set (rows that
+    * migrated eras under an evolved spec) into any existing untouched
+    * entry at that key instead of replacing it. `base` holds the touched
+    * partitions' surviving fields (keys ⊆ `removed`); `priorOf` resolves
+    * prior entries for the cross keys (pruned-bucket lookup). On a
+    * single-spec store `newEntries.keys ⊆ removed` always and this is
+    * exactly the old rebuild.
+    */
+  private[storage] def foldNewEntries(removed: Set[String],
+      base: Map[String, Seq[String]],
+      newEntries: Map[String, String],
+      priorOf: Set[String] => Map[String, Seq[String]])
+      : (Set[String], Map[String, Seq[String]]) = {
+    val cross = newEntries.keySet -- removed
+    val prior = if (cross.isEmpty) Map.empty[String, Seq[String]]
+      else priorOf(cross)
+    val added = (base.keySet ++ newEntries.keySet).flatMap { p =>
+      val fields = base.getOrElse(p,
+        if (removed(p)) Nil else prior.getOrElse(p, Nil)) ++
+        newEntries.get(p).toSeq
+      if (fields.isEmpty) None else Some(p -> fields)
+    }.toMap
+    (removed ++ cross, added)
+  }
+
+  /** The partition KEYS `batch`'s rows may reside under across EVERY
+    * recorded spec era — merge residency on an evolved store. Eras whose
+    * components the batch carries enumerate exact keys; an era the batch
+    * cannot key (a component the batch lacks) falls back to every
+    * shape-candidate key from `allKeys` (a 1-col era is a candidate for
+    * ANY key — raw values may contain the separator; an n-col era only
+    * for keys with exactly n components). Single-spec stores never
+    * consult `allKeys`.
+    */
+  private[storage] def residencyKeys(spark: SparkSession, path: String,
+      batch: DataFrame, currentSpecLogical: Seq[String],
+      renames: Map[String, String],
+      allKeys: => Iterable[String]): Seq[String] = {
+    val specs = allPartSpecs(spark, path) match {
+      case Nil => Seq(currentSpecLogical)
+      case ss => ss.map(s =>
+        splitPartCols(s).map(c => renames.getOrElse(c, c))).distinct
+    }
+    val (computable, blind) =
+      specs.partition(_.forall(batch.columns.contains))
+    val keys = computable.flatMap { cs =>
+      batch.select(partKeyExpr(cs).as("_k")).distinct()
+        .collect().map(_.getString(0))
+    }.distinct
+    if (blind.isEmpty) keys
+    else {
+      val anyOneCol = blind.exists(_.size == 1)
+      val sizes = blind.map(_.size).toSet
+      (keys ++ allKeys.filter(k => anyOneCol ||
+        sizes.contains(k.split(PartSep, -1).length))).distinct
+    }
   }
 
   // ---- composite partition keys (r17) ---------------------------------
@@ -2864,6 +3022,14 @@ object SnapshotStore {
   private[storage] def partKeyExpr(partCols: Seq[String])
       : org.apache.spark.sql.Column =
     partKeyExprCols(partCols.map(col))
+
+  /** Inverts `_metadata.file_path`'s URI percent-encoding for one path
+    * SEGMENT (%XX only — '+' is a literal in path segments, shielded
+    * from URLDecoder's form-encoding rule), UTF-8 aware.
+    */
+  private[storage] def pctDecode(s: String): String =
+    if (!s.contains('%')) s
+    else java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
 
   /** Driver-side twin of the component encoding (literal values). */
   private[storage] def encPartValue(v: String): String =
@@ -3048,9 +3214,13 @@ object SnapshotStore {
     // the carried-forward base are existing, already-conforming rows)
     SnapshotConstraints.enforce(spark, path, upserts, "merge")
     val keys = resolved.select(keyCols.map(col): _*).distinct()
-    val parts = resolved
-      .select(partKeyExpr(splitPartCols(partCol)).as("_k")).distinct()
-      .collect().map(_.getString(0)).toIndexedSeq
+    // residency across every spec ERA (evolved stores resolve the
+    // batch's keys under each era; the lazy full-manifest fallback only
+    // materializes when an era cannot be keyed from the batch)
+    lazy val allEntries = forWrite(path, head)(
+      readManifest(spark, path, head))
+    val parts = residencyKeys(spark, path, resolved,
+      splitPartCols(partCol), renames, allEntries.keys).toIndexedSeq
     if (parts.isEmpty) return
     // touched-values manifest lookup: on a segmented head this parses
     // only the buckets the batch's partitions hash into — the merge
@@ -3075,10 +3245,15 @@ object SnapshotStore {
       statsCols = statsColsOf(spark, path))
     beforeCommit() // test seam: a concurrent committer lands here
     // touched partitions whose rows were ALL deleted simply leave the
-    // manifest — no directory surgery, the files stay for old versions
+    // manifest — no directory surgery, the files stay for old versions.
+    // foldNewEntries merges gens whose key MIGRATED eras (evolved spec)
+    // into any untouched entry at that key; single-spec: identity.
+    val (removed2, added2) = foldNewEntries(parts.toSet, Map.empty,
+      newEntries, cross => forWrite(path, head)(
+        readManifestValues(spark, path, head, cross.toSeq)))
     commitDelta(spark, path, head + 1, head,
-      removed = parts.toSet,
-      added = newEntries.map { case (p, d) => p -> Seq(d) },
+      removed = removed2,
+      added = added2,
       newEntries.values.map(_.split("/").take(2).mkString("/"))
         .toSeq.distinct,
       Some(unionSchema(versionSchema(spark, path, head),
@@ -3296,6 +3471,13 @@ object SnapshotStore {
     require(minDirs >= 2, "minDirs < 2 would rewrite already-compact partitions")
     val head = headVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
+    val curComps = allPartSpecs(spark, path) match {
+      case specs if specs.distinct.size > 1 =>
+        Some(splitPartCols(specs.last).size)
+      case _ => None
+    }
+    def oldEraKey(p: String): Boolean =
+      curComps.exists(_ != p.split(PartSep, -1).length)
     // discovery with values given is a pruned-bucket lookup; the
     // store-wide sweep (values = None) scans every segment but keeps
     // only QUALIFYING entries — the store-wide map never materializes
@@ -3308,13 +3490,18 @@ object SnapshotStore {
           case SegHead(_, _, refs) =>
             forWrite(path, head)(loadSegs(spark, path, head,
               refs.values.map(_._2).toSeq,
-              keep = (_, dirs) => dirs.size >= minDirs ||
-                dirs.exists(f => dvOf(f).nonEmpty)))
+              keep = (p, dirs) => dirs.size >= minDirs ||
+                dirs.exists(f => dvOf(f).nonEmpty) || oldEraKey(p)))
         }
     }).filter { case (p, dirs) =>
       // a partition holding ANY deletion-vector'd field qualifies
-      // regardless of dir count: compaction is how MoR debt is repaid
-      (dirs.size >= minDirs || dirs.exists(f => dvOf(f).nonEmpty)) &&
+      // regardless of dir count (compaction repays MoR debt), and so
+      // does a partition whose KEY predates the current spec era
+      // (compaction is partition-spec evolution's migration verb; a
+      // shape mismatch proves an old era, a coincidental match only
+      // delays space reclaim, never correctness)
+      (dirs.size >= minDirs || dirs.exists(f => dvOf(f).nonEmpty) ||
+        oldEraKey(p)) &&
         values.forall(_.contains(p)) }
     if (chosen.isEmpty) return 0
     val sch = versionSchema(spark, path, head)
@@ -3329,9 +3516,17 @@ object SnapshotStore {
     val newEntries = writeGen(df, path, physicalPartCol(partCol, renames),
       statsCols = statsColsOf(spark, path),
       sortBy = sortBy.map(physicalCol(_, renames)))
+    // compaction rewrites under the CURRENT spec — on an evolved store
+    // it is the migration verb: the chosen old-era entries leave and
+    // their rows re-enter under current-spec keys (folded into any
+    // untouched entry at the same key). Single-spec: keys identical,
+    // the fold is the old replace.
+    val (removed2, added2) = foldNewEntries(chosen.keySet, Map.empty,
+      newEntries, cross => forWrite(path, head)(
+        readManifestValues(spark, path, head, cross.toSeq)))
     commitDelta(spark, path, head + 1, head,
-      removed = Set.empty,
-      added = newEntries.map { case (p, d) => p -> Seq(d) },
+      removed = removed2,
+      added = added2,
       newEntries.values.map(_.split("/").take(2).mkString("/"))
         .toSeq.distinct,
       Some(sch),
@@ -3383,13 +3578,16 @@ object SnapshotStore {
       statsCols = statsColsOf(spark, path))
     // a partition whose DV'd fields held no live rows (everything
     // deleted) gets no fresh gen; its clean fields alone remain — or the
-    // entry leaves the manifest entirely
-    val added = entries.map { case (p, fs) =>
-      p -> (fs.filter(f => dvOf(f).isEmpty) ++ newEntries.get(p).toSeq)
-    }
+    // entry leaves the manifest entirely. The fold routes gens whose key
+    // migrated eras (evolved spec) into untouched entries.
+    val base = entries.map { case (p, fs) =>
+      p -> fs.filter(f => dvOf(f).isEmpty) }
+    val (removed2, added2) = foldNewEntries(entries.keySet, base,
+      newEntries, cross => forWrite(path, head)(
+        readManifestValues(spark, path, head, cross.toSeq)))
     commitDelta(spark, path, head + 1, head,
-      removed = entries.keySet,
-      added = added.filter(_._2.nonEmpty),
+      removed = removed2,
+      added = added2,
       newEntries.values.map(_.split("/").take(2).mkString("/"))
         .toSeq.distinct,
       Some(sch),
