@@ -265,9 +265,17 @@ private[graft] object SnapshotDml {
     val entries = touchedEntries(spark, path, head, renames, logicalSchema,
       expr)
     // the restricted resolution consumed the partition conjuncts — the
-    // verdict treats them as TRUE ("delete day X" drops as metadata)
-    val vexpr = stripPartConjuncts(expr,
-      consumedPartComps(spark, path, renames, logicalSchema, expr))
+    // verdict treats them as TRUE ("delete day X" drops as metadata);
+    // only when a restriction actually APPLIED (a blown-out IN-list
+    // falls through both paths and must keep its conjuncts)
+    val vexpr =
+      if (partitionValuesOf(spark, path, renames, logicalSchema,
+          expr).isDefined ||
+        partitionKeyPredOf(spark, path, renames, logicalSchema,
+          expr).isDefined)
+        stripPartConjuncts(expr,
+          consumedPartComps(spark, path, renames, logicalSchema, expr))
+      else expr
     val statsCols = statsColsOf(spark, path)
     val plan = planDml(spark, path, entries, vexpr, logicalToPhysical,
       statsCols, physSchema, metadataDrop = true)
@@ -335,9 +343,17 @@ private[graft] object SnapshotDml {
     val entries = touchedEntries(spark, path, head, renames, logicalSchema,
       expr)
     // the restricted resolution consumed the partition conjuncts — the
-    // verdict treats them as TRUE ("delete day X" drops as metadata)
-    val vexpr = stripPartConjuncts(expr,
-      consumedPartComps(spark, path, renames, logicalSchema, expr))
+    // verdict treats them as TRUE ("delete day X" drops as metadata);
+    // only when a restriction actually APPLIED (a blown-out IN-list
+    // falls through both paths and must keep its conjuncts)
+    val vexpr =
+      if (partitionValuesOf(spark, path, renames, logicalSchema,
+          expr).isDefined ||
+        partitionKeyPredOf(spark, path, renames, logicalSchema,
+          expr).isDefined)
+        stripPartConjuncts(expr,
+          consumedPartComps(spark, path, renames, logicalSchema, expr))
+      else expr
     val statsCols = statsColsOf(spark, path)
     val plan = planDml(spark, path, entries, vexpr, logicalToPhysical,
       statsCols, physSchema, metadataDrop = false)
@@ -404,9 +420,17 @@ private[graft] object SnapshotDml {
     val entries = touchedEntries(spark, path, head, renames, logicalSchema,
       expr)
     // the restricted resolution consumed the partition conjuncts — the
-    // verdict treats them as TRUE ("delete day X" drops as metadata)
-    val vexpr = stripPartConjuncts(expr,
-      consumedPartComps(spark, path, renames, logicalSchema, expr))
+    // verdict treats them as TRUE ("delete day X" drops as metadata);
+    // only when a restriction actually APPLIED (a blown-out IN-list
+    // falls through both paths and must keep its conjuncts)
+    val vexpr =
+      if (partitionValuesOf(spark, path, renames, logicalSchema,
+          expr).isDefined ||
+        partitionKeyPredOf(spark, path, renames, logicalSchema,
+          expr).isDefined)
+        stripPartConjuncts(expr,
+          consumedPartComps(spark, path, renames, logicalSchema, expr))
+      else expr
     val statsCols = statsColsOf(spark, path)
     // no file-grain split: positions are finer than files, so probing
     // footers to shrink the slice buys nothing the sidecar doesn't
@@ -474,9 +498,17 @@ private[graft] object SnapshotDml {
     val entries = touchedEntries(spark, path, head, renames, logicalSchema,
       expr)
     // the restricted resolution consumed the partition conjuncts — the
-    // verdict treats them as TRUE ("delete day X" drops as metadata)
-    val vexpr = stripPartConjuncts(expr,
-      consumedPartComps(spark, path, renames, logicalSchema, expr))
+    // verdict treats them as TRUE ("delete day X" drops as metadata);
+    // only when a restriction actually APPLIED (a blown-out IN-list
+    // falls through both paths and must keep its conjuncts)
+    val vexpr =
+      if (partitionValuesOf(spark, path, renames, logicalSchema,
+          expr).isDefined ||
+        partitionKeyPredOf(spark, path, renames, logicalSchema,
+          expr).isDefined)
+        stripPartConjuncts(expr,
+          consumedPartComps(spark, path, renames, logicalSchema, expr))
+      else expr
     val statsCols = statsColsOf(spark, path)
     val plan = planDml(spark, path, entries, vexpr, logicalToPhysical,
       statsCols, physSchema, metadataDrop = false, fileGrain = false)

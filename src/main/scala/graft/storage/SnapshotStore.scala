@@ -1004,20 +1004,27 @@ object SnapshotStore {
       logicalSchema: org.apache.spark.sql.types.StructType,
       expr: org.apache.spark.sql.catalyst.expressions.Expression)
       : Option[Set[String]] = {
-    val specs = allPartSpecs(spark, path)
-    if (specs.isEmpty) return None
-    // multi-spec store: keys span eras — the per-era filter
-    // ([[partitionKeyPredOf]]) covers restriction instead
-    if (specs.distinct.size > 1) return None
-    val comps = splitPartCols(specs.last).map(pc => renames.getOrElse(pc, pc))
-    val compSets = comps.map(constrainedSet(logicalSchema, expr, _))
-    if (compSets.exists(_.isEmpty)) return None
-    val sets = compSets.map(_.get)
-    if (sets.map(_.size.toLong).product > 1024L) return None
-    val product = sets.foldLeft(Seq(Seq.empty[String])) { (acc, s) =>
-      acc.flatMap(prefix => s.toSeq.map(prefix :+ _))
+    val specs0 = allPartSpecs(spark, path)
+    if (specs0.isEmpty) return None
+    // EVERY distinct era must be fully constrained — the restriction is
+    // then the UNION of each era's exact keys (an evolved store's
+    // full-tuple probe stays an O(buckets) bucket lookup; any era left
+    // unconstrained falls through to the per-era key filter)
+    val keys = Set.newBuilder[String]
+    var budget = 1024L
+    specs0.distinct.foreach { spec =>
+      val comps = splitPartCols(spec).map(pc => renames.getOrElse(pc, pc))
+      val compSets = comps.map(constrainedSet(logicalSchema, expr, _))
+      if (compSets.exists(_.isEmpty)) return None
+      val sets = compSets.map(_.get)
+      budget -= sets.map(_.size.toLong).product
+      if (budget < 0L) return None
+      val product = sets.foldLeft(Seq(Seq.empty[String])) { (acc, s) =>
+        acc.flatMap(prefix => s.toSeq.map(prefix :+ _))
+      }
+      keys ++= product.map(compositeKeyOf)
     }
-    Some(product.map(compositeKeyOf).toSet)
+    Some(keys.result())
   }
 
   /** A manifest-KEY filter from a PARTIAL constraint on a composite
@@ -1075,15 +1082,15 @@ object SnapshotStore {
       logicalSchema: org.apache.spark.sql.types.StructType,
       expr: org.apache.spark.sql.catalyst.expressions.Expression)
       : Set[String] = {
-    val specs = allPartSpecs(spark, path)
-    // multi-spec: an old era may not ENFORCE a component the current
-    // spec constrains (its keys never carried it) — consuming the
-    // conjunct would mis-verdict old-era fields. Conservative: none.
-    if (specs.distinct.size != 1) return Set.empty
-    splitPartCols(specs.last)
-      .map(c => renames.getOrElse(c, c))
-      .filter(c => constrainedSet(logicalSchema, expr, c).isDefined)
-      .toSet
+    val specs = allPartSpecs(spark, path).distinct
+    if (specs.isEmpty) return Set.empty
+    // multi-spec: only a component EVERY era carries was enforced by
+    // every era's restriction — an era whose keys never carried it
+    // could not exclude violating partitions, so consuming its conjunct
+    // would mis-verdict that era's fields
+    val common = specs.map(sp => splitPartCols(sp)
+      .map(c => renames.getOrElse(c, c)).toSet).reduce(_ intersect _)
+    common.filter(c => constrainedSet(logicalSchema, expr, c).isDefined)
   }
 
   /** `expr` with the consumed partition-component conjuncts replaced by
@@ -1249,9 +1256,17 @@ object SnapshotStore {
       expr)
     // the restriction already enforced the partition conjuncts — the
     // verdict treats them as TRUE, so "count rows of partition X" is a
-    // pure metadata read even with no stats on the partition column
-    val vexpr = stripPartConjuncts(expr,
-      consumedPartComps(spark, path, renames, logicalSchema, expr))
+    // pure metadata read even with no stats on the partition column.
+    // Only when a restriction actually APPLIED (a blown-out IN-list
+    // falls through both paths and must keep its conjuncts)
+    val vexpr =
+      if (partitionValuesOf(spark, path, renames, logicalSchema,
+          expr).isDefined ||
+        partitionKeyPredOf(spark, path, renames, logicalSchema,
+          expr).isDefined)
+        stripPartConjuncts(expr,
+          consumedPartComps(spark, path, renames, logicalSchema, expr))
+      else expr
     val (meta, res0) = countOverFields(fields, vexpr, logicalToPhysical)
     // needle pass on the residual: a gen whose bloom filter proves an
     // equality probe absent holds zero matching rows — it counts as

@@ -138,6 +138,24 @@ class SnapshotCompositeSpec extends SparkSpec {
       Seq(SnapshotStore.partitionKeyOf(Seq("100%", "a b")))).count() == 1)
   }
 
+  test("conjunct consumption only applies when a restriction APPLIED: a " +
+    "blown-out IN-list (enumeration cap exceeded, no key restriction) " +
+    "keeps its partition conjunct — counts and deletes stay exact") {
+    val dir = newDir("cap")
+    SnapshotStore.write(
+      (0 until 20).map(i => (i.toLong, s"p${i % 2}", i * 1.0))
+        .toDF("k", "p", "v"), dir, "p")
+    val vals = ((0 until 1025).map(i => s"px$i") :+ "p0").map(lit(_))
+    val (cnt, _) = SnapshotStore.countWhereDetailed(spark, dir,
+      col("p").isin(vals: _*))
+    assert(cnt == 10, s"the un-restricted verdict must keep the " +
+      s"conjunct, got $cnt")
+    SnapshotStore.deleteWhere(spark, dir, col("p").isin(vals: _*))
+    assert(SnapshotStore.read(spark, dir).count() == 10)
+    assert(SnapshotStore.read(spark, dir)
+      .filter(col("p") === "p0").count() == 0)
+  }
+
   test("guards: dropping a component refuses; a second writer with a " +
     "different spec refuses; a component absent from the batch refuses") {
     val dir = newDir("guard"); grid(dir)

@@ -52,6 +52,12 @@ class SnapshotEvolvePartitionSpec extends SparkSpec {
       .count() == 4)
     // time travel: the pre-evolution version is era 1 alone
     assert(SnapshotStore.read(spark, dir, Some(1)).count() == 12)
+    // conjunct consumption on the COMMON component: "count rows of day
+    // d2" serves from pure metadata across BOTH eras (d is a component
+    // of every recorded spec, so every era's restriction enforced it)
+    val (cnt, scanned) = SnapshotStore.countWhereDetailed(spark, dir,
+      col("d") === "d2")
+    assert(cnt == 10 && scanned == 0, s"got ($cnt, $scanned)")
   }
 
   test("merge after evolution finds the OLD-era image: upserting a key " +
