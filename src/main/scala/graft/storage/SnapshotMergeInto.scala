@@ -255,7 +255,6 @@ object SnapshotMergeInto {
       }
       (touched.result(), kept.result())
     }
-    val insertOnlyParts = srcPartSet -- entries.keySet
 
     // ---- the one-pass action plan --------------------------------------
     // the MoR path reads TAGGED (each target row carries its sidecar

@@ -188,7 +188,9 @@ private[storage] object SnapshotRetention {
           n.endsWith(".tmp")) ||
         n.startsWith("._tag.tmp-") || n.startsWith("._statscols.tmp-") ||
         n.startsWith("._bloomcols.tmp-") || n.startsWith("._sortcols.tmp-") ||
-        n.startsWith("._partcol.tmp-") || n.startsWith("._staged.tmp-")
+        n.startsWith("._partcol.tmp-") || n.startsWith("._staged.tmp-") ||
+        // a crashed partition-spec evolution (`._partcol-<k>.tmp-...`)
+        (n.startsWith("._partcol-") && n.contains(".tmp-"))
       if (isStaging && now - st.getModificationTime >= minAgeMs)
         fs.delete(st.getPath, false)
     }

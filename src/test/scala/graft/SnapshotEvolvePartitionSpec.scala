@@ -142,5 +142,14 @@ class SnapshotEvolvePartitionSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       SnapshotStore.requirePartCol(spark, dir, "p"))
     assert(e3.getMessage.contains("partition"), e3.getMessage)
+    // a crashed evolution's staging tmp ages out under the sweep; the
+    // published spec files survive it
+    val orphan = new java.io.File(dir, "._partcol-3.tmp-deadbeef")
+    java.nio.file.Files.write(orphan.toPath, "x".getBytes("UTF-8"))
+    orphan.setLastModified(System.currentTimeMillis() - 3600000L)
+    SnapshotStore.expire(spark, dir, keep = 10, minAgeMs = 60000L)
+    assert(!orphan.exists(), "crashed-evolution staging must be swept")
+    assert(SnapshotStore.allPartSpecs(spark, dir) == Seq("p", "p,t"),
+      "published spec files must survive the sweep")
   }
 }
