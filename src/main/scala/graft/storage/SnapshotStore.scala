@@ -3528,7 +3528,13 @@ object SnapshotStore {
     // drop with the replaced field — compaction is the MoR debt collector
     val df = readFields(spark, path, head,
       chosen.values.flatten.toSeq.sorted)
-    val newEntries = writeGen(df, path, physicalPartCol(partCol, renames),
+    // MAINTENANCE writes partition by the store's RECORDED current spec,
+    // not the caller's argument — a stale caller spec on an evolved
+    // store would re-write old-era keys forever instead of migrating
+    // (the argument stays the legacy fallback for pre-record stores)
+    val newEntries = writeGen(df, path,
+      partColOf(spark, path)
+        .getOrElse(physicalPartCol(partCol, renames)),
       statsCols = statsColsOf(spark, path),
       sortBy = sortBy.map(physicalCol(_, renames)))
     // compaction rewrites under the CURRENT spec — on an evolved store

@@ -135,6 +135,15 @@ class SnapshotSoakSpec extends SparkSpec {
         val r = new scala.util.Random(seed + w)
         try {
           (0 until opsPer).foreach { i =>
+            // deterministic mid-schedule evolution (dml mix, writer 0):
+            // the store's spec changes WHILE every other writer is mid-op
+            if (dmlMix && w == 0 && i == opsPer / 2)
+              try SnapshotStore.evolvePartitionSpec(spark, dir, "p,k")
+              catch {
+                case e: IllegalArgumentException
+                  if e.getMessage.contains("must change") => ()
+                case _: java.util.ConcurrentModificationException => ()
+              }
             r.nextInt(nOps) match {
               case 0 => // idempotency-keyed append of a globally-unique key;
                 // every second append carries a writer-private EXTRA column,
@@ -323,6 +332,12 @@ class SnapshotSoakSpec extends SparkSpec {
     // unreferenced survivors) and the head content intact
     quiescentSweep(dir)
     assert(headMap(dir) == expected, "final sweep changed head content")
+    // the dml mix's mid-schedule evolution must have landed (exactly
+    // once) and survived every later op and the sweep
+    if (dmlMix)
+      assert(SnapshotStore.allPartSpecs(spark, dir) == Seq("p", "p,k"),
+        s"evolution record after the soak: " +
+          s"${SnapshotStore.allPartSpecs(spark, dir)}")
   }
 
   test("seeded 3-writer soak of append/merge/compact/expire: head content " +
