@@ -16,7 +16,7 @@ package graft
   *
   * Args select sections
   * (`segments lm vidx bucketed spool spoolmulti incr boiler zorder ndstore
-  * merge profile snapshot changes manifest skip dml branch`); no args
+  * merge profile snapshot changes manifest skip dml branch evolve`); no args
   * runs everything. Corpus dirs build lazily, so a single-section run
   * only pays for the corpora that section reads.
   */
@@ -1551,6 +1551,68 @@ object ScaleProbe100 {
       bankRatio("partial_x10", 100000, 1000000, "100k_to_1M",
         "partial composite constraint: linear key filter, no stats, " +
           "no dir open")
+    }
+
+    // 13c. PARTITION-SPEC EVOLUTION at scale (r17): a 10-day daily store
+    // evolves to (day, tenant) and appends 3 more days — the rungs bank
+    // that an EVOLVED store's probes cost what a born-composite twin's
+    // cost (multi-era exact keys; partition-conjunct metadata count
+    // across eras), and that ONE compaction pass migrates the old era.
+    if (on("evolve")) {
+      walls("sentinel_evolve") = cleanSentinel("evolve")
+      import graft.storage.SnapshotStore
+      def rows(d0: Int, d1: Int) = spark.range(150000L * (d1 - d0))
+        .select((col("id") + 1000000L * d0).as("k"),
+          concat(lit("d"), lit(d0) + (col("id") % (d1 - d0))).as("d"),
+          concat(lit("t"), col("id") % 4).as("t"),
+          (col("id") % 97).cast("double").as("v"))
+      // the evolved store: 10 daily-era days, then 3 composite-era days
+      val evo = java.nio.file.Files
+        .createTempDirectory("graft_scale100_evo").toString + "/st"
+      SnapshotStore.write(rows(0, 10), evo, "d", statsCols = Seq("k"))
+      SnapshotStore.evolvePartitionSpec(spark, evo, "d,t")
+      SnapshotStore.append(rows(10, 13), evo, "d,t")
+      // the born-composite twin holds the same 13 days
+      val twin = java.nio.file.Files
+        .createTempDirectory("graft_scale100_evt").toString + "/st"
+      SnapshotStore.write(rows(0, 13), twin, "d,t",
+        statsCols = Seq("k"))
+      def probe(dir: String, tag: String): Unit =
+        timeMin2(tag) {
+          val got = SnapshotStore.readWhere(spark, dir,
+            col("d") === "d5" && col("t") === "t1")
+            .agg(sum(col("v"))).collect()
+          require(got.head.getDouble(0) > 0, "probe read nothing")
+        }
+      probe(evo, "evolve_probe_100x")
+      probe(twin, "evolve_probe_twin_100x")
+      for (a <- walls.get("evolve_probe_100x");
+           b <- walls.get("evolve_probe_twin_100x")) {
+        ratios("evolve_probe_parity_100x") = a / b
+        println(f"PROBE evolve_probe_parity_100x ${a / b}%.2fx " +
+          "(full-tuple probe on the EVOLVED store vs its born-composite " +
+          "twin — the multi-era exact-key path keeps parity)")
+      }
+      // partition-conjunct count stays metadata across eras
+      val (cnt, scanned) = SnapshotStore.countWhereDetailed(spark, evo,
+        col("d") === "d5")
+      require(cnt == 150000L && scanned == 0,
+        s"evolved metadata count must span eras, got ($cnt, $scanned)")
+      println(s"PROBE evolve_count_meta_100x $cnt rows, $scanned dirs " +
+        "scanned (partition-conjunct count across eras is pure metadata)")
+      // ONE compaction pass migrates the 10 old-era days; the probe
+      // stays at parity afterwards
+      time("evolve_migrate_100x") {
+        val n = SnapshotStore.compactPartitions(spark, evo, "d,t")
+        require(n >= 10, s"migration must choose the old-era days: $n")
+      }
+      probe(evo, "evolve_probe_post_100x")
+      for (a <- walls.get("evolve_probe_post_100x");
+           b <- walls.get("evolve_probe_twin_100x")) {
+        ratios("evolve_post_parity_100x") = a / b
+        println(f"PROBE evolve_post_parity_100x ${a / b}%.2fx " +
+          "(post-migration probe vs the born-composite twin)")
+      }
     }
 
     // 13b. BRANCH (WAP) cost at a 100k-partition manifest: staged files
