@@ -29,7 +29,7 @@ object SnapshotSql {
       "immutable named ref), 'branch:<name>' (a WAP staging branch's " +
       "tip - the audit surface), 'asof:<epoch-millis|ISO-8601>' " +
       "(timestamp time travel), 'tags' (the tag catalog), 'branches' " +
-      "(the branch catalog), or 'history' (the version catalog: " +
+      "(the branch catalog), 'partitions' (the partition catalog: key, components, field/file/DV counts, live rows), or 'history' (the version catalog: " +
       "version, n_partitions, n_rows); string-literal arguments", "", "")
 
   def builder(args: Seq[Expression]): LogicalPlan = {
@@ -72,6 +72,16 @@ object SnapshotSql {
         import spark.implicits._
         graft.storage.SnapshotStore.constraints(spark, path).toSeq.sorted
           .toDF("constraint", "predicate").queryExecution.analyzed
+      case "partitions" =>
+        // the partition catalog (SHOW PARTITIONS): key, decoded
+        // components, field/file counts, DV'd positions, exact live
+        // rows where blobs carry counts (NULL otherwise). One manifest
+        // resolve, no file I/O.
+        val spark = SparkSession.active
+        import spark.implicits._
+        graft.storage.SnapshotStore.partitionInfos(spark, path)
+          .toDF("partition", "components", "n_fields", "n_files",
+            "dv_rows", "rows").queryExecution.analyzed
       case b if b.startsWith("branch:") =>
         // the WAP audit surface: read the branch tip from pure SQL
         graft.storage.SnapshotStore.readBranch(SparkSession.active, path,

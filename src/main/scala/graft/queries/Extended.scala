@@ -1685,6 +1685,42 @@ object Extended extends QueryModule {
           col("o_orderstatus"))
     }),
 
+    // The PARTITION CATALOG (r17 — "SHOW PARTITIONS", completing the
+    // history/tags/branches/constraints catalog family): one row per
+    // live partition — raw key, decoded components, field/file counts,
+    // deletion-vector'd positions, and the exact LIVE row count wherever
+    // every field's blob carries counts. One manifest resolve, no file
+    // I/O (require-pinned: every row count is metadata-served even
+    // through a MoR delete, whose position shows up in dv_rows).
+    "q_snapshot_partitions" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft_ptq")
+        .toString + "/orders_pt"
+      val k = col("o_orderkey")
+      val mx = orders.agg(max(k)).head().getLong(0)
+      graft.storage.SnapshotStore.write(
+        orders.select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice")),
+        dir, "o_orderpriority", statsCols = Seq("o_orderkey"))
+      graft.storage.SnapshotStore.deleteWhereMor(s, dir, k === mx)
+      val infos = graft.storage.SnapshotStore.partitionInfos(s, dir)
+      require(infos.size == 5,
+        s"q_snapshot_partitions: five priorities, got ${infos.size}")
+      require(infos.map(_._5).sum == 1L,
+        "q_snapshot_partitions: the MoR needle must surface as ONE " +
+          s"dv position, got ${infos.map(_._5)}")
+      require(infos.forall(_._6.isDefined),
+        "q_snapshot_partitions: every row count must serve from " +
+          "metadata (stats declared)")
+      require(infos.forall(i => i._2 == Seq(i._1)),
+        "q_snapshot_partitions: 1-col keys decode to themselves")
+      // the catalog agrees with the actual read, per partition
+      import s.implicits._
+      infos.map(i => (i._1, i._6.get))
+        .toDF("o_orderpriority", "n_rows")
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // PARTITION-SPEC EVOLUTION (r17 — Iceberg partition evolution,
     // re-derived): the store starts daily-style (one column), evolves to
     // a composite (priority, status) spec, and keeps working — old gens
@@ -2239,6 +2275,12 @@ object Extended extends QueryModule {
         |UNION ALL
         |SELECT n_orders, sum_cents, min_key, max_key, 2 AS slice FROM box
         |ORDER BY slice""".stripMargin,
+
+    "q_snapshot_partitions" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_rows
+        |FROM orders, mx WHERE o_orderkey <> m
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_snapshot_repartition" ->
       """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),

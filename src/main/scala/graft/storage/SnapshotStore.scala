@@ -3063,6 +3063,47 @@ object SnapshotStore {
     */
   def partitionKeyOf(values: Seq[String]): String = compositeKeyOf(values)
 
+  /** Inverts one component of the key encoding (%01 first, then %25 —
+    * safe because '%' only occurs inside escape pairs and "%25" is
+    * always followed by its own digits, never forming "%01").
+    */
+  private def decPartComponent(s: String): String =
+    if (s == "%00") null
+    else s.replace("%01", PartSep).replace("%25", "%")
+
+  /** The PARTITION catalog ("SHOW PARTITIONS", the history/tags/
+    * branches/constraints family's missing member): one row per live
+    * partition of the head — its raw KEY, the decoded component values
+    * (singleton for 1-col keys; a key whose shape predates the current
+    * spec simply decodes under its own era's shape), the manifest field
+    * count, how many of them are FILE-grain, the deletion-vector'd
+    * position count, and the exact LIVE row count wherever every field's
+    * blob carries counts (None otherwise — declare stats or backfill to
+    * make it exact). ONE manifest resolve, no file I/O.
+    */
+  def partitionInfos(spark: SparkSession, path: String,
+      version: Option[Int] = None)
+      : Seq[(String, Seq[String], Int, Int, Long, Option[Long])] = {
+    val v = version.orElse(headVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
+    readManifest(spark, path, v).toSeq.sortBy(_._1).map {
+      case (p, fields) =>
+        val comps =
+          if (p.contains(PartSep))
+            p.split(PartSep, -1).toSeq.map(decPartComponent)
+          else Seq(p)
+        val dv = fields.flatMap(f => dvOf(f)).map(_.deleted).sum
+        val nFiles = fields.count(f => dirOf(f).endsWith(".parquet"))
+        val rows = fields.foldLeft(Option(0L)) { (acc, f) =>
+          for (a <- acc;
+               st <- statsOf(f).map(parseStats);
+               r <- st.values.flatMap(_.rows).headOption)
+            yield a + r
+        }.map(_ - dv)
+        (p, comps, fields.size, nFiles, dv, rows)
+    }
+  }
+
   /** Partition-spec validation at the create boundary: every component
     * exists in the batch schema, none repeats, and no component name
     * carries a comma (the spec's own separator) or a control character

@@ -138,6 +138,28 @@ class SnapshotCompositeSpec extends SparkSpec {
       Seq(SnapshotStore.partitionKeyOf(Seq("100%", "a b")))).count() == 1)
   }
 
+  test("the partition catalog decodes composite keys: components " +
+    "round-trip escaping and NULLs, counts serve from metadata, and " +
+    "the SQL selector exposes it") {
+    val dir = newDir("cat")
+    SnapshotStore.write(Seq(
+      ("r1", "100%", "a b", 1L), ("r2", null, "x", 2L),
+      ("r3", "d1", "t1", 3L), ("r4", "d1", "t1", 4L))
+      .toDF("id", "d", "t", "v"), dir, "d,t", statsCols = Seq("v"))
+    val infos = SnapshotStore.partitionInfos(spark, dir)
+    assert(infos.size == 3, s"got $infos")
+    val byComps = infos.map(i => i._2 -> i._6).toMap
+    assert(byComps(Seq("100%", "a b")) == Some(1L), s"got $byComps")
+    assert(byComps(Seq(null, "x")) == Some(1L), s"got $byComps")
+    assert(byComps(Seq("d1", "t1")) == Some(2L), s"got $byComps")
+    graft.plans.AsOf.register(spark)
+    val sqlRows = spark.sql(
+      s"SELECT components, rows FROM graft_snapshot('$dir', 'partitions')")
+      .collect()
+    assert(sqlRows.length == 3)
+    assert(sqlRows.map(_.getLong(1)).sum == 4L)
+  }
+
   test("conjunct consumption only applies when a restriction APPLIED: a " +
     "blown-out IN-list (enumeration cap exceeded, no key restriction) " +
     "keeps its partition conjunct — counts and deletes stay exact") {
