@@ -563,8 +563,8 @@ object SnapshotStore {
     }.mkString(";")
   }
 
-  /** [[genStats]] for MANY gens in ONE Spark job — the backfill scale
-    * path (O(gens) driver-looped aggregates would take hours at a
+  /** [[genStats]] for MANY gens in ≤|eras| Spark jobs — the backfill
+    * scale path (O(gens) driver-looped aggregates would take hours at a
     * 10k-gen store): the head's LEAF partition dirs are read as one
     * union under the head's PHYSICAL schema (leaf dirs hold only files,
     * so no partition-discovery conflict across gen roots — the same
@@ -587,22 +587,59 @@ object SnapshotStore {
       physSchema: org.apache.spark.sql.types.StructType)
       : Map[String, Map[String, String]] = {
     if (statsCols.isEmpty || leafDirs.isEmpty) return Map.empty
-    val gens = leafDirs.map(_.split("/").lift(1).getOrElse(""))
-      .filter(_.nonEmpty).distinct.sorted
-    def perGen = gens.map(g =>
+    val byGen: Map[String, Seq[String]] = leafDirs
+      .groupBy(_.split("/").lift(1).getOrElse("")) - ""
+    def perGen(gs: Iterable[String]) = gs.toSeq.sorted.map(g =>
       g -> genStats(spark, path, g, statsCols)).toMap
-    if (gens.size == 1) return perGen
-    val pc = partColOf(spark, path).getOrElse(return perGen)
-    // an evolved store's gens span key ERAS — one key expression cannot
-    // attribute them; the per-gen codec derives each gen's keys from
-    // its own on-disk dirs, era-exact
-    if (allPartSpecs(spark, path).distinct.size > 1) return perGen
+    val gens = byGen.keys.toSeq.sorted
+    if (gens.size == 1) return perGen(gens)
+    val specs = allPartSpecs(spark, path).distinct
+    if (specs.isEmpty) return perGen(gens)
     import org.apache.spark.sql.types.StructType
     val pinned = StructType(physSchema.fields.filterNot(_.name == "_p"))
-    val pcs = splitPartCols(pc)
-    if (!pcs.forall(pinned.fieldNames.contains)) return perGen
+    // ERA attribution by key ARITY (r18): a gen is written entirely
+    // under ONE spec, and the key grammar makes arity name that spec —
+    // single-column keys RESERVE the separator ([[partKeyExprCols]]),
+    // n-col keys carry exactly n %-encoded parts — so whenever exactly
+    // one recorded era has a gen's arity, the attribution is PROVABLY
+    // that era, and the store runs ONE batched aggregate per era
+    // (≤|eras| jobs — eras are few by construction) instead of the
+    // per-gen driver loop the r17 multi-spec bail degraded to. Gens
+    // whose arity two eras share (two same-arity evolutions — no shape
+    // can tell them apart) take the per-gen codec, era-exact.
+    val specByArity: Map[Int, Seq[String]] = specs
+      .map(splitPartCols).groupBy(_.size)
+      .collect { case (n, Seq(one))
+        if one.forall(pinned.fieldNames.contains) => n -> one }
+    def arityOf(dir: String): Option[Int] = {
+      val name = dir.split("/").lift(2).getOrElse("")
+      if (!name.startsWith("_p=")) None
+      else Some(Esc.unescapePathName(name.stripPrefix("_p="))
+        .split(PartSep, -1).length)
+    }
+    val (attributed, odd) = byGen.partition { case (_, dirs) =>
+      val ar = dirs.flatMap(arityOf).distinct
+      ar.size == 1 && specByArity.contains(ar.head)
+    }
+    val byEra = attributed.groupBy { case (_, dirs) =>
+      specByArity(dirs.flatMap(arityOf).distinct.head) }
+    val batched = byEra.toSeq.map { case (pcs, eraGens) =>
+      genStatsBatchJob(spark, path, eraGens.values.flatten.toSeq.sorted,
+        statsCols, pinned, pcs)
+    }.foldLeft(Map.empty[String, Map[String, String]])(_ ++ _)
+    batched ++ perGen(odd.keys)
+  }
+
+  /** One batched (gen, partition)-grouped stats aggregate over `dirs`,
+    * all of which hold keys of ONE era's spec `pcs` — the per-era job
+    * [[genStatsBatch]] fans out to.
+    */
+  private def genStatsBatchJob(spark: SparkSession, path: String,
+      dirs: Seq[String], statsCols: Seq[String],
+      pinned: org.apache.spark.sql.types.StructType, pcs: Seq[String])
+      : Map[String, Map[String, String]] = {
     val df = spark.read.schema(pinned)
-      .parquet(leafDirs.map(d => s"$path/$d"): _*)
+      .parquet(dirs.map(d => s"$path/$d"): _*)
       .withColumn("_gen", regexp_extract(input_file_name(),
         "/data/(gen-[0-9a-f]+)/", 1))
       .withColumn("_pdir", partKeyExpr(pcs))
@@ -1016,7 +1053,15 @@ object SnapshotStore {
       val comps = splitPartCols(spec).map(pc => renames.getOrElse(pc, pc))
       val compSets = comps.map(constrainedSet(logicalSchema, expr, _))
       if (compSets.exists(_.isEmpty)) return None
-      val sets = compSets.map(_.get)
+      // single-column keys RESERVE the separator ([[partKeyExprCols]]):
+      // a constrained value carrying U+0001 can never be a 1-col era's
+      // key, so it enumerates no key there (and can never alias an
+      // n-col era's composite key into this era's consumption)
+      val sets = compSets.map(_.get) match {
+        case Seq(one) if comps.size == 1 =>
+          Seq(one.filter(!_.contains(PartSep)))
+        case other => other
+      }
       budget -= sets.map(_.size.toLong).product
       if (budget < 0L) return None
       val product = sets.foldLeft(Seq(Seq.empty[String])) { (acc, s) =>
@@ -1060,7 +1105,15 @@ object SnapshotStore {
     if (eras.forall(_.constrained.isEmpty)) return None
     Some { key =>
       val parts = key.split(PartSep, -1)
-      def candidate(e: Era) = e.n == 1 || parts.length == e.n
+      // shape attribution is INJECTIVE: single-column keys reserve the
+      // separator ([[partKeyExprCols]] refuses U+0001 at write time), so
+      // a 1-col era is a candidate only for separator-free keys and an
+      // n-col era only for exactly-n-part keys — no key has two
+      // candidate eras with different component readings, which is what
+      // makes [[consumedPartComps]]'s conjunct consumption sound on
+      // evolved stores
+      def candidate(e: Era) =
+        if (e.n == 1) parts.length == 1 else parts.length == e.n
       eras.exists(e => candidate(e) && e.constrained.forall {
         case (i, set) =>
           if (e.n == 1) set.contains(key) else set.contains(parts(i))
@@ -1084,13 +1137,35 @@ object SnapshotStore {
       : Set[String] = {
     val specs = allPartSpecs(spark, path).distinct
     if (specs.isEmpty) return Set.empty
+    val sizes = specs.map(sp => splitPartCols(sp).size).toSet
     // multi-spec: only a component EVERY era carries was enforced by
     // every era's restriction — an era whose keys never carried it
     // could not exclude violating partitions, so consuming its conjunct
-    // would mis-verdict that era's fields
+    // would mis-verdict that era's fields. Cross-era key ATTRIBUTION is
+    // injective because single-column keys reserve the component
+    // separator ([[partKeyExprCols]] refuses U+0001 at write time): a
+    // key containing the separator can only be a multi-col era's, a
+    // separator-free key only a 1-col era's or an n-col era's whose
+    // single part it is — and [[partitionKeyPredOf]]'s candidate rule
+    // enforces exactly that shape discipline.
     val common = specs.map(sp => splitPartCols(sp)
       .map(c => renames.getOrElse(c, c)).toSet).reduce(_ intersect _)
-    common.filter(c => constrainedSet(logicalSchema, expr, c).isDefined)
+    common.filter { c =>
+      constrainedSet(logicalSchema, expr, c) match {
+        case None => false
+        // a 1-col era keys a NULL value by Spark's Hive sentinel dir
+        // name — which COLLIDES with rows whose value is LITERALLY that
+        // string. Resolution under the sentinel is over-inclusive (fine
+        // for reads, the predicate re-applies) but consuming the
+        // conjunct would verdict the partition's NULL rows as equal to
+        // the sentinel — so any set carrying it keeps its conjunct.
+        // (Composite components %-encode NULL as %00 — no collision.)
+        case Some(vals) =>
+          !sizes.contains(1) || !vals.contains(
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .DEFAULT_PARTITION_NAME)
+      }
+    }
   }
 
   /** `expr` with the consumed partition-component conjuncts replaced by
@@ -2868,15 +2943,14 @@ object SnapshotStore {
   // [[partColOf]] returns the NEWEST. Old gens keep their era's keys;
   // new writes partition under the current spec; READERS are untouched
   // (fields are spec-agnostic); pruning and merge residency resolve
-  // PER ERA (conservatively — a key is attributed to every era whose
-  // shape could have produced it); and rewrites (DML copy-on-write,
-  // compaction, merge) migrate the rows they touch to the current spec
-  // — [[compactPartitions]] is the explicit full-migration verb. The
-  // exact-key fast path, verdict-side conjunct consumption, and the
-  // batched stats job are DISABLED on multi-spec stores (each needs a
-  // single key domain); they return the moment compaction collapses the
-  // store back to one era's keys — the spec list itself is permanent,
-  // which is the honest record.
+  // PER ERA (key arity names the era — single-column keys reserve the
+  // U+0001 separator, so attribution is injective); and rewrites (DML
+  // copy-on-write, compaction, merge) migrate the rows they touch to
+  // the current spec — [[compactPartitions]] is the explicit
+  // full-migration verb. The exact-key fast path, verdict-side conjunct
+  // consumption, and the batched stats job (r18: era-grouped, ≤|eras|
+  // jobs) all work ACROSS eras on the injective-attribution argument;
+  // the spec list itself is permanent, which is the honest record.
 
   /** Every partition spec ever declared, oldest first (comma-joined
     * PHYSICAL names). Empty for stores predating the `_partcol` record.
@@ -2924,11 +2998,19 @@ object SnapshotStore {
     val out = fs.create(tmp, false)
     try out.write(Esc.escapePathName(phys).getBytes("UTF-8"))
     finally out.close()
-    try publishFile(spark, path, tmp,
-      new org.apache.hadoop.fs.Path(path, s"_partcol-$k"))
+    val dst = new org.apache.hadoop.fs.Path(path, s"_partcol-$k")
+    try publishFile(spark, path, tmp, dst)
     catch {
-      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
-                _: java.io.IOException) =>
+      // only the publish COLLISION is the evolution race (the target
+      // exists because a concurrent evolver won) — a genuine I/O failure
+      // (disk full, permissions) propagates loud instead of masquerading
+      // as retryable
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"lost the partition-spec evolution race at $path (spec $k " +
+            "was published concurrently) — re-inspect and retry", e)
+      case e: java.io.IOException if fs.exists(dst) =>
         fs.delete(tmp, false)
         throw new java.util.ConcurrentModificationException(
           s"lost the partition-spec evolution race at $path (spec $k " +
@@ -2967,9 +3049,9 @@ object SnapshotStore {
     * components the batch carries enumerate exact keys; an era the batch
     * cannot key (a component the batch lacks) falls back to every
     * shape-candidate key from `allKeys` (a 1-col era is a candidate for
-    * ANY key — raw values may contain the separator; an n-col era only
-    * for keys with exactly n components). Single-spec stores never
-    * consult `allKeys`.
+    * separator-free keys only — single-column keys RESERVE U+0001,
+    * [[partKeyExprCols]]; an n-col era only for keys with exactly n
+    * components). Single-spec stores never consult `allKeys`.
     */
   private[storage] def residencyKeys(spark: SparkSession, path: String,
       batch: DataFrame, currentSpecLogical: Seq[String],
@@ -2990,8 +3072,13 @@ object SnapshotStore {
     else {
       val anyOneCol = blind.exists(_.size == 1)
       val sizes = blind.map(_.size).toSet
-      (keys ++ allKeys.filter(k => anyOneCol ||
-        sizes.contains(k.split(PartSep, -1).length))).distinct
+      // shape attribution: a 1-col era's keys never carry the separator
+      // (reserved at write time — [[partKeyExprCols]]), an n-col era's
+      // keys have exactly n parts
+      (keys ++ allKeys.filter { k =>
+        val n = k.split(PartSep, -1).length
+        (anyOneCol && n == 1) || sizes.contains(n)
+      }).distinct
     }
   }
 
@@ -3021,10 +3108,30 @@ object SnapshotStore {
   /** The composite key EXPRESSION over arbitrary component columns —
     * the exact expression every writer derives `_p` (and every resolver
     * derives residency keys) from.
+    *
+    * SINGLE-column keys stay the RAW cast value — byte-identical to
+    * every store written before composite keys existed — but RESERVE
+    * the U+0001 component separator: a value carrying it is REFUSED at
+    * write time (loud `raise_error`, never silent mangling). The
+    * reservation is what makes key→era attribution INJECTIVE on an
+    * evolved store (a separator-free key is a 1-col era's, an n-part
+    * key the n-col era's), which in turn keeps partial-constraint
+    * pruning, partition-conjunct consumption (metadata counts/drops),
+    * and the partition catalog's component decode sound across eras —
+    * the alternative (escaping 1-col keys like components) would have
+    * broken raw-key addressing everywhere. Composite components were
+    * never at risk: they %-encode the separator.
     */
   private[storage] def partKeyExprCols(comps: Seq[org.apache.spark.sql.Column])
       : org.apache.spark.sql.Column =
-    if (comps.size == 1) comps.head.cast("string")
+    if (comps.size == 1) {
+      val s = comps.head.cast("string")
+      when(s.isNotNull && s.contains(PartSep),
+        org.apache.spark.sql.functions.raise_error(concat(
+          lit("single-column partition key value carries the reserved " +
+            "U+0001 separator: '"), s, lit("'"))).cast("string"))
+        .otherwise(s)
+    }
     else org.apache.spark.sql.functions.concat_ws(PartSep, comps.map { c =>
       val s = c.cast("string")
       when(s.isNull, lit("%00")).otherwise(
@@ -3086,11 +3193,22 @@ object SnapshotStore {
       : Seq[(String, Seq[String], Int, Int, Long, Option[Long])] = {
     val v = version.orElse(headVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
+    // component decode is SPEC-HISTORY gated, never separator-sniffed: a
+    // key splits only when its shape matches a RECORDED multi-column
+    // era — a single-col era's raw key that happens to embed the
+    // separator stays one raw value in an all-single-col store. (In a
+    // store whose history mixes a 1-col era with an n-col era, an n-part
+    // key is attributed to the n-col era — the irreducible ambiguity a
+    // raw value with embedded separators leaves without per-key
+    // provenance; the raw KEY column is always the exact identity.)
+    val multiNs = allPartSpecs(spark, path).distinct
+      .map(splitPartCols(_).size).filter(_ > 1).toSet
     readManifest(spark, path, v).toSeq.sortBy(_._1).map {
       case (p, fields) =>
+        val parts = p.split(PartSep, -1)
         val comps =
-          if (p.contains(PartSep))
-            p.split(PartSep, -1).toSeq.map(decPartComponent)
+          if (parts.length > 1 && multiNs.contains(parts.length))
+            parts.toSeq.map(decPartComponent)
           else Seq(p)
         val dv = fields.flatMap(f => dvOf(f)).map(_.deleted).sum
         val nFiles = fields.count(f => dirOf(f).endsWith(".parquet"))

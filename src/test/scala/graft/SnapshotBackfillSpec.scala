@@ -180,4 +180,67 @@ class SnapshotBackfillSpec extends SparkSpec {
       col("needle") === "NOPE")
     assert(miss.inputFiles.isEmpty)
   }
+
+  test("the era-grouped batch pass on an EVOLVED store is blob-identical " +
+    "to the per-gen codec (one job per era, key arity names the era), " +
+    "and same-arity eras fall back per-gen — never mis-keyed") {
+    val dir = newDir("evo")
+    SnapshotStore.write((0 until 40).map(i =>
+      (i.toLong, s"d${i % 2}", s"t${i % 3}", i * 1.0))
+      .toDF("k", "d", "t", "v"), dir, "d")
+    SnapshotStore.evolvePartitionSpec(spark, dir, "d,t")
+    SnapshotStore.append((1000 until 1040).map(i =>
+      (i.toLong, s"d${i % 2}", s"t${i % 3}", i * 1.0))
+      .toDF("k", "d", "t", "v"), dir, "d,t")
+    SnapshotStore.backfillStats(spark, dir, statsCols = Seq("k", "v"))
+    val head = SnapshotStore.headVersion(spark, dir).get
+    val entries = SnapshotStore.readManifest(spark, dir, head)
+    val genSet = gens(entries.values.flatten.map(f =>
+      s"x/data/${f.split("/")(1)}/y").toArray)
+    assert(genSet.size == 2)
+    val schema = org.apache.spark.sql.types.StructType(
+      SnapshotStore.read(spark, dir).schema.fields)
+    val perGen = genSet.map(g => g ->
+      SnapshotStore.genStats(spark, dir, g, Seq("k", "v"))).toMap
+    val leafDirs = entries.values.flatten.map(f => f.split("\u0002")(0))
+      .toSeq.distinct.sorted
+    val batch = SnapshotStore.genStatsBatch(spark, dir, leafDirs,
+      Seq("k", "v"), schema)
+    assert(batch == perGen,
+      s"era-grouped blobs must equal per-gen:\n$batch\nvs\n$perGen")
+    // the backfilled manifest carries exactly those blobs
+    entries.foreach { case (pk, fields) =>
+      fields.foreach { f =>
+        val gen = f.split("/")(1)
+        val blob = f.split("\u0002").lift(1)
+        assert(blob == perGen(gen).get(pk),
+          s"manifest field for ($pk, $gen) must carry the codec blob")
+      }
+    }
+    // the backfilled stats serve pruning and metadata counts ACROSS eras
+    val (cnt, scanned) = SnapshotStore.countWhereDetailed(spark, dir,
+      col("k") >= 1000L)
+    assert(cnt == 40 && scanned == 0, s"got ($cnt, $scanned)")
+    // SAME-ARITY eras (d then t, both 1-col): no shape can attribute a
+    // gen, so the per-gen codec serves — results identical, never wrong
+    val dir2 = newDir("evoamb")
+    SnapshotStore.write((0 until 20).map(i =>
+      (i.toLong, s"d${i % 2}", s"t${i % 3}", i * 1.0))
+      .toDF("k", "d", "t", "v"), dir2, "d")
+    SnapshotStore.evolvePartitionSpec(spark, dir2, "t")
+    SnapshotStore.append((100 until 120).map(i =>
+      (i.toLong, s"d${i % 2}", s"t${i % 3}", i * 1.0))
+      .toDF("k", "d", "t", "v"), dir2, "t")
+    SnapshotStore.backfillStats(spark, dir2, statsCols = Seq("k"))
+    val head2 = SnapshotStore.headVersion(spark, dir2).get
+    val entries2 = SnapshotStore.readManifest(spark, dir2, head2)
+    val genSet2 = gens(entries2.values.flatten.map(f =>
+      s"x/data/${f.split("/")(1)}/y").toArray)
+    val perGen2 = genSet2.map(g => g ->
+      SnapshotStore.genStats(spark, dir2, g, Seq("k"))).toMap
+    val batch2 = SnapshotStore.genStatsBatch(spark, dir2,
+      entries2.values.flatten.map(f => f.split("\u0002")(0))
+        .toSeq.distinct.sorted, Seq("k"), schema)
+    assert(batch2 == perGen2, "ambiguous arity must take the per-gen codec")
+  }
 }

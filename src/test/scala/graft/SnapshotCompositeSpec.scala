@@ -193,4 +193,31 @@ class SnapshotCompositeSpec extends SparkSpec {
         newDir("guard2"), "a,missing"))
     assert(e3.getMessage.contains("missing"), e3.getMessage)
   }
+
+  test("single-column keys RESERVE the U+0001 separator: a write " +
+    "carrying it in the key value refuses loudly; the partition " +
+    "catalog never splits a single-col-era key on embedded separators") {
+    val dir = newDir("reserve")
+    val bad = Seq(("r1", "x\u0001y", 1L)).toDF("id", "d", "v")
+    val e = intercept[Exception](SnapshotStore.write(bad, dir, "d"))
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("reserved"))), s"got $e")
+    // a LEGACY raw key carrying the separator (pre-reservation store),
+    // committed the way the scale probe seeds synthetic entries: the
+    // catalog decodes per SPEC HISTORY — an all-single-col store never
+    // splits, whatever the key contains
+    val dir2 = newDir("cat1col")
+    SnapshotStore.write(Seq(("r1", "d1", 1L)).toDF("id", "d", "v"),
+      dir2, "d")
+    val real = SnapshotStore.readManifest(spark, dir2, 1)
+    SnapshotStore.commit(spark, dir2, 2,
+      real + ("a\u0001b" -> Seq("data/gen-f00f/_p=legacy")), Nil,
+      Some(SnapshotStore.read(spark, dir2, Some(1)).schema))
+    val infos = SnapshotStore.partitionInfos(spark, dir2)
+    val legacy = infos.find(_._1 == "a\u0001b")
+    assert(legacy.exists(_._2 == Seq("a\u0001b")),
+      s"single-col-era keys never split: $legacy")
+  }
 }

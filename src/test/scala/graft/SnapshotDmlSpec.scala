@@ -348,4 +348,32 @@ class SnapshotDmlSpec extends SparkSpec {
     assert(v == 4 && main.count() == 35)
     assert(main.filter(col("v") === 0.0 && col("k") >= 500L).count() == 3)
   }
+
+  test("the Hive NULL-sentinel dir name never consumes a conjunct: " +
+    "deleting/counting p = '__HIVE_DEFAULT_PARTITION__' touches only " +
+    "the LITERAL rows, never the partition's NULL-valued neighbours") {
+    val dir = newDir("sentinel")
+    SnapshotStore.write(Seq[(Long, String, Double)](
+      (1L, "a", 1.0), (2L, null, 2.0), (3L, null, 3.0))
+      .toDF("k", "p", "v"), dir, "p", statsCols = Seq("v"))
+    SnapshotStore.append(Seq[(Long, String, Double)](
+      (4L, "__HIVE_DEFAULT_PARTITION__", 4.0)).toDF("k", "p", "v"),
+      dir, "p")
+    // NULL rows and literal-sentinel rows share ONE manifest key
+    // (Spark's Hive layout names both dirs '__HIVE_DEFAULT_PARTITION__')
+    // — resolution may over-include, the VERDICT must re-evaluate,
+    // never consume
+    val (cnt, _) = SnapshotStore.countWhereDetailed(spark, dir,
+      col("p") === "__HIVE_DEFAULT_PARTITION__")
+    assert(cnt == 1, s"only the literal row counts, got $cnt")
+    SnapshotStore.deleteWhere(spark, dir,
+      col("p") === "__HIVE_DEFAULT_PARTITION__")
+    val left = SnapshotStore.read(spark, dir).select("k")
+      .as[Long].collect().toSet
+    assert(left == Set(1L, 2L, 3L), s"NULL rows must survive, got $left")
+    // an honest-value consumption on the same store stays metadata-only
+    val (ca, sa) = SnapshotStore.countWhereDetailed(spark, dir,
+      col("p") === "a")
+    assert(ca == 1 && sa == 0, s"got ($ca, $sa)")
+  }
 }

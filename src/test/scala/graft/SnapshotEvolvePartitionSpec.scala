@@ -152,4 +152,30 @@ class SnapshotEvolvePartitionSpec extends SparkSpec {
     assert(SnapshotStore.allPartSpecs(spark, dir) == Seq("p", "p,t"),
       "published spec files must survive the sweep")
   }
+
+  test("cross-era key attribution is injective: a predicate naming the " +
+    "composite key's STRING as an old-era value touches nothing, and " +
+    "partition-conjunct counts stay metadata-served across eras") {
+    val dir = newDir("attrib")
+    SnapshotStore.write(Seq(("r1", "X", "q", 1L), ("r2", "Y", "q", 2L))
+      .toDF("id", "d", "t", "v"), dir, "d", statsCols = Seq("v"))
+    SnapshotStore.evolvePartitionSpec(spark, dir, "d,t")
+    SnapshotStore.append(Seq(("r3", "X", "q", 3L))
+      .toDF("id", "d", "t", "v"), dir, "d,t")
+    // the composite era's key for (X, q) is "X\u0001q" — a day
+    // predicate naming that exact STRING must not count/delete the
+    // composite partition's rows (their day value is "X"), and it can
+    // name no old-era key either (single-column keys reserve U+0001)
+    val (cnt, _) = SnapshotStore.countWhereDetailed(spark, dir,
+      col("d") === "X\u0001q")
+    assert(cnt == 0, s"no row has that day value, got $cnt")
+    SnapshotStore.deleteWhere(spark, dir, col("d") === "X\u0001q")
+    assert(SnapshotStore.read(spark, dir).count() == 3,
+      "the alias-shaped predicate must delete nothing")
+    // the honest cross-era day probe: exact, and pure metadata (the
+    // capability the injectivity argument preserves)
+    val (cx, sx) = SnapshotStore.countWhereDetailed(spark, dir,
+      col("d") === "X")
+    assert(cx == 2 && sx == 0, s"got ($cx, $sx)")
+  }
 }

@@ -247,16 +247,33 @@ class SnapshotSegmentSpec extends SparkSpec {
     }
   }
 
-  test("the segment marker cannot be forged by a partition value: a value " +
-    "equal to the marker string round-trips through a FLAT manifest") {
+  test("the segment marker cannot be forged by a partition value: the " +
+    "single-column key reservation refuses the control-char value " +
+    "outright, and a composite COMPONENT carrying it %-encodes — the " +
+    "head stays flat and the rows round-trip") {
     val dir = newDir("marker")
     val odd = Seq((1L, "\u0001graft-segments", 1.0), (2L, "plain", 2.0))
-    SnapshotStore.write(odd.toDF("k", "p", "v"), dir, "p")
-    assert(!isSegmented(dir, 1),
-      "escapePathName must %-escape the control char, keeping the head flat")
-    assert(rows(SnapshotStore.read(spark, dir)) == odd.toSet)
-    assert(rows(SnapshotStore.readPartitions(spark, dir,
-      Seq("\u0001graft-segments"))) == odd.take(1).toSet)
+    // U+0001 is reserved in single-column keys (it is the composite
+    // separator AND the marker's first byte): the write refuses LOUDLY
+    // instead of relying on escaping alone
+    val e = intercept[Exception](
+      SnapshotStore.write(odd.toDF("k", "p", "v"), dir, "p"))
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("reserved"))), s"got $e")
+    // a composite component may carry it: %-encoded into the key, so the
+    // manifest line cannot start with the marker either
+    val dir2 = newDir("marker2")
+    val comp = Seq((1L, "\u0001graft-segments", "t0", 1.0),
+      (2L, "plain", "t0", 2.0))
+    SnapshotStore.write(comp.toDF("k", "p", "t", "v"), dir2, "p,t")
+    assert(!isSegmented(dir2, 1), "the 2-partition head must stay flat")
+    assert(rows(SnapshotStore.read(spark, dir2)) ==
+      comp.map(r => (r._1, r._2, r._4)).toSet)
+    assert(rows(SnapshotStore.readPartitions(spark, dir2,
+      Seq(SnapshotStore.partitionKeyOf(Seq("\u0001graft-segments", "t0")))))
+      == comp.take(1).map(r => (r._1, r._2, r._4)).toSet)
   }
 
   test("multi-writer soak over the segmented tier: the full concurrency " +
