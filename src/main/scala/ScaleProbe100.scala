@@ -1497,10 +1497,11 @@ object ScaleProbe100 {
             for (dd <- Seq("rp0", "rp1", "rp2"); tt <- Seq("t0", "t1"))
               yield SnapshotStore.partitionKeyOf(Seq(dd, tt))))
         }
-        // PARTIAL composite constraint ("day rp0, ANY tenant"): one
-        // linear key filter over the full map, no stats parse, no dir
-        // open -- the common dashboard probe a concatenated key cannot
-        // serve without enumerating tenants
+        // PARTIAL composite constraint ("day rp0, ANY tenant"): the
+        // per-COMPONENT index resolves O(touched buckets + residue)
+        // (r18) -- the common dashboard probe a concatenated key cannot
+        // serve without enumerating tenants; flat claim ~ 1 across
+        // store sizes now that the bucket count scales with N
         timeMin2(s"manifest_partial_x10_$n") {
           (1 to 10).foreach { _ =>
             val got = SnapshotStore.readWhere(spark, dir,
@@ -1546,11 +1547,11 @@ object ScaleProbe100 {
       bankRatio("pruned_read_x10", 100000, 1000000, "100k_to_1M",
         "flat claim ~ 1")
       bankRatio("partial_x10", 10000, 100000, "10k_to_100k",
-        "partial composite constraint: linear key filter, no stats, " +
-          "no dir open")
+        "partial composite constraint via the per-component index: " +
+          "O(touched buckets), flat claim ~ 1")
       bankRatio("partial_x10", 100000, 1000000, "100k_to_1M",
-        "partial composite constraint: linear key filter, no stats, " +
-          "no dir open")
+        "partial composite constraint via the per-component index: " +
+          "O(touched buckets), flat claim ~ 1")
     }
 
     // 13c. PARTITION-SPEC EVOLUTION at scale (r17): a 10-day daily store

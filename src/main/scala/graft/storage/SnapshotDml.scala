@@ -115,15 +115,13 @@ private[graft] object SnapshotDml {
       case Some(values) => forWrite(path, head)(
         readManifestValues(spark, path, head, values.toSeq))
       case None =>
-        val all = forWrite(path, head)(readManifest(spark, path, head))
         // partial composite constraint ("day = X" over day×tenant):
         // untouched partitions are excluded before any field resolves —
-        // sound for DML exactly like the exact-key restriction
-        partitionKeyPredOf(spark, path, renames, logicalSchema,
-          expr) match {
-          case Some(f) => all.filter { case (p, _) => f(p) }
-          case None => all
-        }
+        // sound for DML exactly like the exact-key restriction; rides
+        // the head's component index where one exists (r18)
+        forWrite(path, head)(
+          partialEntries(spark, path, head, renames, logicalSchema, expr)
+            .getOrElse(readManifest(spark, path, head)))
     }
 
   /** The shared DML planning pass over `entries`: the field-level

@@ -80,6 +80,21 @@ private[storage] object SnapshotFormat {
 
   private[storage] val SegMarker = "graft-segments"
 
+  /** Marker line opening one component's index section inside a
+    * segmented head: `<marker> TAB <component position> TAB <nBuckets>`
+    * (bucket count always equals the main tier's). Same forge-proofing
+    * as [[SegMarker]]: begins with a control character escapePathName
+    * always %-escapes.
+    */
+  private[storage] val CIndexMarker = "graft-cindex"
+
+  /** The component-index bucket holding keys whose arity is NOT the
+    * indexed spec's — an evolved store's old-era keys. Every partial
+    * probe loads it alongside the constrained values' buckets; it
+    * empties when compaction migrates the old era.
+    */
+  private[storage] val CIndexResidue = -1
+
   private[storage] def chooseBuckets(n: Int): Int = {
     var b = 16
     while (b.toLong * 4096 < n) b *= 2
@@ -92,9 +107,20 @@ private[storage] object SnapshotFormat {
   sealed trait Head { def totalEntries: Int }
   case class FlatHead(entries: Map[String, Seq[String]])
       extends Head { def totalEntries: Int = entries.size }
-  /** refs: bucket → (nEntries, store-relative segment path). */
+  /** refs: bucket → (nEntries, store-relative segment path). `cindex`
+    * (r18) is the per-COMPONENT partial-probe index of a composite-spec
+    * store: component position → (bucket → ref), where each segment
+    * holds the SAME full manifest lines re-bucketed by the hash of that
+    * component's encoded value (bucket [[CIndexResidue]] collects keys
+    * whose arity is not the current spec's — old-era keys, which every
+    * partial probe must also consider). Empty when the store is
+    * single-column, the newest spec's arity is shared by another
+    * recorded era (attribution would be ambiguous), or the head
+    * predates the index.
+    */
   case class SegHead(nBuckets: Int, total: Int,
-      refs: Map[Int, (Int, String)]) extends Head {
+      refs: Map[Int, (Int, String)],
+      cindex: Map[Int, Map[Int, (Int, String)]] = Map.empty) extends Head {
     def totalEntries: Int = total
   }
 
@@ -162,12 +188,27 @@ private[storage] object SnapshotFormat {
       val lines = txt.split("\n").filter(_.nonEmpty)
       val h = lines.head.split("\t")
       require(h.length == 3, s"malformed segment header in $mf")
-      val refs = lines.tail.map { line =>
+      // ref lines belong to the MAIN tier until a component-index marker
+      // opens a section; each section's refs then belong to it
+      val refs = Map.newBuilder[Int, (Int, String)]
+      var cur = -1
+      val cb = scala.collection.mutable.LinkedHashMap
+        .empty[Int, scala.collection.mutable.Builder[
+          (Int, (Int, String)), Map[Int, (Int, String)]]]
+      lines.tail.foreach { line =>
         val f = line.split("\t")
-        require(f.length == 3, s"malformed segment ref in $mf: '$line'")
-        f(0).toInt -> (f(1).toInt, f(2))
-      }.toMap
-      SegHead(h(1).toInt, h(2).toInt, refs)
+        require(f.length == 3,
+          s"malformed segment ref in $mf: '$line'")
+        if (f(0) == CIndexMarker) {
+          cur = f(1).toInt
+          require(f(2).toInt == h(1).toInt,
+            s"component-index bucket count must match the main tier in $mf")
+          cb.getOrElseUpdate(cur, Map.newBuilder[Int, (Int, String)])
+        } else if (cur < 0) refs += f(0).toInt -> (f(1).toInt, f(2))
+        else cb(cur) += f(0).toInt -> (f(1).toInt, f(2))
+      }
+      SegHead(h(1).toInt, h(2).toInt, refs.result(),
+        cb.map { case (ci, b) => ci -> b.result() }.toMap)
     }
   }
 
@@ -202,7 +243,7 @@ private[storage] object SnapshotFormat {
                                     version: Int): Map[String, Seq[String]] =
     readHead(spark, path, version) match {
       case FlatHead(e) => e
-      case SegHead(_, _, refs) => loadSegs(spark, path, version,
+      case SegHead(_, _, refs, _) => loadSegs(spark, path, version,
         refs.values.map(_._2).toSeq)
     }
 
@@ -253,7 +294,7 @@ private[storage] object SnapshotFormat {
                                         version: Int): Seq[String] =
     readHead(spark, path, version) match {
       case FlatHead(e) => e.values.flatten.toSeq
-      case SegHead(_, _, refs) =>
+      case SegHead(_, _, refs, _) =>
         val segs = refs.values.map(_._2).toSeq
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, math.max(1, segs.size)))
@@ -303,13 +344,35 @@ private[storage] object SnapshotFormat {
     val vset = values.toSet
     readHead(spark, path, version) match {
       case FlatHead(e) => e.filter { case (k, _) => vset(k) }
-      case SegHead(nb, _, refs) =>
+      case SegHead(nb, _, refs, _) =>
         val buckets = vset.map(bucketOf(_, nb))
         loadSegs(spark, path, version,
           buckets.toSeq.sorted.flatMap(b => refs.get(b).map(_._2)))
           .filter { case (k, _) => vset(k) }
     }
   }
+
+  /** The version's entries restricted to those whose component `ci`
+    * (of the current composite spec) might equal one of the ENCODED
+    * `encValues` — the PARTIAL-probe resolution ("day = X, any tenant"):
+    * parses only the constrained values' component-index buckets plus
+    * the old-era residue bucket, O(touched) in store size. Returns a
+    * SUPERSET of the matching entries (hash-bucket grain — the caller's
+    * key filter finishes the job); None when the head carries no index
+    * for `ci` (flat tier, legacy head, ambiguous spec history) — the
+    * caller falls back to the store-wide key filter.
+    */
+  private[storage] def readManifestComponent(spark: SparkSession,
+      path: String, version: Int, ci: Int, encValues: Set[String])
+      : Option[Map[String, Seq[String]]] =
+    readHead(spark, path, version) match {
+      case SegHead(nb, _, _, cidx) if cidx.contains(ci) =>
+        val refs = cidx(ci)
+        val buckets = encValues.map(bucketOf(_, nb)) + CIndexResidue
+        Some(loadSegs(spark, path, version,
+          buckets.toSeq.sorted.flatMap(b => refs.get(b).map(_._2))))
+      case _ => None
+    }
 
   /** True iff `e` is [[readManifest]]'s missing-version failure — the
     * signature of a version a concurrent expire dropped between a

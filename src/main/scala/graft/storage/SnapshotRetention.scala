@@ -59,7 +59,8 @@ private[storage] object SnapshotRetention {
           }
         }
       val liveSegs: Set[String] = retainedHeads.flatMap {
-        case (_, SegHead(_, _, refs)) => refs.values.map(_._2)
+        case (_, SegHead(_, _, refs, cidx)) =>
+          refs.values.map(_._2) ++ cidx.values.flatMap(_.values.map(_._2))
         case _ => Nil
       }.toSet
       val flatDirs = retainedHeads.flatMap {

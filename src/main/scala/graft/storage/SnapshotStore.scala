@@ -1203,9 +1203,54 @@ object SnapshotStore {
     rewrite(expr)
   }
 
+  /** The PARTIAL-probe plan: when the newest spec is composite (and no
+    * other era shares its arity — injective attribution) and the
+    * predicate constrains at least one of its components, the most
+    * selective constrained component's position and ENCODED value set —
+    * the component-index lookup [[partialEntries]] rides.
+    */
+  private def partialConstraint(spark: SparkSession, path: String,
+      renames: Map[String, String],
+      logicalSchema: org.apache.spark.sql.types.StructType,
+      expr: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[(Int, Set[String])] = {
+    val specs = allPartSpecs(spark, path).distinct
+    val newest = specs.lastOption.getOrElse(return None)
+    val comps = splitPartCols(newest).map(c => renames.getOrElse(c, c))
+    if (comps.size < 2 ||
+      specs.count(splitPartCols(_).size == comps.size) > 1) return None
+    val sets = comps.zipWithIndex.flatMap { case (c, i) =>
+      constrainedSet(logicalSchema, expr, c)
+        .map(s => i -> s.map(encPartValue)) }
+    if (sets.isEmpty) None else Some(sets.minBy(_._2.size))
+  }
+
+  /** The head's entries RESTRICTED by the partial-constraint key filter
+    * ("day = X, any tenant" — [[partitionKeyPredOf]]): resolved through
+    * the head's per-COMPONENT index where one exists (O(touched
+    * component buckets + old-era residue), the r18 scale path), by the
+    * store-wide key filter otherwise. None when no partial constraint
+    * applies at all — the caller keeps its unrestricted shape.
+    */
+  private[storage] def partialEntries(spark: SparkSession, path: String,
+      v: Int, renames: Map[String, String],
+      logicalSchema: org.apache.spark.sql.types.StructType,
+      expr: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Map[String, Seq[String]]] =
+    partitionKeyPredOf(spark, path, renames, logicalSchema, expr).map {
+      f =>
+        val base = partialConstraint(spark, path, renames, logicalSchema,
+          expr)
+          .flatMap { case (ci, encVals) =>
+            SnapshotFormat.readManifestComponent(spark, path, v, ci,
+              encVals) }
+          .getOrElse(readManifest(spark, path, v))
+        base.filter { case (p, _) => f(p) }
+    }
+
   /** Manifest FIELDS the predicate might touch (read-path resolution):
     * full-tuple restriction → O(touched buckets); partial composite
-    * constraint → value-keyed resolve filtered component-wise; otherwise
+    * constraint → component-index (or key-filtered) resolve; otherwise
     * the dirs-only fast path (no value map built).
     */
   private[storage] def fieldsForExpr(spark: SparkSession, path: String,
@@ -1218,10 +1263,9 @@ object SnapshotStore {
         readManifestValues(spark, path, v, values.toSeq)
           .values.flatten.toSeq
       case None =>
-        partitionKeyPredOf(spark, path, renames, logicalSchema,
+        partialEntries(spark, path, v, renames, logicalSchema,
           expr) match {
-          case Some(f) => readManifest(spark, path, v).collect {
-            case (p, ds) if f(p) => ds }.flatten.toSeq
+          case Some(entries) => entries.values.flatten.toSeq
           case None => readManifestDirs(spark, path, v)
         }
     }
@@ -2781,12 +2825,54 @@ object SnapshotStore {
     rel
   }
 
+  /** The component-index bucket of key `k` for component `ci` of an
+    * `ncomps`-column spec: keys of the spec's arity bucket by the hash
+    * of their ENCODED component (parts never carry the raw separator);
+    * any other arity — an evolved store's old-era keys — lands in the
+    * residue bucket every partial probe also loads.
+    */
+  private def cBucketOf(k: String, ci: Int, ncomps: Int, nb: Int): Int = {
+    val parts = k.split(PartSep, -1)
+    if (parts.length != ncomps) CIndexResidue else bucketOf(parts(ci), nb)
+  }
+
+  /** Some(arity) when this store's segmented heads should carry the
+    * per-component partial-probe index: the NEWEST spec is composite
+    * and no other recorded era shares its arity (shape attribution
+    * stays injective — see [[partitionKeyPredOf]]).
+    */
+  private def cindexSpecOf(spark: SparkSession, path: String): Option[Int] = {
+    val specs = allPartSpecs(spark, path).distinct
+    specs.lastOption.map(splitPartCols(_).size).filter(n =>
+      n >= 2 && specs.count(splitPartCols(_).size == n) == 1)
+  }
+
+  /** Serializes one component index's head lines (marker + refs),
+    * writing any missing segments.
+    */
+  private def cindexLines(spark: SparkSession, path: String, nb: Int,
+      ncomps: Int, entries: Map[String, Seq[String]]): Seq[String] =
+    (0 until ncomps).flatMap { ci =>
+      val byB = entries.groupBy { case (k, _) => cBucketOf(k, ci, ncomps, nb) }
+      val crefs = byB.toSeq.sortBy(_._1).map { case (b, es) =>
+        (b, es.size, writeSegIfMissing(spark, path, serializeEntries(es)))
+      }
+      s"$CIndexMarker\t$ci\t$nb" +:
+        crefs.map { case (b, n, seg) => s"$b\t$n\t$seg" }
+    }
+
   /** Serializes the head content for a FULL entry map, choosing the tier:
     * flat below [[segmentThreshold]], segmented (writing any missing
-    * segment files) at or above it.
+    * segment files) at or above it — plus, on a composite-spec store,
+    * the per-component partial-probe index sections (r18): the same
+    * entries re-bucketed by each component's encoded value, so
+    * "day = X, any tenant" resolves O(touched buckets) instead of a
+    * store-wide key filter. Content addressing dedups untouched
+    * segments across versions exactly like the main tier.
     */
   private def headContentFor(spark: SparkSession, path: String,
-                             entries: Map[String, Seq[String]]): String =
+                             entries: Map[String, Seq[String]],
+                             arityHint: Option[Int] = None): String =
     if (entries.size < segmentThreshold) serializeEntries(entries)
     else {
       val nb = chooseBuckets(entries.size)
@@ -2794,8 +2880,16 @@ object SnapshotStore {
       val refs = byBucket.toSeq.sortBy(_._1).map { case (b, es) =>
         (b, es.size, writeSegIfMissing(spark, path, serializeEntries(es)))
       }
-      (Seq(SegMarker, nb.toString, entries.size.toString).mkString("\t") +:
-        refs.map { case (b, n, seg) => s"$b\t$n\t$seg" }).mkString("\n")
+      // `arityHint` covers the initial commit, which precedes the
+      // `_partcol` record (write publishes the spec only after winning)
+      val cLines = cindexSpecOf(spark, path)
+        .orElse(arityHint.filter(_ >= 2)) match {
+        case Some(ncomps) => cindexLines(spark, path, nb, ncomps, entries)
+        case None => Nil
+      }
+      ((Seq(SegMarker, nb.toString, entries.size.toString).mkString("\t") +:
+        refs.map { case (b, n, seg) => s"$b\t$n\t$seg" }) ++ cLines)
+        .mkString("\n")
     }
 
   /** Single-winner CAS commit of the FULL `entries` map as version `v`.
@@ -2808,9 +2902,11 @@ object SnapshotStore {
                             genDirs: Seq[String],
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
                             renames: Map[String, String] = Map.empty,
-                            op: String = "commit")
+                            op: String = "commit",
+                            arityHint: Option[Int] = None)
       : Unit =
-    publishHead(spark, path, v, headContentFor(spark, path, entries),
+    publishHead(spark, path, v,
+      headContentFor(spark, path, entries, arityHint),
       genDirs, schema, renames, op)
 
   /** Commits version `v` = version `prev` with `removed` partitions
@@ -2834,7 +2930,7 @@ object SnapshotStore {
     }
     forWrite(path, prev)(readHead(spark, path, prev)) match {
       case FlatHead(_) => fullFallback()
-      case SegHead(nb, total, refs) =>
+      case SegHead(nb, total, refs, cidx) =>
         val touched = (removed ++ added.keySet).map(b => bucketOf(b, nb))
         val prevBuckets: Map[Int, Map[String, Seq[String]]] =
           touched.toSeq.sorted.map { b =>
@@ -2856,10 +2952,46 @@ object SnapshotStore {
               b -> (es.size,
                 writeSegIfMissing(spark, path, serializeEntries(es)))
             }
-          val content = (Seq(SegMarker, nb.toString, newTotal.toString)
+          // component-index maintenance: the same read-modify-write per
+          // TOUCHED component bucket. A prior head without the index
+          // stays without it (no O(N) rebuild on the delta path — the
+          // next full commit builds it); a spec whose index conditions
+          // no longer hold (an evolution changed the newest arity)
+          // DROPS the index rather than carrying wrong positions.
+          val curSpec = cindexSpecOf(spark, path)
+          val cLines: Seq[String] = curSpec match {
+            case Some(ncomps) if cidx.keySet == (0 until ncomps).toSet =>
+              (0 until ncomps).flatMap { ci =>
+                val crefs = cidx(ci)
+                val ctouched = (removed ++ added.keySet)
+                  .map(k => cBucketOf(k, ci, ncomps, nb))
+                val prevB = ctouched.toSeq.sorted.map { b =>
+                  b -> crefs.get(b)
+                    .map(r => forWrite(path, prev)(
+                      loadSeg(spark, path, prev, r._2)))
+                    .getOrElse(Map.empty[String, Seq[String]])
+                }.toMap
+                val newB = prevB.map { case (b, es) =>
+                  b -> (es --
+                    removed.filter(cBucketOf(_, ci, ncomps, nb) == b) ++
+                    added.filter { case (k, _) =>
+                      cBucketOf(k, ci, ncomps, nb) == b })
+                }
+                val nrefs = crefs -- newB.filter(_._2.isEmpty).keys ++
+                  newB.filter(_._2.nonEmpty).map { case (b, es) =>
+                    b -> (es.size,
+                      writeSegIfMissing(spark, path, serializeEntries(es)))
+                  }
+                s"$CIndexMarker\t$ci\t$nb" +:
+                  nrefs.toSeq.sortBy(_._1).map { case (b, (n, seg)) =>
+                    s"$b\t$n\t$seg" }
+              }
+            case _ => Nil
+          }
+          val content = ((Seq(SegMarker, nb.toString, newTotal.toString)
             .mkString("\t") +:
             newRefs.toSeq.sortBy(_._1).map { case (b, (n, seg)) =>
-              s"$b\t$n\t$seg" }).mkString("\n")
+              s"$b\t$n\t$seg" }) ++ cLines).mkString("\n")
           publishHead(spark, path, v, content, genDirs, schema, renames,
             op)
         }
@@ -2893,7 +3025,8 @@ object SnapshotStore {
       entries.values.map(d => d.split("/").take(2).mkString("/"))
         .toSeq.distinct,
       Some(unionSchema(new org.apache.spark.sql.types.StructType(),
-        df.schema)), op = "write")
+        df.schema)), op = "write",
+      arityHint = Some(splitPartCols(partCol).size))
     publishStatsCols(df.sparkSession, path, statsCols)
     SnapshotBloom.publishBloomCols(df.sparkSession, path, bloomCols)
     if (sortCols.nonEmpty)
@@ -3661,7 +3794,7 @@ object SnapshotStore {
       case None =>
         forWrite(path, head)(readHead(spark, path, head)) match {
           case FlatHead(e) => e
-          case SegHead(_, _, refs) =>
+          case SegHead(_, _, refs, _) =>
             forWrite(path, head)(loadSegs(spark, path, head,
               refs.values.map(_._2).toSeq,
               keep = (p, dirs) => dirs.size >= minDirs ||
@@ -3741,7 +3874,7 @@ object SnapshotStore {
       case None =>
         forWrite(path, head)(readHead(spark, path, head)) match {
           case FlatHead(e) => e
-          case SegHead(_, _, refs) =>
+          case SegHead(_, _, refs, _) =>
             forWrite(path, head)(loadSegs(spark, path, head,
               refs.values.map(_._2).toSeq,
               keep = (_, fs) => fs.exists(f => dvOf(f).nonEmpty)))
@@ -3914,7 +4047,7 @@ object SnapshotStore {
     val (fromM, toM) =
       (readHead(spark, path, fromVersion), readHead(spark, path, toVersion))
       match {
-        case (SegHead(nb1, _, r1), SegHead(nb2, _, r2)) if nb1 == nb2 =>
+        case (SegHead(nb1, _, r1, _), SegHead(nb2, _, r2, _)) if nb1 == nb2 =>
           val diff = (r1.keySet ++ r2.keySet)
             .filter(b => r1.get(b).map(_._2) != r2.get(b).map(_._2))
           def load(refs: Map[Int, (Int, String)], v: Int) =

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.storage.SnapshotStore
 
 /** The segmented-manifest tier: above `graft.snapshot.segmentThreshold`
@@ -345,6 +347,110 @@ class SnapshotSegmentSpec extends SparkSpec {
         .map(_.split("\t")(2).stripPrefix("segs/")).toSet
       assert(segFiles(dir) == liveRefs,
         s"leaked segs: ${segFiles(dir) -- liveRefs}")
+    }
+  }
+
+  test("the per-component partial-probe index: a composite store past " +
+    "the threshold writes cindex sections, partial probes resolve " +
+    "through them at bucket grain, and commitDelta maintains them") {
+    withTinyThreshold(4) {
+      val dir = newDir("cindex")
+      val comp = for (d <- Seq("d0", "d1", "d2"); t <- Seq("t0", "t1", "t2"))
+        yield (s"$d-$t".length.toLong, d, t, 1.0)
+      SnapshotStore.write(comp.toDF("k", "d", "t", "v"), dir, "d,t")
+      assert(isSegmented(dir, 1))
+      assert(headText(dir, 1).contains("graft-cindex\t0\t"),
+        "component 0 index section present")
+      assert(headText(dir, 1).contains("graft-cindex\t1\t"),
+        "component 1 index section present")
+      // partial probes on EITHER component are exact
+      assert(SnapshotStore.readWhere(spark, dir,
+        col("d") === "d1").count() == 3)
+      assert(SnapshotStore.readWhere(spark, dir,
+        col("t") === "t2").count() == 3)
+      // commitDelta maintains the index: a merge touching one (d, t)
+      // keeps the sections and the probe exact
+      SnapshotStore.merge(spark, dir,
+        Seq((100L, "d1", "t1", 9.0)).toDF("k", "d", "t", "v"),
+        "d,t", Seq("k"))
+      assert(headText(dir, 2).contains("graft-cindex\t0\t"),
+        "cindex survives the delta commit")
+      assert(SnapshotStore.readWhere(spark, dir,
+        col("d") === "d1").count() == 4)
+      assert(SnapshotStore.readWhere(spark, dir,
+        col("t") === "t1").count() == 4)
+      // BUCKET-grain access pin (destructive — last): deleting a cindex
+      // segment that serves ONLY another day's bucket must not disturb
+      // a d0 probe (the main tier and d0's bucket stay intact)
+      val lines = headText(dir, 2).split("\n").toSeq
+      val c0 = lines.dropWhile(!_.startsWith("graft-cindex\t0"))
+        .drop(1).takeWhile(!_.startsWith("graft-cindex"))
+      val bucketSegs = c0.map { l =>
+        val f = l.split("\t"); f(0).toInt -> f(2) }.toMap
+      val nb = lines.head.split("\t")(1).toInt
+      def bucketOf(v: String) = math.floorMod(v.hashCode, nb)
+      val mainSegs = lines.drop(1)
+        .takeWhile(!_.startsWith("graft-cindex"))
+        .map(_.split("\t")(2)).toSet
+      val c1Segs = lines.dropWhile(!_.startsWith("graft-cindex\t1"))
+        .drop(1).map(_.split("\t")(2)).toSet
+      val sacrifice = Seq("d1", "d2").filter(v =>
+        bucketOf(v) != bucketOf("d0"))
+        .flatMap(v => bucketSegs.get(bucketOf(v)))
+        .filterNot(mainSegs).filterNot(c1Segs)
+        .filterNot(sg => bucketSegs.get(bucketOf("d0")).contains(sg))
+        .headOption
+      sacrifice.foreach { sg =>
+        assert(new java.io.File(dir, sg).delete(), s"delete $sg")
+        assert(SnapshotStore.readWhere(spark, dir,
+          col("d") === "d0").count() == 3,
+          "a d0 probe must not parse another day's cindex bucket")
+        // the main tier still serves everything
+        assert(SnapshotStore.read(spark, dir).count() == 10)
+      }
+    }
+  }
+
+  test("the partial-probe index across EVOLUTION: a full commit after " +
+    "evolving to a composite spec builds the index with old-era keys " +
+    "in the residue bucket; probes stay exact; a further evolution " +
+    "drops the index instead of carrying wrong positions") {
+    withTinyThreshold(2) {
+      val dir = newDir("cindexevo")
+      SnapshotStore.write((0 until 12).map(i =>
+        (i.toLong, s"d${i % 3}", s"t${i % 2}", i * 1.0))
+        .toDF("k", "d", "t", "v"), dir, "d")
+      SnapshotStore.evolvePartitionSpec(spark, dir, "d,t")
+      SnapshotStore.append((100 until 112).map(i =>
+        (i.toLong, s"d${i % 3}", s"t${i % 2}", i * 1.0))
+        .toDF("k", "d", "t", "v"), dir, "d,t")
+      // backfillStats is a FULL commit — it builds the index (delta
+      // commits never pay the O(N) rebuild)
+      SnapshotStore.backfillStats(spark, dir, statsCols = Seq("k"))
+      val head = SnapshotStore.headVersion(spark, dir).get
+      assert(headText(dir, head).contains("graft-cindex\t0\t"),
+        "the evolved store's full commit builds the index")
+      // the partial probe unions the indexed new era and the residue's
+      // old era — exact across both
+      assert(SnapshotStore.readWhere(spark, dir,
+        col("d") === "d1").count() == 8)
+      assert(SnapshotStore.readWhere(spark, dir,
+        col("t") === "t1").count() == 12,
+        "t probes resolve new-era buckets plus the old-era residue")
+      // deleteWhere on the partial constraint stays exact
+      SnapshotStore.deleteWhere(spark, dir, col("d") === "d2")
+      assert(SnapshotStore.read(spark, dir).count() == 16)
+      // a THIRD spec with a new arity: the next delta commit DROPS the
+      // index (stale positions would misroute); probes fall back, exact
+      SnapshotStore.evolvePartitionSpec(spark, dir, "t")
+      SnapshotStore.append(Seq((500L, "d0", "t9", 0.0))
+        .toDF("k", "d", "t", "v"), dir, "t")
+      val h2 = SnapshotStore.headVersion(spark, dir).get
+      if (headText(dir, h2).startsWith("graft-segments"))
+        assert(!headText(dir, h2).contains("graft-cindex"),
+          "a changed newest arity must drop the index")
+      assert(SnapshotStore.readWhere(spark, dir,
+        col("t") === "t9").count() == 1)
     }
   }
 }
