@@ -1993,6 +1993,98 @@ object Extended extends QueryModule {
         .orderBy(col("slice"), col("o_orderpriority"))
     }),
 
+    // NATIVE SQL MERGE INTO through the DSv2 catalog (r18): the same
+    // conditional reconcile as q_snapshot_merge_into, but the statement
+    // is PLAIN Spark SQL against `graft.<ns>.<table>` — parsed by
+    // Spark's own MERGE grammar, routed through the catalog's
+    // row-level-operation plumbing (SupportsRowLevelOperations +
+    // group-based copy-on-write), no TVF mini-grammar involved. A
+    // require pins row-for-row parity against the TVF verb run with
+    // identical clauses on a twin store — one semantics, two surfaces.
+    "q_snapshot_merge_sql" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val root = java.nio.file.Files.createTempDirectory("graft_msq")
+        .toString
+      // a UNIQUE catalog name per invocation: the session is shared
+      // (tests, Bench, Verify run suites concurrently) and the root
+      // conf is session-global — a fixed name would let a concurrent
+      // catalog user clobber this gate's root mid-statement
+      val cat = "graftm" + java.util.UUID.randomUUID.toString
+        .replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val tbl = "m" + java.util.UUID.randomUUID.toString.replace("-", "")
+        .take(10)
+      val k = col("o_orderkey")
+      val base = orders.select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("o_orderstatus"))
+      val mx = orders.agg(max(k)).head().getLong(0)
+      val q3 = 3 * mx / 4
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.g")
+      s.sql(s"""CREATE TABLE $cat.g.$tbl (o_orderkey BIGINT,
+        o_orderpriority STRING, o_totalprice DOUBLE,
+        o_orderstatus STRING) PARTITIONED BY (o_orderpriority)
+        TBLPROPERTIES ('stats_cols' = 'o_orderkey')""")
+      base.createOrReplaceTempView(s"seed_$tbl")
+      s.sql(s"INSERT INTO $cat.g.$tbl SELECT * FROM seed_$tbl")
+      val src = base.filter(k % 10 === 3)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          when(k % 20 === 3, lit(-1.0))
+            .otherwise(col("o_totalprice") * 2).as("o_totalprice"))
+        .unionByName(base.filter(k === mx)
+          .select((k + lit(10000000L)).as("o_orderkey"),
+            col("o_orderpriority"), lit(123.0).as("o_totalprice")))
+      src.createOrReplaceTempView(s"src_$tbl")
+      val preMerge = graft.storage.SnapshotStore
+        .headVersion(s, s"$root/g/$tbl").get
+      s.sql(s"""MERGE INTO $cat.g.$tbl t USING src_$tbl s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_totalprice > t.o_totalprice THEN
+          UPDATE SET o_totalprice = s.o_totalprice, o_orderstatus = 'U'
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority,
+          o_totalprice) VALUES (s.o_orderkey, s.o_orderpriority,
+          s.o_totalprice)
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderkey > $q3 + 10 THEN
+          DELETE""")
+      // parity pin: the TVF verb with IDENTICAL clauses on a twin store
+      // must produce row-identical results — the two surfaces share one
+      // semantics
+      val twin = java.nio.file.Files.createTempDirectory("graft_msqt")
+        .toString + "/twin"
+      graft.storage.SnapshotStore.write(base, twin, "o_orderpriority")
+      import graft.storage.SnapshotMergeInto._
+      graft.storage.SnapshotStore.mergeInto(s, twin, src,
+        Seq("o_orderkey"),
+        matched = Seq(
+          WhenMatched(Some(col("s.o_totalprice") > col("t.o_totalprice")),
+            UpdateSet(Seq("o_totalprice" -> col("s.o_totalprice"),
+              "o_orderstatus" -> lit("U")))),
+          WhenMatched(None, DeleteRow)),
+        notMatched = Some(WhenNotMatched(None)),
+        notMatchedBySource = Seq(
+          WhenNotMatchedBySource(Some(k > q3 + 10), DeleteRow)))
+      val gotSet = s.sql(s"SELECT * FROM $cat.g.$tbl").collect()
+        .map(_.toSeq).toSet
+      val twinSet = graft.storage.SnapshotStore.read(s, twin).collect()
+        .map(_.toSeq).toSet
+      require(gotSet == twinSet,
+        s"q_snapshot_merge_sql: native MERGE and graft_merge_into must " +
+          s"agree row-for-row (${gotSet.size} vs ${twinSet.size})")
+      def agg(x: org.apache.spark.sql.DataFrame, slice: Int) =
+        x.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("sum_cents"),
+            sum(when(col("o_orderstatus") === "U", 1L).otherwise(0L))
+              .as("n_updated"))
+          .withColumn("slice", lit(slice))
+      agg(s.sql(s"SELECT * FROM $cat.g.$tbl"), 1)
+        .unionByName(agg(graft.storage.SnapshotStore.read(s,
+          s"$root/g/$tbl", Some(preMerge)), 2))
+        .orderBy(col("slice"), col("o_orderpriority"))
+    }),
+
     // Merge-on-read DML — deletion vectors (r16): the needle delete and
     // the surgical redaction priced at the MATCHED rows, not the touched
     // slices. The off-boundary MoR delete records positions in one
@@ -2335,6 +2427,49 @@ object Extended extends QueryModule {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_snapshot_merge_into" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p,
+        |    CASE WHEN o_orderkey % 20 = 3 THEN -1.0
+        |      ELSE o_totalprice * 2 END AS price
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderpriority, 123.0
+        |  FROM orders, mx WHERE o_orderkey = m),
+        |upd AS (
+        |  SELECT o.o_orderpriority AS p,
+        |    CASE WHEN s.k IS NOT NULL AND s.price > o.o_totalprice
+        |      THEN s.price ELSE o.o_totalprice END AS price,
+        |    CASE WHEN s.k IS NOT NULL AND s.price > o.o_totalprice
+        |      THEN 'U' ELSE o.o_orderstatus END AS status,
+        |    CASE WHEN s.k IS NOT NULL AND NOT (s.price > o.o_totalprice)
+        |        THEN 1
+        |      WHEN s.k IS NULL AND o.o_orderkey > (3 * m) // 4 + 10
+        |        THEN 1
+        |      ELSE 0 END AS del
+        |  FROM orders o LEFT JOIN src s ON o.o_orderkey = s.k, mx),
+        |ins AS (
+        |  SELECT p, price, CAST(NULL AS VARCHAR) AS status
+        |  FROM src, mx WHERE k > m),
+        |fin AS (
+        |  SELECT p, price, status FROM upd WHERE del = 0
+        |  UNION ALL SELECT p, price, status FROM ins)
+        |SELECT * FROM (
+        |  SELECT p AS o_orderpriority, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents,
+        |    CAST(sum(CASE WHEN status = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_updated, 1 AS slice
+        |  FROM fin GROUP BY p
+        |  UNION ALL
+        |  SELECT o_orderpriority, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents,
+        |    CAST(0 AS BIGINT) AS n_updated, 2 AS slice
+        |  FROM orders GROUP BY o_orderpriority
+        |) ORDER BY slice, o_orderpriority""".stripMargin,
+
+    "q_snapshot_merge_sql" ->
       """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
         |src AS (
         |  SELECT o_orderkey AS k, o_orderpriority AS p,
