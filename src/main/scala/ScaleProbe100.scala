@@ -1121,6 +1121,52 @@ object ScaleProbe100 {
             "(8x the gens at constant data — flat means one corpus-" +
             "sized job, not one driver-looped job per gen)")
         }
+        // EVOLVED-store twin (r18): the same 8x-gens contrast on stores
+        // whose gens SPAN TWO KEY ERAS (written under o_orderpriority,
+        // evolved to (o_orderpriority, o_orderstatus), appended). The
+        // r17 multi-spec bail degraded these to one driver-looped job
+        // per gen; era-grouped genStatsBatch runs <=|eras| batched jobs,
+        // so the ratio must stay flat here too.
+        def buildEvolved(nGens: Int, perGen: Int): String = {
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"graft_scale100_bfe$nGens")
+            .toString + "/st"
+          def slab(g: Int): DataFrame =
+            (g * perGen until (g + 1) * perGen).map { k =>
+              orders.withColumn("o_orderkey",
+                col("o_orderkey") + k * 100000000L)
+            }.reduce(_ union _)
+              .withColumn("o_b", (col("o_orderkey") % 3).cast("string"))
+          val half = nGens / 2
+          graft.storage.SnapshotStore.write(slab(0), dir,
+            "o_orderpriority")
+          (1 until half).foreach(g =>
+            graft.storage.SnapshotStore.append(slab(g), dir,
+              "o_orderpriority"))
+          graft.storage.SnapshotStore.evolvePartitionSpec(spark, dir,
+            "o_orderpriority,o_b")
+          (half until nGens).foreach(g =>
+            graft.storage.SnapshotStore.append(slab(g), dir,
+              "o_orderpriority,o_b"))
+          dir
+        }
+        val fewE = buildEvolved(8, 5)
+        val manyE = buildEvolved(40, 1)
+        time("backfill_evolved_gens8_100x") {
+          graft.storage.SnapshotStore.backfillStats(spark, fewE,
+            statsCols = Seq("o_orderkey"))
+        }
+        time("backfill_evolved_gens40_100x") {
+          graft.storage.SnapshotStore.backfillStats(spark, manyE,
+            statsCols = Seq("o_orderkey"))
+        }
+        for (a <- walls.get("backfill_evolved_gens40_100x");
+             b <- walls.get("backfill_evolved_gens8_100x")) {
+          ratios("backfill_evolved_gen_scaling_100x") = a / b
+          println(f"PROBE backfill_evolved_gen_scaling_100x ${a / b}%.2fx " +
+            "(5x the gens across TWO key eras at constant data — flat " +
+            "means era-grouped batch jobs, not the r17 per-gen fallback)")
+        }
       }
       // FILE-grain DML rung (r16): a needle delete against sorted
       // ~20-file-per-slice gens rewrites only the files whose footer
@@ -1509,6 +1555,16 @@ object ScaleProbe100 {
             require(got == 1000, s"partial resolve wrong: $got")
           }
         }
+        // the DISTRIBUTED partition catalog (r18): aggregates over the
+        // segment files in executors — the driver never materializes a
+        // row per partition; the wall is one distributed text-parse job
+        timeMin2(s"manifest_catalog_$n") {
+          val r = SnapshotStore.partitionInfosDf(spark, dir)
+            .agg(count(lit(1)), sum(col("n_fields"))).head()
+          require(r.getLong(0) == n,
+            s"catalog rows must equal the store's partitions: " +
+              s"${r.getLong(0)} vs $n")
+        }
         val batch = seed.filter(col("k") % 10 === 0)
           .withColumn("v", col("v") + lit(1.0)).localCheckpoint()
         timeMin2(s"manifest_merge_$n") {
@@ -1552,6 +1608,12 @@ object ScaleProbe100 {
       bankRatio("partial_x10", 100000, 1000000, "100k_to_1M",
         "partial composite constraint via the per-component index: " +
           "O(touched buckets), flat claim ~ 1")
+      bankRatio("catalog", 10000, 100000, "10k_to_100k",
+        "distributed partition catalog: executor-side segment parse, " +
+          "driver holds one agg row — scales with the cluster")
+      bankRatio("catalog", 100000, 1000000, "100k_to_1M",
+        "distributed partition catalog: executor-side segment parse, " +
+          "driver holds one agg row — scales with the cluster")
     }
 
     // 13c. PARTITION-SPEC EVOLUTION at scale (r17): a 10-day daily store

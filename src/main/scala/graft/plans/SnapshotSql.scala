@@ -78,10 +78,8 @@ object SnapshotSql {
         // rows where blobs carry counts (NULL otherwise). One manifest
         // resolve, no file I/O.
         val spark = SparkSession.active
-        import spark.implicits._
-        graft.storage.SnapshotStore.partitionInfos(spark, path)
-          .toDF("partition", "components", "n_fields", "n_files",
-            "dv_rows", "rows").queryExecution.analyzed
+        graft.storage.SnapshotStore.partitionInfosDf(spark, path)
+          .queryExecution.analyzed
       case b if b.startsWith("branch:") =>
         // the WAP audit surface: read the branch tip from pure SQL
         graft.storage.SnapshotStore.readBranch(SparkSession.active, path,

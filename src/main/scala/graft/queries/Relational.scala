@@ -110,10 +110,23 @@ object Relational extends QueryModule {
 
     // HLL sketch cardinality — no SQL oracle (approx); unit-tested vs exact ±5%.
     "q_approx_distinct" -> ((s, d) => {
-      t(s, d, "lineitem")
+      val got = t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy(col("l_returnflag"))
+        .persist()
+      // in-gate ACCURACY receipt (r18): the HLL estimate must sit
+      // within 4x its default relative standard deviation (0.05) of
+      // the exact distinct count — the driver's own run certifies the
+      // sketch, not just the row count
+      val exact = t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      val viol = got.join(exact, Seq("l_returnflag"))
+        .filter(abs(col("approx_parts") - col("exact_parts")) >
+          col("exact_parts") * 0.2 + lit(10)).count()
+      require(viol == 0,
+        s"q_approx_distinct: $viol group(s) outside the 20% HLL bound")
+      got
     }),
 
     // Fact-fact equi join (shuffle) + aggregate.

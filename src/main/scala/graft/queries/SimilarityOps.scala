@@ -216,6 +216,40 @@ object SimilarityOps extends QueryModule {
   private def sqlCodes(bits: Int = Lsh.BandBits, bands: Int = Lsh.Bands): String =
     s"""SELECT vec_id, unnest(${Lsh.sqlBandCodes(bits, bands)}) AS code FROM n"""
 
+  /** In-gate DETERMINISM/QUALITY receipt for the trained-quantizer ANN
+    * gates (r18): recompute the exact brute-force top-K for the same
+    * query set and REQUIRE the gate's recall meets its floor — the
+    * driver's own run then certifies result quality, not just `sbt
+    * test` (the no_oracle rows' receipt upgrade). The floors sit well
+    * under the spec-pinned recalls so scale-factor variance never
+    * flakes the gate while a real regression (mis-trained codebooks,
+    * broken ADC) still trips it.
+    */
+  private def recallReceipt(name: String, got: DataFrame,
+      e: DataFrame, topK: Int, floor: Double): Unit = {
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    val exact = c.join(graft.operators.Joins.maybeBroadcast(q),
+        col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("c_id"))
+    val total = exact.count()
+    val hit = got.select(col("q_id"), col("c_id"))
+      .join(exact, Seq("q_id", "c_id"), "left_semi").count()
+    val recall = if (total == 0) 1.0 else hit.toDouble / total
+    require(recall >= floor,
+      s"$name: recall@$topK receipt $recall < $floor " +
+        s"($hit of $total exact neighbours recovered)")
+  }
+
   def queries: Seq[(String, QFn)] = Seq(
     // Brute-force cosine top-10 for a small query set — the exact baseline.
     // The query side is broadcast only while it is actually small
@@ -274,13 +308,17 @@ object SimilarityOps extends QueryModule {
     // the driver gate: centroid means are distributed FP sums (see
     // operators/VectorIvf doc); recall floors asserted in SimilaritySpec.
     "q_sim_ivf_kmeans" -> ((s, d) => {
-      val e = embWithNorm(s, d).select(col("vec_id"), col("v"))
+      val en = embWithNorm(s, d)
+      val e = en.select(col("vec_id"), col("v"))
       val cents = graft.operators.VectorIvf.kmeans(e, "vec_id", "v", k = 16,
         iters = 3, trainSampleMod = 2)
       val q = e.filter(col("vec_id") < 5)
-      graft.operators.VectorIvf
+      val got = graft.operators.VectorIvf
         .searchTopK(e, q, "vec_id", "v", cents, nProbe = 6, topK = 5)
         .orderBy(col("q_id"), col("rank"))
+        .persist()
+      recallReceipt("q_sim_ivf_kmeans", got, en, topK = 5, floor = 0.5)
+      got
     }),
 
     // Product-quantization ANN (M=8 subspaces × K=16 centroids → 8-int
@@ -290,14 +328,18 @@ object SimilarityOps extends QueryModule {
     // q_sim_ivf_kmeans; PqSpec asserts encode determinism, ADC exactness
     // vs driver reconstruction, and the recall floor.
     "q_sim_pq" -> ((s, d) => {
-      val e = embWithNorm(s, d).select(col("vec_id"), col("v"))
+      val en = embWithNorm(s, d)
+      val e = en.select(col("vec_id"), col("v"))
       val books = graft.operators.VectorPq.trainCodebooks(
         e, "vec_id", "v", m = 8, k = 16, iters = 3, trainSampleMod = 2)
       val q = e.filter(col("vec_id") < 5)
-      graft.operators.VectorPq
+      val got = graft.operators.VectorPq
         .searchTopK(e, q, "vec_id", "v", books, m = 8, topK = 5,
           shortlistK = 150)
         .orderBy(col("q_id"), col("rank"))
+        .persist()
+      recallReceipt("q_sim_pq", got, en, topK = 5, floor = 0.6)
+      got
     }),
 
     // IVF-PQ COMPOSED search — the actual big-ANN shape (FAISS IVFADC,
@@ -308,16 +350,20 @@ object SimilarityOps extends QueryModule {
     // in the driver gate (two trained quantizers' FP); PqSpec asserts
     // recall@10 ≥ 0.7 at nProbe=8 plus full ranked lists per query.
     "q_sim_ivfpq" -> ((s, d) => {
-      val e = embWithNorm(s, d).select(col("vec_id"), col("v"))
+      val en = embWithNorm(s, d)
+      val e = en.select(col("vec_id"), col("v"))
       val cents = graft.operators.VectorIvf.kmeans(e, "vec_id", "v", k = 16,
         iters = 3, trainSampleMod = 2)
       val books = graft.operators.VectorPq.trainCodebooks(
         e, "vec_id", "v", m = 8, k = 16, iters = 3, trainSampleMod = 2)
       val q = e.filter(col("vec_id") < 5)
-      graft.operators.VectorPq
+      val got = graft.operators.VectorPq
         .searchTopKIvf(e, q, "vec_id", "v", cents, books, m = 8, nProbe = 8,
           topK = 5, shortlistK = 150)
         .orderBy(col("q_id"), col("rank"))
+        .persist()
+      recallReceipt("q_sim_ivfpq", got, en, topK = 5, floor = 0.5)
+      got
     }),
 
     // The SAME IVF-PQ search against a PERSISTED index (train once, write
@@ -327,13 +373,18 @@ object SimilarityOps extends QueryModule {
     // (identical training params → identical results), PlanSpec pins the
     // partition pruning. Rows-only like its in-memory sibling.
     "q_sim_ivfpq_store" -> ((s, d) => {
-      val e = embWithNorm(s, d).select(col("vec_id"), col("v"))
+      val en = embWithNorm(s, d)
+      val e = en.select(col("vec_id"), col("v"))
       val dir = graft.storage.VectorIndexStore.ensureIndex(e, "vec_id", "v",
         key = d, nCells = 16, m = 8, k = 16, iters = 3, trainSampleMod = 2)
       val q = e.filter(col("vec_id") < 5)
-      graft.storage.VectorIndexStore.searchTopK(e, q, "vec_id", "v", dir,
+      val got = graft.storage.VectorIndexStore
+        .searchTopK(e, q, "vec_id", "v", dir,
           nProbe = 8, topK = 5, shortlistK = 150)
         .orderBy(col("q_id"), col("rank"))
+        .persist()
+      recallReceipt("q_sim_ivfpq_store", got, en, topK = 5, floor = 0.5)
+      got
     }),
 
     // Embedding-cosine near-dup pairs: multi-probe banded LSH over INTEGER

@@ -642,14 +642,29 @@ object TextOps extends QueryModule {
     "q_bpe_encode" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val merges = graft.operators.Bpe.train(docs, "text", numMerges = 48)
+      // in-gate DETERMINISM receipt (r18): training twice over the same
+      // corpus must learn the identical merge list — the FP concern
+      // that makes this gate rows-only is certified by the driver's own
+      // run, not just BpeSpec
+      val merges2 = graft.operators.Bpe.train(docs, "text", numMerges = 48)
+      require(merges2 == merges,
+        s"q_bpe_encode: BPE training must be deterministic " +
+          s"(${merges.size} vs ${merges2.size} merges)")
       graft.operators.Bpe.register(s, merges)
       val toks = split(col("text"), " ")
-      docs.select(col("doc_id"), col("n_chars"),
+      val got = docs.select(col("doc_id"), col("n_chars"),
           size(toks).as("n_words"),
           size(graft.operators.Bpe.encode(toks)).as("n_bpe"))
         .select(col("doc_id"), col("n_words"), col("n_bpe"),
           round(col("n_chars") / col("n_bpe"), 4).as("chars_per_tok"))
         .orderBy(col("doc_id"))
+        .persist()
+      // subword conservation: BPE splits words into >= 1 tokens each
+      val viol = got.filter(col("n_bpe") < col("n_words") ||
+        col("n_bpe").isNull).count()
+      require(viol == 0,
+        s"q_bpe_encode: $viol row(s) violate n_bpe >= n_words")
+      got
     }),
 
     // JSONL source: the documents table rendered to JSON-lines (the

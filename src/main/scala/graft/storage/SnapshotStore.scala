@@ -3337,21 +3337,67 @@ object SnapshotStore {
     val multiNs = allPartSpecs(spark, path).distinct
       .map(splitPartCols(_).size).filter(_ > 1).toSet
     readManifest(spark, path, v).toSeq.sortBy(_._1).map {
-      case (p, fields) =>
-        val parts = p.split(PartSep, -1)
-        val comps =
-          if (parts.length > 1 && multiNs.contains(parts.length))
-            parts.toSeq.map(decPartComponent)
-          else Seq(p)
-        val dv = fields.flatMap(f => dvOf(f)).map(_.deleted).sum
-        val nFiles = fields.count(f => dirOf(f).endsWith(".parquet"))
-        val rows = fields.foldLeft(Option(0L)) { (acc, f) =>
-          for (a <- acc;
-               st <- statsOf(f).map(parseStats);
-               r <- st.values.flatMap(_.rows).headOption)
-            yield a + r
-        }.map(_ - dv)
-        (p, comps, fields.size, nFiles, dv, rows)
+      case (p, fields) => partitionInfoOf(p, fields, multiNs)
+    }
+  }
+
+  /** One partition's catalog row — shared by the driver-side
+    * [[partitionInfos]] and the distributed [[partitionInfosDf]].
+    */
+  private def partitionInfoOf(p: String, fields: Seq[String],
+      multiNs: Set[Int])
+      : (String, Seq[String], Int, Int, Long, Option[Long]) = {
+    val parts = p.split(PartSep, -1)
+    val comps =
+      if (parts.length > 1 && multiNs.contains(parts.length))
+        parts.toSeq.map(decPartComponent)
+      else Seq(p)
+    val dv = fields.flatMap(f => dvOf(f)).map(_.deleted).sum
+    val nFiles = fields.count(f => dirOf(f).endsWith(".parquet"))
+    val rows = fields.foldLeft(Option(0L)) { (acc, f) =>
+      for (a <- acc;
+           st <- statsOf(f).map(parseStats);
+           r <- st.values.flatMap(_.rows).headOption)
+        yield a + r
+    }.map(_ - dv)
+    (p, comps, fields.size, nFiles, dv, rows)
+  }
+
+  /** [[partitionInfos]] as a DISTRIBUTED scan (r18): on a segmented
+    * head the catalog DataFrame is built straight from the SEGMENT
+    * FILES — executors parse manifest lines, the driver never
+    * materializes a partition-per-row Seq — so
+    * `graft_snapshot(path, 'partitions')` aggregates at 1M partitions
+    * without a driver-side catalog copy (the Iceberg `partitions`
+    * metadata-table posture). Flat heads keep the one-small-parse
+    * driver path.
+    */
+  def partitionInfosDf(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(headVersion(spark, path))
+      .getOrElse(throw new IllegalArgumentException(s"no snapshots at $path"))
+    val multiNs = allPartSpecs(spark, path).distinct
+      .map(splitPartCols(_).size).filter(_ > 1).toSet
+    import spark.implicits._
+    val cols = Seq("partition", "components", "n_fields", "n_files",
+      "dv_rows", "rows")
+    readHead(spark, path, v) match {
+      case SegHead(_, _, refs, _) if refs.nonEmpty =>
+        val segs = refs.values.map(r => s"$path/${r._2}").toSeq.sorted
+        spark.read.textFile(segs: _*)
+          .filter(_.nonEmpty)
+          .map { line =>
+            val i = line.indexOf('	')
+            require(i > 0 && i < line.length - 1,
+              s"malformed manifest line (no dirs): '$line'")
+            val key = org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(line.substring(0, i))
+            partitionInfoOf(key,
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                line.substring(i + 1).split("	")), multiNs)
+          }.toDF(cols: _*)
+      case _ =>
+        partitionInfos(spark, path, Some(v)).toDF(cols: _*)
     }
   }
 
@@ -4035,15 +4081,27 @@ object SnapshotStore {
     * feed (insert↔delete, preimage↔postimage) — the "what would this
     * rollback do" preview.
     */
-  def changes(spark: SparkSession, path: String, fromVersion: Int,
-              toVersion: Int, keyCols: Seq[String]): DataFrame = {
-    require(keyCols.nonEmpty, "changes needs at least one key column")
-    // Manifest diff, bucket-pruned when both heads are segmented with the
-    // same bucket count: content-addressing makes segment-ref equality ≡
-    // bucket-content equality, so only buckets whose refs DIFFER are
-    // parsed at all — a 3-partition merge into a 1M-partition store diffs
-    // by parsing ~3 buckets per side, never the store-wide manifest.
-    // Mixed/boundary-crossing formats fall back to the full parse.
+  /** The two versions' bucket-pruned entry maps plus the set of
+    * partitions whose field IDENTITIES differ — the prelude [[changes]]
+    * and the changes source's staged-spill admission share. Manifest
+    * diff is bucket-pruned when both heads are segmented with the same
+    * bucket count: content-addressing makes segment-ref equality ≡
+    * bucket-content equality, so only buckets whose refs DIFFER are
+    * parsed at all — a 3-partition merge into a 1M-partition store
+    * diffs by parsing ~3 buckets per side, never the store-wide
+    * manifest. Mixed/boundary-crossing formats fall back to the full
+    * parse. Partitions diff by their field IDENTITIES — dir +
+    * deletion-vector suffix, never the stats-blob text
+    * ([[SnapshotFormat.identityOf]]): dirs are immutable, so equal
+    * identity lists PROVE identical LIVE rows — a metadata-only commit
+    * (stats backfill) yields an empty feed without reading a single
+    * file, while a merge-on-read DML commit (same dirs, new DV suffix)
+    * correctly reads both sides and lets the row diff reconstruct its
+    * deletes/updates.
+    */
+  private[graft] def changedMaps(spark: SparkSession, path: String,
+      fromVersion: Int, toVersion: Int)
+      : (Map[String, Seq[String]], Map[String, Seq[String]], Set[String]) = {
     val (fromM, toM) =
       (readHead(spark, path, fromVersion), readHead(spark, path, toVersion))
       match {
@@ -4058,16 +4116,47 @@ object SnapshotStore {
         case _ => (readManifest(spark, path, fromVersion),
           readManifest(spark, path, toVersion))
       }
-    // partitions diff by their field IDENTITIES — dir + deletion-vector
-    // suffix, never the stats-blob text ([[SnapshotFormat.identityOf]]):
-    // dirs are immutable, so equal identity lists PROVE identical LIVE
-    // rows — a metadata-only commit (stats backfill) yields an empty feed
-    // without reading a single file, while a merge-on-read DML commit
-    // (same dirs, new DV suffix) correctly reads both sides and lets the
-    // row diff reconstruct its deletes/updates
     val changed = (fromM.keySet ++ toM.keySet)
       .filter(p => fromM.get(p).map(_.map(identityOf).sorted) !=
         toM.get(p).map(_.map(identityOf).sorted))
+    (fromM, toM, changed)
+  }
+
+  /** The changed partitions between two versions plus each one's
+    * involved dirs on BOTH sides (sorted) — what the changes source's
+    * staged-spill slicer sizes its per-trigger slices from.
+    */
+  private[graft] def changedPartitionDirs(spark: SparkSession,
+      path: String, fromVersion: Int, toVersion: Int)
+      : Seq[(String, Seq[String])] = {
+    val (fromM, toM, changed) = changedMaps(spark, path, fromVersion,
+      toVersion)
+    changed.toSeq.sorted.map(p => p ->
+      (fromM.getOrElse(p, Nil) ++ toM.getOrElse(p, Nil))
+        .map(dirOf).distinct.sorted)
+  }
+
+  def changes(spark: SparkSession, path: String, fromVersion: Int,
+              toVersion: Int, keyCols: Seq[String]): DataFrame =
+    changesImpl(spark, path, fromVersion, toVersion, keyCols, None)
+
+  /** [[changes]] optionally RESTRICTED to a subset of the changed
+    * partitions (`onlyParts`) — the staged-spill slice: each slice's
+    * diff is computed independently over its partitions' fields, and a
+    * key whose row MOVED across slice boundaries surfaces as
+    * delete+insert, which the spill fold re-attributes to the exact
+    * update pair the unrestricted diff emits (ChangesSource.foldSpill).
+    */
+  private[graft] def changesImpl(spark: SparkSession, path: String,
+      fromVersion: Int, toVersion: Int, keyCols: Seq[String],
+      onlyParts: Option[Set[String]]): DataFrame = {
+    require(keyCols.nonEmpty, "changes needs at least one key column")
+    val (fromM, toM, changed0) = changedMaps(spark, path, fromVersion,
+      toVersion)
+    val changed = onlyParts match {
+      case Some(op) => changed0.intersect(op)
+      case None => changed0
+    }
     def rd(m: Map[String, Seq[String]], v: Int): Option[DataFrame] = {
       val fields = changed.toSeq.flatMap(m.get).flatten.sorted
       if (fields.isEmpty) None

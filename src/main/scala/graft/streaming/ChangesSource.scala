@@ -140,6 +140,25 @@ object ChangesSplitOffset {
   }
 }
 
+/** Offset inside a STAGED atomic admission (`atomicSpill`): slices
+  * `1..step` (of `of`) of version `v`'s feed are spilled under the
+  * checkpoint; the version itself is NOT yet consumed — the fold batch
+  * that follows emits the whole feed atomically.
+  */
+case class ChangesSpillOffset(v: Int, step: Int, of: Int) extends Offset {
+  override val json: String = s"""{"v":$v,"spill":$step,"of":$of}"""
+}
+
+object ChangesSpillOffset {
+  private val Pat =
+    ("""\{\s*"v"\s*:\s*(\d+)\s*,\s*"spill"\s*:\s*(\d+)\s*,""" +
+      """\s*"of"\s*:\s*(\d+)\s*\}""").r
+  def tryParse(txt: String): Option[(Int, Int, Int)] = txt.trim match {
+    case Pat(v, k, n) => Some((v.toInt, k.toInt, n.toInt))
+    case _ => None
+  }
+}
+
 class ChangesSource(sqlContext: SQLContext, metadataPath: String,
                     parameters: Map[String, String])
     extends Source with SupportsTriggerAvailableNow
@@ -183,6 +202,26 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
       val n = v.toLong
       require(n >= 1, s"maxBytesPerTrigger must be >= 1, got $n"); n
     }
+  /** STAGED atomic admission (r18): with `atomicSpill=true` (requires
+    * `maxBytesPerTrigger`), a version-atomic commit (merge / compact /
+    * rollback) whose feed exceeds the budget is consumed in TWO phases
+    * instead of one unbounded batch: first the feed is computed in
+    * byte-bounded PARTITION SLICES, one slice per trigger, each written
+    * to a checkpoint-local spill (`<checkpoint>/graft-changes-spill/`)
+    * while the stream emits EMPTY batches; then one FOLD batch reads
+    * the spilled slices back and emits the ENTIRE version's feed
+    * atomically — version-atomicity stays observable (a delta-folding
+    * consumer still sees the whole commit in exactly one batch), but no
+    * single trigger does unbounded diff work. A key whose row moved
+    * across slice boundaries surfaces as delete+insert in different
+    * slices; the fold re-attributes such pairs to the exact
+    * update_preimage/update_postimage the unsliced diff emits.
+    */
+  private val atomicSpill: Boolean =
+    parameters.get("atomicSpill").exists(_.trim.toBoolean)
+  require(!atomicSpill || maxBytesPerTrigger.isDefined,
+    "atomicSpill requires maxBytesPerTrigger (the slice budget)")
+
   private val onEvolution: String = {
     val v = parameters.getOrElse("onSchemaEvolution", "fail")
     require(v == "fail" || v == "project",
@@ -279,7 +318,16 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
     * `startOffset`, so a resumed stream paces from where it actually is.
     */
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val (fv, fs) = Option(startOffset).map(posOf).getOrElse((baseline, 0))
+    val pos = Option(startOffset).map(srcPosOf)
+      .getOrElse(SrcPos(baseline, 0, 0, 0))
+    val (fv, fs) = (pos.v, pos.split)
+    // mid-STAGED-spill: one slice per trigger, then the atomic fold
+    if (pos.spillOf > 0) {
+      val u = pos.v + 1
+      return if (pos.spill < pos.spillOf)
+        ChangesSpillOffset(u, pos.spill + 1, pos.spillOf)
+      else offsetFor(u, 0) // all slices staged: the FOLD batch
+    }
     val head = availableNowCap.getOrElse(
       SnapshotStore.headVersion(spark, path).getOrElse(baseline))
     maxBytesPerTrigger match {
@@ -298,6 +346,10 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
         SnapshotStore.insertOnlyDirs(spark, path, u) match {
           case None => // merge/compact: version-atomic — announce it
             announceAtomic(u, budget)
+            if (atomicSpill) {
+              val n = spillSliceCount(u, budget)
+              if (n > 1) return ChangesSpillOffset(u, 1, n)
+            }
             offsetFor(u, 0)
           case Some(dirs) =>
             val remaining = dirs.drop(fs)
@@ -368,17 +420,32 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
   private def offsetFor(v: Int, split: Int): OffsetV2 =
     if (split == 0) LongOffset(v.toLong) else ChangesSplitOffset(v, split)
 
-  /** Offset position: (v, split) = versions ≤ v fully consumed, plus the
-    * first `split` dirs of version v+1's insert set. Plain integers
-    * (LongOffset and pre-r14 checkpoint logs) parse as (v, 0).
+  /** Offset position: versions ≤ `v` fully consumed, plus EITHER the
+    * first `split` dirs of version v+1's insert set OR `spill` of
+    * `spillOf` staged slices of version v+1's atomic feed. Plain
+    * integers (LongOffset and pre-r14 checkpoint logs) parse as
+    * (v, 0, 0, 0).
     */
-  private def posOf(o: OffsetV2): (Int, Int) = o match {
-    case LongOffset(v) => (v.toInt, 0)
-    case ChangesSplitOffset(v, s) => (v, s)
+  private case class SrcPos(v: Int, split: Int, spill: Int, spillOf: Int)
+
+  private def posOf(o: OffsetV2): (Int, Int) = {
+    val p = srcPosOf(o); (p.v, p.split)
+  }
+
+  private def srcPosOf(o: OffsetV2): SrcPos = o match {
+    case LongOffset(v) => SrcPos(v.toInt, 0, 0, 0)
+    case ChangesSplitOffset(v, s) => SrcPos(v, s, 0, 0)
+    case ChangesSpillOffset(v, k, n) => SrcPos(v - 1, 0, k, n)
     case other =>
       val txt = other.json.trim
-      if (txt.startsWith("{")) ChangesSplitOffset.parse(txt)
-      else (txt.toInt, 0)
+      if (txt.startsWith("{"))
+        ChangesSpillOffset.tryParse(txt) match {
+          case Some((v, k, n)) => SrcPos(v - 1, 0, k, n)
+          case None =>
+            val (v, sp) = ChangesSplitOffset.parse(txt)
+            SrcPos(v, sp, 0, 0)
+        }
+      else SrcPos(txt.toInt, 0, 0, 0)
   }
 
   /** The admitted dirs of version `v` read directly as inserts — the
@@ -393,9 +460,154 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
       .withColumn("_change_type", lit("insert"))
       .withColumn("_commit_version", lit(v)))
 
+  // ---- staged atomic admission (r18) -----------------------------------
+
+  private def spillRoot: String = s"$metadataPath/graft-changes-spill"
+
+  /** The spill plan for version `u`: changed partitions with their
+    * both-sides byte estimates, sorted — cached per version (the
+    * manifests and dirs are immutable, so the plan is a pure function).
+    */
+  @volatile private var spillPlanCache: Option[(Int, Seq[(String, Long)])] =
+    None
+
+  private def spillPlan(u: Int): Seq[(String, Long)] =
+    spillPlanCache match {
+      case Some((v, plan)) if v == u => plan
+      case _ =>
+        val fsys = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        val plan = SnapshotStore.changedPartitionDirs(spark, path,
+          u - 1, u).map { case (part, dirs) =>
+          part -> dirs.map { d =>
+            try fsys.getContentSummary(
+              new org.apache.hadoop.fs.Path(path, d)).getLength
+            catch { case _: java.io.FileNotFoundException => 0L }
+          }.sum
+        }
+        spillPlanCache = Some((u, plan))
+        plan
+    }
+
+  /** Slice count for version `u` under `budget` — 1 means "fits, no
+    * staging". Deterministic from immutable inputs.
+    */
+  private def spillSliceCount(u: Int, budget: Long): Int = {
+    val plan = spillPlan(u)
+    if (plan.size <= 1) return 1
+    val total = plan.map(_._2).sum
+    if (total <= budget) 1
+    else math.min(plan.size,
+      ((total + budget - 1) / budget).toInt)
+  }
+
+  /** The k-th (1-based) of `n` slices: the sorted changed partitions
+    * split contiguously into n byte-balanced groups — a pure function
+    * of (u, n), so a crash replay re-derives identical slices whatever
+    * the budget is NOW.
+    */
+  private def sliceParts(u: Int, k: Int, n: Int): Set[String] = {
+    val plan = spillPlan(u)
+    val total = math.max(1L, plan.map(_._2).sum)
+    var cum = 0L
+    plan.flatMap { case (part, b) =>
+      val slice = math.min(n - 1, (cum * n / total).toInt) + 1
+      cum += b
+      if (slice == k) Some(part) else None
+    }.toSet
+  }
+
+  private def sliceDir(u: Int, k: Int): String =
+    s"$spillRoot/v$u/slice-$k"
+
+  /** Computes slice `k` of version `u`'s feed and spills it under the
+    * checkpoint (overwrite — deterministic content makes crash replays
+    * idempotent). Returns an EMPTY batch: the data flows only at the
+    * fold.
+    */
+  private def spillSlice(u: Int, k: Int, n: Int): DataFrame = {
+    val feed = align(
+      SnapshotStore.changesImpl(spark, path, u - 1, u, keyCols,
+        Some(sliceParts(u, k, n)))
+        .withColumn("_commit_version", lit(u)))
+    feed.write.mode("overwrite").parquet(sliceDir(u, k))
+    spark.createDataFrame(java.util.Collections.emptyList[Row](),
+      fixedSchema)
+  }
+
+  /** The atomic FOLD: slices 1..staged read back, any remaining slices
+    * (a run whose budget was removed mid-spill) computed inline, keys
+    * that moved across slice boundaries re-attributed from
+    * delete+insert to the exact update pair the unsliced diff emits.
+    */
+  private def foldSpill(u: Int, staged: Int, n: Int): DataFrame = {
+    val stagedDf =
+      if (staged == 0) None
+      else Some(spark.read.schema(fixedSchema)
+        .parquet((1 to staged).map(sliceDir(u, _)): _*))
+    val rest =
+      if (staged >= n) None
+      else {
+        val parts = (staged + 1 to n).flatMap(sliceParts(u, _, n)).toSet
+        Some(align(SnapshotStore.changesImpl(spark, path, u - 1, u,
+          keyCols, Some(parts)).withColumn("_commit_version", lit(u))))
+      }
+    val all = (stagedDf.toSeq ++ rest.toSeq)
+      .reduceLeft(_.unionByName(_))
+    // cross-slice MOVES: a key with BOTH a delete and an insert in this
+    // version's feed is one row that changed partitions. The unsliced
+    // diff pairs the two sides by key — identical images emit NOTHING
+    // (a compaction migration), differing images emit the exact update
+    // pair — so the fold applies the same verdict to exactly those keys
+    val movedKeys = all
+      .filter(col("_change_type").isin("insert", "delete"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(countDistinct(col("_change_type")).as("_nct"))
+      .filter(col("_nct") === 2)
+      .select(keyCols.map(col): _*)
+    val still = all.join(movedKeys, keyCols, "left_anti")
+    val dataCols = fixedSchema.fieldNames.toSeq
+      .filterNot(c => c == "_change_type" || c == "_commit_version")
+      .filterNot(keyCols.contains)
+    def img = if (dataCols.isEmpty) struct(lit(true).as("_present"))
+      else struct(dataCols.map(col): _*)
+    val mv = all.join(movedKeys, keyCols, "left_semi")
+    val pre = mv.filter(col("_change_type") === "delete")
+      .select(keyCols.map(col) :+ img.as("_pre"): _*)
+    val post = mv.filter(col("_change_type") === "insert")
+      .select(keyCols.map(col) :+ img.as("_post"): _*)
+    val movedFeed = pre.join(post, keyCols)
+      .select(keyCols.map(col) :+
+        when(!(col("_pre") <=> col("_post")),
+          array(
+            struct(lit("update_preimage").as("t"), col("_pre").as("img")),
+            struct(lit("update_postimage").as("t"),
+              col("_post").as("img"))))
+          .otherwise(lit(null)).as("_ch"): _*)
+      .select(keyCols.map(col) :+ explode(col("_ch")).as("_e"): _*)
+      .select(fixedSchema.fieldNames.map {
+        case "_change_type" => col("_e.t").as("_change_type")
+        case "_commit_version" =>
+          lit(u).cast("int").as("_commit_version")
+        case c if keyCols.contains(c) => col(c)
+        case c => col("_e.img").getField(c).as(c)
+      }.toIndexedSeq: _*)
+    still.select(fixedSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .unionByName(movedFeed)
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val (va, sa) = start.map(o => posOf(o: OffsetV2)).getOrElse((baseline, 0))
-    val (vb, sb) = posOf(end: OffsetV2)
+    val pa = start.map(o => srcPosOf(o: OffsetV2))
+      .getOrElse(SrcPos(baseline, 0, 0, 0))
+    val pb = srcPosOf(end: OffsetV2)
+    if (pb.spillOf > 0) // a staging trigger: spill one slice, emit empty
+      return org.apache.spark.sql.graftshim.StreamingBatchShim
+        .asStreamingBatch(spillSlice(pb.v + 1, pb.spill, pb.spillOf))
+    if (pa.spillOf > 0) // the atomic fold of the staged version
+      return org.apache.spark.sql.graftshim.StreamingBatchShim
+        .asStreamingBatch(foldSpill(pa.v + 1, pa.spill, pa.spillOf))
+    val (va, sa) = (pa.v, pa.split)
+    val (vb, sb) = (pb.v, pb.split)
     if ((vb, sb) == (va, sa) || vb < va)
       return org.apache.spark.sql.graftshim.StreamingBatchShim.asStreamingBatch(
         spark.createDataFrame(java.util.Collections.emptyList[Row](), fixedSchema))
@@ -476,7 +688,24 @@ class ChangesSource(sqlContext: SQLContext, metadataPath: String,
       else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
   }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = {
+    // staged slices of folded versions are durable-batch history now —
+    // reclaim them (best-effort; the spill is re-derivable regardless)
+    val done = srcPosOf(end: OffsetV2)
+    try {
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(metadataPath),
+        spark.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(spillRoot)
+      if (fsys.exists(root))
+        fsys.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("v") &&
+            n.drop(1).forall(_.isDigit) && n.drop(1).toInt <= done.v)
+            fsys.delete(st.getPath, true)
+        }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   override def stop(): Unit = ()
 
