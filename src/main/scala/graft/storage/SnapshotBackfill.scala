@@ -87,7 +87,8 @@ private[graft] object SnapshotBackfill {
     SnapshotBranch.allStagedDirs(spark, path)
       .map(f => dirOf(f).split("/").lift(1).getOrElse(""))
       .filter(_.nonEmpty).toSet
-      .foreach(g => SnapshotBloom.buildFor(spark, path, g, newBlooms))
+      .foreach((g: String) =>
+        SnapshotBloom.buildFor(spark, path, g, newBlooms))
     val entries = forWrite(path, head)(readManifest(spark, path, head))
     if (entries.isEmpty) return head
     val gens = entries.values.flatten

@@ -112,17 +112,44 @@ private[storage] object SnapshotBloom {
     */
   private[storage] def buildFor(spark: SparkSession, path: String,
                                 gen: String,
-                                bloomCols: Seq[String]): Unit = {
+                                bloomCols: Seq[String],
+                                schemaHint: Option[
+                                  org.apache.spark.sql.types.StructType] =
+                                  None): Unit = {
     if (bloomCols.isEmpty) return
     val genPath = s"$path/data/$gen"
-    val df = spark.read.parquet(genPath)
-    val present = bloomCols.filter(df.columns.contains)
-    if (present.isEmpty) return
-    val rows = df.count() // parquet footer metadata count: no data read
-    if (rows == 0) return
-    val expected = math.max(64L, math.min(rows, MaxItems))
+    // row count from the footers on the driver (metadata, no Spark job)
+    // and the data schema from the writer when it knows it (r18): the
+    // only scan a commit pays for its needles is the filter build itself
     val fs = hfs(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files =
+      try fs.listStatus(new org.apache.hadoop.fs.Path(genPath))
+        .filter(_.isDirectory).flatMap(d => fs.listStatus(d.getPath))
+        .map(_.getPath).filter { p =>
+          val n = p.getName
+          !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
+        }
+      catch { case _: java.io.FileNotFoundException => Array.empty }
+    val rows = files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      } finally r.close()
+    }.sum
+    if (rows == 0) return
+    val schema = schemaHint.getOrElse(spark.read.parquet(genPath).schema)
+    val present = bloomCols.filter(schema.fieldNames.contains)
+    if (present.isEmpty) return
+    val expected = math.max(64L, math.min(rows, MaxItems))
     present.foreach { c =>
+      // single-column pinned read: no schema inference, and the scan
+      // decodes only the declared column
+      val df = spark.read.schema(
+        org.apache.spark.sql.types.StructType(Seq(schema(c))))
+        .parquet(genPath)
       val bf = df.select(org.apache.spark.sql.functions.col(c)
         .cast("string").as(c)).stat.bloomFilter(c, expected, 0.01)
       val tmp = new org.apache.hadoop.fs.Path(genPath,

@@ -225,7 +225,9 @@ object SnapshotStore {
       // initial write, where `_bloomcols` is not yet published
       SnapshotBloom.buildFor(df.sparkSession, path, gen,
         bloomCols.getOrElse(
-          SnapshotBloom.bloomColsOf(df.sparkSession, path)))
+          SnapshotBloom.bloomColsOf(df.sparkSession, path)),
+        schemaHint = Some(org.apache.spark.sql.types.StructType(
+          df.schema.filterNot(_.name == "_p")))) // _p is hived out on write
       val stats = genStats(df.sparkSession, path, gen, statsCols)
       dirs
         .map { d =>
@@ -471,7 +473,32 @@ object SnapshotStore {
     * NO bound — a blob carrying "NaN" would permanently break every
     * later [[readWhere]] on the store.
     */
+  /** Per-(partition dir) stats blobs for one gen. Served from the gen's
+    * parquet FOOTERS when the footer evidence proves the exact blob the
+    * aggregate would render (r18 — O(files) driver metadata reads, zero
+    * Spark jobs per commit; see [[SnapshotFileStats.genBlobs]] for the
+    * proven-parity map); any unprovable shape falls back to the original
+    * full-scan aggregate, so the blob text never depends on which path
+    * ran (SnapshotFooterStatsSpec pins the equality type by type).
+    */
   private[graft] def genStats(spark: SparkSession, path: String, gen: String,
+                       statsCols: Seq[String]): Map[String, String] = {
+    if (statsCols.isEmpty) return Map.empty
+    val footerPath = sys.env.get("GRAFT_STATS_FOOTER")
+      .orElse(Option(System.getProperty("graft.stats.footer")))
+      .forall(_ != "false")
+    (if (footerPath) SnapshotFileStats.genBlobs(spark, path, gen, statsCols)
+     else None) match {
+      case Some(m) => m
+      case None => genStatsAgg(spark, path, gen, statsCols)
+    }
+  }
+
+  /** The full-scan aggregate codec — the fallback (and parity oracle)
+    * for [[genStats]]'s footer fast path.
+    */
+  private[graft] def genStatsAgg(spark: SparkSession, path: String,
+                       gen: String,
                        statsCols: Seq[String]): Map[String, String] = {
     if (statsCols.isEmpty) return Map.empty
     val genPath = s"$path/data/$gen"
