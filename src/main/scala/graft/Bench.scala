@@ -29,6 +29,14 @@ object Bench {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // r18 (optimization guide §2.2/§3.1/§9), mirrors Verify: real AQE
+      // coalescing of tiny post-shuffle partitions + shuffled-hash join
+      // when its size gates hold. Scale-right (the guide's recommended
+      // baseline), not a local[32] tune — shuffle.partitions itself
+      // stays the driver-chosen core count above.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

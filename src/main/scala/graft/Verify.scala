@@ -30,6 +30,14 @@ object Verify {
       // Write µs-precision timestamps (not INT96) so the driver's DuckDB/arrow
       // readers see the same values Spark computed.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // r18 (optimization guide §2.2/§3.1/§9): let AQE actually coalesce
+      // tiny post-shuffle partitions (parallelismFirst keeps the local
+      // default parallelism otherwise — the docs recommend false), and
+      // let the planner pick a shuffled hash join when its size gates
+      // hold (sort-merge stays the fallback). Result-preserving.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
